@@ -1,0 +1,151 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table: exact hash, MinHash
+  * + LSH banding, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the point of these at 100 TB):
+  *  - exact dedup is a single hash-shuffle on a 32-byte digest, never on the
+  *    full text;
+  *  - MinHash signatures/bands are computed per-row with higher-order array
+  *    functions (one pass over the text, no explode until the band key —
+  *    shuffle volume is O(docs × n_bands × 32B), independent of doc length);
+  *  - candidate pairs come only from band-bucket self-joins (classic LSH),
+  *    never an all-pairs cross join;
+  *  - Jaccard verification joins on the shingle value, so co-occurrence is
+  *    computed by the shuffle, not by driver-side set intersection.
+  *
+  * All hash primitives are md5 hex strings (identical in Spark and DuckDB),
+  * and min/ordering over them is lexicographic — engine-portable by
+  * construction.
+  */
+object Dedup {
+
+  /** Shared shingling (word 3-grams), Spark SQL / DuckDB SQL renderings. */
+  private val sparkShingles =
+    "transform(sequence(1, greatest(size(ws) - 2, 1)), i -> concat_ws(' ', slice(ws, i, 3)))"
+  private val duckShingles =
+    "list_transform(generate_series(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' '))"
+
+  /** Exact dedup: group by content digest; keeper = min doc_id (reference
+    * U3 first-writer-wins shape, src/database.ts:141-211). */
+  val q34ExactDedup: Q = Q(
+    "q34_dedup_exact",
+    """SELECT md5(lower(text)) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+      |FROM documents GROUP BY 1 ORDER BY h""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .groupBy(md5(lower(col("text"))).as("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+      .orderBy(col("h"))
+  }
+
+  /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
+    * docs sharing any band hash. Signature j = min over shingles of
+    * md5(j || '|' || shingle) (lexicographic min of hex = portable MinHash). */
+  val q35MinHashLsh: Q = Q(
+    "q35_dedup_minhash_lsh",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT doc_id, $duckShingles AS shs FROM w),
+       |sig AS (SELECT doc_id,
+       |          list_transform(generate_series(0, 15),
+       |            j -> list_aggregate(list_transform(shs,
+       |                   s2 -> md5(CAST(j AS VARCHAR) || '|' || s2)), 'min')) AS sig
+       |        FROM sh),
+       |bands AS (SELECT doc_id,
+       |            unnest(list_transform(generate_series(0, 3),
+       |              b -> md5(CAST(b AS VARCHAR) || ':' ||
+       |                       array_to_string(sig[b*4+1:b*4+4], '|')))) AS h
+       |          FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |FROM bands a JOIN bands c ON a.h = c.h AND a.doc_id < c.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val bands = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("shs", expr(sparkShingles))
+      .withColumn("sig", expr(
+        """transform(sequence(0, 15),
+          |  j -> array_min(transform(shs, s2 -> md5(concat(cast(j as string), '|', s2)))))"""
+          .stripMargin))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, 3),
+          |  b -> md5(concat(cast(b as string), ':', concat_ws('|', slice(sig, b*4+1, 4)))))"""
+          .stripMargin)).as("h"))
+    bands.as("a").join(bands.as("c"),
+        col("a.h") === col("c.h") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash(32): per-token md5, bit i = sign of Σ(±1) over tokens by the
+    * parity of hex digit i. Equal fingerprints ⇒ near-duplicate cluster.
+    * The per-token hash array is materialized once; the 32 bit-counters
+    * reuse it (CollapseProject keeps expensive projections separate). */
+  val q36SimHash: Q = {
+    val hex = "0123456789abcdef"
+    def sparkBit(i: Int) =
+      s"IF(2 * size(filter(hs, h -> (instr('$hex', substring(h, $i, 1)) - 1) % 2 = 1)) > size(hs), '1', '0')"
+    def duckBit(i: Int) =
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (strpos('$hex', substring(h, $i, 1)) - 1) % 2 = 1)) > len(hs) THEN '1' ELSE '0' END"
+    val sparkFp = (1 to 32).map(sparkBit).mkString("concat(", ", ", ")")
+    val duckFp = (1 to 32).map(duckBit).mkString(" || ")
+    Q(
+      "q36_dedup_simhash",
+      s"""WITH h AS (SELECT doc_id,
+         |             list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+         |           FROM documents)
+         |SELECT doc_id, $duckFp AS simhash
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
+        .select(col("doc_id"), expr(sparkFp).as("simhash"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** n-gram Jaccard similarity: for doc pairs within the same `source`,
+    * |A∩B| / |A∪B| over distinct word 3-gram sets; report pairs ≥ 0.5.
+    * Intersection counts come from a shingle-value equi-join (shuffle does
+    * the set intersection — no driver-side state). */
+  val q37NgramJaccard: Q = Q(
+    "q37_dedup_ngram_jaccard",
+    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+       |sh AS (SELECT DISTINCT doc_id, source, unnest($duckShingles) AS sh FROM w),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b
+       |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val sh = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), col("source"), explode(expr(sparkShingles)).as("sh"))
+      .distinct()
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = col("n_inter").cast("double") /
+      (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))
+    inter
+      .join(cnt.as("ca"), col("ca.doc_id") === col("doc_a"))
+      .join(cnt.as("cb"), col("cb.doc_id") === col("doc_b"))
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[Q] = Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard)
+}

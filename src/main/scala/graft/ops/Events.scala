@@ -1,0 +1,160 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q._
+
+/** Event-time analytics over the `events` table (SURVEY §2.8 extension
+  * surface): JSON field extraction, epoch-aligned tumbling windows, and
+  * gap-based sessionization.
+  *
+  * The batch aggregations here are watermark-compatible (count/sum/min/max
+  * over event-time buckets), so the same code runs under Structured
+  * Streaming — see graft.streaming.EventStream.
+  *
+  * Note on timestamps: `events.ts` is parquet timestamp[ns]; Spark reads µs,
+  * DuckDB reads ns. All oracle comparisons therefore bucket to ≥1 s
+  * granularity (FIXTURES.md).
+  */
+object Events {
+
+  /** JSON scalar extraction (testdata `props` is `{"k": <int>}`) — Spark
+    * get_json_object; oracle uses a regexp so it needs no DuckDB JSON
+    * extension (offline environment). */
+  val q20Json: Q = Q(
+    "q20_json_extract",
+    """SELECT event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+      |       count(*) FILTER (WHERE regexp_extract(props, '"k":\s*(-?\d+)', 1) = '') AS n_missing
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        count_if(k.isNull).as("n_missing"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Epoch-aligned 10-minute tumbling windows. The window key is surfaced as
+    * epoch seconds (BIGINT) so Spark-µs vs DuckDB-ns precision can't skew the
+    * comparison. Spark side uses the native `window()` event-time bucketing
+    * operator (streaming-compatible). */
+  val q21Tumbling: Q = Q(
+    "q21_tumbling_windows",
+    s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       |       event_type,
+       |       count(*) AS n,
+       |       ${oSum6("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  /** Gap-based sessionization (30-minute inactivity gap) via Spark's native
+    * `session_window`, rolled up per user. The oracle reproduces the
+    * semantics with a lag/running-sum session id — the classic equivalence
+    * (new session iff gap ≥ 30 min). */
+  val q22Sessionize: Q = Q(
+    "q22_sessionize",
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marks),
+      |per_sess AS (
+      |  SELECT user_id, sess_id, count(*) AS n_events
+      |  FROM sess GROUP BY user_id, sess_id)
+      |SELECT user_id, count(*) AS n_sessions,
+      |       CAST(sum(n_events) AS BIGINT) AS n_events,
+      |       max(n_events) AS max_session_events
+      |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        max(col("n_events")).as("max_session_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Event funnel: per user, did a `view` precede a `purchase`? Window
+    * min-over-type + conditional compare; counts funnel conversion. */
+  val q23Funnel: Q = Q(
+    "q23_funnel",
+    """WITH f AS (
+      |  SELECT user_id,
+      |         min(ts) FILTER (WHERE event_type = 'view') AS first_view,
+      |         min(ts) FILTER (WHERE event_type = 'purchase') AS first_purchase
+      |  FROM events GROUP BY user_id)
+      |SELECT count(*) AS n_users,
+      |       count(*) FILTER (WHERE first_view IS NOT NULL) AS n_viewers,
+      |       count(*) FILTER (WHERE first_view IS NOT NULL AND first_purchase > first_view)
+      |         AS n_converted
+      |FROM f""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count_if(col("first_view").isNotNull).as("n_viewers"),
+        count_if(col("first_view").isNotNull && col("first_purchase") > col("first_view"))
+          .as("n_converted"))
+  }
+
+  /** As-of join (operator Spark lacks natively — SURVEY §7.4 "custom by
+    * necessity" candidate): for each `purchase`, the most recent prior-or-equal
+    * `click` by the same user. Composed from existing ops (union + window
+    * last-value carry-forward) per the preference order: one shuffle on
+    * user_id, no range cross-join — this scales linearly at 100 TB, unlike
+    * the naive inequality join which Spark would plan as BNL.
+    * DuckDB has native ASOF JOIN as the oracle. */
+  val q24AsofJoin: Q = Q(
+    "q24_asof_join",
+    """SELECT p.event_id AS purchase_id,
+      |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_left"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_left"))
+    // Union sorted by (ts, is_left): each left row picks up the running "last
+    // right ts ≤ its ts" via last_value(ignoreNulls) — right rows sort first
+    // at equal ts so prior-or-equal semantics hold.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionByName(clicks)
+      .withColumn("asof_ts",
+        last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(
+        col("event_id").as("purchase_id"),
+        unix_timestamp(col("asof_ts")).as("click_epoch"))
+      .orderBy(col("purchase_id"))
+  }
+
+  val all: Seq[Q] = Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin)
+}

@@ -1,0 +1,365 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q._
+
+/** Reference-parity analytical surface (SURVEY.md §2.9 Q1–Q5, §2.4 A1/A2/A5,
+  * §2.3/§2.5 extension joins/windows/set-ops), expressed over the driver
+  * testdata star schema.
+  *
+  * Mapping of the reference's git domain onto the testdata (FIXTURES.md):
+  * `orders` plays `commits` (o_custkey ≈ author, o_orderdate ≈ committed_at),
+  * `lineitem` plays `file_changes`. Every query is a pure
+  * `(SparkSession, sfDir) => DataFrame` with a deterministic total order so
+  * the DuckDB-oracle hash compare is stable.
+  *
+  * Scale design: group-bys shuffle on their grouping keys only after a
+  * codegen'd partial aggregate (map-side combine); dimension joins are
+  * explicitly broadcast; top-k queries compile to TakeOrderedAndProject
+  * (no global sort materialization).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables(s, dir, n)
+
+  /** Q1 "commits-by-author leaderboard" (README.md:59-63; A1 src/transforms.ts:11-39).
+    * min_by tie-broken on a unique key, mirroring SURVEY §7.5 risk #1. */
+  val q1Authors: Q = Q(
+    "q1_authors_leaderboard",
+    """SELECT o_custkey AS author_key,
+      |       count(*) AS total_commits,
+      |       min(o_orderdate) AS first_commit_at,
+      |       max(o_orderdate) AS last_commit_at,
+      |       arg_min(o_orderstatus, o_orderkey) AS first_status
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY total_commits DESC, author_key""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("author_key"))
+      .agg(
+        count(lit(1)).as("total_commits"),
+        min(col("o_orderdate")).as("first_commit_at"),
+        max(col("o_orderdate")).as("last_commit_at"),
+        min_by(col("o_orderstatus"), col("o_orderkey")).as("first_status"))
+      .orderBy(col("total_commits").desc, col("author_key"))
+  }
+
+  /** Q2 "most active days" (README.md:66-73): date-trunc group, count+sum, top-10. */
+  val q2ActiveDays: Q = Q(
+    "q2_active_days",
+    s"""SELECT CAST(o_orderdate AS DATE) AS day,
+       |       count(*) AS n_orders,
+       |       ${oSum2("o_totalprice")} AS total_price
+       |FROM orders GROUP BY 1
+       |ORDER BY n_orders DESC, day LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("total_price"))
+      .orderBy(col("n_orders").desc, col("day"))
+      .limit(10)
+  }
+
+  /** Q3 "hot files" (README.md:76-83): two-key group, count+sums, top-20. */
+  val q3HotPairs: Q = Q(
+    "q3_hot_pairs",
+    s"""SELECT l_suppkey, l_partkey,
+       |       count(*) AS n_changes,
+       |       ${oSum2("l_quantity")} AS sum_qty,
+       |       ${oSum2("l_extendedprice")} AS sum_price
+       |FROM lineitem GROUP BY l_suppkey, l_partkey
+       |ORDER BY n_changes DESC, l_suppkey, l_partkey LIMIT 20""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        count(lit(1)).as("n_changes"),
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_price"))
+      .orderBy(col("n_changes").desc, col("l_suppkey"), col("l_partkey"))
+      .limit(20)
+  }
+
+  /** Q4 "commits per repo" (README.md:86-88): single group-count. */
+  val q4CountsPerGroup: Q = Q(
+    "q4_counts_per_group",
+    """SELECT o_orderstatus AS grp, count(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus").as("grp"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("grp"))
+  }
+
+  /** Q5 "tag stats" (README.md:91-94): count + conditional count (count_if). */
+  val q5ConditionalAgg: Q = Q(
+    "q5_conditional_agg",
+    """SELECT o_orderpriority AS grp,
+      |       count(*) AS n_total,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+      |FROM orders GROUP BY 1 ORDER BY grp""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count_if(col("o_orderstatus") === "F").as("n_finished"))
+      .orderBy(col("grp"))
+  }
+
+  /** A2 "summary stats" (src/transforms.ts:41-62): one global row —
+    * count, sums, conditional count, distinct count, date range. */
+  val q6SummaryStats: Q = Q(
+    "q6_summary_stats",
+    s"""SELECT count(*) AS n_rows,
+       |       ${oSum2("l_quantity")} AS sum_qty,
+       |       ${oSum2("l_extendedprice")} AS sum_price,
+       |       count(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+       |       count(DISTINCT l_orderkey) AS n_orders,
+       |       min(l_shipdate) AS first_ship,
+       |       max(l_shipdate) AS last_ship
+       |FROM lineitem""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      dsum2(col("l_quantity")).as("sum_qty"),
+      dsum2(col("l_extendedprice")).as("sum_price"),
+      count_if(col("l_returnflag") === "R").as("n_returned"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      min(col("l_shipdate")).as("first_ship"),
+      max(col("l_shipdate")).as("last_ship"))
+  }
+
+  /** Extension (SURVEY §2.3): star-schema join, revenue per region/nation.
+    * region+nation broadcast (tiny dims at any SF); customer/orders joins
+    * shuffle on their keys, AQE free to convert when small. */
+  val q7StarJoin: Q = Q(
+    "q7_star_join_revenue",
+    s"""SELECT r_name, n_name,
+       |       count(*) AS n_items,
+       |       ${oSum6("l_extendedprice * (1 - l_discount)")} AS revenue
+       |FROM lineitem
+       |JOIN orders   ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation   ON c_nationkey = n_nationkey
+       |JOIN region   ON n_regionkey = r_regionkey
+       |GROUP BY r_name, n_name
+       |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val li = t(s, dir, "lineitem")
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum6(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Semi-join (reference S5/J2 author-presence gate shape, main.ts:30-77). */
+  val q8SemiJoin: Q = Q(
+    "q8_semi_join",
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin) { (s, dir) =>
+    t(s, dir, "customer")
+      .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** Anti-join (reference J1 ignore-list filter shape, main.ts:283-296). */
+  val q9AntiJoin: Q = Q(
+    "q9_anti_join",
+    """SELECT p_brand, count(*) AS n_parts
+      |FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Top-k without aggregation (README LIMIT queries): must plan as
+    * TakeOrderedAndProject — per-partition heap + driver merge, no global sort. */
+  val q10TopK: Q = Q(
+    "q10_topk_rows",
+    """SELECT l_orderkey, l_linenumber, l_extendedprice
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+  }
+
+  /** Window: top-3 per group by rank (extension surface, SURVEY §2.5). */
+  val q11WindowRank: Q = Q(
+    "q11_window_rank",
+    """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders) x
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("long")) // DuckDB row_number() is BIGINT
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Window: lag — avg days between consecutive orders per customer.
+    * Integer day-gaps keep the avg an exact int/int division in both engines. */
+  val q12WindowLag: Q = Q(
+    "q12_window_lag",
+    """WITH g AS (
+      |  SELECT o_custkey,
+      |         date_diff('day',
+      |           lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+      |                                                ORDER BY o_orderdate, o_orderkey),
+      |           CAST(o_orderdate AS DATE)) AS gap
+      |  FROM orders)
+      |SELECT o_custkey, count(gap) AS n_gaps, avg(gap) AS avg_gap_days
+      |FROM g GROUP BY o_custkey HAVING count(gap) > 0
+      |ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("gap",
+        datediff(to_date(col("o_orderdate")), lag(to_date(col("o_orderdate")), 1).over(w))
+          .cast("long"))
+      .groupBy(col("o_custkey"))
+      .agg(count(col("gap")).as("n_gaps"), avg(col("gap")).as("avg_gap_days"))
+      .filter(col("n_gaps") > 0)
+      .orderBy(col("o_custkey"))
+  }
+
+  /** Window: running sum (frame-based). DECIMAL accumulation so the
+    * incremental (Spark) vs segment-tree (DuckDB) evaluation orders agree. */
+  val q13RunningSum: Q = Q(
+    "q13_running_sum",
+    """SELECT o_custkey, o_orderkey,
+      |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+      |              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |         AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** Distinct (reference J4, main.ts:277). */
+  val q14Distinct: Q = Q(
+    "q14_distinct",
+    """SELECT DISTINCT l_returnflag, l_linestatus
+      |FROM lineitem ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Union-all then re-aggregate (reference E2 multi-repo union shape). */
+  val q15Union: Q = Q(
+    "q15_union_agg",
+    """SELECT nationkey, kind, count(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey, 'customer' AS kind FROM customer
+      |  UNION ALL
+      |  SELECT s_nationkey AS nationkey, 'supplier' AS kind FROM supplier) u
+      |GROUP BY nationkey, kind ORDER BY nationkey, kind""".stripMargin) { (s, dir) =>
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"), lit("customer").as("kind"))
+    val sup = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"), lit("supplier").as("kind"))
+    c.unionByName(sup)
+      .groupBy(col("nationkey"), col("kind"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("nationkey"), col("kind"))
+  }
+
+  /** Rollup (grouping-sets surface; NULL group keys coalesced to a sentinel
+    * so the hash compare is unambiguous). */
+  val q16Rollup: Q = Q(
+    "q16_rollup",
+    s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       |       coalesce(l_linestatus, 'ALL') AS linestatus,
+       |       count(*) AS n, ${oSum2("l_quantity")} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** String functions (reference P4/P9/P12/P13 shapes: regexp_replace, split,
+    * element_at(-1), lower — SURVEY §2.7). DuckDB regexp_replace needs the
+    * 'g' flag to match Spark's global-by-default semantics. */
+  val q17StringFuncs: Q = Q(
+    "q17_string_funcs",
+    """SELECT lower(list_extract(string_split(p_type, ' '), -1)) AS type_word,
+      |       regexp_replace(p_brand, '[^0-9]', '', 'g') AS brand_num,
+      |       count(*) AS n
+      |FROM part GROUP BY 1, 2 ORDER BY type_word, brand_num""".stripMargin) { (s, dir) =>
+    t(s, dir, "part")
+      .groupBy(
+        lower(element_at(split(col("p_type"), " "), -1)).as("type_word"),
+        regexp_replace(col("p_brand"), "[^0-9]", "").as("brand_num"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("type_word"), col("brand_num"))
+  }
+
+  /** Date-part functions (reference P6/P14 shapes). */
+  val q18DateParts: Q = Q(
+    "q18_date_parts",
+    s"""SELECT CAST(date_part('year', o_orderdate) AS INTEGER) AS yr,
+       |       CAST(date_part('month', o_orderdate) AS INTEGER) AS mo,
+       |       count(*) AS n, ${oSum2("o_totalprice")} AS total
+       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** CASE WHEN bucketing (reference README.md:92 conditional-sum shape). */
+  val q19CaseBuckets: Q = Q(
+    "q19_case_buckets",
+    s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+       |            WHEN o_totalprice < 150000 THEN 'mid'
+       |            ELSE 'high' END AS bucket,
+       |       count(*) AS n, ${oSum2("o_totalprice")} AS total
+       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin) { (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(
+        when(col("o_totalprice") < 50000, "low")
+          .when(col("o_totalprice") < 150000, "mid")
+          .otherwise("high").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
+    q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
+    q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
+    q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets)
+}

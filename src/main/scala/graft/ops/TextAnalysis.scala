@@ -1,0 +1,147 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table (builder-prompt
+  * extension surface): token counting, quality scoring, language-ID
+  * (stopword n-gram heuristic), and document fingerprinting.
+  *
+  * Everything is built from codegen'd builtin + higher-order array
+  * functions (split/transform/filter/aggregate) — no UDFs — so the hot
+  * path stays inside whole-stage codegen and scales linearly with bytes
+  * of text. Expensive per-row arrays (token lists, per-token hashes) are
+  * materialized in their own Project; Catalyst's CollapseProject will not
+  * duplicate non-cheap expressions, so they are computed once per row.
+  */
+object TextAnalysis {
+
+  // Tiny per-language stopword lists, shared verbatim between the Spark
+  // expression and the DuckDB oracle so the heuristic is identical.
+  val stop: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "of", "and", "to", "in", "a", "is", "for", "on", "with"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "des", "un", "une", "du", "en"),
+    "es" -> Seq("el", "los", "de", "y", "que", "en", "un", "una", "las", "por"),
+    "de" -> Seq("der", "die", "das", "und", "zu", "von", "mit", "auf", "ist", "den"),
+    "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
+
+  private def inList(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** Token counting: per-language doc counts, total whitespace tokens, and
+    * distinct vocabulary size. */
+  val q30TokenStats: Q = Q(
+    "q30_token_stats",
+    """WITH base AS (
+      |  SELECT lang, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+      |  FROM documents GROUP BY lang),
+      |vocab AS (
+      |  SELECT lang, count(DISTINCT w) AS n_vocab
+      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+      |  GROUP BY lang)
+      |SELECT base.lang AS lang, n_docs, sum_tokens, n_vocab
+      |FROM base JOIN vocab USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "documents")
+    val base = d.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).as("sum_tokens"))
+    val vocab = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang")).agg(countDistinct(col("w")).as("n_vocab"))
+    base.join(vocab, "lang").orderBy(col("lang"))
+  }
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, average
+    * word length; bucketed verdict. Ratios are exact-int divisions, so they
+    * are bit-identical across engines. */
+  val q31Quality: Q = {
+    val en = inList(stop.head._2)
+    Q(
+      "q31_quality_score",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         length(text) AS n_chars,
+         |         length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct,
+         |         len(list_filter(string_split(text, ' '), w -> w IN $en)) AS n_stop
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |       round(CAST(n_punct AS DOUBLE) / n_chars, 4) AS punct_ratio,
+         |       round(CAST(n_stop AS DOUBLE) / n_tokens, 4) AS stop_ratio,
+         |       round(CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens, 4) AS avg_word_len,
+         |       CASE WHEN n_tokens >= 50 AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.02 THEN 'good'
+         |            WHEN n_tokens >= 10 THEN 'ok' ELSE 'poor' END AS quality
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .withColumn("n_punct",
+          (length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN $en))").cast("long"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("n_punct").cast("double") / col("n_chars"), 4).as("punct_ratio"),
+          round(col("n_stop").cast("double") / col("n_tokens"), 4).as("stop_ratio"),
+          round((col("n_chars") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4)
+            .as("avg_word_len"),
+          when(col("n_tokens") >= 50 &&
+            col("n_stop").cast("double") / col("n_tokens") >= 0.02, "good")
+            .when(col("n_tokens") >= 10, "ok")
+            .otherwise("poor").as("quality"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Language-ID: stopword-hit scoring per candidate language, deterministic
+    * argmax (fixed language priority on ties, 'und' when no hits). Output is
+    * the (true-lang, predicted-lang) confusion matrix. */
+  val q32LangId: Q = {
+    val langs = stop.map(_._1)
+    def sparkScore(ws: Seq[String]) = s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+    def duckScore(ws: Seq[String]) = s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+    val sparkScores = stop.map { case (l, ws) => s"${sparkScore(ws)} AS s_$l" }
+    val duckScores = stop.map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(", ")
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val caseSql = s"CASE WHEN m = 0 THEN 'und' $pick END"
+    Q(
+      "q32_lang_id",
+      s"""WITH sc AS (SELECT lang, $duckScores FROM documents),
+         |p AS (SELECT *, $m AS m FROM sc)
+         |SELECT lang, $caseSql AS pred_lang, count(*) AS n
+         |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .selectExpr(Seq("lang") ++ sparkScores: _*)
+        .withColumn("m", expr(m))
+        .groupBy(col("lang"), expr(caseSql).as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }
+  }
+
+  /** Document fingerprinting: k-min sketch (k=1) over word 4-grams — the
+    * minimum md5 of any 4-gram is a shift-robust content fingerprint
+    * (rolling-hash family); whole-text hash for very short docs. */
+  val q33Fingerprint: Q = Q(
+    "q33_fingerprint",
+    """SELECT doc_id,
+      |       CASE WHEN len(string_split(text, ' ')) < 4 THEN md5(text)
+      |            ELSE list_aggregate(list_transform(
+      |                   generate_series(1, len(string_split(text, ' ')) - 3),
+      |                   i -> md5(array_to_string((string_split(text, ' '))[i:i+3], ' '))),
+      |                 'min') END AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("fp",
+        expr("""CASE WHEN size(ws) < 4 THEN md5(text)
+                |     ELSE array_min(transform(sequence(1, size(ws) - 3),
+                |            i -> md5(concat_ws(' ', slice(ws, i, 4))))) END""".stripMargin))
+      .select(col("doc_id"), col("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint)
+}

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming wrapper over the event-time aggregations
+  * (SURVEY §2.8): the same window/session logic as graft.ops.Events, run as
+  * `readStream → withWatermark → agg → writeStream`. All reference
+  * aggregations (count/sum/min/max) are watermark-compatible, so batch and
+  * streaming share semantics; the batch queries in ops.Events are the
+  * oracle-checked versions of these.
+  */
+object EventStream {
+
+  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS) read as Long). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events directory, ts normalized to µs. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** 10-minute tumbling counts with a 1-hour watermark (late data beyond an
+    * hour is dropped; state is bounded per window × type). */
+  def tumblingCounts(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessions per user (30-minute inactivity), streaming-native
+    * via session_window + watermark — state closes once the watermark passes
+    * a session's end. */
+  def sessionCounts(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n_events"))
+
+  /** Run a streaming aggregation over the existing files and stop
+    * (Trigger.AvailableNow) — results land in an in-memory table. */
+  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

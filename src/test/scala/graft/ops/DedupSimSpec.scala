@@ -1,0 +1,99 @@
+package graft.ops
+
+import java.nio.file.Paths
+
+import graft.SparkSpec
+import org.scalatest.BeforeAndAfterAll
+
+/** Planted-duplicate tests for the dedup + similarity operators: writes a
+  * tiny documents/embeddings fixture in the driver-testdata layout and runs
+  * the real query functions against it. */
+class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val dir = Paths.get("target", "tmp", "dedupfix").toAbsolutePath.toString
+
+  private val baseText =
+    (1 to 50).map(i => s"word$i").mkString(" ") // 50 distinct tokens
+  private val nearDup = baseText.replace("word50", "changed") // 1 token differs
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq(
+      (1L, baseText, "en", "src0", baseText.length.toLong),
+      (2L, baseText, "en", "src0", baseText.length.toLong), // exact dup of 1
+      (3L, nearDup, "en", "src0", nearDup.length.toLong), // near dup of 1
+      (4L, (1 to 50).map(i => s"other$i").mkString(" "), "fr", "src1", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    // perturbation in dim 60 — outside the 8 sign-bucket dims, so e1/e2
+    // share an LSH bucket while remaining distinct vectors
+    val e2 = Array.tabulate(64)(i => if (i == 0) 0.999f else if (i == 60) 0.04f else 0.0f)
+    val e3 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val e4 = Array.tabulate(64)(i => if (i == 2) -1.0f else 0.0f)
+    Seq((1L, e1, 0), (2L, e2, 0), (3L, e3, 0), (4L, e4, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+
+  test("q34 exact dedup groups identical texts") {
+    val rows = Dedup.q34ExactDedup.fn(spark, dir).collect()
+    val dup = rows.filter(_.getAs[Long]("n_docs") == 2L)
+    assert(dup.length == 1 && dup(0).getAs[Long]("keeper") == 1L)
+  }
+
+  test("q35 MinHash-LSH surfaces exact and near duplicates") {
+    val pairs = Dedup.q35MinHashLsh.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((1L, 2L))) // identical docs always collide
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
+  }
+
+  test("q36 SimHash: identical docs share fingerprints; near dup is close") {
+    val fp = Dedup.q36SimHash.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(fp(1L) == fp(2L))
+    val hamming = fp(1L).zip(fp(3L)).count { case (a, b) => a != b }
+    assert(hamming <= 8, s"near-dup hamming distance $hamming")
+  }
+
+  test("q37 n-gram Jaccard: exact pair at 1.0, near pair high, cross-source absent") {
+    val rows = Dedup.q37NgramJaccard.fn(spark, dir).collect()
+    val m = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Double]("jaccard")).toMap
+    assert(m((1L, 2L)) == 1.0)
+    assert(m((1L, 3L)) > 0.85) // 3 of 48 shingles changed
+    assert(!m.contains((1L, 4L)))
+  }
+
+  test("q38 cosine near-dup finds the planted close pair only") {
+    val rows = Similarity.q38EmbedNearDup.fn(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("vec_a") == 1L && rows(0).getAs[Long]("vec_b") == 2L)
+    assert(rows(0).getAs[Double]("cos_sim") > 0.99)
+  }
+
+  test("q39 brute-force top-k ranks the close vector first") {
+    val rows = Similarity.q39AnnTopK.fn(spark, dir).collect()
+    val q1 = rows.filter(_.getAs[Long]("query_id") == 1L)
+    assert(q1.head.getAs[Long]("neighbor_id") == 2L) // rank 1 = near-identical
+  }
+
+  test("q40 LSH bucketing only scores same-bucket candidates") {
+    val rows = Similarity.q40AnnLsh.fn(spark, dir).collect()
+    // vecs 1 and 2 share sign bucket (dim0 > 0); 3 and 4 don't match them
+    val q1 = rows.filter(_.getAs[Long]("query_id") == 1L)
+    assert(q1.length == 1 && q1.head.getAs[Long]("neighbor_id") == 2L)
+  }
+
+  test("q30 token stats per language") {
+    val rows = TextAnalysis.q30TokenStats.fn(spark, dir).collect()
+    val en = rows.filter(_.getAs[String]("lang") == "en").head
+    assert(en.getAs[Long]("n_docs") == 3L)
+    assert(en.getAs[Long]("sum_tokens") == 150L)
+    assert(en.getAs[Long]("n_vocab") == 51L) // word1..word50 + changed
+  }
+}

@@ -1,0 +1,59 @@
+package graft.ops
+
+import java.nio.file.Paths
+
+import graft.SparkSpec
+import org.scalatest.BeforeAndAfterAll
+
+/** Semantics tests for sessionization / windows / as-of join on a crafted
+  * events fixture (ts written as raw nanos-epoch Long, matching the driver
+  * testdata's TIMESTAMP(NANOS) → nanosAsLong read path in Tables). */
+class EventsSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val dir = Paths.get("target", "tmp", "eventsfix").toAbsolutePath.toString
+  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    // user 1: events at t=0, +29min (same session), +29+31min (new session)
+    // user 2: single event; click at t=5min before purchase at t=8min
+    Seq(
+      (1L, ns(0), 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, ns(29), 1L, "view", 2.0, """{"k": 2}"""),
+      (3L, ns(60), 1L, "purchase", 3.0, """{"k": 3}"""),
+      (4L, ns(5), 2L, "click", 4.0, """{"k": 4}"""),
+      (5L, ns(8), 2L, "purchase", 5.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("q22 sessionize: 29min gap merges, 31min gap splits") {
+    val rows = Events.q22Sessionize.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))).toMap
+    assert(rows(1L) == (2L, 3L))
+    assert(rows(2L) == (1L, 2L)) // 3-minute gap → one session of 2 events
+  }
+
+  test("q21 tumbling windows: epoch-aligned 10-minute buckets") {
+    val rows = Events.q21Tumbling.fn(spark, dir).collect()
+    val starts = rows.map(_.getAs[Long]("win_start")).distinct.sorted.toSeq
+    assert(starts == Seq(0L, 1200L, 3600L)) // 0/5/8min→0, 29min→1200, 60min→3600
+  }
+
+  test("q24 as-of join: purchase picks most recent prior click per user") {
+    val rows = Events.q24AsofJoin.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("purchase_id") ->
+        (if (r.isNullAt(1)) None else Some(r.getAs[Long]("click_epoch")))).toMap
+    assert(rows(3L) == Some(0L)) // user 1: click at t=0
+    assert(rows(5L) == Some(300L)) // user 2: click at t=5min
+  }
+
+  test("q20 JSON extraction sums k per event type") {
+    val rows = Events.q20Json.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("sum_k")).toMap
+    assert(rows("click") == 5L) // k=1 + k=4
+    assert(rows("purchase") == 8L)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import java.nio.file.Paths
+
+import graft.SparkSpec
+import graft.ops.Events
+import org.scalatest.BeforeAndAfterAll
+
+/** Streaming/batch parity: the streaming tumbling-window aggregation over the
+  * crafted events fixture must produce the same buckets as the batch query. */
+class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val dir = Paths.get("target", "tmp", "streamfix").toAbsolutePath.toString
+  private def ns(minutes: Long): Long = minutes * 60L * 1000000000L
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq(
+      (1L, ns(0), 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, ns(29), 1L, "view", 2.0, """{"k": 2}"""),
+      (3L, ns(60), 1L, "purchase", 3.0, """{"k": 3}"""),
+      (4L, ns(5), 2L, "click", 4.0, """{"k": 4}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("streaming tumbling counts == batch tumbling counts") {
+    val ev = EventStream.events(spark, dir)
+    assert(ev.isStreaming)
+    EventStream.runAvailableNow(EventStream.tumblingCounts(ev), "tumbling_test")
+    val streamed = spark.table("tumbling_test")
+      .select("win_start", "event_type", "n")
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Events.q21Tumbling.fn(spark, dir)
+      .select("win_start", "event_type", "n")
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming sessionization closes sessions at the 30-minute gap") {
+    val ev = EventStream.events(spark, dir)
+    EventStream.runAvailableNow(EventStream.sessionCounts(ev), "session_test")
+    val rows = spark.table("session_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("sess_start"),
+        r.getAs[Long]("n_events"))).toSet
+    assert(rows == Set((1L, 0L, 2L), (1L, 3600L, 1L), (2L, 300L, 1L)))
+  }
+}
