@@ -62,17 +62,31 @@ object Dedup {
        |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
        |FROM bands a JOIN bands c ON a.h = c.h AND a.doc_id < c.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val bands = Tables(s, dir, "documents")
+    // Spark plan: explode shingles once, then ONE hash-aggregate computes all
+    // 16 signature mins (map-side partial min ⇒ shuffle carries ≤16 digests
+    // per doc per partition). Computing signatures as nested array lambdas
+    // per row is a trap: CollapseProject inlines the token/shingle arrays
+    // into every lambda, recomputing them per (band × permutation) — O(b×p)
+    // blowup measured at >30s for 500 docs. The explode+agg shape is also
+    // the 100 TB shape: linear in total shingles, one shuffle on doc_id,
+    // one on the band key.
+    val sh = Tables(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
-      .withColumn("shs", expr(sparkShingles))
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-          |  j -> array_min(transform(shs, s2 -> md5(concat(cast(j as string), '|', s2)))))"""
-          .stripMargin))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(0, 3),
-          |  b -> md5(concat(cast(b as string), ':', concat_ws('|', slice(sig, b*4+1, 4)))))"""
-          .stripMargin)).as("h"))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+    val sigCols = (0 until 16).map(j =>
+      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"s$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      md5(concat(lit(s"$b:"),
+        concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*)))
+    }
+    // Persist the (doc_id, band-hash) table before the self-join: it is tiny
+    // (n_docs × 4 rows of 32-byte digests) while its lineage is the whole
+    // shingle scan + 16-way min-aggregate — without this both join sides
+    // recompute that lineage. At cluster scale this is the materialized
+    // signature table every LSH pipeline keeps.
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bands.as("a").join(bands.as("c"),
         col("a.h") === col("c.h") && col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
@@ -99,9 +113,21 @@ object Dedup {
          |           FROM documents)
          |SELECT doc_id, $duckFp AS simhash
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .withColumn("hs", expr("transform(split(text, ' '), w -> md5(w))"))
-        .select(col("doc_id"), expr(sparkFp).as("simhash"))
+      // Explode tokens, hash each ONCE, then one hash-aggregate computes the
+      // 32 parity counters (count_if over substrings of the materialized
+      // digest — cheap per-row work, partial aggregation before the
+      // doc_id shuffle). Same blowup-avoidance rationale as q35.
+      val words = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .withColumn("h", md5(col("w")))
+      val aggs = count(lit(1)).as("n") +: (1 to 32).map(i =>
+        count_if(expr(s"(instr('$hex', substring(h, $i, 1)) - 1) % 2 = 1"))
+          .as(s"c$i"))
+      val counts = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bits = (1 to 32).map(i =>
+        when(col(s"c$i") * 2 > col("n"), lit("1")).otherwise(lit("0")))
+      counts
+        .select(col("doc_id"), concat(bits: _*).as("simhash"))
         .orderBy(col("doc_id"))
     }
   }
@@ -127,10 +153,15 @@ object Dedup {
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    // Persist the distinct shingle set: it feeds both self-join sides AND
+    // both per-doc count lookups — unpersisted, Catalyst re-derives the
+    // scan+explode+distinct four times (seen in .explain). ~50 bytes/shingle,
+    // so this is safely cacheable at any realistic partition size.
     val sh = Tables(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), col("source"), explode(expr(sparkShingles)).as("sh"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
