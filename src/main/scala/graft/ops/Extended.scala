@@ -1,0 +1,112 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Q._
+
+/** Additional relational surface rounding out SURVEY §2.5/§2.7 extension
+  * coverage: exact percentiles, ordered string aggregation, INTERSECT/EXCEPT,
+  * pivot, and the lead/first_value/nth_value window family.
+  */
+object Extended {
+
+  /** Exact percentiles (Spark `percentile` ≡ DuckDB `quantile_cont`, both
+    * linear-interpolation on the sorted set — identical doubles). */
+  val q25Percentiles: Q = Q(
+    "q25_percentiles",
+    """SELECT l_returnflag,
+      |       round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |       round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |       round(quantile_cont(l_quantity, 0.75), 4) AS p75
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Ordered string aggregation over distinct values. */
+  val q26StringAgg: Q = Q(
+    "q26_string_agg",
+    """SELECT o_orderpriority,
+      |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |       count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        array_join(array_sort(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** INTERSECT / EXCEPT set operations on key sets. */
+  val q27SetOps: Q = Q(
+    "q27_set_ops",
+    """SELECT 'both' AS side, count(*) AS n FROM
+      |  (SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders) t1
+      |UNION ALL
+      |SELECT 'only_customers' AS side, count(*) AS n FROM
+      |  (SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders) t2
+      |ORDER BY side""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer").select(col("c_custkey"))
+    val o = Tables(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    val both = c.intersect(o).agg(count(lit(1)).as("n")).select(lit("both").as("side"), col("n"))
+    val only = c.except(o).agg(count(lit(1)).as("n"))
+      .select(lit("only_customers").as("side"), col("n"))
+    both.unionByName(only).orderBy(col("side"))
+  }
+
+  /** Pivot: order counts by priority × status (explicit value list, so the
+    * output schema is static — required for a deterministic oracle). */
+  val q28Pivot: Q = Q(
+    "q28_pivot",
+    """SELECT o_orderpriority,
+      |       count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+      |       count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+      |       count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .select(
+        col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** lead / first_value / nth_value window family with explicit frames. */
+  val q29WindowFuncs: Q = Q(
+    "q29_window_funcs",
+    """SELECT o_custkey, o_orderkey,
+      |       lead(o_totalprice) OVER w AS next_price,
+      |       first_value(o_totalprice) OVER
+      |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price,
+      |       nth_value(o_totalprice, 2) OVER
+      |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_price
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+    val ord = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        lead(col("o_totalprice"), 1).over(ord).as("next_price"),
+        first(col("o_totalprice")).over(cum).as("first_price"),
+        nth_value(col("o_totalprice"), 2).over(full).as("second_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs)
+}

@@ -65,6 +65,7 @@ object Similarity {
        |FROM d JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b
        |WHERE round(dot / sqrt(na.n2 * nb.n2), 6) >= 0.95
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
     val e = embWithNorm(s, dir)
     val a = e.select(col("vec_id").as("vec_a"), col("label"),
       col("embedding").as("emb_a"), col("n2").as("n2_a"))
@@ -72,7 +73,9 @@ object Similarity {
       col("embedding").as("emb_b"), col("n2").as("n2_b"))
     a.join(b, Seq("label"))
       .filter(col("vec_a") < col("vec_b"))
-      .filter(expr(fDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")) >= 0.9)
+      // candidate prefilter on the codegen'd native expression (fast path);
+      // the decimal-exact rescore below is what the oracle compares
+      .filter(expr("cosine_f32(emb_a, emb_b)") >= 0.9)
       .withColumn("cos_sim",
         round(expr(dDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")), 6))
       .filter(col("cos_sim") >= 0.95)
