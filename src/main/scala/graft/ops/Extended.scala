@@ -108,5 +108,45 @@ object Extended {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs)
+  /** Two-phase salted aggregation — the skew-mitigation pattern: aggregate
+    * on (salt, key) first so a hot key spreads over S reducers, then merge
+    * partials by key. Result ≡ plain groupBy (the oracle). */
+  val q42SaltedAgg: Q = Q(
+    "q42_salted_agg",
+    s"""SELECT l_returnflag, count(*) AS n, ${oSum2("l_extendedprice")} AS total
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .withColumn("__salt", pmod(hash(col("l_orderkey")), lit(16)))
+      .groupBy(col("l_returnflag"), col("__salt"))
+      .agg(
+        count(lit(1)).as("pn"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("pt"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("pn")).as("n"),
+        sum(col("pt")).cast("double").as("total"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Approximate sketches (HLL distinct, approx quantiles) — the 100 TB
+    * substitutes for their exact counterparts. No DuckDB oracle (different
+    * sketch implementations can't hash-match); the driver records a
+    * rows-present check, and `ExtendedSpec`-style bounds live in the exact
+    * queries they approximate (q6, q25). */
+  val q43ApproxSketches: Q = Q(
+    "q43_approx_sketches",
+    (s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
+            .as("approx_price_p50_p99"))
+        .orderBy(col("l_returnflag"))
+    },
+    None)
+
+  val all: Seq[Q] = Seq(
+    q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
+    q42SaltedAgg, q43ApproxSketches)
 }

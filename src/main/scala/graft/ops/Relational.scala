@@ -178,10 +178,15 @@ object Relational {
     "q9_anti_join",
     """SELECT p_brand, count(*) AS n_parts
       |FROM part
-      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_partkey = p_partkey
+      |                    AND l_shipdate >= TIMESTAMP '2001-06-01')
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
     t(s, dir, "part")
-      .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_anti")
+      .join(
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2001-06-01 00:00:00"))),
+        col("p_partkey") === col("l_partkey"), "left_anti")
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_parts"))
       .orderBy(col("p_brand"))
