@@ -1,0 +1,59 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.SparkSession
+
+import graft.git.{GitCli, Pipeline}
+
+/** E1/E2 CLI entry (reference main.ts:311-382): ETL one repo path, or a
+  * config JSON with {repositories, paths, ignore} (S6, repositories.example
+  * .json shape), into parquet tables.
+  *
+  *   runMain graft.Main /path/to/repo out/
+  *   runMain graft.Main --config repositories.json out/
+  */
+object Main {
+
+  final case class Config(repositories: Seq[String], paths: Seq[String], ignore: Seq[String])
+
+  /** S6: control-plane JSON (Jackson ships with Spark — no extra dep). */
+  def loadConfig(path: String): Config = {
+    val root = new ObjectMapper().readTree(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+    def arr(k: String): Seq[String] =
+      Option(root.get(k)).map(n => (0 until n.size).map(i => n.get(i).asText())).getOrElse(Nil)
+    Config(arr("repositories"), arr("paths"), arr("ignore"))
+  }
+
+  /** E2: explicit repos + discovered repos, deduped, minus ignores (J1/J4). */
+  def resolveRepos(cfg: Config): Seq[String] = {
+    val discovered = cfg.paths.flatMap(GitCli.discoverRepos(_))
+    GitCli.applyIgnore(cfg.repositories ++ discovered, cfg.ignore)
+  }
+
+  def run(spark: SparkSession, repos: Seq[String], outDir: String,
+      authorGate: Option[String]): Unit = {
+    require(repos.nonEmpty, "no repositories to process")
+    val r = Pipeline.etl(spark, repos, outDir, authorGate)
+    println(Pipeline.summaryReport(
+      r.commits.sparkSession.read.parquet(s"$outDir/commits")))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try args.toList match {
+      case "--config" :: cfgPath :: outDir :: Nil =>
+        run(spark, resolveRepos(loadConfig(cfgPath)), outDir, None)
+      case repoPath :: outDir :: Nil =>
+        run(spark, Seq(repoPath), outDir, None)
+      case _ =>
+        System.err.println("usage: graft.Main (<repoPath> | --config <json>) <outDir>")
+        sys.exit(2)
+    } finally spark.stop()
+  }
+}

@@ -146,7 +146,44 @@ object Extended {
     },
     None)
 
+  /** GROUPING SETS through the SQL entry path (temp view + spark.sql —
+    * exercises the parser/analyzer front door, not just the DSL). */
+  val q44GroupingSets: Q = Q(
+    "q44_grouping_sets",
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |       coalesce(l_linestatus, 'ALL') AS linestatus,
+      |       count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Correlated scalar subquery — Catalyst decorrelates it into a join;
+    * DuckDB runs the same ANSI text. */
+  val q45CorrelatedSubquery: Q = Q(
+    "q45_correlated_subquery",
+    """SELECT o_orderkey,
+      |       (SELECT count(*) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+      |       (SELECT max(l_shipdate) FROM lineitem l WHERE l.l_orderkey = o.o_orderkey) AS last_ship
+      |FROM orders o ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    Tables(s, dir, "orders").createOrReplaceTempView("graft_orders")
+    s.sql(
+      """SELECT o_orderkey,
+        |       (SELECT count(*) FROM graft_lineitem l WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+        |       (SELECT max(l_shipdate) FROM graft_lineitem l WHERE l.l_orderkey = o.o_orderkey) AS last_ship
+        |FROM graft_orders o ORDER BY o_orderkey""".stripMargin)
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
-    q42SaltedAgg, q43ApproxSketches)
+    q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery)
 }
