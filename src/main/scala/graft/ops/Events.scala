@@ -156,5 +156,27 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
-  val all: Seq[Q] = Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin)
+  /** Sliding windows (10-minute length, 5-minute slide): each event lands in
+    * exactly two overlapping windows. Spark's native sliding `window()`;
+    * the oracle unnests the two epoch-aligned window starts per event. */
+  val q46Sliding: Q = Q(
+    "q46_sliding_windows",
+    s"""WITH ex AS (
+       |  SELECT event_type, value,
+       |         unnest([CAST(floor(epoch(ts) / 300) * 300 AS BIGINT),
+       |                 CAST(floor(epoch(ts) / 300) * 300 - 300 AS BIGINT)]) AS win_start
+       |  FROM events)
+       |SELECT win_start, event_type, count(*) AS n, ${oSum6("value")} AS sum_value
+       |FROM ex GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val all: Seq[Q] =
+    Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q46Sliding)
 }

@@ -38,6 +38,18 @@ class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
     assert(streamed == batch)
   }
 
+  test("stream-static join: streaming events enrich against a static dimension") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val ev = EventStream.events(spark, dir)
+    val joined = ev.join(dim, Seq("user_id"))
+      .groupBy(org.apache.spark.sql.functions.col("tier"))
+      .count()
+    EventStream.runAvailableNow(joined, "stream_static_test")
+    val rows = spark.table("stream_static_test").collect()
+      .map(r => r.getAs[String]("tier") -> r.getAs[Long]("count")).toMap
+    assert(rows == Map("gold" -> 3L, "basic" -> 1L))
+  }
+
   test("streaming sessionization closes sessions at the 30-minute gap") {
     val ev = EventStream.events(spark, dir)
     EventStream.runAvailableNow(EventStream.sessionCounts(ev), "session_test")
