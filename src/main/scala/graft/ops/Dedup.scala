@@ -95,16 +95,11 @@ object Dedup {
   }
 
   /** SimHash(32): per-token md5, bit i = sign of Σ(±1) over tokens by the
-    * parity of hex digit i. Equal fingerprints ⇒ near-duplicate cluster.
-    * The per-token hash array is materialized once; the 32 bit-counters
-    * reuse it (CollapseProject keeps expensive projections separate). */
+    * parity of hex digit i. Equal fingerprints ⇒ near-duplicate cluster. */
   val q36SimHash: Q = {
     val hex = "0123456789abcdef"
-    def sparkBit(i: Int) =
-      s"IF(2 * size(filter(hs, h -> (instr('$hex', substring(h, $i, 1)) - 1) % 2 = 1)) > size(hs), '1', '0')"
     def duckBit(i: Int) =
       s"CASE WHEN 2 * len(list_filter(hs, h -> (strpos('$hex', substring(h, $i, 1)) - 1) % 2 = 1)) > len(hs) THEN '1' ELSE '0' END"
-    val sparkFp = (1 to 32).map(sparkBit).mkString("concat(", ", ", ")")
     val duckFp = (1 to 32).map(duckBit).mkString(" || ")
     Q(
       "q36_dedup_simhash",
