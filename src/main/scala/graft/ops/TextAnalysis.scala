@@ -28,28 +28,37 @@ object TextAnalysis {
   private def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
-  /** Token counting: per-language doc counts, total whitespace tokens, and
-    * distinct vocabulary size. */
-  val q30TokenStats: Q = Q(
-    "q30_token_stats",
-    """WITH base AS (
-      |  SELECT lang, count(*) AS n_docs,
-      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
-      |  FROM documents GROUP BY lang),
-      |vocab AS (
-      |  SELECT lang, count(DISTINCT w) AS n_vocab
-      |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
-      |  GROUP BY lang)
-      |SELECT base.lang AS lang, n_docs, sum_tokens, n_vocab
-      |FROM base JOIN vocab USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
-    val d = Tables(s, dir, "documents")
-    val base = d.groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("sum_tokens"))
-    val vocab = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("lang")).agg(countDistinct(col("w")).as("n_vocab"))
-    base.join(vocab, "lang").orderBy(col("lang"))
+  /** Token counting: per-language doc counts, whitespace-token totals, a
+    * BPE-ish regex tokenization (letter runs / digit runs / single
+    * non-alphanumerics — the GPT-2 pre-tokenizer shape), and distinct
+    * vocabulary size. */
+  val q30TokenStats: Q = {
+    // escape-free pattern: Spark SQL and DuckDB string literals disagree on
+    // backslash handling, so the class spells the space instead of \s
+    val bpe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+    Q(
+      "q30_token_stats",
+      s"""WITH base AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+         |         CAST(sum(len(regexp_extract_all(text, '$bpe', 0))) AS BIGINT) AS sum_bpe_tokens
+         |  FROM documents GROUP BY lang),
+         |vocab AS (
+         |  SELECT lang, count(DISTINCT w) AS n_vocab
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) t
+         |  GROUP BY lang)
+         |SELECT base.lang AS lang, n_docs, sum_tokens, sum_bpe_tokens, n_vocab
+         |FROM base JOIN vocab USING (lang) ORDER BY lang""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+      val base = d.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("sum_tokens"),
+          sum(size(expr(s"regexp_extract_all(text, '$bpe', 0)"))).as("sum_bpe_tokens"))
+      val vocab = d.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang")).agg(countDistinct(col("w")).as("n_vocab"))
+      base.join(vocab, "lang").orderBy(col("lang"))
+    }
   }
 
   /** Quality scoring: length, punctuation ratio, stopword ratio, average
