@@ -18,6 +18,15 @@ class BucketedJoinSpec extends SparkSpec with BeforeAndAfterAll {
     super.beforeAll()
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_orders")
     spark.sql("DROP TABLE IF EXISTS graft_bucketed_lineitem")
+    // the catalog is in-memory per JVM but table locations persist on disk —
+    // remove them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("graft_bucketed_orders", "graft_bucketed_lineitem").foreach { t =>
+      val p = wh.resolve(t)
+      if (java.nio.file.Files.exists(p))
+        scala.sys.process.Process(Seq("rm", "-rf", p.toString)).!
+    }
     graft.Tables(spark, sf, "orders")
       .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_bucketed_orders")
