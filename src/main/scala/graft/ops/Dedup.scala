@@ -42,12 +42,10 @@ object Dedup {
       .orderBy(col("h"))
   }
 
-  /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
-    * docs sharing any band hash. Signature j = min over shingles of
-    * md5(j || '|' || shingle) (lexicographic min of hex = portable MinHash). */
-  val q35MinHashLsh: Q = Q(
-    "q35_dedup_minhash_lsh",
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  /** Shared DuckDB CTE chain producing the LSH candidate pairs (used by the
+    * q35 oracle and as the edge set of the q47 clustering oracle). */
+  private val duckLshPairCtes: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |sh AS (SELECT doc_id, $duckShingles AS shs FROM w),
        |sig AS (SELECT doc_id,
        |          list_transform(generate_series(0, 15),
@@ -58,10 +56,17 @@ object Dedup {
        |            unnest(list_transform(generate_series(0, 3),
        |              b -> md5(CAST(b AS VARCHAR) || ':' ||
        |                       array_to_string(sig[b*4+1:b*4+4], '|')))) AS h
-       |          FROM sig)
-       |SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |FROM bands a JOIN bands c ON a.h = c.h AND a.doc_id < c.doc_id
-       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+       |          FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+       |          FROM bands a JOIN bands c ON a.h = c.h AND a.doc_id < c.doc_id)""".stripMargin
+
+  /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
+    * docs sharing any band hash. Signature j = min over shingles of
+    * md5(j || '|' || shingle) (lexicographic min of hex = portable MinHash). */
+  val q35MinHashLsh: Q = Q(
+    "q35_dedup_minhash_lsh",
+    s"""WITH $duckLshPairCtes
+       |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     // Spark plan: explode shingles once, then ONE hash-aggregate computes all
     // 16 signature mins (map-side partial min ⇒ shuffle carries ≤16 digests
     // per doc per partition). Computing signatures as nested array lambdas
@@ -92,6 +97,55 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components by iterative min-label propagation:
+    * label(u) ← min(label(u), min over neighbors' labels), to fixpoint
+    * (≤ graph diameter iterations, capped). This is the Spark-native HOW for
+    * dedup clustering — at 100 TB the same loop with the large-star/
+    * small-star transform keeps per-iteration shuffles linear; near-dup
+    * graphs are bounded-degree so a handful of iterations converges. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    var labels = edges.select(col("u")).distinct()
+      .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val nbr = edges
+        .join(labels.select(col("u").as("v"), col("label").as("nlabel")), "v")
+        .groupBy(col("u")).agg(min(col("nlabel")).as("nmin"))
+      val updated = labels.join(nbr, Seq("u"), "left")
+        .select(col("u"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(MEMORY_AND_DISK)
+      changed = updated.as("n").join(labels.as("o"), "u")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Dedup clustering: connected components over the LSH candidate pairs —
+    * cluster id = min doc_id in the component (the dedup "keeper"). The
+    * oracle computes the same fixpoint with a recursive CTE (transitive
+    * closure + min over reachable ids) — Spark lacks recursive SQL, so the
+    * iterative DataFrame loop is the idiomatic equivalent. */
+  val q47DedupClusters: Q = Q(
+    "q47_dedup_clusters",
+    s"""WITH RECURSIVE $duckLshPairCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    connectedComponents(q35MinHashLsh.fn(s, dir)).orderBy(col("doc_id"))
   }
 
   /** SimHash(32): per-token md5, bit i = sign of Σ(±1) over tokens by the
@@ -173,5 +227,6 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[Q] = Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard)
+  val all: Seq[Q] =
+    Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard, q47DedupClusters)
 }

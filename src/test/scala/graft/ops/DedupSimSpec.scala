@@ -52,6 +52,15 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated doc
   }
 
+  test("q47 clustering: planted dup chain collapses to one component") {
+    val rows = Dedup.q47DedupClusters.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // docs 1,2 identical; 3 near-dup of 1 → all label to min id 1; 4 has no edges
+    assert(rows.get(1L).contains(1L) && rows.get(2L).contains(1L))
+    assert(rows.get(3L).forall(_ == 1L)) // present iff LSH paired it
+    assert(!rows.contains(4L))
+  }
+
   test("q36 SimHash: identical docs share fingerprints; near dup is close") {
     val fp = Dedup.q36SimHash.fn(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
