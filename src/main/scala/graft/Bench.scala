@@ -16,7 +16,11 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // noop sink (Spark 4 built-in): runs the FULL plan — a bare count()
+      // lets Catalyst prune unreferenced projections, under-measuring
+      // projection-heavy queries (fingerprints, quality scores).
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

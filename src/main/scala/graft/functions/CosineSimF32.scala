@@ -71,19 +71,28 @@ case class CosineSimF32(left: Expression, right: Expression)
 
 /** SQL registration for the custom expressions (idempotent). */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_f32", exprs => CosineSimF32(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "topk_by_score", TopKByScore.fromExprs, "scala_udf")
+  }
 }
 
 /** `SparkSessionExtensions` hook: enable with
   * `spark.sql.extensions=graft.functions.GraftExtensions` so the functions
   * exist in every session (incl. thriftserver/connect) without code calls. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_f32"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimF32].getName, "cosine_f32"),
       (exprs: Seq[Expression]) => CosineSimF32(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("topk_by_score"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TopKByScore].getName, "topk_by_score"),
+      (exprs: Seq[Expression]) => TopKByScore.fromExprs(exprs)))
+  }
 }

@@ -2,24 +2,36 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Deduplication operators over the `documents` table: exact hash, MinHash
-  * + LSH banding, SimHash, and n-gram Jaccard verification.
+  * + LSH banding, SimHash, n-gram Jaccard verification, and dedup
+  * clustering (connected components over the LSH candidate graph).
   *
   * Scale design (the point of these at 100 TB):
   *  - exact dedup is a single hash-shuffle on a 32-byte digest, never on the
   *    full text;
-  *  - MinHash signatures/bands are computed per-row with higher-order array
-  *    functions (one pass over the text, no explode until the band key —
-  *    shuffle volume is O(docs × n_bands × 32B), independent of doc length);
+  *  - MinHash hashes each shingle ONCE (md5 → 48-bit integer) and derives
+  *    all 16 signature slots with arithmetic permutations from a universal
+  *    hash family ((a·h + b) mod p) — 1 digest + 16 multiply-adds per
+  *    shingle instead of 16 digests; shuffle volume is O(docs × 16 × 8B);
   *  - candidate pairs come only from band-bucket self-joins (classic LSH),
-  *    never an all-pairs cross join;
-  *  - Jaccard verification joins on the shingle value, so co-occurrence is
-  *    computed by the shuffle, not by driver-side set intersection.
+  *    never an all-pairs cross join, and band buckets are size-capped
+  *    (`BandBucketCap`) so one viral boilerplate document repeated 10⁵×
+  *    cannot go quadratic — an over-cap bucket is dropped, its members are
+  *    still found through their other 3 bands or via exact dedup (q34);
+  *  - Jaccard verification runs ONLY on the LSH candidate pairs (a
+  *    broadcast-able pair list), never on a raw shingle self-join whose hot
+  *    keys (common 3-grams) would emit k² rows;
+  *  - connected components materializes each iteration, frees the previous
+  *    one, folds the convergence test into the same pass, and cuts lineage
+  *    with a localCheckpoint every few iterations.
   *
-  * All hash primitives are md5 hex strings (identical in Spark and DuckDB),
-  * and min/ordering over them is lexicographic — engine-portable by
+  * All hash primitives are md5 hex strings (identical in Spark and DuckDB);
+  * integer arithmetic on the first 12 hex digits (< 2^48, so products with
+  * 30-bit multipliers stay < 2^63 in both engines) is engine-portable by
   * construction.
   */
 object Dedup {
@@ -42,98 +54,180 @@ object Dedup {
       .orderBy(col("h"))
   }
 
+  // ---------------------------------------------------------------------
+  // MinHash + LSH machinery shared by q35 (pairs), q37 (verify), q47
+  // (clustering).
+  // ---------------------------------------------------------------------
+
+  /** Largest 32-bit prime — the universal-hash modulus. */
+  private val P = 4294967291L
+
+  /** MinHash permutation constants (a_j ∈ [1, 2^30), b_j ∈ [0, 2^31)):
+    * h_j = (a_j·h + b_j) mod P with h < P < 2^32 keeps every product below
+    * 2^62 — no 64-bit overflow in either engine. Fixed seed ⇒ the same
+    * constants are embedded in the Spark plan and the DuckDB oracle. */
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(20260812)
+    val a = Array.fill(16)(1L + rnd.nextInt((1 << 30) - 1))
+    val b = Array.fill(16)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** Band buckets larger than this are dropped before the self-join: an
+    * over-cap bucket contributes O(cap²) candidate pairs at most, bounding
+    * worst-case skew (a doc duplicated 10⁵× would otherwise emit 10¹⁰ pairs
+    * from one reducer). Members of a dropped bucket are still paired via
+    * their other bands (4 independent chances) or exact dedup. */
+  private val BandBucketCap = 100
+
+  /** First 12 hex digits of a digest column → integer in [0, P).
+    * `posFn` is `instr` (Spark) / `strpos` (DuckDB) — same 1-based
+    * semantics. Every multiplier is CAST to BIGINT so neither engine does
+    * 32-bit intermediate arithmetic. */
+  private def hexHeadToLong(m: String, posFn: String): String = {
+    val terms = (1 to 12).map { i =>
+      s"($posFn('0123456789abcdef', substring($m, $i, 1)) - 1) * CAST(${1L << (4 * (12 - i))} AS BIGINT)"
+    }
+    s"(${terms.mkString(" + ")}) % $P"
+  }
+
   /** Shared DuckDB CTE chain producing the LSH candidate pairs (used by the
-    * q35 oracle and as the edge set of the q47 clustering oracle). */
-  private val duckLshPairCtes: String =
+    * q35 oracle, the q37 verification oracle, and as the edge set of the
+    * q47 clustering oracle). Mirrors the Spark plan step for step. */
+  private[ops] val duckLshPairCtes: String = {
+    val sigCols = (0 until 16)
+      .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS s$j")
+      .mkString(",\n       |               ")
+    val bandExprs = (0 until 4).map { b =>
+      val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
+      s"concat_ws('|', '$b', ${parts.mkString(", ")})"
+    }.mkString(",\n       |             ")
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT doc_id, $duckShingles AS shs FROM w),
+       |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w),
+       |hh AS (SELECT doc_id, ${hexHeadToLong("m", "strpos")} AS h
+       |       FROM (SELECT doc_id, md5(sh) AS m FROM shl)),
        |sig AS (SELECT doc_id,
-       |          list_transform(generate_series(0, 15),
-       |            j -> list_aggregate(list_transform(shs,
-       |                   s2 -> md5(CAST(j AS VARCHAR) || '|' || s2)), 'min')) AS sig
-       |        FROM sh),
+       |               $sigCols
+       |        FROM hh GROUP BY doc_id),
        |bands AS (SELECT doc_id,
-       |            unnest(list_transform(generate_series(0, 3),
-       |              b -> md5(CAST(b AS VARCHAR) || ':' ||
-       |                       array_to_string(sig[b*4+1:b*4+4], '|')))) AS h
+       |          unnest([$bandExprs]) AS bh
        |          FROM sig),
+       |capped AS (SELECT doc_id, bh FROM
+       |             (SELECT doc_id, bh, count(*) OVER (PARTITION BY bh) AS bsz
+       |              FROM bands)
+       |           WHERE bsz <= $BandBucketCap),
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-       |          FROM bands a JOIN bands c ON a.h = c.h AND a.doc_id < c.doc_id)""".stripMargin
+       |          FROM capped a JOIN capped c
+       |            ON a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
+  }
+
+  /** LSH candidate near-duplicate pairs — the shared generator consumed by
+    * q35 (as output), q37 (as the verification scope), and q47 (as the
+    * cluster edge set).
+    *
+    * Spark plan: explode shingles once, hash each ONCE (md5 → 48-bit int),
+    * then ONE hash-aggregate computes all 16 permuted mins (map-side
+    * partial min ⇒ shuffle carries ≤16 longs per doc per partition).
+    * Computing signatures as nested array lambdas per row is a trap:
+    * CollapseProject inlines the token/shingle arrays into every lambda,
+    * recomputing them per (band × permutation) — O(b×p) blowup measured at
+    * >30 s for 500 docs. The explode+agg shape is also the 100 TB shape:
+    * linear in total shingles, one shuffle on doc_id, one on the band key.
+    *
+    * The (doc_id, band-key) table is persisted before the self-join: it is
+    * tiny (n_docs × 4 short strings) while its lineage is the whole shingle
+    * scan + 16-way min-aggregate — without this both join sides recompute
+    * that lineage. At cluster scale this is the materialized signature
+    * table every LSH pipeline keeps.
+    */
+  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+      .withColumn("m", md5(col("sh")))
+      .withColumn("h", expr(hexHeadToLong("m", "instr")))
+    val sigCols = (0 until 16).map(j =>
+      min((col("h") * permA(j) + permB(j)) % P).as(s"s$j"))
+    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until 4).map { b =>
+      concat_ws("|",
+        lit(b.toString) +: (0 until 4).map(r => col(s"s${b * 4 + r}").cast("string")): _*)
+    }
+    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+    val capped = bands
+      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bh"))))
+      .filter(col("bsz") <= BandBucketCap)
+      .select(col("doc_id"), col("bh"))
+      .persist(MEMORY_AND_DISK)
+    capped.as("a").join(capped.as("c"),
+        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+  }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
-    * docs sharing any band hash. Signature j = min over shingles of
-    * md5(j || '|' || shingle) (lexicographic min of hex = portable MinHash). */
+    * docs sharing any (size-capped) band key. */
   val q35MinHashLsh: Q = Q(
     "q35_dedup_minhash_lsh",
     s"""WITH $duckLshPairCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // Spark plan: explode shingles once, then ONE hash-aggregate computes all
-    // 16 signature mins (map-side partial min ⇒ shuffle carries ≤16 digests
-    // per doc per partition). Computing signatures as nested array lambdas
-    // per row is a trap: CollapseProject inlines the token/shingle arrays
-    // into every lambda, recomputing them per (band × permutation) — O(b×p)
-    // blowup measured at >30s for 500 docs. The explode+agg shape is also
-    // the 100 TB shape: linear in total shingles, one shuffle on doc_id,
-    // one on the band key.
-    val sh = Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
-    val sigCols = (0 until 16).map(j =>
-      min(md5(concat(lit(s"$j|"), col("sh")))).as(s"s$j"))
-    val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
-    val bandCols = (0 until 4).map { b =>
-      md5(concat(lit(s"$b:"),
-        concat_ws("|", (0 until 4).map(r => col(s"s${b * 4 + r}")): _*)))
-    }
-    // Persist the (doc_id, band-hash) table before the self-join: it is tiny
-    // (n_docs × 4 rows of 32-byte digests) while its lineage is the whole
-    // shingle scan + 16-way min-aggregate — without this both join sides
-    // recompute that lineage. At cluster scale this is the materialized
-    // signature table every LSH pipeline keeps.
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bands.as("a").join(bands.as("c"),
-        col("a.h") === col("c.h") && col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+    lshCandidatePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** Connected components by iterative min-label propagation:
     * label(u) ← min(label(u), min over neighbors' labels), to fixpoint
-    * (≤ graph diameter iterations, capped). This is the Spark-native HOW for
-    * dedup clustering — at 100 TB the same loop with the large-star/
+    * (≤ graph diameter iterations, capped). This is the Spark-native HOW
+    * for dedup clustering — at 100 TB the same loop with the large-star/
     * small-star transform keeps per-iteration shuffles linear; near-dup
-    * graphs are bounded-degree so a handful of iterations converges. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    * graphs are bounded-degree so a handful of iterations converges.
+    *
+    * Iteration hygiene (the part external load amplifies): the new label
+    * table is persisted and ONE action both materializes it and returns the
+    * convergence count (`count_if(chg)` folded into the same pass — no
+    * separate join+count job); the previous iteration's cache is freed
+    * immediately after; every 5th iteration a localCheckpoint cuts the
+    * growing lineage so analysis cost stays constant (the ≤4 checkpoint
+    * snapshots a 20-iteration run can leave behind are label-table-sized,
+    * i.e. tiny, and freed with the executors).
+    */
+  def connectedComponents(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist(MEMORY_AND_DISK)
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val edges = fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+    var prev = edges.select(col("u")).distinct()
+      .withColumn("label", col("u"))
       .persist(MEMORY_AND_DISK)
-    var labels = edges.select(col("u")).distinct()
-      .withColumn("label", col("u")).persist(MEMORY_AND_DISK)
+    var labels: DataFrame = prev
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
+      iter += 1
       val nbr = edges
         .join(labels.select(col("u").as("v"), col("label").as("nlabel")), "v")
         .groupBy(col("u")).agg(min(col("nlabel")).as("nmin"))
-      val updated = labels.join(nbr, Seq("u"), "left")
+      val upd = labels.join(nbr, Seq("u"), "left")
         .select(col("u"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("chg"))
         .persist(MEMORY_AND_DISK)
-      changed = updated.as("n").join(labels.as("o"), "u")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = updated
-      iter += 1
+      changed = upd.agg(count_if(col("chg"))).first().getLong(0)
+      prev.unpersist()
+      if (iter % 5 == 0 && changed > 0) {
+        labels = upd.select(col("u"), col("label")).localCheckpoint()
+        upd.unpersist()
+        prev = labels
+      } else {
+        labels = upd.select(col("u"), col("label"))
+        prev = upd
+      }
     }
-    edges.unpersist()
+    pairs.unpersist()
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** Dedup clustering: connected components over the LSH candidate pairs —
-    * cluster id = min doc_id in the component (the dedup "keeper"). The
-    * oracle computes the same fixpoint with a recursive CTE (transitive
+  /** Dedup clustering: connected components over the shared LSH candidate
+    * pairs — cluster id = min doc_id in the component (the dedup "keeper").
+    * The oracle computes the same fixpoint with a recursive CTE (transitive
     * closure + min over reachable ids) — Spark lacks recursive SQL, so the
     * iterative DataFrame loop is the idiomatic equivalent. */
   val q47DedupClusters: Q = Q(
@@ -145,7 +239,7 @@ object Dedup {
        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    connectedComponents(q35MinHashLsh.fn(s, dir)).orderBy(col("doc_id"))
+    connectedComponents(lshCandidatePairs(s, dir)).orderBy(col("doc_id"))
   }
 
   /** SimHash(32): per-token md5, bit i = sign of Σ(±1) over tokens by the
@@ -181,20 +275,27 @@ object Dedup {
     }
   }
 
-  /** n-gram Jaccard similarity: for doc pairs within the same `source`,
-    * |A∩B| / |A∪B| over distinct word 3-gram sets; report pairs ≥ 0.5.
-    * Intersection counts come from a shingle-value equi-join (shuffle does
-    * the set intersection — no driver-side state). */
+  /** n-gram Jaccard VERIFICATION of the LSH candidate pairs: exact
+    * |A∩B| / |A∪B| over distinct word 3-gram sets for each candidate pair;
+    * report pairs ≥ 0.5. This is the standard two-stage near-dup pipeline
+    * (LSH recall stage → exact verify stage).
+    *
+    * Scale shape: the pair list is small (LSH output), so verification is
+    * two hash joins keyed on the UNIQUE doc_id — no raw shingle self-join,
+    * whose hot keys (a 3-gram appearing in k docs) would emit k² rows.
+    * Shingle sets are collected only for docs that appear in a candidate
+    * pair (semi-join prune BEFORE collect_set), then intersected per pair
+    * with codegen'd `array_intersect`. */
   val q37NgramJaccard: Q = Q(
     "q37_dedup_ngram_jaccard",
-    s"""WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
-       |sh AS (SELECT DISTINCT doc_id, source, unnest($duckShingles) AS sh FROM w),
-       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-       |inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b
-       |    ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
+    s"""WITH $duckLshPairCtes,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shl),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |          FROM pairs p
+       |          JOIN dsh a ON a.doc_id = p.doc_a
+       |          JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |       round(CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter), 4) AS jaccard
        |FROM inter
@@ -202,26 +303,29 @@ object Dedup {
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(n_inter AS DOUBLE) / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    // Persist the distinct shingle set: it feeds both self-join sides AND
-    // both per-doc count lookups — unpersisted, Catalyst re-derives the
-    // scan+explode+distinct four times (seen in .explain). ~50 bytes/shingle,
-    // so this is safely cacheable at any realistic partition size.
-    val sh = Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), col("source"), explode(expr(sparkShingles)).as("sh"))
+    val pairs = lshCandidatePairs(s, dir).persist(MEMORY_AND_DISK)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.source") === col("b.source") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    // Distinct shingle sets ONLY for candidate docs (broadcast semi-join
+    // prune runs before the heavy collect_set).
+    val docSets = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+      .join(broadcast(ids), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .withColumn("n_sh", size(col("shs")))
+    val joined = pairs
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
     val jac = col("n_inter").cast("double") /
-      (col("ca.n_sh") + col("cb.n_sh") - col("n_inter"))
-    inter
-      .join(cnt.as("ca"), col("ca.doc_id") === col("doc_a"))
-      .join(cnt.as("cb"), col("cb.doc_id") === col("doc_b"))
+      (col("n_a") + col("n_b") - col("n_inter"))
+    joined
       .filter(jac >= 0.5)
       .select(col("doc_a"), col("doc_b"), round(jac, 4).as("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -129,22 +129,37 @@ object Extended {
   }
 
   /** Approximate sketches (HLL distinct, approx quantiles) — the 100 TB
-    * substitutes for their exact counterparts. No DuckDB oracle (different
-    * sketch implementations can't hash-match); the driver records a
-    * rows-present check, and `ExtendedSpec`-style bounds live in the exact
-    * queries they approximate (q6, q25). */
+    * substitutes for their exact counterparts. Different engines' sketches
+    * can't hash-match on raw values, so the oracle gate is on *error
+    * bounds*: Spark computes both the sketch and the exact statistic and
+    * surfaces scalar booleans asserting the sketch landed inside its
+    * documented error envelope (HLL rsd 0.05 → ±15% = 3σ;
+    * approx_percentile accuracy 1000 → rank error ≤ 1e-3, checked against
+    * a generous exact-rank window). DuckDB's side of the compare is the
+    * constant-true rendering — the hash matches iff every bound holds. */
   val q43ApproxSketches: Q = Q(
     "q43_approx_sketches",
-    (s, dir) => {
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)")
-            .as("approx_price_p50_p99"))
-        .orderBy(col("l_returnflag"))
-    },
-    None)
+    """SELECT l_returnflag, true AS orders_ok, true AS p50_ok, true AS p99_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("ac"),
+        countDistinct(col("l_orderkey")).as("ec"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
+        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
+        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"),
+        expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+        max(col("l_extendedprice")).as("hi99"))
+      .select(
+        col("l_returnflag"),
+        (col("ac") >= col("ec") * 0.85 && col("ac") <= col("ec") * 1.15)
+          .as("orders_ok"),
+        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
+        (col("ap99") >= col("lo99") && col("ap99") <= col("hi99")).as("p99_ok"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** GROUPING SETS through the SQL entry path (temp view + spark.sql —
     * exercises the parser/analyzer front door, not just the DSL). */

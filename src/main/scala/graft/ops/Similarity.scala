@@ -18,9 +18,13 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle.
   *
   * Scale design: queries are broadcast (small side), candidates stream;
-  * brute force is O(Q×N) with no shuffle of the big side; the LSH variant
-  * joins on a 256-way sign-bucket key so each query only scores ~N/256
-  * candidates — the standard recall/throughput trade.
+  * candidate generation everywhere goes through the 256-way sign-LSH bucket
+  * key — near-dup pairing joins bucket-to-bucket (never all-pairs within an
+  * open partition key), and ANN scores ~N/256 per query. The exact
+  * brute-force scorer (q39) keeps its full O(Q×N) scan as the labeled
+  * recall baseline, but its per-query shortlist is a map-side bounded heap
+  * (custom `TypedImperativeAggregate`), so no single reducer ever holds all
+  * N scored candidates of one query.
   */
 object Similarity {
 
@@ -44,34 +48,50 @@ object Similarity {
     """n2 AS (SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS n2
       |       FROM el GROUP BY vec_id)""".stripMargin
 
+  /** Sign-LSH bucket key: sign bits of the first 8 dims → 256 buckets.
+    * Shared by q38 (near-dup candidate generation) and q40 (bucketed ANN). */
+  private def duckBucket(col: String): String =
+    (1 to 8).map(i => s"CASE WHEN $col[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+  private def sparkBucket(col: String): String =
+    (1 to 8).map(i => s"IF(element_at($col, $i) > 0, '1', '0')").mkString("concat(", ", ", ")")
+
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("n2", expr(dDot("embedding", "embedding")))
 
-  /** Cosine near-duplicate pairs within the same label partition.
-    * Spark prunes with a double-precision cosine ≥ 0.9 before the exact
-    * decimal rescore (double error ~1e-13 ≪ the 0.05 margin, so pruning is
-    * lossless w.r.t. the ≥ 0.95 verdict). */
+  /** Cosine near-duplicate pairs. Candidate generation is the sign-LSH
+    * bucket join WITHIN the label partition — a same-(label, bucket)
+    * equi-join, so candidate volume is O(Σ bucket²) with ~256× smaller
+    * buckets, not O(N²/labels) all-pairs (true cos ≥ 0.95 pairs almost
+    * always agree on leading sign bits; recall is traded exactly like q40,
+    * and the exact-dedup path q34 still catches identical vectors).
+    * Spark prunes candidates with a double-precision cosine ≥ 0.9 before
+    * the exact decimal rescore (double error ~1e-13 ≪ the 0.05 margin, so
+    * pruning is lossless w.r.t. the ≥ 0.95 verdict). */
   val q38EmbedNearDup: Q = Q(
     "q38_embed_neardup",
     s"""WITH $duckEl,
        |$duckN2,
-       |d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |bkt AS (SELECT vec_id, label, ${duckBucket("embedding")} AS bkt FROM embeddings),
+       |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM bkt a JOIN bkt b
+       |           ON a.label = b.label AND a.bkt = b.bkt AND a.vec_id < b.vec_id),
+       |d AS (SELECT vec_a, vec_b,
        |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |      FROM el a JOIN el b
-       |        ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+       |      FROM cand JOIN el a ON a.vec_id = vec_a
+       |                JOIN el b ON b.vec_id = vec_b AND b.i = a.i
        |      GROUP BY 1, 2)
        |SELECT vec_a, vec_b, round(dot / sqrt(na.n2 * nb.n2), 6) AS cos_sim
        |FROM d JOIN n2 na ON na.vec_id = vec_a JOIN n2 nb ON nb.vec_id = vec_b
        |WHERE round(dot / sqrt(na.n2 * nb.n2), 6) >= 0.95
        |ORDER BY vec_a, vec_b""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
-    val e = embWithNorm(s, dir)
-    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+    val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
+    val a = e.select(col("vec_id").as("vec_a"), col("label"), col("bkt"),
       col("embedding").as("emb_a"), col("n2").as("n2_a"))
-    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+    val b = e.select(col("vec_id").as("vec_b"), col("label"), col("bkt"),
       col("embedding").as("emb_b"), col("n2").as("n2_b"))
-    a.join(b, Seq("label"))
+    a.join(b, Seq("label", "bkt"))
       .filter(col("vec_a") < col("vec_b"))
       // candidate prefilter on the codegen'd native expression (fast path);
       // the decimal-exact rescore below is what the oracle compares
@@ -84,9 +104,17 @@ object Similarity {
   }
 
   /** Brute-force cosine top-5 for query vectors (vec_id < 10) over the whole
-    * table. Spark: broadcast the queries, double-precision shortlist of 200
-    * per query (margin ≫ double error vs the rounded-decimal rank key),
-    * exact decimal rescore + deterministic rank. */
+    * table — the labeled exact-recall baseline (q40 is the scale path).
+    *
+    * Spark plan: broadcast the queries and stream the candidates (no
+    * shuffle of the big side); the per-query top-200 shortlist is computed
+    * by `topk_by_score` — a bounded-heap TypedImperativeAggregate whose
+    * partial mode truncates map-side, so the shuffle carries ≤200 rows per
+    * (query × partition) instead of funneling all N scored candidates
+    * through one reducer per query. The tiny shortlist is then re-joined
+    * (broadcast) against the embeddings for the decimal-exact rescore and
+    * final rank. Double-precision shortlist with k=200 ≫ 5 margin covers
+    * the ~1e-13 double-vs-decimal error. */
   val q39AnnTopK: Q = Q(
     "q39_ann_topk",
     s"""WITH $duckEl,
@@ -103,19 +131,22 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
     val e = embWithNorm(s, dir)
     val q = e.filter(col("vec_id") < 10).select(
       col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("n2").as("n2_q"))
     val c = e.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"), col("n2").as("n2_c"))
-    val shortlist = Window.partitionBy(col("query_id"))
-      .orderBy(col("dcos").desc, col("neighbor_id"))
+    val shortlist = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("dcos", expr(fDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")))
+      .groupBy(col("query_id"))
+      .agg(expr("topk_by_score(dcos, neighbor_id, 200)").as("top"))
+      .select(col("query_id"), explode(col("top.id")).as("neighbor_id"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("dcos", expr(fDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")))
-      .withColumn("srn", row_number().over(shortlist))
-      .filter(col("srn") <= 200) // double-precision shortlist; exact rescore below
+    broadcast(shortlist)
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
       .withColumn("cos_sim",
         round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
       .withColumn("rank", row_number().over(rankW).cast("long"))
@@ -127,50 +158,44 @@ object Similarity {
   /** Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the first
     * 8 dims (256 buckets); each query (vec_id < 50) scores only its own
     * bucket — candidate set ~N/256 instead of N. */
-  val q40AnnLsh: Q = {
-    def duckBucket(col: String) =
-      (1 to 8).map(i => s"CASE WHEN $col[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
-    def sparkBucket(col: String) =
-      (1 to 8).map(i => s"IF(element_at($col, $i) > 0, '1', '0')").mkString("concat(", ", ", ")")
-    Q(
-      "q40_ann_lsh",
-      s"""WITH $duckEl,
-         |$duckN2,
-         |bkt AS (SELECT vec_id, ${duckBucket("embedding")} AS bkt FROM embeddings),
-         |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
-         |         FROM bkt q JOIN bkt c
-         |           ON q.bkt = c.bkt AND q.vec_id < 50 AND c.vec_id <> q.vec_id),
-         |d AS (SELECT query_id, neighbor_id,
-         |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-         |      FROM cand JOIN el a ON a.vec_id = query_id
-         |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
-         |      GROUP BY 1, 2),
-         |r AS (SELECT query_id, neighbor_id,
-         |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
-         |             row_number() OVER (PARTITION BY query_id
-         |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
-         |      FROM d JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nc ON nc.vec_id = neighbor_id)
-         |SELECT query_id, neighbor_id, cos_sim, rank
-         |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
-      val q = e.filter(col("vec_id") < 50).select(
-        col("vec_id").as("query_id"), col("bkt"),
-        col("embedding").as("emb_q"), col("n2").as("n2_q"))
-      val c = e.select(
-        col("vec_id").as("neighbor_id"), col("bkt"),
-        col("embedding").as("emb_c"), col("n2").as("n2_c"))
-      val rankW = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("neighbor_id"))
-      c.join(broadcast(q), Seq("bkt"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .withColumn("cos_sim",
-          round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
-        .withColumn("rank", row_number().over(rankW).cast("long"))
-        .filter(col("rank") <= 3)
-        .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
-        .orderBy(col("query_id"), col("rank"))
-    }
+  val q40AnnLsh: Q = Q(
+    "q40_ann_lsh",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |bkt AS (SELECT vec_id, ${duckBucket("embedding")} AS bkt FROM embeddings),
+       |cand AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM bkt q JOIN bkt c
+       |           ON q.bkt = c.bkt AND q.vec_id < 50 AND c.vec_id <> q.vec_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el a ON a.vec_id = query_id
+       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
+    val q = e.filter(col("vec_id") < 50).select(
+      col("vec_id").as("query_id"), col("bkt"),
+      col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = e.select(
+      col("vec_id").as("neighbor_id"), col("bkt"),
+      col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh)
