@@ -102,6 +102,44 @@ object GitAgg {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  // ---- Cross-run upsert semantics (U1/U3–U5 across successive runs) -------
+  // The reference appends every run into the same SQLite file; each load is a
+  // keyed upsert against the cumulative table (src/database.ts). `existing`
+  // is the previously-written table, `incoming` the new run's output. One
+  // shuffle on the natural key either way — the shape that scales.
+
+  /** ON CONFLICT DO UPDATE (commits :21-36, tags, repos :85-95): the new
+    * run's row replaces the stored one wholesale. */
+  def upsertLatest(existing: DataFrame, incoming: DataFrame,
+      key: Seq[String]): DataFrame =
+    latestByKey(
+      existing.withColumn("__run", lit(0))
+        .unionByName(incoming.withColumn("__run", lit(1))),
+      key, "__run").drop("__run")
+
+  /** INSERT OR IGNORE (file_changes :145-151): the stored row wins. */
+  def upsertKeepFirst(existing: DataFrame, incoming: DataFrame,
+      key: Seq[String]): DataFrame =
+    latestByKey(
+      existing.withColumn("__run", lit(1))
+        .unionByName(incoming.withColumn("__run", lit(0))),
+      key, "__run").drop("__run")
+
+  /** U2 cross-run author accumulation (src/database.ts:109-117): the new
+    * run's name wins (`name = excluded.name`), dates MIN/MAX-merge, and
+    * `total_commits` ADDS — so re-running over the same history double-counts,
+    * which is the reference's actual observable behavior (every run re-parses
+    * the full log and re-adds its counts). Preserved, not "fixed". */
+  def mergeAuthors(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.withColumn("__run", lit(0))
+      .unionByName(incoming.withColumn("__run", lit(1)))
+      .groupBy(col("email"))
+      .agg(
+        max_by(col("name"), col("__run")).as("name"),
+        sum(col("total_commits")).as("total_commits"),
+        min(col("first_commit_at")).as("first_commit_at"),
+        max(col("last_commit_at")).as("last_commit_at"))
 }
 
 /** J3: the reference's 18-entry extension → language map

@@ -47,16 +47,31 @@ object GitCli {
       RepoInfo(Paths.get(repoPath).getFileName.toString, repoPath, b)
     }
 
+  /** Extraction task list as a Dataset, one partition per repo.
+    *
+    * The nonce column defeats Catalyst plan-cache matching: these scans read
+    * EXTERNAL state (the repos on disk), which the logical plan cannot see,
+    * so two extractions over the same repo list canonicalize to the same
+    * plan — without the nonce, a cached first run would be silently served
+    * for a re-run even after the repos changed (observed: a second
+    * `Pipeline.build` returning stale commits). Same reason Spark marks
+    * `rand()` non-deterministic: identical plan text ≠ identical data. */
+  private def tasks(spark: SparkSession, repos: Seq[RepoInfo]) = {
+    import spark.implicits._
+    val nonce = java.util.UUID.randomUUID().toString
+    spark.createDataset(repos.map(r => (r.name, r.path, r.branch, nonce)))
+      .repartition(math.max(repos.size, 1))
+  }
+
   // ---- S1: git-log scan → raw text DataFrame ------------------------------
   /** One row per repo: (repo_name, branch, raw log text). Runs the
     * subprocess on the executor that owns the repo's partition. */
   def rawLogs(spark: SparkSession, repos: Seq[RepoInfo]): DataFrame = {
     import spark.implicits._
-    val n = math.max(repos.size, 1)
-    spark.createDataset(repos).repartition(n).mapPartitions { it =>
-      it.flatMap { r =>
-        run(r.path, "git", "log", r.branch, s"--pretty=format:$logFormat",
-          "--numstat").map(raw => (r.name, r.branch, raw))
+    tasks(spark, repos).mapPartitions { it =>
+      it.flatMap { case (name, path, branch, _) =>
+        run(path, "git", "log", branch, s"--pretty=format:$logFormat",
+          "--numstat").map(raw => (name, branch, raw))
       }
     }.toDF("repo_name", "branch", "raw")
   }
@@ -64,11 +79,10 @@ object GitCli {
   // ---- S2: git-tags scan (src/git-parser.ts:277-300) ----------------------
   def rawTags(spark: SparkSession, repos: Seq[RepoInfo]): DataFrame = {
     import spark.implicits._
-    val n = math.max(repos.size, 1)
-    spark.createDataset(repos).repartition(n).mapPartitions { it =>
-      it.flatMap { r =>
-        run(r.path, "git", "for-each-ref", "refs/tags",
-          s"--format=$tagFormat").map(raw => (r.name, raw))
+    tasks(spark, repos).mapPartitions { it =>
+      it.flatMap { case (name, path, _, _) =>
+        run(path, "git", "for-each-ref", "refs/tags",
+          s"--format=$tagFormat").map(raw => (name, raw))
       }
     }.toDF("repo_name", "raw")
   }
@@ -76,12 +90,11 @@ object GitCli {
   // ---- S4: file-list scan (src/git-parser.ts:214-222) ---------------------
   def lsFiles(spark: SparkSession, repos: Seq[RepoInfo]): DataFrame = {
     import spark.implicits._
-    val n = math.max(repos.size, 1)
-    spark.createDataset(repos).repartition(n).mapPartitions { it =>
-      it.flatMap { r =>
-        run(r.path, "git", "ls-files").toSeq
+    tasks(spark, repos).mapPartitions { it =>
+      it.flatMap { case (name, path, _, _) =>
+        run(path, "git", "ls-files").toSeq
           .flatMap(_.split("\n")).filter(_.nonEmpty)
-          .map(f => (r.name, f))
+          .map(f => (name, f))
       }
     }.toDF("repo_name", "file_path")
   }

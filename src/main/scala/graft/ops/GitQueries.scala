@@ -144,5 +144,79 @@ object GitQueries {
     GitAgg.repoLanguage(files)
   }
 
-  val all: Seq[Q] = Seq(q50Commits, q51FileChanges, q52Authors, q53Tags, q54Language)
+  /** Validator/quality-flag stage (reference src/validation.ts:15-194) over a
+    * fixture hitting every rule: sha length/hex + first-error-only, email
+    * empty/format/length ordering, name empty/length, null date, negative
+    * counts, multi-error ordering, author count/date-order, tag name/sha and
+    * annotated-only tagger checks (truthy-gated). Output = one row per
+    * (entity, key, error position). */
+  val q55Validation: Q = Q(
+    "q55_validation_flags",
+    """SELECT * FROM (VALUES
+      |  ('author', 'd@e.f', 0, 'Author must have at least 1 commit'),
+      |  ('author', 'g@h.i', 0, 'First commit date cannot be after last commit date'),
+      |  ('commit', 'bad', 0, 'Invalid SHA length: bad'),
+      |  ('commit', 'bad', 1, 'Invalid email format: bad-email'),
+      |  ('commit', 'bad', 2, 'Author name cannot be empty'),
+      |  ('commit', 'bad', 3, 'Addition/deletion/file counts cannot be negative'),
+      |  ('commit', 'cafebabe', 0, 'Author name cannot be empty'),
+      |  ('commit', 'cafebabe1', 0, 'Committed date is invalid'),
+      |  ('commit', 'cafebabe2', 0, 'Addition/deletion/file counts cannot be negative'),
+      |  ('commit', 'deadbee', 0, 'Invalid email format: no-at-sign'),
+      |  ('commit', 'deadbeef01', 0, 'Email cannot be empty'),
+      |  ('commit', 'feed0001', 0, 'Author name exceeds 255 characters'),
+      |  ('commit', 'feed0002', 0, 'Email exceeds 255 characters'),
+      |  ('commit', 'gggggggg', 0, 'Invalid SHA format (must be hex): gggggggg'),
+      |  ('commit', 'xyz', 0, 'Invalid SHA length: xyz'),
+      |  ('tag', '', 0, 'Tag name cannot be empty'),
+      |  ('tag', 'v1', 0, 'Invalid SHA length: zzz'),
+      |  ('tag', 'v2', 0, 'Invalid email format: not-an-email')
+      |) t(entity, entity_key, ord, error)
+      |ORDER BY entity, entity_key, ord""".stripMargin) { (s, _) =>
+    import s.implicits._
+    val ok = "ok@example.com"
+    val t = Some(1700000000L)
+    val commits = Seq(
+      ("a1b2c3d4", ok, "Okay", t, "fine", 1L, 1L, 1L), // fully valid → no rows
+      ("xyz", ok, "Okay", t, "m", 0L, 0L, 0L), // short sha wins over non-hex
+      ("gggggggg", ok, "Okay", t, "m", 0L, 0L, 0L),
+      ("deadbee", "no-at-sign", "Okay", t, "m", 0L, 0L, 0L),
+      ("deadbeef01", " ", "Okay", t, "m", 0L, 0L, 0L), // whitespace = empty
+      ("cafebabe", ok, "", t, "m", 0L, 0L, 0L),
+      ("cafebabe1", ok, "Okay", None, "m", 0L, 0L, 0L),
+      ("cafebabe2", ok, "Okay", t, "m", -1L, 0L, 0L),
+      ("feed0001", ok, "n" * 256, t, "m", 0L, 0L, 0L),
+      ("feed0002", "e" * 290 + "@x.com", "Okay", t, "m", 0L, 0L, 0L),
+      ("bad", "bad-email", "", t, "m", 0L, -2L, 0L)) // 4 errors, fixed order
+      .toDF("sha", "author_email", "author_name", "epoch", "message",
+        "additions", "deletions", "files_changed")
+      .withColumn("committed_at", GitParse.epochToTimestamp(col("epoch")))
+    val authors = Seq(
+      ("a@b.c", "A", 1L, 1000L, 2000L), // valid
+      ("d@e.f", "D", 0L, 1000L, 1000L),
+      ("g@h.i", "G", 2L, 2000L, 1000L))
+      .toDF("email", "name", "total_commits", "f", "l")
+      .withColumn("first_commit_at", timestamp_seconds(col("f")))
+      .withColumn("last_commit_at", timestamp_seconds(col("l")))
+    val none: Option[String] = None
+    val tags = Seq(
+      ("", "deadbeef", false, none, none, none),
+      ("v1", "zzz", false, none, none, none),
+      ("v2", "deadbeef", true, Some("T"), Some("not-an-email"), Some("msg")),
+      ("v3", "deadbeef", true, none, none, none)) // null tagger fields skipped
+      .toDF("tag_name", "sha", "is_annotated", "tagger_name", "tagger_email",
+        "message")
+    def explodeErrs(df: DataFrame, entity: String, key: String, errs: org.apache.spark.sql.Column) =
+      df.withColumn("__errs", errs)
+        .select(lit(entity).as("entity"), col(key).as("entity_key"),
+          posexplode(col("__errs")).as(Seq("ord", "error")))
+    explodeErrs(graft.git.Validate.flagCommits(commits), "commit", "sha",
+        col("validation_errors"))
+      .unionAll(explodeErrs(authors, "author", "email", graft.git.Validate.authorErrors))
+      .unionAll(explodeErrs(tags, "tag", "tag_name", graft.git.Validate.tagErrors))
+      .orderBy(col("entity"), col("entity_key"), col("ord"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q50Commits, q51FileChanges, q52Authors, q53Tags, q54Language, q55Validation)
 }

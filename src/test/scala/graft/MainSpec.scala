@@ -3,6 +3,8 @@ package graft
 import java.nio.file.{Files, Paths}
 import scala.sys.process._
 
+import org.apache.spark.sql.functions.col
+
 import org.scalatest.BeforeAndAfterAll
 
 /** E2 end-to-end through the CLI surface: config JSON → discovery → ignore
@@ -45,12 +47,56 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
 
     val out = root.resolve("out").toString
     Main.run(spark, repos, out, authorGate = None)
-    Seq("commits", "authors", "file_changes", "tags", "repos").foreach { t =>
+    Seq("commits", "authors", "file_changes", "tags", "repos", "rejects").foreach { t =>
       val df = spark.read.parquet(s"$out/$t")
       assert(df.columns.nonEmpty, t)
     }
     assert(spark.read.parquet(s"$out/commits").count() == 1)
+    assert(spark.read.parquet(s"$out/rejects").count() == 0) // all valid
     assert(spark.read.parquet(s"$out/repos").collect()(0).getAs[String]("name") == "repoA")
+  }
+
+  test("cross-run incremental upsert: run 2 overwrites keyed rows, authors accumulate (U1/U2)") {
+    val inc = root.resolve("out_inc").toString
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    assert(spark.read.parquet(s"$inc/commits").count() == 1)
+    val alice1 = spark.read.parquet(s"$inc/authors")
+      .filter(col("email") === "alice@example.com").collect()(0)
+    assert(alice1.getAs[Long]("total_commits") == 1)
+
+    // second run re-parses the full history (now 2 commits: Alice's plus a
+    // new one by Bob)
+    val env = Seq(
+      "GIT_AUTHOR_DATE" -> "1700000100 +0000", "GIT_COMMITTER_DATE" -> "1700000100 +0000",
+      "GIT_AUTHOR_NAME" -> "Bob", "GIT_AUTHOR_EMAIL" -> "bob@example.com",
+      "GIT_COMMITTER_NAME" -> "Bob", "GIT_COMMITTER_EMAIL" -> "bob@example.com")
+    Files.writeString(repoA.resolve("c.py"), "more\n")
+    assert(Process(Seq("git", "add", "."), repoA.toFile, env: _*).! == 0)
+    assert(Process(Seq("git", "commit", "-q", "-m", "add c.py"), repoA.toFile, env: _*).! == 0)
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+
+    // commits: same sha upserted (not duplicated), new sha inserted
+    assert(spark.read.parquet(s"$inc/commits").count() == 2)
+    // authors: reference semantics — every run re-adds its counts
+    // (database.ts:109-117), so Alice = 1 (run1) + 1 (run2) = 2, Bob = 1
+    val byEmail = spark.read.parquet(s"$inc/authors")
+      .collect().map(r => r.getAs[String]("email") -> r.getAs[Long]("total_commits")).toMap
+    assert(byEmail == Map("alice@example.com" -> 2L, "bob@example.com" -> 1L))
+    // file_changes INSERT OR IGNORE: 1 per (sha, path) — 2 total
+    assert(spark.read.parquet(s"$inc/file_changes").count() == 2)
+    // repos ON CONFLICT DO UPDATE: still one row, total_commits refreshed
+    val repo = spark.read.parquet(s"$inc/repos").collect()(0)
+    assert(repo.getAs[Long]("total_commits") == 2)
+  }
+
+  test("JDBC sink option writes and re-reads all tables (S8 variant)") {
+    val db = root.resolve("derby_out").toString
+    val url = s"jdbc:derby:$db;create=true"
+    _root_.graft.git.Pipeline.etlJdbc(spark, Seq(repoA.toString), url)
+    val commits = spark.read.jdbc(url, "commits", new java.util.Properties())
+    assert(commits.count() == 2) // both repoA commits from the prior test
+    assert(spark.read.jdbc(url, "authors", new java.util.Properties())
+      .columns.contains("total_commits"))
   }
 
   test("author gate skips repos without matching commits (S5)") {
