@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
@@ -154,11 +153,17 @@ object Dedup {
         lit(b.toString) +: (0 until 4).map(r => col(s"s${b * 4 + r}").cast("string")): _*)
     }
     val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-    val capped = bands
-      .withColumn("bsz", count(lit(1)).over(Window.partitionBy(col("bh"))))
-      .filter(col("bsz") <= BandBucketCap)
-      .select(col("doc_id"), col("bh"))
       .persist(MEMORY_AND_DISK)
+    // Over-cap buckets are ≤ |bands|/cap rows — a provably tiny, always
+    // broadcastable list — so the cap is a broadcast ANTI-join instead of a
+    // count-over-window, which would sort-shuffle the whole band table. The
+    // count aggregate combines map-side; bands shuffles only for the
+    // self-join below.
+    val hot = bands.groupBy(col("bh"))
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") > BandBucketCap)
+      .select(col("bh"))
+    val capped = bands.join(broadcast(hot), Seq("bh"), "left_anti")
     capped.as("a").join(capped.as("c"),
         col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
