@@ -23,7 +23,9 @@ object Profile {
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        // noop sink: run the FULL plan (count() lets Catalyst prune
+        // unreferenced projections — same rationale as Bench).
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[profile] $name%-28s ${times.map(t => f"$t%7.2f").mkString(" ")}")

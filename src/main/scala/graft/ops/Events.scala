@@ -177,6 +177,36 @@ object Events {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** The same as-of semantics as q24, but through the custom first-class
+    * operator (graft.plans.AsOfJoin: LogicalPlan + Rule + Strategy +
+    * sort-merge SparkPlan) instead of the union+window composition — one
+    * streaming merge pass, no union materialization, no window buffer.
+    * The post-join filter on a left column is written ABOVE the join here
+    * and lands below it via PushFilterThroughAsOfJoin (asserted in
+    * AsOfJoinSpec). Oracle: DuckDB native ASOF LEFT JOIN. */
+  val q60AsofCustom: Q = Q(
+    "q60_asof_custom",
+    """SELECT p.event_id AS purchase_id,
+      |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |WHERE p.value > 100
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    graft.plans.AsOf.joinBackward(p, c, Seq("user_id"), "ts", "ts")
+      .filter(col("value") > 100)
+      .select(
+        col("event_id").as("purchase_id"),
+        unix_timestamp(col("ts_r")).as("click_epoch"))
+      .orderBy(col("purchase_id"))
+  }
+
   val all: Seq[Q] =
-    Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q46Sliding)
+    Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
+      q46Sliding, q60AsofCustom)
 }

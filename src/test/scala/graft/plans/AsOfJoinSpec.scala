@@ -1,0 +1,101 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class AsOfJoinSpec extends AnyFunSuite with Matchers {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .appName("asof-join-spec")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  /** (user, epochSec, id) → DataFrame with a real timestamp column. */
+  private def evDf(rows: Seq[(Int, Long, Long)]) =
+    rows.toDF("user_id", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("user_id", "ts", "id")
+
+  test("backward as-of: latest right ts <= left ts per key; inclusive ties; null when none") {
+    val left = evDf(Seq((1, 100L, 1L), (1, 200L, 2L), (1, 50L, 3L), (2, 100L, 4L), (3, 100L, 5L)))
+    val right = evDf(Seq((1, 80L, 10L), (1, 100L, 11L), (1, 150L, 12L), (2, 300L, 13L)))
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "ts")
+      .select(col("id"), unix_timestamp(col("ts_r")).as("r_sec"), col("id_r"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    out shouldBe Map(
+      1L -> 100L, // tie: right at ts=100 matches inclusively
+      2L -> 150L,
+      3L -> -1L,  // earliest left row precedes all rights
+      4L -> -1L,  // right exists but only later
+      5L -> -1L)  // key absent on right
+  }
+
+  test("matches the composed union+window rendering on random data across partitions") {
+    val rnd = new scala.util.Random(42)
+    val left = evDf(Seq.tabulate(500)(i => (rnd.nextInt(20), rnd.nextInt(10000).toLong, i.toLong)))
+    val right = evDf(Seq.tabulate(800)(i => (rnd.nextInt(25), rnd.nextInt(10000).toLong, 10000L + i)))
+    val custom = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "ts")
+      .select(col("id"), unix_timestamp(col("ts_r")).as("asof_sec"))
+    // Composed reference (q24's shape): union + last-value carry-forward.
+    import org.apache.spark.sql.expressions.Window
+    val l2 = left.withColumn("is_left", lit(1))
+    val r2 = right.withColumn("is_left", lit(0))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_left"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val composed = l2.unionByName(r2)
+      .withColumn("asof_ts", last(when(col("is_left") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("id"), unix_timestamp(col("asof_ts")).as("asof_sec"))
+    custom.count() shouldBe 500
+    custom.exceptAll(composed).count() shouldBe 0
+    composed.exceptAll(custom).count() shouldBe 0
+  }
+
+  test("plans as AsOfJoinExec and pushes left-only filters below the join") {
+    val left = evDf(Seq((1, 100L, 1L), (2, 200L, 2L)))
+    val right = evDf(Seq((1, 90L, 10L)))
+    val joined = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "ts")
+      .filter(col("id") > 1)
+    // nodeName strips the Exec suffix in plan strings — collect by class.
+    val hasExec = joined.queryExecution.executedPlan.exists {
+      case _: AsOfJoinExec => true
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan.exists { case _: AsOfJoinExec => true; case _ => false }
+      case _ => false
+    }
+    hasExec shouldBe true
+    // PushFilterThroughAsOfJoin: no Filter may remain above the AsOfJoin
+    // node in the optimized plan.
+    val opt = joined.queryExecution.optimizedPlan
+    var aboveJoin = true
+    var filterAbove = false
+    opt.foreach {
+      case _: AsOfJoin => aboveJoin = false
+      case _: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        if (aboveJoin) filterAbove = true
+      case _ => ()
+    }
+    filterAbove shouldBe false
+    joined.select(col("id")).collect().map(_.getLong(0)) shouldBe Array(2L)
+  }
+
+  test("self-join on the same source dataframe disambiguates attributes") {
+    val ev = evDf(Seq((1, 100L, 1L), (1, 90L, 2L), (1, 95L, 3L)))
+    val out = AsOf.joinBackward(
+        ev.filter(col("id") === 1), ev.filter(col("id") =!= 1),
+        Seq("user_id"), "ts", "ts")
+      .select(col("id"), col("id_r"))
+      .collect()
+    out.length shouldBe 1
+    out.head.getLong(1) shouldBe 3L // ts=95 beats ts=90
+  }
+}
