@@ -53,13 +53,26 @@ object EventStream {
         unix_timestamp(col("session_window.start")).as("sess_start"),
         col("n_events"))
 
+  /** Streaming exact dedup — the streaming member of the dedup family
+    * (batch counterpart: ops.Dedup q34). Re-deliveries of the same event_id
+    * within the watermark delay are dropped; state is BOUNDED — ids older
+    * than the watermark are evicted — so this runs forever at constant
+    * memory, which a batch distinct over an unbounded log cannot. At 100 TB/
+    * day the state store holds only one key per event inside the 1-hour
+    * late-data horizon, sharded by the groupBy-key shuffle. */
+  def dedupEvents(ev: DataFrame): DataFrame =
+    ev.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Run a streaming aggregation over the existing files and stop
-    * (Trigger.AvailableNow) — results land in an in-memory table. */
-  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+    * (Trigger.AvailableNow) — results land in an in-memory table.
+    * Aggregations use complete mode; row-level ops (dedup) use append. */
+  def runAvailableNow(df: DataFrame, queryName: String,
+      outputMode: String = "complete"): Unit = {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -50,6 +50,23 @@ class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows == Map("gold" -> 3L, "basic" -> 1L))
   }
 
+  test("streaming dedup drops within-watermark re-deliveries") {
+    val dupDir = Paths.get("target", "tmp", "streamfix_dup").toAbsolutePath.toString
+    // event_id 1 delivered three times inside the watermark, id 2 once.
+    Seq(
+      (1L, ns(0), 1L, "click", 1.0, """{"k": 1}"""),
+      (1L, ns(5), 1L, "click", 1.0, """{"k": 1}"""),
+      (1L, ns(10), 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, ns(7), 2L, "view", 2.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
+    val ev = EventStream.events(spark, dupDir)
+    EventStream.runAvailableNow(
+      EventStream.dedupEvents(ev), "dedup_test", outputMode = "append")
+    val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
+    assert(ids.toSeq == Seq(1L, 2L))
+  }
+
   test("streaming sessionization closes sessions at the 30-minute gap") {
     val ev = EventStream.events(spark, dir)
     EventStream.runAvailableNow(EventStream.sessionCounts(ev), "session_test")
