@@ -80,8 +80,11 @@ object GraftFunctions {
 }
 
 /** `SparkSessionExtensions` hook: enable with
-  * `spark.sql.extensions=graft.functions.GraftExtensions` so the functions
-  * exist in every session (incl. thriftserver/connect) without code calls. */
+  * `spark.sql.extensions=graft.functions.GraftExtensions` so the full graft
+  * extension surface — custom functions, the as-of planner strategy, and
+  * its filter-pushdown rule — exists in every session (incl. thriftserver/
+  * connect) without code calls. Interactive/test paths use the runtime
+  * equivalents (GraftFunctions.register / plans.AsOf.register). */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -94,5 +97,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKByScore].getName, "topk_by_score"),
       (exprs: Seq[Expression]) => TopKByScore.fromExprs(exprs)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }
