@@ -143,21 +143,23 @@ object Extended {
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
     Tables(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
+      // ONE exact-percentile buffer (array of fractions) and ONE sketch:
+      // separate percentile() calls each materialize every group value in
+      // their own aggregation buffer — measured 12.8 s vs ~4 s at sf0.1.
       .agg(
         approx_count_distinct(col("l_orderkey")).as("ac"),
         countDistinct(col("l_orderkey")).as("ec"),
-        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("ap50"),
-        expr("percentile(l_extendedprice, 0.45)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.55)").as("hi50"),
-        expr("approx_percentile(l_extendedprice, 0.99, 1000)").as("ap99"),
-        expr("percentile(l_extendedprice, 0.98)").as("lo99"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.99), 1000)").as("ap"),
+        expr("percentile(l_extendedprice, array(0.45, 0.55, 0.98))").as("ep"),
         max(col("l_extendedprice")).as("hi99"))
       .select(
         col("l_returnflag"),
         (col("ac") >= col("ec") * 0.85 && col("ac") <= col("ec") * 1.15)
           .as("orders_ok"),
-        (col("ap50") >= col("lo50") && col("ap50") <= col("hi50")).as("p50_ok"),
-        (col("ap99") >= col("lo99") && col("ap99") <= col("hi99")).as("p99_ok"))
+        (element_at(col("ap"), 1) >= element_at(col("ep"), 1) &&
+          element_at(col("ap"), 1) <= element_at(col("ep"), 2)).as("p50_ok"),
+        (element_at(col("ap"), 2) >= element_at(col("ep"), 3) &&
+          element_at(col("ap"), 2) <= col("hi99")).as("p99_ok"))
       .orderBy(col("l_returnflag"))
   }
 
