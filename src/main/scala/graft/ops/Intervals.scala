@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Interval/range join: match rows of a big fact table against arbitrary
+  * time intervals with NO equi-key — the join predicate is pure
+  * containment (`lo <= ts < hi`). Spark has no native range-join
+  * optimization (a raw θ-join plans as BroadcastNestedLoopJoin, O(N×M)
+  * predicate evaluations), so the scale path is the classic *bin
+  * bucketing* rewrite:
+  *
+  *   1. explode each interval into the fixed-width bins (days) it overlaps
+  *      — O(span/width) rows per interval, bounded and tiny;
+  *   2. key each probe row by its own bin — a pure map-side projection;
+  *   3. hash equi-join on the bin key (broadcast here: the exploded
+  *      interval table is intervals × days — if intervals are huge, the
+  *      same plan shuffles on the bin key instead);
+  *   4. re-check the exact containment predicate to discard same-bin
+  *      near-misses.
+  *
+  * This turns the nested-loop into one codegen'd hash join whose probe
+  * side streams straight off the parquet scan — linear in fact rows,
+  * independent of interval count. Bin width trades interval-side blowup
+  * (span/width rows) against probe-side false candidates (≤ 2 bins'
+  * worth); day-width fits date-shaped intervals.
+  */
+object Intervals {
+
+  /** q61: for each 14-day promotion window anchored at a sampled order's
+    * date (o_orderkey % 997 = 0 — a deterministic ~0.1% of orders), count
+    * the lineitems shipped inside the window and their total quantity.
+    * There is deliberately no l_orderkey = o_orderkey condition: the match
+    * is containment-only, which is what makes this a range join. The
+    * DuckDB oracle states the predicate directly (its IEJoin handles
+    * ranges natively); the Spark plan is the binned rewrite above. */
+  val q61RangeJoin: Q = Q(
+    "q61_range_join",
+    s"""WITH iv AS (SELECT o_orderkey, o_orderdate AS lo,
+       |                   o_orderdate + INTERVAL 14 DAY AS hi
+       |            FROM orders WHERE o_orderkey % 997 = 0)
+       |SELECT o_orderkey, count(*) AS n_items, ${Q.oSum2("l_quantity")} AS sum_qty
+       |FROM iv JOIN lineitem ON l_shipdate >= lo AND l_shipdate < hi
+       |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val iv = Tables(s, dir, "orders")
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").as("lo"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("hi"))
+    // 1-2: interval → day bins (15 rows per interval); probe rows carry
+    // their own day. The exploded interval table is provably small
+    // (intervals × 15), so it broadcasts; the lineitem side never shuffles.
+    val bins = iv.select(
+      col("o_orderkey"), col("lo"), col("hi"),
+      explode(expr("sequence(to_date(lo), to_date(hi), interval 1 day)")).as("day"))
+    Tables(s, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_quantity"))
+      .withColumn("day", to_date(col("l_shipdate")))
+      .join(broadcast(bins), Seq("day"))
+      // 4: exact containment re-check (bins are coarser than the interval).
+      .filter(col("l_shipdate") >= col("lo") && col("l_shipdate") < col("hi"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), Q.dsum2(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q61RangeJoin)
+}

@@ -295,5 +295,53 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf)
+  /** q64: int8 symmetric quantization of the embedding column — the
+    * compression step a 100 TB vector store applies before ANN serving
+    * (4× smaller than f32, SIMD-friendly int dot products). Per vector:
+    * scale = 127 / max|v|, q_i = round(v_i · 127 / max|v|) clamped to
+    * [-127, 127]; the query audits reconstruction error per label (MSE and
+    * worst-case |err|).
+    *
+    * Plan shape: explode once → per-vector max|v| aggregate (map-side
+    * combine) → re-join on vec_id (co-partitioned by the explode's own
+    * key, no extra shuffle stage beyond the aggregate's) → quantize +
+    * error in one codegen'd projection → per-label aggregate. Everything
+    * is linear in N×dim; nothing is all-pairs.
+    *
+    * Numerics: float→double is exact; ·127/amax and the reconstruction
+    * qv·amax/127 are single correctly-rounded IEEE ops (identical across
+    * engines); round() is half-away-from-zero in both; err² is summed in
+    * DECIMAL(38,12) so the fold order can't matter; max|err| is
+    * order-insensitive by definition. */
+  val q64EmbedQuantize: Q = Q(
+    "q64_embed_quantize",
+    s"""WITH $duckEl,
+       |am AS (SELECT vec_id, max(abs(v)) AS amax FROM el GROUP BY vec_id),
+       |q AS (SELECT e.vec_id, label, v, amax,
+       |             greatest(-127.0, least(127.0, round(v * 127.0 / amax))) AS qv
+       |      FROM el e JOIN am USING (vec_id)),
+       |e2 AS (SELECT vec_id, label, v - qv * amax / 127.0 AS err FROM q)
+       |SELECT label, count(DISTINCT vec_id) AS n_vecs,
+       |       round(CAST(SUM(CAST(err * err AS DECIMAL(38,12))) AS DOUBLE)
+       |             / count(*), 9) AS mse,
+       |       round(max(abs(err)), 6) AS max_abs_err
+       |FROM e2 GROUP BY label ORDER BY label""".stripMargin) { (s, dir) =>
+    val el = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), explode(col("embedding")).as("vf"))
+      .withColumn("v", col("vf").cast("double"))
+    val am = el.groupBy(col("vec_id")).agg(max(abs(col("v"))).as("amax"))
+    el.join(am, "vec_id")
+      .withColumn("qv",
+        greatest(lit(-127.0), least(lit(127.0), round(col("v") * 127.0 / col("amax")))))
+      .withColumn("err", col("v") - col("qv") * col("amax") / 127.0)
+      .groupBy(col("label"))
+      .agg(
+        countDistinct(col("vec_id")).as("n_vecs"),
+        round(sum((col("err") * col("err")).cast("decimal(38,12)")).cast("double")
+          / count(lit(1)), 9).as("mse"),
+        round(max(abs(col("err"))), 6).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize)
 }

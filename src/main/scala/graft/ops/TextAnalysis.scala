@@ -152,5 +152,56 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint)
+  /** q63: TF-IDF top terms — the 3 most characteristic tokens per document
+    * (for a deterministic probe subset doc_id < 20; document frequency is
+    * computed over the WHOLE corpus, which is the part that matters at
+    * scale). The score is surfaced as the rational `tf × N / df` rather
+    * than `tf × ln(N/df)`: ln is strictly monotone in N/df, so the top-k
+    * and its ordering are identical, while the rational form is a single
+    * correctly-rounded IEEE division — bit-identical across engines,
+    * where libm ln implementations need not agree in the last ulp.
+    *
+    * Plan shape: token explode → two hash aggregates (per-doc tf, corpus
+    * df) — both combine map-side; the tf⋈df join keys on the token
+    * (high-cardinality, no skew beyond natural term frequency — a stopword
+    * appearing in every doc still contributes only one df row); the final
+    * per-doc top-3 is a window over ≤ |vocab ∩ doc| rows. N is a 1-row
+    * aggregate broadcast into the projection, never a driver round-trip. */
+  val q63TfIdf: Q = Q(
+    "q63_tfidf",
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+      |sc AS (SELECT doc_id, tok, tf, df,
+      |              CAST(tf AS DOUBLE) * n / df AS score
+      |       FROM tf JOIN dfreq USING (tok), n
+      |       WHERE doc_id < 20),
+      |r AS (SELECT doc_id, tok, tf, df, score,
+      |             row_number() OVER (PARTITION BY doc_id
+      |               ORDER BY score DESC, tok) AS rk
+      |      FROM sc)
+      |SELECT doc_id, CAST(rk AS BIGINT) AS rk, tok,
+      |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      |       round(score, 4) AS tf_idf
+      |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "documents")
+    val tok = d.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val tf = tok.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val nDf = d.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(nDf))
+      .withColumn("score", col("tf").cast("double") * col("n") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("tok"), col("tf"), col("df"),
+        round(col("score"), 4).as("tf_idf"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint, q63TfIdf)
 }

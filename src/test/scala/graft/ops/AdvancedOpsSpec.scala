@@ -1,0 +1,124 @@
+package graft.ops
+
+import java.nio.file.Paths
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.scalatest.BeforeAndAfterAll
+
+/** Planted-answer tests for the round-3 operators: binned range join (q61),
+  * dedup representative selection (q62), TF-IDF (q63), int8 embedding
+  * quantization (q64), and SimHash hamming pairing (q65). Reuses the
+  * DedupSimSpec fixture shapes; everything runs the real query functions
+  * against a tiny driver-layout parquet directory. */
+class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
+  import spark.implicits._
+
+  private val dir = Paths.get("target", "tmp", "advfix").toAbsolutePath.toString
+
+  private val baseText = (1 to 50).map(i => s"word$i").mkString(" ")
+  private val nearDup = baseText.replace("word50", "changed") // 1 token differs
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    Seq(
+      (1L, baseText, "en", "src0", baseText.length.toLong),
+      (2L, baseText, "en", "src0", baseText.length.toLong), // exact dup of 1
+      (3L, nearDup, "en", "src0", nearDup.length.toLong), // near dup, 1 char longer
+      (4L, (1 to 50).map(i => s"other$i").mkString(" "), "fr", "src1", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val e1 = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val e2 = Array.tabulate(64)(i => if (i == 0) 0.999f else if (i == 60) 0.04f else 0.0f)
+    val e4 = Array.tabulate(64)(i => if (i == 2) -1.0f else 0.0f)
+    Seq((1L, e1, 0), (2L, e2, 0), (4L, e4, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    // One interval anchor (997 % 997 = 0) at 2020-01-01 → window
+    // [2020-01-01, 2020-01-15); a non-anchor order that must be ignored.
+    Seq(
+      (997L, ts("2020-01-01 00:00:00")),
+      (998L, ts("2020-06-01 00:00:00")))
+      .toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq(
+      (ts("2020-01-01 00:00:00"), 5.0), // in (closed lower bound)
+      (ts("2020-01-14 23:59:59"), 7.0), // in (last instant of the window)
+      (ts("2020-01-15 00:00:00"), 11.0), // out (open upper bound)
+      (ts("2019-12-31 23:59:59"), 13.0)) // out (before lo)
+      .toDF("l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("q61 range join: closed-open containment, anchors only") {
+    val rows = Intervals.q61RangeJoin.fn(spark, dir).collect()
+    assert(rows.length == 1) // order 998 is not an anchor; no other window
+    assert(rows(0).getAs[Long]("o_orderkey") == 997L)
+    assert(rows(0).getAs[Long]("n_items") == 2L)
+    assert(rows(0).getAs[Double]("sum_qty") == 12.0)
+  }
+
+  test("q62 keeper: cluster keeps the longest doc, reports true size") {
+    val rows = Dedup.q62DedupKeepBest.fn(spark, dir).collect()
+    val c1 = rows.filter(_.getAs[Long]("cluster_id") == 1L)
+    assert(c1.length == 1)
+    // docs 1,2 identical, 3 near-dup (paired by LSH per DedupSimSpec) —
+    // one cluster of 3; doc 3 is one char longer, so it is the keeper.
+    assert(c1(0).getAs[Long]("n_docs") == 3L)
+    assert(c1(0).getAs[Long]("keeper_doc") == 3L)
+    assert(c1(0).getAs[Long]("keeper_chars") == baseText.length.toLong + 1)
+    assert(!rows.exists(_.getAs[Long]("cluster_id") == 4L)) // no self-cluster
+  }
+
+  test("q63 TF-IDF: rare token outranks common ones; ties break on token") {
+    val rows = TextAnalysis.q63TfIdf.fn(spark, dir).collect()
+    val d1 = rows.filter(_.getAs[Long]("doc_id") == 1L).sortBy(_.getAs[Long]("rk"))
+    // word50 appears in 2 of 4 docs (tf·N/df = 1·4/2 = 2.0); word1..49 in 3
+    // (≈1.333) — word50 must rank first, then lexicographic among the tied.
+    assert(d1(0).getAs[String]("tok") == "word50")
+    assert(d1(0).getAs[Double]("tf_idf") == 2.0)
+    assert(d1(1).getAs[String]("tok") == "word1")
+    assert(d1(2).getAs[String]("tok") == "word10")
+    val d4 = rows.filter(_.getAs[Long]("doc_id") == 4L).sortBy(_.getAs[Long]("rk"))
+    // every token of doc 4 is unique to it: score 4.0, pure lexicographic
+    assert(d4.map(_.getAs[String]("tok")).toSeq == Seq("other1", "other10", "other11"))
+    assert(d4.forall(_.getAs[Double]("tf_idf") == 4.0))
+  }
+
+  test("q64 quantization: exact vectors round-trip with zero error") {
+    val rows = Similarity.q64EmbedQuantize.fn(spark, dir).collect()
+    val byLabel = rows.map(r => r.getAs[Int]("label") -> r).toMap
+    // label 1 = single ±1 component: amax=1, qv=±127, reconstruction exact
+    assert(byLabel(1).getAs[Long]("n_vecs") == 1L)
+    assert(byLabel(1).getAs[Double]("mse") == 0.0)
+    assert(byLabel(1).getAs[Double]("max_abs_err") == 0.0)
+    // label 0 contains the perturbed vector — tiny but nonzero error
+    assert(byLabel(0).getAs[Long]("n_vecs") == 2L)
+    assert(byLabel(0).getAs[Double]("max_abs_err") < 0.005)
+  }
+
+  test("q65 SimHash hamming: identical docs pair at distance 0") {
+    val rows = Dedup.q65SimhashHamming.fn(spark, dir).collect()
+    val m = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+      r.getAs[Long]("hamming")).toMap
+    assert(m.get((1L, 2L)).contains(0L)) // identical text ⇒ identical simhash
+    assert(!m.keys.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint vocab
+  }
+
+  test("q65 pigeonhole recall: every pair within hamming 3 is found") {
+    // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
+    // if its fingerprint is within hamming 3 of doc 1's, the block join MUST
+    // surface the pair (pigeonhole is exact, not probabilistic).
+    val fp = Dedup.q36SimHash.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    val trueH = fp(1L).zip(fp(3L)).count { case (a, b) => a != b }
+    val pairs = Dedup.q65SimhashHamming.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    if (trueH <= 3) assert(pairs.contains((1L, 3L)))
+    else assert(!pairs.contains((1L, 3L)))
+  }
+}
