@@ -221,20 +221,45 @@ object Similarity {
     *    shuffled.
     *  - scoring: decimal-exact cosine on the candidates only, then the
     *    per-query top-3 (tiny). */
+  /** DuckDB CTE chain (on top of el/n2) ending in `assign(vec_id,
+    * centroid_id)` — nearest seed centroid (vec_id < 16) by cosine, ties to
+    * the lower centroid id. Shared by q48 (inverted lists) and q66 (Lloyd
+    * update); `ac` additionally carries every (vec, centroid) rank for
+    * q48's probe set. */
+  private val duckAssignCtes: String =
+    """ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+      |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
+      |       GROUP BY 1, 2),
+      |ac AS (SELECT ad.vec_id, centroid_id,
+      |              row_number() OVER (PARTITION BY ad.vec_id
+      |                ORDER BY dot / sqrt(nv.n2 * nc.n2) DESC, centroid_id) AS crank
+      |       FROM ad JOIN n2 nv ON nv.vec_id = ad.vec_id
+      |               JOIN n2 nc ON nc.vec_id = centroid_id),
+      |assign AS (SELECT vec_id, centroid_id FROM ac WHERE crank = 1)""".stripMargin
+
+  /** Spark side of the same: broadcast the 16 seed centroids against the
+    * streamed vector table (map-side k-way expansion, no shuffle), then a
+    * `max_by` argmax over a (cos, -centroid_id) struct — partial
+    * aggregation collapses each vector's k candidate rows to 1 BEFORE the
+    * vec_id shuffle (a window would sort-shuffle all N×k rows). */
+  private def centroidAssign(e: DataFrame): DataFrame = {
+    val cent = e.filter(col("vec_id") < 16).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
+      col("n2").as("n2_cent"))
+    e.join(broadcast(cent))
+      .withColumn("ccos",
+        expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("centroid_id"),
+        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+  }
+
   val q48AnnIvf: Q = Q(
     "q48_ann_ivf",
     s"""WITH $duckEl,
        |$duckN2,
-       |ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
-       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
-       |       GROUP BY 1, 2),
-       |ac AS (SELECT ad.vec_id, centroid_id,
-       |              row_number() OVER (PARTITION BY ad.vec_id
-       |                ORDER BY dot / sqrt(nv.n2 * nc.n2) DESC, centroid_id) AS crank
-       |       FROM ad JOIN n2 nv ON nv.vec_id = ad.vec_id
-       |               JOIN n2 nc ON nc.vec_id = centroid_id),
-       |assign AS (SELECT vec_id, centroid_id FROM ac WHERE crank = 1),
+       |$duckAssignCtes,
        |probe AS (SELECT vec_id AS query_id, centroid_id
        |          FROM ac WHERE crank <= 2 AND vec_id < 10),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
@@ -262,12 +287,8 @@ object Similarity {
       vecs.join(broadcast(cent))
         .withColumn("ccos",
           expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
-    // Assignment: argmax via max_by on a (ccos, -centroid_id) struct —
-    // collapses map-side; ties impossible beyond ccos (centroid_id unique).
-    val assign = withCcos(e)
-      .groupBy(col("vec_id"))
-      .agg(max_by(col("centroid_id"),
-        struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
+    // Assignment: shared map-side argmax (see centroidAssign).
+    val assign = centroidAssign(e)
     // Probing: top-2 centroids per query — the query side is tiny (the
     // vec_id < 10 filter pushes to the scan), so a window is free here.
     val crankW = Window.partitionBy(col("vec_id"))
@@ -343,5 +364,62 @@ object Similarity {
       .orderBy(col("label"))
   }
 
-  val all: Seq[Q] = Seq(q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize)
+  /** q66: one Lloyd (k-means) iteration — the centroid-training step that
+    * produces q48's inverted lists: assign every vector to its nearest seed
+    * centroid, then recompute each centroid as the dimension-wise mean of
+    * its members. The full trainer is this step in a driver loop over a
+    * sample (k-means‖ seeding at scale); one deterministic iteration
+    * exercises the whole distributed shape.
+    *
+    * Plan shape: assignment is the shared broadcast + map-side argmax (no
+    * N×k shuffle); the update is two hash aggregates — (centroid, dim)
+    * partial sums that combine map-side (the classic centroid-update
+    * pattern: shuffle volume is k×dim partial sums per partition, NOT the
+    * vectors), then a per-centroid fold of the 64 means. Output surfaces
+    * per-centroid membership and the updated centroid's norm² / mean-of-
+    * means (scalar audit columns — raw 64-dim arrays don't hash-compare).
+    *
+    * Numerics: member sums per dimension accumulate in DECIMAL (order-free);
+    * mean = decimal-sum→double / count is one correctly-rounded division;
+    * the norm² of the 64 means re-enters decimal for the cross-dimension
+    * fold. */
+  val q66KmeansIter: Q = Q(
+    "q66_kmeans_iter",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |$duckAssignCtes,
+       |dims AS (SELECT centroid_id, i,
+       |                CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+       |                  / count(*) AS mean_v,
+       |                count(*) AS n
+       |         FROM el JOIN assign USING (vec_id)
+       |         GROUP BY 1, 2)
+       |SELECT centroid_id, max(n) AS n_members,
+       |       round(CAST(SUM(CAST(mean_v * mean_v AS DECIMAL(38,12))) AS DOUBLE), 6)
+       |         AS new_norm2,
+       |       round(CAST(SUM(CAST(mean_v AS DECIMAL(38,12))) AS DOUBLE) / 64, 6)
+       |         AS mean_of_means
+       |FROM dims GROUP BY centroid_id ORDER BY centroid_id""".stripMargin) { (s, dir) =>
+    val e = embWithNorm(s, dir)
+    val el = e.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("i0", "vf")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
+    val dims = el.join(centroidAssign(e), "vec_id")
+      .groupBy(col("centroid_id"), col("i"))
+      .agg(
+        (sum(col("v").cast("decimal(38,12)")).cast("double") / count(lit(1)))
+          .as("mean_v"),
+        count(lit(1)).as("n"))
+    dims.groupBy(col("centroid_id"))
+      .agg(
+        max(col("n")).as("n_members"),
+        round(sum((col("mean_v") * col("mean_v")).cast("decimal(38,12)")).cast("double"), 6)
+          .as("new_norm2"),
+        round(sum(col("mean_v").cast("decimal(38,12)")).cast("double") / 64, 6)
+          .as("mean_of_means"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize, q66KmeansIter)
 }

@@ -64,6 +64,31 @@ object EventStream {
     ev.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Watermarked stream-stream join — purchase-to-click attribution: each
+    * purchase matches the same user's clicks from the preceding 30 minutes.
+    * Both sides carry a watermark AND the join condition bounds event time
+    * on both sides, so Spark can evict join state once the watermark passes
+    * `click_ts + 30 min` — bounded state at any throughput, the
+    * stream-stream analogue of q61's interval join (there the bound comes
+    * from bin bucketing; here from watermark-driven state eviction). */
+  def attributionJoin(ev: DataFrame): DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("buyer_id"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"), col("value"))
+      .withWatermark("buy_ts", "1 hour")
+    purchases.join(clicks,
+      col("user_id") === col("buyer_id") &&
+        col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("click_id"), col("buy_id"),
+        unix_timestamp(col("click_ts")).as("click_s"),
+        unix_timestamp(col("buy_ts")).as("buy_s"), col("value"))
+  }
+
   /** Run a streaming aggregation over the existing files and stop
     * (Trigger.AvailableNow) — results land in an in-memory table.
     * Aggregations use complete mode; row-level ops (dedup) use append. */

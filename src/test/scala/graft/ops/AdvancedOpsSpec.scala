@@ -109,6 +109,20 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!m.keys.exists(p => p._1 == 4L || p._2 == 4L)) // disjoint vocab
   }
 
+  test("q66 Lloyd iteration: singleton clusters reproduce their member") {
+    // vec_ids 1,2,4 are all < 16 → every vector is its own nearest centroid
+    // (cos(self) = 1): three singleton clusters whose updated centroid is
+    // the member itself, so new_norm2 == |v|².
+    val rows = Similarity.q66KmeansIter.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r).toMap
+    assert(rows.keySet == Set(1L, 2L, 4L))
+    assert(rows.values.forall(_.getAs[Long]("n_members") == 1L))
+    assert(rows(1L).getAs[Double]("new_norm2") == 1.0) // unit vector
+    assert(rows(4L).getAs[Double]("new_norm2") == 1.0)
+    // e2 = (0.999, …, 0.04): norm² ≈ 0.9996
+    assert(math.abs(rows(2L).getAs[Double]("new_norm2") - 0.99960116) < 1e-6)
+  }
+
   test("q65 pigeonhole recall: every pair within hamming 3 is found") {
     // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
     // if its fingerprint is within hamming 3 of doc 1's, the block join MUST

@@ -67,6 +67,30 @@ class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
     assert(ids.toSeq == Seq(1L, 2L))
   }
 
+  test("stream-stream attribution join matches within the 30-minute window") {
+    val attrDir = Paths.get("target", "tmp", "streamfix_attr").toAbsolutePath.toString
+    // Epoch-anchored at 2026-01-01, NOT minute 0 of 1970: the initial
+    // watermark is epoch 0 and the join's late-record filter drops rows
+    // with event time <= watermark, so a ts=0 fixture row would silently
+    // vanish (a fixture artifact impossible with real timestamps).
+    def mts(minutes: Long): Long = (1767225600L + minutes * 60L) * 1000000000L
+    Seq(
+      (1L, mts(0), 1L, "click", 1.0, """{"k": 1}"""),
+      (2L, mts(20), 1L, "purchase", 9.0, """{"k": 2}"""), // within 30 min → match
+      (3L, mts(50), 1L, "purchase", 8.0, """{"k": 3}"""), // 50 min after → no match
+      (4L, mts(5), 2L, "click", 1.0, """{"k": 4}"""), // other user, no purchase
+      (5L, mts(10), 3L, "purchase", 7.0, """{"k": 5}""")) // no preceding click
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$attrDir/events.parquet")
+    val ev = EventStream.events(spark, attrDir)
+    EventStream.runAvailableNow(
+      EventStream.attributionJoin(ev), "attr_test", outputMode = "append")
+    val rows = spark.table("attr_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
+        r.getAs[Long]("buy_id"), r.getAs[Double]("value"))).toSet
+    assert(rows == Set((1L, 1L, 2L, 9.0)))
+  }
+
   test("streaming sessionization closes sessions at the 30-minute gap") {
     val ev = EventStream.events(spark, dir)
     EventStream.runAvailableNow(EventStream.sessionCounts(ev), "session_test")
