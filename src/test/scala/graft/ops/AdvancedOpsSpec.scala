@@ -123,6 +123,60 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(math.abs(rows(2L).getAs[Double]("new_norm2") - 0.99960116) < 1e-6)
   }
 
+  test("q61 property: bin-bucketed rewrite ≡ naive θ-join on random data") {
+    import org.apache.spark.sql.functions._
+    val pdir = Paths.get("target", "tmp", "advfix_rj").toAbsolutePath.toString
+    val rnd = new scala.util.Random(42)
+    def t(day: Int, sec: Int) =
+      new Timestamp(Timestamp.valueOf("2021-01-01 00:00:00").getTime +
+        day * 86400000L + sec * 1000L)
+    // 10 anchor orders (keys multiples of 997) at random days incl. same-day
+    // collisions; 300 lineitems at random instants incl. window edges.
+    val orders = (1 to 10).map(i => (i * 997L, t(rnd.nextInt(40), rnd.nextInt(86400))))
+    orders.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$pdir/orders.parquet")
+    val items = (1 to 300).map(_ => (t(rnd.nextInt(60), rnd.nextInt(86400)), rnd.nextInt(50).toDouble)) ++
+      orders.flatMap { case (_, lo) => // exact boundary probes per interval
+        Seq((lo, 1.0), (new Timestamp(lo.getTime + 14L * 86400000L), 1.0),
+          (new Timestamp(lo.getTime + 14L * 86400000L - 1000L), 1.0))
+      }
+    items.toDF("l_shipdate", "l_quantity")
+      .write.mode("overwrite").parquet(s"$pdir/lineitem.parquet")
+
+    val binned = Intervals.q61RangeJoin.fn(spark, pdir).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("n_items"),
+        r.getAs[Double]("sum_qty"))).toSet
+    val iv = spark.read.parquet(s"$pdir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderdate").as("lo"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("hi"))
+    val naive = spark.read.parquet(s"$pdir/lineitem.parquet")
+      .crossJoin(iv)
+      .filter(col("l_shipdate") >= col("lo") && col("l_shipdate") < col("hi"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"), graft.Q.dsum2(col("l_quantity")).as("sum_qty"))
+      .collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("n_items"),
+        r.getAs[Double]("sum_qty"))).toSet
+    assert(binned == naive)
+  }
+
+  test("q64 property: every reconstruction error is within amax/254 + ulp") {
+    import org.apache.spark.sql.functions._
+    // |v - round(v·127/amax)·amax/127| ≤ 0.5·amax/127 = amax/254 exactly
+    // (round is within half a quantization step); allow 1e-9 for the two
+    // correctly-rounded float ops.
+    val el = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), explode(col("embedding")).as("vf"))
+      .select(col("vec_id"), col("vf").cast("double").as("v"))
+    val am = el.groupBy(col("vec_id")).agg(max(abs(col("v"))).as("amax"))
+    val bad = el.join(am, "vec_id")
+      .withColumn("qv", round(col("v") * 127.0 / col("amax")))
+      .withColumn("err", abs(col("v") - col("qv") * col("amax") / 127.0))
+      .filter(col("err") > col("amax") / 254.0 + 1e-9)
+      .count()
+    assert(bad == 0L)
+  }
+
   test("q65 pigeonhole recall: every pair within hamming 3 is found") {
     // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
     // if its fingerprint is within hamming 3 of doc 1's, the block join MUST
