@@ -22,6 +22,12 @@ object Profile {
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
+        // Each rep pays its own persist()s (mirrors a Bench pass) — without
+        // this, queries that persist intermediates (q35/q37/q47/q65) get a
+        // CacheManager hit from the previous rep and report a number no
+        // standalone run can reproduce. PROFILE_KEEP_CACHE=1 restores the
+        // cache-assisted timing for comparison.
+        if (!sys.env.contains("PROFILE_KEEP_CACHE")) spark.catalog.clearCache()
         val t0 = System.nanoTime()
         // noop sink: run the FULL plan (count() lets Catalyst prune
         // unreferenced projections — same rationale as Bench).
