@@ -36,10 +36,20 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object Dedup {
 
   /** Shared shingling (word 3-grams), Spark SQL / DuckDB SQL renderings. */
-  private val sparkShingles =
+  private[ops] val sparkShingles =
     "transform(sequence(1, greatest(size(ws) - 2, 1)), i -> concat_ws(' ', slice(ws, i, 3)))"
-  private val duckShingles =
+  private[ops] val duckShingles =
     "list_transform(generate_series(1, greatest(len(ws) - 2, 1)), i -> array_to_string(ws[i:i+2], ' '))"
+
+  /** One row per (doc_id, shingle), both renderings — the explode every
+    * shingle consumer starts from. */
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+  private[ops] val duckShingleRows: String =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w)""".stripMargin
 
   /** Exact dedup: group by content digest; keeper = min doc_id (reference
     * U3 first-writer-wins shape, src/database.ts:141-211). */
@@ -441,7 +451,82 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q67: benchmark decontamination — the training-data stage that removes
+    * documents overlapping a held-out evaluation set (eval answers leaking
+    * into training data corrupt benchmarks). The "benchmark" here is the
+    * shingle set of docs 0-4 (a stand-in for an external eval corpus); each
+    * candidate doc reports what fraction of its distinct 3-gram shingles
+    * appear in the benchmark, and is flagged at ≥ 0.5 overlap.
+    *
+    * Scale shape: the benchmark shingle set is small by construction (eval
+    * sets are thousands of docs, not billions) → broadcast; the candidate
+    * side is one explode + an inner-join count, linear in corpus shingles.
+    * The per-doc distinct happens in the same aggregate pass (count
+    * distinct sh per doc) — no collect_set of full shingle lists. */
+  val q67Decontaminate: Q = Q(
+    "q67_decontaminate",
+    s"""WITH $duckShingleRows,
+       |bench AS (SELECT DISTINCT sh FROM shl WHERE doc_id < 5),
+       |cand AS (SELECT DISTINCT doc_id, sh FROM shl WHERE doc_id >= 5),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY doc_id),
+       |hit AS (SELECT doc_id, count(*) AS n_hit
+       |        FROM cand JOIN bench USING (sh) GROUP BY doc_id)
+       |SELECT doc_id, n_sh, n_hit,
+       |       round(CAST(n_hit AS DOUBLE) / n_sh, 4) AS overlap,
+       |       CAST(n_hit AS DOUBLE) / n_sh >= 0.5 AS contaminated
+       |FROM tot JOIN hit USING (doc_id)
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val shl = shingleRows(s, dir)
+    val bench = shl.filter(col("doc_id") < 5).select(col("sh")).distinct()
+    val cand = shl.filter(col("doc_id") >= 5).distinct()
+    val tot = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val hit = cand.join(broadcast(bench), "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, "doc_id")
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 4).as("overlap"),
+        (col("n_hit").cast("double") / col("n_sh") >= 0.5).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q68: repetition detection (the Gopher/MassiveText quality rule family):
+    * fraction of a document's 3-gram shingles that are duplicates of another
+    * shingle in the SAME document, plus the hottest shingle's count.
+    * High within-doc repetition (boilerplate, keyword stuffing, decoding
+    * loops) is the classic low-quality signal; the Gopher threshold shape is
+    * `dup_frac > 0.2`.
+    *
+    * Scale shape: one explode → (doc, shingle) count aggregate → per-doc
+    * rollup, all map-side combining; nothing leaves the doc's own keyspace,
+    * so the op is embarrassingly parallel at any corpus size. */
+  val q68Repetition: Q = Q(
+    "q68_repetition",
+    s"""WITH $duckShingleRows,
+       |cnt AS (SELECT doc_id, sh, count(*) AS c FROM shl GROUP BY 1, 2)
+       |SELECT doc_id,
+       |       CAST(sum(c) AS BIGINT) AS n_sh,
+       |       count(*) AS d_sh,
+       |       round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 4) AS dup_frac,
+       |       max(c) AS max_cnt,
+       |       CAST(sum(c) - count(*) AS DOUBLE) / sum(c) > 0.2 AS repetitive
+       |FROM cnt WHERE doc_id < 50 GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    shingleRows(s, dir)
+      .filter(col("doc_id") < 50)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_sh"),
+        count(lit(1)).as("d_sh"),
+        round((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c")), 4)
+          .as("dup_frac"),
+        max(col("c")).as("max_cnt"),
+        ((sum(col("c")) - count(lit(1))).cast("double") / sum(col("c")) > 0.2)
+          .as("repetitive"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
-      q47DedupClusters, q62DedupKeepBest, q65SimhashHamming)
+      q47DedupClusters, q62DedupKeepBest, q65SimhashHamming,
+      q67Decontaminate, q68Repetition)
 }

@@ -177,6 +177,43 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(bad == 0L)
   }
 
+  test("q67 decontamination flags docs overlapping the benchmark set") {
+    val cdir = Paths.get("target", "tmp", "advfix_decon").toAbsolutePath.toString
+    val benchText = "alpha beta gamma delta epsilon zeta" // docs < 5 = benchmark
+    Seq(
+      (1L, benchText, "en", "src0", 10L),
+      (6L, benchText, "en", "src0", 10L), // full overlap → contaminated
+      (7L, "alpha beta gamma other words here still going", "en", "src0", 10L),
+      (8L, "completely different content nothing shared at all", "en", "src0", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$cdir/documents.parquet")
+    val rows = Dedup.q67Decontaminate.fn(spark, cdir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("overlap"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(rows(6L) == ((1.0, true)))
+    // doc 7: shingles "alpha beta gamma" hits; "beta gamma other"… don't
+    assert(rows(7L)._1 > 0.0 && rows(7L)._1 < 0.5 && !rows(7L)._2)
+    assert(!rows.contains(8L)) // zero overlap → not reported
+  }
+
+  test("q68 repetition: repeated shingles raise dup_frac above threshold") {
+    val rdir = Paths.get("target", "tmp", "advfix_rep").toAbsolutePath.toString
+    Seq(
+      (1L, "x x x x x", "en", "src0", 9L), // "x x x" ×3 → dup_frac 2/3
+      (2L, "a b c d e f g h", "en", "src0", 15L)) // all 6 shingles distinct
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$rdir/documents.parquet")
+    val rows = Dedup.q68Repetition.fn(spark, rdir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_sh") == 3L)
+    assert(rows(1L).getAs[Long]("d_sh") == 1L)
+    assert(rows(1L).getAs[Double]("dup_frac") == 0.6667)
+    assert(rows(1L).getAs[Long]("max_cnt") == 3L)
+    assert(rows(1L).getAs[Boolean]("repetitive"))
+    assert(rows(2L).getAs[Double]("dup_frac") == 0.0)
+    assert(!rows(2L).getAs[Boolean]("repetitive"))
+  }
+
   test("q65 pigeonhole recall: every pair within hamming 3 is found") {
     // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
     // if its fingerprint is within hamming 3 of doc 1's, the block join MUST
