@@ -42,18 +42,26 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_THRESHOLD", "5.0").toDouble
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errored = scala.collection.mutable.LinkedHashSet.empty[String]
+    val rerunCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
     val passTotals = (1 to reps).map { pass =>
-      val passTimes = names.flatMap { case (name, fn) =>
-        if (pass > 1 && best(name) <= rerunThreshold) None
-        else {
+      var reruns = 0
+      val passTimes = names.map { case (name, fn) =>
+        if (pass > 1 && best(name) <= rerunThreshold) {
+          // Carry the standing best forward so pass totals stay comparable
+          // side by side even though sub-threshold queries are not re-run.
+          best(name)
+        } else {
+          reruns += 1
           val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          catch { case _: Throwable => errored += name }
           val dt = (System.nanoTime() - t0) / 1e9
           best(name) = best.get(name).fold(dt)(math.min(_, dt))
-          Some(dt)
+          dt
         }
       }
+      rerunCounts += reruns
       // Free every persist() the pass left behind so passes are independent
       // and cache doesn't accumulate across 50+ queries.
       spark.catalog.clearCache()
@@ -63,7 +71,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes}""")
+    val reruns = rerunCounts.mkString("[", ",", "]")
+    val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs}""")
     spark.stop()
   }
 }

@@ -343,16 +343,18 @@ object Dedup {
     * pair within hamming distance 3 differs in at most 3 blocks, so it
     * MUST agree exactly on at least one block. Candidates = equi-join on
     * (block index, block bits); the exact hamming distance then filters
-    * same-block near-misses. Recall is exact (pigeonhole, not
-    * probabilistic) — unlike MinHash banding there is no missed-pair risk.
+    * same-block near-misses. Below the bucket cap, recall is exact
+    * (pigeonhole, not probabilistic — unlike MinHash banding).
     *
     * Scale shape: identical to q35's band join — fingerprints are one
     * short row per doc, the self-join is on a 10-char key, and hot blocks
     * (e.g. the all-zeros block that sparse-ish fingerprints share) are
-    * size-capped with the same broadcast anti-join; a pair dropped from a
-    * hot block is still found through any of its other ≤3 agreeing
-    * blocks. The hamming evaluation is a 32-element codegen'd HOF on the
-    * candidate pairs only. */
+    * size-capped with the same broadcast anti-join. The cap trades recall
+    * for worst-case skew, same as q35: a distance-3 pair is guaranteed only
+    * ONE agreeing block, so if that one block's bucket is hot the pair is
+    * lost (closer pairs have ≥2 agreeing blocks and more fallbacks). The
+    * hamming evaluation is a 32-element codegen'd HOF on the candidate
+    * pairs only. */
   val q65SimhashHamming: Q = Q(
     "q65_simhash_hamming",
     s"""WITH $duckSimhashCtes,

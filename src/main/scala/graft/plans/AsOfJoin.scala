@@ -19,7 +19,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics (backward as-of, DuckDB `ASOF LEFT JOIN` / pandas
   * `merge_asof`): for every left row, attach the single right row with equal
   * keys and the greatest right time ≤ the left time; left rows with no such
-  * match keep nulls. Exactly one output row per left row.
+  * match keep nulls. Exactly one output row per left row. A null join key or
+  * null time on either side never matches (SQL equi-join / DuckDB ASOF
+  * semantics): null-key/null-time left rows emit right-side nulls, and such
+  * right rows are never candidates.
   *
   * Why a custom operator: Spark has no native as-of join. The composed
   * rendering (union + last-value window, ops/Events.scala q24) is linear but
@@ -35,8 +38,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 object AsOf {
 
   /** Backward as-of left join. Right-side columns are suffixed (default
-    * "_r") so output names stay unambiguous for self-joins. Time columns
-    * must be mutually comparable (both timestamps or both numeric). */
+    * "_r") so output names stay unambiguous for self-joins. Key and time
+    * column types must match pairwise between the two sides — a
+    * timestamp-vs-bigint mismatch would otherwise surface as wrong
+    * comparisons deep inside the merge, so it fails fast here instead. */
   def joinBackward(
       left: DataFrame,
       right: DataFrame,
@@ -52,16 +57,30 @@ object AsOf {
     val rAnalyzed = right.queryExecution.analyzed
     val rPlan = Project(
       rAnalyzed.output.map(a => Alias(a, a.name + rightSuffix)()), rAnalyzed)
+    // Session-configured resolver (spark.sql.caseSensitive); ambiguous names
+    // are an error rather than first-match-wins.
+    val resolver = spark.sessionState.conf.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
-    val node = AsOfJoin(
-      lPlan, rPlan,
-      on.map(resolve(lPlan, _)),
-      on.map(n => resolve(rPlan, n + rightSuffix)),
-      resolve(lPlan, leftTimeCol),
-      resolve(rPlan, rightTimeCol + rightSuffix))
+      plan.output.filter(a => resolver(a.name, name)) match {
+        case Seq(one) => one
+        case Seq() => throw new IllegalArgumentException(
+          s"as-of join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]")
+        case many => throw new IllegalArgumentException(
+          s"as-of join: ambiguous column '$name' matches [${many.map(_.name).mkString(", ")}]")
+      }
+    val lKeys = on.map(resolve(lPlan, _))
+    val rKeys = on.map(n => resolve(rPlan, n + rightSuffix))
+    val lTime = resolve(lPlan, leftTimeCol)
+    val rTime = resolve(rPlan, rightTimeCol + rightSuffix)
+    lKeys.zip(rKeys).foreach { case (l, r) =>
+      if (l.dataType != r.dataType) throw new IllegalArgumentException(
+        s"as-of join: key type mismatch: '${l.name}' is ${l.dataType.sql} " +
+          s"but '${r.name}' is ${r.dataType.sql}")
+    }
+    if (lTime.dataType != rTime.dataType) throw new IllegalArgumentException(
+      s"as-of join: time type mismatch: '${lTime.name}' is ${lTime.dataType.sql} " +
+        s"but '${rTime.name}' is ${rTime.dataType.sql}")
+    val node = AsOfJoin(lPlan, rPlan, lKeys, rKeys, lTime, rTime)
     org.apache.spark.sql.graftshim.GraftShim.ofRows(spark, node)
   }
 
@@ -187,11 +206,28 @@ case class AsOfJoinExec(
       var lastR: InternalRow = null
       lIt.map { l =>
         val lkt = lktProj(l)
-        while (rBuf.hasNext && ktOrd.compare(rktProj(rBuf.head), lkt) <= 0) {
-          lastR = rBuf.next().copy()
+        if (lkt.anyNull) {
+          // SQL equi-join semantics: a null key or null time never matches
+          // (matches DuckDB ASOF). Null-first sort order puts these rows at
+          // the partition head, so not advancing the right pointer is safe.
+          outProj(joined(l, nullRight))
+        } else {
+          var advancing = true
+          while (advancing && rBuf.hasNext) {
+            val rkt = rktProj(rBuf.head)
+            if (rkt.anyNull) {
+              // Null key or null time can never match any left row — discard
+              // without making it the buffered candidate.
+              rBuf.next()
+            } else if (ktOrd.compare(rkt, lkt) <= 0) {
+              lastR = rBuf.next().copy()
+            } else {
+              advancing = false
+            }
+          }
+          val matched = lastR != null && kOrd.compare(rkProj(lastR), lkProj(l)) == 0
+          outProj(joined(l, if (matched) lastR else nullRight))
         }
-        val matched = lastR != null && kOrd.compare(rkProj(lastR), lkProj(l)) == 0
-        outProj(joined(l, if (matched) lastR else nullRight))
       }
     }
   }

@@ -89,15 +89,28 @@ object EventStream {
         unix_timestamp(col("buy_ts")).as("buy_s"), col("value"))
   }
 
-  /** Run a streaming aggregation over the existing files and stop
-    * (Trigger.AvailableNow) — results land in an in-memory table.
-    * Aggregations use complete mode; row-level ops (dedup) use append. */
+  /** Output mode a plan can actually run in: aggregations (windowed counts,
+    * sessions) → complete; row-level plans (dedup, stream-stream joins) →
+    * append — those throw AnalysisException in complete mode, so defaulting
+    * to one fixed mode is a call-site trap (ADVICE r3). */
+  private[streaming] def inferOutputMode(df: DataFrame): String = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val hasAgg = df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate => a
+    }.isDefined
+    if (hasAgg) "complete" else "append"
+  }
+
+  /** Run a streaming query over the existing files and stop
+    * (Trigger.AvailableNow) — results land in an in-memory table. The
+    * output mode is inferred from the plan unless explicitly overridden. */
   def runAvailableNow(df: DataFrame, queryName: String,
-      outputMode: String = "complete"): Unit = {
+      outputMode: String = ""): Unit = {
+    val mode = if (outputMode.nonEmpty) outputMode else inferOutputMode(df)
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode(outputMode)
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

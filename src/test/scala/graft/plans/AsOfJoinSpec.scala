@@ -88,6 +88,57 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     joined.select(col("id")).collect().map(_.getLong(0)) shouldBe Array(2L)
   }
 
+  test("null keys and null times never match, on either side") {
+    // DuckDB ASOF / SQL equi-join semantics: NULL never equals NULL and a
+    // NULL time is never "<=" anything. RowOrdering's natural ordering would
+    // happily compare NULL==NULL, so the exec must skip these explicitly.
+    val left = Seq(
+      (Option(1), Option(100L), 1L), // normal match
+      (Option.empty[Int], Option(100L), 2L), // null key → unmatched
+      (Option(1), Option.empty[Long], 3L), // null time → unmatched
+      (Option(2), Option(100L), 4L)) // only right candidate has null time
+      .toDF("user_id", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("user_id", "ts", "id")
+    val right = Seq(
+      (Option.empty[Int], Option(50L), 10L), // null key: never a candidate
+      (Option(1), Option.empty[Long], 11L), // null time: never a candidate
+      (Option(1), Option(90L), 12L),
+      (Option(2), Option.empty[Long], 13L)) // sole key-2 row, null time
+      .toDF("user_id", "sec", "id")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+      .select("user_id", "ts", "id")
+    val out = AsOf.joinBackward(left, right, Seq("user_id"), "ts", "ts")
+      .select(col("id"), col("id_r"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toMap
+    out shouldBe Map(1L -> 12L, 2L -> -1L, 3L -> -1L, 4L -> -1L)
+  }
+
+  test("fails fast on time-type mismatch, key-type mismatch, ambiguous name") {
+    val left = evDf(Seq((1, 100L, 1L)))
+    val longTimeRight = evDf(Seq((1, 90L, 2L)))
+      .withColumn("ts", unix_timestamp(col("ts"))) // bigint vs timestamp
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(left, longTimeRight, Seq("user_id"), "ts", "ts")
+    }
+    e1.getMessage should include("time type mismatch")
+    val strKeyRight = evDf(Seq((1, 90L, 2L)))
+      .withColumn("user_id", col("user_id").cast("string"))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(left, strKeyRight, Seq("user_id"), "ts", "ts")
+    }
+    e2.getMessage should include("key type mismatch")
+    // Case-insensitive resolution (session default) sees two matches.
+    // (withColumn would case-insensitively REPLACE user_id; select keeps both.)
+    val dupLeft = left.select(col("*"), col("user_id").as("USER_ID"))
+    val e3 = intercept[IllegalArgumentException] {
+      AsOf.joinBackward(dupLeft, evDf(Seq((1, 90L, 2L))), Seq("user_id"), "ts", "ts")
+    }
+    e3.getMessage should include("ambiguous")
+  }
+
   test("self-join on the same source dataframe disambiguates attributes") {
     val ev = evDf(Seq((1, 100L, 1L), (1, 90L, 2L), (1, 95L, 3L)))
     val out = AsOf.joinBackward(

@@ -61,8 +61,8 @@ class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dupDir/events.parquet")
     val ev = EventStream.events(spark, dupDir)
-    EventStream.runAvailableNow(
-      EventStream.dedupEvents(ev), "dedup_test", outputMode = "append")
+    // No explicit outputMode: row-level plans must infer append.
+    EventStream.runAvailableNow(EventStream.dedupEvents(ev), "dedup_test")
     val ids = spark.table("dedup_test").collect().map(_.getAs[Long]("event_id")).sorted
     assert(ids.toSeq == Seq(1L, 2L))
   }
@@ -83,8 +83,8 @@ class EventStreamSpec extends SparkSpec with BeforeAndAfterAll {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$attrDir/events.parquet")
     val ev = EventStream.events(spark, attrDir)
-    EventStream.runAvailableNow(
-      EventStream.attributionJoin(ev), "attr_test", outputMode = "append")
+    // No explicit outputMode: stream-stream joins must infer append.
+    EventStream.runAvailableNow(EventStream.attributionJoin(ev), "attr_test")
     val rows = spark.table("attr_test").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("click_id"),
         r.getAs[Long]("buy_id"), r.getAs[Double]("value"))).toSet
