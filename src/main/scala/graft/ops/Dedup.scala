@@ -309,23 +309,52 @@ object Dedup {
        |fp AS (SELECT doc_id, $duckFp AS simhash FROM th)""".stripMargin
   }
 
-  /** SimHash(32) fingerprints, Spark side. Explode tokens, hash each ONCE,
-    * then one hash-aggregate computes the 32 parity counters (count_if over
-    * substrings of the materialized digest — cheap per-row work, partial
-    * aggregation before the doc_id shuffle). Same blowup-avoidance
-    * rationale as q35: per-row nested array lambdas would recompute the
-    * token-hash array once per bit. */
-  private[ops] def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
+  /** Per-doc parity counters (n, c1..c32), Spark side. Explode tokens, hash
+    * each ONCE, then one hash-aggregate computes the 32 parity counters
+    * (count_if over substrings of the materialized digest — cheap per-row
+    * work, partial aggregation before the doc_id shuffle). Same
+    * blowup-avoidance rationale as q35: per-row nested array lambdas would
+    * recompute the token-hash array once per bit. Shared by q36 (string
+    * fingerprint) and q65 (integer fingerprint). */
+  private def simhashCounts(s: SparkSession, dir: String): DataFrame = {
     val words = Tables(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", md5(col("w")))
     val aggs = count(lit(1)).as("n") +: (1 to 32).map(i =>
       count_if(expr(s"(instr('$hexDigits', substring(h, $i, 1)) - 1) % 2 = 1"))
         .as(s"c$i"))
-    val counts = words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    words.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[ops] def simhashFingerprints(s: SparkSession, dir: String): DataFrame = {
     val bits = (1 to 32).map(i =>
       when(col(s"c$i") * 2 > col("n"), lit("1")).otherwise(lit("0")))
-    counts.select(col("doc_id"), concat(bits: _*).as("simhash"))
+    simhashCounts(s, dir).select(col("doc_id"), concat(bits: _*).as("simhash"))
+  }
+
+  /** The same 32 bits packed into one BIGINT (bit i-1 set iff majority
+    * parity at digit i — bit 0 = digit 1, so the integer is the string
+    * fingerprint read right-to-left). Pairwise work on integers beats the
+    * 32-char string: the join key is 8 bytes and hamming distance is a
+    * single codegen'd `bit_count(a ^ b)` instead of a 32-element HOF with
+    * two substrings per element. */
+  private[ops] def simhashFingerprintInts(s: SparkSession, dir: String): DataFrame = {
+    val fp = (1 to 32).map(i =>
+      when(col(s"c$i") * 2 > col("n"), lit(1L << (i - 1))).otherwise(lit(0L)))
+      .reduce(_ + _)
+    simhashCounts(s, dir).select(col("doc_id"), fp.as("fp"))
+  }
+
+  /** DuckDB CTE chain ending in `fpi(doc_id, fp)` — the same 32 bits packed
+    * into one BIGINT (bit i-1 = majority parity of hex digit i). */
+  private[ops] val duckSimhashIntCtes: String = {
+    def duckBitNum(i: Int) =
+      s"CASE WHEN 2 * len(list_filter(hs, h -> (strpos('$hexDigits', substring(h, $i, 1)) - 1) % 2 = 1)) > len(hs) THEN CAST(${1L << (i - 1)} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    val duckFp = (1 to 32).map(duckBitNum).mkString(" + ")
+    s"""th AS (SELECT doc_id,
+       |         list_transform(string_split(text, ' '), w -> md5(w)) AS hs
+       |       FROM documents),
+       |fpi AS (SELECT doc_id, $duckFp AS fp FROM th)""".stripMargin
   }
 
   /** SimHash(32): per-token md5, bit i = sign of Σ(±1) over tokens by the
@@ -352,32 +381,34 @@ object Dedup {
     * size-capped with the same broadcast anti-join. The cap trades recall
     * for worst-case skew, same as q35: a distance-3 pair is guaranteed only
     * ONE agreeing block, so if that one block's bucket is hot the pair is
-    * lost (closer pairs have ≥2 agreeing blocks and more fallbacks). The
-    * hamming evaluation is a 32-element codegen'd HOF on the candidate
-    * pairs only. */
+    * lost (closer pairs have ≥2 agreeing blocks and more fallbacks).
+    *
+    * Everything pairwise runs on the packed BIGINT fingerprint: the block
+    * key is `(fp >> 8b) & 255` (8 bytes instead of a 10-char string) and
+    * hamming distance is one codegen'd `bit_count(fp_a ^ fp_b)` — the
+    * 32-char string + 32-element substring HOF this replaced made q65 the
+    * most expensive query in the suite (~9 s warm at sf0.1; the candidate
+    * volume is millions of rows because same-corpus simhashes cluster).
+    * The distance filter runs BEFORE the pair distinct, so the distinct
+    * sees only the ≤3-distance survivors. */
   val q65SimhashHamming: Q = Q(
     "q65_simhash_hamming",
-    s"""WITH $duckSimhashCtes,
-       |blk AS (SELECT doc_id, simhash, b, substring(simhash, 1 + 8 * b, 8) AS bits
-       |        FROM fp, range(0, 4) t(b)),
-       |keep AS (SELECT doc_id, simhash, b, bits FROM
+    s"""WITH $duckSimhashIntCtes,
+       |blk AS (SELECT doc_id, fp, b, (fp >> (8 * CAST(b AS INT))) & 255 AS bits
+       |        FROM fpi, range(0, 4) t(b)),
+       |keep AS (SELECT doc_id, fp, b, bits FROM
        |           (SELECT *, count(*) OVER (PARTITION BY b, bits) AS bsz FROM blk)
        |         WHERE bsz <= $BandBucketCap),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
-       |                a.simhash AS fp_a, c.simhash AS fp_b
+       |cand AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+       |                CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
        |         FROM keep a JOIN keep c
-       |           ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id),
-       |hd AS (SELECT doc_a, doc_b,
-       |              CAST(len(list_filter(generate_series(1, 32),
-       |                i -> substring(fp_a, i, 1) <> substring(fp_b, i, 1))) AS BIGINT)
-       |                AS hamming
-       |       FROM cand)
-       |SELECT doc_a, doc_b, hamming FROM hd
+       |           ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id)
+       |SELECT DISTINCT doc_a, doc_b, hamming FROM cand
        |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val fp = simhashFingerprints(s, dir).persist(MEMORY_AND_DISK)
+    val fp = simhashFingerprintInts(s, dir).persist(MEMORY_AND_DISK)
     val blk = fp
-      .select(col("doc_id"), col("simhash"), explode(expr("sequence(0, 3)")).as("b"))
-      .withColumn("bits", expr("substring(simhash, 1 + 8 * b, 8)"))
+      .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 3)")).as("b"))
+      .withColumn("bits", expr("shiftright(fp, cast(8 * b as int)) & 255"))
     val hot = blk.groupBy(col("b"), col("bits"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BandBucketCap)
@@ -387,13 +418,9 @@ object Dedup {
         col("a.b") === col("c.b") && col("a.bits") === col("c.bits") &&
           col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"),
-        col("a.simhash").as("fp_a"), col("c.simhash").as("fp_b"))
-      .distinct()
-      .withColumn("hamming",
-        expr("size(filter(sequence(1, 32), i -> substring(fp_a, i, 1) != substring(fp_b, i, 1)))")
-          .cast("long"))
+        expr("bit_count(a.fp ^ c.fp)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
