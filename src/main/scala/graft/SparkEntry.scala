@@ -12,8 +12,8 @@ object SparkEntry {
   val registry: Seq[Q] =
     ops.Relational.all ++ ops.Extended.all ++ ops.Events.all ++
       ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
-      ops.Training.all ++ ops.Intervals.all ++ ops.GitQueries.all ++
-      ext.Multimodal.all
+      ops.Training.all ++ ops.Intervals.all ++ ops.Curation.all ++
+      ops.GitQueries.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,248 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Data-curation operators over `documents` — the filtering/scrubbing
+  * stages a large-scale training-data pipeline runs alongside dedup and
+  * quality scoring (SURVEY §2 extension surface): PII detection/redaction,
+  * lexical-diversity scoring, paragraph(chunk)-level exact dedup, and PMI
+  * collocation mining.
+  *
+  * Determinism rules follow COVERAGE.md: every surfaced ratio divides two
+  * exactly-computed integers (one correctly-rounded IEEE division, identical
+  * in Spark and DuckDB), never a float accumulation; regex patterns are
+  * restricted to syntax Java regex and RE2 interpret identically (no
+  * backreferences, no lookaround).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------------
+  // q69: PII detection + redaction.
+  // ---------------------------------------------------------------------
+
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val CardRe = "\\b\\d{4}-\\d{4}-\\d{4}-\\d{4}\\b"
+
+  /** The synthetic corpus contains no PII, so the query enriches each doc
+    * with deterministic PII-shaped fragments derived from doc_id (emails on
+    * doc_id%3=0, IPv4s on %4=0, card numbers on %5=0) — the SAME expression
+    * in both engines, so the op under test (detect + redact) runs against
+    * known-position hits AND the clean original text. Redaction chains
+    * email → ip → card replacement; the md5 of the redacted text is the
+    * cross-engine witness that every byte of the rewrite agrees.
+    *
+    * Scale shape: pure per-row projection (regexp count + replace) — no
+    * shuffle at all until the final sort; at 100 TB this is a map-only
+    * stage that pipelines with the scan. */
+  val q69PiiRedact: Q = Q(
+    "q69_pii_redact",
+    s"""WITH raw AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example' || CAST(doc_id % 7 AS VARCHAR) || '.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 4 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 250 AS VARCHAR) ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' card 4111-1111-1111-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS raw
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, raw,
+       |         CAST(len(regexp_extract_all(raw, '$EmailRe')) AS BIGINT) AS n_emails,
+       |         CAST(len(regexp_extract_all(raw, '$IpRe')) AS BIGINT) AS n_ips,
+       |         CAST(len(regexp_extract_all(raw, '$CardRe')) AS BIGINT) AS n_cards
+       |  FROM raw)
+       |SELECT doc_id, n_emails, n_ips, n_cards,
+       |       n_emails + n_ips + n_cards > 0 AS has_pii,
+       |       md5(regexp_replace(regexp_replace(regexp_replace(raw,
+       |         '$EmailRe', '<EMAIL>', 'g'), '$IpRe', '<IP>', 'g'),
+       |         '$CardRe', '<CARD>', 'g')) AS redacted_md5
+       |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val raw = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0, concat(
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example"), (col("doc_id") % 7).cast("string"),
+        lit(".com"))).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, concat(
+        lit(" from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0."), (col("doc_id") % 250).cast("string"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, concat(
+        lit(" card 4111-1111-1111-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+    Tables(s, dir, "documents")
+      .withColumn("raw", raw)
+      .withColumn("n_emails", size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long"))
+      .withColumn("n_ips", size(regexp_extract_all(col("raw"), lit(IpRe), lit(0))).cast("long"))
+      .withColumn("n_cards", size(regexp_extract_all(col("raw"), lit(CardRe), lit(0))).cast("long"))
+      .select(
+        col("doc_id"), col("n_emails"), col("n_ips"), col("n_cards"),
+        (col("n_emails") + col("n_ips") + col("n_cards") > 0).as("has_pii"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("raw"),
+          lit(EmailRe), lit("<EMAIL>")), lit(IpRe), lit("<IP>")),
+          lit(CardRe), lit("<CARD>"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q70: lexical diversity (the log-free quality-signal family).
+  // ---------------------------------------------------------------------
+
+  /** Per-doc lexical diversity: type-token ratio, Simpson index
+    * (Σ(c/n)² — the collision probability of two random tokens; the
+    * log-free stand-in for entropy that stays engine-exact), hapax
+    * fraction, and top-token fraction. Low diversity / high Simpson flags
+    * the same degenerate docs Shannon entropy would, without a
+    * transcendental whose last-ulp differs across engines.
+    *
+    * Scale shape: one explode → (doc, token) count → per-doc rollup, both
+    * aggregates combine map-side; nothing leaves the doc's own keyspace. */
+  val q70TokenDiversity: Q = Q(
+    "q70_token_diversity",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |cnt AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(sum(c) AS BIGINT) AS n_tokens,
+      |       count(*) AS n_distinct,
+      |       round(CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS ttr,
+      |       round(CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE), 6) AS simpson,
+      |       round(CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS hapax_frac,
+      |       round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 4) AS top_frac
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(count(lit(1)).cast("double") / sum(col("c")).cast("double"), 4).as("ttr"),
+        round(sum(col("c") * col("c")).cast("double")
+          / (sum(col("c")) * sum(col("c"))).cast("double"), 6).as("simpson"),
+        round(count_if(col("c") === 1).cast("double")
+          / count(lit(1)).cast("double"), 4).as("hapax_frac"),
+        round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 4).as("top_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q72: chunk-level (paragraph) exact dedup.
+  // ---------------------------------------------------------------------
+
+  /** Non-overlapping 20-word chunks, hashed — the "paragraph" unit for
+    * sub-document exact dedup (the suffix-array-style stage between
+    * whole-doc exact dedup q34 and fuzzy MinHash q35: finds boilerplate
+    * blocks shared verbatim across otherwise-distinct docs). Spark/DuckDB
+    * SQL renderings of the chunker are step-identical (1-based slices). */
+  private val sparkChunks =
+    "transform(sequence(1, greatest(cast(ceil(size(ws) / 20.0) as bigint), 1)), " +
+      "i -> md5(concat_ws(' ', slice(ws, cast((i - 1) * 20 + 1 as int), 20))))"
+  private val duckChunks =
+    "list_transform(generate_series(1, greatest(CAST(ceil(len(ws) / 20.0) AS BIGINT), 1)), " +
+      "i -> md5(array_to_string(list_slice(ws, (i - 1) * 20 + 1, i * 20), ' ')))"
+
+  /** Per doc: distinct chunk hashes, how many of them also appear in
+    * ANOTHER doc (cross-doc shared), and the shared fraction — the signal a
+    * pipeline thresholds to strip boilerplate-heavy documents.
+    *
+    * Scale shape: explode → distinct (doc, hash) → hash-count aggregate.
+    * The shared-hash list is the set of cross-doc duplicated chunks —
+    * proportional to actual boilerplate, a small fraction of the corpus —
+    * and joins back as a broadcast; per-doc rollup is map-side combining.
+    * At 100 TB with pathological duplication the broadcast degrades to a
+    * shuffle hash join on the 16-byte hash — still never all-pairs. */
+  val q72ChunkDedup: Q = Q(
+    "q72_chunk_dedup",
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |ch AS (SELECT doc_id, unnest($duckChunks) AS ch FROM w),
+       |dch AS (SELECT DISTINCT doc_id, ch FROM ch),
+       |nd AS (SELECT ch, count(*) AS nd FROM dch GROUP BY ch)
+       |SELECT doc_id, count(*) AS n_chunks,
+       |       count(*) FILTER (WHERE nd >= 2) AS n_shared,
+       |       round(CAST(count(*) FILTER (WHERE nd >= 2) AS DOUBLE)
+       |             / CAST(count(*) AS DOUBLE), 4) AS shared_frac
+       |FROM dch JOIN nd USING (ch)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val dch = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkChunks)).as("ch"))
+      .distinct()
+    val shared = dch.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("ch"), lit(true).as("is_shared"))
+    dch.join(broadcast(shared), Seq("ch"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count_if(col("is_shared").isNotNull).as("n_shared"),
+        round(count_if(col("is_shared").isNotNull).cast("double")
+          / count(lit(1)).cast("double"), 4).as("shared_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q73: PMI collocations.
+  // ---------------------------------------------------------------------
+
+  /** Top-20 bigram collocations by pointwise-mutual-information lift:
+    * lift = p(xy) / (p(x)·p(y)) = c_xy·N_tok² / (N_bg·c_x·c_y), reported as
+    * the raw ratio (monotone in PMI = log2(lift); avoiding the log keeps
+    * the number engine-exact — both factors are exact BIGINTs, the division
+    * one correctly-rounded IEEE op). Minimum support c_xy ≥ 5.
+    *
+    * The BIGINT products stay < 2^63 up to ~10⁹ tokens; a 100 TB corpus
+    * computes lift in DOUBLE (the determinism constraint is an oracle
+    * artifact, not a pipeline need).
+    *
+    * Scale shape: bigram + unigram counts are map-side-combining
+    * aggregates; the two count joins key on single tokens (vocabulary-
+    * sized, Zipf-bounded); the final top-k is TakeOrderedAndProject. */
+  val q73PmiBigrams: Q = Q(
+    "q73_pmi_bigrams",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |t AS (SELECT unnest(ws) AS tok FROM w),
+      |bg AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+      |              i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      |       FROM w WHERE len(ws) >= 2),
+      |bgc AS (SELECT bigram,
+      |               string_split(bigram, ' ')[1] AS w1,
+      |               string_split(bigram, ' ')[2] AS w2,
+      |               count(*) AS cxy
+      |        FROM bg GROUP BY 1),
+      |tc AS (SELECT tok, count(*) AS cx FROM t GROUP BY tok),
+      |tot AS (SELECT (SELECT count(*) FROM t) AS n_tok,
+      |               (SELECT count(*) FROM bg) AS n_bg)
+      |SELECT bigram, CAST(cxy AS BIGINT) AS cxy,
+      |       round(CAST(cxy * n_tok * n_tok AS DOUBLE)
+      |             / CAST(n_bg * a.cx * b.cx AS DOUBLE), 4) AS lift
+      |FROM bgc CROSS JOIN tot
+      |JOIN tc a ON a.tok = w1
+      |JOIN tc b ON b.tok = w2
+      |WHERE cxy >= 5
+      |ORDER BY lift DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    val ws = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+    val toks = ws.select(explode(col("ws")).as("tok"))
+    val bigrams = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, cast(i as int)), element_at(ws, cast(i + 1 as int))))"))
+        .as("bigram"))
+    val bgc = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
+      .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+      .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+    val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cx"))
+    val tot = toks.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("n_bg")))
+    bgc.filter(col("cxy") >= 5)
+      .join(tc.select(col("tok").as("w1"), col("cx").as("cx_a")), "w1")
+      .join(tc.select(col("tok").as("w2"), col("cx").as("cx_b")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("bigram"), col("cxy"),
+        round((col("cxy") * col("n_tok") * col("n_tok")).cast("double")
+          / (col("n_bg") * col("cx_a") * col("cx_b")).cast("double"), 4).as("lift"))
+      .orderBy(col("lift").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams)
+}

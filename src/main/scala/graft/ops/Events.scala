@@ -206,7 +206,38 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Retention cohorts — the classic product-analytics rollup: users are
+    * cohorted by their first-seen day; each later active day increments
+    * that cohort's retention counter at its day offset (bounded at 7 here).
+    *
+    * Scale shape: the cohort table is one row per user (a groupBy that
+    * combines map-side); the events-to-cohort join keys on user_id, the
+    * same partitioning the cohort aggregate just produced, so AQE reuses
+    * the exchange; the final (cohort_day, offset) aggregate is tiny. The
+    * countDistinct is per (cohort, offset) — bounded keyspace, no skew
+    * (a user contributes each active day once via the date projection). */
+  val q71RetentionCohorts: Q = Q(
+    "q71_retention_cohorts",
+    """WITH e AS (SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events),
+      |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day,
+      |       CAST(datediff('day', cohort_day, day) AS BIGINT) AS day_offset,
+      |       count(DISTINCT e.user_id) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |WHERE datediff('day', cohort_day, day) <= 7
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
-      q46Sliding, q60AsofCustom)
+      q46Sliding, q60AsofCustom, q71RetentionCohorts)
 }

@@ -420,6 +420,73 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** q74: semantic-dedup audit (the SemDeDup shape, Abbas et al. 2023):
+    * cluster the embedding space (here: the shared nearest-seed-centroid
+    * assignment), then look for near-duplicate pairs ONLY within each
+    * cluster — the cluster is the candidate generator, exactly as LSH
+    * buckets are for q38. Per cluster: members, within-cluster pair count,
+    * and how many pairs are semantic near-dups (cosine ≥ 0.9).
+    *
+    * Scale shape: within-cluster pairing is the SemDeDup algorithm itself —
+    * the trade is k: a real deployment sets k ∝ N/target_cluster_size, so
+    * per-cluster pair counts stay bounded as the corpus grows (the same
+    * bound q35 gets from its band cap). Spark prunes pairs with the
+    * codegen'd double cosine at 0.88 before the decimal-exact rescore
+    * (double error ~1e-13 ≪ the 0.02 margin to the 0.9 verdict); the
+    * per-cluster n_pairs is computed from member counts, not by
+    * materializing pairs. */
+  val q74SemanticNearDup: Q = Q(
+    "q74_semantic_neardup",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |$duckAssignCtes,
+       |mem AS (SELECT centroid_id, count(*) AS n_members FROM assign GROUP BY 1),
+       |cand AS (SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b
+       |         FROM assign a JOIN assign b
+       |           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |d AS (SELECT centroid_id, vec_a, vec_b,
+       |             CAST(SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el x ON x.vec_id = vec_a
+       |                JOIN el y ON y.vec_id = vec_b AND y.i = x.i
+       |      GROUP BY 1, 2, 3),
+       |cs AS (SELECT centroid_id, round(dot / sqrt(na.n2 * nb.n2), 6) AS cos_sim
+       |       FROM d JOIN n2 na ON na.vec_id = vec_a
+       |              JOIN n2 nb ON nb.vec_id = vec_b)
+       |SELECT m.centroid_id AS cluster_id, m.n_members,
+       |       m.n_members * (m.n_members - 1) // 2 AS n_pairs,
+       |       count(*) FILTER (WHERE cos_sim >= 0.9) AS n_neardup
+       |FROM mem m LEFT JOIN cs ON cs.centroid_id = m.centroid_id
+       |GROUP BY 1, 2 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = embWithNorm(s, dir)
+    // One row per vector and tiny columns; persisted because both the pair
+    // join and the membership rollup consume it (its lineage is the full
+    // broadcast-argmax assignment — the q47 lesson: share, don't re-derive).
+    val assign = centroidAssign(e)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withEmb = assign
+      .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+    val a = withEmb.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = withEmb.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val near = a.join(b, Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr("cosine_f32(emb_a, emb_b)") >= 0.88)
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")), 6))
+      .filter(col("cos_sim") >= 0.9)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("nn"))
+    assign.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_members"))
+      .join(near, Seq("centroid_id"), "left")
+      .select(
+        col("centroid_id").as("cluster_id"), col("n_members"),
+        expr("n_members * (n_members - 1) div 2").as("n_pairs"),
+        coalesce(col("nn"), lit(0L)).as("n_neardup"))
+      .orderBy(col("cluster_id"))
+  }
+
   val all: Seq[Q] = Seq(
-    q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize, q66KmeansIter)
+    q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
+    q66KmeansIter, q74SemanticNearDup)
 }
