@@ -149,7 +149,46 @@ object Training {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** q75: vocabulary coverage / OOV-rate audit — after building a
+    * vocabulary (q58's shape, top-100 by document frequency here), measure
+    * per-language what fraction of corpus tokens falls outside it. High
+    * OOV for a language means the tokenizer/vocab under-serves it — the
+    * standard pre-training audit before committing to a vocab.
+    *
+    * Scale shape: the vocab is k rows by construction → broadcast to the
+    * token stream (map-side membership flag, no shuffle of the corpus);
+    * per-language counts combine map-side. The vocab itself comes from the
+    * same two-level map-side-combining aggregate as q58. */
+  val q75OovRate: Q = Q(
+    "q75_oov_rate",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |v AS (SELECT tok FROM (
+      |        SELECT tok, count(DISTINCT doc_id) AS df
+      |        FROM t GROUP BY tok ORDER BY df DESC, tok LIMIT 100)),
+      |c AS (SELECT lang, count(*) AS n_tokens, count(v.tok) AS n_covered
+      |      FROM t LEFT JOIN v ON v.tok = t.tok GROUP BY lang)
+      |SELECT lang, n_tokens, n_covered,
+      |       round(1 - CAST(n_covered AS DOUBLE) / CAST(n_tokens AS DOUBLE), 4) AS oov_rate
+      |FROM c ORDER BY lang""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = t.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(100)
+      .select(col("tok"), lit(true).as("in_vocab"))
+    t.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        count_if(col("in_vocab").isNotNull).as("n_covered"))
+      .select(col("lang"), col("n_tokens"), col("n_covered"),
+        round(lit(1) - col("n_covered").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("oov_rate"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
-    q59PackSequences)
+    q59PackSequences, q75OovRate)
 }

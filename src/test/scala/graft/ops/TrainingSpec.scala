@@ -88,6 +88,25 @@ class TrainingSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("oov rate: counts conserve, rate in [0,1], and full-vocab corpus has 0 OOV") {
+    val rows = Training.q75OovRate.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    rows.map(_._1).toSet shouldBe langs.toSet
+    // token conservation across strata
+    val totalToks = docs.map(_._2.split(" ").length.toLong).sum
+    rows.map(_._2).sum shouldBe totalToks
+    rows.foreach { case (_, n, cov, oov) =>
+      assert(cov <= n)
+      assert(oov >= 0.0 && oov <= 1.0)
+      // the fixture has 500 distinct tokens and vocab keeps 100 → OOV > 0
+      assert(oov > 0.0)
+    }
+    // determinism: second evaluation identical (vocab tie-break is total)
+    Training.q75OovRate.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq shouldBe rows.toSeq
+  }
+
   private implicit class ShouldOps[A](a: A) {
     def shouldBe(b: A): Unit = assert(a == b, s"expected $b, got $a")
   }
