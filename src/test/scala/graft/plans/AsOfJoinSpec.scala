@@ -139,6 +139,42 @@ class AsOfJoinSpec extends AnyFunSuite with Matchers {
     e3.getMessage should include("ambiguous")
   }
 
+  test("bucketed-by-key sources plan the as-of join with zero shuffle exchanges") {
+    // The 100 TB claim in AsOfJoin's scaladoc: children are required
+    // hash-clustered on keys, so EnsureRequirements ELIDES both exchanges
+    // when the sources are bucketed by the key — the join becomes a local
+    // per-bucket merge.
+    spark.sql("DROP TABLE IF EXISTS graft_asof_left")
+    spark.sql("DROP TABLE IF EXISTS graft_asof_right")
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    Seq("graft_asof_left", "graft_asof_right").foreach { t =>
+      val p = wh.resolve(t)
+      if (java.nio.file.Files.exists(p))
+        scala.sys.process.Process(Seq("rm", "-rf", p.toString)).!
+    }
+    val rnd = new scala.util.Random(7)
+    val leftRows = Seq.tabulate(300)(i => (rnd.nextInt(10), rnd.nextInt(5000).toLong, i.toLong))
+    val rightRows = Seq.tabulate(300)(i => (rnd.nextInt(10), rnd.nextInt(5000).toLong, 1000L + i))
+    evDf(leftRows).write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("graft_asof_left")
+    evDf(rightRows).write.bucketBy(4, "user_id").sortBy("user_id", "ts")
+      .saveAsTable("graft_asof_right")
+    val bucketed = AsOf.joinBackward(
+      spark.table("graft_asof_left"), spark.table("graft_asof_right"),
+      Seq("user_id"), "ts", "ts")
+    bucketed.count() shouldBe 300
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected shuffle-free bucketed as-of join, got:\n$plan")
+    // and the result matches the unbucketed rendering bit-for-bit
+    val baseline = AsOf.joinBackward(
+      evDf(leftRows), evDf(rightRows), Seq("user_id"), "ts", "ts")
+    bucketed.select(col("id"), col("id_r"))
+      .exceptAll(baseline.select(col("id"), col("id_r"))).count() shouldBe 0
+  }
+
   test("self-join on the same source dataframe disambiguates attributes") {
     val ev = evDf(Seq((1, 100L, 1L), (1, 90L, 2L), (1, 95L, 3L)))
     val out = AsOf.joinBackward(
