@@ -244,5 +244,49 @@ object Curation {
       .limit(20)
   }
 
-  val all: Seq[Q] = Seq(q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams)
+  // ---------------------------------------------------------------------
+  // q76: text cleaning / normalization.
+  // ---------------------------------------------------------------------
+
+  /** The C4-style cleanup stage: case-fold, strip control characters,
+    * collapse whitespace runs, trim. As with q69 the synthetic corpus is
+    * already clean, so the query deterministically dirties each doc first
+    * (case flips, tabs/newlines, space runs — same expression both
+    * engines); cleaning must recover the original text exactly, so
+    * `md5(cleaned) == md5(text)` is a per-row self-check surfaced as the
+    * `recovered` column (and the md5 itself is the cross-engine witness).
+    *
+    * Scale shape: map-only projection like q69 — pipelines with the scan,
+    * zero shuffle before the presentation sort. */
+  val q76TextClean: Q = Q(
+    "q76_text_clean",
+    """WITH dirty AS (
+      |  SELECT doc_id, text,
+      |         '  ' || chr(9) || upper(text) || chr(10) || ' ' AS messy
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, text,
+      |         trim(regexp_replace(regexp_replace(lower(messy),
+      |           '[\x00-\x1f]', ' ', 'g'), ' +', ' ', 'g')) AS cleaned
+      |  FROM dirty)
+      |SELECT doc_id,
+      |       CAST(length(cleaned) AS BIGINT) AS n_chars_clean,
+      |       md5(cleaned) AS cleaned_md5,
+      |       cleaned = text AS recovered
+      |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val messy = concat(lit("  \t"), upper(col("text")), lit("\n "))
+    Tables(s, dir, "documents")
+      .withColumn("cleaned",
+        trim(regexp_replace(regexp_replace(lower(messy),
+          lit("[\\x00-\\x1f]"), lit(" ")), lit(" +"), lit(" "))))
+      .select(
+        col("doc_id"),
+        length(col("cleaned")).cast("long").as("n_chars_clean"),
+        md5(col("cleaned")).as("cleaned_md5"),
+        (col("cleaned") === col("text")).as("recovered"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams, q76TextClean)
 }

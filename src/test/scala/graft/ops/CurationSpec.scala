@@ -123,6 +123,19 @@ class CurationSpec extends SparkSpec with BeforeAndAfterAll {
       ("2024-01-02", 0L, 1L))) // user 2's first day; day-9 event excluded
   }
 
+  test("q76: cleaning recovers every dirtied doc byte-exactly") {
+    val rows = Curation.q76TextClean.fn(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("recovered"),
+        s"doc ${r.getAs[Long]("doc_id")} not recovered")
+    }
+    // the witness md5 is of the ORIGINAL text when recovery holds
+    val d1 = rows.find(_.getAs[Long]("doc_id") == 1L).get
+    assert(d1.getAs[String]("cleaned_md5") == md5hex("a a b"))
+    assert(d1.getAs[Long]("n_chars_clean") == 5L)
+  }
+
   test("q74: planted near-dups cluster with their centroid and are counted") {
     val rows = Similarity.q74SemanticNearDup.fn(spark, dir).collect()
       .map(r => r.getAs[Long]("cluster_id") ->
