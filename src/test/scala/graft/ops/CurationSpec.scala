@@ -146,4 +146,36 @@ class CurationSpec extends SparkSpec with BeforeAndAfterAll {
     // every other cluster is its singleton centroid.
     (1L to 15L).foreach(c => assert(rows(c) == (1L, 0L, 0L)))
   }
+
+  test("diversity and chunk-dedup invariants hold on a randomized corpus") {
+    // identities that must hold for ANY input: ttr·n ≈ d, 1/d ≤ simpson ≤ 1,
+    // hapax ≤ 1, top_frac ≥ 1/d, shared chunks ≤ total chunks.
+    val rdir = Paths.get("target", "tmp", "curation_rand").toAbsolutePath.toString
+    val rnd = new scala.util.Random(13)
+    (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(80)
+      val text = Seq.fill(n)("t" + rnd.nextInt(40)).mkString(" ")
+      (i.toLong, text, "en", "src", text.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$rdir/documents.parquet")
+    val rows = Curation.q70TokenDiversity.fn(spark, rdir).collect()
+    assert(rows.length == 300)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens").toDouble
+      val d = r.getAs[Long]("n_distinct").toDouble
+      val (ttr, simpson, hapax, top) = (r.getAs[Double]("ttr"),
+        r.getAs[Double]("simpson"), r.getAs[Double]("hapax_frac"),
+        r.getAs[Double]("top_frac"))
+      assert(d <= n)
+      assert(math.abs(ttr - d / n) < 1e-4)
+      assert(simpson >= 1.0 / d - 1e-6 && simpson <= 1.0 + 1e-9)
+      assert(hapax >= 0.0 && hapax <= 1.0)
+      assert(top >= 1.0 / d - 1e-4 && top <= 1.0)
+    }
+    Curation.q72ChunkDedup.fn(spark, rdir).collect().foreach { r =>
+      val (nc, ns) = (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_shared"))
+      assert(ns <= nc && nc >= 1)
+      assert(math.abs(r.getAs[Double]("shared_frac") - ns.toDouble / nc) < 1e-4)
+    }
+  }
 }
