@@ -287,6 +287,72 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q77: composite quality gate (the keep/drop decision).
+  // ---------------------------------------------------------------------
+
+  /** The Gopher-rule-style document filter that consumes the signal
+    * families: length (token count), within-doc repetition (duplicate
+    * 3-gram fraction, q68's signal), and lexical concentration (top-token
+    * fraction, q70's signal) fold into one keep/drop verdict with the
+    * first failing rule as the reason. This is the stage that actually
+    * drops documents — everything upstream only scores them.
+    *
+    * Verdict thresholds compare the UNROUNDED exact-ratio doubles (one
+    * IEEE division of exact BIGINTs each — identical in both engines);
+    * rounding is display-only.
+    *
+    * Scale shape: two independent per-doc aggregate chains (token counts,
+    * shingle counts), each map-side combining in the doc's own keyspace,
+    * joined on doc_id — linear, no candidate generation at all. */
+  val q77QualityGate: Q = Q(
+    "q77_quality_gate",
+    s"""WITH ${Dedup.duckShingleRows},
+       |shc AS (SELECT doc_id, sh, count(*) AS c FROM shl GROUP BY 1, 2),
+       |shs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sh, count(*) AS d_sh
+       |        FROM shc GROUP BY doc_id),
+       |tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tkc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+       |tks AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS max_tok
+       |        FROM tkc GROUP BY doc_id),
+       |j AS (SELECT doc_id, n_tokens,
+       |             CAST(n_sh - d_sh AS DOUBLE) / n_sh AS dup_frac,
+       |             CAST(max_tok AS DOUBLE) / n_tokens AS top_frac
+       |      FROM tks JOIN shs USING (doc_id))
+       |SELECT doc_id, n_tokens,
+       |       round(dup_frac, 4) AS dup_frac,
+       |       round(top_frac, 4) AS top_frac,
+       |       CASE WHEN n_tokens < 20 THEN 'too_short'
+       |            WHEN dup_frac > 0.2 THEN 'repetitive'
+       |            WHEN top_frac > 0.2 THEN 'low_diversity'
+       |            ELSE 'pass' END AS reason,
+       |       n_tokens >= 20 AND dup_frac <= 0.2 AND top_frac <= 0.2 AS keep
+       |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val shStats = Dedup.shingleRows(s, dir)
+      .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_sh"), count(lit(1)).as("d_sh"))
+    val tokStats = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
+    val dupFrac = (col("n_sh") - col("d_sh")).cast("double") / col("n_sh")
+    val topFrac = col("max_tok").cast("double") / col("n_tokens")
+    tokStats.join(shStats, "doc_id")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(dupFrac, 4).as("dup_frac"),
+        round(topFrac, 4).as("top_frac"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(dupFrac > 0.2, "repetitive")
+          .when(topFrac > 0.2, "low_diversity")
+          .otherwise("pass").as("reason"),
+        (col("n_tokens") >= 20 && dupFrac <= 0.2 && topFrac <= 0.2).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
-    q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams, q76TextClean)
+    q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
+    q76TextClean, q77QualityGate)
 }

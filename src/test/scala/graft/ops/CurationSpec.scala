@@ -31,7 +31,13 @@ class CurationSpec extends SparkSpec with BeforeAndAfterAll {
       (2L, Seq.fill(6)("x y").mkString(" "), "en", "src0", 23L), // PMI target
       (3L, s"$sharedChunk $tail3", "en", "src0", 120L), // shares chunk 1 with 4
       (4L, s"$sharedChunk $tail4", "en", "src0", 120L),
-      (7L, "please write bob@mail.example.org today", "en", "src1", 40L))
+      (7L, "please write bob@mail.example.org today", "en", "src1", 40L),
+      // quality-gate targets: pass / repetitive / low-diversity
+      (8L, (1 to 25).map(i => s"w$i").mkString(" "), "en", "src0", 100L),
+      (9L, Seq.fill(10)("p q r").mkString(" "), "en", "src0", 60L),
+      (10L, (1 to 14).foldLeft("z") { (acc, i) =>
+        if (i <= 6) s"$acc b$i z" else s"$acc b$i"
+      }, "en", "src0", 80L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
@@ -145,6 +151,17 @@ class CurationSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows(0L) == (3L, 3L, 3L))
     // every other cluster is its singleton centroid.
     (1L to 15L).foreach(c => assert(rows(c) == (1L, 0L, 0L)))
+  }
+
+  test("q77: each gate rule fires on its planted doc, in rule order") {
+    val rows = Curation.q77QualityGate.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("reason"), r.getAs[Boolean]("keep"))).toMap
+    assert(rows(1L) == ("too_short", false)) // 3 tokens
+    assert(rows(8L) == ("pass", true)) // 25 distinct tokens
+    // doc 9 is BOTH repetitive and concentrated — repetition wins (rule order)
+    assert(rows(9L) == ("repetitive", false))
+    assert(rows(10L) == ("low_diversity", false)) // z is 7/21 of the doc
   }
 
   test("diversity and chunk-dedup invariants hold on a randomized corpus") {
