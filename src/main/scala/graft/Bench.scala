@@ -47,15 +47,20 @@ object Bench {
     val passTotals = (1 to reps).map { pass =>
       var reruns = 0
       val passTimes = names.map { case (name, fn) =>
-        if (pass > 1 && best(name) <= rerunThreshold) {
+        // A fast FAILURE must not exempt a query from retry (its
+        // time-to-throw is not a valid timing), so errored queries always
+        // re-run in later passes regardless of the threshold.
+        if (pass > 1 && best(name) <= rerunThreshold && !errored(name)) {
           // Carry the standing best forward so pass totals stay comparable
           // side by side even though sub-threshold queries are not re-run.
           best(name)
         } else {
           reruns += 1
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => errored += name }
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => errored += name; false }
+          if (ok) errored -= name
           val dt = (System.nanoTime() - t0) / 1e9
           best(name) = best.get(name).fold(dt)(math.min(_, dt))
           dt

@@ -143,12 +143,14 @@ object Curation {
     * ANOTHER doc (cross-doc shared), and the shared fraction — the signal a
     * pipeline thresholds to strip boilerplate-heavy documents.
     *
-    * Scale shape: explode → distinct (doc, hash) → hash-count aggregate.
-    * The shared-hash list is the set of cross-doc duplicated chunks —
-    * proportional to actual boilerplate, a small fraction of the corpus —
-    * and joins back as a broadcast; per-doc rollup is map-side combining.
-    * At 100 TB with pathological duplication the broadcast degrades to a
-    * shuffle hash join on the 16-byte hash — still never all-pairs. */
+    * Scale shape: explode → distinct (doc, hash) → hash-count aggregate,
+    * with the distinct chunk table persisted (both the shared-hash
+    * aggregate and the final rollup consume it). The shared-hash list is
+    * the set of cross-doc duplicated chunks — proportional to actual
+    * boilerplate, usually small — and the join is left UNhinted so the
+    * planner broadcasts it when small and falls back to a shuffle hash
+    * join on the 16-byte hash under pathological duplication (a forced
+    * broadcast() would instead die building an oversized broadcast). */
   val q72ChunkDedup: Q = Q(
     "q72_chunk_dedup",
     s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -165,10 +167,11 @@ object Curation {
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(sparkChunks)).as("ch"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = dch.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
       .filter(col("nd") >= 2)
       .select(col("ch"), lit(true).as("is_shared"))
-    dch.join(broadcast(shared), Seq("ch"), "left")
+    dch.join(shared, Seq("ch"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_chunks"),
@@ -185,16 +188,19 @@ object Curation {
   /** Top-20 bigram collocations by pointwise-mutual-information lift:
     * lift = p(xy) / (p(x)·p(y)) = c_xy·N_tok² / (N_bg·c_x·c_y), reported as
     * the raw ratio (monotone in PMI = log2(lift); avoiding the log keeps
-    * the number engine-exact — both factors are exact BIGINTs, the division
-    * one correctly-rounded IEEE op). Minimum support c_xy ≥ 5.
+    * the number engine-exact). Minimum support c_xy ≥ 5.
     *
-    * The BIGINT products stay < 2^63 up to ~10⁹ tokens; a 100 TB corpus
-    * computes lift in DOUBLE (the determinism constraint is an oracle
-    * artifact, not a pipeline need).
+    * Numerics: each factor is cast to DOUBLE BEFORE multiplying — a BIGINT
+    * product n_bg·c_x·c_y overflows 2^63 already at ~10⁷ tokens for a
+    * stopword pair. The double chain is still engine-exact: identical
+    * left-associated operations on identical inputs, every step correctly
+    * rounded, same in both engines.
     *
     * Scale shape: bigram + unigram counts are map-side-combining
-    * aggregates; the two count joins key on single tokens (vocabulary-
-    * sized, Zipf-bounded); the final top-k is TakeOrderedAndProject. */
+    * aggregates, both persisted (vocabulary-sized) because the corpus
+    * totals fold from THEM (sum of counts) — no second pass over the raw
+    * token stream; the two count joins key on single tokens (Zipf-
+    * bounded); the final top-k is TakeOrderedAndProject. */
   val q73PmiBigrams: Q = Q(
     "q73_pmi_bigrams",
     """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
@@ -208,11 +214,11 @@ object Curation {
       |               count(*) AS cxy
       |        FROM bg GROUP BY 1),
       |tc AS (SELECT tok, count(*) AS cx FROM t GROUP BY tok),
-      |tot AS (SELECT (SELECT count(*) FROM t) AS n_tok,
-      |               (SELECT count(*) FROM bg) AS n_bg)
+      |tot AS (SELECT (SELECT CAST(sum(cx) AS BIGINT) FROM tc) AS n_tok,
+      |               (SELECT CAST(sum(cxy) AS BIGINT) FROM bgc) AS n_bg)
       |SELECT bigram, CAST(cxy AS BIGINT) AS cxy,
-      |       round(CAST(cxy * n_tok * n_tok AS DOUBLE)
-      |             / CAST(n_bg * a.cx * b.cx AS DOUBLE), 4) AS lift
+      |       round(CAST(cxy AS DOUBLE) * CAST(n_tok AS DOUBLE) * CAST(n_tok AS DOUBLE)
+      |             / (CAST(n_bg AS DOUBLE) * CAST(a.cx AS DOUBLE) * CAST(b.cx AS DOUBLE)), 4) AS lift
       |FROM bgc CROSS JOIN tot
       |JOIN tc a ON a.tok = w1
       |JOIN tc b ON b.tok = w2
@@ -226,20 +232,25 @@ object Curation {
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat_ws(' ', element_at(ws, cast(i as int)), element_at(ws, cast(i + 1 as int))))"))
         .as("bigram"))
+    // Persisted count tables (vocabulary-sized): the corpus totals fold
+    // from these, so the raw token/bigram streams are scanned exactly once.
     val bgc = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("cxy"))
       .withColumn("w1", element_at(split(col("bigram"), " "), 1))
       .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tc = toks.groupBy(col("tok")).agg(count(lit(1)).as("cx"))
-    val tot = toks.agg(count(lit(1)).as("n_tok"))
-      .crossJoin(bigrams.agg(count(lit(1)).as("n_bg")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = tc.agg(sum(col("cx")).as("n_tok"))
+      .crossJoin(bgc.agg(sum(col("cxy")).as("n_bg")))
     bgc.filter(col("cxy") >= 5)
       .join(tc.select(col("tok").as("w1"), col("cx").as("cx_a")), "w1")
       .join(tc.select(col("tok").as("w2"), col("cx").as("cx_b")), "w2")
       .crossJoin(broadcast(tot))
       .select(
         col("bigram"), col("cxy"),
-        round((col("cxy") * col("n_tok") * col("n_tok")).cast("double")
-          / (col("n_bg") * col("cx_a") * col("cx_b")).cast("double"), 4).as("lift"))
+        round(col("cxy").cast("double") * col("n_tok").cast("double") * col("n_tok").cast("double")
+          / (col("n_bg").cast("double") * col("cx_a").cast("double") * col("cx_b").cast("double")), 4)
+          .as("lift"))
       .orderBy(col("lift").desc, col("bigram"))
       .limit(20)
   }

@@ -95,10 +95,13 @@ object EventStream {
     * to one fixed mode is a call-site trap (ADVICE r3). */
   private[streaming] def inferOutputMode(df: DataFrame): String = {
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val hasAgg = df.queryExecution.analyzed.collectFirst {
-      case a: Aggregate => a
+    // Only STREAMING aggregates force complete mode — an aggregate on the
+    // static side of a stream-static join must not (the query would throw
+    // "Complete output mode not supported" at start).
+    val hasStreamingAgg = df.queryExecution.analyzed.collectFirst {
+      case a: Aggregate if a.isStreaming => a
     }.isDefined
-    if (hasAgg) "complete" else "append"
+    if (hasStreamingAgg) "complete" else "append"
   }
 
   /** Run a streaming query over the existing files and stop
