@@ -363,7 +363,58 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q78: per-domain document cap.
+  // ---------------------------------------------------------------------
+
+  /** Per-domain (source) document cap — the CommonCrawl-pipeline stage
+    * that stops one prolific domain from dominating the training mix:
+    * keep at most N documents per source, chosen by a deterministic
+    * hash priority (md5 of the doc_id — a fair lottery both engines
+    * compute identically; any quality score column would slot into the
+    * same ORDER BY).
+    *
+    * Scale shape: the naive plan is one global window per source — a
+    * shuffle keyed on a LOW-cardinality column, i.e. the skew trap (one
+    * reducer per domain; a 10⁹-page domain serializes through one task).
+    * The plan here is the two-phase top-k: rank within each INPUT
+    * partition first (key = (source, partition id), high cardinality, no
+    * skew) and keep only each partition's local top-N; the global window
+    * then runs over ≤ N × partitions rows per source — bounded, tiny,
+    * and provably sufficient (a global top-N row is top-N within its own
+    * partition). Same pattern as q39's per-partition shortlist. */
+  val q78DomainCap: Q = {
+    val cap = 15
+    Q(
+      "q78_domain_cap",
+      s"""SELECT source, rn, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (PARTITION BY source
+         |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= $cap ORDER BY source, rn""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"))
+        .withColumn("pri", md5(col("doc_id").cast("string")))
+      val localW = Window
+        .partitionBy(col("source"), spark_partition_id())
+        .orderBy(col("pri"), col("doc_id"))
+      val shortlist = base
+        .withColumn("lrn", row_number().over(localW))
+        .filter(col("lrn") <= cap)
+        .drop("lrn")
+      val globalW = Window.partitionBy(col("source"))
+        .orderBy(col("pri"), col("doc_id"))
+      shortlist
+        .withColumn("rn", row_number().over(globalW).cast("long"))
+        .filter(col("rn") <= cap)
+        .select(col("source"), col("rn"), col("doc_id"))
+        .orderBy(col("source"), col("rn"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
-    q76TextClean, q77QualityGate)
+    q76TextClean, q77QualityGate, q78DomainCap)
 }

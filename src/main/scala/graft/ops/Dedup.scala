@@ -391,9 +391,10 @@ object Dedup {
     * volume is millions of rows because same-corpus simhashes cluster).
     * The distance filter runs BEFORE the pair distinct, so the distinct
     * sees only the ≤3-distance survivors. */
-  val q65SimhashHamming: Q = Q(
-    "q65_simhash_hamming",
-    s"""WITH $duckSimhashIntCtes,
+  /** DuckDB CTE chain ending in `spairs(doc_a, doc_b, hamming)` — the
+    * distinct simhash pairs at hamming ≤ 3 (shared by q65 and q82). */
+  private[ops] val duckSimhashPairCtes: String =
+    s"""$duckSimhashIntCtes,
        |blk AS (SELECT doc_id, fp, b, (fp >> (8 * CAST(b AS INT))) & 255 AS bits
        |        FROM fpi, range(0, 4) t(b)),
        |keep AS (SELECT doc_id, fp, b, bits FROM
@@ -402,9 +403,13 @@ object Dedup {
        |cand AS (SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
        |                CAST(bit_count(xor(a.fp, c.fp)) AS BIGINT) AS hamming
        |         FROM keep a JOIN keep c
-       |           ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id)
-       |SELECT DISTINCT doc_a, doc_b, hamming FROM cand
-       |WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+       |           ON a.b = c.b AND a.bits = c.bits AND a.doc_id < c.doc_id),
+       |spairs AS (SELECT DISTINCT doc_a, doc_b, hamming FROM cand
+       |           WHERE hamming <= 3)""".stripMargin
+
+  /** Spark side of `spairs`: distinct (doc_a, doc_b, hamming ≤ 3) pairs
+    * via the pigeonhole block join (shared by q65 and q82). */
+  private[ops] def simhashHammingPairs(s: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprintInts(s, dir).persist(MEMORY_AND_DISK)
     val blk = fp
       .select(col("doc_id"), col("fp"), explode(expr("sequence(0, 3)")).as("b"))
@@ -421,7 +426,53 @@ object Dedup {
         expr("bit_count(a.fp ^ c.fp)").cast("long").as("hamming"))
       .filter(col("hamming") <= 3)
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val q65SimhashHamming: Q = Q(
+    "q65_simhash_hamming",
+    s"""WITH $duckSimhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM spairs ORDER BY doc_a, doc_b""".stripMargin) {
+    (s, dir) =>
+      simhashHammingPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q82: ensemble agreement audit between the two near-dup candidate
+    * generators — MinHash-LSH pairs (q35) vs SimHash hamming ≤ 3 pairs
+    * (q65). A production dedup pipeline runs one of these and wants to
+    * know what the other would have added: pairs found by both are
+    * high-confidence dups; one-sided pairs quantify each method's blind
+    * spot (MinHash sees shingle-set overlap, SimHash sees token-frequency
+    * profiles — they genuinely disagree at the margin).
+    *
+    * Scale shape: both generators are the already-bucketed, size-capped
+    * linear pipelines; the audit itself is a full-outer join of two SMALL
+    * pair lists on the pair key, then one tiny aggregate — the pair lists
+    * are the bottleneck-free part of both pipelines. */
+  val q82DedupEnsemble: Q = Q(
+    "q82_dedup_ensemble",
+    s"""WITH $duckLshPairCtes,
+       |$duckSimhashPairCtes
+       |SELECT CASE WHEN p.doc_a IS NOT NULL AND s.doc_a IS NOT NULL THEN 'both'
+       |            WHEN p.doc_a IS NOT NULL THEN 'minhash_only'
+       |            ELSE 'simhash_only' END AS found_by,
+       |       count(*) AS n_pairs,
+       |       min(coalesce(p.doc_a, s.doc_a)) AS min_doc_a
+       |FROM pairs p FULL JOIN spairs s
+       |  ON p.doc_a = s.doc_a AND p.doc_b = s.doc_b
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val mp = lshCandidatePairs(s, dir)
+    val sp = simhashHammingPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    mp.as("m").join(sp.as("s"),
+        col("m.doc_a") === col("s.doc_a") && col("m.doc_b") === col("s.doc_b"),
+        "full_outer")
+      .select(
+        when(col("m.doc_a").isNotNull && col("s.doc_a").isNotNull, "both")
+          .when(col("m.doc_a").isNotNull, "minhash_only")
+          .otherwise("simhash_only").as("found_by"),
+        coalesce(col("m.doc_a"), col("s.doc_a")).as("da"))
+      .groupBy(col("found_by"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("da")).as("min_doc_a"))
+      .orderBy(col("found_by"))
   }
 
   /** n-gram Jaccard VERIFICATION of the LSH candidate pairs: exact
@@ -556,6 +607,6 @@ object Dedup {
 
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
-      q47DedupClusters, q62DedupKeepBest, q65SimhashHamming,
+      q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition)
 }

@@ -65,5 +65,62 @@ object Intervals {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q61RangeJoin)
+  /** q80: interval OVERLAP join — the two-sided generalization of q61.
+    * Both inputs are interval tables and the predicate is pure overlap
+    * (`a.lo < b.hi AND b.lo < a.hi`, half-open semantics); there is no
+    * equi-key at all, so Spark would plan a raw θ-join as a nested loop.
+    *
+    * Same bin-bucketing rewrite, applied to BOTH sides: explode each
+    * interval into the month bins it covers, equi-join on the bin, dedupe
+    * the (pair) hits (an overlapping pair shares every month of its
+    * intersection — distinct collapses the multiplicity), then re-check
+    * the exact predicate to kill same-bin near-misses. Month width fits
+    * these spans: customer activity windows cover ≤ ~84 months (bounded
+    * per interval), promo windows ≤ 2.
+    *
+    * Inputs: A = per-customer activity windows [first_order,
+    * last_order + 5d) over a deterministic 10% customer sample; B = 21-day
+    * promo windows anchored at sampled orders. Output: customers whose
+    * activity window overlaps each promo. The DuckDB oracle states the
+    * overlap predicate directly (IEJoin). */
+  val q80IntervalOverlap: Q = Q(
+    "q80_interval_overlap",
+    """WITH a AS (SELECT o_custkey AS cust, min(o_orderdate) AS lo,
+      |                  max(o_orderdate) + INTERVAL 5 DAY AS hi
+      |           FROM orders WHERE o_custkey % 10 = 0 GROUP BY 1),
+      |b AS (SELECT o_orderkey, o_orderdate AS lo,
+      |             o_orderdate + INTERVAL 21 DAY AS hi
+      |      FROM orders WHERE o_orderkey % 499 = 0)
+      |SELECT b.o_orderkey, count(*) AS n_custs
+      |FROM b JOIN a ON a.lo < b.hi AND b.lo < a.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val orders = Tables(s, dir, "orders")
+    val a = orders.filter(col("o_custkey") % 10 === 0)
+      .groupBy(col("o_custkey").as("cust"))
+      .agg(
+        min(col("o_orderdate")).as("lo"),
+        (max(col("o_orderdate")) + expr("INTERVAL 5 DAYS")).as("hi"))
+    val b = orders.filter(col("o_orderkey") % 499 === 0)
+      .select(
+        col("o_orderkey"),
+        col("o_orderdate").as("lo"),
+        (col("o_orderdate") + expr("INTERVAL 21 DAYS")).as("hi"))
+    // Half-open [lo, hi): the last covered month bin is month(hi - 1 day)
+    // (all boundary values are midnight timestamps).
+    def monthBins(df: org.apache.spark.sql.DataFrame) = df.withColumn(
+      "mon",
+      explode(expr(
+        "sequence(date_trunc('month', lo), date_trunc('month', hi - INTERVAL 1 DAY), interval 1 month)")))
+    val aBins = monthBins(a).withColumnsRenamed(Map("lo" -> "a_lo", "hi" -> "a_hi"))
+    val bBins = monthBins(b).withColumnsRenamed(Map("lo" -> "b_lo", "hi" -> "b_hi"))
+    aBins.join(broadcast(bBins), Seq("mon"))
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select(col("o_orderkey"), col("cust"))
+      .distinct()
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val all: Seq[Q] = Seq(q61RangeJoin, q80IntervalOverlap)
 }
