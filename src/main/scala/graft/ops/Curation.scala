@@ -316,9 +316,10 @@ object Curation {
     * Scale shape: two independent per-doc aggregate chains (token counts,
     * shingle counts), each map-side combining in the doc's own keyspace,
     * joined on doc_id — linear, no candidate generation at all. */
-  val q77QualityGate: Q = Q(
-    "q77_quality_gate",
-    s"""WITH ${Dedup.duckShingleRows},
+  /** DuckDB CTE chain ending in `j(doc_id, n_tokens, dup_frac, top_frac)`
+    * — the per-doc quality signals (shared by q77 and q83). */
+  private val duckQualityCtes: String =
+    s"""${Dedup.duckShingleRows},
        |shc AS (SELECT doc_id, sh, count(*) AS c FROM shl GROUP BY 1, 2),
        |shs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_sh, count(*) AS d_sh
        |        FROM shc GROUP BY doc_id),
@@ -329,16 +330,11 @@ object Curation {
        |j AS (SELECT doc_id, n_tokens,
        |             CAST(n_sh - d_sh AS DOUBLE) / n_sh AS dup_frac,
        |             CAST(max_tok AS DOUBLE) / n_tokens AS top_frac
-       |      FROM tks JOIN shs USING (doc_id))
-       |SELECT doc_id, n_tokens,
-       |       round(dup_frac, 4) AS dup_frac,
-       |       round(top_frac, 4) AS top_frac,
-       |       CASE WHEN n_tokens < 20 THEN 'too_short'
-       |            WHEN dup_frac > 0.2 THEN 'repetitive'
-       |            WHEN top_frac > 0.2 THEN 'low_diversity'
-       |            ELSE 'pass' END AS reason,
-       |       n_tokens >= 20 AND dup_frac <= 0.2 AND top_frac <= 0.2 AS keep
-       |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |      FROM tks JOIN shs USING (doc_id))""".stripMargin
+
+  /** Spark side of `j`: per-doc (n_tokens, max_tok, n_sh, d_sh) joined on
+    * doc_id (shared by q77 and q83; the frac exprs sit on top). */
+  private def qualitySignals(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val shStats = Dedup.shingleRows(s, dir)
       .groupBy(col("doc_id"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
@@ -348,9 +344,24 @@ object Curation {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_tokens"), max(col("c")).as("max_tok"))
+    tokStats.join(shStats, "doc_id")
+  }
+
+  val q77QualityGate: Q = Q(
+    "q77_quality_gate",
+    s"""WITH $duckQualityCtes
+       |SELECT doc_id, n_tokens,
+       |       round(dup_frac, 4) AS dup_frac,
+       |       round(top_frac, 4) AS top_frac,
+       |       CASE WHEN n_tokens < 20 THEN 'too_short'
+       |            WHEN dup_frac > 0.2 THEN 'repetitive'
+       |            WHEN top_frac > 0.2 THEN 'low_diversity'
+       |            ELSE 'pass' END AS reason,
+       |       n_tokens >= 20 AND dup_frac <= 0.2 AND top_frac <= 0.2 AS keep
+       |FROM j ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val dupFrac = (col("n_sh") - col("d_sh")).cast("double") / col("n_sh")
     val topFrac = col("max_tok").cast("double") / col("n_tokens")
-    tokStats.join(shStats, "doc_id")
+    qualitySignals(s, dir)
       .select(
         col("doc_id"), col("n_tokens"),
         round(dupFrac, 4).as("dup_frac"),
@@ -414,7 +425,89 @@ object Curation {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q83: end-to-end training-set manifest (the composed pipeline).
+  // ---------------------------------------------------------------------
+
+  /** The capstone composition a training-data user actually runs: quality
+    * gate (q77 rules) → exact-dedup keeper (q34 shape) → per-domain cap
+    * (q78 shape), folded into one per-source funnel report — how many
+    * documents each stage dropped and how many survive into the training
+    * set. Every doc gets exactly one status: the FIRST stage that dropped
+    * it (fail_quality → dup → capped) or `kept`.
+    *
+    * Scale shape: the three stages compose without materialization — the
+    * quality signals are the two linear aggregate chains, the keeper flag
+    * is a window over the content digest (high-cardinality key), and the
+    * cap ranks only surviving keepers. The funnel report is one conditional
+    * aggregate over (doc_id, status) rows. Nothing here is new machinery;
+    * the point is that the stages CHAIN as DataFrames with no glue. */
+  val q83TrainingManifest: Q = {
+    val cap = 10
+    Q(
+      "q83_training_manifest",
+      s"""WITH $duckQualityCtes,
+         |q AS (SELECT doc_id,
+         |             (n_tokens >= 20 AND dup_frac <= 0.2 AND top_frac <= 0.2) AS ok
+         |      FROM j),
+         |d AS (SELECT doc_id, source, md5(lower(text)) AS h FROM documents),
+         |pass AS (SELECT d.doc_id, d.source, d.h
+         |         FROM d JOIN q USING (doc_id) WHERE q.ok),
+         |kp AS (SELECT doc_id, source,
+         |              doc_id = min(doc_id) OVER (PARTITION BY h) AS is_keeper
+         |       FROM pass),
+         |rk AS (SELECT doc_id, source,
+         |              row_number() OVER (PARTITION BY source
+         |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+         |       FROM kp WHERE is_keeper),
+         |st AS (SELECT d.doc_id, d.source,
+         |         CASE WHEN NOT q.ok THEN 'fail_quality'
+         |              WHEN NOT kp.is_keeper THEN 'dup'
+         |              WHEN rk.rn > $cap THEN 'capped'
+         |              ELSE 'kept' END AS status
+         |       FROM d JOIN q USING (doc_id)
+         |       LEFT JOIN kp ON kp.doc_id = d.doc_id
+         |       LEFT JOIN rk ON rk.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |       count(*) FILTER (WHERE status = 'fail_quality') AS n_fail_quality,
+         |       count(*) FILTER (WHERE status = 'dup') AS n_dup,
+         |       count(*) FILTER (WHERE status = 'capped') AS n_capped,
+         |       count(*) FILTER (WHERE status = 'kept') AS n_kept
+         |FROM st GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dupFrac = (col("n_sh") - col("d_sh")).cast("double") / col("n_sh")
+      val topFrac = col("max_tok").cast("double") / col("n_tokens")
+      val q = qualitySignals(s, dir).select(
+        col("doc_id"),
+        (col("n_tokens") >= 20 && dupFrac <= 0.2 && topFrac <= 0.2).as("ok"))
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), md5(lower(col("text"))).as("h"))
+      val pass = d.join(q.filter(col("ok")).select(col("doc_id")), "doc_id")
+      val kp = pass.withColumn("is_keeper",
+        col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
+      val rk = kp.filter(col("is_keeper"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      val st = d.join(q, "doc_id")
+        .join(kp.select(col("doc_id"), col("is_keeper")), Seq("doc_id"), "left")
+        .join(rk.select(col("doc_id"), col("rn")), Seq("doc_id"), "left")
+        .select(col("source"),
+          when(not(col("ok")), "fail_quality")
+            .when(not(col("is_keeper")), "dup")
+            .when(col("rn") > cap, "capped")
+            .otherwise("kept").as("status"))
+      st.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count_if(col("status") === "fail_quality").as("n_fail_quality"),
+          count_if(col("status") === "dup").as("n_dup"),
+          count_if(col("status") === "capped").as("n_capped"),
+          count_if(col("status") === "kept").as("n_kept"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
-    q76TextClean, q77QualityGate, q78DomainCap)
+    q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest)
 }

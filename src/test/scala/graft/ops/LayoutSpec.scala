@@ -94,6 +94,29 @@ class LayoutSpec extends SparkSpec {
     assert(rowStrings(got) === rowStrings(ref))
   }
 
+  test("q83 manifest assigns each doc the FIRST dropping stage") {
+    // src0: doc 1 fails quality (too short), docs 8/11 are exact duplicates
+    // (keeper = 8), doc 9 is repetitive. With cap=10 nothing is capped, so
+    // expected statuses: 1→fail_quality, 9→fail_quality, 11→dup, 8→kept.
+    val passText = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, "too short", "src0"),
+      (8L, passText, "src0"),
+      (9L, Seq.fill(10)("p q r").mkString(" "), "src0"),
+      (11L, passText.toUpperCase, "src0"), // case-insensitive exact dup of 8
+      (20L, (1 to 30).map(i => s"v$i").mkString(" "), "src1"))
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", lit(1L))
+    val dir = java.nio.file.Files.createTempDirectory("manifest").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curation.q83TrainingManifest.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got("src0") === ((4L, 2L, 1L, 0L, 1L)),
+      "(n_docs, n_fail_quality, n_dup, n_capped, n_kept) for src0")
+    assert(got("src1") === ((1L, 0L, 0L, 0L, 1L)))
+  }
+
   test("q80 binned overlap join equals the brute-force theta join") {
     val a = Seq((1L, 0L, 100L), (2L, 50L, 60L), (3L, 300L, 400L))
       .toDF("cust", "lo_d", "hi_d")
