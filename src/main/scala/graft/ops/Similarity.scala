@@ -50,10 +50,10 @@ object Similarity {
 
   /** Sign-LSH bucket key: sign bits of the first 8 dims → 256 buckets.
     * Shared by q38 (near-dup candidate generation) and q40 (bucketed ANN). */
-  private def duckBucket(col: String): String =
-    (1 to 8).map(i => s"CASE WHEN $col[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
-  private def sparkBucket(col: String): String =
-    (1 to 8).map(i => s"IF(element_at($col, $i) > 0, '1', '0')").mkString("concat(", ", ", ")")
+  private def duckBucket(col: String, bits: Int = 8): String =
+    (1 to bits).map(i => s"CASE WHEN $col[$i] > 0 THEN '1' ELSE '0' END").mkString(" || ")
+  private def sparkBucket(col: String, bits: Int = 8): String =
+    (1 to bits).map(i => s"IF(element_at($col, $i) > 0, '1', '0')").mkString("concat(", ", ", ")")
 
   private def embWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -486,7 +486,108 @@ object Similarity {
       .orderBy(col("cluster_id"))
   }
 
+  /** q84: ANN recall audit — recall@5 of the sign-LSH bucketed search (q40
+    * machinery) against the exact brute-force top-5 (q39's output, consumed
+    * directly). This is the measurement every approximate index owes its
+    * users: how much recall does the 256× candidate reduction cost, per
+    * query. Deploy guidance comes from exactly this number (more hash bits
+    * → fewer candidates, lower recall; fewer bits → the reverse).
+    *
+    * Scale shape: the exact side is the bounded-heap shortlist baseline
+    * (run it over a SAMPLE of queries at 100 TB — recall is a statistic,
+    * it doesn't need every query); the LSH side scores ~N/256 candidates
+    * per query off a broadcast query table. The audit join matches two
+    * k-row-per-query lists — negligible.
+    *
+    * recall_at_5 = n_hits / 5 is one exact-integer IEEE division (values
+    * in {0, 0.2, …, 1.0}), identical in both engines. */
+  /** DuckDB CTE chain (suffix-namespaced) ending in `l$sfx(query_id,
+    * neighbor_id)` — LSH top-5 per query (vec_id < 10) at the given bucket
+    * width. */
+  private def duckLshTopCtes(bits: Int, sfx: String): String =
+    s"""bkt$sfx AS (SELECT vec_id, ${duckBucket("embedding", bits)} AS bkt FROM embeddings),
+       |cand$sfx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM bkt$sfx q JOIN bkt$sfx c
+       |           ON q.bkt = c.bkt AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |ld$sfx AS (SELECT query_id, neighbor_id,
+       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM cand$sfx JOIN el a ON a.vec_id = query_id
+       |                 JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |       GROUP BY 1, 2),
+       |lr$sfx AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM ld$sfx JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc ON nc.vec_id = neighbor_id),
+       |l$sfx AS (SELECT query_id, neighbor_id FROM lr$sfx WHERE rank <= 5)""".stripMargin
+
+  val q84AnnRecall: Q = Q(
+    "q84_ann_recall",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |xr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM xd JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc ON nc.vec_id = neighbor_id),
+       |x AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+       |${duckLshTopCtes(8, "8")},
+       |${duckLshTopCtes(4, "4")}
+       |SELECT x.query_id,
+       |       count(l8.neighbor_id) AS n_hits_b8,
+       |       CAST(count(l8.neighbor_id) AS DOUBLE) / 5 AS recall_b8,
+       |       count(l4.neighbor_id) AS n_hits_b4,
+       |       CAST(count(l4.neighbor_id) AS DOUBLE) / 5 AS recall_b4
+       |FROM x
+       |LEFT JOIN l8 ON l8.query_id = x.query_id AND l8.neighbor_id = x.neighbor_id
+       |LEFT JOIN l4 ON l4.query_id = x.query_id AND l4.neighbor_id = x.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+
+    // LSH top-5 per query at the given bucket width (mirror of q40's plan:
+    // broadcast queries, bucket equi-join, decimal-exact rescore).
+    def lshTop(bits: Int): org.apache.spark.sql.DataFrame = {
+      val e = embWithNorm(s, dir)
+        .withColumn("bkt", expr(sparkBucket("embedding", bits)))
+      val q = e.filter(col("vec_id") < 10).select(
+        col("vec_id").as("query_id"), col("bkt"),
+        col("embedding").as("emb_q"), col("n2").as("n2_q"))
+      val c = e.select(
+        col("vec_id").as("neighbor_id"), col("bkt"),
+        col("embedding").as("emb_c"), col("n2").as("n2_c"))
+      val rankW = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      c.join(broadcast(q), Seq("bkt"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_sim",
+          round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+        .withColumn("rank", row_number().over(rankW))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+
+    val exact = q39AnnTopK.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    exact.as("x")
+      .join(lshTop(8).as("l8"),
+        col("x.query_id") === col("l8.query_id") &&
+          col("x.neighbor_id") === col("l8.neighbor_id"), "left")
+      .join(lshTop(4).as("l4"),
+        col("x.query_id") === col("l4.query_id") &&
+          col("x.neighbor_id") === col("l4.neighbor_id"), "left")
+      .groupBy(col("x.query_id").as("query_id"))
+      .agg(
+        count(col("l8.neighbor_id")).as("n_hits_b8"),
+        (count(col("l8.neighbor_id")).cast("double") / 5).as("recall_b8"),
+        count(col("l4.neighbor_id")).as("n_hits_b4"),
+        (count(col("l4.neighbor_id")).cast("double") / 5).as("recall_b4"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
-    q66KmeansIter, q74SemanticNearDup)
+    q66KmeansIter, q74SemanticNearDup, q84AnnRecall)
 }
