@@ -587,7 +587,101 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q85: multi-probe LSH — the standard fix for exactly the recall gap
+    * q84 measures: each query probes its own bucket PLUS the 8 buckets at
+    * hamming distance 1 (flip each sign bit), so a near neighbor that
+    * disagrees on ONE leading sign bit is still found. Candidate volume
+    * rises 9× (still ~N×9/256 ≪ N); no pair is generated twice because
+    * every vector lives in exactly one bucket and the 9 probe buckets are
+    * distinct. Output is the same audit shape as q84 plus the per-query
+    * candidate count, so recall-vs-cost reads off one table:
+    * q84 recall_b8 (1 probe) vs q85 recall (9 probes).
+    *
+    * Scale shape: probe expansion is a 9-row explode on the QUERY side
+    * (the tiny broadcast side); the candidate join stays a bucket
+    * equi-join streaming the big side, same as q40. */
+  val q85AnnMultiprobe: Q = Q(
+    "q85_ann_multiprobe",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |xr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM xd JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc ON nc.vec_id = neighbor_id),
+       |x AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+       |bkt AS (SELECT vec_id, ${duckBucket("embedding")} AS bkt FROM embeddings),
+       |pb AS (SELECT vec_id, CASE WHEN i = 0 THEN bkt
+       |              ELSE substr(bkt, 1, i - 1) ||
+       |                   (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END) ||
+       |                   substr(bkt, i + 1) END AS pbkt
+       |       FROM bkt, range(0, 9) t(i) WHERE vec_id < 10),
+       |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
+       |         FROM pb p JOIN bkt c ON c.bkt = p.pbkt AND c.vec_id <> p.vec_id),
+       |nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
+       |ld AS (SELECT query_id, neighbor_id,
+       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM cand JOIN el a ON a.vec_id = query_id
+       |                 JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |       GROUP BY 1, 2),
+       |lr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc2.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM ld JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc2 ON nc2.vec_id = neighbor_id),
+       |l AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+       |hits AS (SELECT x.query_id, count(l.neighbor_id) AS n_hits
+       |         FROM x LEFT JOIN l
+       |           ON l.query_id = x.query_id AND l.neighbor_id = x.neighbor_id
+       |         GROUP BY 1)
+       |SELECT h.query_id, coalesce(nc.n_cand, 0) AS n_cand, h.n_hits,
+       |       CAST(h.n_hits AS DOUBLE) / 5 AS recall_at_5
+       |FROM hits h LEFT JOIN nc ON nc.query_id = h.query_id
+       |ORDER BY h.query_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
+    // 9 probe buckets per query: the bucket itself + each single-bit flip.
+    val probes = array(lit(0) +: (1 to 8).map(lit(_)): _*)
+    val q = e.filter(col("vec_id") < 10)
+      .withColumn("i", explode(probes))
+      .withColumn("pbkt", when(col("i") === 0, col("bkt")).otherwise(concat(
+        expr("substring(bkt, 1, i - 1)"),
+        when(expr("substring(bkt, i, 1)") === "1", "0").otherwise("1"),
+        expr("substring(bkt, i + 1)"))))
+      .select(col("vec_id").as("query_id"), col("pbkt").as("bkt"),
+        col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = e.select(
+      col("vec_id").as("neighbor_id"), col("bkt"),
+      col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val cand = c.join(broadcast(q), Seq("bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nCand = cand.groupBy(col("query_id")).agg(count(lit(1)).as("n_cand"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val l = cand
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val exact = q39AnnTopK.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.as("x").join(l.as("l"),
+        col("x.query_id") === col("l.query_id") &&
+          col("x.neighbor_id") === col("l.neighbor_id"), "left")
+      .groupBy(col("x.query_id").as("query_id"))
+      .agg(count(col("l.neighbor_id")).as("n_hits"))
+    hits.join(nCand, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        col("n_hits"), (col("n_hits").cast("double") / 5).as("recall_at_5"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
-    q66KmeansIter, q74SemanticNearDup, q84AnnRecall)
+    q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe)
 }
