@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming._
+
+/** Event-time TIMER sessionization via `transformWithState` — the shape
+  * `session_window` cannot express: a session is emitted exactly once, as a
+  * single closed record, when the watermark proves no more events can join
+  * it (vs session_window's per-trigger re-aggregation, or
+  * flatMapGroupsWithState's hand-rolled timeout bookkeeping).
+  *
+  * Per key the processor keeps one open session (ValueState) and one
+  * registered event-time timer at `last_event + gap`. Each new event
+  * extends the session and REPLACES the timer (delete + re-register);
+  * when the watermark passes the timer, `handleExpiredTimer` fires once,
+  * emits the closed session, and clears all state. State per user is O(1)
+  * and self-evicting — the 100 TB/day shape.
+  */
+object TimerSessions {
+
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp)
+  final case class Closed(user_id: Long, start_ms: Long, end_ms: Long, n_events: Long)
+  /** Open-session state (public: the state encoder's generated code
+    * instantiates it from outside this object). */
+  final case class Open(start: Long, last: Long, n: Long)
+
+  class Proc(gapMs: Long) extends StatefulProcessor[Long, Ev, Closed] {
+    @transient private var open: ValueState[Open] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[Open]("open", Encoders.product[Open], TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[Closed] = {
+      val times = rows.map(_.ts.getTime).toArray.sorted
+      var st = if (open.exists()) open.get() else Open(times.head, times.head, 0L)
+      // Events can straddle a gap within one trigger: close internally.
+      val out = Seq.newBuilder[Closed]
+      times.foreach { t =>
+        if (st.n > 0L && t - st.last >= gapMs) {
+          out += Closed(key, st.start, st.last, st.n)
+          st = Open(t, t, 1L)
+        } else {
+          st = Open(if (st.n == 0L) t else st.start, t, st.n + 1L)
+        }
+      }
+      // One live timer per key: replace the old deadline with the new one.
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(st.last + gapMs)
+      open.update(st)
+      out.result().iterator
+    }
+
+    override def handleExpiredTimer(
+        key: Long, tv: TimerValues, info: ExpiredTimerInfo): Iterator[Closed] = {
+      val result =
+        if (open.exists()) {
+          val st = open.get()
+          // A newer event may have re-registered a later timer; only close
+          // if this expiry still matches the session's deadline.
+          if (st.last + gapMs <= info.getExpiryTimeInMs) {
+            open.clear()
+            Iterator.single(Closed(key, st.start, st.last, st.n))
+          } else Iterator.empty
+        } else Iterator.empty
+      result
+    }
+  }
+
+  /** Closed sessions (30-min default gap) as an append stream. `ev` must
+    * carry a watermark on `ts` — event-time timers fire off it. */
+  def closedSessions(ev: Dataset[Ev], gapMinutes: Long = 30): Dataset[Closed] = {
+    implicit val enc: Encoder[Closed] = Encoders.product[Closed]
+    ev.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new Proc(gapMinutes * 60000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+}
