@@ -203,5 +203,46 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("rk"))
   }
 
-  val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint, q63TfIdf)
+  /** q87: bigram fluency score — a log-free corpus-LM proxy: a document's
+    * score is the mean corpus frequency of its word bigrams (documents made
+    * of common-in-corpus transitions score high; rare/garbled transitions
+    * score low). This is the cheap stand-in for the KenLM-perplexity filter
+    * real pipelines run, with the same data flow: build the n-gram table
+    * once, score every document against it. Exact arithmetic throughout:
+    * BIGINT frequency sum / BIGINT bigram count, ONE IEEE division per doc
+    * (COVERAGE.md determinism rules — no log(), no float accumulation).
+    *
+    * Scale shape: bigram extraction is the shingle explode (width 2);
+    * the corpus table is a map-side-combining count; scoring joins each
+    * doc-bigram row to exactly ONE count row (1:1 fan-out — hot bigrams
+    * do NOT go quadratic, unlike a doc×doc join), then one per-doc
+    * aggregate. All linear in total tokens. */
+  val q87BigramFluency: Q = Q(
+    "q87_bigram_fluency",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |bgr AS (SELECT doc_id,
+      |          unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+      |                 i -> array_to_string(ws[i:i+1], ' '))) AS bg
+      |        FROM w),
+      |cnt AS (SELECT bg, count(*) AS c FROM bgr GROUP BY bg)
+      |SELECT doc_id, count(*) AS n_bg,
+      |       round(CAST(sum(c) AS DOUBLE) / count(*), 4) AS fluency
+      |FROM bgr JOIN cnt USING (bg)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val bgr = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, greatest(size(ws) - 1, 1)), i -> concat_ws(' ', slice(ws, i, 2)))"))
+        .as("bg"))
+    val cnt = bgr.groupBy(col("bg")).agg(count(lit(1)).as("c"))
+    bgr.join(cnt, "bg")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bg"),
+        round(sum(col("c")).cast("double") / count(lit(1)), 4).as("fluency"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
+    q63TfIdf, q87BigramFluency)
 }

@@ -188,7 +188,43 @@ object Training {
       .orderBy(col("lang"))
   }
 
+  /** q86: dataset mix weighting — the sampling stage that turns a raw
+    * corpus into a TARGET TRAINING MIX: each language keeps a configured
+    * fraction (en 100%, fr/es 50%, zh/de 25%) via the same salted-hash
+    * gate as q49, so membership is deterministic, stable under re-runs,
+    * and decided map-side per row. The report shows requested-vs-achieved
+    * rate per language (achieved converges to the target as n grows; the
+    * gate is exact-threshold, not RNG).
+    *
+    * Scale shape: the gate is a stateless row filter fused into the scan
+    * (no shuffle); the report is one small aggregate. Reweighting 100 TB
+    * is a config change, not a new pipeline. */
+  val q86MixWeights: Q = Q(
+    "q86_mix_weights",
+    s"""WITH ${duckBucketed("-graft-mix")},
+       |w AS (SELECT *, CASE lang WHEN 'en' THEN 100 WHEN 'fr' THEN 50
+       |                          WHEN 'es' THEN 50 ELSE 25 END AS thr
+       |      FROM b)
+       |SELECT lang, count(*) AS n_docs,
+       |       count(*) FILTER (WHERE bkt < thr) AS n_kept,
+       |       round(CAST(count(*) FILTER (WHERE bkt < thr) AS DOUBLE) / count(*), 4) AS achieved_rate
+       |FROM w GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val thr = when(col("lang") === "en", 100)
+      .when(col("lang") === "fr", 50)
+      .when(col("lang") === "es", 50)
+      .otherwise(25)
+    sparkBucketed(s, dir, "-graft-mix")
+      .withColumn("thr", thr)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count_if(col("bkt") < col("thr")).as("n_kept"),
+        round(count_if(col("bkt") < col("thr")).cast("double") / count(lit(1)), 4)
+          .as("achieved_rate"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
-    q59PackSequences, q75OovRate)
+    q59PackSequences, q75OovRate, q86MixWeights)
 }
