@@ -216,7 +216,54 @@ object Extended {
         |FROM graft_orders o ORDER BY o_orderkey""".stripMargin)
   }
 
+  /** q88: distribution moments (mean / variance / skewness) from EXACT
+    * power sums — the portable-determinism recipe for higher statistics.
+    * Built-in `var_samp`/`skewness` accumulate floats in engine-specific
+    * order, so they can never hash-match across engines; instead Σx, Σx²,
+    * Σx³ are exact DECIMAL sums (l_quantity is integer-valued ≤ 50, so
+    * x³ ≤ 125000 is exactly representable — no rounding enters the sums),
+    * and the moment formulas are scalar IEEE expressions over those exact
+    * inputs, written in the SAME shape in both engines → identical bits.
+    *
+    * Scale shape: one partial/final aggregate pair, map-side combining
+    * three decimal sums — the same plan as any sum, no second pass and no
+    * sort, where a naive two-pass (mean then Σ(x−mean)²) would rescan. */
+  val q88MomentStats: Q = Q(
+    "q88_moment_stats",
+    """WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+      |  CAST(SUM(CAST(l_quantity * l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s3
+      |  FROM lineitem GROUP BY 1)
+      |SELECT grp, n,
+      |  round(s1 / n, 6) AS mean,
+      |  round((s2 - s1 * s1 / n) / n, 6) AS variance,
+      |  round(((s3 - 3 * s1 * s2 / n + 2 * s1 * s1 * s1 / (CAST(n AS DOUBLE) * n)) / n)
+      |        / pow((s2 - s1 * s1 / n) / n, 1.5), 6) AS skewness
+      |FROM s ORDER BY grp""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val q = col("l_quantity")
+    val agg = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(q.cast(DecimalType(18, 2))).cast("double").as("s1"),
+        sum((q * q).cast(DecimalType(28, 4))).cast("double").as("s2"),
+        sum((q * q * q).cast(DecimalType(38, 6))).cast("double").as("s3"))
+    val n = col("n")
+    val (s1, s2, s3) = (col("s1"), col("s2"), col("s3"))
+    val variance = (s2 - s1 * s1 / n) / n
+    val m3 = (s3 - lit(3) * s1 * s2 / n + lit(2) * s1 * s1 * s1 / (n.cast("double") * n)) / n
+    agg.select(
+        col("grp"), n,
+        round(s1 / n, 6).as("mean"),
+        round(variance, 6).as("variance"),
+        round(m3 / pow(variance, 1.5), 6).as("skewness"))
+      .orderBy(col("grp"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
-    q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery)
+    q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
+    q88MomentStats)
 }
