@@ -237,7 +237,53 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** q90: rolling 7-day active users per day — the metric shape a window
+    * frame CANNOT compute, because COUNT(DISTINCT) doesn't decompose over
+    * sliding frames (you can't subtract the day that fell out of the
+    * window). The scale rewrite is contribution-explode: each (user, day)
+    * activity row contributes to the 7 window-END days it stays visible
+    * in, then one distinct-count per window-end day. Cost is bounded at
+    * 7× the DAILY-DEDUPED activity rows (dedupe first — raw events can be
+    * billions/day, (user, day) pairs are orders of magnitude fewer).
+    *
+    * Only windows fully inside the observed range are reported (the first
+    * 6 days are ramp-up with partial history — both engines drop them with
+    * the same min-day bound). Days are epoch-day integers end to end
+    * (date_diff from epoch), so no date-type coercion is compared.
+    *
+    * Scale shape: dedupe is one (user, day) aggregate with map-side
+    * combine; the explode is a map-side 7-row Generate; the final
+    * distinct-count is Spark's standard two-level aggregate — keyed on
+    * (day, user) FIRST (high cardinality, skew-free), then day. */
+  val q90RollingActive: Q = Q(
+    "q90_rolling_active",
+    """WITH ud AS (SELECT DISTINCT user_id,
+      |                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+      |            FROM events),
+      |bounds AS (SELECT min(d) AS dmin, max(d) AS dmax FROM ud),
+      |c AS (SELECT user_id, d + i AS wend
+      |      FROM ud, range(0, 7) t(i)),
+      |w AS (SELECT wend, count(DISTINCT user_id) AS n_active_7d
+      |      FROM c GROUP BY wend)
+      |SELECT wend AS epoch_day, n_active_7d
+      |FROM w, bounds WHERE wend >= dmin + 6 AND wend <= dmax
+      |ORDER BY epoch_day""".stripMargin) { (s, dir) =>
+    val ud = Tables(s, dir, "events")
+      .select(col("user_id"), datediff(to_date(col("ts")), lit("1970-01-01")).as("d"))
+      .distinct()
+    val bounds = ud.agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"))
+    ud.select(col("user_id"), explode(expr("sequence(0, 6)")).as("i"),
+        col("d"))
+      .select(col("user_id"), (col("d") + col("i")).as("wend"))
+      .groupBy(col("wend"))
+      .agg(countDistinct(col("user_id")).as("n_active_7d"))
+      .join(broadcast(bounds))
+      .filter(col("wend") >= col("dmin") + 6 && col("wend") <= col("dmax"))
+      .select(col("wend").cast("long").as("epoch_day"), col("n_active_7d"))
+      .orderBy(col("epoch_day"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
-      q46Sliding, q60AsofCustom, q71RetentionCohorts)
+      q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive)
 }
