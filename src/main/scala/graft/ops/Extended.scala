@@ -262,8 +262,68 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q89: winsorized (outlier-clipped) statistics — robust aggregation:
+    * clip every value into [p05, p95] before averaging, with the exact
+    * percentiles found by RANK COUNTING over the per-group VALUE HISTOGRAM,
+    * not a row-level sort: groupBy (grp, value) first (map-side combining,
+    * high-cardinality key), then a cumulative window over the value-level
+    * rows — orders of magnitude fewer than raw rows, so the per-group sort
+    * never sees the raw table. p05 = smallest value whose cumulative count
+    * reaches ceil(0.05·n). The winsorized mean is an exact decimal sum of
+    * clamped values, one division at the end.
+    *
+    * The row-level alternative (row_number over each group) funnels whole
+    * groups through single reducers — the low-cardinality window trap this
+    * plan exists to avoid. */
+  val q89Winsorized: Q = Q(
+    "q89_winsorized_stats",
+    """WITH vc AS (SELECT l_returnflag AS grp, l_extendedprice AS x, count(*) AS c
+      |            FROM lineitem GROUP BY 1, 2),
+      |cum AS (SELECT grp, x, c,
+      |               sum(c) OVER (PARTITION BY grp ORDER BY x) AS cumc,
+      |               sum(c) OVER (PARTITION BY grp) AS n
+      |        FROM vc),
+      |p AS (SELECT grp,
+      |             min(CASE WHEN cumc >= CAST(ceil(0.05 * n) AS BIGINT) THEN x END) AS p05,
+      |             min(CASE WHEN cumc >= CAST(ceil(0.95 * n) AS BIGINT) THEN x END) AS p95
+      |      FROM cum GROUP BY grp)
+      |SELECT grp, CAST(sum(c) AS BIGINT) AS n, p05, p95,
+      |       CAST(sum(c) FILTER (WHERE x < p05) AS BIGINT) AS n_low,
+      |       CAST(sum(c) FILTER (WHERE x > p95) AS BIGINT) AS n_high,
+      |       round(CAST(SUM(CAST(greatest(p05, least(p95, x)) * c AS DECIMAL(28,4)) ) AS DOUBLE)
+      |             / sum(c), 4) AS wins_mean
+      |FROM vc JOIN p USING (grp)
+      |GROUP BY grp, p05, p95 ORDER BY grp""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val vc = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("grp"), col("l_extendedprice").as("x"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(col("grp")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("grp"))
+    val cum = vc
+      .withColumn("cumc", sum(col("c")).over(wOrd))
+      .withColumn("n", sum(col("c")).over(wAll))
+    val p = cum.groupBy(col("grp")).agg(
+      min(when(col("cumc") >= ceil(lit(0.05) * col("n")).cast("long"), col("x"))).as("p05"),
+      min(when(col("cumc") >= ceil(lit(0.95) * col("n")).cast("long"), col("x"))).as("p95"))
+    val clamped = greatest(col("p05"), least(col("p95"), col("x")))
+    vc.join(p, "grp")
+      .groupBy(col("grp"), col("p05"), col("p95"))
+      .agg(
+        sum(col("c")).as("n"),
+        sum(when(col("x") < col("p05"), col("c")).otherwise(lit(0L))).as("n_low"),
+        sum(when(col("x") > col("p95"), col("c")).otherwise(lit(0L))).as("n_high"),
+        round(sum((clamped * col("c")).cast(DecimalType(28, 4))).cast("double")
+          / sum(col("c")), 4).as("wins_mean"))
+      .select(col("grp"), col("n"), col("p05"), col("p95"),
+        col("n_low"), col("n_high"), col("wins_mean"))
+      .orderBy(col("grp"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
-    q88MomentStats)
+    q88MomentStats, q89Winsorized)
 }
