@@ -322,8 +322,39 @@ object Extended {
       .orderBy(col("grp"))
   }
 
+  /** q91: the custom bounded-heap aggregate (`functions.TopKByScore`)
+    * oracle-gated DIRECTLY — top-3 line items per return flag by price,
+    * where the Spark side is `topk_by_score` (map-side k-bounded heap, ≤ k
+    * rows per group per partition reach the shuffle) and the oracle is the
+    * semantically-equal row_number window. q39 uses the aggregate as an
+    * internal shortlist; here its own output order and tie-breaking
+    * (score desc, id asc) are what the hash compare certifies. */
+  val q91TopKAggregate: Q = Q(
+    "q91_topk_aggregate",
+    """WITH ranked AS (
+      |  SELECT l_returnflag AS grp,
+      |         l_orderkey * 10 + l_linenumber AS id,
+      |         l_extendedprice AS score,
+      |         row_number() OVER (PARTITION BY l_returnflag
+      |           ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber) AS rank
+      |  FROM lineitem)
+      |SELECT grp, rank, id, score FROM ranked WHERE rank <= 3
+      |ORDER BY grp, rank""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+        col("l_extendedprice").as("score"))
+      .groupBy(col("grp"))
+      .agg(expr("topk_by_score(score, id, 3)").as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("id"), col("col.score").as("score"))
+      .orderBy(col("grp"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
-    q88MomentStats, q89Winsorized)
+    q88MomentStats, q89Winsorized, q91TopKAggregate)
 }
