@@ -94,6 +94,25 @@ class LayoutSpec extends SparkSpec {
     assert(rowStrings(got) === rowStrings(ref))
   }
 
+  test("partitionBy write gives directory-level pruning on the partition column") {
+    // Hive-style layout: one directory per lang value. A filter on the
+    // partition column must resolve at PLANNING time (file listing), so the
+    // filtered read touches only that directory's files — zero I/O on the
+    // other partitions, the coarse sibling of q81's file-level min/max
+    // skipping.
+    val dir = java.nio.file.Files.createTempDirectory("partby").toString
+    val docs = (1 to 300).map(i => (i.toLong, s"text $i", s"l${i % 3}"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.partitionBy("lang").mode("overwrite").parquet(dir)
+
+    val filtered = spark.read.parquet(dir).where(col("lang") === "l1")
+    assert(filtered.count() === 100)
+    val files = filtered.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(_.contains("lang=l1")),
+      s"scan must touch only the lang=l1 directory, got ${files.toSeq}")
+  }
+
   test("q83 manifest assigns each doc the FIRST dropping stage") {
     // src0: doc 1 fails quality (too short), docs 8/11 are exact duplicates
     // (keeper = 8), doc 9 is repetitive. With cap=10 nothing is capped, so
