@@ -35,13 +35,19 @@ object TimerSessions {
       val times = rows.map(_.ts.getTime).toArray.sorted
       var st = if (open.exists()) open.get() else Open(times.head, times.head, 0L)
       // Events can straddle a gap within one trigger: close internally.
+      // A late-but-within-watermark event (t <= st.last, delivered by a
+      // LATER trigger) must only extend the open session monotonically —
+      // never lower `last` (that would shrink the deadline and close the
+      // session early, possibly with end < start).
       val out = Seq.newBuilder[Closed]
       times.foreach { t =>
         if (st.n > 0L && t - st.last >= gapMs) {
           out += Closed(key, st.start, st.last, st.n)
           st = Open(t, t, 1L)
+        } else if (st.n == 0L) {
+          st = Open(t, t, 1L)
         } else {
-          st = Open(if (st.n == 0L) t else st.start, t, st.n + 1L)
+          st = Open(math.min(st.start, t), math.max(st.last, t), st.n + 1L)
         }
       }
       // One live timer per key: replace the old deadline with the new one.

@@ -25,24 +25,25 @@ class TimerSessionsSpec extends SparkSpec with BeforeAndAfterAll {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
   }
 
-  private def runOnce(): Unit = {
+  private def runOnce(inDir: String = dir, outDir: String = out,
+      ckptDir: String = ckpt, watermark: String = "10 seconds"): Unit = {
     val ev = spark.readStream
       .schema("user_id LONG, ts TIMESTAMP")
-      .parquet(dir)
-      .withWatermark("ts", "10 seconds")
+      .parquet(inDir)
+      .withWatermark("ts", watermark)
       .as[TimerSessions.Ev]
     val q = TimerSessions.closedSessions(ev, gapMinutes = 30).writeStream
       .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", ckpt)
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
 
-  private def closed(): Seq[TimerSessions.Closed] =
-    spark.read.parquet(out).as[TimerSessions.Closed].collect().toSeq
+  private def closed(outDir: String = out): Seq[TimerSessions.Closed] =
+    spark.read.parquet(outDir).as[TimerSessions.Closed].collect().toSeq
       .sortBy(c => (c.user_id, c.start_ms))
 
   test("sessions close once via event-time timers, surviving restarts") {
@@ -80,6 +81,47 @@ class TimerSessionsSpec extends SparkSpec with BeforeAndAfterAll {
       // 12:30), and nothing closed twice.
       assert(!afterB2.exists(_.user_id == 2L))
       assert(afterB2.size === 3)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("late-but-within-watermark event extends the session, never shrinks it") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val r = s"$root/ooo"
+    val (in2, out2, ck2) = (s"$r/in", s"$r/out", s"$r/ckpt")
+    try {
+      // Run 1: user 1 opens a session [10:00, 10:20] — deadline 10:50.
+      // Watermark delay is 2 h, so the final watermark is 08:20: nothing fires.
+      Seq((1L, ts(10, 0)), (1L, ts(10, 20))).toDF("user_id", "ts")
+        .write.mode("append").parquet(in2)
+      runOnce(in2, out2, ck2, watermark = "2 hours")
+      assert(closed(out2).isEmpty)
+
+      // Run 2: a LATE event for user 1 at 09:55 (before the session's start,
+      // well within the 2 h watermark) plus a user-9 event at 12:40 that
+      // advances the watermark to 10:40 — past the WRONG deadline a
+      // shrunken session would have (10:25), before the TRUE one (10:50).
+      // The session must stay open and simply absorb the late event.
+      Seq((1L, ts(9, 55)), (9L, ts(12, 40))).toDF("user_id", "ts")
+        .write.mode("append").parquet(in2)
+      runOnce(in2, out2, ck2, watermark = "2 hours")
+      assert(!closed(out2).exists(_.user_id == 1L),
+        s"session closed early off a late event: ${closed(out2)}")
+
+      // Run 3: user-9 event at 13:00 → watermark 11:00 > 10:50: the timer
+      // fires and the closed session covers [09:55, 10:20] with all 3 events.
+      Seq((9L, ts(13, 0))).toDF("user_id", "ts")
+        .write.mode("append").parquet(in2)
+      runOnce(in2, out2, ck2, watermark = "2 hours")
+      val u1 = closed(out2).filter(_.user_id == 1L)
+      assert(u1 === Seq(
+        TimerSessions.Closed(1L, ts(9, 55).getTime, ts(10, 20).getTime, 3L)))
     } finally {
       prev match {
         case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
