@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * native merge (plain parquet here; the same code shape drives JDBC or any
   * table format): per micro-batch, merge the batch's rows into the snapshot
   * by key (last-writer-wins within and across batches), stage the new
-  * snapshot, and swap it in atomically — the same stage→rename protocol as
-  * `git.Pipeline.etlAppend`, so a crash mid-publish leaves the old snapshot
-  * intact and the batch replays (foreachBatch is at-least-once; the merge
-  * is idempotent by key+seq, so replays converge — effective exactly-once).
+  * snapshot, and swap it in with a retire→promote→clean rename sequence:
+  * the previous snapshot is renamed aside (not deleted) before the staged
+  * one is promoted, so EVERY crash point leaves a recoverable state — the
+  * next merge's `recover` rolls a retired snapshot back rather than
+  * rebuilding from one batch (foreachBatch is at-least-once; the merge is
+  * idempotent by key+seq, so replays converge — effective exactly-once).
   *
   * At 100 TB the only change is scope: with a key-partitioned snapshot the
   * merge touches only the partitions present in the batch (dynamic
@@ -20,6 +22,31 @@ import org.apache.spark.sql.functions._
   * digest-diff shape: join on key, prefer the higher ingest seq.
   */
 object UpsertSink {
+
+  /** Crash recovery for the three-step swap (retire → promote → clean).
+    * A crash between retire and promote leaves NO `current` but exactly one
+    * `retired-*` dir holding the intact previous snapshot: roll it back.
+    * A crash after promote leaves `current` plus leftover `retired-*` /
+    * `staged-*` dirs: garbage-collect them. Ambiguous states (no current,
+    * zero-or-many retired dirs, but staged dirs present) fail loudly rather
+    * than silently rebuilding the snapshot from one batch. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem, dir: Path, cur: Path): Unit = {
+    if (!fs.exists(dir)) return
+    val kids = fs.listStatus(dir).map(_.getPath)
+    val retired = kids.filter(_.getName.startsWith("retired-"))
+    val staged = kids.filter(_.getName.startsWith("staged-"))
+    if (!fs.exists(cur)) {
+      if (retired.length == 1) {
+        require(fs.rename(retired.head, cur), s"crash rollback failed at $cur")
+      } else require(retired.isEmpty && staged.isEmpty,
+        s"unrecoverable snapshot state at $dir: no `current`, " +
+          s"${retired.length} retired dir(s), ${staged.length} staged dir(s) — " +
+          "refusing to rebuild the snapshot from a single batch")
+    }
+    // With `current` present (possibly just rolled back), leftovers are junk.
+    (kids.filter(p => p.getName.startsWith("retired-") || p.getName.startsWith("staged-")))
+      .filter(fs.exists(_)).foreach(fs.delete(_, true))
+  }
 
   /** Merge `batch` (key, seq, payload...) into the parquet snapshot at
     * `snapshotDir` — keep, per key, the row with the highest `seq`
@@ -29,6 +56,7 @@ object UpsertSink {
     val fs = new Path(snapshotDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val cur = new Path(snapshotDir, "current")
     val staged = new Path(snapshotDir, s"staged-${java.util.UUID.randomUUID()}")
+    recover(fs, new Path(snapshotDir), cur)
 
     // Within-batch last-writer-wins first (a batch can carry several
     // versions of one key), rendered as max_by over the whole row.
@@ -54,8 +82,17 @@ object UpsertSink {
       } else batchLatest
 
     merged.write.mode(SaveMode.Overwrite).parquet(staged.toString)
-    if (fs.exists(cur)) fs.delete(cur, true)
-    require(fs.rename(staged, cur), s"atomic snapshot swap failed at $cur")
+    // Retire → promote → clean: each step is a single atomic rename/delete,
+    // and at no instant is the previous snapshot lost — a crash before the
+    // promote is rolled back by `recover` on the next merge.
+    if (fs.exists(cur)) {
+      val retired = new Path(snapshotDir, s"retired-${java.util.UUID.randomUUID()}")
+      require(fs.rename(cur, retired), s"snapshot retire failed at $cur")
+      require(fs.rename(staged, cur), s"atomic snapshot swap failed at $cur")
+      fs.delete(retired, true)
+    } else {
+      require(fs.rename(staged, cur), s"atomic snapshot swap failed at $cur")
+    }
   }
 
   /** Attach the upsert sink to a keyed stream: every micro-batch merges

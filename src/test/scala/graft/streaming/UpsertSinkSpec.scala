@@ -54,4 +54,38 @@ class UpsertSinkSpec extends SparkSpec with BeforeAndAfterAll {
     assert(snapshot() === Map(
       "a" -> ((3L, "a3")), "b" -> ((1L, "b1")), "c" -> ((1L, "c1"))))
   }
+
+  test("crash between retire and promote is rolled back, not rebuilt from one batch") {
+    val dir = s"$root/crash1"
+    UpsertSink.mergeBatch(
+      Seq(("a", 1L, "a1"), ("b", 1L, "b1")).toDF("key", "seq", "v"), dir)
+
+    // Simulate the crash window: `current` was renamed aside to retired-*,
+    // the staged dir was never promoted. No `current` exists.
+    val f = new java.io.File(dir)
+    assert(new java.io.File(f, "current").renameTo(new java.io.File(f, "retired-test")))
+    val stagedDir = new java.io.File(f, "staged-test")
+    stagedDir.mkdirs() // half-written staged output, content irrelevant
+
+    // The next merge must FIRST roll the retired snapshot back, then merge —
+    // keys a and b survive even though this batch only carries c.
+    UpsertSink.mergeBatch(Seq(("c", 1L, "c1")).toDF("key", "seq", "v"), dir)
+    assert(spark.read.parquet(s"$dir/current").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap ===
+      Map("a" -> ((1L, "a1")), "b" -> ((1L, "b1")), "c" -> ((1L, "c1"))))
+    // Crash leftovers are garbage-collected.
+    assert(!f.listFiles().exists(d =>
+      d.getName.startsWith("retired-") || d.getName.startsWith("staged-")))
+  }
+
+  test("ambiguous crash state (no current, multiple retired) fails loudly") {
+    val dir = s"$root/crash2"
+    val f = new java.io.File(dir)
+    new java.io.File(f, "retired-x").mkdirs()
+    new java.io.File(f, "retired-y").mkdirs()
+    val ex = intercept[IllegalArgumentException] {
+      UpsertSink.mergeBatch(Seq(("a", 1L, "a1")).toDF("key", "seq", "v"), dir)
+    }
+    assert(ex.getMessage.contains("refusing to rebuild"))
+  }
 }
