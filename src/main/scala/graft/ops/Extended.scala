@@ -288,8 +288,8 @@ object Extended {
       |             min(CASE WHEN cumc >= CAST(ceil(0.95 * n) AS BIGINT) THEN x END) AS p95
       |      FROM cum GROUP BY grp)
       |SELECT grp, CAST(sum(c) AS BIGINT) AS n, p05, p95,
-      |       CAST(sum(c) FILTER (WHERE x < p05) AS BIGINT) AS n_low,
-      |       CAST(sum(c) FILTER (WHERE x > p95) AS BIGINT) AS n_high,
+      |       CAST(coalesce(sum(c) FILTER (WHERE x < p05), 0) AS BIGINT) AS n_low,
+      |       CAST(coalesce(sum(c) FILTER (WHERE x > p95), 0) AS BIGINT) AS n_high,
       |       round(CAST(SUM(CAST(greatest(p05, least(p95, x)) * c AS DECIMAL(28,4)) ) AS DOUBLE)
       |             / sum(c), 4) AS wins_mean
       |FROM vc JOIN p USING (grp)
