@@ -226,10 +226,10 @@ object Similarity {
     * the lower centroid id. Shared by q48 (inverted lists) and q66 (Lloyd
     * update); `ac` additionally carries every (vec, centroid) rank for
     * q48's probe set. */
-  private val duckAssignCtes: String =
-    """ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+  private def duckAssignCtes(kSql: String = "16"): String =
+    s"""ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
+      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < $kSql
       |       GROUP BY 1, 2),
       |ac AS (SELECT ad.vec_id, centroid_id,
       |              row_number() OVER (PARTITION BY ad.vec_id
@@ -243,8 +243,8 @@ object Similarity {
     * `max_by` argmax over a (cos, -centroid_id) struct — partial
     * aggregation collapses each vector's k candidate rows to 1 BEFORE the
     * vec_id shuffle (a window would sort-shuffle all N×k rows). */
-  private def centroidAssign(e: DataFrame): DataFrame = {
-    val cent = e.filter(col("vec_id") < 16).select(
+  private[ops] def centroidAssign(e: DataFrame, k: Long = 16L): DataFrame = {
+    val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
       col("n2").as("n2_cent"))
     e.join(broadcast(cent))
@@ -259,7 +259,7 @@ object Similarity {
     "q48_ann_ivf",
     s"""WITH $duckEl,
        |$duckN2,
-       |$duckAssignCtes,
+       |${duckAssignCtes()},
        |probe AS (SELECT vec_id AS query_id, centroid_id
        |          FROM ac WHERE crank <= 2 AND vec_id < 10),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
@@ -387,7 +387,7 @@ object Similarity {
     "q66_kmeans_iter",
     s"""WITH $duckEl,
        |$duckN2,
-       |$duckAssignCtes,
+       |${duckAssignCtes()},
        |dims AS (SELECT centroid_id, i,
        |                CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
        |                  / count(*) AS mean_v,
@@ -420,30 +420,68 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** SemDeDup target mean cluster size and the per-cluster scan cap.
+    * k = clamp(N / TargetClusterSize, 16, 4096) keeps E[cluster] constant
+    * as the corpus grows, and any cluster that still exceeds ScanCap
+    * members (skew) is excluded from pair scanning entirely — the same
+    * bound q35's band-bucket cap gives MinHash-LSH. Both constants are
+    * mirrored literally in the DuckDB oracle. */
+  private[ops] val TargetClusterSize = 64L
+  private[ops] val SemScanCap = 200L
+  private[ops] def semK(n: Long): Long =
+    math.max(16L, math.min(4096L, n / TargetClusterSize))
+
+  /** Within-cluster candidate pairs for SemDeDup, cap-guarded: clusters
+    * with more than `cap` members contribute NO pairs (a broadcast
+    * anti-join against the tiny over-cap cluster list), so no cluster can
+    * go quadratic regardless of skew. Output: (centroid_id, vec_a, emb_a,
+    * n2_a, vec_b, emb_b, n2_b) with vec_a < vec_b. */
+  private[ops] def semDeDupCandidates(e: DataFrame, assign: DataFrame, cap: Long): DataFrame = {
+    val big = assign.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"))
+      .filter(col("n_members") > cap)
+      .select(col("centroid_id"))
+    val withEmb = assign
+      .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .join(broadcast(big), Seq("centroid_id"), "left_anti")
+    val a = withEmb.select(col("centroid_id"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = withEmb.select(col("centroid_id"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("centroid_id")).filter(col("vec_a") < col("vec_b"))
+  }
+
   /** q74: semantic-dedup audit (the SemDeDup shape, Abbas et al. 2023):
     * cluster the embedding space (here: the shared nearest-seed-centroid
     * assignment), then look for near-duplicate pairs ONLY within each
     * cluster — the cluster is the candidate generator, exactly as LSH
     * buckets are for q38. Per cluster: members, within-cluster pair count,
-    * and how many pairs are semantic near-dups (cosine ≥ 0.9).
+    * whether the cluster was scanned (size ≤ cap), and how many pairs are
+    * semantic near-dups (cosine ≥ 0.9).
     *
-    * Scale shape: within-cluster pairing is the SemDeDup algorithm itself —
-    * the trade is k: a real deployment sets k ∝ N/target_cluster_size, so
-    * per-cluster pair counts stay bounded as the corpus grows (the same
-    * bound q35 gets from its band cap). Spark prunes pairs with the
-    * codegen'd double cosine at 0.88 before the decimal-exact rescore
-    * (double error ~1e-13 ≪ the 0.02 margin to the 0.9 verdict); the
-    * per-cluster n_pairs is computed from member counts, not by
-    * materializing pairs. */
+    * Scale shape: k is DERIVED from corpus size — clamp(N/64, 16, 4096) —
+    * so E[cluster size] stays constant as N grows (both engines compute k
+    * from the same count(*), so the oracle agrees at every SF), and any
+    * cluster that still exceeds the 200-member cap (skew) is excluded from
+    * pair scanning by a broadcast anti-join and marked scanned=false — the
+    * same bound q35 gets from its band cap: no cluster can go quadratic.
+    * Spark prunes pairs with the codegen'd double cosine at 0.88 before
+    * the decimal-exact rescore (double error ~1e-13 ≪ the 0.02 margin to
+    * the 0.9 verdict); the per-cluster n_pairs is computed from member
+    * counts, not by materializing pairs. */
   val q74SemanticNearDup: Q = Q(
     "q74_semantic_neardup",
     s"""WITH $duckEl,
        |$duckN2,
-       |$duckAssignCtes,
+       |kk AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
+       |       FROM embeddings),
+       |${duckAssignCtes("(SELECT k FROM kk)")},
        |mem AS (SELECT centroid_id, count(*) AS n_members FROM assign GROUP BY 1),
        |cand AS (SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b
        |         FROM assign a JOIN assign b
-       |           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |           ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+       |         JOIN mem m ON m.centroid_id = a.centroid_id
+       |           AND m.n_members <= $SemScanCap),
        |d AS (SELECT centroid_id, vec_a, vec_b,
        |             CAST(SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
        |      FROM cand JOIN el x ON x.vec_id = vec_a
@@ -454,24 +492,21 @@ object Similarity {
        |              JOIN n2 nb ON nb.vec_id = vec_b)
        |SELECT m.centroid_id AS cluster_id, m.n_members,
        |       m.n_members * (m.n_members - 1) // 2 AS n_pairs,
+       |       m.n_members <= $SemScanCap AS scanned,
        |       count(*) FILTER (WHERE cos_sim >= 0.9) AS n_neardup
        |FROM mem m LEFT JOIN cs ON cs.centroid_id = m.centroid_id
        |GROUP BY 1, 2 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
     graft.functions.GraftFunctions.register(s)
+    // One metadata-cheap count sizes the algorithm (k ∝ N) — the same
+    // number the oracle's count(*) CTE computes.
+    val k = semK(Tables(s, dir, "embeddings").count())
     val e = embWithNorm(s, dir)
     // One row per vector and tiny columns; persisted because both the pair
     // join and the membership rollup consume it (its lineage is the full
     // broadcast-argmax assignment — the q47 lesson: share, don't re-derive).
-    val assign = centroidAssign(e)
+    val assign = centroidAssign(e, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withEmb = assign
-      .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
-    val a = withEmb.select(col("centroid_id"), col("vec_id").as("vec_a"),
-      col("embedding").as("emb_a"), col("n2").as("n2_a"))
-    val b = withEmb.select(col("centroid_id"), col("vec_id").as("vec_b"),
-      col("embedding").as("emb_b"), col("n2").as("n2_b"))
-    val near = a.join(b, Seq("centroid_id"))
-      .filter(col("vec_a") < col("vec_b"))
+    val near = semDeDupCandidates(e, assign, SemScanCap)
       .filter(expr("cosine_f32(emb_a, emb_b)") >= 0.88)
       .withColumn("cos_sim",
         round(expr(dDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")), 6))
@@ -482,6 +517,7 @@ object Similarity {
       .select(
         col("centroid_id").as("cluster_id"), col("n_members"),
         expr("n_members * (n_members - 1) div 2").as("n_pairs"),
+        (col("n_members") <= SemScanCap).as("scanned"),
         coalesce(col("nn"), lit(0L)).as("n_neardup"))
       .orderBy(col("cluster_id"))
   }

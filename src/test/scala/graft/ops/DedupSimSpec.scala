@@ -105,4 +105,36 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(en.getAs[Long]("sum_tokens") == 150L)
     assert(en.getAs[Long]("n_vocab") == 51L) // word1..word50 + changed
   }
+
+  test("q74 SemDeDup: per-cluster candidate pairs stay cap-bounded under skew") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 4 seed centroids (vec_id 0-3) along distinct axes; 300 extra copies
+    // of centroid 0's direction form a pathological skew cluster (301
+    // members), 30 extras join centroid 1 (31 members — under the cap).
+    val dim = 8
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(dim)(i => if (i == axis) 1.0f else 0.0f)
+    val rows =
+      (0L to 3L).map(i => (i, unit(i.toInt))) ++
+        (4L to 303L).map(i => (i, unit(0))) ++
+        (304L to 333L).map(i => (i, unit(1)))
+    val e = rows.toDF("vec_id", "embedding").withColumn("n2", lit(1.0))
+    val assign = Similarity.centroidAssign(e, 4L)
+    val cap = 50L
+    val counts = Similarity.semDeDupCandidates(e, assign, cap)
+      .groupBy(col("centroid_id")).count().collect()
+      .map(r => r.getAs[Long]("centroid_id") -> r.getAs[Long]("count")).toMap
+    // The over-cap cluster contributes ZERO pairs (anti-joined out) …
+    assert(!counts.contains(0L), s"over-cap cluster produced pairs: $counts")
+    // … the small cluster is scanned in full …
+    assert(counts(1L) == 31L * 30L / 2L)
+    // … and no cluster can exceed the cap-implied pair bound.
+    assert(counts.values.forall(_ <= cap * (cap - 1) / 2))
+  }
+
+  test("semK derives cluster count from corpus size, clamped") {
+    assert(Similarity.semK(500L) == 16L) // small corpora: floor at 16
+    assert(Similarity.semK(2000L) == 31L) // 2000/64
+    assert(Similarity.semK(100L * 1000L * 1000L) == 4096L) // ceiling
+  }
 }
