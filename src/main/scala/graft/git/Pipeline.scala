@@ -77,47 +77,136 @@ object Pipeline {
   /** Cross-run incremental mode (U1–U5 across successive runs): the
     * reference appends every run into the same SQLite file, so each load is
     * a keyed upsert against the cumulative table (src/database.ts:21-36,
-    * 85-95, 109-117, 148-151, 228-236). Here: read the previously-written
-    * table (if any), merge with that table's reference conflict semantics,
-    * and swap the directory in atomically (stage → delete → rename via the
-    * FileSystem API — same pattern as the output-commit protocol, so a
-    * crashed run leaves the old table intact; this is the U6 atomicity
-    * story per table). One shuffle per table on its natural key — the merge
-    * cost is proportional to the run's output, not the archive, once the
-    * store is partitioned by key (e.g. repo_name) so only touched
-    * partitions rewrite.
+    * 85-95, 109-117, 148-151, 228-236).
+    *
+    * The four repo-scoped tables (commits, file_changes, tags, repos) are
+    * stored PARTITIONED by repo: a run merges only the partitions of the
+    * repos it touched — the previous store is read partition-pruned to the
+    * touched set, merged with that table's reference conflict semantics,
+    * staged, and swapped in per partition with a retire→promote→clean
+    * rename sequence. Untouched repos' files are never read, rewritten, or
+    * even listed: merge cost is proportional to the run's output, not the
+    * archive — at 100 TB this is the difference between an incremental
+    * publish and a full rewrite. Per-partition atomicity matches the
+    * reference's own granularity (one SQLite transaction per repo,
+    * main.ts), and a crash between retire and promote is rolled back by
+    * the next run (dot-prefixed retired dirs are invisible to readers).
+    *
+    * `authors` is the one table that CANNOT be repo-partitioned: its key
+    * is email and its counts accumulate ACROSS repos (database.ts:109-117),
+    * so it keeps the whole-table merge — it is a dimension table, orders
+    * of magnitude smaller than the fact tables.
     */
   def etlAppend(spark: SparkSession, repoPaths: Seq[String], outDir: String,
       authorGate: Option[String] = None): Unit = {
     val r = build(spark, repoPaths, authorGate)
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // Whole-table merge (authors only): stage → retire → promote → clean.
     def mergeWrite(table: String, incoming: DataFrame)(
         merge: (DataFrame, DataFrame) => DataFrame): Unit = {
       val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val fs = path.getFileSystem(conf)
       val merged =
         if (fs.exists(path)) merge(spark.read.parquet(path.toString), incoming)
         else incoming
-      val staged = new org.apache.hadoop.fs.Path(s"$outDir/$table.__staged")
+      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
       merged.write.mode("overwrite").parquet(staged.toString)
-      fs.delete(path, true)
-      require(fs.rename(staged, path), s"atomic swap failed for $table")
+      if (fs.exists(path)) {
+        val retired = new org.apache.hadoop.fs.Path(
+          s"$outDir/.$table.__retired-${java.util.UUID.randomUUID()}")
+        require(fs.rename(path, retired), s"retire failed for $table")
+        require(fs.rename(staged, path), s"atomic swap failed for $table")
+        fs.delete(retired, true)
+      } else require(fs.rename(staged, path), s"atomic swap failed for $table")
     }
+
+    // Partitioned merge: prune the store read to the run's partitions,
+    // merge, stage partitioned, swap each staged partition dir in.
+    def mergeWritePartitioned(table: String, partCol: String, incoming: DataFrame)(
+        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+      val fs = store.getFileSystem(conf)
+      recoverPartitions(fs, store)
+      // The touched-partition set is the run's repo list — a handful of
+      // names, driver-side by construction (not a data-volume collect).
+      val touched = incoming.select(col(partCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      val merged =
+        if (fs.exists(store)) {
+          // Explicit schema pins the partition column's type (no dir-name
+          // type inference) and lets the isin prune skip untouched dirs.
+          val existing = spark.read.schema(incoming.schema).parquet(store.toString)
+            .filter(col(partCol).isin(touched: _*))
+          merge(existing, incoming).select(incoming.columns.map(col): _*)
+        } else incoming
+      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
+      fs.delete(staged, true)
+      merged.write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
+      fs.mkdirs(store)
+      val partDirs = fs.listStatus(staged).filter(_.isDirectory)
+      if (partDirs.isEmpty) {
+        // Empty merged result (e.g. a run with no tags): a partitioned
+        // write emits no files, which would leave an unreadable empty dir.
+        // Keep the table readable with a flat empty-schema'd parquet —
+        // replaced by real partition dirs the first time any appear.
+        if (fs.listStatus(store).isEmpty)
+          merged.write.mode("overwrite").parquet(store.toString)
+      } else {
+        // Clear a previous empty-table marker (root-level files) before
+        // the layout becomes partitioned.
+        fs.listStatus(store).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
+        partDirs.foreach { p =>
+          val name = p.getPath.getName // e.g. repo_name=repoA
+          val dest = new org.apache.hadoop.fs.Path(store, name)
+          if (fs.exists(dest)) {
+            val retired = new org.apache.hadoop.fs.Path(store,
+              s".retired-${java.util.UUID.randomUUID()}--$name")
+            require(fs.rename(dest, retired), s"retire failed for $table/$name")
+            require(fs.rename(p.getPath, dest), s"promote failed for $table/$name")
+            fs.delete(retired, true)
+          } else require(fs.rename(p.getPath, dest), s"promote failed for $table/$name")
+        }
+      }
+      fs.delete(staged, true)
+    }
+
     // ON CONFLICT(repo_name, sha) DO UPDATE (database.ts:21-36)
-    mergeWrite("commits", r.commits)(
+    mergeWritePartitioned("commits", "repo_name", r.commits)(
       GitAgg.upsertLatest(_, _, Seq("repo_name", "sha")))
     // ON CONFLICT(email): counts add, dates min/max, new name wins (:109-117)
     mergeWrite("authors", r.authors)(GitAgg.mergeAuthors)
     // INSERT OR IGNORE (:148-151): stored row wins
-    mergeWrite("file_changes", r.fileChanges)(
+    mergeWritePartitioned("file_changes", "repo_name", r.fileChanges)(
       GitAgg.upsertKeepFirst(_, _, Seq("repo_name", "sha", "file_path")))
     // ON CONFLICT(repo_name, tag_name) DO UPDATE (:228-236)
-    mergeWrite("tags", r.tags)(
+    mergeWritePartitioned("tags", "repo_name", r.tags)(
       GitAgg.upsertLatest(_, _, Seq("repo_name", "tag_name")))
     // ON CONFLICT(name) DO UPDATE (:85-95)
-    mergeWrite("repos", r.repos)(GitAgg.upsertLatest(_, _, Seq("name")))
+    mergeWritePartitioned("repos", "name", r.repos)(
+      GitAgg.upsertLatest(_, _, Seq("name")))
     // rejects are per-run diagnostics (no reference counterpart): overwrite
     r.rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
     r.release()
+  }
+
+  /** Roll back partitions stranded by a crash between retire and promote:
+    * a `.retired-<uuid>--<partdir>` whose `<partdir>` is missing means the
+    * promote never happened — restore the retired copy; one whose partdir
+    * exists is post-promote junk — delete it. Dot-prefixed names are
+    * invisible to Spark's partition discovery either way. */
+  private def recoverPartitions(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(store)) return
+    fs.listStatus(store).map(_.getPath)
+      .filter(_.getName.startsWith(".retired-")).foreach { p =>
+        // name = .retired-<36-char-uuid>--<partdir>
+        val part = p.getName.drop(".retired-".length + 36 + 2)
+        val dest = new org.apache.hadoop.fs.Path(store, part)
+        if (part.nonEmpty && !fs.exists(dest)) {
+          require(fs.rename(p, dest), s"crash rollback failed for $dest")
+        } else fs.delete(p, true)
+      }
   }
 
   /** S8 JDBC sink option, mirroring the reference's embedded-file database

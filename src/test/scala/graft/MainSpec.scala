@@ -99,6 +99,66 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       .columns.contains("total_commits"))
   }
 
+  test("partitioned incremental publish: re-running repo A leaves repo B untouched") {
+    val inc = root.resolve("out_part").toString
+    // Run 1: both repos → every table gains one partition dir per repo.
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString, repoB.toString), inc)
+    assert(Files.isDirectory(Paths.get(inc, "commits", "repo_name=repoA")))
+    assert(Files.isDirectory(Paths.get(inc, "commits", "repo_name=repoB")))
+
+    // Snapshot repo B's physical files (path, size, mtime) in the
+    // repo-partitioned tables.
+    def listing(table: String, part: String): Seq[(String, Long, Long)] = {
+      val d = Paths.get(inc, table, part)
+      Files.list(d).toArray.map(_.asInstanceOf[java.nio.file.Path])
+        .map(p => (p.toString, Files.size(p), Files.getLastModifiedTime(p).toMillis))
+        .toSeq.sortBy(_._1)
+    }
+    val before = Seq("commits", "file_changes").map(t => listing(t, "repo_name=repoB")) :+
+      listing("repos", "name=repoB")
+
+    // Run 2: only repo A. Repo B's partitions must not be read, rewritten,
+    // or re-listed — their files stay byte-for-byte (and mtime) identical.
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    val after = Seq("commits", "file_changes").map(t => listing(t, "repo_name=repoB")) :+
+      listing("repos", "name=repoB")
+    assert(after === before, "repo B partition files changed on a repo-A-only run")
+
+    // Content equals a fresh one-shot build of the current repo states
+    // (authors excepted: reference semantics re-add counts every run).
+    val full = root.resolve("out_part_full").toString
+    _root_.graft.git.Pipeline.etlAppend(
+      spark, Seq(repoA.toString, repoB.toString), full)
+    for (t <- Seq("commits", "file_changes", "tags", "repos")) {
+      val got = spark.read.parquet(s"$inc/$t")
+      val want = spark.read.parquet(s"$full/$t")
+      assert(got.columns.sorted === want.columns.sorted, t)
+      val cols = got.columns.sorted.map(col)
+      assert(got.select(cols: _*).collect().map(_.toString).sorted ===
+        want.select(cols: _*).collect().map(_.toString).sorted, t)
+    }
+    // No leftover staging/retired junk anywhere.
+    assert(!Files.list(Paths.get(inc)).toArray.map(_.toString)
+      .exists(n => n.contains("__staged") || n.contains("retired")))
+  }
+
+  test("crashed partition swap is rolled back on the next run") {
+    val inc = root.resolve("out_part").toString
+    val commitsDir = Paths.get(inc, "commits")
+    val live = commitsDir.resolve("repo_name=repoB")
+    // Simulate a crash between retire and promote: the partition dir was
+    // renamed aside and the promote never happened.
+    val retired = commitsDir.resolve(
+      s".retired-${java.util.UUID.randomUUID()}--repo_name=repoB")
+    Files.move(live, retired)
+    assert(!Files.exists(live))
+    // The next run (repo A only) recovers repo B's partition first.
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    assert(Files.isDirectory(live), "retired partition was not rolled back")
+    assert(spark.read.parquet(s"$inc/commits")
+      .filter(col("repo_name") === "repoB").count() == 1)
+  }
+
   test("author gate skips repos without matching commits (S5)") {
     val out2 = root.resolve("out2").toString
     intercept[IllegalArgumentException] {
