@@ -115,25 +115,18 @@ object Similarity {
     * (broadcast) against the embeddings for the decimal-exact rescore and
     * final rank. Double-precision shortlist with k=200 ≫ 5 margin covers
     * the ~1e-13 double-vs-decimal error. */
-  val q39AnnTopK: Q = Q(
-    "q39_ann_topk",
-    s"""WITH $duckEl,
-       |$duckN2,
-       |d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |             CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |      FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
-       |      GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id,
-       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
-       |             row_number() OVER (PARTITION BY query_id
-       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
-       |      FROM d JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nc ON nc.vec_id = neighbor_id)
-       |SELECT query_id, neighbor_id, cos_sim, rank
-       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+  /** Exact brute-force cosine top-5 over queries `vec_id < sampleQueries` —
+    * the labeled recall baseline, with the sample size a PARAMETER: at
+    * 100 TB recall audits score a sampled query set, not every query.
+    * Plan: broadcast queries, stream candidates, map-side bounded-heap
+    * shortlist (`topk_by_score`), broadcast re-join for the decimal-exact
+    * rescore. */
+  private[ops] def exactTopK(s: SparkSession, dir: String,
+      sampleQueries: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val e = embWithNorm(s, dir)
-    val q = e.filter(col("vec_id") < 10).select(
+    val q = e.filter(col("vec_id") < sampleQueries).select(
       col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("n2").as("n2_q"))
     val c = e.select(
       col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"), col("n2").as("n2_c"))
@@ -153,6 +146,29 @@ object Similarity {
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Query-sample size for q39 and the q84/q85 recall audits (both engines
+    * interpolate the same literal). */
+  private[ops] val AuditSampleQueries = 10L
+
+  val q39AnnTopK: Q = Q(
+    "q39_ann_topk",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |d AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |             CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM el q JOIN el c ON q.i = c.i AND q.vec_id < $AuditSampleQueries
+       |        AND c.vec_id <> q.vec_id
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    exactTopK(s, dir, AuditSampleQueries)
   }
 
   /** Sign-LSH bucketed ANN (the scale path): bucket = sign bits of the first
@@ -544,7 +560,8 @@ object Similarity {
     s"""bkt$sfx AS (SELECT vec_id, ${duckBucket("embedding", bits)} AS bkt FROM embeddings),
        |cand$sfx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |         FROM bkt$sfx q JOIN bkt$sfx c
-       |           ON q.bkt = c.bkt AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |           ON q.bkt = c.bkt AND q.vec_id < $AuditSampleQueries
+       |           AND c.vec_id <> q.vec_id),
        |ld$sfx AS (SELECT query_id, neighbor_id,
        |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
        |       FROM cand$sfx JOIN el a ON a.vec_id = query_id
@@ -563,7 +580,8 @@ object Similarity {
        |$duckN2,
        |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < $AuditSampleQueries
+       |         AND c.vec_id <> q.vec_id
        |       GROUP BY 1, 2),
        |xr AS (SELECT query_id, neighbor_id,
        |              row_number() OVER (PARTITION BY query_id
@@ -589,7 +607,7 @@ object Similarity {
     def lshTop(bits: Int): org.apache.spark.sql.DataFrame = {
       val e = embWithNorm(s, dir)
         .withColumn("bkt", expr(sparkBucket("embedding", bits)))
-      val q = e.filter(col("vec_id") < 10).select(
+      val q = e.filter(col("vec_id") < AuditSampleQueries).select(
         col("vec_id").as("query_id"), col("bkt"),
         col("embedding").as("emb_q"), col("n2").as("n2_q"))
       val c = e.select(
@@ -606,7 +624,12 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"))
     }
 
-    val exact = q39AnnTopK.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    // The O(Q×N) exact baseline runs ONCE and is persisted: both bucket
+    // widths audit against the same materialized shortlist (at scale this
+    // is the expensive side — never re-derive it per LSH setting).
+    val exact = exactTopK(s, dir, AuditSampleQueries)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     exact.as("x")
       .join(lshTop(8).as("l8"),
         col("x.query_id") === col("l8.query_id") &&
@@ -642,7 +665,8 @@ object Similarity {
        |$duckN2,
        |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
        |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < $AuditSampleQueries
+       |         AND c.vec_id <> q.vec_id
        |       GROUP BY 1, 2),
        |xr AS (SELECT query_id, neighbor_id,
        |              row_number() OVER (PARTITION BY query_id
@@ -655,7 +679,7 @@ object Similarity {
        |              ELSE substr(bkt, 1, i - 1) ||
        |                   (CASE WHEN substr(bkt, i, 1) = '1' THEN '0' ELSE '1' END) ||
        |                   substr(bkt, i + 1) END AS pbkt
-       |       FROM bkt, range(0, 9) t(i) WHERE vec_id < 10),
+       |       FROM bkt, range(0, 9) t(i) WHERE vec_id < $AuditSampleQueries),
        |cand AS (SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id
        |         FROM pb p JOIN bkt c ON c.bkt = p.pbkt AND c.vec_id <> p.vec_id),
        |nc AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY 1),
@@ -682,7 +706,7 @@ object Similarity {
     val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
     // 9 probe buckets per query: the bucket itself + each single-bit flip.
     val probes = array(lit(0) +: (1 to 8).map(lit(_)): _*)
-    val q = e.filter(col("vec_id") < 10)
+    val q = e.filter(col("vec_id") < AuditSampleQueries)
       .withColumn("i", explode(probes))
       .withColumn("pbkt", when(col("i") === 0, col("bkt")).otherwise(concat(
         expr("substring(bkt, 1, i - 1)"),
@@ -705,7 +729,8 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"))
-    val exact = q39AnnTopK.fn(s, dir).select(col("query_id"), col("neighbor_id"))
+    val exact = exactTopK(s, dir, AuditSampleQueries)
+      .select(col("query_id"), col("neighbor_id"))
     val hits = exact.as("x").join(l.as("l"),
         col("x.query_id") === col("l.query_id") &&
           col("x.neighbor_id") === col("l.neighbor_id"), "left")
