@@ -234,6 +234,72 @@ object Dedup {
     labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Large-star/small-star connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the deep-chain
+    * fallback the min-label loop documents: converges in O(log²n) rounds
+    * on ANY graph shape, where min-label propagation needs one round per
+    * unit of diameter (a 1000-node path: ~7 rounds here vs 999 there).
+    * Near-dup graphs are usually shallow, so q47 defaults to the simpler
+    * loop; set GRAFT_CC_ALGO=star (or call this directly) when component
+    * diameters grow.
+    *
+    * large-star: every node strictly larger than u re-points to the min of
+    * u's closed neighborhood; small-star: every smaller neighbor (and u)
+    * re-points to that min. Both are one groupBy + one equi-join per
+    * round — all shuffles linear in |E|, no per-node state beyond the
+    * edge list. At the fixpoint the edge set is a star forest rooted at
+    * each component's min node. */
+  def connectedComponentsStar(pairsIn: DataFrame): DataFrame = {
+    val pairs = pairsIn.persist(MEMORY_AND_DISK)
+    val nodes = pairs.select(col("doc_a").as("u"))
+      .unionByName(pairs.select(col("doc_b").as("u"))).distinct()
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = und.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      und.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      dir.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = pairs
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    var stable = false
+    var iter = 0
+    while (!stable && iter < 50) {
+      iter += 1
+      // Each round references `edges` four times per star transform, so
+      // lineage would grow ~16× per round: cut it EVERY round (the edge
+      // list is the small derived table here, not the corpus).
+      val next = smallStar(largeStar(edges)).localCheckpoint()
+      // Fixpoint test: identical edge SETS (same size, no novel edges).
+      stable = next.count() == edges.count() && next.exceptAll(edges).isEmpty
+      edges.unpersist()
+      edges = next
+    }
+    val parent = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
+    val out = nodes.join(parent, Seq("u"), "left")
+      .select(col("u").as("doc_id"),
+        coalesce(col("label"), col("u")).as("cluster_id"))
+    pairs.unpersist()
+    out
+  }
+
   /** Dedup clustering: connected components over the shared LSH candidate
     * pairs — cluster id = min doc_id in the component (the dedup "keeper").
     * The oracle computes the same fixpoint with a recursive CTE (transitive
@@ -248,7 +314,10 @@ object Dedup {
        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    connectedComponents(lshCandidatePairs(s, dir)).orderBy(col("doc_id"))
+    val cc =
+      if (sys.env.get("GRAFT_CC_ALGO").contains("star")) connectedComponentsStar _
+      else connectedComponents _
+    cc(lshCandidatePairs(s, dir)).orderBy(col("doc_id"))
   }
 
   /** q62: dedup representative selection — the pipeline stage after
