@@ -159,6 +159,34 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       .filter(col("repo_name") === "repoB").count() == 1)
   }
 
+  test("bucketed-layout sink: fact join runs with zero shuffle exchanges") {
+    val prefix = "graft_git_test"
+    val tables = Seq("commits", "file_changes", "authors", "tags", "repos")
+      .map(t => s"${prefix}_$t")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val wh = Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    tables.foreach { t =>
+      val p = wh.resolve(t)
+      if (Files.exists(p)) Process(Seq("rm", "-rf", p.toString)).!
+    }
+    _root_.graft.git.Pipeline.etlBucketed(
+      spark, Seq(repoA.toString, repoB.toString), prefix)
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val c = spark.table(s"${prefix}_commits")
+      val f = spark.table(s"${prefix}_file_changes")
+      val joined = f.join(c, Seq("repo_name", "sha"))
+      assert(joined.count() == f.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ, got:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected shuffle-free bucketed join, got:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("author gate skips repos without matching commits (S5)") {
     val out2 = root.resolve("out2").toString
     intercept[IllegalArgumentException] {
