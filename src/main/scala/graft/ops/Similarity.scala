@@ -742,7 +742,108 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q93: multi-probe recall audit for the NEAR-DUP PAIR GENERATOR — q85's
+    * single-bit probe expansion applied to q38's candidate generation, with
+    * the recall it buys measured against the exact all-pairs truth (the
+    * q84 audit shape, for pairs instead of queries). A true cos ≥ 0.95
+    * pair that disagrees on ONE leading sign bit is invisible to q38's
+    * same-bucket join; probing the 8 hamming-1 buckets recovers exactly
+    * those. Output: one row — n_exact, pairs found and recall at 1 probe
+    * (q38's generator) and at 9 probes.
+    *
+    * Scale shape: the 1-/9-probe sides are the real generators (bucket
+    * equi-join; probe explode on one side then the same equi-join — 9×
+    * candidate volume, still ~N²/256 per label, never all-pairs). The
+    * exact side is the audit baseline: all-pairs within label, run over a
+    * sample at 100 TB exactly like q84's brute-force side. The oracle
+    * renders probe membership as hamming(bkt_a, bkt_b) ≤ 1 — equivalent by
+    * construction, and independent of the Spark join mechanics. */
+  val q93NearDupMultiprobe: Q = Q(
+    "q93_neardup_multiprobe", {
+      val ham = (1 to 8).map(i =>
+        s"CASE WHEN substr(ba, $i, 1) <> substr(bb, $i, 1) THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $duckEl,
+         |$duckN2,
+         |bkt AS (SELECT vec_id, label, ${duckBucket("embedding")} AS bkt FROM embeddings),
+         |cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |                a.bkt AS ba, b.bkt AS bb
+         |         FROM bkt a JOIN bkt b
+         |           ON a.label = b.label AND a.vec_id < b.vec_id),
+         |d AS (SELECT vec_a, vec_b,
+         |             CAST(SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+         |      FROM cand JOIN el x ON x.vec_id = vec_a
+         |                JOIN el y ON y.vec_id = vec_b AND y.i = x.i
+         |      GROUP BY 1, 2),
+         |cs AS (SELECT c.vec_a, c.vec_b,
+         |              round(dot / sqrt(na.n2 * nb.n2), 6) AS cos_sim,
+         |              $ham AS ham
+         |       FROM cand c JOIN d ON d.vec_a = c.vec_a AND d.vec_b = c.vec_b
+         |            JOIN n2 na ON na.vec_id = c.vec_a
+         |            JOIN n2 nb ON nb.vec_id = c.vec_b),
+         |agg AS (SELECT
+         |  count(*) FILTER (WHERE cos_sim >= 0.95) AS n_exact,
+         |  count(*) FILTER (WHERE cos_sim >= 0.95 AND ham = 0) AS n_pairs_1probe,
+         |  count(*) FILTER (WHERE cos_sim >= 0.95 AND ham <= 1) AS n_pairs_9probe
+         | FROM cs)
+         |SELECT n_exact, n_pairs_1probe,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |       ELSE CAST(n_pairs_1probe AS DOUBLE) / n_exact END AS recall_1probe,
+         |  n_pairs_9probe,
+         |  CASE WHEN n_exact = 0 THEN 1.0
+         |       ELSE CAST(n_pairs_9probe AS DOUBLE) / n_exact END AS recall_9probe
+         |FROM agg""".stripMargin
+    }) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding")))
+    val a = e.select(col("label"), col("bkt"), col("vec_id").as("vec_a"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+
+    // cos ≥ 0.95 pair count of a candidate set (codegen'd double prefilter,
+    // decimal-exact verdict, pair-distinct).
+    def nearDupCount(cand: DataFrame, alias: String): DataFrame = cand
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr("cosine_f32(emb_a, emb_b)") >= 0.9)
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")), 6))
+      .filter(col("cos_sim") >= 0.95)
+      .select(col("vec_a"), col("vec_b")).distinct()
+      .agg(count(lit(1)).as(alias))
+
+    // Exact truth: all pairs within label (the audit baseline — sampled at
+    // scale, exactly like q84's brute-force side).
+    val bAll = e.select(col("label"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val exact = nearDupCount(a.join(bAll, Seq("label")), "n_exact")
+
+    // 1 probe: q38's generator — same (label, bucket) equi-join.
+    val b1 = e.select(col("label"), col("bkt"), col("vec_id").as("vec_b"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val one = nearDupCount(a.join(b1, Seq("label", "bkt")), "n_pairs_1probe")
+
+    // 9 probes: the REAL mechanism — explode one side into its bucket plus
+    // the 8 single-bit-flip buckets, then the same equi-join.
+    val probes = array(lit(0) +: (1 to 8).map(lit(_)): _*)
+    val b9 = e.withColumn("i", explode(probes))
+      .withColumn("pbkt", when(col("i") === 0, col("bkt")).otherwise(concat(
+        expr("substring(bkt, 1, i - 1)"),
+        when(expr("substring(bkt, i, 1)") === "1", "0").otherwise("1"),
+        expr("substring(bkt, i + 1)"))))
+      .select(col("label"), col("pbkt").as("bkt"), col("vec_id").as("vec_b"),
+        col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    val nine = nearDupCount(a.join(b9, Seq("label", "bkt")), "n_pairs_9probe")
+
+    def recall(n: org.apache.spark.sql.Column, d: org.apache.spark.sql.Column) =
+      when(d === 0, lit(1.0)).otherwise(n.cast("double") / d)
+    exact.crossJoin(broadcast(one)).crossJoin(broadcast(nine))
+      .select(col("n_exact"), col("n_pairs_1probe"),
+        recall(col("n_pairs_1probe"), col("n_exact")).as("recall_1probe"),
+        col("n_pairs_9probe"),
+        recall(col("n_pairs_9probe"), col("n_exact")).as("recall_9probe"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
-    q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe)
+    q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
+    q93NearDupMultiprobe)
 }

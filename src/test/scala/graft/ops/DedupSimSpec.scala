@@ -33,7 +33,15 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     val e2 = Array.tabulate(64)(i => if (i == 0) 0.999f else if (i == 60) 0.04f else 0.0f)
     val e3 = Array.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
     val e4 = Array.tabulate(64)(i => if (i == 2) -1.0f else 0.0f)
-    Seq((1L, e1, 0), (2L, e2, 0), (3L, e3, 0), (4L, e4, 1))
+    // f1/f2: a true near-dup pair (cos ≈ 0.9992) split across sign buckets
+    // by ONE bit (dim 1 is +0.02 vs −0.02) — invisible to the same-bucket
+    // join, recovered by hamming-1 probing (q93's discriminating case).
+    val f1 = Array.tabulate(64)(i =>
+      if (i == 5) 1.0f else if (i == 1) 0.02f else 0.0f)
+    val f2 = Array.tabulate(64)(i =>
+      if (i == 5) 1.0f else if (i == 1) -0.02f else 0.0f)
+    Seq((1L, e1, 0), (2L, e2, 0), (3L, e3, 0), (4L, e4, 1),
+      (5L, f1, 2), (6L, f2, 2))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
@@ -104,6 +112,16 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(en.getAs[Long]("n_docs") == 3L)
     assert(en.getAs[Long]("sum_tokens") == 150L)
     assert(en.getAs[Long]("n_vocab") == 51L) // word1..word50 + changed
+  }
+
+  test("q93: probe expansion recovers the sign-bit-split pair the bucket join misses") {
+    val row = Similarity.q93NearDupMultiprobe.fn(spark, dir).collect()(0)
+    // Truth: (1,2) same-bucket near-dup and (5,6) one-bit-split near-dup.
+    assert(row.getAs[Long]("n_exact") == 2L)
+    assert(row.getAs[Long]("n_pairs_1probe") == 1L) // q38's generator misses (5,6)
+    assert(row.getAs[Long]("n_pairs_9probe") == 2L) // probing recovers it
+    assert(row.getAs[Double]("recall_1probe") == 0.5)
+    assert(row.getAs[Double]("recall_9probe") == 1.0)
   }
 
   test("q74 SemDeDup: per-cluster candidate pairs stay cap-bounded under skew") {
