@@ -128,6 +128,14 @@ object Pipeline {
       val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
       val fs = store.getFileSystem(conf)
       recoverPartitions(fs, store)
+      // A store written by the old FLAT layout (or the empty-table marker)
+      // has data files at the root: those rows span ALL repos, so a pruned
+      // merge would lose the untouched ones when the root files are
+      // cleared. Migrate with one unpruned full merge; every later run is
+      // partition-pruned.
+      val flatData = fs.exists(store) && fs.listStatus(store).exists(st =>
+        st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
       // The touched-partition set is the run's repo list — a handful of
       // names, driver-side by construction (not a data-volume collect).
       val touched = incoming.select(col(partCol)).distinct()
@@ -136,8 +144,9 @@ object Pipeline {
         if (fs.exists(store)) {
           // Explicit schema pins the partition column's type (no dir-name
           // type inference) and lets the isin prune skip untouched dirs.
-          val existing = spark.read.schema(incoming.schema).parquet(store.toString)
-            .filter(col(partCol).isin(touched: _*))
+          val all = spark.read.schema(incoming.schema).parquet(store.toString)
+          val existing =
+            if (flatData) all else all.filter(col(partCol).isin(touched: _*))
           merge(existing, incoming).select(incoming.columns.map(col): _*)
         } else incoming
       val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")

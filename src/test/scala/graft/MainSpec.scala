@@ -142,6 +142,25 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       .exists(n => n.contains("__staged") || n.contains("retired")))
   }
 
+  test("flat-layout store migrates without losing untouched repos") {
+    // Simulate a store written by the pre-partitioned etlAppend: both
+    // repos' commits as flat root-level parquet.
+    val inc = root.resolve("out_migrate").toString
+    val both = _root_.graft.git.Pipeline.build(
+      spark, Seq(repoA.toString, repoB.toString))
+    both.commits.write.mode("overwrite").parquet(s"$inc/commits")
+    both.release()
+    val before = spark.read.parquet(s"$inc/commits").count()
+
+    // A repo-A-only incremental run must carry repo B's rows into the
+    // partitioned layout, not drop them with the flat files.
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    assert(Files.isDirectory(Paths.get(inc, "commits", "repo_name=repoB")))
+    val commits = spark.read.parquet(s"$inc/commits")
+    assert(commits.count() == before)
+    assert(commits.filter(col("repo_name") === "repoB").count() == 1)
+  }
+
   test("crashed partition swap is rolled back on the next run") {
     val inc = root.resolve("out_part").toString
     val commitsDir = Paths.get(inc, "commits")
