@@ -29,19 +29,13 @@ object StreamGate {
 
   private val Sentinel = "__sentinel__"
 
-  val q92StreamTumbling: Q = Q(
-    "q92_stream_tumbling",
-    s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
-       |       event_type,
-       |       count(*) AS n,
-       |       ${Q.oSum6("value")} AS sum_value
-       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
-    val work = Files.createTempDirectory("graft-q92-")
-    // EventStream.events reads `<dir>/events.parquet`, so stage into the
-    // same layout under the scratch dir.
+  /** Stage `<dir>/events.parquet` (a single file in the driver testdata
+    * layout) into `<work>/in/events.parquet/` as a DIRECTORY of files —
+    * the streaming file source only accepts directories. Returns the
+    * source root to hand to `EventStream.events`. */
+  private def stageEvents(dir: String, work: java.nio.file.Path): String = {
     val in = work.resolve("in").resolve("events.parquet")
     Files.createDirectories(in)
-    // Stage the real events file(s) next to the sentinel.
     val src = Paths.get(dir, "events.parquet")
     if (Files.isDirectory(src)) {
       Files.list(src).forEach { f =>
@@ -51,6 +45,19 @@ object StreamGate {
       }
     } else Files.copy(src, in.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
+    work.resolve("in").toString
+  }
+
+  val q92StreamTumbling: Q = Q(
+    "q92_stream_tumbling",
+    s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
+       |       event_type,
+       |       count(*) AS n,
+       |       ${Q.oSum6("value")} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q92-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
 
     // Sentinel 80 min past the real max ts (written in the stored
     // raw layout: ts as Long nanoseconds).
@@ -64,7 +71,7 @@ object StreamGate {
       .write.mode("append").parquet(in.toString)
 
     val out = work.resolve("out").toString
-    val agg = EventStream.events(s, work.resolve("in").toString)
+    val agg = EventStream.events(s, srcRoot)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), Q.dsum6(col("value")).as("sum_value"))
@@ -85,5 +92,41 @@ object StreamGate {
       .orderBy(col("win_start"), col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q92StreamTumbling)
+  /** q94: the watermarked STREAM-STREAM join run end-to-end against the
+    * driver oracle — purchase-to-click attribution (each purchase matches
+    * the same user's clicks from the preceding 30 minutes), executed as an
+    * actual two-sided streaming join (`EventStream.attributionJoin`) into
+    * a parquet sink. Inner-join matches emit in the batch that finds them
+    * (the watermark only bounds STATE, not emission), so no sentinel is
+    * needed and the sink's files equal the batch θ-join the oracle runs.
+    * At 100 TB the same topology holds: both sides' state evicts once the
+    * watermark passes click_ts + 30 min. */
+  val q94StreamAttribution: Q = Q(
+    "q94_stream_attribution",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+      |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+      |       CAST(floor(epoch(p.ts)) AS BIGINT) AS buy_s,
+      |       p.value
+      |FROM events p JOIN events c
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY c.user_id, click_id, buy_id""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q94-")
+    val joined = EventStream.attributionJoin(
+      EventStream.events(s, stageEvents(dir, work)))
+    val out = work.resolve("out").toString
+    val query = joined.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+  }
+
+  val all: Seq[Q] = Seq(q92StreamTumbling, q94StreamAttribution)
 }
