@@ -128,5 +128,57 @@ object StreamGate {
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
 
-  val all: Seq[Q] = Seq(q92StreamTumbling, q94StreamAttribution)
+  /** q95: streaming SESSION windows gated end-to-end — gap-based sessions
+    * (30-minute inactivity) via `session_window`, run as a real
+    * watermarked writeStream. Sessions only emit once the watermark
+    * passes their end (last event + gap), so the same sentinel device as
+    * q92 closes every real session: one far-future event whose own
+    * session stays open and unemitted. Oracle = the lag/running-sum
+    * session derivation (the q22 equivalence), at per-session grain. */
+  val q95StreamSessions: Q = Q(
+    "q95_stream_sessions",
+    """WITH marks AS (
+      |  SELECT user_id, ts,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM marks)
+      |SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+      |       count(*) AS n_events
+      |FROM sess GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q95-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
+    val maxTsMicros = Tables(s, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // 2 h past max ts: final watermark = max + 1 h, past every real
+    // session's end (≤ max + 30 min). The sentinel's session stays open.
+    val sentinelNanos = (maxTsMicros + 2L * 60 * 60 * 1000000) * 1000
+    s.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, Sentinel, 0.0, "")),
+      EventStream.rawSchema)
+      .write.mode("append").parquet(in.toString)
+
+    val out = work.resolve("out").toString
+    val query = EventStream.sessionCounts(EventStream.events(s, srcRoot))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val all: Seq[Q] = Seq(q92StreamTumbling, q94StreamAttribution, q95StreamSessions)
 }
