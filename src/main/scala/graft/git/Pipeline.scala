@@ -102,16 +102,12 @@ object Pipeline {
     val r = build(spark, repoPaths, authorGate)
     val conf = spark.sparkContext.hadoopConfiguration
 
-    // Whole-table merge (authors only): stage → retire → promote → clean.
-    def mergeWrite(table: String, incoming: DataFrame)(
-        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
-      val fs = path.getFileSystem(conf)
-      val merged =
-        if (fs.exists(path)) merge(spark.read.parquet(path.toString), incoming)
-        else incoming
-      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
-      merged.write.mode("overwrite").parquet(staged.toString)
+    // Whole-table retire→promote→clean swap with crash recovery: a crash
+    // between retire and promote leaves `.{table}.__retired-*` and no
+    // table dir — rolled back before the next merge reads the store.
+    def swapTable(fs: org.apache.hadoop.fs.FileSystem,
+        path: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
+        table: String): Unit = {
       if (fs.exists(path)) {
         val retired = new org.apache.hadoop.fs.Path(
           s"$outDir/.$table.__retired-${java.util.UUID.randomUUID()}")
@@ -120,6 +116,33 @@ object Pipeline {
         fs.delete(retired, true)
       } else require(fs.rename(staged, path), s"atomic swap failed for $table")
     }
+    def recoverTable(fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
+      val base = new org.apache.hadoop.fs.Path(outDir)
+      if (!fs.exists(base)) return
+      val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+      val retired = fs.listStatus(base).map(_.getPath)
+        .filter(_.getName.startsWith(s".$table.__retired-"))
+      if (!fs.exists(path)) {
+        require(retired.length <= 1,
+          s"unrecoverable state for $table: ${retired.length} retired dirs")
+        retired.foreach(r => require(fs.rename(r, path),
+          s"crash rollback failed for $table"))
+      } else retired.foreach(r => fs.delete(r, true))
+    }
+
+    // Whole-table merge (authors only): stage → retire → promote → clean.
+    def mergeWrite(table: String, incoming: DataFrame)(
+        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+      val fs = path.getFileSystem(conf)
+      recoverTable(fs, table)
+      val merged =
+        if (fs.exists(path)) merge(spark.read.parquet(path.toString), incoming)
+        else incoming
+      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
+      merged.write.mode("overwrite").parquet(staged.toString)
+      swapTable(fs, path, staged, table)
+    }
 
     // Partitioned merge: prune the store read to the run's partitions,
     // merge, stage partitioned, swap each staged partition dir in.
@@ -127,6 +150,7 @@ object Pipeline {
         merge: (DataFrame, DataFrame) => DataFrame): Unit = {
       val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
       val fs = store.getFileSystem(conf)
+      recoverTable(fs, table)
       recoverPartitions(fs, store)
       // A store written by the old FLAT layout (or the empty-table marker)
       // has data files at the root: those rows span ALL repos, so a pruned
@@ -161,10 +185,14 @@ object Pipeline {
         // replaced by real partition dirs the first time any appear.
         if (fs.listStatus(store).isEmpty)
           merged.write.mode("overwrite").parquet(store.toString)
+        fs.delete(staged, true)
+      } else if (flatData) {
+        // Migration (old flat layout, or the empty-table marker): the
+        // staged dir holds the FULL merged table, so swap the whole table
+        // dir in one retire→promote→clean — at no instant do flat rows
+        // exist only in a dir a later run would discard.
+        swapTable(fs, store, staged, table)
       } else {
-        // Clear a previous empty-table marker (root-level files) before
-        // the layout becomes partitioned.
-        fs.listStatus(store).filter(_.isFile).foreach(st => fs.delete(st.getPath, false))
         partDirs.foreach { p =>
           val name = p.getPath.getName // e.g. repo_name=repoA
           val dest = new org.apache.hadoop.fs.Path(store, name)
@@ -176,8 +204,8 @@ object Pipeline {
             fs.delete(retired, true)
           } else require(fs.rename(p.getPath, dest), s"promote failed for $table/$name")
         }
+        fs.delete(staged, true)
       }
-      fs.delete(staged, true)
     }
 
     // ON CONFLICT(repo_name, sha) DO UPDATE (database.ts:21-36)

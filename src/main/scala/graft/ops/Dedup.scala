@@ -292,6 +292,11 @@ object Dedup {
       edges.unpersist()
       edges = next
     }
+    // O(log²n) convergence makes 50 rounds unreachable for any real graph;
+    // if it ever trips, fail loudly — labels off a non-fixpoint edge set
+    // would be silently wrong (the exact failure mode this variant exists
+    // to prevent in the min-label loop).
+    require(stable, s"connectedComponentsStar did not converge in $iter rounds")
     val parent = edges.groupBy(col("u")).agg(min(col("v")).as("label"))
     val out = nodes.join(parent, Seq("u"), "left")
       .select(col("u").as("doc_id"),

@@ -38,15 +38,22 @@ object StreamGate {
     Files.createDirectories(in)
     val src = Paths.get(dir, "events.parquet")
     if (Files.isDirectory(src)) {
-      Files.list(src).forEach { f =>
+      val listing = Files.list(src)
+      try listing.forEach { f =>
         if (f.getFileName.toString.endsWith(".parquet"))
           Files.copy(f, in.resolve(f.getFileName.toString),
             StandardCopyOption.REPLACE_EXISTING)
-      }
+      } finally listing.close()
     } else Files.copy(src, in.resolve("events.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
     work.resolve("in").toString
   }
+
+  /** Drop the staged input copy once the stream has consumed it — the
+    * returned DataFrame reads only the OUTPUT dir, so the copies need not
+    * outlive the query (they otherwise accumulate across bench passes). */
+  private def dropStagedInput(work: java.nio.file.Path): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(work.resolve("in").toFile)
 
   val q92StreamTumbling: Q = Q(
     "q92_stream_tumbling",
@@ -86,6 +93,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    dropStagedInput(work)
 
     s.read.parquet(out)
       .filter(col("event_type") =!= Sentinel)
@@ -124,6 +132,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    dropStagedInput(work)
     s.read.parquet(out)
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
@@ -175,6 +184,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    dropStagedInput(work)
     s.read.parquet(out)
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("sess_start"))

@@ -38,17 +38,39 @@ object TimerSessions {
       // A late-but-within-watermark event (t <= st.last, delivered by a
       // LATER trigger) must only extend the open session monotonically —
       // never lower `last` (that would shrink the deadline and close the
-      // session early, possibly with end < start).
+      // session early, possibly with end < start). A late event a FULL
+      // gap before the open session's start can never belong to it: it
+      // accretes into a separate pre-session (`pre`, merged across
+      // consecutive such events within the trigger) closed at trigger end
+      // — its gap to the open session has already elapsed in event time.
       val out = Seq.newBuilder[Closed]
+      var pre: Option[Open] = None
       times.foreach { t =>
-        if (st.n > 0L && t - st.last >= gapMs) {
-          out += Closed(key, st.start, st.last, st.n)
+        if (st.n == 0L) {
           st = Open(t, t, 1L)
-        } else if (st.n == 0L) {
+        } else if (st.start - t >= gapMs) {
+          pre = pre match {
+            case Some(p) if t - p.last >= gapMs =>
+              out += Closed(key, p.start, p.last, p.n)
+              Some(Open(t, t, 1L))
+            case Some(p) =>
+              Some(Open(p.start, math.max(p.last, t), p.n + 1L))
+            case None => Some(Open(t, t, 1L))
+          }
+        } else if (t - st.last >= gapMs) {
+          out += Closed(key, st.start, st.last, st.n)
           st = Open(t, t, 1L)
         } else {
           st = Open(math.min(st.start, t), math.max(st.last, t), st.n + 1L)
         }
+      }
+      // An absorbed event may have lowered the open session's start to
+      // within a gap of the pre-session (a bridge): merge instead of
+      // closing, matching the batch lag/running-sum semantics.
+      pre.foreach { p =>
+        if (st.n > 0L && st.start - p.last < gapMs)
+          st = Open(math.min(p.start, st.start), st.last, st.n + p.n)
+        else out += Closed(key, p.start, p.last, p.n)
       }
       // One live timer per key: replace the old deadline with the new one.
       getHandle.listTimers().foreach(getHandle.deleteTimer)

@@ -38,10 +38,13 @@ object UpsertSink {
     if (!fs.exists(cur)) {
       if (retired.length == 1) {
         require(fs.rename(retired.head, cur), s"crash rollback failed at $cur")
-      } else require(retired.isEmpty && staged.isEmpty,
-        s"unrecoverable snapshot state at $dir: no `current`, " +
-          s"${retired.length} retired dir(s), ${staged.length} staged dir(s) — " +
-          "refusing to rebuild the snapshot from a single batch")
+      } else require(retired.isEmpty,
+        s"unrecoverable snapshot state at $dir: no `current` and " +
+          s"${retired.length} retired dirs — refusing to rebuild the " +
+          "snapshot from a single batch")
+      // retired.isEmpty && staged only: a crash during the FIRST batch's
+      // staged write — no snapshot existed yet, so rebuilding from the
+      // replayed batch is exactly right; the stale staged dirs are junk.
     }
     // With `current` present (possibly just rolled back), leftovers are junk.
     (kids.filter(p => p.getName.startsWith("retired-") || p.getName.startsWith("staged-")))

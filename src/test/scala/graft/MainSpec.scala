@@ -162,7 +162,10 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("crashed partition swap is rolled back on the next run") {
-    val inc = root.resolve("out_part").toString
+    // Self-sufficient store (no dependence on other tests' outputs).
+    val inc = root.resolve("out_crash").toString
+    _root_.graft.git.Pipeline.etlAppend(
+      spark, Seq(repoA.toString, repoB.toString), inc)
     val commitsDir = Paths.get(inc, "commits")
     val live = commitsDir.resolve("repo_name=repoB")
     // Simulate a crash between retire and promote: the partition dir was
@@ -176,6 +179,28 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Files.isDirectory(live), "retired partition was not rolled back")
     assert(spark.read.parquet(s"$inc/commits")
       .filter(col("repo_name") === "repoB").count() == 1)
+  }
+
+  test("crashed whole-table swap (authors) is rolled back on the next run") {
+    val inc = root.resolve("out_crash2").toString
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    val alice = spark.read.parquet(s"$inc/authors")
+      .filter(col("email") === "alice@example.com").collect()(0)
+      .getAs[Long]("total_commits")
+    // Simulate a crash between retire and promote: authors renamed aside,
+    // staged never promoted.
+    val f = Paths.get(inc)
+    Files.move(f.resolve("authors"),
+      f.resolve(s".authors.__retired-${java.util.UUID.randomUUID()}"))
+    assert(!Files.exists(f.resolve("authors")))
+    // The next run must restore the cumulative table BEFORE merging —
+    // otherwise the accumulated counts silently reset to one run's worth.
+    _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
+    val after = spark.read.parquet(s"$inc/authors")
+      .filter(col("email") === "alice@example.com").collect()(0)
+      .getAs[Long]("total_commits")
+    assert(after == alice * 2,
+      s"expected cumulative $alice*2 (reference re-add semantics), got $after")
   }
 
   test("bucketed-layout sink: fact join runs with zero shuffle exchanges") {

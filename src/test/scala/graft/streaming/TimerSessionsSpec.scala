@@ -103,24 +103,30 @@ class TimerSessionsSpec extends SparkSpec with BeforeAndAfterAll {
       runOnce(in2, out2, ck2, watermark = "2 hours")
       assert(closed(out2).isEmpty)
 
-      // Run 2: a LATE event for user 1 at 09:55 (before the session's start,
-      // well within the 2 h watermark) plus a user-9 event at 12:40 that
-      // advances the watermark to 10:40 — past the WRONG deadline a
-      // shrunken session would have (10:25), before the TRUE one (10:50).
-      // The session must stay open and simply absorb the late event.
-      Seq((1L, ts(9, 55)), (9L, ts(12, 40))).toDF("user_id", "ts")
+      // Run 2 (watermark still 08:20 from run 1): two late user-1 events —
+      // 08:30, a FULL gap before the open session's start, which can never
+      // join it and closes immediately as its own singleton session (the
+      // batch semantics); and 09:55, within a gap of the start, which is
+      // absorbed (start extends down, `last` must NOT shrink). The user-9
+      // event at 12:40 advances the watermark to 10:40 — past the WRONG
+      // deadline a shrunken session would have (10:25), before the TRUE
+      // one (10:50): the open session must survive.
+      Seq((1L, ts(8, 30)), (1L, ts(9, 55)), (9L, ts(12, 40)))
+        .toDF("user_id", "ts")
         .write.mode("append").parquet(in2)
       runOnce(in2, out2, ck2, watermark = "2 hours")
-      assert(!closed(out2).exists(_.user_id == 1L),
-        s"session closed early off a late event: ${closed(out2)}")
+      assert(closed(out2).filter(_.user_id == 1L) === Seq(
+        TimerSessions.Closed(1L, ts(8, 30).getTime, ts(8, 30).getTime, 1L)),
+        s"expected only the very-late singleton closed: ${closed(out2)}")
 
-      // Run 3: user-9 event at 13:00 → watermark 11:00 > 10:50: the timer
-      // fires and the closed session covers [09:55, 10:20] with all 3 events.
+      // Run 3: the user-9 event at 13:00 advances the watermark to 11:00 >
+      // 10:50, firing the open session's timer: [09:55, 10:20], 3 events.
       Seq((9L, ts(13, 0))).toDF("user_id", "ts")
         .write.mode("append").parquet(in2)
       runOnce(in2, out2, ck2, watermark = "2 hours")
       val u1 = closed(out2).filter(_.user_id == 1L)
       assert(u1 === Seq(
+        TimerSessions.Closed(1L, ts(8, 30).getTime, ts(8, 30).getTime, 1L),
         TimerSessions.Closed(1L, ts(9, 55).getTime, ts(10, 20).getTime, 3L)))
     } finally {
       prev match {
