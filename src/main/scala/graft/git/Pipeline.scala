@@ -227,6 +227,37 @@ object Pipeline {
     r.release()
   }
 
+  /** Compact a repo-partitioned table written by [[etlAppend]]: every
+    * incremental run adds a fresh file set to each touched partition's
+    * rewrite, and long-running stores accumulate small files (the classic
+    * 100 TB operational problem — file-count pressure on listing, footer
+    * reads, and task scheduling). Each partition is coalesced to
+    * `filesPerPartition` and swapped in with the same retire→promote→clean
+    * renames as the publish path, so compaction is crash-safe, atomic per
+    * partition, and invisible to readers. Content is untouched — only the
+    * physical file layout changes. */
+  def compact(spark: SparkSession, outDir: String, table: String,
+      filesPerPartition: Int = 1): Unit = {
+    val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(store)) return
+    recoverPartitions(fs, store)
+    fs.listStatus(store).filter(p => p.isDirectory && p.getPath.getName.contains("="))
+      .foreach { p =>
+        val part = p.getPath
+        val staged = new org.apache.hadoop.fs.Path(store, s".compact-staged-${part.getName}")
+        fs.delete(staged, true)
+        spark.read.parquet(part.toString)
+          .coalesce(filesPerPartition)
+          .write.mode("overwrite").parquet(staged.toString)
+        val retired = new org.apache.hadoop.fs.Path(store,
+          s".retired-${java.util.UUID.randomUUID()}--${part.getName}")
+        require(fs.rename(part, retired), s"compact retire failed for $part")
+        require(fs.rename(staged, part), s"compact promote failed for $part")
+        fs.delete(retired, true)
+      }
+  }
+
   /** Roll back partitions stranded by a crash between retire and promote:
     * a `.retired-<uuid>--<partdir>` whose `<partdir>` is missing means the
     * promote never happened — restore the retired copy; one whose partdir
@@ -244,6 +275,11 @@ object Pipeline {
           require(fs.rename(p, dest), s"crash rollback failed for $dest")
         } else fs.delete(p, true)
       }
+    // Stale compaction staging (crash before its retire) is always junk:
+    // the live partition dir was never touched.
+    fs.listStatus(store).map(_.getPath)
+      .filter(_.getName.startsWith(".compact-staged-"))
+      .foreach(fs.delete(_, true))
   }
 
   /** S8 bucketed-layout sink (opt-in): the two fact tables are saved as

@@ -181,6 +181,37 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       .filter(col("repo_name") === "repoB").count() == 1)
   }
 
+  test("compaction coalesces partition files without changing content") {
+    val inc = root.resolve("out_compact").toString
+    _root_.graft.git.Pipeline.etlAppend(
+      spark, Seq(repoA.toString, repoB.toString), inc)
+    val partDir = Paths.get(inc, "commits", "repo_name=repoA")
+    def dataFiles() = Files.list(partDir).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+    // Plant extra small files (as accumulated incremental runs would) by
+    // splitting the partition into many files (via the driver — Spark
+    // refuses to overwrite a path it is reading).
+    val src = spark.read.parquet(partDir.toString)
+    val (rows, schema) = (src.collect().toSeq, src.schema)
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
+      .repartition(4).write.mode("overwrite").parquet(partDir.toString)
+    assert(dataFiles().size > 1)
+    val before = spark.read.parquet(s"$inc/commits")
+      .collect().map(_.toString).sorted
+
+    _root_.graft.git.Pipeline.compact(spark, inc, "commits")
+    assert(dataFiles().size == 1, s"expected 1 file, got ${dataFiles()}")
+    val after = spark.read.parquet(s"$inc/commits")
+      .collect().map(_.toString).sorted
+    assert(after === before)
+    // No staging/retired leftovers.
+    assert(!Files.list(Paths.get(inc, "commits")).toArray
+      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .exists(n => n.contains("compact-staged") || n.contains("retired")))
+  }
+
   test("crashed whole-table swap (authors) is rolled back on the next run") {
     val inc = root.resolve("out_crash2").toString
     _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)
