@@ -33,50 +33,13 @@ object TimerSessions {
     override def handleInputRows(
         key: Long, rows: Iterator[Ev], tv: TimerValues): Iterator[Closed] = {
       val times = rows.map(_.ts.getTime).toArray.sorted
-      var st = if (open.exists()) open.get() else Open(times.head, times.head, 0L)
-      // Events can straddle a gap within one trigger: close internally.
-      // A late-but-within-watermark event (t <= st.last, delivered by a
-      // LATER trigger) must only extend the open session monotonically —
-      // never lower `last` (that would shrink the deadline and close the
-      // session early, possibly with end < start). A late event a FULL
-      // gap before the open session's start can never belong to it: it
-      // accretes into a separate pre-session (`pre`, merged across
-      // consecutive such events within the trigger) closed at trigger end
-      // — its gap to the open session has already elapsed in event time.
-      val out = Seq.newBuilder[Closed]
-      var pre: Option[Open] = None
-      times.foreach { t =>
-        if (st.n == 0L) {
-          st = Open(t, t, 1L)
-        } else if (st.start - t >= gapMs) {
-          pre = pre match {
-            case Some(p) if t - p.last >= gapMs =>
-              out += Closed(key, p.start, p.last, p.n)
-              Some(Open(t, t, 1L))
-            case Some(p) =>
-              Some(Open(p.start, math.max(p.last, t), p.n + 1L))
-            case None => Some(Open(t, t, 1L))
-          }
-        } else if (t - st.last >= gapMs) {
-          out += Closed(key, st.start, st.last, st.n)
-          st = Open(t, t, 1L)
-        } else {
-          st = Open(math.min(st.start, t), math.max(st.last, t), st.n + 1L)
-        }
-      }
-      // An absorbed event may have lowered the open session's start to
-      // within a gap of the pre-session (a bridge): merge instead of
-      // closing, matching the batch lag/running-sum semantics.
-      pre.foreach { p =>
-        if (st.n > 0L && st.start - p.last < gapMs)
-          st = Open(math.min(p.start, st.start), st.last, st.n + p.n)
-        else out += Closed(key, p.start, p.last, p.n)
-      }
+      val prev = if (open.exists()) Some(open.get()) else None
+      val (st, closedSpans) = foldTimes(prev, times, gapMs)
       // One live timer per key: replace the old deadline with the new one.
       getHandle.listTimers().foreach(getHandle.deleteTimer)
       getHandle.registerTimer(st.last + gapMs)
       open.update(st)
-      out.result().iterator
+      closedSpans.map(p => Closed(key, p.start, p.last, p.n)).iterator
     }
 
     override def handleExpiredTimer(
@@ -93,6 +56,56 @@ object TimerSessions {
         } else Iterator.empty
       result
     }
+  }
+
+  /** One trigger's fold, pure (property-tested in `TimerFoldSpec`): merge a
+    * sorted batch of event times into the (optional) open session; return
+    * the new open session plus the sessions closed INSIDE the trigger.
+    *
+    * Semantics: events straddling a gap within one trigger close
+    * internally. A late-but-within-watermark event (t ≤ open.last from a
+    * LATER trigger) extends the open session monotonically — never lowers
+    * `last` (that would shrink the timer deadline and close the session
+    * early, possibly with end < start). A late event a FULL gap before the
+    * open session's start can never belong to it: it accretes into a
+    * separate pre-session (merged across consecutive such events within
+    * the trigger, and merged INTO the open session if an absorbed event
+    * bridges them), closed at trigger end — its gap to the open session
+    * has already elapsed in event time. Under in-order-across-triggers
+    * delivery this fold reproduces batch gap-sessionization exactly; the
+    * pre-session path is the best O(1)-state approximation for
+    * cross-trigger disorder (exact merging would require buffering every
+    * event until the watermark). */
+  private[streaming] def foldTimes(
+      prev: Option[Open], times: Array[Long], gapMs: Long): (Open, Seq[Open]) = {
+    var st = prev.getOrElse(Open(times.head, times.head, 0L))
+    val out = Seq.newBuilder[Open]
+    var pre: Option[Open] = None
+    times.foreach { t =>
+      if (st.n == 0L) {
+        st = Open(t, t, 1L)
+      } else if (st.start - t >= gapMs) {
+        pre = pre match {
+          case Some(p) if t - p.last >= gapMs =>
+            out += p
+            Some(Open(t, t, 1L))
+          case Some(p) =>
+            Some(Open(p.start, math.max(p.last, t), p.n + 1L))
+          case None => Some(Open(t, t, 1L))
+        }
+      } else if (t - st.last >= gapMs) {
+        out += st
+        st = Open(t, t, 1L)
+      } else {
+        st = Open(math.min(st.start, t), math.max(st.last, t), st.n + 1L)
+      }
+    }
+    pre.foreach { p =>
+      if (st.n > 0L && st.start - p.last < gapMs)
+        st = Open(math.min(p.start, st.start), st.last, st.n + p.n)
+      else out += p
+    }
+    (st, out.result())
   }
 
   /** Closed sessions (30-min default gap) as an append stream. `ev` must
