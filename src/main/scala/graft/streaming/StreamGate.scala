@@ -190,5 +190,48 @@ object StreamGate {
       .orderBy(col("user_id"), col("sess_start"))
   }
 
-  val all: Seq[Q] = Seq(q92StreamTumbling, q94StreamAttribution, q95StreamSessions)
+  /** q96: streaming exact dedup gated end-to-end — the input is staged as
+    * TWO full copies of the events table (every row delivered twice, the
+    * at-least-once redelivery shape), `dropDuplicatesWithinWatermark`
+    * drops the replays, and the sink must equal the original table (the
+    * oracle). Works whether the copies land in one micro-batch (state
+    * dedup) or two (the second copy is either state-deduped or dropped as
+    * late data below the advanced watermark — duplicates either way).
+    * First-seen rows emit immediately in append mode; no sentinel. At
+    * 100 TB/day state holds only the ids inside the 1-hour late-data
+    * horizon — constant memory, which a batch distinct over an unbounded
+    * log cannot offer. */
+  val q96StreamDedup: Q = Q(
+    "q96_stream_dedup",
+    """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |       user_id, event_type, value, props
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q96-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
+    // Second full copy: every event is delivered (at least) twice.
+    val listing = Files.list(in)
+    try listing.forEach { f =>
+      Files.copy(f, in.resolve(s"dup-${f.getFileName}"),
+        StandardCopyOption.REPLACE_EXISTING)
+    } finally listing.close()
+
+    val out = work.resolve("out").toString
+    val query = EventStream.dedupEvents(EventStream.events(s, srcRoot))
+      .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    s.read.parquet(out).orderBy(col("event_id"))
+  }
+
+  val all: Seq[Q] = Seq(
+    q92StreamTumbling, q94StreamAttribution, q95StreamSessions, q96StreamDedup)
 }
