@@ -193,17 +193,7 @@ object Pipeline {
         // exist only in a dir a later run would discard.
         swapTable(fs, store, staged, table)
       } else {
-        partDirs.foreach { p =>
-          val name = p.getPath.getName // e.g. repo_name=repoA
-          val dest = new org.apache.hadoop.fs.Path(store, name)
-          if (fs.exists(dest)) {
-            val retired = new org.apache.hadoop.fs.Path(store,
-              s".retired-${java.util.UUID.randomUUID()}--$name")
-            require(fs.rename(dest, retired), s"retire failed for $table/$name")
-            require(fs.rename(p.getPath, dest), s"promote failed for $table/$name")
-            fs.delete(retired, true)
-          } else require(fs.rename(p.getPath, dest), s"promote failed for $table/$name")
-        }
+        partDirs.foreach(p => swapPartition(fs, store, p.getPath, p.getPath.getName))
         fs.delete(staged, true)
       }
     }
@@ -227,15 +217,35 @@ object Pipeline {
     r.release()
   }
 
+  /** Swap a staged partition dir over the live one: retire → promote →
+    * clean, each step one atomic rename/delete. The naming convention is
+    * what [[recoverPartitions]] parses for crash rollback — shared by the
+    * publish and compaction paths so the two can never drift. */
+  private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
+      store: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
+      name: String): Unit = {
+    val dest = new org.apache.hadoop.fs.Path(store, name)
+    if (fs.exists(dest)) {
+      val retired = new org.apache.hadoop.fs.Path(store,
+        s".retired-${java.util.UUID.randomUUID()}--$name")
+      require(fs.rename(dest, retired), s"retire failed for $dest")
+      require(fs.rename(staged, dest), s"promote failed for $dest")
+      fs.delete(retired, true)
+    } else require(fs.rename(staged, dest), s"promote failed for $dest")
+  }
+
   /** Compact a repo-partitioned table written by [[etlAppend]]: every
     * incremental run adds a fresh file set to each touched partition's
     * rewrite, and long-running stores accumulate small files (the classic
     * 100 TB operational problem — file-count pressure on listing, footer
-    * reads, and task scheduling). Each partition is coalesced to
-    * `filesPerPartition` and swapped in with the same retire→promote→clean
-    * renames as the publish path, so compaction is crash-safe, atomic per
-    * partition, and invisible to readers. Content is untouched — only the
-    * physical file layout changes. */
+    * reads, and task scheduling). Partitions already at or below
+    * `filesPerPartition` data files are skipped (idempotent: a second
+    * compact run touches nothing), the rest are coalesced and swapped in
+    * with the same crash-safe retire→promote→clean renames as the publish
+    * path. Content is untouched — only the physical file layout changes.
+    * Like the publish path, compaction assumes a single writer; a reader
+    * listing partitions in the instant between retire and promote can
+    * observe the table without that one partition. */
   def compact(spark: SparkSession, outDir: String, table: String,
       filesPerPartition: Int = 1): Unit = {
     val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
@@ -245,16 +255,16 @@ object Pipeline {
     fs.listStatus(store).filter(p => p.isDirectory && p.getPath.getName.contains("="))
       .foreach { p =>
         val part = p.getPath
-        val staged = new org.apache.hadoop.fs.Path(store, s".compact-staged-${part.getName}")
-        fs.delete(staged, true)
-        spark.read.parquet(part.toString)
-          .coalesce(filesPerPartition)
-          .write.mode("overwrite").parquet(staged.toString)
-        val retired = new org.apache.hadoop.fs.Path(store,
-          s".retired-${java.util.UUID.randomUUID()}--${part.getName}")
-        require(fs.rename(part, retired), s"compact retire failed for $part")
-        require(fs.rename(staged, part), s"compact promote failed for $part")
-        fs.delete(retired, true)
+        val nData = fs.listStatus(part).count(f =>
+          f.isFile && f.getPath.getName.endsWith(".parquet"))
+        if (nData > filesPerPartition) {
+          val staged = new org.apache.hadoop.fs.Path(store, s".compact-staged-${part.getName}")
+          fs.delete(staged, true)
+          spark.read.parquet(part.toString)
+            .coalesce(filesPerPartition)
+            .write.mode("overwrite").parquet(staged.toString)
+          swapPartition(fs, store, staged, part.getName)
+        }
       }
   }
 

@@ -55,6 +55,24 @@ object StreamGate {
   private def dropStagedInput(work: java.nio.file.Path): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(work.resolve("in").toFile)
 
+  /** Run `df` through the shared parquet sink (append, AvailableNow) under
+    * `work`, wait for completion, drop the staged input, and return the
+    * output path for read-back. */
+  private def runToParquet(df: org.apache.spark.sql.DataFrame,
+      work: java.nio.file.Path): String = {
+    val out = work.resolve("out").toString
+    val query = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    out
+  }
+
   val q92StreamTumbling: Q = Q(
     "q92_stream_tumbling",
     s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
@@ -77,7 +95,6 @@ object StreamGate {
       EventStream.rawSchema)
       .write.mode("append").parquet(in.toString)
 
-    val out = work.resolve("out").toString
     val agg = EventStream.events(s, srcRoot)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
@@ -85,17 +102,7 @@ object StreamGate {
       .select(
         unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
-    val query = agg.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    dropStagedInput(work)
-
-    s.read.parquet(out)
+    s.read.parquet(runToParquet(agg, work))
       .filter(col("event_type") =!= Sentinel)
       .orderBy(col("win_start"), col("event_type"))
   }
@@ -123,17 +130,7 @@ object StreamGate {
     val work = Files.createTempDirectory("graft-q94-")
     val joined = EventStream.attributionJoin(
       EventStream.events(s, stageEvents(dir, work)))
-    val out = work.resolve("out").toString
-    val query = joined.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    dropStagedInput(work)
-    s.read.parquet(out)
+    s.read.parquet(runToParquet(joined, work))
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
 
@@ -174,18 +171,8 @@ object StreamGate {
       EventStream.rawSchema)
       .write.mode("append").parquet(in.toString)
 
-    val out = work.resolve("out").toString
-    val query = EventStream.sessionCounts(EventStream.events(s, srcRoot))
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    dropStagedInput(work)
-    s.read.parquet(out)
+    val sessions = EventStream.sessionCounts(EventStream.events(s, srcRoot))
+    s.read.parquet(runToParquet(sessions, work))
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("sess_start"))
   }
@@ -209,27 +196,24 @@ object StreamGate {
     val work = Files.createTempDirectory("graft-q96-")
     val srcRoot = stageEvents(dir, work)
     val in = Paths.get(srcRoot, "events.parquet")
-    // Second full copy: every event is delivered (at least) twice.
-    val listing = Files.list(in)
-    try listing.forEach { f =>
+    // Second full copy: every event is delivered (at least) twice. The
+    // listing is materialized BEFORE copying — iterating a directory
+    // while adding entries to it has unspecified visibility (a stream
+    // that surfaced the new files would copy dup-dup-* third copies).
+    val files = {
+      val listing = Files.list(in)
+      try listing.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally listing.close()
+    }
+    files.foreach { f =>
       Files.copy(f, in.resolve(s"dup-${f.getFileName}"),
         StandardCopyOption.REPLACE_EXISTING)
-    } finally listing.close()
+    }
 
-    val out = work.resolve("out").toString
-    val query = EventStream.dedupEvents(EventStream.events(s, srcRoot))
+    val deduped = EventStream.dedupEvents(EventStream.events(s, srcRoot))
       .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
         col("user_id"), col("event_type"), col("value"), col("props"))
-      .writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
-    dropStagedInput(work)
-    s.read.parquet(out).orderBy(col("event_id"))
+    s.read.parquet(runToParquet(deduped, work)).orderBy(col("event_id"))
   }
 
   val all: Seq[Q] = Seq(

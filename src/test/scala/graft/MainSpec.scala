@@ -186,9 +186,12 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
     _root_.graft.git.Pipeline.etlAppend(
       spark, Seq(repoA.toString, repoB.toString), inc)
     val partDir = Paths.get(inc, "commits", "repo_name=repoA")
-    def dataFiles() = Files.list(partDir).toArray
-      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
-      .filter(_.endsWith(".parquet")).sorted.toSeq
+    def ls(dir: java.nio.file.Path): Seq[String] = {
+      val s = Files.list(dir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toSeq
+      finally s.close()
+    }
+    def dataFiles() = ls(partDir).filter(_.endsWith(".parquet")).sorted
     // Plant extra small files (as accumulated incremental runs would) by
     // splitting the partition into many files (via the driver — Spark
     // refuses to overwrite a path it is reading).
@@ -207,9 +210,15 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       .collect().map(_.toString).sorted
     assert(after === before)
     // No staging/retired leftovers.
-    assert(!Files.list(Paths.get(inc, "commits")).toArray
-      .map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+    assert(!ls(Paths.get(inc, "commits"))
       .exists(n => n.contains("compact-staged") || n.contains("retired")))
+    // Idempotence: a second compact must not rewrite anything.
+    val mtime = Files.getLastModifiedTime(
+      partDir.resolve(dataFiles().head)).toMillis
+    _root_.graft.git.Pipeline.compact(spark, inc, "commits")
+    assert(Files.getLastModifiedTime(
+      partDir.resolve(dataFiles().head)).toMillis == mtime,
+      "second compact rewrote an already-compact partition")
   }
 
   test("crashed whole-table swap (authors) is rolled back on the next run") {
