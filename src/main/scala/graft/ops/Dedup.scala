@@ -144,6 +144,17 @@ object Dedup {
     * table every LSH pipeline keeps.
     */
   private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
+    val capped = cappedBands(s, dir)
+    capped.as("a").join(capped.as("c"),
+        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The size-capped (doc_id, band-key) table the pair generators join —
+    * at cluster scale this is the materialized LSH signature/band index
+    * every dedup pipeline keeps between runs. */
+  private[ops] def cappedBands(s: SparkSession, dir: String): DataFrame = {
     val sh = Tables(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
       .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
@@ -162,16 +173,12 @@ object Dedup {
     // broadcastable list — so the cap is a broadcast ANTI-join instead of a
     // count-over-window, which would sort-shuffle the whole band table. The
     // count aggregate combines map-side; bands shuffles only for the
-    // self-join below.
+    // pair joins downstream.
     val hot = bands.groupBy(col("bh"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BandBucketCap)
       .select(col("bh"))
-    val capped = bands.join(broadcast(hot), Seq("bh"), "left_anti")
-    capped.as("a").join(capped.as("c"),
-        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
+    bands.join(broadcast(hot), Seq("bh"), "left_anti")
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
@@ -679,8 +686,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q97: INCREMENTAL dedup — the daily-batch shape at 100 TB. The corpus
+    * splits into an archive (even doc_id — already deduped, its band
+    * index stored from previous runs) and a new batch (odd doc_id): only
+    * the new batch joins against the full index, so candidate volume is
+    * ∝ |new batch| × bucket sizes and the archive is NEVER re-paired
+    * against itself (O(archive²) band work a full q35 re-run would pay
+    * daily). The same bucket cap guards a hot archive bucket from
+    * exploding the new batch's join. Output marks which pairs are
+    * new-vs-new vs new-vs-archive — the routing a downstream keeper
+    * policy needs (new-vs-archive: the archive doc usually wins).
+    *
+    * The oracle restricts the full pair set to pairs touching the new
+    * batch — equivalent by construction, independent of the Spark join
+    * mechanics (the new×all join + canonicalize + distinct). */
+  val q97DedupIncremental: Q = Q(
+    "q97_dedup_incremental",
+    s"""WITH $duckLshPairCtes
+       |SELECT doc_a, doc_b,
+       |       (doc_a % 2 = 1 AND doc_b % 2 = 1) AS both_new
+       |FROM pairs
+       |WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val capped = cappedBands(s, dir)
+    val newBatch = capped.filter(col("doc_id") % 2 === 1)
+    newBatch.as("n").join(capped.as("c"),
+        col("n.bh") === col("c.bh") && col("n.doc_id") =!= col("c.doc_id"))
+      .select(
+        least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
+      .distinct()
+      .withColumn("both_new", col("doc_a") % 2 === 1 && col("doc_b") % 2 === 1)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
-      q67Decontaminate, q68Repetition)
+      q67Decontaminate, q68Repetition, q97DedupIncremental)
 }
