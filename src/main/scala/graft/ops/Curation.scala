@@ -507,7 +507,56 @@ object Curation {
     }
   }
 
+  /** q98: distribution-drift monitor (PSI — population stability index)
+    * between the archive (even doc_id) and an incoming batch (odd doc_id)
+    * over document-length buckets — the standard pre-ingest guard: a new
+    * crawl whose length (or quality-score) distribution shifted gets
+    * flagged BEFORE it pollutes the training mix. PSI contribution per
+    * bucket = (p_new − p_arch)·ln(p_new/p_arch) with add-one smoothing so
+    * empty buckets stay finite; Σ > 0.2 is the conventional alarm line.
+    *
+    * Scale shape: one pass, map-side combining into ≤10 bucket counters,
+    * a 1-row broadcast of the totals — O(N) with no wide shuffle at any
+    * corpus size. Probabilities are single IEEE divisions of exact
+    * integer counts (the COVERAGE.md determinism rule), so both engines
+    * agree bit-for-bit. */
+  val q98QualityDrift: Q = Q(
+    "q98_quality_drift",
+    """WITH b AS (SELECT least(9, n_chars // 200) AS bucket,
+      |                  (doc_id % 2 = 0) AS is_arch
+      |           FROM documents),
+      |c AS (SELECT bucket,
+      |             count(*) FILTER (WHERE is_arch) AS n_arch,
+      |             count(*) FILTER (WHERE NOT is_arch) AS n_new
+      |      FROM b GROUP BY bucket),
+      |t AS (SELECT CAST(sum(n_arch) AS BIGINT) AS ta,
+      |             CAST(sum(n_new) AS BIGINT) AS tn,
+      |             count(*) AS nb FROM c)
+      |SELECT bucket, n_arch, n_new,
+      |       round((CAST(n_new + 1 AS DOUBLE) / (tn + nb)
+      |              - CAST(n_arch + 1 AS DOUBLE) / (ta + nb))
+      |             * ln((CAST(n_new + 1 AS DOUBLE) / (tn + nb))
+      |                  / (CAST(n_arch + 1 AS DOUBLE) / (ta + nb))), 6)
+      |         AS psi_contrib
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val b = Tables(s, dir, "documents")
+      .select(least(lit(9L), expr("n_chars div 200")).as("bucket"),
+        (col("doc_id") % 2 === 0).as("is_arch"))
+    val c = b.groupBy(col("bucket")).agg(
+      count_if(col("is_arch")).as("n_arch"),
+      count_if(!col("is_arch")).as("n_new"))
+    val t = c.agg(sum(col("n_arch")).as("ta"), sum(col("n_new")).as("tn"),
+      count(lit(1)).as("nb"))
+    val pNew = (col("n_new") + 1).cast("double") / (col("tn") + col("nb"))
+    val pArch = (col("n_arch") + 1).cast("double") / (col("ta") + col("nb"))
+    c.crossJoin(broadcast(t))
+      .select(col("bucket"), col("n_arch"), col("n_new"),
+        round((pNew - pArch) * log(pNew / pArch), 6).as("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
-    q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest)
+    q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
+    q98QualityDrift)
 }
