@@ -238,7 +238,15 @@ object Dedup {
       }
     }
     pairs.unpersist()
-    labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+    if (changed > 0) {
+      // Diameter exceeded the round cap (a deep chain): the labels are NOT
+      // a fixpoint. Fall back to the O(log²n)-round star transform rather
+      // than returning silently wrong clusters.
+      labels.unpersist()
+      connectedComponentsStar(pairsIn)
+    } else {
+      labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
+    }
   }
 
   /** Large-star/small-star connected components (Kiveris et al. 2014,

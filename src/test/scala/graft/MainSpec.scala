@@ -221,6 +221,30 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       "second compact rewrote an already-compact partition")
   }
 
+  test("crashed compaction swap is rolled back and re-compacted") {
+    val inc = root.resolve("out_compact").toString // store built above
+    val commitsDir = Paths.get(inc, "commits")
+    val live = commitsDir.resolve("repo_name=repoB")
+    val before = spark.read.parquet(s"$inc/commits")
+      .filter(col("repo_name") === "repoB").count()
+    // Crash between compact's retire and promote: the live partition was
+    // renamed aside, the compacted staging is half-written.
+    Files.move(live, commitsDir.resolve(
+      s".retired-${java.util.UUID.randomUUID()}--repo_name=repoB"))
+    Files.createDirectories(commitsDir.resolve(".compact-staged-repo_name=repoB"))
+    _root_.graft.git.Pipeline.compact(spark, inc, "commits")
+    assert(Files.isDirectory(live), "retired partition was not rolled back")
+    assert(spark.read.parquet(s"$inc/commits")
+      .filter(col("repo_name") === "repoB").count() == before)
+    // Staging junk is gone.
+    val leftovers = {
+      val s = Files.list(commitsDir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toSeq
+      finally s.close()
+    }
+    assert(!leftovers.exists(n => n.contains("compact-staged") || n.contains("retired")))
+  }
+
   test("crashed whole-table swap (authors) is rolled back on the next run") {
     val inc = root.resolve("out_crash2").toString
     _root_.graft.git.Pipeline.etlAppend(spark, Seq(repoA.toString), inc)

@@ -26,6 +26,14 @@ class ConnectedComponentsSpec extends SparkSpec {
         s"${labels.values.toSet.size} distinct labels")
   }
 
+  test("min-label CC falls back to the star transform when the cap is hit") {
+    // Diameter 999 ≫ the 20-round cap: without the fallback this returned
+    // silently wrong (non-fixpoint) labels.
+    val path = (0L until 999L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = ccMap(Dedup.connectedComponents(path))
+    assert(labels.size == 1000 && labels.values.forall(_ == 0L))
+  }
+
   test("star CC and min-label CC agree on random shallow graphs") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {
