@@ -155,9 +155,7 @@ object Dedup {
     * at cluster scale this is the materialized LSH signature/band index
     * every dedup pipeline keeps between runs. */
   private[ops] def cappedBands(s: SparkSession, dir: String): DataFrame = {
-    val sh = Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+    val sh = shingleRows(s, dir)
       .withColumn("m", md5(col("sh")))
       .withColumn("h", expr(hexHeadToLong("m", "instr")))
     val sigCols = (0 until 16).map(j =>
@@ -237,14 +235,17 @@ object Dedup {
         prev = upd
       }
     }
-    pairs.unpersist()
     if (changed > 0) {
       // Diameter exceeded the round cap (a deep chain): the labels are NOT
       // a fixpoint. Fall back to the O(log²n)-round star transform rather
-      // than returning silently wrong clusters.
-      labels.unpersist()
-      connectedComponentsStar(pairsIn)
+      // than returning silently wrong clusters. `pairs` stays persisted —
+      // the star pass re-persists the same plan, which resolves to the
+      // already-materialized cache instead of re-running the whole LSH
+      // candidate lineage — and the star pass's own cleanup releases it.
+      prev.unpersist()
+      connectedComponentsStar(pairs)
     } else {
+      pairs.unpersist()
       labels.select(col("u").as("doc_id"), col("label").as("cluster_id"))
     }
   }

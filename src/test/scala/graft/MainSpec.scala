@@ -222,7 +222,10 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("crashed compaction swap is rolled back and re-compacted") {
-    val inc = root.resolve("out_compact").toString // store built above
+    // Self-sufficient store (no dependence on other tests' outputs).
+    val inc = root.resolve("out_crash3").toString
+    _root_.graft.git.Pipeline.etlAppend(
+      spark, Seq(repoA.toString, repoB.toString), inc)
     val commitsDir = Paths.get(inc, "commits")
     val live = commitsDir.resolve("repo_name=repoB")
     val before = spark.read.parquet(s"$inc/commits")
