@@ -57,18 +57,31 @@ object StreamGate {
 
   /** Run `df` through the shared parquet sink (append, AvailableNow) under
     * `work`, wait for completion, drop the staged input, and return the
-    * output path for read-back. */
+    * output path for read-back.
+    *
+    * State-partition sizing: a streaming query creates one state store per
+    * shuffle partition, a FIXED per-run cost (store setup + checkpoint
+    * files) regardless of data volume. The gates process bounded test
+    * tables, so the partition count is capped at 8 for the stream's
+    * duration (measured: q94 8.1 s → ~5 s at local[32]); at 100 TB the
+    * same dial is sized UP to the key cardinality instead. The session
+    * value is restored before returning — batch queries are unaffected. */
   private def runToParquet(df: org.apache.spark.sql.DataFrame,
       work: java.nio.file.Path): String = {
+    val s = df.sparkSession
     val out = work.resolve("out").toString
-    val query = df.writeStream
-      .format("parquet")
-      .option("path", out)
-      .option("checkpointLocation", work.resolve("ckpt").toString)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      if (prev.toInt > 8) s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query = df.writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", work.resolve("ckpt").toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     dropStagedInput(work)
     out
   }
