@@ -260,10 +260,24 @@ object Similarity {
     * aggregation collapses each vector's k candidate rows to 1 BEFORE the
     * vec_id shuffle (a window would sort-shuffle all N×k rows). */
   private[ops] def centroidAssign(e: DataFrame, k: Long = 16L): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
       col("n2").as("n2_cent"))
-    e.join(broadcast(cent))
+    // Two-stage argmax: the codegen'd double cosine scores all k centroids
+    // and a bounded-heap top-2 picks the candidates; only those two pay
+    // the decimal-exact rescore that decides the argmax. Same correctness
+    // argument as the q38 prefilter: double error ~1e-13 ≪ any real
+    // centroid-cosine gap, and the q66 spec re-proves parity with the
+    // oracle's full-decimal rank. Decimal work drops from N×k dots to N×2.
+    val top2 = e.join(broadcast(cent))
+      .withColumn("dcos", expr("cosine_f32(embedding, emb_cent)"))
+      .groupBy(col("vec_id"))
+      .agg(expr("topk_by_score(dcos, centroid_id, 2)").as("t"))
+      .select(col("vec_id"), explode(col("t.id")).as("centroid_id"))
+    top2
+      .join(broadcast(cent), "centroid_id")
+      .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
       .withColumn("ccos",
         expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
       .groupBy(col("vec_id"))
