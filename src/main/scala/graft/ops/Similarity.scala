@@ -254,28 +254,40 @@ object Similarity {
       |               JOIN n2 nc ON nc.vec_id = centroid_id),
       |assign AS (SELECT vec_id, centroid_id FROM ac WHERE crank = 1)""".stripMargin
 
-  /** Spark side of the same: broadcast the 16 seed centroids against the
-    * streamed vector table (map-side k-way expansion, no shuffle), then a
-    * `max_by` argmax over a (cos, -centroid_id) struct — partial
-    * aggregation collapses each vector's k candidate rows to 1 BEFORE the
-    * vec_id shuffle (a window would sort-shuffle all N×k rows). */
+  /** Spark side of the same: broadcast the k seed centroids against the
+    * streamed vector table (map-side k-way expansion, no shuffle); the
+    * bounded-heap partial aggregation collapses each vector's k candidate
+    * rows to ≤4 BEFORE any shuffle (a window would sort-shuffle all N×k
+    * rows), and only those candidates pay the decimal-exact rescore —
+    * which does cost one vec_id-clustered join of the embedding payload,
+    * the trade documented inline below. */
   private[ops] def centroidAssign(e: DataFrame, k: Long = 16L): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
       col("n2").as("n2_cent"))
     // Two-stage argmax: the codegen'd double cosine scores all k centroids
-    // and a bounded-heap top-2 picks the candidates; only those two pay
-    // the decimal-exact rescore that decides the argmax. Same correctness
-    // argument as the q38 prefilter: double error ~1e-13 ≪ any real
-    // centroid-cosine gap, and the q66 spec re-proves parity with the
-    // oracle's full-decimal rank. Decimal work drops from N×k dots to N×2.
-    val top2 = e.join(broadcast(cent))
-      .withColumn("dcos", expr("cosine_f32(embedding, emb_cent)"))
+    // and a bounded-heap top-4 picks the candidates; only those pay the
+    // decimal-exact rescore that decides the argmax. Correctness: the true
+    // decimal winner is excluded only if FOUR centroids sit within the
+    // ~1e-13 double rounding band — far beyond the q38-prefilter
+    // assumption the repo already relies on, and re-proven against the
+    // full-decimal oracle rank at sf0.01 AND sf0.1. A null double cosine
+    // (zero-norm vector or centroid) becomes NaN, which both the heap
+    // order and the decimal max_by rank GREATEST — identical to the
+    // single-stage path's NaN semantics and the oracle's NaN-first DESC
+    // rank, so no vector ever drops out of the assignment.
+    // Cost: decimal work falls from N×k dots to N×4, for one extra
+    // vec_id-clustered join of the embedding payload — measured strictly
+    // faster from k=16 up (q66 2.5→1.0 s) and ~15× less decimal work at
+    // q74's size-derived k.
+    val topC = e.join(broadcast(cent))
+      .withColumn("dcos",
+        coalesce(expr("cosine_f32(embedding, emb_cent)"), lit(Double.NaN)))
       .groupBy(col("vec_id"))
-      .agg(expr("topk_by_score(dcos, centroid_id, 2)").as("t"))
+      .agg(expr("topk_by_score(dcos, centroid_id, 4)").as("t"))
       .select(col("vec_id"), explode(col("t.id")).as("centroid_id"))
-    top2
+    topC
       .join(broadcast(cent), "centroid_id")
       .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
       .withColumn("ccos",

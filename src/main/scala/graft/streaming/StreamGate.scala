@@ -63,16 +63,19 @@ object StreamGate {
     * shuffle partition, a FIXED per-run cost (store setup + checkpoint
     * files) regardless of data volume. The gates process bounded test
     * tables, so the partition count is capped at 8 for the stream's
-    * duration (measured: q94 8.1 s → ~5 s at local[32]); at 100 TB the
-    * same dial is sized UP to the key cardinality instead. The session
-    * value is restored before returning — batch queries are unaffected. */
+    * duration (measured: q94 8.1 s → 3.1 s warm at local[32]); at 100 TB
+    * the same dial is sized UP to the key cardinality instead. The cap is
+    * a session-conf set/restore, valid because the verify/bench harnesses
+    * run queries strictly sequentially — a concurrently-planned batch
+    * query on the same session would also see 8. */
   private def runToParquet(df: org.apache.spark.sql.DataFrame,
       work: java.nio.file.Path): String = {
     val s = df.sparkSession
     val out = work.resolve("out").toString
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      if (prev.toInt > 8) s.conf.set("spark.sql.shuffle.partitions", "8")
+      if (scala.util.Try(prev.toInt).toOption.forall(_ > 8))
+        s.conf.set("spark.sql.shuffle.partitions", "8")
       val query = df.writeStream
         .format("parquet")
         .option("path", out)
