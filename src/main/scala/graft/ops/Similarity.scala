@@ -218,31 +218,54 @@ object Similarity {
     * sign-LSH): partition the vector space into inverted lists by nearest
     * centroid, then each query probes only its `nprobe` closest lists.
     *
-    * Centroids here are a deterministic seed subset (vec_id < 16); a real
-    * 100 TB deployment would k-means‖-train them on a sample, but training
-    * is orthogonal to the *query* architecture being exercised: assignment
-    * and probing are identical either way.
+    * Centroids are a deterministic seed subset (vec_id < k) with k DERIVED
+    * from corpus size — semK(N) = clamp(N/64, 16, 4096), the same formula
+    * q74 uses — so each inverted list stays ~64 members and nprobe=2 scans
+    * a CONSTANT ~128 candidates per query at any N (a fixed k would make
+    * the "index" degenerate toward a linear scan at 100×). A real 100 TB
+    * deployment would k-means‖-train the k seeds on a sample (q66 is that
+    * step); training improves list balance but not the cost law exercised
+    * here: assignment and probing are identical either way.
     *
     * Spark plan (the 100 TB shape):
-    *  - assignment: broadcast the 16 centroids against the streamed vector
-    *    table (map-side N×16 expansion, no shuffle), then `max_by` over a
+    *  - assignment: broadcast the k centroids against the streamed vector
+    *    table (map-side N×k expansion, no shuffle), then `max_by` over a
     *    (cos, -centroid_id) struct — partial aggregation collapses each
-    *    vector's 16 candidate rows to 1 *before* the doc_id shuffle, unlike
-    *    a row_number window which would sort-shuffle all N×16 rows. The
+    *    vector's k candidate rows to 1 *before* the doc_id shuffle, unlike
+    *    a row_number window which would sort-shuffle all N×k rows. The
     *    oracle renders the same argmax as a rank-1 window (recursive-free
     *    ANSI); the (cos DESC, centroid_id ASC) tie order is identical.
     *  - probing: the query side is 10 rows — its top-2 window is free; the
     *    probe→list join is a broadcast hash join on centroid_id, so
-    *    candidate volume is ~nprobe/k of the table, streamed, never
-    *    shuffled.
+    *    candidate volume is ~nprobe·N/k ≈ nprobe·TargetClusterSize rows
+    *    per query, streamed, never shuffled.
     *  - scoring: decimal-exact cosine on the candidates only, then the
     *    per-query top-3 (tiny). */
+  /** Target mean cluster size and the per-cluster scan cap, shared by the
+    * centroid family (q48 IVF, q66 Lloyd, q74 SemDeDup).
+    * k = clamp(N / TargetClusterSize, 16, 4096) keeps E[cluster] constant
+    * as the corpus grows — so IVF candidate volume per query stays
+    * ~nprobe·TargetClusterSize at ANY corpus size instead of degenerating
+    * toward a linear scan — and any cluster that still exceeds ScanCap
+    * members (skew) is excluded from pair scanning entirely. Both constants
+    * are mirrored literally in the DuckDB oracles. */
+  private[ops] val TargetClusterSize = 64L
+  private[ops] val SemScanCap = 200L
+  private[ops] def semK(n: Long): Long =
+    math.max(16L, math.min(4096L, n / TargetClusterSize))
+
+  /** The oracle's rendering of semK: a 1-row CTE `kk(k)` computed from the
+    * same count(*) the Spark side uses. */
+  private def duckKk: String =
+    s"""kk AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
+       |       FROM embeddings)""".stripMargin
+
   /** DuckDB CTE chain (on top of el/n2) ending in `assign(vec_id,
-    * centroid_id)` — nearest seed centroid (vec_id < 16) by cosine, ties to
+    * centroid_id)` — nearest seed centroid (vec_id < k) by cosine, ties to
     * the lower centroid id. Shared by q48 (inverted lists) and q66 (Lloyd
     * update); `ac` additionally carries every (vec, centroid) rank for
     * q48's probe set. */
-  private def duckAssignCtes(kSql: String = "16"): String =
+  private def duckAssignCtes(kSql: String): String =
     s"""ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
       |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < $kSql
@@ -261,7 +284,7 @@ object Similarity {
     * rows), and only those candidates pay the decimal-exact rescore —
     * which does cost one vec_id-clustered join of the embedding payload,
     * the trade documented inline below. */
-  private[ops] def centroidAssign(e: DataFrame, k: Long = 16L): DataFrame = {
+  private[ops] def centroidAssign(e: DataFrame, k: Long): DataFrame = {
     graft.functions.GraftFunctions.register(e.sparkSession)
     val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
@@ -301,7 +324,8 @@ object Similarity {
     "q48_ann_ivf",
     s"""WITH $duckEl,
        |$duckN2,
-       |${duckAssignCtes()},
+       |$duckKk,
+       |${duckAssignCtes("(SELECT k FROM kk)")},
        |probe AS (SELECT vec_id AS query_id, centroid_id
        |          FROM ac WHERE crank <= 2 AND vec_id < 10),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
@@ -321,8 +345,13 @@ object Similarity {
        |SELECT query_id, neighbor_id, cos_sim, rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // One metadata-cheap count sizes the index (k ∝ N, same formula as the
+    // oracle's kk CTE): inverted lists stay ~TargetClusterSize members at
+    // any corpus size, so nprobe=2 scans ~128 candidates per query whether
+    // N is 2e3 or 2e9 — the fixed-16 variant degenerated toward N/8.
+    val k = semK(Tables(s, dir, "embeddings").count())
     val e = embWithNorm(s, dir)
-    val cent = e.filter(col("vec_id") < 16).select(
+    val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
       col("n2").as("n2_cent"))
     def withCcos(vecs: org.apache.spark.sql.DataFrame) =
@@ -330,7 +359,7 @@ object Similarity {
         .withColumn("ccos",
           expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
     // Assignment: shared map-side argmax (see centroidAssign).
-    val assign = centroidAssign(e)
+    val assign = centroidAssign(e, k)
     // Probing: top-2 centroids per query — the query side is tiny (the
     // vec_id < 10 filter pushes to the scan), so a window is free here.
     val crankW = Window.partitionBy(col("vec_id"))
@@ -429,7 +458,8 @@ object Similarity {
     "q66_kmeans_iter",
     s"""WITH $duckEl,
        |$duckN2,
-       |${duckAssignCtes()},
+       |$duckKk,
+       |${duckAssignCtes("(SELECT k FROM kk)")},
        |dims AS (SELECT centroid_id, i,
        |                CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
        |                  / count(*) AS mean_v,
@@ -442,11 +472,14 @@ object Similarity {
        |       round(CAST(SUM(CAST(mean_v AS DECIMAL(38,12))) AS DOUBLE) / 64, 6)
        |         AS mean_of_means
        |FROM dims GROUP BY centroid_id ORDER BY centroid_id""".stripMargin) { (s, dir) =>
+    // k is size-derived exactly as in q48/q74 — the Lloyd step trains the
+    // same number of centroids the IVF index serves.
+    val k = semK(Tables(s, dir, "embeddings").count())
     val e = embWithNorm(s, dir)
     val el = e.select(col("vec_id"),
         posexplode(col("embedding")).as(Seq("i0", "vf")))
       .select(col("vec_id"), (col("i0") + 1).as("i"), col("vf").cast("double").as("v"))
-    val dims = el.join(centroidAssign(e), "vec_id")
+    val dims = el.join(centroidAssign(e, k), "vec_id")
       .groupBy(col("centroid_id"), col("i"))
       .agg(
         (sum(col("v").cast("decimal(38,12)")).cast("double") / count(lit(1)))
@@ -461,17 +494,6 @@ object Similarity {
           .as("mean_of_means"))
       .orderBy(col("centroid_id"))
   }
-
-  /** SemDeDup target mean cluster size and the per-cluster scan cap.
-    * k = clamp(N / TargetClusterSize, 16, 4096) keeps E[cluster] constant
-    * as the corpus grows, and any cluster that still exceeds ScanCap
-    * members (skew) is excluded from pair scanning entirely — the same
-    * bound q35's band-bucket cap gives MinHash-LSH. Both constants are
-    * mirrored literally in the DuckDB oracle. */
-  private[ops] val TargetClusterSize = 64L
-  private[ops] val SemScanCap = 200L
-  private[ops] def semK(n: Long): Long =
-    math.max(16L, math.min(4096L, n / TargetClusterSize))
 
   /** Within-cluster candidate pairs for SemDeDup, cap-guarded: clusters
     * with more than `cap` members contribute NO pairs (a broadcast
@@ -515,8 +537,7 @@ object Similarity {
     "q74_semantic_neardup",
     s"""WITH $duckEl,
        |$duckN2,
-       |kk AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
-       |       FROM embeddings),
+       |$duckKk,
        |${duckAssignCtes("(SELECT k FROM kk)")},
        |mem AS (SELECT centroid_id, count(*) AS n_members FROM assign GROUP BY 1),
        |cand AS (SELECT a.centroid_id, a.vec_id AS vec_a, b.vec_id AS vec_b

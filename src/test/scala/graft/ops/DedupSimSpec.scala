@@ -150,6 +150,35 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(counts.values.forall(_ <= cap * (cap - 1) / 2))
   }
 
+  test("q48 IVF: k is size-derived; per-query candidate volume is nprobe·N/k") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = Paths.get("target", "tmp", "ivffix").toAbsolutePath.toString
+    val n = 1280
+    val k = Similarity.semK(n.toLong)
+    assert(k == 20L, "this fixture must exercise the DYNAMIC k path (k > 16)")
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    // n vectors spread evenly over k axes; vec_id < k are the seed centroids.
+    (0 until n).map(i => (i.toLong, unit(i % 20), i % 20))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    // Inverted lists: exactly N/k members each, so an nprobe=2 query scans
+    // 2·N/k − 1 candidates — constant in N by construction of semK.
+    val e = graft.Tables(spark, big, "embeddings").withColumn("n2", lit(1.0))
+    val sizes = Similarity.centroidAssign(e, k)
+      .groupBy(col("centroid_id")).count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(sizes.length == k.toInt, s"expected $k inverted lists, got ${sizes.length}")
+    assert(sizes.forall(_ == n / k), s"unbalanced lists: ${sizes.toSeq}")
+    // End-to-end through the real query: 10 queries × top-3; rank-1..3 for
+    // query 0 are its same-axis copies at cosine 1.0.
+    val rows = Similarity.q48AnnIvf.fn(spark, big).collect()
+    assert(rows.length == 30)
+    val q0 = rows.filter(_.getAs[Long]("query_id") == 0L).sortBy(_.getAs[Long]("rank"))
+    assert(q0.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(20L, 40L, 60L))
+    assert(q0.forall(_.getAs[Double]("cos_sim") == 1.0))
+  }
+
   test("semK derives cluster count from corpus size, clamped") {
     assert(Similarity.semK(500L) == 16L) // small corpora: floor at 16
     assert(Similarity.semK(2000L) == 31L) // 2000/64
