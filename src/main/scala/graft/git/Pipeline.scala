@@ -162,8 +162,16 @@ object Pipeline {
           !st.getPath.getName.startsWith("."))
       // The touched-partition set is the run's repo list — a handful of
       // names, driver-side by construction (not a data-volume collect).
-      val touched = incoming.select(col(partCol)).distinct()
-        .collect().map(_.getString(0)).toSeq
+      // Lazy: the flat-migration branch merges unpruned and must not pay
+      // (or depend on) this job. Null partition values would silently miss
+      // the isin prune and corrupt the merge — refuse them loudly.
+      lazy val touched = {
+        val t = incoming.select(col(partCol)).distinct()
+          .collect().map(_.getString(0)).toSeq
+        require(!t.contains(null),
+          s"$table: null $partCol cannot be partition-merged")
+        t
+      }
       val merged =
         if (fs.exists(store)) {
           // Explicit schema pins the partition column's type (no dir-name

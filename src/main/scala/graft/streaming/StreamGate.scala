@@ -55,37 +55,47 @@ object StreamGate {
   private def dropStagedInput(work: java.nio.file.Path): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(work.resolve("in").toFile)
 
-  /** Run `df` through the shared parquet sink (append, AvailableNow) under
-    * `work`, wait for completion, drop the staged input, and return the
-    * output path for read-back.
+  /** A dedicated child session for one stream execution: same
+    * SparkContext, ISOLATED SQLConf, so the state-partition cap below
+    * never touches the caller's session (safe under concurrent use — the
+    * old set/restore on the shared conf assumed strictly sequential
+    * queries).
     *
     * State-partition sizing: a streaming query creates one state store per
     * shuffle partition, a FIXED per-run cost (store setup + checkpoint
     * files) regardless of data volume. The gates process bounded test
-    * tables, so the partition count is capped at 8 for the stream's
-    * duration (measured: q94 8.1 s → 3.1 s warm at local[32]); at 100 TB
-    * the same dial is sized UP to the key cardinality instead. The cap is
-    * a session-conf set/restore, valid because the verify/bench harnesses
-    * run queries strictly sequentially — a concurrently-planned batch
-    * query on the same session would also see 8. */
+    * tables, so the child session is capped at 8 partitions (measured:
+    * q94 8.1 s → 3.1 s warm at local[32]); at 100 TB the same dial is
+    * sized UP to the key cardinality instead. */
+  private def streamSession(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.SparkSession = {
+    val ss = s.newSession()
+    if (scala.util.Try(
+        ss.conf.get("spark.sql.shuffle.partitions").toInt).toOption.forall(_ > 8))
+      ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss
+  }
+
+  /** Run `df` through the shared parquet sink (append, AvailableNow) under
+    * `work`, wait for completion, drop the staged input, and return the
+    * output path for read-back. The caller's read of the output is lazy,
+    * so `work` (sink files + checkpoint) must outlive this call — it is
+    * registered for deletion at JVM exit instead, bounding the scratch
+    * footprint to one process lifetime (the staged INPUT copy, the big
+    * part, is still dropped eagerly). */
   private def runToParquet(df: org.apache.spark.sql.DataFrame,
       work: java.nio.file.Path): String = {
-    val s = df.sparkSession
     val out = work.resolve("out").toString
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      if (scala.util.Try(prev.toInt).toOption.forall(_ > 8))
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query = df.writeStream
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", work.resolve("ckpt").toString)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    val query = df.writeStream
+      .format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
     dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     out
   }
 
@@ -111,7 +121,7 @@ object StreamGate {
       EventStream.rawSchema)
       .write.mode("append").parquet(in.toString)
 
-    val agg = EventStream.events(s, srcRoot)
+    val agg = EventStream.events(streamSession(s), srcRoot)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"), Q.dsum6(col("value")).as("sum_value"))
@@ -145,7 +155,7 @@ object StreamGate {
       |ORDER BY c.user_id, click_id, buy_id""".stripMargin) { (s, dir) =>
     val work = Files.createTempDirectory("graft-q94-")
     val joined = EventStream.attributionJoin(
-      EventStream.events(s, stageEvents(dir, work)))
+      EventStream.events(streamSession(s), stageEvents(dir, work)))
     s.read.parquet(runToParquet(joined, work))
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
@@ -187,7 +197,8 @@ object StreamGate {
       EventStream.rawSchema)
       .write.mode("append").parquet(in.toString)
 
-    val sessions = EventStream.sessionCounts(EventStream.events(s, srcRoot))
+    val sessions = EventStream.sessionCounts(
+      EventStream.events(streamSession(s), srcRoot))
     s.read.parquet(runToParquet(sessions, work))
       .filter(col("user_id") >= 0)
       .orderBy(col("user_id"), col("sess_start"))
@@ -226,7 +237,8 @@ object StreamGate {
         StandardCopyOption.REPLACE_EXISTING)
     }
 
-    val deduped = EventStream.dedupEvents(EventStream.events(s, srcRoot))
+    val deduped = EventStream.dedupEvents(
+      EventStream.events(streamSession(s), srcRoot))
       .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
         col("user_id"), col("event_type"), col("value"), col("props"))
     s.read.parquet(runToParquet(deduped, work)).orderBy(col("event_id"))

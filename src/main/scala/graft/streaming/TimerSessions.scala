@@ -78,9 +78,21 @@ object TimerSessions {
     * event until the watermark). */
   private[streaming] def foldTimes(
       prev: Option[Open], times: Array[Long], gapMs: Long): (Open, Seq[Open]) = {
+    require(times.nonEmpty || prev.nonEmpty,
+      "foldTimes needs at least one event or an existing open session")
     var st = prev.getOrElse(Open(times.head, times.head, 0L))
     val out = Seq.newBuilder[Open]
     var pre: Option[Open] = None
+    // Fold `pre` into `s` if an absorbed event bridged the gap between
+    // them; otherwise `s` stands alone. Applied both when the open session
+    // closes mid-trigger and at the trigger-end flush (same rule, so a
+    // mid-trigger close can't emit a session its pre-session belongs to).
+    def mergedWithPre(s: Open): Open = pre match {
+      case Some(p) if s.start - p.last < gapMs =>
+        pre = None
+        Open(math.min(p.start, s.start), s.last, s.n + p.n)
+      case _ => s
+    }
     times.foreach { t =>
       if (st.n == 0L) {
         st = Open(t, t, 1L)
@@ -94,17 +106,14 @@ object TimerSessions {
           case None => Some(Open(t, t, 1L))
         }
       } else if (t - st.last >= gapMs) {
-        out += st
+        out += mergedWithPre(st)
         st = Open(t, t, 1L)
       } else {
         st = Open(math.min(st.start, t), math.max(st.last, t), st.n + 1L)
       }
     }
-    pre.foreach { p =>
-      if (st.n > 0L && st.start - p.last < gapMs)
-        st = Open(math.min(p.start, st.start), st.last, st.n + p.n)
-      else out += p
-    }
+    st = if (st.n > 0L) mergedWithPre(st) else st
+    pre.foreach(out += _)
     (st, out.result())
   }
 

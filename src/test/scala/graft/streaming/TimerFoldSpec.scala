@@ -59,6 +59,29 @@ class TimerFoldSpec extends AnyFunSuite {
     }
   }
 
+  test("mid-trigger close merges a bridged pre-session before emitting") {
+    // Open session (100,110); one trigger delivers [65, 90, 200] (minutes).
+    // 65 forms a pre-session, 90 is absorbed and lowers the open start to
+    // 90 — which bridges the pre-session (90-65 < 30) — then 200 gap-closes
+    // the open session. Batch sessionization gives (65,110,4); the close
+    // must not emit (90,110,3) and strand (65,65,1).
+    def m(x: Long) = x * 60000
+    val (st, closed) = TimerSessions.foldTimes(
+      Some(TimerSessions.Open(m(100), m(110), 2L)),
+      Array(m(65), m(90), m(200)), Gap)
+    assert(closed === Seq(TimerSessions.Open(m(65), m(110), 4L)))
+    assert(st === TimerSessions.Open(m(200), m(200), 1L))
+  }
+
+  test("empty batch with no prior state is rejected, with prior state is a no-op") {
+    assertThrows[IllegalArgumentException] {
+      TimerSessions.foldTimes(None, Array.empty[Long], Gap)
+    }
+    val open = TimerSessions.Open(1000L, 2000L, 3L)
+    assert(TimerSessions.foldTimes(Some(open), Array.empty[Long], Gap) ===
+      ((open, Seq.empty)))
+  }
+
   test("duplicate timestamps and single-event sessions fold correctly") {
     val base = 1000L * 60000
     val times = Seq(base, base, base + Gap, base + Gap, base + 3 * Gap)
