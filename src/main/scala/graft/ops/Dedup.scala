@@ -151,11 +151,15 @@ object Dedup {
       .distinct()
   }
 
-  /** The size-capped (doc_id, band-key) table the pair generators join —
-    * at cluster scale this is the materialized LSH signature/band index
-    * every dedup pipeline keeps between runs. */
-  private[ops] def cappedBands(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingleRows(s, dir)
+  /** MinHash(16) signatures → 4 band keys per document, for any
+    * documents-shaped frame (`doc_id`, `text`). This is the LSH BAND INDEX
+    * a production pipeline persists between runs — [[incrementalPairs]]
+    * joins a day's batch against the stored index, and the batch's own
+    * bands are appended to it for the next day. */
+  def bandsOf(docs: DataFrame): DataFrame = {
+    val sh = docs
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
       .withColumn("m", md5(col("sh")))
       .withColumn("h", expr(hexHeadToLong("m", "instr")))
     val sigCols = (0 until 16).map(j =>
@@ -165,18 +169,54 @@ object Dedup {
       concat_ws("|",
         lit(b.toString) +: (0 until 4).map(r => col(s"s${b * 4 + r}").cast("string")): _*)
     }
-    val bands = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
-      .persist(MEMORY_AND_DISK)
-    // Over-cap buckets are ≤ |bands|/cap rows — a provably tiny, always
-    // broadcastable list — so the cap is a broadcast ANTI-join instead of a
-    // count-over-window, which would sort-shuffle the whole band table. The
-    // count aggregate combines map-side; bands shuffles only for the
-    // pair joins downstream.
+    sig.select(col("doc_id"), explode(array(bandCols: _*)).as("bh"))
+  }
+
+  /** Drop every band row in an over-cap bucket. Over-cap buckets are
+    * ≤ |bands|/cap rows — a provably tiny, always broadcastable list — so
+    * the cap is a broadcast ANTI-join instead of a count-over-window, which
+    * would sort-shuffle the whole band table. The count aggregate combines
+    * map-side; bands shuffle only for the pair joins downstream. */
+  private def dropHotBuckets(bands: DataFrame): DataFrame = {
     val hot = bands.groupBy(col("bh"))
       .agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") > BandBucketCap)
       .select(col("bh"))
     bands.join(broadcast(hot), Seq("bh"), "left_anti")
+  }
+
+  /** The size-capped (doc_id, band-key) table the pair generators join —
+    * at cluster scale this is the materialized LSH signature/band index
+    * every dedup pipeline keeps between runs. */
+  private[ops] def cappedBands(s: SparkSession, dir: String): DataFrame =
+    dropHotBuckets(
+      bandsOf(Tables(s, dir, "documents")).persist(MEMORY_AND_DISK))
+
+  /** Production incremental-dedup entry point: candidate near-dup pairs
+    * touching a day's NEW batch, given the STORED band index of the
+    * already-deduped archive. Only the new batch's bands probe the index,
+    * so candidate volume is ∝ |batch| × bucket size and the archive is
+    * never re-paired against itself (the O(archive²) band work a full
+    * re-run would pay daily). The hot-bucket cap is recomputed over
+    * archive+batch so a bucket pushed over the cap BY the batch is
+    * dropped on both sides. Output rows carry `both_new` — the routing
+    * flag a keeper policy needs (new-vs-archive: the archive doc wins).
+    *
+    * The union (minus dropped buckets) is also tomorrow's band index:
+    * append `bandsOf(newDocs)` to the store after the run. */
+  def incrementalPairs(archiveBands: DataFrame, newDocs: DataFrame): DataFrame = {
+    val all = dropHotBuckets(
+      archiveBands.withColumn("is_new", lit(false))
+        .unionByName(bandsOf(newDocs).withColumn("is_new", lit(true)))
+        .persist(MEMORY_AND_DISK))
+    all.filter(col("is_new")).as("n")
+      .join(all.as("c"),
+        col("n.bh") === col("c.bh") && col("n.doc_id") =!= col("c.doc_id"))
+      .select(
+        least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
+        greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"),
+        (col("n.is_new") && col("c.is_new")).as("both_new"))
+      .distinct()
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
@@ -717,15 +757,10 @@ object Dedup {
        |FROM pairs
        |WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val capped = cappedBands(s, dir)
-    val newBatch = capped.filter(col("doc_id") % 2 === 1)
-    newBatch.as("n").join(capped.as("c"),
-        col("n.bh") === col("c.bh") && col("n.doc_id") =!= col("c.doc_id"))
-      .select(
-        least(col("n.doc_id"), col("c.doc_id")).as("doc_a"),
-        greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"))
-      .distinct()
-      .withColumn("both_new", col("doc_a") % 2 === 1 && col("doc_b") % 2 === 1)
+    val docs = Tables(s, dir, "documents")
+    incrementalPairs(
+      archiveBands = bandsOf(docs.filter(col("doc_id") % 2 === 0)),
+      newDocs = docs.filter(col("doc_id") % 2 === 1))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

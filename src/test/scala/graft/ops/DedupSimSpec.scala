@@ -184,4 +184,23 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Similarity.semK(2000L) == 31L) // 2000/64
     assert(Similarity.semK(100L * 1000L * 1000L) == 4096L) // ceiling
   }
+
+  test("incrementalPairs: archive never self-paired; both_new routes the keeper") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    // Archive = {1, 3} (near-dup pair WITHIN the archive — must NOT emit);
+    // new batch = {2, 4}. Doc 2 is an exact dup of archived doc 1 → one
+    // new-vs-archive pair; doc 4 is unrelated → nothing.
+    val out = Dedup.incrementalPairs(
+      archiveBands = Dedup.bandsOf(docs.filter(col("doc_id").isin(1L, 3L))),
+      newDocs = docs.filter(col("doc_id").isin(2L, 4L)))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Boolean]("both_new"))).toSet
+    assert(!out.contains((1L, 3L, false)), "archive-internal pair must not re-emit")
+    assert(out.contains((1L, 2L, false)), "new-vs-archive pair, archive doc wins")
+    // doc 2 ≡ doc 1 ≈ doc 3, so 2-vs-3 may also surface — but only as
+    // new-vs-archive; no pair may claim both_new (batch has no dup pair).
+    assert(out.forall(!_._3), s"no both_new pairs expected, got $out")
+  }
 }
