@@ -35,7 +35,7 @@ object Main {
     require(repos.nonEmpty, "no repositories to process")
     val r = Pipeline.etl(spark, repos, outDir, authorGate)
     println(Pipeline.summaryReport(
-      r.commits.sparkSession.read.parquet(s"$outDir/commits")))
+      Pipeline.readSnapshot(r.commits.sparkSession, outDir, "commits")))
   }
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,6 @@
 package graft.git
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -83,14 +84,20 @@ object Pipeline {
     * stored PARTITIONED by repo: a run merges only the partitions of the
     * repos it touched — the previous store is read partition-pruned to the
     * touched set, merged with that table's reference conflict semantics,
-    * staged, and swapped in per partition with a retire→promote→clean
-    * rename sequence. Untouched repos' files are never read, rewritten, or
-    * even listed: merge cost is proportional to the run's output, not the
-    * archive — at 100 TB this is the difference between an incremental
-    * publish and a full rewrite. Per-partition atomicity matches the
-    * reference's own granularity (one SQLite transaction per repo,
-    * main.ts), and a crash between retire and promote is rolled back by
-    * the next run (dot-prefixed retired dirs are invisible to readers).
+    * staged, and published with a MANIFEST COMMIT: data files are immutable
+    * and uniquely named, the staged files are moved into the live partition
+    * dirs, and a `_manifest-<seq>` file (one atomic rename) becomes the new
+    * snapshot definition. Readers resolve the manifest ([[readSnapshot]]),
+    * so staging, file moves, and crashes mid-publish are all invisible —
+    * there is no retire→promote instant in which a listing reader can see a
+    * partial table, and nothing relies on atomic DIRECTORY renames (which
+    * object stores don't have; a one-file rename-or-put is the only
+    * atomicity this needs). A publish that dies before its manifest commit
+    * leaves only unreferenced files; the next run deletes everything the
+    * committed manifest doesn't reference and proceeds. Untouched repos'
+    * files are never read, rewritten, or even listed: merge cost is
+    * proportional to the run's output, not the archive — at 100 TB this is
+    * the difference between an incremental publish and a full rewrite.
     *
     * `authors` is the one table that CANNOT be repo-partitioned: its key
     * is email and its counts accumulate ACROSS repos (database.ts:109-117),
@@ -102,64 +109,47 @@ object Pipeline {
     val r = build(spark, repoPaths, authorGate)
     val conf = spark.sparkContext.hadoopConfiguration
 
-    // Whole-table retire→promote→clean swap with crash recovery: a crash
-    // between retire and promote leaves `.{table}.__retired-*` and no
-    // table dir — rolled back before the next merge reads the store.
-    def swapTable(fs: org.apache.hadoop.fs.FileSystem,
-        path: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
-        table: String): Unit = {
-      if (fs.exists(path)) {
-        val retired = new org.apache.hadoop.fs.Path(
-          s"$outDir/.$table.__retired-${java.util.UUID.randomUUID()}")
-        require(fs.rename(path, retired), s"retire failed for $table")
-        require(fs.rename(staged, path), s"atomic swap failed for $table")
-        fs.delete(retired, true)
-      } else require(fs.rename(staged, path), s"atomic swap failed for $table")
-    }
-    def recoverTable(fs: org.apache.hadoop.fs.FileSystem, table: String): Unit = {
-      val base = new org.apache.hadoop.fs.Path(outDir)
-      if (!fs.exists(base)) return
-      val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
-      val retired = fs.listStatus(base).map(_.getPath)
-        .filter(_.getName.startsWith(s".$table.__retired-"))
-      if (!fs.exists(path)) {
-        require(retired.length <= 1,
-          s"unrecoverable state for $table: ${retired.length} retired dirs")
-        retired.foreach(r => require(fs.rename(r, path),
-          s"crash rollback failed for $table"))
-      } else retired.foreach(r => fs.delete(r, true))
-    }
-
-    // Whole-table merge (authors only): stage → retire → promote → clean.
+    // Whole-table merge (authors only): merge → stage → move files in →
+    // manifest commit → drop the replaced generation.
     def mergeWrite(table: String, incoming: DataFrame)(
         merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val path = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+      val path = new Path(s"$outDir/$table")
       val fs = path.getFileSystem(conf)
-      recoverTable(fs, table)
+      recoverTable(fs, outDir, table)
+      val (seq, snap) = baselinedSnapshot(fs, path)
+      cleanJunk(fs, path, snap.toSet)
       val merged =
-        if (fs.exists(path)) merge(spark.read.parquet(path.toString), incoming)
+        if (snap.nonEmpty)
+          merge(spark.read.option("basePath", path.toString)
+            .parquet(snap.map(f => new Path(path, f).toString): _*), incoming)
         else incoming
-      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
+      val staged = new Path(s"$outDir/.$table.__staged")
+      fs.delete(staged, true)
       merged.write.mode("overwrite").parquet(staged.toString)
-      swapTable(fs, path, staged, table)
+      fs.mkdirs(path)
+      val moved = moveDataFiles(fs, staged, path)
+      fs.delete(staged, true)
+      commitManifest(fs, path, seq + 1, moved)
+      snap.foreach(f => fs.delete(new Path(path, f), false))
     }
 
     // Partitioned merge: prune the store read to the run's partitions,
-    // merge, stage partitioned, swap each staged partition dir in.
+    // merge, stage partitioned, move the staged files in, commit the
+    // manifest, then drop the replaced partitions' previous generation.
     def mergeWritePartitioned(table: String, partCol: String, incoming: DataFrame)(
         merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+      val store = new Path(s"$outDir/$table")
       val fs = store.getFileSystem(conf)
-      recoverTable(fs, table)
+      recoverTable(fs, outDir, table)
       recoverPartitions(fs, store)
+      val (seq, snap) = baselinedSnapshot(fs, store)
+      cleanJunk(fs, store, snap.toSet)
       // A store written by the old FLAT layout (or the empty-table marker)
       // has data files at the root: those rows span ALL repos, so a pruned
       // merge would lose the untouched ones when the root files are
-      // cleared. Migrate with one unpruned full merge; every later run is
+      // replaced. Migrate with one unpruned full merge; every later run is
       // partition-pruned.
-      val flatData = fs.exists(store) && fs.listStatus(store).exists(st =>
-        st.isFile && !st.getPath.getName.startsWith("_") &&
-          !st.getPath.getName.startsWith("."))
+      val flatData = snap.exists(!_.contains("/"))
       // The touched-partition set is the run's repo list — a handful of
       // names, driver-side by construction (not a data-volume collect).
       // Lazy: the flat-migration branch merges unpruned and must not pay
@@ -173,15 +163,17 @@ object Pipeline {
         t
       }
       val merged =
-        if (fs.exists(store)) {
+        if (snap.nonEmpty) {
           // Explicit schema pins the partition column's type (no dir-name
           // type inference) and lets the isin prune skip untouched dirs.
+          // cleanJunk restored dir == manifest, so the pruned directory
+          // read IS the committed snapshot.
           val all = spark.read.schema(incoming.schema).parquet(store.toString)
           val existing =
             if (flatData) all else all.filter(col(partCol).isin(touched: _*))
           merge(existing, incoming).select(incoming.columns.map(col): _*)
         } else incoming
-      val staged = new org.apache.hadoop.fs.Path(s"$outDir/.$table.__staged")
+      val staged = new Path(s"$outDir/.$table.__staged")
       fs.delete(staged, true)
       merged.write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
       fs.mkdirs(store)
@@ -191,18 +183,32 @@ object Pipeline {
         // write emits no files, which would leave an unreadable empty dir.
         // Keep the table readable with a flat empty-schema'd parquet —
         // replaced by real partition dirs the first time any appear.
-        if (fs.listStatus(store).isEmpty)
-          merged.write.mode("overwrite").parquet(store.toString)
+        if (snap.isEmpty) {
+          fs.delete(staged, true)
+          merged.write.mode("overwrite").parquet(staged.toString)
+          val moved = moveDataFiles(fs, staged, store)
+          commitManifest(fs, store, seq + 1, moved)
+        }
         fs.delete(staged, true)
-      } else if (flatData) {
-        // Migration (old flat layout, or the empty-table marker): the
-        // staged dir holds the FULL merged table, so swap the whole table
-        // dir in one retire→promote→clean — at no instant do flat rows
-        // exist only in a dir a later run would discard.
-        swapTable(fs, store, staged, table)
       } else {
-        partDirs.foreach(p => swapPartition(fs, store, p.getPath, p.getPath.getName))
+        // Move each staged partition's files into the live partition dir
+        // (names are unique per write job — nothing is overwritten), then
+        // commit: untouched partitions keep their manifest entries; the
+        // replaced generation (all root files on the migration path) is
+        // dropped only after the new manifest is live.
+        val newEntries = partDirs.flatMap { p =>
+          val name = p.getPath.getName
+          val dest = new Path(store, name)
+          fs.mkdirs(dest)
+          moveDataFiles(fs, p.getPath, dest).map(f => s"$name/$f")
+        }.toSeq
+        val replacedTop = partDirs.map(_.getPath.getName).toSet
+        val dropped =
+          if (flatData) snap
+          else snap.filter(f => replacedTop.contains(f.split('/').head))
         fs.delete(staged, true)
+        commitManifest(fs, store, seq + 1, snap.diff(dropped) ++ newEntries)
+        dropped.foreach(f => fs.delete(new Path(store, f), false))
       }
     }
 
@@ -225,70 +231,215 @@ object Pipeline {
     r.release()
   }
 
-  /** Swap a staged partition dir over the live one: retire → promote →
-    * clean, each step one atomic rename/delete. The naming convention is
-    * what [[recoverPartitions]] parses for crash rollback — shared by the
-    * publish and compaction paths so the two can never drift. */
-  private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
-      store: org.apache.hadoop.fs.Path, staged: org.apache.hadoop.fs.Path,
-      name: String): Unit = {
-    val dest = new org.apache.hadoop.fs.Path(store, name)
-    if (fs.exists(dest)) {
-      val retired = new org.apache.hadoop.fs.Path(store,
-        s".retired-${java.util.UUID.randomUUID()}--$name")
-      require(fs.rename(dest, retired), s"retire failed for $dest")
-      require(fs.rename(staged, dest), s"promote failed for $dest")
-      fs.delete(retired, true)
-    } else require(fs.rename(staged, dest), s"promote failed for $dest")
+  // -----------------------------------------------------------------------
+  // Snapshot manifests — the commit protocol for the incremental store.
+  //
+  // A store's state is defined by its highest `_manifest-<seq>` file: a
+  // sorted list of store-relative data-file paths. Data files are immutable
+  // and uniquely named (Spark's per-job UUID part names), so a publish only
+  // ever ADDS files and then commits a new manifest with ONE atomic
+  // file rename — the only atomic primitive required, available on object
+  // stores where directory renames are not. Readers ([[readSnapshot]])
+  // resolve the manifest and read exactly its files: a concurrent publish's
+  // staging and file moves are invisible, and a crash before the commit
+  // leaves the previous snapshot untouched. Files the committed manifest
+  // does not reference are junk by definition and are deleted by the next
+  // writer. Underscore-prefixed names are ignored by Spark's file index, so
+  // the manifests are invisible to raw directory reads — and because the
+  // replaced generation is dropped as soon as the new manifest is live, an
+  // at-rest directory listing equals the manifest exactly (pre-manifest
+  // readers keep working). Single writer assumed (matching the reference's
+  // one-process model); a reader overlapping two publishes of the same
+  // partition should re-resolve the manifest or run with
+  // spark.sql.files.ignoreMissingFiles.
+  // -----------------------------------------------------------------------
+
+  private val ManifestPrefix = "_manifest-"
+
+  private def manifestSeq(name: String): Long =
+    name.stripPrefix(ManifestPrefix).toLong
+
+  private def latestManifest(fs: FileSystem, store: Path): Option[Path] =
+    if (!fs.exists(store)) None
+    else fs.listStatus(store).map(_.getPath)
+      .filter(_.getName.startsWith(ManifestPrefix))
+      .sortBy(p => manifestSeq(p.getName)).lastOption
+
+  private def readManifest(fs: FileSystem, m: Path): Seq[String] = {
+    val in = fs.open(m)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Write the next manifest: staged under a dot-tmp name (invisible,
+    * junk if orphaned), promoted by one atomic rename, then superseded
+    * manifests are pruned. */
+  private def commitManifest(fs: FileSystem, store: Path, seq: Long,
+      files: Seq[String]): Unit = {
+    val tmp = new Path(store, s".manifest-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(store, f"$ManifestPrefix$seq%09d")
+    require(fs.rename(tmp, dest), s"manifest commit failed at $dest")
+    fs.listStatus(store).map(_.getPath)
+      .filter(p => p.getName.startsWith(ManifestPrefix) &&
+        manifestSeq(p.getName) < seq)
+      .foreach(fs.delete(_, false))
+  }
+
+  /** Every data file under `store` (recursive), store-relative, skipping
+    * dot-prefixed staging/tmp subtrees. */
+  private def listDataFiles(fs: FileSystem, store: Path): Seq[String] = {
+    if (!fs.exists(store)) return Seq.empty
+    val base = fs.makeQualified(store).toString.stripSuffix("/") + "/"
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    val it = fs.listFiles(store, true)
+    while (it.hasNext) {
+      val rel = it.next().getPath.toString.stripPrefix(base)
+      if (rel.endsWith(".parquet") &&
+        !rel.split('/').exists(c => c.startsWith(".") || c.startsWith("_")))
+        buf += rel
+    }
+    buf.toSeq
+  }
+
+  /** The store's committed snapshot (manifest seq, relative file paths).
+    * A store written before the manifest layout (plain [[etl]] output, or
+    * an old-layout [[etlAppend]] store) has none: its directory listing IS
+    * its snapshot, and the baseline is committed as seq 0 before any file
+    * moves in — from then on junk is always distinguishable from data. */
+  private def baselinedSnapshot(fs: FileSystem, store: Path): (Long, Seq[String]) =
+    latestManifest(fs, store) match {
+      case Some(m) => (manifestSeq(m.getName), readManifest(fs, m))
+      case None =>
+        val files = listDataFiles(fs, store)
+        if (fs.exists(store)) { commitManifest(fs, store, 0L, files); (0L, files) }
+        else (-1L, files)
+    }
+
+  /** Delete everything a crashed publish can leave: staging and tmp-manifest
+    * dirs, and data files the committed manifest doesn't reference (moved in
+    * by a publish that died before its commit, or orphaned by one that died
+    * between commit and generation GC). Restores the invariant
+    * directory listing == manifest that the pruned merge read relies on. */
+  private def cleanJunk(fs: FileSystem, store: Path, referenced: Set[String]): Unit = {
+    if (!fs.exists(store)) return
+    fs.listStatus(store).map(_.getPath)
+      .filter(p => p.getName.startsWith(".manifest-tmp-") ||
+        p.getName.startsWith(".compact-staged-"))
+      .foreach(fs.delete(_, true))
+    listDataFiles(fs, store).filterNot(referenced)
+      .foreach(f => fs.delete(new Path(store, f), false))
+  }
+
+  /** Move the staged data files into the live dir (returns their names).
+    * Names carry the writing job's UUID — collision-free by construction. */
+  private def moveDataFiles(fs: FileSystem, from: Path, to: Path): Seq[String] =
+    fs.listStatus(from)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val name = f.getPath.getName
+        require(fs.rename(f.getPath, new Path(to, name)),
+          s"publish move failed for $name into $to")
+        name
+      }.toSeq
+
+  /** Roll back a whole-table crash state left by the PRE-manifest layout
+    * (`.{table}.__retired-*` from the old retire→promote swap). Kept for
+    * stores that last published under that layout. */
+  private def recoverTable(fs: FileSystem, outDir: String, table: String): Unit = {
+    val base = new Path(outDir)
+    if (!fs.exists(base)) return
+    val path = new Path(s"$outDir/$table")
+    val retired = fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(s".$table.__retired-"))
+    if (!fs.exists(path)) {
+      require(retired.length <= 1,
+        s"unrecoverable state for $table: ${retired.length} retired dirs")
+      retired.foreach(r => require(fs.rename(r, path),
+        s"crash rollback failed for $table"))
+    } else retired.foreach(r => fs.delete(r, true))
+  }
+
+  /** Read a table at its current committed snapshot: resolve the latest
+    * manifest and read exactly the files it lists. A publish that is
+    * staging, moving files in, or has crashed mid-way is invisible — the
+    * resolved snapshot is complete and immutable until the NEXT publish of
+    * the same partitions drops the replaced generation. Pre-manifest
+    * stores (plain [[etl]] output) fall back to a directory read. */
+  def readSnapshot(spark: SparkSession, outDir: String, table: String): DataFrame = {
+    val store = new Path(s"$outDir/$table")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    latestManifest(fs, store) match {
+      case Some(m) =>
+        val files = readManifest(fs, m)
+        if (files.isEmpty) spark.emptyDataFrame
+        else spark.read.option("basePath", store.toString)
+          .parquet(files.map(f => new Path(store, f).toString): _*)
+      case None => spark.read.parquet(store.toString)
+    }
   }
 
   /** Compact a repo-partitioned table written by [[etlAppend]]: every
-    * incremental run adds a fresh file set to each touched partition's
-    * rewrite, and long-running stores accumulate small files (the classic
-    * 100 TB operational problem — file-count pressure on listing, footer
-    * reads, and task scheduling). Partitions already at or below
+    * incremental run adds a fresh file set to each touched partition, and
+    * long-running stores accumulate small files (the classic 100 TB
+    * operational problem — file-count pressure on listing, footer reads,
+    * and task scheduling). Partitions already at or below
     * `filesPerPartition` data files are skipped (idempotent: a second
-    * compact run touches nothing), the rest are coalesced and swapped in
-    * with the same crash-safe retire→promote→clean renames as the publish
-    * path. Content is untouched — only the physical file layout changes.
-    * Like the publish path, compaction assumes a single writer; a reader
-    * listing partitions in the instant between retire and promote can
-    * observe the table without that one partition. */
+    * compact run touches nothing); the rest are coalesced, moved in, and
+    * committed as ONE new manifest — readers mid-compaction keep the old
+    * snapshot, whose files are dropped only after the commit. Content is
+    * untouched; only the physical file layout changes. */
   def compact(spark: SparkSession, outDir: String, table: String,
       filesPerPartition: Int = 1): Unit = {
-    val store = new org.apache.hadoop.fs.Path(s"$outDir/$table")
+    val store = new Path(s"$outDir/$table")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(store)) return
     recoverPartitions(fs, store)
-    fs.listStatus(store).filter(p => p.isDirectory && p.getPath.getName.contains("="))
-      .foreach { p =>
-        val part = p.getPath
-        val nData = fs.listStatus(part).count(f =>
-          f.isFile && f.getPath.getName.endsWith(".parquet"))
-        if (nData > filesPerPartition) {
-          val staged = new org.apache.hadoop.fs.Path(store, s".compact-staged-${part.getName}")
-          fs.delete(staged, true)
-          spark.read.parquet(part.toString)
-            .coalesce(filesPerPartition)
-            .write.mode("overwrite").parquet(staged.toString)
-          swapPartition(fs, store, staged, part.getName)
-        }
+    val (seq, snap) = baselinedSnapshot(fs, store)
+    cleanJunk(fs, store, snap.toSet)
+    val byDir = snap.groupBy(f => f.split('/').init.mkString("/"))
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    val dropped = scala.collection.mutable.ArrayBuffer[String]()
+    byDir.toSeq.sortBy(_._1).foreach { case (dir, files) =>
+      if (dir.isEmpty || files.length <= filesPerPartition) entries ++= files
+      else {
+        val partDir = new Path(store, dir)
+        val staged = new Path(store, s".compact-staged-$dir")
+        fs.delete(staged, true)
+        // No basePath: the partition column stays in the path, not the
+        // rewritten files — same layout the publish writes.
+        spark.read.parquet(partDir.toString)
+          .coalesce(filesPerPartition)
+          .write.mode("overwrite").parquet(staged.toString)
+        entries ++= moveDataFiles(fs, staged, partDir).map(n => s"$dir/$n")
+        fs.delete(staged, true)
+        dropped ++= files
       }
+    }
+    if (dropped.nonEmpty) {
+      commitManifest(fs, store, seq + 1, entries.toSeq)
+      dropped.foreach(f => fs.delete(new Path(store, f), false))
+    }
   }
 
-  /** Roll back partitions stranded by a crash between retire and promote:
-    * a `.retired-<uuid>--<partdir>` whose `<partdir>` is missing means the
+  /** Roll back partitions stranded by the PRE-manifest layout's swap (a
+    * crash between its retire and promote renames): a
+    * `.retired-<uuid>--<partdir>` whose `<partdir>` is missing means the
     * promote never happened — restore the retired copy; one whose partdir
     * exists is post-promote junk — delete it. Dot-prefixed names are
-    * invisible to Spark's partition discovery either way. */
-  private def recoverPartitions(fs: org.apache.hadoop.fs.FileSystem,
-      store: org.apache.hadoop.fs.Path): Unit = {
+    * invisible to Spark's partition discovery either way. Kept for stores
+    * that last published under that layout; the manifest layout has no
+    * retire→promote state to recover. */
+  private def recoverPartitions(fs: FileSystem, store: Path): Unit = {
     if (!fs.exists(store)) return
     fs.listStatus(store).map(_.getPath)
       .filter(_.getName.startsWith(".retired-")).foreach { p =>
         // name = .retired-<36-char-uuid>--<partdir>
         val part = p.getName.drop(".retired-".length + 36 + 2)
-        val dest = new org.apache.hadoop.fs.Path(store, part)
+        val dest = new Path(store, part)
         if (part.nonEmpty && !fs.exists(dest)) {
           require(fs.rename(p, dest), s"crash rollback failed for $dest")
         } else fs.delete(p, true)

@@ -201,6 +201,11 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
       scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
       .repartition(4).write.mode("overwrite").parquet(partDir.toString)
     assert(dataFiles().size > 1)
+    // The out-of-band rewrite bypassed the manifest — drop the manifests so
+    // the store presents as a pre-manifest layout and compact() must
+    // synthesize its baseline from the directory listing.
+    ls(Paths.get(inc, "commits")).filter(_.startsWith("_manifest-"))
+      .foreach(n => Files.delete(Paths.get(inc, "commits", n)))
     val before = spark.read.parquet(s"$inc/commits")
       .collect().map(_.toString).sorted
 
@@ -219,6 +224,42 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Files.getLastModifiedTime(
       partDir.resolve(dataFiles().head)).toMillis == mtime,
       "second compact rewrote an already-compact partition")
+  }
+
+  test("manifest snapshot isolation: committed snapshot survives mid-publish junk") {
+    val inc = root.resolve("out_manifest").toString
+    val P = _root_.graft.git.Pipeline
+    P.etlAppend(spark, Seq(repoA.toString, repoB.toString), inc)
+    val commitsDir = Paths.get(inc, "commits")
+    def snap() = P.readSnapshot(spark, inc, "commits")
+      .collect().map(_.toString).sorted.toSeq
+    val before = snap()
+    assert(before.nonEmpty)
+    // At rest the raw directory read and the manifest snapshot agree
+    // exactly (the replaced generation is dropped at commit time).
+    assert(spark.read.parquet(s"$inc/commits")
+      .collect().map(_.toString).sorted.toSeq === before)
+    // Simulate a publish that crashed after moving its files in but BEFORE
+    // its manifest commit: an alien data file appears in a live partition
+    // dir. A manifest reader must not even open it (it isn't parquet).
+    val alien = commitsDir.resolve("repo_name=repoA")
+      .resolve(s"part-${java.util.UUID.randomUUID()}-junk.snappy.parquet")
+    Files.write(alien, Array[Byte](1, 2, 3))
+    assert(snap() === before, "mid-publish junk leaked into the snapshot")
+    // The next publish deletes everything the committed manifest doesn't
+    // reference, then publishes normally (same repo ⇒ same rows after the
+    // keyed upsert).
+    P.etlAppend(spark, Seq(repoA.toString), inc)
+    assert(!Files.exists(alien), "crashed-publish junk survived recovery")
+    assert(snap() === before)
+    // Exactly one manifest is retained after the commit.
+    val manifests = {
+      val s = Files.list(commitsDir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString)
+        .count(_.startsWith("_manifest-"))
+      finally s.close()
+    }
+    assert(manifests == 1, s"expected 1 manifest, found $manifests")
   }
 
   test("crashed compaction swap is rolled back and re-compacted") {
