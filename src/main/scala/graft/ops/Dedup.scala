@@ -97,7 +97,7 @@ object Dedup {
   /** Shared DuckDB CTE chain producing the LSH candidate pairs (used by the
     * q35 oracle, the q37 verification oracle, and as the edge set of the
     * q47 clustering oracle). Mirrors the Spark plan step for step. */
-  private[ops] val duckLshPairCtes: String = {
+  private[graft] val duckLshPairCtes: String = {
     val sigCols = (0 until 16)
       .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS s$j")
       .mkString(",\n       |               ")
@@ -217,6 +217,31 @@ object Dedup {
         greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"),
         (col("n.is_new") && col("c.is_new")).as("both_new"))
       .distinct()
+  }
+
+  /** One DAY of the production incremental pipeline against a PERSISTED
+    * band index at `indexDir`: pair the batch against the stored archive
+    * bands, materialize the pairs, then fold the batch's own bands INTO the
+    * store — a pure append of new immutable files (no rewrite, no merge) —
+    * so day N+1 joins against day N's union. Daily cost is
+    * O(|batch| × bucket size) and the store grows by O(|batch|); nothing is
+    * ever proportional to archive². The pairs are pinned with an EAGER
+    * localCheckpoint before the append: a mere persist would not survive
+    * it — writing to a path re-lists and RE-CACHES every cached plan that
+    * reads it (CacheManager.recacheByPath), so a persisted pre-append
+    * snapshot silently grows to include the batch's own bands and every
+    * within-batch pair doubles with a both_new=false variant. The
+    * checkpointed plan is a LogicalRDD with no path dependency — immune. */
+  def incrementalDayRun(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val archive =
+      if (fs.exists(path)) spark.read.parquet(indexDir)
+      else spark.range(0).select(col("id").as("doc_id"), lit("").as("bh"))
+    val pairs = incrementalPairs(archive, newDocs).localCheckpoint()
+    bandsOf(newDocs).write.mode("append").parquet(indexDir)
+    pairs
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =

@@ -244,6 +244,70 @@ object StreamGate {
     s.read.parquet(runToParquet(deduped, work)).orderBy(col("event_id"))
   }
 
+  /** q99: the INCREMENTAL near-dup pipeline run as a stream — document
+    * batches arrive as micro-batches (file source, one file per trigger,
+    * ordered by modification time), and each batch's `foreachBatch` pairs
+    * it against the PERSISTED band index via
+    * [[graft.ops.Dedup.incrementalDayRun]], then folds the batch's bands
+    * into the index for the next trigger. Every pair is emitted exactly
+    * once — on the batch where its later member arrives — so the appended
+    * sink equals the full-batch LSH pair set, which is the oracle; with a
+    * parity-split staging, `both_new` is exactly "same parity". This is
+    * the day-N production topology (SCALE.md): at 100 TB the micro-batch
+    * is a day's crawl, the index is the persisted archive, and per-trigger
+    * cost is O(batch), never O(archive²). */
+  val q99StreamDedupIncremental: Q = Q(
+    "q99_stream_dedup_incremental",
+    s"""WITH ${graft.ops.Dedup.duckLshPairCtes}
+       |SELECT doc_a, doc_b, (doc_a % 2 = doc_b % 2) AS both_new
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q99-")
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    val docs = Tables(s, dir, "documents")
+    // Stage two deterministic "days": even doc_ids, then odd, one file
+    // each with strictly increasing modification times (the file source
+    // processes oldest-first, one file per trigger).
+    Seq(0, 1).foreach { parity =>
+      val tmp = work.resolve(s"stage-$parity")
+      docs.filter(col("doc_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val listing = Files.list(tmp)
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet")).head
+        finally listing.close()
+      }
+      val dest = in.resolve(s"batch-$parity.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(System.currentTimeMillis()
+        - 120000L + parity * 60000L))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    val idx = work.resolve("bandidx").toString
+    val outPairs = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val pairs = graft.ops.Dedup.incrementalDayRun(
+            batch.sparkSession, idx, batch.toDF())
+          pairs.write.mode("append").parquet(outPairs)
+          pairs.unpersist()
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    s.read.parquet(outPairs).orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] = Seq(
-    q92StreamTumbling, q94StreamAttribution, q95StreamSessions, q96StreamDedup)
+    q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
+    q96StreamDedup, q99StreamDedupIncremental)
 }

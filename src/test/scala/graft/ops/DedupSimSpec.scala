@@ -185,6 +185,41 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Similarity.semK(100L * 1000L * 1000L) == 4096L) // ceiling
   }
 
+  test("three-day incremental dedup against a persisted band index") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    val idx = Paths.get("target", "tmp",
+      s"bandidx-${java.util.UUID.randomUUID()}").toAbsolutePath.toString
+    val seen = scala.collection.mutable.Set[Long]()
+    val allPairs = scala.collection.mutable.Set[(Long, Long)]()
+    (0 until 3).foreach { day =>
+      val batch = docs.filter(col("doc_id") % 3 === day)
+      val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      val out = Dedup.incrementalDayRun(spark, idx, batch)
+      val rows = out.collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Boolean]("both_new")))
+      out.unpersist()
+      rows.foreach { case (a, b, bn) =>
+        assert(batchIds.contains(a) || batchIds.contains(b),
+          s"day $day emitted pair ($a,$b) not touching its batch")
+        assert(bn == (batchIds.contains(a) && batchIds.contains(b)),
+          s"day $day mis-routed both_new for ($a,$b)")
+        assert(!(seen.contains(a) && seen.contains(b)),
+          s"archive-internal pair ($a,$b) re-emitted on day $day")
+      }
+      allPairs ++= rows.map(t => (t._1, t._2))
+      seen ++= batchIds
+      // The persisted index now covers every doc seen so far.
+      assert(spark.read.parquet(idx).select("doc_id").distinct().count()
+        == seen.size)
+    }
+    // Three incremental days surface exactly the candidate set one full
+    // run finds (no bucket crosses the hot cap mid-stream here).
+    val full = Dedup.q35MinHashLsh.fn(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(allPairs.toSet == full)
+  }
+
   test("incrementalPairs: archive never self-paired; both_new routes the keeper") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables(spark, dir, "documents")
