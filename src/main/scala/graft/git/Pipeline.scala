@@ -282,6 +282,10 @@ object Pipeline {
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(store, f"$ManifestPrefix$seq%09d")
+    // Single-writer check: a dest that already exists means another writer
+    // committed this seq — fail rather than clobber (local-FS rename
+    // overwrites silently; on HDFS/object stores the rename itself fails).
+    require(!fs.exists(dest), s"concurrent publish detected: $dest exists")
     require(fs.rename(tmp, dest), s"manifest commit failed at $dest")
     fs.listStatus(store).map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestPrefix) &&
