@@ -38,6 +38,20 @@ object Main {
       Pipeline.readSnapshot(r.commits.sparkSession, outDir, "commits")))
   }
 
+  /** Incremental mode — the reference's actual cross-run behavior (every
+    * invocation upserts into the same store, main.ts:328-355): merge this
+    * run into the partitioned store, compact any small-file debt, report
+    * over the cumulative snapshot. */
+  def runAppend(spark: SparkSession, repos: Seq[String], outDir: String,
+      authorGate: Option[String]): Unit = {
+    require(repos.nonEmpty, "no repositories to process")
+    Pipeline.etlAppend(spark, repos, outDir, authorGate)
+    Seq("commits", "file_changes", "tags", "repos")
+      .foreach(Pipeline.compact(spark, outDir, _))
+    println(Pipeline.summaryReport(
+      Pipeline.readSnapshot(spark, outDir, "commits")))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
@@ -49,10 +63,15 @@ object Main {
     try args.toList match {
       case "--config" :: cfgPath :: outDir :: Nil =>
         run(spark, resolveRepos(loadConfig(cfgPath)), outDir, None)
+      case "--append" :: "--config" :: cfgPath :: outDir :: Nil =>
+        runAppend(spark, resolveRepos(loadConfig(cfgPath)), outDir, None)
+      case "--append" :: repoPath :: outDir :: Nil =>
+        runAppend(spark, Seq(repoPath), outDir, None)
       case repoPath :: outDir :: Nil =>
         run(spark, Seq(repoPath), outDir, None)
       case _ =>
-        System.err.println("usage: graft.Main (<repoPath> | --config <json>) <outDir>")
+        System.err.println(
+          "usage: graft.Main [--append] (<repoPath> | --config <json>) <outDir>")
         sys.exit(2)
     } finally spark.stop()
   }

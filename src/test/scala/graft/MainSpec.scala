@@ -262,6 +262,45 @@ class MainSpec extends SparkSpec with BeforeAndAfterAll {
     assert(manifests == 1, s"expected 1 manifest, found $manifests")
   }
 
+  test("--append CLI mode: successive runs accumulate into the manifest store") {
+    val out = root.resolve("out_cli_append").toString
+    _root_.graft.Main.runAppend(spark, Seq(repoA.toString), out, None)
+    _root_.graft.Main.runAppend(spark, Seq(repoB.toString), out, None)
+    val commits = _root_.graft.git.Pipeline.readSnapshot(spark, out, "commits")
+    assert(commits.select("repo_name").distinct().count() == 2,
+      "second --append run did not accumulate")
+  }
+
+  test("manifest protocol: orphan tmp and stale manifests are recovered") {
+    val inc = root.resolve("out_manifest2").toString
+    val P = _root_.graft.git.Pipeline
+    P.etlAppend(spark, Seq(repoA.toString, repoB.toString), inc) // seq 0
+    P.etlAppend(spark, Seq(repoA.toString), inc) // seq 1
+    val commitsDir = Paths.get(inc, "commits")
+    def ls() = {
+      val s = Files.list(commitsDir)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path].getFileName.toString).toSeq
+      finally s.close()
+    }
+    def snap() = P.readSnapshot(spark, inc, "commits")
+      .collect().map(_.toString).sorted.toSeq
+    val before = snap()
+    // Crash mid-manifest-write: an orphan dot-tmp (never committed).
+    Files.write(commitsDir.resolve(".manifest-tmp-deadbeef"),
+      "garbage/not-a-file.parquet\n".getBytes("UTF-8"))
+    // Crash between commit and prune: a STALE lower-seq manifest lingers
+    // (content even references a missing file — readers must never open it).
+    Files.write(commitsDir.resolve("_manifest-000000000"),
+      "repo_name=repoA/long-gone.parquet\n".getBytes("UTF-8"))
+    assert(snap() === before, "reader did not resolve the highest manifest")
+    P.etlAppend(spark, Seq(repoA.toString), inc) // recovers + commits seq 2
+    val names = ls()
+    assert(!names.exists(_.startsWith(".manifest-tmp-")), "orphan tmp survived")
+    assert(names.count(_.startsWith("_manifest-")) == 1,
+      s"stale manifests survived: ${names.filter(_.startsWith("_manifest-"))}")
+    assert(snap() === before)
+  }
+
   test("crashed compaction swap is rolled back and re-compacted") {
     // Self-sufficient store (no dependence on other tests' outputs).
     val inc = root.resolve("out_crash3").toString
