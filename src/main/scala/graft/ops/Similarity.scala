@@ -266,9 +266,15 @@ object Similarity {
     * update); `ac` additionally carries every (vec, centroid) rank for
     * q48's probe set. */
   private def duckAssignCtes(kSql: String): String =
+    duckAssignCtesCond(s"b.vec_id < $kSql")
+
+  /** Generalized variant: `centCond` is any predicate over `b` (the
+    * centroid-side el rows) selecting the seed set — q100 uses it to pin
+    * centroids to the day-1 batch. */
+  private def duckAssignCtesCond(centCond: String): String =
     s"""ad AS (SELECT a.vec_id, b.vec_id AS centroid_id,
       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < $kSql
+      |       FROM el a JOIN el b ON b.i = a.i AND $centCond
       |       GROUP BY 1, 2),
       |ac AS (SELECT ad.vec_id, centroid_id,
       |              row_number() OVER (PARTITION BY ad.vec_id
@@ -284,11 +290,16 @@ object Similarity {
     * rows), and only those candidates pay the decimal-exact rescore —
     * which does cost one vec_id-clustered join of the embedding payload,
     * the trade documented inline below. */
-  private[ops] def centroidAssign(e: DataFrame, k: Long): DataFrame = {
-    graft.functions.GraftFunctions.register(e.sparkSession)
-    val cent = e.filter(col("vec_id") < k).select(
+  private[ops] def centroidAssign(e: DataFrame, k: Long): DataFrame =
+    assignTo(e, e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
-      col("n2").as("n2_cent"))
+      col("n2").as("n2_cent")))
+
+  /** The same two-stage argmax against an EXPLICIT centroid table
+    * (centroid_id, emb_cent, n2_cent) — the shape a persisted IVF index
+    * stores, so new batches can be assigned to frozen centroids. */
+  private[ops] def assignTo(e: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
     // Two-stage argmax: the codegen'd double cosine scores all k centroids
     // and a bounded-heap top-4 picks the candidates; only those pay the
     // decimal-exact rescore that decides the argmax. Correctness: the true
@@ -384,6 +395,120 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Incremental IVF index (day-2 ANN): persisted frozen centroids +
+  // append-only inverted lists — the similarity-side twin of the dedup
+  // band-index refresh (Dedup.incrementalDayRun).
+  // ---------------------------------------------------------------------
+
+  /** Fold a day's embedding batch into the persisted IVF index at
+    * `indexDir`. The FIRST call trains the index: k = semK(|batch|) seed
+    * centroids (the k smallest vec_ids — deterministic and
+    * oracle-renderable) are stored under `centroids/`; every call assigns
+    * its batch to the STORED (frozen) centroids with the shared two-stage
+    * argmax and appends (vec_id, centroid_id) rows to `assign/` — a pure
+    * append of immutable files, no rewrite. At 100 TB the daily cost is
+    * O(|batch| · k) map-side work against a broadcast centroid table; the
+    * archive's inverted lists are never recomputed. Centroid drift is
+    * handled the standard way — a scheduled re-train + full re-assign —
+    * not per batch. */
+  def ivfAppend(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(centPath)) {
+      val k = semK(batch.count())
+      batch.orderBy(col("vec_id")).limit(k.toInt)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("emb_cent"), col("n2").as("n2_cent"))
+        .write.mode("overwrite").parquet(centPath.toString)
+    }
+    val cent = spark.read.parquet(centPath.toString)
+    assignTo(batch, cent)
+      .write.mode("append").parquet(s"$indexDir/assign")
+  }
+
+  /** ANN query against the PERSISTED index: rank each query against the
+    * stored centroids (decimal-exact, matching the assignment's tie
+    * order), scan only its top-`nprobe` inverted lists, decimal-rescore
+    * those candidates against the corpus. Per-query candidate volume is
+    * ~nprobe · TargetClusterSize at any corpus size — the index is read,
+    * never recomputed. */
+  def ivfQuery(spark: SparkSession, indexDir: String, corpus: DataFrame,
+      queries: DataFrame, nprobe: Int = 2, topk: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val assign = spark.read.parquet(s"$indexDir/assign")
+    val crankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probe = queries.join(broadcast(cent))
+      .withColumn("ccos",
+        expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = assign.join(broadcast(probe), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= topk)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** q100: incremental ANN index maintenance gated end-to-end — day 1
+    * (even vec_ids) trains the index, day 2 (odd vec_ids) is assigned to
+    * the FROZEN day-1 centroids and appended, then the ten sample queries
+    * probe the stored lists. Oracle: the same IVF topology over the full
+    * corpus with seeds fixed to the k smallest even vec_ids and
+    * k = semK(|day 1|) — identical because a frozen-centroid assignment
+    * is independent of WHEN each vector arrived. */
+  val q100AnnIncremental: Q = Q(
+    "q100_ann_incremental",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |kk2 AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
+       |        FROM embeddings WHERE vec_id % 2 = 0),
+       |seeds AS (SELECT vec_id FROM (
+       |            SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |            FROM embeddings WHERE vec_id % 2 = 0) s
+       |          WHERE rn <= (SELECT k FROM kk2)),
+       |${duckAssignCtesCond("b.vec_id IN (SELECT vec_id FROM seeds)")},
+       |probe AS (SELECT vec_id AS query_id, centroid_id
+       |          FROM ac WHERE crank <= 2 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+       |         WHERE a.vec_id <> p.query_id),
+       |d AS (SELECT query_id, neighbor_id,
+       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el a ON a.vec_id = query_id
+       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id
+       |              JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = embWithNorm(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-q100-")
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0)) // day 1: trains
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1)) // day 2: frozen
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+    ivfQuery(s, idx.toString, e, e.filter(col("vec_id") < 10))
       .orderBy(col("query_id"), col("rank"))
   }
 
@@ -892,5 +1017,5 @@ object Similarity {
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
-    q93NearDupMultiprobe)
+    q93NearDupMultiprobe, q100AnnIncremental)
 }

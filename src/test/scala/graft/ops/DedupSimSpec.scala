@@ -185,6 +185,39 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(Similarity.semK(100L * 1000L * 1000L) == 4096L) // ceiling
   }
 
+  test("incremental IVF: day-2 batch assigned to FROZEN day-1 centroids, dynamic k") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = Paths.get("target", "tmp", "ivfinc").toAbsolutePath.toString
+    val n = 2560
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(j => if (j == axis) 1.0f else 0.0f)
+    // Axis (i/2)%20: both parities cover all 20 axes, so the day-1 (even)
+    // seed set {0,2,..,38} is one centroid per axis.
+    (0 until n).map(i => (i.toLong, unit((i / 2) % 20), ((i / 2) % 20).toLong))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    val e = graft.Tables(spark, big, "embeddings").withColumn("n2", lit(1.0))
+    val idx = Paths.get("target", "tmp",
+      s"ivfidx-${java.util.UUID.randomUUID()}").toAbsolutePath.toString
+    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 0))
+    assert(spark.read.parquet(s"$idx/centroids").count() == 20,
+      "k must be size-derived from the day-1 batch (1280/64 = 20)")
+    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 1))
+    assert(spark.read.parquet(s"$idx/centroids").count() == 20,
+      "day 2 must not retrain: centroids are frozen")
+    val assign = spark.read.parquet(s"$idx/assign")
+    assert(assign.count() == n, "index must cover both days")
+    val sizes = assign.groupBy("centroid_id").count()
+      .collect().map(_.getAs[Long]("count"))
+    assert(sizes.length == 20 && sizes.forall(_ == n / 20),
+      s"inverted lists unbalanced: ${sizes.toSeq}")
+    // Query axis-0: top-3 from the stored lists are its same-axis copies.
+    val rows = Similarity.ivfQuery(spark, idx, e, e.filter(col("vec_id") === 0))
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 40L, 41L))
+    assert(rows.forall(_.getAs[Double]("cos_sim") == 1.0))
+  }
+
   test("three-day incremental dedup against a persisted band index") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables(spark, dir, "documents")
