@@ -117,7 +117,7 @@ object Pipeline {
       val fs = path.getFileSystem(conf)
       recoverTable(fs, outDir, table)
       val (seq, snap) = baselinedSnapshot(fs, path)
-      cleanJunk(fs, path, snap.toSet)
+      cleanJunk(fs, path, snap.toSet, Seq(""))
       val merged =
         if (snap.nonEmpty)
           merge(spark.read.option("basePath", path.toString)
@@ -143,7 +143,6 @@ object Pipeline {
       recoverTable(fs, outDir, table)
       recoverPartitions(fs, store)
       val (seq, snap) = baselinedSnapshot(fs, store)
-      cleanJunk(fs, store, snap.toSet)
       // A store written by the old FLAT layout (or the empty-table marker)
       // has data files at the root: those rows span ALL repos, so a pruned
       // merge would lose the untouched ones when the root files are
@@ -154,7 +153,9 @@ object Pipeline {
       // names, driver-side by construction (not a data-volume collect).
       // Lazy: the flat-migration branch merges unpruned and must not pay
       // (or depend on) this job. Null partition values would silently miss
-      // the isin prune and corrupt the merge — refuse them loudly.
+      // the manifest prune and corrupt the merge — refuse them loudly.
+      // Dir names use Spark's own partition-path escaping, so the prune
+      // matches exactly what partitionBy wrote.
       lazy val touched = {
         val t = incoming.select(col(partCol)).distinct()
           .collect().map(_.getString(0)).toSeq
@@ -162,16 +163,31 @@ object Pipeline {
           s"$table: null $partCol cannot be partition-merged")
         t
       }
+      lazy val touchedDirs = touched.map(v => s"$partCol=" +
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+      // Junk scan scoped to the dirs this run writes: junk elsewhere is
+      // invisible to manifest readers and reaped by compact's full pass.
+      cleanJunk(fs, store, snap.toSet,
+        if (flatData || snap.isEmpty) Seq("") else touchedDirs)
       val merged =
         if (snap.nonEmpty) {
-          // Explicit schema pins the partition column's type (no dir-name
-          // type inference) and lets the isin prune skip untouched dirs.
-          // cleanJunk restored dir == manifest, so the pruned directory
-          // read IS the committed snapshot.
-          val all = spark.read.schema(incoming.schema).parquet(store.toString)
-          val existing =
-            if (flatData) all else all.filter(col(partCol).isin(touched: _*))
-          merge(existing, incoming).select(incoming.columns.map(col): _*)
+          // The MANIFEST is the file listing: the store read enumerates
+          // exactly the committed snapshot's files for the touched
+          // partitions — no recursive directory listing of the archive,
+          // ever (the 100 TB cost a dir-based read would pay at plan
+          // time even with partition pruning). Explicit schema pins the
+          // partition column's type; values come from the dir names via
+          // basePath.
+          val files =
+            if (flatData) snap
+            else snap.filter(f => touchedDirs.contains(f.split('/').head))
+          if (files.isEmpty) incoming
+          else {
+            val existing = spark.read.schema(incoming.schema)
+              .option("basePath", store.toString)
+              .parquet(files.map(f => new Path(store, f).toString): _*)
+            merge(existing, incoming).select(incoming.columns.map(col): _*)
+          }
         } else incoming
       val staged = new Path(s"$outDir/.$table.__staged")
       fs.delete(staged, true)
@@ -323,19 +339,31 @@ object Pipeline {
         else (-1L, files)
     }
 
-  /** Delete everything a crashed publish can leave: staging and tmp-manifest
-    * dirs, and data files the committed manifest doesn't reference (moved in
-    * by a publish that died before its commit, or orphaned by one that died
-    * between commit and generation GC). Restores the invariant
-    * directory listing == manifest that the pruned merge read relies on. */
-  private def cleanJunk(fs: FileSystem, store: Path, referenced: Set[String]): Unit = {
+  /** Delete what a crashed publish can leave: staging and tmp-manifest
+    * dirs (always — one top-level listing), and, within `scanDirs` (the
+    * dirs the caller is about to write; "" = the store root), data files
+    * the committed manifest doesn't reference — moved in by a publish that
+    * died before its commit, or orphaned by one that died between commit
+    * and generation GC. Junk OUTSIDE the scanned dirs is invisible to
+    * manifest readers and is reaped by [[compact]]'s full pass — scoping
+    * the scan keeps per-publish IO proportional to the run, not the
+    * archive's file count. */
+  private def cleanJunk(fs: FileSystem, store: Path, referenced: Set[String],
+      scanDirs: Seq[String]): Unit = {
     if (!fs.exists(store)) return
     fs.listStatus(store).map(_.getPath)
       .filter(p => p.getName.startsWith(".manifest-tmp-") ||
         p.getName.startsWith(".compact-staged-"))
       .foreach(fs.delete(_, true))
-    listDataFiles(fs, store).filterNot(referenced)
-      .foreach(f => fs.delete(new Path(store, f), false))
+    scanDirs.distinct.foreach { d =>
+      val dir = if (d.isEmpty) store else new Path(store, d)
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => if (d.isEmpty) f.getPath.getName else s"$d/${f.getPath.getName}")
+          .filterNot(referenced)
+          .foreach(rel => fs.delete(new Path(store, rel), false))
+    }
   }
 
   /** Move the staged data files into the live dir (returns their names).
@@ -403,7 +431,10 @@ object Pipeline {
     if (!fs.exists(store)) return
     recoverPartitions(fs, store)
     val (seq, snap) = baselinedSnapshot(fs, store)
-    cleanJunk(fs, store, snap.toSet)
+    // Compaction is the full-GC pass: it scans every partition (it lists
+    // them anyway), so junk a scoped publish skipped is reaped here.
+    cleanJunk(fs, store, snap.toSet,
+      "" +: snap.map(_.split('/').init.mkString("/")).distinct)
     val byDir = snap.groupBy(f => f.split('/').init.mkString("/"))
     val entries = scala.collection.mutable.ArrayBuffer[String]()
     val dropped = scala.collection.mutable.ArrayBuffer[String]()

@@ -11,7 +11,11 @@ import org.scalatest.BeforeAndAfterAll
   * filter → full ETL → parquet tables on disk. */
 class MainSpec extends SparkSpec with BeforeAndAfterAll {
 
-  private val root = Paths.get("target", "tmp", "mainfix").toAbsolutePath
+  // Unique per JVM: two concurrent sbt invocations (e.g. a full `sbt test`
+  // alongside a targeted `testOnly`) must not share the store fixtures —
+  // one's staged-dir cleanup would delete the other's in-flight write.
+  private val root = Paths.get("target", "tmp",
+    s"mainfix-${java.util.UUID.randomUUID().toString.take(8)}").toAbsolutePath
   private val repoA = root.resolve("scan/repoA")
   private val repoB = root.resolve("scan/repoB")
 
