@@ -10,11 +10,14 @@ import org.apache.spark.sql.functions._
   * typed record, one iterator per partition — amortized per-batch setup,
   * streaming through executors without materializing a partition).
   *
-  * The actual byte decoding is a STUB (`FakeCodec`) — no image/audio codecs
-  * ship in this container — with a deterministic fake implementation. The
-  * Spark-side plumbing is real and tested: schema, binary payloads, batch
-  * iterator shape, partitioning, and the feature-extraction/resize/
-  * frame-sampling operator signatures.
+  * Codecs: IMAGE (PNG/JPEG/BMP/GIF via `javax.imageio`) and AUDIO
+  * (WAV/AIFF/AU via `javax.sound.sampled`) are REAL — both ship inside the
+  * JDK, no external dependency ([[JdkCodec]]). Only VIDEO has no JDK
+  * decoder; it keeps the deterministic stub seam (`FakeCodec`) — at
+  * production, an ffmpeg-backed decoder drops into the same
+  * partition-batched boundary without touching the plan. Undecodable
+  * payloads are skipped per-row (U7's error-isolation discipline), never
+  * task failures.
   */
 object Multimodal {
 
@@ -28,9 +31,75 @@ object Multimodal {
   final case class FrameSample(
       doc_id: Long, frame_no: Int, frame: Array[Byte])
 
-  /** Deterministic stand-in for a real codec. At production scale this is the
-    * only seam that changes: swap these bodies for an actual decoder; the
-    * Spark plan around them is already correct. */
+  final case class ImageFeatures(
+      doc_id: Long, width: Int, height: Int, mean_luma: Double)
+
+  final case class AudioFeatures(
+      doc_id: Long, sample_rate: Double, channels: Int, n_frames: Long,
+      duration_s: Double)
+
+  /** REAL codecs, JDK-native (zero added dependencies): `javax.imageio`
+    * decodes/encodes PNG, JPEG, BMP and GIF; `javax.sound.sampled` parses
+    * WAV, AIFF and AU headers/frames. Every entry point returns Option —
+    * a corrupt or foreign payload is a skipped row, not an exception. */
+  object JdkCodec {
+    /** Decode an image: (width, height, mean ITU-R 601 luminance 0–255). */
+    def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          var sum = 0.0
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xff) +
+                0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, sum / (w.toDouble * h)))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Re-encode an image resized to exactly w×h (bilinear), PNG bytes. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) None
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val buf = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", buf)
+          Some(buf.toByteArray)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
+    /** Parse an audio payload's format: (sampleRate, channels, frames). */
+    def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long)] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try Some((in.getFormat.getSampleRate, in.getFormat.getChannels,
+          in.getFrameLength))
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic stand-in where no JDK codec exists (video), and the
+    * fallback for payloads no real codec accepts. At production scale this
+    * is the only seam that changes: swap these bodies for an actual
+    * decoder; the Spark plan around them is already correct. */
   object FakeCodec {
     /** STUB decode: fake dimensions derived from the payload bytes. */
     def decode(bytes: Array[Byte]): (Int, Int) = {
@@ -69,7 +138,10 @@ object Multimodal {
     media.mapPartitions { batch =>
       val md = java.security.MessageDigest.getInstance("MD5")
       batch.map { r =>
-        val (w, h) = FakeCodec.decode(r.content)
+        // Real decode first (JDK imageio); deterministic fake for payloads
+        // no real codec accepts (synthesized text bytes, video).
+        val (w, h) = JdkCodec.decodeImage(r.content)
+          .map(t => (t._1, t._2)).getOrElse(FakeCodec.decode(r.content))
         md.reset()
         val sum = md.digest(r.content).map("%02x".format(_)).mkString
         val mean =
@@ -78,6 +150,43 @@ object Multimodal {
         MediaFeatures(r.doc_id, r.media_type, r.content.length.toLong, sum, w, h, mean)
       }
     }
+  }
+
+  /** REAL image decode + feature extraction: one row per decodable image
+    * payload (width, height, mean luminance). Partition-batched; rows the
+    * codec rejects are skipped, not failed. */
+  def decodeImages(media: Dataset[MediaRecord]): Dataset[ImageFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      JdkCodec.decodeImage(r.content).map { case (w, h, luma) =>
+        ImageFeatures(r.doc_id, w, h, luma)
+      }
+    })
+  }
+
+  /** REAL audio header/frame parse: sample rate, channels, frame count and
+    * duration per decodable payload. */
+  def decodeAudio(media: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      JdkCodec.decodeAudio(r.content).map { case (rate, ch, frames) =>
+        AudioFeatures(r.doc_id, rate.toDouble, ch, frames,
+          if (rate > 0) frames.toDouble / rate else 0.0)
+      }
+    })
+  }
+
+  /** REAL thumbnail pipeline: re-encode every decodable image at w×h (PNG).
+    * The output is again a media table — composable with [[decodeImages]]. */
+  def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      JdkCodec.resizeImage(r.content, w, h)
+        .map(bytes => MediaRecord(r.doc_id, r.media_type, bytes))
+    })
   }
 
   /** Frame sampling for video payloads (flatMap shape — one row per frame). */

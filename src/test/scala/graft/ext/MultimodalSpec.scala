@@ -33,4 +33,61 @@ class MultimodalSpec extends SparkSpec {
   test("resize stub crops/pads to target size") {
     assert(Multimodal.FakeCodec.resize("abc".getBytes, 2, 3).length == 6)
   }
+
+  /** A real w×h PNG: left half black, right half white → mean luma ≈ 127.5
+    * for even widths. */
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, if (x < w / 2) 0x000000 else 0xffffff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    buf.toByteArray
+  }
+
+  /** A real mono 16-bit PCM WAV with `frames` frames at `rate` Hz. */
+  private def wavBytes(rate: Float, frames: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * 2)
+    val in = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      in, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    buf.toByteArray
+  }
+
+  test("REAL image codec: decode, luma, resize round-trip; corrupt rows skipped") {
+    val media = Seq(
+      Multimodal.MediaRecord(10L, "image", pngBytes(32, 20)),
+      Multimodal.MediaRecord(11L, "image", pngBytes(8, 8)),
+      Multimodal.MediaRecord(12L, "image", Array[Byte](1, 2, 3))) // corrupt
+      .toDS()
+    val f = Multimodal.decodeImages(media).collect().sortBy(_.doc_id)
+    assert(f.map(_.doc_id).toSeq == Seq(10L, 11L), "corrupt payload must be skipped")
+    assert(f(0).width == 32 && f(0).height == 20)
+    assert(math.abs(f(0).mean_luma - 127.5) < 0.5)
+    // Resize 32×20 → 16×10, then decode the re-encoded PNG: exact new dims.
+    val small = Multimodal.resizeImages(media, 16, 10)
+    val f2 = Multimodal.decodeImages(small).collect().sortBy(_.doc_id)
+    assert(f2.length == 2 && f2.forall(r => r.width == 16 && r.height == 10))
+  }
+
+  test("REAL audio codec: WAV format and duration; corrupt rows skipped") {
+    val media = Seq(
+      Multimodal.MediaRecord(20L, "audio", wavBytes(16000f, 8000)),
+      Multimodal.MediaRecord(21L, "audio", "not audio".getBytes))
+      .toDS()
+    val f = Multimodal.decodeAudio(media).collect()
+    assert(f.map(_.doc_id).toSeq == Seq(20L))
+    assert(f(0).sample_rate == 16000.0 && f(0).channels == 1)
+    assert(f(0).n_frames == 8000L && math.abs(f(0).duration_s - 0.5) < 1e-9)
+  }
+
+  test("extractFeatures uses the REAL decoder when the payload is an image") {
+    val media = Seq(Multimodal.MediaRecord(30L, "image", pngBytes(24, 12))).toDS()
+    val f = Multimodal.extractFeatures(media).collect()
+    assert(f(0).width == 24 && f(0).height == 12)
+  }
 }
