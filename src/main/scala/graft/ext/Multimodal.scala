@@ -221,5 +221,46 @@ object Multimodal {
       .orderBy(col("media_type"))
   }
 
-  val all: Seq[Q] = Seq(q41BinaryMeta)
+  /** q101: the REAL image codec under the DuckDB-oracle gate. Each document
+    * deterministically renders a solid-gray PNG whose width/height/gray are
+    * integer functions of its text (computed by Spark SQL expressions, the
+    * same functions the oracle evaluates), and the decoded
+    * (width, height, round(mean_luma)) must reproduce them exactly — PNG is
+    * lossless and ITU-R 601 luma of gray g is g, so the only step that can
+    * break the equality is the encode→decode itself. DuckDB cannot decode
+    * PNGs; it doesn't need to — it checks the round-trip's fixed point. */
+  val q101ImageRoundtrip: Q = Q(
+    "q101_image_roundtrip",
+    """SELECT doc_id,
+      |       CAST(8 + length(text) % 24 AS BIGINT) AS width,
+      |       CAST(8 + (length(text) * 7) % 24 AS BIGINT) AS height,
+      |       CAST(ascii(text) % 200 + 20 AS BIGINT) AS gray
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(8) + length(col("text")) % 24).cast("int").as("w"),
+        (lit(8) + (length(col("text")) * 7) % 24).cast("int").as("h"),
+        (ascii(col("text")) % 200 + 20).cast("int").as("g"))
+      .as[(Long, Int, Int, Int)]
+    prepped.mapPartitions(_.map { case (id, w, h, g) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      val (dw, dh, luma) = JdkCodec.decodeImage(buf.toByteArray)
+        .getOrElse(sys.error(s"round-trip decode failed for doc $id"))
+      (id, dw.toLong, dh.toLong, math.round(luma))
+    }).toDF("doc_id", "width", "height", "gray")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip)
 }
