@@ -43,6 +43,11 @@ object Multimodal {
     * WAV, AIFF and AU headers/frames. Every entry point returns Option —
     * a corrupt or foreign payload is a skipped row, not an exception. */
   object JdkCodec {
+    // ImageIO defaults to a disk-backed stream cache — a temp file per
+    // decode. Everything here is byte arrays in memory; at executor scale
+    // that's pure IO churn. Once per JVM (object init is lazy + per-VM).
+    javax.imageio.ImageIO.setUseCache(false)
+
     /** Decode an image: (width, height, mean ITU-R 601 luminance 0–255). */
     def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
       try {
