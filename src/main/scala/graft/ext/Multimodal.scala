@@ -90,6 +90,44 @@ object Multimodal {
         }
       } catch { case scala.util.control.NonFatal(_) => None }
 
+    /** Average-hash (aHash) perceptual fingerprint: decode → resize to 8×8
+      * (bilinear, the same real resize path) → luminance grid → threshold
+      * at the grid mean → 64 bits, rendered as 16 hex chars (row-major;
+      * within a row byte, bit 7−c is column c). Near-duplicate images
+      * differ in few bits — hamming distance on these hashes is the image
+      * twin of SimHash text dedup, and `bit_count(xor(...))` composes with
+      * the exact same pairing machinery. */
+    def aHash(bytes: Array[Byte]): Option[String] =
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val img = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = img.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, 8, 8, null)
+          g.dispose()
+          val luma = Array.tabulate(64) { i =>
+            val rgb = img.getRGB(i % 8, i / 8)
+            0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+          }
+          val mean = luma.sum / 64.0
+          val rowBytes = Array.tabulate(8) { r =>
+            var b = 0
+            var c = 0
+            while (c < 8) {
+              if (luma(r * 8 + c) >= mean) b |= 1 << (7 - c)
+              c += 1
+            }
+            b
+          }
+          Some(rowBytes.map("%02x".format(_)).mkString)
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+
     /** Parse an audio payload's format: (sampleRate, channels, frames). */
     def decodeAudio(bytes: Array[Byte]): Option[(Float, Int, Long)] =
       try {
@@ -183,6 +221,19 @@ object Multimodal {
     })
   }
 
+  final case class ImageHash(doc_id: Long, ahash: String)
+
+  /** Perceptual fingerprints for every decodable image — the input to
+    * image near-dup pairing (hamming distance over the hash, exactly the
+    * SimHash block-join shape from `ops.Dedup`). */
+  def imageHashes(media: Dataset[MediaRecord]): Dataset[ImageHash] = {
+    val s = media.sparkSession
+    import s.implicits._
+    media.mapPartitions(_.flatMap { r =>
+      JdkCodec.aHash(r.content).map(ImageHash(r.doc_id, _))
+    })
+  }
+
   /** REAL thumbnail pipeline: re-encode every decodable image at w×h (PNG).
     * The output is again a media table — composable with [[decodeImages]]. */
   def resizeImages(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
@@ -267,5 +318,40 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip)
+  /** q102: the perceptual hash under the oracle gate. Each document
+    * renders an 8×8 two-tone PNG — the first p = 1 + length(text) % 7
+    * columns dark (40), the rest bright (200) — so the aHash is exactly
+    * p zero-bits then ones per row: every row byte is 2^(8−p) − 1, and
+    * the 16-hex-char hash is that byte repeated 8 times. The oracle
+    * computes the fixed point from length(text) alone; decode, resize,
+    * luma, mean-threshold and bit packing are all on the Spark side of
+    * the equality. */
+  val q102ImageAhash: Q = Q(
+    "q102_image_ahash",
+    """SELECT doc_id,
+      |       repeat(lower(lpad(to_hex((1 << (8 - (1 + length(text) % 7))) - 1), 2, '0')),
+      |              8) AS ahash
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1) + length(col("text")) % 7).cast("int").as("p"))
+      .as[(Long, Int)]
+    prepped.mapPartitions(_.map { case (id, p) =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = if (x < p) 40 else 200
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      val hash = JdkCodec.aHash(buf.toByteArray)
+        .getOrElse(sys.error(s"aHash failed for doc $id"))
+      (id, hash)
+    }).toDF("doc_id", "ahash")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash)
 }

@@ -85,6 +85,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f(0).n_frames == 8000L && math.abs(f(0).duration_s - 0.5) < 1e-9)
   }
 
+  test("perceptual hash: noise-robust for near-dups, discriminative across images") {
+    def gradient(horizontal: Boolean, noiseSeed: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new scala.util.Random(noiseSeed)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val base = if (horizontal) x * 4 else y * 4
+        val g = math.max(0, math.min(255,
+          base + (if (noiseSeed == 0) 0 else rnd.nextInt(21) - 10)))
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      buf.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", gradient(horizontal = true, 0)),
+      Multimodal.MediaRecord(2L, "image", gradient(horizontal = true, 7)), // near-dup
+      Multimodal.MediaRecord(3L, "image", gradient(horizontal = false, 0))) // different
+      .toDS()
+    val h = Multimodal.imageHashes(media).collect()
+      .map(r => r.doc_id -> BigInt(r.ahash, 16)).toMap
+    def ham(a: Long, b: Long) = (h(a) ^ h(b)).bitCount
+    assert(ham(1L, 2L) <= 12, s"noised near-dup too far: ${ham(1L, 2L)} bits")
+    assert(ham(1L, 3L) >= 16, s"different images too close: ${ham(1L, 3L)} bits")
+  }
+
   test("extractFeatures uses the REAL decoder when the payload is an image") {
     val media = Seq(Multimodal.MediaRecord(30L, "image", pngBytes(24, 12))).toDS()
     val f = Multimodal.extractFeatures(media).collect()
