@@ -55,7 +55,7 @@ object Similarity {
   private def sparkBucket(col: String, bits: Int = 8): String =
     (1 to bits).map(i => s"IF(element_at($col, $i) > 0, '1', '0')").mkString("concat(", ", ", ")")
 
-  private def embWithNorm(s: SparkSession, dir: String): DataFrame =
+  private[graft] def embWithNorm(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .withColumn("n2", expr(dDot("embedding", "embedding")))
 

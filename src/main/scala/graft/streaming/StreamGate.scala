@@ -307,7 +307,61 @@ object StreamGate {
     s.read.parquet(outPairs).orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q103: the incremental ANN index built as a STREAM — embedding batches
+    * arrive as micro-batches (file source, mtime order, one per trigger);
+    * the first trigger trains the frozen centroids, every trigger
+    * assigns-and-appends to the stored inverted lists
+    * ([[graft.ops.Similarity.ivfAppend]]), and the final stored index
+    * serves the sample queries. The oracle is q100's: frozen-centroid
+    * assignment commutes with arrival order, so the stream-built index
+    * answers identically to a full rebuild — whether the days arrived by
+    * batch job (q100) or by stream (this gate). */
+  val q103StreamAnnIngest: Q = Q(
+    "q103_stream_ann_ingest",
+    graft.ops.Similarity.q100AnnIncremental.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q103-")
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    val e = graft.ops.Similarity.embWithNorm(s, dir)
+    // Stage two deterministic "days" (even vec_ids, then odd) — the same
+    // split q100 builds by batch calls.
+    Seq(0, 1).foreach { parity =>
+      val tmp = work.resolve(s"stage-$parity")
+      e.filter(col("vec_id") % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val listing = Files.list(tmp)
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet")).head
+        finally listing.close()
+      }
+      val dest = in.resolve(s"batch-$parity.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(System.currentTimeMillis()
+        - 120000L + parity * 60000L))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    val idx = work.resolve("ivfidx").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.ops.Similarity.ivfAppend(batch.sparkSession, idx, batch.toDF())
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
-    q96StreamDedup, q99StreamDedupIncremental)
+    q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest)
 }
