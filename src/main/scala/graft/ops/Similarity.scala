@@ -409,13 +409,17 @@ object Similarity {
     * centroids (the k smallest vec_ids — deterministic and
     * oracle-renderable) are stored under `centroids/`; every call assigns
     * its batch to the STORED (frozen) centroids with the shared two-stage
-    * argmax and appends (vec_id, centroid_id) rows to `assign/` — a pure
-    * append of immutable files, no rewrite. At 100 TB the daily cost is
-    * O(|batch| · k) map-side work against a broadcast centroid table; the
-    * archive's inverted lists are never recomputed. Centroid drift is
-    * handled the standard way — a scheduled re-train + full re-assign —
-    * not per batch. */
-  def ivfAppend(spark: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    * argmax and publishes the assignments IDEMPOTENTLY under
+    * `assign/batch=<batchId>` — a replay of the same batch (foreachBatch
+    * is at-least-once) overwrites its own subdir instead of appending a
+    * duplicate generation, which would put two rows per vector into the
+    * inverted lists and corrupt downstream top-k ranks. At 100 TB the
+    * daily cost is O(|batch| · k) map-side work against a broadcast
+    * centroid table; the archive's inverted lists are never recomputed.
+    * Centroid drift is handled the standard way — a scheduled re-train +
+    * full re-assign — not per batch. */
+  def ivfAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
     val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
     val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(centPath)) {
@@ -427,7 +431,7 @@ object Similarity {
     }
     val cent = spark.read.parquet(centPath.toString)
     assignTo(batch, cent)
-      .write.mode("append").parquet(s"$indexDir/assign")
+      .write.mode("overwrite").parquet(s"$indexDir/assign/batch=$batchId")
   }
 
   /** ANN query against the PERSISTED index: rank each query against the
@@ -505,8 +509,8 @@ object Similarity {
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
     val e = embWithNorm(s, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft-q100-")
-    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0)) // day 1: trains
-    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1)) // day 2: frozen
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0), 0L) // day 1: trains
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1), 1L) // day 2: frozen
     org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
     ivfQuery(s, idx.toString, e, e.filter(col("vec_id") < 10))
       .orderBy(col("query_id"), col("rank"))

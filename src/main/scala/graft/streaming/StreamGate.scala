@@ -347,8 +347,10 @@ object StreamGate {
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
       .writeStream
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          graft.ops.Similarity.ivfAppend(batch.sparkSession, idx, batch.toDF())
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // The foreachBatch id is replay-stable: a redelivered batch
+          // overwrites its own assign/batch=<id> dir (idempotent publish).
+          graft.ops.Similarity.ivfAppend(batch.sparkSession, idx, batch.toDF(), id)
           ()
       }
       .option("checkpointLocation", work.resolve("ckpt").toString)

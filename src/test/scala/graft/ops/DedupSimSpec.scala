@@ -199,14 +199,18 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     val e = graft.Tables(spark, big, "embeddings").withColumn("n2", lit(1.0))
     val idx = Paths.get("target", "tmp",
       s"ivfidx-${java.util.UUID.randomUUID()}").toAbsolutePath.toString
-    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 0))
+    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 0), 0L)
     assert(spark.read.parquet(s"$idx/centroids").count() == 20,
       "k must be size-derived from the day-1 batch (1280/64 = 20)")
-    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 1))
+    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 1), 1L)
     assert(spark.read.parquet(s"$idx/centroids").count() == 20,
       "day 2 must not retrain: centroids are frozen")
+    // Replay of day 2 (at-least-once delivery): the idempotent per-batch
+    // publish must not duplicate assignments.
+    Similarity.ivfAppend(spark, idx, e.filter(col("vec_id") % 2 === 1), 1L)
     val assign = spark.read.parquet(s"$idx/assign")
-    assert(assign.count() == n, "index must cover both days")
+    assert(assign.count() == n,
+      "index must cover both days exactly once (replay-idempotent)")
     val sizes = assign.groupBy("centroid_id").count()
       .collect().map(_.getAs[Long]("count"))
     assert(sizes.length == 20 && sizes.forall(_ == n / 20),
