@@ -107,126 +107,12 @@ object Pipeline {
   def etlAppend(spark: SparkSession, repoPaths: Seq[String], outDir: String,
       authorGate: Option[String] = None): Unit = {
     val r = build(spark, repoPaths, authorGate)
-    val conf = spark.sparkContext.hadoopConfiguration
-
-    // Whole-table merge (authors only): merge → stage → move files in →
-    // manifest commit → drop the replaced generation.
     def mergeWrite(table: String, incoming: DataFrame)(
-        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val path = new Path(s"$outDir/$table")
-      val fs = path.getFileSystem(conf)
-      recoverTable(fs, outDir, table)
-      val (seq, snap) = baselinedSnapshot(fs, path)
-      cleanJunk(fs, path, snap.toSet, Seq(""))
-      val merged =
-        if (snap.nonEmpty)
-          merge(spark.read.option("basePath", path.toString)
-            .parquet(snap.map(f => new Path(path, f).toString): _*), incoming)
-        else incoming
-      val staged = new Path(s"$outDir/.$table.__staged")
-      fs.delete(staged, true)
-      merged.write.mode("overwrite").parquet(staged.toString)
-      fs.mkdirs(path)
-      val moved = moveDataFiles(fs, staged, path)
-      fs.delete(staged, true)
-      commitManifest(fs, path, seq + 1, moved)
-      snap.foreach(f => fs.delete(new Path(path, f), false))
-    }
-
-    // Partitioned merge: prune the store read to the run's partitions,
-    // merge, stage partitioned, move the staged files in, commit the
-    // manifest, then drop the replaced partitions' previous generation.
+        merge: (DataFrame, DataFrame) => DataFrame): Unit =
+      publishWhole(spark, outDir, table, incoming)(merge)
     def mergeWritePartitioned(table: String, partCol: String, incoming: DataFrame)(
-        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
-      val store = new Path(s"$outDir/$table")
-      val fs = store.getFileSystem(conf)
-      recoverTable(fs, outDir, table)
-      recoverPartitions(fs, store)
-      val (seq, snap) = baselinedSnapshot(fs, store)
-      // A store written by the old FLAT layout (or the empty-table marker)
-      // has data files at the root: those rows span ALL repos, so a pruned
-      // merge would lose the untouched ones when the root files are
-      // replaced. Migrate with one unpruned full merge; every later run is
-      // partition-pruned.
-      val flatData = snap.exists(!_.contains("/"))
-      // The touched-partition set is the run's repo list — a handful of
-      // names, driver-side by construction (not a data-volume collect).
-      // Lazy: the flat-migration branch merges unpruned and must not pay
-      // (or depend on) this job. Null partition values would silently miss
-      // the manifest prune and corrupt the merge — refuse them loudly.
-      // Dir names use Spark's own partition-path escaping, so the prune
-      // matches exactly what partitionBy wrote.
-      lazy val touched = {
-        val t = incoming.select(col(partCol)).distinct()
-          .collect().map(_.getString(0)).toSeq
-        require(!t.contains(null),
-          s"$table: null $partCol cannot be partition-merged")
-        t
-      }
-      lazy val touchedDirs = touched.map(v => s"$partCol=" +
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
-      // Junk scan scoped to the dirs this run writes: junk elsewhere is
-      // invisible to manifest readers and reaped by compact's full pass.
-      cleanJunk(fs, store, snap.toSet,
-        if (flatData || snap.isEmpty) Seq("") else touchedDirs)
-      val merged =
-        if (snap.nonEmpty) {
-          // The MANIFEST is the file listing: the store read enumerates
-          // exactly the committed snapshot's files for the touched
-          // partitions — no recursive directory listing of the archive,
-          // ever (the 100 TB cost a dir-based read would pay at plan
-          // time even with partition pruning). Explicit schema pins the
-          // partition column's type; values come from the dir names via
-          // basePath.
-          val files =
-            if (flatData) snap
-            else snap.filter(f => touchedDirs.contains(f.split('/').head))
-          if (files.isEmpty) incoming
-          else {
-            val existing = spark.read.schema(incoming.schema)
-              .option("basePath", store.toString)
-              .parquet(files.map(f => new Path(store, f).toString): _*)
-            merge(existing, incoming).select(incoming.columns.map(col): _*)
-          }
-        } else incoming
-      val staged = new Path(s"$outDir/.$table.__staged")
-      fs.delete(staged, true)
-      merged.write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
-      fs.mkdirs(store)
-      val partDirs = fs.listStatus(staged).filter(_.isDirectory)
-      if (partDirs.isEmpty) {
-        // Empty merged result (e.g. a run with no tags): a partitioned
-        // write emits no files, which would leave an unreadable empty dir.
-        // Keep the table readable with a flat empty-schema'd parquet —
-        // replaced by real partition dirs the first time any appear.
-        if (snap.isEmpty) {
-          fs.delete(staged, true)
-          merged.write.mode("overwrite").parquet(staged.toString)
-          val moved = moveDataFiles(fs, staged, store)
-          commitManifest(fs, store, seq + 1, moved)
-        }
-        fs.delete(staged, true)
-      } else {
-        // Move each staged partition's files into the live partition dir
-        // (names are unique per write job — nothing is overwritten), then
-        // commit: untouched partitions keep their manifest entries; the
-        // replaced generation (all root files on the migration path) is
-        // dropped only after the new manifest is live.
-        val newEntries = partDirs.flatMap { p =>
-          val name = p.getPath.getName
-          val dest = new Path(store, name)
-          fs.mkdirs(dest)
-          moveDataFiles(fs, p.getPath, dest).map(f => s"$name/$f")
-        }.toSeq
-        val replacedTop = partDirs.map(_.getPath.getName).toSet
-        val dropped =
-          if (flatData) snap
-          else snap.filter(f => replacedTop.contains(f.split('/').head))
-        fs.delete(staged, true)
-        commitManifest(fs, store, seq + 1, snap.diff(dropped) ++ newEntries)
-        dropped.foreach(f => fs.delete(new Path(store, f), false))
-      }
-    }
+        merge: (DataFrame, DataFrame) => DataFrame): Unit =
+      publishPartitioned(spark, outDir, table, partCol, incoming)(merge)
 
     // ON CONFLICT(repo_name, sha) DO UPDATE (database.ts:21-36)
     mergeWritePartitioned("commits", "repo_name", r.commits)(
@@ -245,6 +131,128 @@ object Pipeline {
     // rejects are per-run diagnostics (no reference counterpart): overwrite
     r.rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
     r.release()
+  }
+
+  /** Whole-table keyed merge publish (dimension tables): merge → stage →
+    * move files in → manifest commit → drop the replaced generation. */
+  private[git] def publishWhole(spark: SparkSession, outDir: String,
+      table: String, incoming: DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val path = new Path(s"$outDir/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverTable(fs, outDir, table)
+    val (seq, snap) = baselinedSnapshot(fs, path)
+    cleanJunk(fs, path, snap.toSet, Seq(""))
+    val merged =
+      if (snap.nonEmpty)
+        merge(spark.read.option("basePath", path.toString)
+          .parquet(snap.map(f => new Path(path, f).toString): _*), incoming)
+      else incoming
+    val staged = new Path(s"$outDir/.$table.__staged")
+    fs.delete(staged, true)
+    merged.write.mode("overwrite").parquet(staged.toString)
+    fs.mkdirs(path)
+    val moved = moveDataFiles(fs, staged, path)
+    fs.delete(staged, true)
+    commitManifest(fs, path, seq + 1, moved)
+    snap.foreach(f => fs.delete(new Path(path, f), false))
+  }
+
+  /** Partitioned keyed merge publish (fact tables): prune the store read to
+    * the incoming batch's partitions via the manifest, merge, stage
+    * partitioned, move the staged files in, commit the manifest, then drop
+    * the replaced partitions' previous generation. */
+  private[git] def publishPartitioned(spark: SparkSession, outDir: String,
+      table: String, partCol: String, incoming: DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+    val store = new Path(s"$outDir/$table")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverTable(fs, outDir, table)
+    recoverPartitions(fs, store)
+    val (seq, snap) = baselinedSnapshot(fs, store)
+    // A store written by the old FLAT layout (or the empty-table marker)
+    // has data files at the root: those rows span ALL repos, so a pruned
+    // merge would lose the untouched ones when the root files are
+    // replaced. Migrate with one unpruned full merge; every later run is
+    // partition-pruned.
+    val flatData = snap.exists(!_.contains("/"))
+    // The touched-partition set is the run's repo list — a handful of
+    // names, driver-side by construction (not a data-volume collect).
+    // Lazy: the flat-migration branch merges unpruned and must not pay
+    // (or depend on) this job. Null partition values would silently miss
+    // the manifest prune and corrupt the merge — refuse them loudly.
+    // Dir names use Spark's own partition-path escaping, so the prune
+    // matches exactly what partitionBy wrote.
+    lazy val touched = {
+      val t = incoming.select(col(partCol)).distinct()
+        .collect().map(_.getString(0)).toSeq
+      require(!t.contains(null),
+        s"$table: null $partCol cannot be partition-merged")
+      t
+    }
+    lazy val touchedDirs = touched.map(v => s"$partCol=" +
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v))
+    // Junk scan scoped to the dirs this run writes: junk elsewhere is
+    // invisible to manifest readers and reaped by compact's full pass.
+    cleanJunk(fs, store, snap.toSet,
+      if (flatData || snap.isEmpty) Seq("") else touchedDirs)
+    val merged =
+      if (snap.nonEmpty) {
+        // The MANIFEST is the file listing: the store read enumerates
+        // exactly the committed snapshot's files for the touched
+        // partitions — no recursive directory listing of the archive,
+        // ever (the 100 TB cost a dir-based read would pay at plan
+        // time even with partition pruning). Explicit schema pins the
+        // partition column's type; values come from the dir names via
+        // basePath.
+        val files =
+          if (flatData) snap
+          else snap.filter(f => touchedDirs.contains(f.split('/').head))
+        if (files.isEmpty) incoming
+        else {
+          val existing = spark.read.schema(incoming.schema)
+            .option("basePath", store.toString)
+            .parquet(files.map(f => new Path(store, f).toString): _*)
+          merge(existing, incoming).select(incoming.columns.map(col): _*)
+        }
+      } else incoming
+    val staged = new Path(s"$outDir/.$table.__staged")
+    fs.delete(staged, true)
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(staged.toString)
+    fs.mkdirs(store)
+    val partDirs = fs.listStatus(staged).filter(_.isDirectory)
+    if (partDirs.isEmpty) {
+      // Empty merged result (e.g. a run with no tags): a partitioned
+      // write emits no files, which would leave an unreadable empty dir.
+      // Keep the table readable with a flat empty-schema'd parquet —
+      // replaced by real partition dirs the first time any appear.
+      if (snap.isEmpty) {
+        fs.delete(staged, true)
+        merged.write.mode("overwrite").parquet(staged.toString)
+        val moved = moveDataFiles(fs, staged, store)
+        commitManifest(fs, store, seq + 1, moved)
+      }
+      fs.delete(staged, true)
+    } else {
+      // Move each staged partition's files into the live partition dir
+      // (names are unique per write job — nothing is overwritten), then
+      // commit: untouched partitions keep their manifest entries; the
+      // replaced generation (all root files on the migration path) is
+      // dropped only after the new manifest is live.
+      val newEntries = partDirs.flatMap { p =>
+        val name = p.getPath.getName
+        val dest = new Path(store, name)
+        fs.mkdirs(dest)
+        moveDataFiles(fs, p.getPath, dest).map(f => s"$name/$f")
+      }.toSeq
+      val replacedTop = partDirs.map(_.getPath.getName).toSet
+      val dropped =
+        if (flatData) snap
+        else snap.filter(f => replacedTop.contains(f.split('/').head))
+      fs.delete(staged, true)
+      commitManifest(fs, store, seq + 1, snap.diff(dropped) ++ newEntries)
+      dropped.foreach(f => fs.delete(new Path(store, f), false))
+    }
   }
 
   // -----------------------------------------------------------------------
