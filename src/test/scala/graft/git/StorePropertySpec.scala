@@ -12,6 +12,23 @@ import graft.SparkSpec
 class StorePropertySpec extends SparkSpec {
   import spark.implicits._
 
+  test("partition values needing path escaping publish and prune correctly") {
+    val dir = Files.createTempDirectory("graft-storeesc-").toAbsolutePath.toString
+    def rows(t: Seq[(String, Long, Long)]) = t.toDF("part", "k", "v")
+    // Values Spark must escape in partition dir names: space, colon, percent.
+    Pipeline.publishPartitioned(spark, dir, "t", "part",
+      rows(Seq(("has space", 1L, 10L), ("col:on", 1L, 20L), ("pct%25", 1L, 30L))))(
+      GitAgg.upsertLatest(_, _, Seq("part", "k")))
+    // Second publish touches ONLY the spaced partition: the manifest prune
+    // must resolve its escaped dir name and leave the others untouched.
+    Pipeline.publishPartitioned(spark, dir, "t", "part",
+      rows(Seq(("has space", 1L, 11L))))(
+      GitAgg.upsertLatest(_, _, Seq("part", "k")))
+    val got = Pipeline.readSnapshot(spark, dir, "t")
+      .collect().map(r => (r.getAs[String]("part"), r.getAs[Long]("v"))).toSet
+    assert(got == Set(("has space", 11L), ("col:on", 20L), ("pct%25", 30L)))
+  }
+
   test("randomized publish/crash/compact sequences preserve the snapshot") {
     val partCol = "part"
     val parts = Vector("a", "b", "c", "d")
