@@ -19,7 +19,11 @@ object RunningStats {
 
   final case class Ev(user_id: Long, event_type: String, value: Double)
   final case class Stat(user_id: Long, n_events: Long, n_purchases: Long, total_value: Double)
-  private final case class St(n: Long, np: Long, total: Double)
+  // PUBLIC on purpose: a private case class used in a state encoder fails
+  // Janino codegen ("Private member cannot be accessed") and silently runs
+  // on the interpreted-encoder fallback — 12 logged codegen failures per
+  // suite run and slower state serialization (see NOTES.md gotcha).
+  final case class St(n: Long, np: Long, total: Double)
 
   /** ValueState processor: fold the trigger's rows for a key into the
     * persisted running stat, emit the updated row. TTL is NONE here; a
