@@ -57,6 +57,12 @@ object Main {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
       .config("spark.sql.session.timeZone", "UTC")
+      // topk_by_score / two-stage argmax are TypedImperativeAggregates:
+      // ObjectHashAggregate abandons its hash map for sort-based agg at
+      // 128 distinct keys per task by default. The aggregation state here
+      // is k-bounded heaps (tiny), so a larger map is strictly safe and
+      // avoids a per-task sort on every argmax query.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
