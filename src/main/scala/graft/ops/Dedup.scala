@@ -226,21 +226,33 @@ object Dedup {
     * so day N+1 joins against day N's union. Daily cost is
     * O(|batch| × bucket size) and the store grows by O(|batch|); nothing is
     * ever proportional to archive². The pairs are pinned with an EAGER
-    * localCheckpoint before the append: a mere persist would not survive
-    * it — writing to a path re-lists and RE-CACHES every cached plan that
-    * reads it (CacheManager.recacheByPath), so a persisted pre-append
-    * snapshot silently grows to include the batch's own bands and every
-    * within-batch pair doubles with a both_new=false variant. The
-    * checkpointed plan is a LogicalRDD with no path dependency — immune. */
+    * localCheckpoint before the index write: a mere persist would not
+    * survive it — writing to a path re-lists and RE-CACHES every cached
+    * plan that reads it (CacheManager.recacheByPath), so a persisted
+    * pre-write snapshot silently grows to include the batch's own bands
+    * and every within-batch pair doubles with a both_new=false variant.
+    * The checkpointed plan is a LogicalRDD with no path dependency —
+    * immune. The batch's bands publish IDEMPOTENTLY under
+    * `batch=<batchId>` (foreachBatch is at-least-once): a replayed batch
+    * overwrites its own subdir instead of appending a duplicate band
+    * generation, which would inflate hot-bucket counts toward the cap. */
   def incrementalDayRun(spark: SparkSession, indexDir: String,
-      newDocs: DataFrame): DataFrame = {
+      newDocs: DataFrame, batchId: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(indexDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archive =
-      if (fs.exists(path)) spark.read.parquet(indexDir)
+      if (fs.exists(path))
+        // Exclude the batch's OWN subdir (partition-pruned away): on a
+        // replay it already exists from the crashed attempt, and an
+        // archive containing the batch itself would re-emit every
+        // within-batch pair with a spurious both_new=false variant.
+        spark.read.parquet(indexDir)
+          .filter(col("batch") =!= batchId)
+          .select(col("doc_id"), col("bh"))
       else spark.range(0).select(col("id").as("doc_id"), lit("").as("bh"))
     val pairs = incrementalPairs(archive, newDocs).localCheckpoint()
-    bandsOf(newDocs).write.mode("append").parquet(indexDir)
+    bandsOf(newDocs).write.mode("overwrite")
+      .parquet(s"$indexDir/batch=$batchId")
     pairs
   }
 

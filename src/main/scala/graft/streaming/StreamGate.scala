@@ -291,10 +291,12 @@ object StreamGate {
       .option("maxFilesPerTrigger", "1").parquet(in.toString)
       .writeStream
       .foreachBatch {
-        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          // The foreachBatch id is replay-stable: a redelivered batch
+          // overwrites its own band subdir and pair output (idempotent).
           val pairs = graft.ops.Dedup.incrementalDayRun(
-            batch.sparkSession, idx, batch.toDF())
-          pairs.write.mode("append").parquet(outPairs)
+            batch.sparkSession, idx, batch.toDF(), id)
+          pairs.write.mode("overwrite").parquet(s"$outPairs/batch=$id")
           pairs.unpersist()
           ()
       }
@@ -304,7 +306,9 @@ object StreamGate {
     query.awaitTermination()
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
-    s.read.parquet(outPairs).orderBy(col("doc_a"), col("doc_b"))
+    s.read.parquet(outPairs)
+      .select(col("doc_a"), col("doc_b"), col("both_new"))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** q103: the incremental ANN index built as a STREAM — embedding batches

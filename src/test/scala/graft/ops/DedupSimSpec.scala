@@ -232,10 +232,16 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     (0 until 3).foreach { day =>
       val batch = docs.filter(col("doc_id") % 3 === day)
       val batchIds = batch.select("doc_id").collect().map(_.getLong(0)).toSet
-      val out = Dedup.incrementalDayRun(spark, idx, batch)
+      val out = Dedup.incrementalDayRun(spark, idx, batch, day.toLong)
       val rows = out.collect().map(r => (r.getAs[Long]("doc_a"),
         r.getAs[Long]("doc_b"), r.getAs[Boolean]("both_new")))
       out.unpersist()
+      // Replay the same day (at-least-once): same pairs, no band duplication.
+      val replay = Dedup.incrementalDayRun(spark, idx, batch, day.toLong)
+      assert(replay.collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Boolean]("both_new"))).toSet
+        == rows.toSet, s"day $day replay diverged")
+      replay.unpersist()
       rows.foreach { case (a, b, bn) =>
         assert(batchIds.contains(a) || batchIds.contains(b),
           s"day $day emitted pair ($a,$b) not touching its batch")
