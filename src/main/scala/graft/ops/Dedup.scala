@@ -801,8 +801,70 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q104: decontamination through a BLOOM-FILTER prefilter — the shape
+    * q67 takes when the benchmark shingle set is too large to broadcast
+    * exactly (a full eval-suite union at 100 TB: billions of shingles,
+    * tens of GB as an exact set — but a FIXED-SIZE sketch at any
+    * cardinality). Build side: `bloom_filter_agg` (Spark's own
+    * `BloomFilterAggregate`, the `InjectRuntimeFilter` machinery surfaced
+    * as a function) folds bench shingles into a bloom via map-side
+    * partial sketches — one fixed-size binary reaches the driver, exactly
+    * like Spark's runtime filter. Probe side: `bloom_might_contain`
+    * against the sketch embedded as a literal drops non-members BEFORE
+    * the shuffle, so the exact semi-join that follows shuffles only the
+    * (rare) sketch hits, not the whole corpus's shingles. False positives
+    * are eliminated by that exact join, so the result is EXACT — the
+    * oracle is the plain relational rendering with no bloom anywhere.
+    *
+    * Sizing: 2^20 bits for ≤ 2^16 items ⇒ m/n ≥ 16, fp ≈ 5e-4 — the
+    * prefilter passes ~0.05% of clean shingles. At 100 TB both literals
+    * scale with the BENCH set (fixed), never with the corpus. */
+  val q104BloomDecontaminate: Q = Q(
+    "q104_bloom_decontaminate",
+    s"""WITH $duckShingleRows,
+       |bench AS (SELECT DISTINCT sh FROM shl WHERE doc_id % 10 = 0),
+       |cand AS (SELECT DISTINCT doc_id, sh FROM shl WHERE doc_id % 10 <> 0),
+       |tot AS (SELECT doc_id, count(*) AS n_sh FROM cand GROUP BY doc_id),
+       |hit AS (SELECT doc_id, count(*) AS n_hit
+       |        FROM cand JOIN bench USING (sh) GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_sh, COALESCE(h.n_hit, 0) AS n_hit,
+       |       COALESCE(h.n_hit, 0) > 0 AS contaminated
+       |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+       |ORDER BY t.doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val shl = shingleRows(s, dir)
+    val bench = shl.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+    val cand = shl.filter(col("doc_id") % 10 =!= 0)
+    // Distributed sketch build; only the fixed-size bloom binary is
+    // collected (the same driver-sized object Spark's runtime filter
+    // collects), then re-enters the plan as a literal → evaluated
+    // map-side, straight after the explode, BEFORE any exchange.
+    val bloom = bench
+      .agg(expr("bloom_filter_agg(xxhash64(sh), 65536L, 1048576L)").as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    // Denominator: distinct shingles per doc — partial-aggregated count
+    // distinct, the one full-width shuffle the SEMANTICS require.
+    val tot = cand.groupBy(col("doc_id"))
+      .agg(count_distinct(col("sh")).as("n_sh"))
+    // Numerator: bloom prefilter first, so only sketch hits (true matches
+    // + ~5e-4 false positives) reach the distinct + exact join shuffles.
+    // An EMPTY bench aggregates to a null sketch → nothing can match.
+    val pre = (if (bloom == null) cand.limit(0)
+      else cand.filter(
+        call_function("bloom_might_contain", lit(bloom), xxhash64(col("sh")))))
+      .distinct()
+    val hit = pre.join(bench, "sh")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
-      q67Decontaminate, q68Repetition, q97DedupIncremental)
+      q67Decontaminate, q68Repetition, q97DedupIncremental,
+      q104BloomDecontaminate)
 }

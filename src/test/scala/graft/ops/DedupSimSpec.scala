@@ -281,4 +281,34 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     // new-vs-archive; no pair may claim both_new (batch has no dup pair).
     assert(out.forall(!_._3), s"no both_new pairs expected, got $out")
   }
+
+  test("q104 bloom decontamination: prefilter in plan, result exact vs q67-style join") {
+    // Own fixture: doc 0/10 are "bench" (doc_id % 10 == 0); doc 1 copies
+    // bench text (fully contaminated), doc 11 shares a half, docs 2/12
+    // are clean. A bloom false positive cannot flip any of these —
+    // the exact join decides membership.
+    val bdir = Paths.get("target", "tmp", s"bloomfix-${System.nanoTime}")
+      .toAbsolutePath.toString
+    val benchText = (1 to 40).map(i => s"bench$i").mkString(" ")
+    val halfShared = ((1 to 20).map(i => s"bench$i") ++
+      (1 to 20).map(i => s"own$i")).mkString(" ")
+    Seq(
+      (0L, benchText, "en", "s0", 1L),
+      (10L, (1 to 40).map(i => s"eval$i").mkString(" "), "en", "s0", 1L),
+      (1L, benchText, "en", "s1", 1L),
+      (11L, halfShared, "en", "s1", 1L),
+      (2L, (1 to 40).map(i => s"clean$i").mkString(" "), "en", "s1", 1L),
+      (12L, (1 to 40).map(i => s"pure$i").mkString(" "), "en", "s1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$bdir/documents.parquet")
+    val res = Dedup.q104BloomDecontaminate.fn(spark, bdir)
+    assert(res.queryExecution.executedPlan.toString.contains("might_contain"),
+      "bloom prefilter missing from the physical plan")
+    val rows = res.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_hit") > 0)).toMap
+    assert(rows(1L), "full copy of bench text must flag")
+    assert(rows(11L), "half-shared doc must flag")
+    assert(!rows(2L) && !rows(12L), "clean docs must not flag")
+    assert(!rows.contains(0L) && !rows.contains(10L), "bench docs are not candidates")
+  }
 }
