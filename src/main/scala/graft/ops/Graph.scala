@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relational co-occurrence — the connected-components
+  * machinery lives with dedup (Dedup.clusterPairs); this file holds the
+  * counting side.
+  *
+  * Triangle counting is the canonical "naive = cubes, oriented = fine"
+  * scale lesson (Suri–Vassilvitskii's MapReduce partition algorithm and
+  * Cohen's degree-ordering both reduce to it): orient every undirected
+  * edge from its (degree, id)-smaller endpoint to its larger one, build
+  * wedges only from each node's OUT-neighbors, and close them against the
+  * oriented edge set. Orientation makes the out-degree of every node
+  * O(√E) — a celebrity node with a million followers has a million
+  * IN-edges but only its few higher-degree peers as OUT-edges — so wedge
+  * volume is Σ out-deg² ≤ E^1.5 instead of Σ deg² (quadratic in the hub
+  * degree). Each triangle appears exactly once (its (deg,id)-minimal
+  * vertex owns it): no /3 correction, no double counting.
+  */
+object Graph {
+
+  /** q106: triangles in the part co-purchase graph (two parts linked when
+    * some order contains both). One audit row: edge count, wedge count,
+    * triangle count, and the global clustering coefficient
+    * 3·triangles / wedges-over-unoriented-degrees — rounded, decimal-free
+    * integers otherwise. */
+  val q106TriangleCount: Q = Q(
+    "q106_triangle_count",
+    """WITH e0 AS (
+      |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+      |  FROM lineitem l1 JOIN lineitem l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+      |deg AS (
+      |  SELECT n, count(*) AS d FROM (
+      |    SELECT u AS n FROM e0 UNION ALL SELECT v AS n FROM e0)
+      |  GROUP BY n),
+      |ori AS (
+      |  SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS a,
+      |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS b,
+      |         CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS db
+      |  FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+      |wedge AS (
+      |  SELECT o1.b AS x, o2.b AS y
+      |  FROM ori o1 JOIN ori o2
+      |    ON o1.a = o2.a
+      |   AND ((o1.db, o1.b) < (o2.db, o2.b))),
+      |tri AS (
+      |  SELECT count(*) AS n_tri
+      |  FROM wedge w JOIN ori o ON o.a = w.x AND o.b = w.y),
+      |agg AS (
+      |  SELECT (SELECT count(*) FROM e0) AS n_edges,
+      |         (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg) AS n_wedges,
+      |         (SELECT n_tri FROM tri) AS n_triangles)
+      |SELECT n_edges, n_wedges, n_triangles,
+      |       round(3.0 * n_triangles / n_wedges, 6) AS clustering
+      |FROM agg""".stripMargin) { (s, dir) =>
+    val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+    val e0 = l.as("l1").join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .distinct()
+    val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient each edge low→high in (degree, id) order; carry the head's
+    // degree so the wedge join can canonicalize without re-joining deg.
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e0
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("dv")).otherwise(col("du")).as("db"))
+    // Wedges from each node's out-neighbors only (out-degree is O(√E)
+    // after orientation); (db, b) < (db2, b2) canonicalizes the pair.
+    val wedge = ori.as("o1").join(ori.as("o2"),
+        col("o1.a") === col("o2.a") &&
+          (col("o1.db") < col("o2.db") ||
+            (col("o1.db") === col("o2.db") && col("o1.b") < col("o2.b"))))
+      .select(col("o1.b").as("x"), col("o2.b").as("y"))
+    val nTri = wedge.join(ori,
+        col("x") === col("a") && col("y") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nEdges = e0.agg(count(lit(1)).as("n_edges"))
+    val nWedges = deg.agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("n_wedges"))
+    nEdges.crossJoin(nWedges).crossJoin(nTri) // three 1-row aggregates
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
+  }
+
+  val all: Seq[Q] = Seq(q106TriangleCount)
+}
