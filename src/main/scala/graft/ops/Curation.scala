@@ -540,11 +540,22 @@ object Curation {
       |         AS psi_contrib
       |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin) { (s, dir) =>
     val b = Tables(s, dir, "documents")
-      .select(least(lit(9L), expr("n_chars div 200")).as("bucket"),
-        (col("doc_id") % 2 === 0).as("is_arch"))
+      .select(lengthBucket.as("bucket"), (col("doc_id") % 2 === 0).as("is_arch"))
     val c = b.groupBy(col("bucket")).agg(
       count_if(col("is_arch")).as("n_arch"),
       count_if(!col("is_arch")).as("n_new"))
+    psiOf(c)
+  }
+
+  /** The length-bucket key shared by the batch (q98) and streaming (q108)
+    * drift monitors. */
+  private[graft] def lengthBucket = least(lit(9L), expr("n_chars div 200"))
+
+  /** PSI contributions from a per-bucket count table
+    * `(bucket, n_arch, n_new)` — the shared tail of q98/q108: a 1-row
+    * totals broadcast, add-one smoothing, one IEEE division per side. */
+  private[graft] def psiOf(c: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val t = c.agg(sum(col("n_arch")).as("ta"), sum(col("n_new")).as("tn"),
       count(lit(1)).as("nb"))
     val pNew = (col("n_new") + 1).cast("double") / (col("tn") + col("nb"))

@@ -283,7 +283,66 @@ object Events {
       .orderBy(col("epoch_day"))
   }
 
+  /** q107: SCD type-2 dimension build — the warehouse pattern that turns an
+    * event log into validity-interval history rows. Entity = user, tracked
+    * attribute = the event_type stream; CONSECUTIVE equal observations
+    * collapse into one version (that collapse is what distinguishes SCD2
+    * from raw event storage), each version carries
+    * [valid_from, valid_to) with valid_to = the next version's start and
+    * NULL marking the current row.
+    *
+    * Scale shape: ONE shuffle on user_id serves both window passes (the
+    * change-flag lag and the running version sum share the same
+    * partitioning+sort, Spark plans one Sort); the post-aggregation lead
+    * runs over version rows — already collapsed, orders of magnitude
+    * smaller. No self-join: the naive "match each row with its successor"
+    * rendering is a range self-join that dies at scale; lag/lead over a
+    * sorted partition is the same answer in one pass. */
+  val q107Scd2History: Q = Q(
+    "q107_scd2_history",
+    """WITH m AS (
+      |  SELECT user_id, event_type AS attr, ts, event_id,
+      |         CASE WHEN lag(event_type) OVER
+      |                (PARTITION BY user_id ORDER BY ts, event_id)
+      |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, attr, ts,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, CAST(ver AS BIGINT) AS version, attr,
+      |         CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from,
+      |         count(*) AS n_events
+      |  FROM v GROUP BY user_id, ver, attr)
+      |SELECT user_id, version, attr, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |         AS valid_to,
+      |       n_events,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |         IS NULL AS is_current
+      |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+    val m = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("attr"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(!(lag(col("attr"), 1).over(byUser) <=> col("attr")), 1L).otherwise(0L))
+    val g = m
+      .withColumn("ver",
+        sum(col("chg")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("ver").as("version"), col("attr"))
+      .agg(unix_timestamp(min(col("ts"))).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    g.select(col("user_id"), col("version"), col("attr"), col("valid_from"),
+        lead(col("valid_from"), 1).over(byVer).as("valid_to"), col("n_events"),
+        lead(col("valid_from"), 1).over(byVer).isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
-      q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive)
+      q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
+      q107Scd2History)
 }

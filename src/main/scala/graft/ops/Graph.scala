@@ -90,5 +90,82 @@ object Graph {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6).as("clustering"))
   }
 
-  val all: Seq[Q] = Seq(q106TriangleCount)
+  /** q109: PageRank over the symmetrized co-purchase graph — THE iterative
+    * graph kernel, made cross-engine-exact by running in FIXED-POINT
+    * integer arithmetic: ranks are BIGINT micro-units of a 10^12 total
+    * mass, every division is floor division, so both engines produce
+    * bit-identical ranks (float PageRank can never hash-match across
+    * engines — summation order changes the ulps). Three unrolled
+    * iterations, damping 0.85 as the exact integer map
+    * r' = jump + (85 · Σ_{u→v} (r_u // outdeg_u)) // 100.
+    *
+    * Scale shape: each iteration is one join of the rank vector with the
+    * pre-joined (edge, out-degree) table and a partial-aggregated sum by
+    * destination — the textbook distributed PR step. The edge table is
+    * built once and reused across iterations (persist at scale;
+    * checkpoint every ~5 iterations to cut lineage). Floor division
+    * leaks ≤ outdeg micro-units of mass per node per step — bounded,
+    * deterministic, and irrelevant to ranking. */
+  val q109PageRank: Q = {
+    val S = 1000000000000L // total mass, micro-units
+    Q("q109_pagerank",
+      s"""WITH e0 AS (
+        |  SELECT DISTINCT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lineitem l1 JOIN lineitem l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |outd AS (SELECT u, count(*) AS od FROM sym GROUP BY u),
+        |consts AS (SELECT $S // count(*) AS base,
+        |                  (15 * ($S // count(*))) // 100 AS jump
+        |           FROM outd),
+        |r0 AS (SELECT u AS n, (SELECT base FROM consts) AS r FROM outd),
+        |r1 AS (SELECT sym.v AS n,
+        |              (SELECT jump FROM consts)
+        |                + (85 * sum(r0.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r0 ON r0.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v),
+        |r2 AS (SELECT sym.v AS n,
+        |              (SELECT jump FROM consts)
+        |                + (85 * sum(r1.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r1 ON r1.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v),
+        |r3 AS (SELECT sym.v AS n,
+        |              (SELECT jump FROM consts)
+        |                + (85 * sum(r2.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r2 ON r2.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v)
+        |SELECT CAST(row_number() OVER (ORDER BY r DESC, n) AS BIGINT) AS pos,
+        |       n, CAST(r AS BIGINT) AS r
+        |FROM r3 QUALIFY pos <= 100 ORDER BY pos""".stripMargin) { (s, dir) =>
+      val l = Tables(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+      val e0 = l.as("l1").join(l.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .select(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .distinct()
+      val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      val outd = sym.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      val consts = outd.agg(count(lit(1)).as("nn"))
+        .select(expr(s"$S div nn").as("base"),
+          expr(s"(15 * ($S div nn)) div 100").as("jump"))
+      val edges = sym.join(outd, "u") // (u, v, od), built once, reused 3×
+      var r = outd.crossJoin(broadcast(consts))
+        .select(col("u").as("n"), col("base").as("r"))
+      for (_ <- 1 to 3) {
+        r = edges.join(r, col("n") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("r div od")).as("c"))
+          .crossJoin(broadcast(consts))
+          .select(col("v").as("n"), expr("jump + (85 * c) div 100").as("r"))
+      }
+      import org.apache.spark.sql.expressions.Window
+      r.withColumn("pos",
+          row_number().over(Window.orderBy(col("r").desc, col("n"))).cast("long"))
+        .filter(col("pos") <= 100)
+        .select(col("pos"), col("n"), col("r"))
+        .orderBy(col("pos"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank)
 }

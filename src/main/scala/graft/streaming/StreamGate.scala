@@ -99,6 +99,33 @@ object StreamGate {
     out
   }
 
+  /** Stage `df` as two deterministic micro-batches under `<work>/in`:
+    * even `idCol` values, then odd, one parquet file each with strictly
+    * increasing modification times (the file source processes
+    * oldest-first under `maxFilesPerTrigger=1`). Returns the input dir. */
+  private def stageParityBatches(work: java.nio.file.Path,
+      df: org.apache.spark.sql.DataFrame, idCol: String): String = {
+    val in = work.resolve("in")
+    Files.createDirectories(in)
+    Seq(0, 1).foreach { parity =>
+      val tmp = work.resolve(s"stage-$parity")
+      df.filter(col(idCol) % 2 === parity)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = {
+        val listing = Files.list(tmp)
+        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
+          .filter(_.toString.endsWith(".parquet")).head
+        finally listing.close()
+      }
+      val dest = in.resolve(s"batch-$parity.parquet")
+      Files.move(part, dest)
+      require(dest.toFile.setLastModified(System.currentTimeMillis()
+        - 120000L + parity * 60000L))
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
+    }
+    in.toString
+  }
+
   val q92StreamTumbling: Q = Q(
     "q92_stream_tumbling",
     s"""SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start,
@@ -262,28 +289,8 @@ object StreamGate {
        |SELECT doc_a, doc_b, (doc_a % 2 = doc_b % 2) AS both_new
        |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     val work = Files.createTempDirectory("graft-q99-")
-    val in = work.resolve("in")
-    Files.createDirectories(in)
     val docs = Tables(s, dir, "documents")
-    // Stage two deterministic "days": even doc_ids, then odd, one file
-    // each with strictly increasing modification times (the file source
-    // processes oldest-first, one file per trigger).
-    Seq(0, 1).foreach { parity =>
-      val tmp = work.resolve(s"stage-$parity")
-      docs.filter(col("doc_id") % 2 === parity)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val listing = Files.list(tmp)
-        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(_.toString.endsWith(".parquet")).head
-        finally listing.close()
-      }
-      val dest = in.resolve(s"batch-$parity.parquet")
-      Files.move(part, dest)
-      require(dest.toFile.setLastModified(System.currentTimeMillis()
-        - 120000L + parity * 60000L))
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    }
+    val in = stageParityBatches(work, docs, "doc_id")
     val idx = work.resolve("bandidx").toString
     val outPairs = work.resolve("out").toString
     val ss = streamSession(s)
@@ -324,27 +331,10 @@ object StreamGate {
     "q103_stream_ann_ingest",
     graft.ops.Similarity.q100AnnIncremental.oracle.get) { (s, dir) =>
     val work = Files.createTempDirectory("graft-q103-")
-    val in = work.resolve("in")
-    Files.createDirectories(in)
+    // Two deterministic "days" (even vec_ids, then odd) — the same split
+    // q100 builds by batch calls.
     val e = graft.ops.Similarity.embWithNorm(s, dir)
-    // Stage two deterministic "days" (even vec_ids, then odd) — the same
-    // split q100 builds by batch calls.
-    Seq(0, 1).foreach { parity =>
-      val tmp = work.resolve(s"stage-$parity")
-      e.filter(col("vec_id") % 2 === parity)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = {
-        val listing = Files.list(tmp)
-        try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
-          .filter(_.toString.endsWith(".parquet")).head
-        finally listing.close()
-      }
-      val dest = in.resolve(s"batch-$parity.parquet")
-      Files.move(part, dest)
-      require(dest.toFile.setLastModified(System.currentTimeMillis()
-        - 120000L + parity * 60000L))
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
-    }
+    val in = stageParityBatches(work, e, "vec_id")
     val idx = work.resolve("ivfidx").toString
     val ss = streamSession(s)
     val query = ss.readStream.schema(e.schema)
@@ -367,7 +357,68 @@ object StreamGate {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q108: the PSI drift monitor run as a STREAM — the pre-ingest guard in
+    * its production position. Document batches arrive as micro-batches;
+    * each trigger (1) scores the incoming batch against the PERSISTED
+    * archive histogram (full-outer bucket join, zero-filled — the same
+    * union-of-buckets q98 builds in one pass) and (2) folds the batch's
+    * own histogram into the store for the next trigger, idempotently
+    * under `batch=<id>` like the q99 band index. State is ≤10 counters
+    * per batch — the archive histogram never grows with corpus size, so
+    * at 100 TB the per-trigger cost is O(batch) + a constant-size store
+    * read. With the even/odd staging, batch 1's score against batch 0's
+    * archive is EXACTLY the batch q98 computation — its oracle gates the
+    * sink. */
+  val q108StreamDrift: Q = Q(
+    "q108_stream_drift",
+    graft.ops.Curation.q98QualityDrift.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q108-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val hist = work.resolve("hist").toString
+    val outDir = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val own = batch.toDF()
+            .groupBy(graft.ops.Curation.lengthBucket.as("bucket"))
+            .agg(count(lit(1)).as("n_new"))
+          val histPath = new org.apache.hadoop.fs.Path(hist)
+          val fs = histPath.getFileSystem(sb.sparkContext.hadoopConfiguration)
+          if (fs.exists(histPath)) {
+            // Archive = every batch but this one (replay-safe, like the
+            // q99 band index): sum the stored per-batch histograms.
+            val arch = sb.read.parquet(hist)
+              .filter(col("batch") =!= id)
+              .groupBy(col("bucket")).agg(sum(col("n")).as("n_arch"))
+            val c = arch.join(own, Seq("bucket"), "full_outer")
+              .select(col("bucket"),
+                coalesce(col("n_arch"), lit(0L)).as("n_arch"),
+                coalesce(col("n_new"), lit(0L)).as("n_new"))
+            graft.ops.Curation.psiOf(c)
+              .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+          }
+          own.select(col("bucket"), col("n_new").as("n"))
+            .write.mode("overwrite").parquet(s"$hist/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    s.read.parquet(outDir)
+      .select(col("bucket"), col("n_arch"), col("n_new"), col("psi_contrib"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
-    q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest)
+    q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
+    q108StreamDrift)
 }

@@ -55,4 +55,20 @@ class FuzzyGraphSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Double]("clustering") == 0.6) // 3·1/5
   }
+
+  test("q109: fixed-point PageRank respects graph structure exactly") {
+    val ranks = Graph.q109PageRank.fn(spark, dir).collect()
+      .map(r => r.getAs[Long]("n") -> r.getAs[Long]("r")).toMap
+    // Swapping nodes 1 and 2 is a graph automorphism (both link to each
+    // other and to 3) — integer PR must give them IDENTICAL ranks, not
+    // merely close ones. Node 3 (degree 3, hub) outranks everything;
+    // node 4 (pendant onto the hub) ranks last.
+    assert(ranks(1L) == ranks(2L), s"symmetric nodes diverged: $ranks")
+    assert(ranks(3L) > ranks(1L), s"hub must lead: $ranks")
+    assert(ranks(4L) < ranks(1L), s"pendant must trail: $ranks")
+    // Mass: floor division only ever LOSES micro-units — total stays
+    // within N×(iterations+1) units of the initial 10^12, never above.
+    val total = ranks.values.sum
+    assert(total <= 1000000000000L && total > 999999990000L, s"mass drifted: $total")
+  }
 }
