@@ -77,5 +77,69 @@ object Fuzzy {
       .orderBy(col("name_a"), col("name_b"))
   }
 
-  val all: Seq[Q] = Seq(q105FuzzyNameMatch)
+  /** q110: EXACT set-similarity join (Jaccard ≥ 0.8 over shingle sets) via
+    * prefix filtering — the AllPairs/PPJoin candidate generator. Where
+    * MinHash-LSH (q35) trades recall for speed probabilistically, prefix
+    * filtering is exact: order every document's shingles by a GLOBAL
+    * (df, shingle) total order (rarest first) and keep only the first
+    * |A| − ⌈τ·|A|⌉ + 1 as the PREFIX; two sets with J ≥ τ must intersect
+    * within both prefixes (if they disagreed on every prefix token, the
+    * overlap couldn't reach the τ bound — the PPJoin prefix lemma), so
+    * the prefix equi-join has perfect recall and the exact verify never
+    * misses a pair.
+    *
+    * Scale shape: candidate volume is Σ_prefix-shingle |bucket|² where
+    * buckets are RAREST-first — the frequent shingles that would explode
+    * a naive shared-token join never enter a prefix. The τ threshold is
+    * applied as the integer cross-multiplication 9·|A∩B| ≥ 4·(|A|+|B|)
+    * (⟺ J ≥ 0.8 exactly — no float in the decision). The oracle renders
+    * pure semantics (every co-token pair, then the threshold): the prefix
+    * lemma is what makes the blocked plan hash-match it. */
+  val q110SetSimJoin: Q = Q(
+    "q110_setsim_join",
+    s"""WITH ${graft.ops.Dedup.duckShingleRows},
+       |tok AS (SELECT DISTINCT doc_id, sh FROM shl),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |       FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+       |      FROM co JOIN sz sa ON sa.doc_id = co.doc_a
+       |              JOIN sz sb ON sb.doc_id = co.doc_b)
+       |SELECT doc_a, doc_b, inter, na, nb,
+       |       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jac
+       |FROM j WHERE 9 * inter >= 4 * (na + nb)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tok = graft.ops.Dedup.shingleRows(s, dir).distinct()
+    val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+    val ranked = tok.join(dfreq, "sh")
+      .select(col("doc_id"), col("sh"),
+        row_number().over(w.orderBy(col("df"), col("sh"))).as("rn"),
+        count(lit(1)).over(w).as("n"))
+    // prefix length |A| − ⌈0.8·|A|⌉ + 1, with ⌈4n/5⌉ = (4n+4) div 5
+    val prefix = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
+      .select(col("doc_id"), col("sh"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cands
+      .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
+      .join(tok.as("tb"),
+        col("doc_b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(lit(9) * col("inter") >= lit(4) * (col("na") + col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)
+          .as("jac"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin)
 }

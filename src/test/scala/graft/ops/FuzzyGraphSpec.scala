@@ -23,13 +23,16 @@ class FuzzyGraphSpec extends SparkSpec with BeforeAndAfterAll {
       (5L, "green widget dog"))
       .toDF("p_partkey", "p_name")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    // lineitem: order 100 = {1,2,3} (one triangle), order 200 = {3,4}
-    // (pendant edge), order 300 = {1,2} (duplicate edge — must not
-    // double-count). Degrees: 1→2, 2→2, 3→3, 4→1.
+    // lineitem: edges need co-occurrence in ≥2 DISTINCT orders. Orders
+    // 100+300 = {1,2,3} twice (triangle, support 2), 200+400 = {3,4}
+    // twice (pendant edge), 500 = {1,4} once (noise — must be filtered).
+    // Kept degrees: 1→2, 2→2, 3→3, 4→1.
     Seq(
       (100L, 1L), (100L, 2L), (100L, 3L),
+      (300L, 1L), (300L, 2L), (300L, 3L),
       (200L, 3L), (200L, 4L),
-      (300L, 1L), (300L, 2L))
+      (400L, 3L), (400L, 4L),
+      (500L, 1L), (500L, 4L))
       .toDF("l_orderkey", "l_partkey")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
   }
@@ -48,9 +51,9 @@ class FuzzyGraphSpec extends SparkSpec with BeforeAndAfterAll {
       s"got ${rows.mkString(", ")}")
   }
 
-  test("q106: duplicate co-purchases collapse; one triangle, exact wedge count") {
+  test("q106: support-1 noise filtered; one triangle, exact wedge count") {
     val r = Graph.q106TriangleCount.fn(spark, dir).collect().head
-    assert(r.getAs[Long]("n_edges") == 4L) // 12 13 23 34 (300 is a repeat)
+    assert(r.getAs[Long]("n_edges") == 4L) // 12 13 23 34; 14 is support-1
     assert(r.getAs[Long]("n_wedges") == 5L) // C(2,2)·2 + C(3,2) + 0 = 1+1+3
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Double]("clustering") == 0.6) // 3·1/5
