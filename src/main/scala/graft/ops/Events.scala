@@ -341,8 +341,69 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q111: time-series resampling with forward fill — turn an irregular
+    * event stream into a dense per-(user, day) series carrying the last
+    * observed value across gaps (the feature-engineering prerequisite for
+    * any fixed-cadence model input). Three stages, all partitioned by
+    * user: (1) last observation per present day via row_number over
+    * (ts, event_id) — a deterministic total order, not max(ts) ties;
+    * (2) a per-user day SCAFFOLD from sequence(min_day, max_day) — the
+    * scaffold explodes to the user's own span only, never a global
+    * calendar cross join; (3) forward fill = last(value, ignoreNulls)
+    * over rows-unbounded-preceding. One user_id shuffle serves the
+    * row_number, the span aggregate, and the fill window.
+    *
+    * `filled` marks carried-forward rows — downstream quality checks
+    * count them (a user 90% filled is a dead sensor, not a series). */
+  val q111ForwardFill: Q = Q(
+    "q111_forward_fill",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day, value
+      |  FROM (SELECT user_id, ts, value,
+      |               row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+      |                                  ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events) WHERE rn = 1),
+      |span AS (
+      |  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+      |scaffold AS (
+      |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+      |  FROM span),
+      |joined AS (
+      |  SELECT s.user_id, s.day, d.value, d.value IS NULL AS filled
+      |  FROM scaffold s LEFT JOIN daily d
+      |    ON d.user_id = s.user_id AND d.day = s.day)
+      |SELECT user_id,
+      |       CAST(day - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+      |       last_value(value IGNORE NULLS)
+      |         OVER (PARTITION BY user_id ORDER BY day
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |       filled
+      |FROM joined ORDER BY user_id, epoch_day""".stripMargin) { (s, dir) =>
+    val byDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val daily = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("ts").cast("date").as("day"),
+        col("value"), col("event_id"))
+      .withColumn("rn", row_number().over(byDay))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("day"), col("value"))
+    val scaffold = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val fillW = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    scaffold.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"),
+        datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+          .as("epoch_day"),
+        last(col("value"), ignoreNulls = true).over(fillW).as("value"),
+        col("value").isNull.as("filled"))
+      .orderBy(col("user_id"), col("epoch_day"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
-      q107Scd2History)
+      q107Scd2History, q111ForwardFill)
 }

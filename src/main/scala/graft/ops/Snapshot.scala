@@ -74,5 +74,52 @@ object Snapshot {
       .orderBy(col("status"))
   }
 
-  val all: Seq[Q] = Seq(q79SnapshotDiff)
+  /** q112: order-independent table checksums — the anti-entropy primitive
+    * for replica/migration verification: two stores agree iff (row count,
+    * XOR digest, SUM digest) agree per table, and the digests are
+    * computable INDEPENDENTLY on each side with no row shipping. Row
+    * identity = md5 over a '|'-joined rendering of engine-stable columns
+    * (integers and strings — float rendering is not portable), expanded
+    * to an integer via the shared PortableHash expansion; XOR and SUM are
+    * both commutative+associative, so any partitioning/order yields the
+    * identical digest (and the pair catches what either alone misses:
+    * XOR is blind to duplicated pairs, SUM to coordinated offsets).
+    *
+    * Scale shape: map-side partial aggregation reduces each partition to
+    * three numbers; the shuffle carries partials, not rows. h < 2^32
+    * (the PortableHash modulus), so BIGINT sums hold to 2^31 rows —
+    * swap the SUM leg to DECIMAL(38,0) accumulation beyond that. */
+  val q112TableChecksum: Q = {
+    def duckLeg(table: String, m: String): String =
+      s"""SELECT '$table' AS table_name, count(*) AS n_rows,
+         |       bit_xor(h) AS xor_digest, CAST(sum(h) AS BIGINT) AS sum_digest
+         |FROM (SELECT ${PortableHash.hexHeadToLong("m", "strpos")} AS h
+         |      FROM (SELECT md5($m) AS m FROM $table))""".stripMargin
+    Q("q112_table_checksum",
+      s"""${duckLeg("lineitem",
+          "concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus)")}
+         |UNION ALL
+         |${duckLeg("customer", "concat_ws('|', c_custkey, c_name, c_nationkey, c_mktsegment)")}
+         |UNION ALL
+         |${duckLeg("documents", "concat_ws('|', doc_id, lang, source, text)")}
+         |ORDER BY table_name""".stripMargin) { (s, dir) =>
+      def leg(table: String, cols: Seq[String]): DataFrame =
+        Tables(s, dir, table)
+          .select(md5(concat_ws("|", cols.map(col): _*)).as("m"))
+          .select(expr(PortableHash.hexHeadToLong("m", "instr")).as("h"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(h)").as("xor_digest"),
+            sum(col("h")).as("sum_digest"))
+          .select(lit(table).as("table_name"), col("n_rows"),
+            col("xor_digest"), col("sum_digest"))
+      leg("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey",
+          "l_linenumber", "l_returnflag", "l_linestatus"))
+        .unionAll(leg("customer",
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment")))
+        .unionAll(leg("documents", Seq("doc_id", "lang", "source", "text")))
+        .orderBy(col("table_name"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum)
 }

@@ -56,4 +56,28 @@ class EventsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows("click") == 5L) // k=1 + k=4
     assert(rows("purchase") == 8L)
   }
+
+  test("q111 forward fill: gap days carry the last observation and are marked") {
+    // Dedicated fixture: user 1 observed day 0 (two events — later one
+    // wins) and day 3; days 1-2 are gaps. User 2 observed day 0 only.
+    val fdir = Paths.get("target", "tmp", s"fillfix-${System.nanoTime}")
+      .toAbsolutePath.toString
+    def dayNs(d: Long, m: Long): Long = d * 1440L * 60L * 1000000000L + ns(m)
+    Seq(
+      (1L, dayNs(0, 10), 1L, "m", 5.0, "{}"),
+      (2L, dayNs(0, 20), 1L, "m", 7.0, "{}"), // later same day → wins
+      (3L, dayNs(3, 0), 1L, "m", 9.0, "{}"),
+      (4L, dayNs(0, 0), 2L, "m", 1.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val rows = Events.q111ForwardFill.fn(spark, fdir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("epoch_day")) ->
+        (r.getAs[Double]("value"), r.getAs[Boolean]("filled"))).toMap
+    assert(rows.size == 5) // user 1: days 0-3; user 2: day 0
+    assert(rows((1L, 0L)) == (7.0, false)) // last observation of the day wins
+    assert(rows((1L, 1L)) == (7.0, true)) // gap day carries forward
+    assert(rows((1L, 2L)) == (7.0, true))
+    assert(rows((1L, 3L)) == (9.0, false))
+    assert(rows((2L, 0L)) == (1.5, false))
+  }
 }
