@@ -834,6 +834,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(s)
     val shl = shingleRows(s, dir)
     val bench = shl.filter(col("doc_id") % 10 === 0).select(col("sh")).distinct()
+      .persist(MEMORY_AND_DISK) // bloom build (action) + the exact join
     val cand = shl.filter(col("doc_id") % 10 =!= 0)
     // Distributed sketch build; only the fixed-size bloom binary is
     // collected (the same driver-sized object Spark's runtime filter

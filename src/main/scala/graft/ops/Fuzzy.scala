@@ -111,7 +111,10 @@ object Fuzzy {
        |FROM j WHERE 9 * inter >= 4 * (na + nb)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    // Four consumers (df table, prefix ranking, both sides of the
+    // intersection count) — persist, or each re-shingles the corpus.
     val tok = graft.ops.Dedup.shingleRows(s, dir).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
     val ranked = tok.join(dfreq, "sh")
