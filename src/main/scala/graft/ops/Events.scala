@@ -323,9 +323,17 @@ object Events {
       |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
       |         IS NULL AS is_current
       |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    scd2Of(Tables(s, dir, "events")).orderBy(col("user_id"), col("version"))
+  }
+
+  /** The SCD2 build as a function of any (user_id, event_type, ts,
+    * event_id) event set — shared by the full rebuild (q107), the
+    * incremental merge (q113), and the streaming load (q114). */
+  private[graft] def scd2Of(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
-    val m = Tables(s, dir, "events")
+    val m = events
       .select(col("user_id"), col("event_type").as("attr"), col("ts"), col("event_id"))
       .withColumn("chg",
         when(!(lag(col("attr"), 1).over(byUser) <=> col("attr")), 1L).otherwise(0L))
@@ -336,9 +344,8 @@ object Events {
       .agg(unix_timestamp(min(col("ts"))).as("valid_from"),
         count(lit(1)).as("n_events"))
     g.select(col("user_id"), col("version"), col("attr"), col("valid_from"),
-        lead(col("valid_from"), 1).over(byVer).as("valid_to"), col("n_events"),
-        lead(col("valid_from"), 1).over(byVer).isNull.as("is_current"))
-      .orderBy(col("user_id"), col("version"))
+      lead(col("valid_from"), 1).over(byVer).as("valid_to"), col("n_events"),
+      lead(col("valid_from"), 1).over(byVer).isNull.as("is_current"))
   }
 
   /** q111: time-series resampling with forward fill — turn an irregular
@@ -402,8 +409,87 @@ object Events {
       .orderBy(col("user_id"), col("epoch_day"))
   }
 
+  /** Apply a STRICTLY-LATER event batch to a stored SCD2 history — the
+    * day-2 form of q107. Only the history's CURRENT rows participate in
+    * the merge (closed rows pass through untouched — at scale they are
+    * never read: store current rows in their own partition); the batch is
+    * SCD2-built on its own, then stitched at the per-user boundary:
+    * same attribute ⇒ the open run EXTENDS (versions keep their numbers,
+    * counts add); different ⇒ the open run closes at the batch's first
+    * observation and batch versions renumber after it. Because the split
+    * is by time, the stitched result equals a full rebuild exactly —
+    * that equality is q113's oracle.
+    *
+    * Both inputs should arrive PERSISTED (callers own the lifecycle — the
+    * streaming load unpersists per trigger): `history` feeds three
+    * branches (closed pass-through, untouched currents, the boundary
+    * join) and the batch SCD2 feeds two (boundary + renumber); without a
+    * persist every branch re-runs the 3-window build. */
+  private[graft] def scd2Merge(history: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val hCur = history.filter(col("is_current"))
+      .select(col("user_id"), col("version").as("hv"), col("attr").as("ha"),
+        col("valid_from").as("hf"), col("n_events").as("hn"))
+    // scd2Of versions are 1-based: the first row's lag-change flag fires
+    // (lag is null), so the running sum starts at 1.
+    val bFirst = b.filter(col("version") === 1)
+      .select(col("user_id"), col("attr").as("ba"), col("valid_from").as("bf"),
+        col("valid_to").as("bt"), col("n_events").as("bn"),
+        col("is_current").as("bc"))
+    val boundary = hCur.join(bFirst, Seq("user_id"), "full_outer")
+    val cols = Seq("user_id", "version", "attr", "valid_from", "valid_to",
+      "n_events", "is_current").map(col)
+    // Closed history rows and current rows of users the batch never saw.
+    val keepClosed = history.filter(!col("is_current")).select(cols: _*)
+    val keepCurrent = history.filter(col("is_current"))
+      .join(bFirst.select(col("user_id")), Seq("user_id"), "left_anti")
+      .select(cols: _*)
+    val both = boundary.filter(col("hv").isNotNull && col("ba").isNotNull)
+    val mergedRow = both.filter(col("ha") === col("ba"))
+      .select(col("user_id"), col("hv").as("version"), col("ha").as("attr"),
+        col("hf").as("valid_from"), col("bt").as("valid_to"),
+        (col("hn") + col("bn")).as("n_events"), col("bc").as("is_current"))
+    val closedRow = both.filter(col("ha") =!= col("ba"))
+      .select(col("user_id"), col("hv").as("version"), col("ha").as("attr"),
+        col("hf").as("valid_from"), col("bf").as("valid_to"),
+        col("hn").as("n_events"), lit(false).as("is_current"))
+    // Batch rows renumbered past the history: merged runs drop their v1
+    // (absorbed above, so batch v2 lands at hv+1); a closed run keeps the
+    // batch's v1 at hv+1; users without history shift by 0.
+    val offsets = boundary.select(col("user_id"),
+      (col("hv").isNotNull && col("ha") === col("ba")).as("was_merged"),
+      when(col("hv").isNull, 0L)
+        .when(col("ha") === col("ba"), col("hv") - 1L)
+        .otherwise(col("hv")).as("offset"))
+    val bAdj = b.join(offsets, Seq("user_id"), "left")
+      .filter(!(coalesce(col("was_merged"), lit(false)) && col("version") === 1))
+      .select(col("user_id"), (col("version") + col("offset")).as("version"),
+        col("attr"), col("valid_from"), col("valid_to"), col("n_events"),
+        col("is_current"))
+    keepClosed.unionByName(keepCurrent).unionByName(mergedRow)
+      .unionByName(closedRow).unionByName(bAdj)
+  }
+
+  /** q113: the incremental SCD2 merge gated against the full rebuild —
+    * archive = events before 2024-01-08, batch = the rest; the stitched
+    * history must hash-match q107's full-rebuild oracle over ALL events.
+    * At 100 TB this is the nightly dimension load: cost ∝ batch + the
+    * store's CURRENT rows, never the closed history. */
+  val q113Scd2Incremental: Q = Q(
+    "q113_scd2_incremental",
+    q107Scd2History.oracle.get) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val cut = lit("2024-01-08").cast("timestamp")
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val history = scd2Of(ev.filter(col("ts") < cut)).persist(lvl)
+    val batch = scd2Of(ev.filter(col("ts") >= cut)).persist(lvl)
+    scd2Merge(history, batch)
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
-      q107Scd2History, q111ForwardFill)
+      q107Scd2History, q111ForwardFill, q113Scd2Incremental)
 }

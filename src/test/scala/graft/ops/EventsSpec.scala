@@ -80,4 +80,38 @@ class EventsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows((1L, 3L)) == (9.0, false))
     assert(rows((2L, 0L)) == (1.5, false))
   }
+
+  test("q113 scd2Merge: boundary stitch equals a full rebuild at any cut") {
+    // Crafted to hit every boundary case: user 1's run SPANS the cut with
+    // the SAME attr (open run extends); user 2 changes attr AT the cut
+    // (open run closes at the batch's first event); user 3 appears only
+    // in the archive (current row passes through); user 4 only in the
+    // batch (versions keep their own numbering).
+    val fdir = Paths.get("target", "tmp", s"scd2fix-${System.nanoTime}")
+      .toAbsolutePath.toString
+    Seq(
+      (1L, ns(0), 1L, "a", 0.0, "{}"), (2L, ns(10), 1L, "b", 0.0, "{}"),
+      (3L, ns(70), 1L, "b", 0.0, "{}"), (4L, ns(80), 1L, "c", 0.0, "{}"),
+      (5L, ns(5), 2L, "a", 0.0, "{}"), (6L, ns(65), 2L, "b", 0.0, "{}"),
+      (7L, ns(15), 3L, "a", 0.0, "{}"),
+      (8L, ns(75), 4L, "a", 0.0, "{}"), (9L, ns(85), 4L, "b", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$fdir/events.parquet")
+    val ev = graft.Tables(spark, fdir, "events")
+    val cut = org.apache.spark.sql.functions.col("ts") <
+      org.apache.spark.sql.functions.lit("1970-01-01 01:00:00").cast("timestamp")
+    val full = Events.scd2Of(ev)
+    val inc = Events.scd2Merge(
+      Events.scd2Of(ev.filter(cut)), Events.scd2Of(ev.filter(!cut)))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getAs[Long]("user_id"), r.getAs[Long]("version"))
+    val fm = full.collect().map(r => key(r) -> r.toSeq).toMap
+    val im = inc.collect().map(r => key(r) -> r.toSeq).toMap
+    assert(im == fm)
+    // Sanity on shape: user 1 has runs a,b,c (b spans the cut, n_events=2).
+    val u1 = inc.filter("user_id = 1").collect()
+      .map(r => r.getAs[Long]("version") ->
+        (r.getAs[String]("attr"), r.getAs[Long]("n_events"))).toMap
+    assert(u1 == Map(1L -> ("a", 1L), 2L -> ("b", 2L), 3L -> ("c", 1L)))
+  }
 }
