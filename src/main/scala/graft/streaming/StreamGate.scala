@@ -104,23 +104,31 @@ object StreamGate {
     * increasing modification times (the file source processes
     * oldest-first under `maxFilesPerTrigger=1`). Returns the input dir. */
   private def stageParityBatches(work: java.nio.file.Path,
-      df: org.apache.spark.sql.DataFrame, idCol: String): String = {
+      df: org.apache.spark.sql.DataFrame, idCol: String): String =
+    stageOrderedBatches(work,
+      Seq(0, 1).map(p => df.filter(col(idCol) % 2 === p)))
+
+  /** Stage arbitrary DataFrames as deterministic micro-batches under
+    * `<work>/in`, one parquet file each, arrival order = sequence order
+    * (strictly increasing mtimes; the file source processes oldest-first
+    * under `maxFilesPerTrigger=1`). Returns the input dir. */
+  private def stageOrderedBatches(work: java.nio.file.Path,
+      dfs: Seq[org.apache.spark.sql.DataFrame]): String = {
     val in = work.resolve("in")
     Files.createDirectories(in)
-    Seq(0, 1).foreach { parity =>
-      val tmp = work.resolve(s"stage-$parity")
-      df.filter(col(idCol) % 2 === parity)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = work.resolve(s"stage-$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val part = {
         val listing = Files.list(tmp)
         try listing.toArray.map(_.asInstanceOf[java.nio.file.Path])
           .filter(_.toString.endsWith(".parquet")).head
         finally listing.close()
       }
-      val dest = in.resolve(s"batch-$parity.parquet")
+      val dest = in.resolve(s"batch-$i.parquet")
       Files.move(part, dest)
       require(dest.toFile.setLastModified(System.currentTimeMillis()
-        - 120000L + parity * 60000L))
+        - dfs.size * 60000L + i * 60000L))
       org.apache.commons.io.FileUtils.deleteQuietly(tmp.toFile)
     }
     in.toString
@@ -417,8 +425,83 @@ object StreamGate {
       .orderBy(col("bucket"))
   }
 
+  /** q114: the SCD2 dimension load run as a STREAM — event batches arrive
+    * strictly later than everything already loaded (staged as a time
+    * split, matching the nightly-load contract [[graft.ops.Events
+    * .scd2Merge]] requires); each trigger SCD2-builds its own batch and
+    * stitches it onto the stored history, publishing the new history as
+    * generation `gen=<id>` (overwrite ⇒ replay-idempotent: a redelivered
+    * batch re-derives its generation from the previous one). The final
+    * generation must hash-match q107's FULL-REBUILD oracle — the stitch
+    * theorem q113 proves once, checked here under micro-batch delivery.
+    * Per-trigger cost is O(batch + current rows); the closed history
+    * rides along in the generation file but is never re-windowed. */
+  val q114StreamScd2: Q = Q(
+    "q114_stream_scd2",
+    graft.ops.Events.q107Scd2History.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q114-")
+    val ev = Tables(s, dir, "events")
+    val cut = lit("2024-01-08").cast("timestamp")
+    val in = stageOrderedBatches(work,
+      Seq(ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut)))
+    val store = work.resolve("scd2").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          scd2Publish(store, batch.toDF(), id)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val last = latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(sys.error("q114: no SCD2 generation was published"))
+    last.orderBy(col("user_id"), col("version"))
+  }
+
+  /** One q114 trigger: SCD2-build `batch` alone, stitch it onto the
+    * newest generation published BEFORE `id`, and overwrite `gen=<id>`.
+    * Deterministic in (store-state-before-id, batch, id), so at-least-once
+    * redelivery of a batch rewrites its generation with identical rows. */
+  private[graft] def scd2Publish(store: String,
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val b = graft.ops.Events.scd2Of(batch).persist(lvl)
+    latestGenBefore(batch.sparkSession, store, id) match {
+      case Some(h) =>
+        val hp = h.persist(lvl)
+        graft.ops.Events.scd2Merge(hp, b)
+          .write.mode("overwrite").parquet(s"$store/gen=$id")
+        hp.unpersist()
+      case None =>
+        b.write.mode("overwrite").parquet(s"$store/gen=$id")
+    }
+    b.unpersist()
+    ()
+  }
+
+  /** The newest stored SCD2 generation strictly before `id` (replay-safe
+    * base resolution: a redelivered batch never reads its own output). */
+  private[graft] def latestGenBefore(s: org.apache.spark.sql.SparkSession,
+      store: String, id: Long): Option[org.apache.spark.sql.DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+      .filter(_ < id)
+      .sorted.lastOption
+      .map(g => s.read.parquet(s"$store/gen=$g"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
-    q108StreamDrift)
+    q108StreamDrift, q114StreamScd2)
 }
