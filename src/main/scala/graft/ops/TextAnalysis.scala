@@ -25,7 +25,7 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "das", "und", "zu", "von", "mit", "auf", "ist", "den"),
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我", "他", "这"))
 
-  private def inList(ws: Seq[String]): String =
+  private[ops] def inList(ws: Seq[String]): String =
     ws.map(w => s"'$w'").mkString("(", ", ", ")")
 
   /** Token counting: per-language doc counts, whitespace-token totals, a

@@ -224,7 +224,75 @@ object Training {
       .orderBy(col("lang"))
   }
 
+  /** Token-budget fill: select the highest-quality documents until a token
+    * budget is exhausted — the final assembly step of a training set
+    * ("take the best B tokens"). Semantics: order docs by (score DESC,
+    * doc_id ASC) and keep while the inclusive running token sum stays
+    * within budget (here budget = total/4).
+    *
+    * The naive rendering is a GLOBAL ordered running sum — a single-
+    * partition window, the canonical scale anti-pattern. This is instead
+    * the two-phase threshold shape (the top-k generalization):
+    *  1. aggregate tokens per score LEVEL — the score is an exact integer
+    *     in [0, 10000] (floor(n_stop·10⁴ / n_tokens)), so the level table
+    *     is ≤ 10001 rows at ANY corpus size; the running sum over levels is
+    *     a bounded window, not a data-sized one;
+    *  2. levels strictly above the boundary are admitted outright with a
+    *     map-side threshold filter (no shuffle of the admitted mass);
+    *  3. only the ONE boundary level is ordered per-doc — its running sum
+    *     window is level-sized, degenerate only if all docs share a score.
+    * The 1-row boundary summary re-enters the plan as a broadcast, never a
+    * collect. At 100 TB: two scans of (doc_id, tokens, score) — the text
+    * itself is read once, level agg and threshold filter are map-side. */
+  val q115TokenBudget: Q = {
+    val en = TextAnalysis.inList(TextAnalysis.stop.head._2)
+    Q(
+      "q115_token_budget",
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens,
+         |         CAST(len(list_filter(string_split(text, ' '), w -> w IN $en)) AS BIGINT) AS n_stop
+         |  FROM documents),
+         |sc AS (SELECT doc_id, tokens, (n_stop * 10000) // tokens AS score FROM f),
+         |tot AS (SELECT SUM(tokens) // 4 AS budget FROM sc),
+         |r AS (SELECT *, SUM(tokens) OVER (ORDER BY score DESC, doc_id) AS cum FROM sc)
+         |SELECT doc_id, score, tokens
+         |FROM r, tot WHERE cum <= budget ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val sc = Tables(s, dir, "documents")
+        .withColumn("tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("n_stop",
+          expr(s"size(filter(split(text, ' '), w -> w IN $en))").cast("long"))
+        .select(col("doc_id"), col("tokens"),
+          expr("(n_stop * 10000) div tokens").as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val budget = sc.agg(expr("sum(tokens) div 4").as("budget")) // 1 row
+      // Phase 1: running token sum over score LEVELS (≤ 10001 rows).
+      val lv = sc.groupBy(col("score")).agg(sum(col("tokens")).as("lvl"))
+        .withColumn("cum",
+          sum(col("lvl")).over(Window.orderBy(col("score").desc)))
+        .crossJoin(broadcast(budget))
+      // The unique level whose cumulative sum first exceeds the budget
+      // (none when the budget covers everything) + the budget left for it.
+      val bound = lv.agg(
+        min(when(col("cum") > col("budget") && col("cum") - col("lvl") <= col("budget"),
+          col("score"))).as("b_score"),
+        min(when(col("cum") > col("budget") && col("cum") - col("lvl") <= col("budget"),
+          col("budget") - (col("cum") - col("lvl")))).as("remaining")) // 1 row
+      val docs = sc.crossJoin(broadcast(bound))
+      // Phase 2: whole levels above the boundary pass a map-side filter...
+      val above = docs.filter(col("score") > coalesce(col("b_score"), lit(-1L)))
+      // ...and only the boundary level is ordered per-doc.
+      val atBoundary = docs.filter(col("score") === col("b_score"))
+        .withColumn("dcum", sum(col("tokens"))
+          .over(Window.partitionBy(col("score")).orderBy(col("doc_id"))))
+        .filter(col("dcum") <= col("remaining"))
+      above.select(col("doc_id"), col("score"), col("tokens"))
+        .union(atBoundary.select(col("doc_id"), col("score"), col("tokens")))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
-    q59PackSequences, q75OovRate, q86MixWeights)
+    q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget)
 }
