@@ -71,7 +71,7 @@ object EventStream {
     * `click_ts + 30 min` — bounded state at any throughput, the
     * stream-stream analogue of q61's interval join (there the bound comes
     * from bin bucketing; here from watermark-driven state eviction). */
-  def attributionJoin(ev: DataFrame): DataFrame = {
+  def attributionJoin(ev: DataFrame, joinType: String = "inner"): DataFrame = {
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id"), col("event_id").as("click_id"),
         col("ts").as("click_ts"))
@@ -80,10 +80,15 @@ object EventStream {
       .select(col("user_id").as("buyer_id"), col("event_id").as("buy_id"),
         col("ts").as("buy_ts"), col("value"))
       .withWatermark("buy_ts", "1 hour")
-    purchases.join(clicks,
+    // Clicks are the preserved side under "left_outer": an unmatched click
+    // emits with null buy columns once the watermark passes click_ts + 30m
+    // (its state can no longer match) — inner results are unaffected by
+    // the side order.
+    clicks.join(purchases,
       col("user_id") === col("buyer_id") &&
         col("buy_ts") >= col("click_ts") &&
-        col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"))
+        col("buy_ts") <= col("click_ts") + expr("interval 30 minutes"),
+      joinType)
       .select(col("user_id"), col("click_id"), col("buy_id"),
         unix_timestamp(col("click_ts")).as("click_s"),
         unix_timestamp(col("buy_ts")).as("buy_s"), col("value"))

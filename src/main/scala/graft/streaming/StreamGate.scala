@@ -464,6 +464,53 @@ object StreamGate {
     last.orderBy(col("user_id"), col("version"))
   }
 
+  /** q116: the LEFT-OUTER stream-stream join gated end-to-end — every
+    * click with its attributed purchases, PLUS clicks that led to no
+    * purchase (null buy columns). Outer rows only emit once the watermark
+    * proves no match can still arrive (state eviction at click_ts + 30 min
+    * — emission is watermark-driven, unlike q94's inner rows which emit in
+    * the batch that finds them), so BOTH sides get a far-future sentinel:
+    * each watermark node tracks only its own side's max event time, the
+    * query watermark is their min, and a one-sided sentinel would leave
+    * the other node — and therefore every real click's eviction — stuck at
+    * max−1h < max+30m. Sentinels use distinct negative user_ids (they can
+    * never join) and are filtered on read-back. At 100 TB this is the
+    * funnel-outcome topology: state is watermark-bounded on both sides,
+    * and the outer emission IS the incremental "no conversion" feed. */
+  val q116StreamClickOutcomes: Q = Q(
+    "q116_stream_click_outcomes",
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS buy_id,
+      |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s,
+      |       CAST(floor(epoch(p.ts)) AS BIGINT) AS buy_s,
+      |       p.value
+      |FROM events c LEFT JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |WHERE c.event_type = 'click'
+      |ORDER BY c.user_id, click_id, buy_id NULLS FIRST""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q116-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
+    val maxTsMicros = Tables(s, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // 3 h past max: final watermark = max + 2 h > every real click's
+    // eviction deadline (≤ max + 30 min); the sentinels' own state never
+    // evicts and never emits.
+    val sentinelNanos = (maxTsMicros + 3L * 60 * 60 * 1000000) * 1000
+    s.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "click", 0.0, ""),
+        org.apache.spark.sql.Row(-2L, sentinelNanos, -2L, "purchase", 0.0, "")),
+      EventStream.rawSchema)
+      .write.mode("append").parquet(in.toString)
+    val joined = EventStream.attributionJoin(
+      EventStream.events(streamSession(s), srcRoot), "left_outer")
+    s.read.parquet(runToParquet(joined, work))
+      .filter(col("user_id") >= 0)
+      .orderBy(col("user_id"), col("click_id"), col("buy_id"))
+  }
+
   /** One q114 trigger: SCD2-build `batch` alone, stitch it onto the
     * newest generation published BEFORE `id`, and overwrite `gen=<id>`.
     * Deterministic in (store-state-before-id, batch, id), so at-least-once
@@ -503,5 +550,5 @@ object StreamGate {
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
-    q108StreamDrift, q114StreamScd2)
+    q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes)
 }
