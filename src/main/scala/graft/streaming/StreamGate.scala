@@ -511,6 +511,54 @@ object StreamGate {
       .orderBy(col("user_id"), col("click_id"), col("buy_id"))
   }
 
+  /** q117: the STREAM-STATIC enrichment join gated end-to-end — the
+    * events stream is joined to a broadcast dimension (customer ⋈ nation,
+    * pre-joined statically) then windowed-aggregated, the standard
+    * enrich-then-rollup streaming topology. The static side needs no
+    * watermark and holds no state: it is re-resolved and broadcast per
+    * micro-batch, so at 100 TB the dim can be slowly-changing and each
+    * trigger reads its current snapshot — only the windowed agg keeps
+    * state, bounded by the watermark. The watermark node sits BEFORE the
+    * join, so the sentinel advances event time even though the inner join
+    * drops its unmatched (negative) user_id. */
+  val q117StreamEnrich: Q = Q(
+    "q117_stream_enrich",
+    s"""SELECT CAST(floor(epoch(e.ts) / 3600) * 3600 AS BIGINT) AS win_start,
+       |       n.n_name AS nation, count(*) AS n,
+       |       ${Q.oSum6("e.value")} AS sum_value
+       |FROM events e
+       |JOIN customer c ON e.user_id = c.c_custkey
+       |JOIN nation n ON c.c_nationkey = n.n_nationkey
+       |GROUP BY 1, 2 ORDER BY win_start, nation""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q117-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
+    val maxTsMicros = Tables(s, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    // 3 h past max: final watermark = max + 2 h, past every 1-hour
+    // window's end (≤ max + 1 h); the sentinel's own window stays open.
+    val sentinelNanos = (maxTsMicros + 3L * 60 * 60 * 1000000) * 1000
+    s.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, Sentinel, 0.0, "")),
+      EventStream.rawSchema)
+      .write.mode("append").parquet(in.toString)
+    val ss = streamSession(s)
+    val dim = broadcast(Tables(ss, dir, "customer")
+      .join(Tables(ss, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("nation")))
+    val agg = EventStream.events(ss, srcRoot)
+      .withWatermark("ts", "1 hour")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("nation"))
+      .agg(count(lit(1)).as("n"), Q.dsum6(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("nation"), col("n"), col("sum_value"))
+    s.read.parquet(runToParquet(agg, work))
+      .orderBy(col("win_start"), col("nation"))
+  }
+
   /** One q114 trigger: SCD2-build `batch` alone, stitch it onto the
     * newest generation published BEFORE `id`, and overwrite `gen=<id>`.
     * Deterministic in (store-state-before-id, batch, id), so at-least-once
@@ -550,5 +598,6 @@ object StreamGate {
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
-    q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes)
+    q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
+    q117StreamEnrich)
 }
