@@ -121,5 +121,98 @@ object Snapshot {
     }
   }
 
-  val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum)
+  /** q118: two-level anti-entropy REPAIR — q112 detects divergence with
+    * three numbers per table; this op localizes and fixes it without a
+    * full-table diff. Level 1 computes q112's (count, XOR, SUM) digests
+    * per SHARD on each replica (map-side partials, shuffle carries
+    * 3 numbers × shards); only shards whose triples disagree proceed.
+    * Level 2 row-diffs INSIDE the mismatched shards only — the shard list
+    * re-enters both scans as a broadcast semi-filter, so the row-level
+    * full-outer join shuffles divergent shards' rows, not the table.
+    * Output is the repair plan: copy (missing on replica), overwrite
+    * (payload drift), delete (phantom row only on replica).
+    *
+    * The replica is simulated deterministically from `orders` with
+    * divergence CONFINED to shards 3/7/11 (missing / corrupted / phantom
+    * respectively), so the level-1 prune provably drops 61 of 64 shards
+    * at any scale. Phantom keys add 100,000,000 ≡ 0 (mod 64): they stay
+    * in shard 11 and cannot collide with real keys at any test sf. The
+    * oracle renders the UNPRUNED row diff — pruning only removes shards
+    * that contribute no repair rows, so the results are provably equal
+    * (that equality is what the gate checks). */
+  val q118ShardRepair: Q = {
+    val ident = "concat_ws('|', o_orderkey, o_custkey, o_orderstatus, o_orderpriority)"
+    val identCorrupt = """concat_ws('|', o_orderkey, o_custkey, o_orderstatus,
+      CASE WHEN o_orderkey % 64 = 7 AND o_orderkey % 13 = 0
+           THEN 'CORRUPT' ELSE o_orderpriority END)""".stripMargin
+    Q(
+      "q118_shard_repair",
+      s"""WITH p AS (
+         |  SELECT o_orderkey % 64 AS shard, o_orderkey AS k, md5($ident) AS h
+         |  FROM orders),
+         |r AS (
+         |  SELECT o_orderkey % 64 AS shard, o_orderkey AS k, md5($identCorrupt) AS h
+         |  FROM orders
+         |  WHERE NOT (o_orderkey % 64 = 3 AND o_orderkey % 17 = 0)
+         |  UNION ALL
+         |  SELECT 11 AS shard, o_orderkey + 100000000 AS k,
+         |         md5(concat('phantom|', CAST(o_orderkey AS VARCHAR))) AS h
+         |  FROM orders WHERE o_orderkey % 64 = 11 AND o_orderkey % 19 = 0),
+         |d AS (
+         |  SELECT coalesce(p.shard, r.shard) AS shard,
+         |         coalesce(p.k, r.k) AS o_orderkey,
+         |         CASE WHEN r.k IS NULL THEN 'copy'
+         |              WHEN p.k IS NULL THEN 'delete'
+         |              WHEN p.h <> r.h THEN 'overwrite' END AS action
+         |  FROM p FULL JOIN r ON p.k = r.k)
+         |SELECT shard, o_orderkey, action FROM d
+         |WHERE action IS NOT NULL ORDER BY shard, o_orderkey""".stripMargin) { (s, dir) =>
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val o = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"))
+      val primary = o
+        .select((col("o_orderkey") % 64).as("shard"), col("o_orderkey").as("k"),
+          md5(expr(ident)).as("h"))
+        .persist(lvl)
+      val replica = o
+        .filter(!(col("o_orderkey") % 64 === 3 && col("o_orderkey") % 17 === 0))
+        .select((col("o_orderkey") % 64).as("shard"), col("o_orderkey").as("k"),
+          md5(expr(identCorrupt)).as("h"))
+        .unionByName(o
+          .filter(col("o_orderkey") % 64 === 11 && col("o_orderkey") % 19 === 0)
+          .select(lit(11L).as("shard"),
+            (col("o_orderkey") + 100000000L).as("k"),
+            md5(concat(lit("phantom|"), col("o_orderkey").cast("string"))).as("h")))
+        .persist(lvl)
+      // Level 1: q112's digest triple, per shard per side.
+      def sums(side: DataFrame) = side
+        .select(col("shard"), expr(PortableHash.hexHeadToLong("h", "instr")).as("hi"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(hi)").as("x"), sum(col("hi")).as("sm"))
+      val bad = sums(primary).as("ps")
+        .join(sums(replica).as("rs"), col("ps.shard") === col("rs.shard"), "full_outer")
+        .filter(
+          col("ps.shard").isNull || col("rs.shard").isNull ||
+            col("ps.n") =!= col("rs.n") || col("ps.x") =!= col("rs.x") ||
+            col("ps.sm") =!= col("rs.sm"))
+        .select(coalesce(col("ps.shard"), col("rs.shard")).as("shard"))
+      // Level 2: row diff only inside the mismatched shards.
+      val p2 = primary.join(broadcast(bad), "shard")
+        .select(col("shard"), col("k").as("pk"), col("h").as("ph"))
+      val r2 = replica.join(broadcast(bad), "shard")
+        .select(col("shard").as("rshard"), col("k").as("rk"), col("h").as("rh"))
+      p2.join(r2, col("pk") === col("rk"), "full_outer")
+        .select(
+          coalesce(col("shard"), col("rshard")).as("shard"),
+          coalesce(col("pk"), col("rk")).as("o_orderkey"),
+          when(col("rk").isNull, "copy")
+            .when(col("pk").isNull, "delete")
+            .when(col("ph") =!= col("rh"), "overwrite").as("action"))
+        .filter(col("action").isNotNull)
+        .orderBy(col("shard"), col("o_orderkey"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair)
 }
