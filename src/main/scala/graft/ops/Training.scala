@@ -292,7 +292,71 @@ object Training {
     }
   }
 
+  /** Equi-depth decile assignment — curriculum binning: every document
+    * gets its global NTILE(10) bucket by (tokens, doc_id) order, the
+    * standard "quality decile" feature of a curation pipeline. Spark's own
+    * `ntile` is an unpartitioned window — all rows through one partition.
+    * This is the q115 two-phase shape generalized to per-row RANK
+    * assignment:
+    *  1. aggregate counts per token-count LEVEL (bounded by the max
+    *     document length, not the corpus) and cumulative-sum them into
+    *     [start_rank, end_rank] per level — the only unpartitioned window
+    *     runs over levels;
+    *  2. a level whose start and end fall in the same decile assigns that
+    *     decile to all its docs MAP-SIDE (no per-row ordering) — at most 9
+    *     levels straddle a boundary;
+    *  3. only straddling levels order their docs (window partitioned BY
+    *     level), r = start_rank − 1 + row_number, decile = bucket(r).
+    * bucket(r) replicates NTILE's exact size split (first N mod 10
+    * buckets get ⌈N/10⌉) in integer arithmetic, so the result hash-matches
+    * the oracle's NTILE. */
+  val q119TokenDeciles: Q = Q(
+    "q119_token_deciles",
+    """WITH f AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tokens
+      |  FROM documents)
+      |SELECT doc_id, tokens,
+      |       NTILE(10) OVER (ORDER BY tokens, doc_id) AS decile
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    decilesOf(Tables(s, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("tokens")))
+  }
+
+  /** The q119 core over any (doc_id, tokens) frame — extracted so the spec
+    * can cross-check it against Spark's own `ntile` at N mod 10 ≠ 0 (the
+    * uneven-bucket branch the ×10-sized gate tables never hit). */
+  private[ops] def decilesOf(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val f = in.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = f.agg(count(lit(1)).as("n")) // 1 row
+    // NTILE(10)'s exact bucket of global rank r (1-based): the first
+    // N mod 10 buckets hold ⌈N/10⌉ rows, the rest ⌊N/10⌋.
+    def bucket(r: String): String =
+      s"""CASE WHEN nq = 0 THEN $r
+         |     WHEN $r <= nrem * (nq + 1) THEN ($r + nq) DIV (nq + 1)
+         |     ELSE nrem + 1 + ($r - nrem * (nq + 1) - 1) DIV nq END""".stripMargin
+    val lv = f.groupBy(col("tokens")).agg(count(lit(1)).as("c"))
+      .withColumn("erank", sum(col("c")).over(Window.orderBy(col("tokens"))))
+      .withColumn("srank", col("erank") - col("c") + 1)
+      .crossJoin(broadcast(tot))
+      .withColumn("nq", expr("n div 10"))
+      .withColumn("nrem", expr("n % 10"))
+      .withColumn("bs", expr(bucket("srank")))
+      .withColumn("be", expr(bucket("erank")))
+      .select(col("tokens"), col("srank"), col("bs"), col("be"),
+        col("nq"), col("nrem"))
+    val j = f.join(broadcast(lv), "tokens")
+    val whole = j.filter(col("bs") === col("be"))
+      .select(col("doc_id"), col("tokens"), col("bs").as("decile"))
+    val strad = j.filter(col("bs") =!= col("be"))
+      .withColumn("r", col("srank") - 1 + row_number()
+        .over(Window.partitionBy(col("tokens")).orderBy(col("doc_id"))))
+      .select(col("doc_id"), col("tokens"), expr(bucket("r")).as("decile"))
+    whole.union(strad).orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
-    q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget)
+    q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
+    q119TokenDeciles)
 }

@@ -107,6 +107,26 @@ class TrainingSpec extends SparkSpec with BeforeAndAfterAll {
       .toSeq shouldBe rows.toSeq
   }
 
+  test("q119 two-phase deciles ≡ Spark ntile, including N mod 10 ≠ 0") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 47 rows with heavy ties (tokens = i % 7): every boundary falls
+    // INSIDE a tie level, and 47 % 10 = 7 exercises the uneven-bucket
+    // branch (first 7 buckets get 5 rows, the last 3 get 4) that the
+    // ×10-sized gate tables never hit.
+    for (n <- Seq(47, 50, 9, 1)) {
+      val f = (0 until n).map(i => (i.toLong, (i % 7).toLong))
+        .toDF("doc_id", "tokens")
+      val got = Training.decilesOf(f)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+      val exp = f.withColumn("decile",
+          ntile(10).over(Window.orderBy(col("tokens"), col("doc_id"))))
+        .collect().map(r => (r.getLong(0), r.getInt(2).toLong)).toMap
+      assert(got == exp, s"N=$n: two-phase deciles diverged from ntile")
+      spark.catalog.clearCache()
+    }
+  }
+
   private implicit class ShouldOps[A](a: A) {
     def shouldBe(b: A): Unit = assert(a == b, s"expected $b, got $a")
   }
