@@ -863,9 +863,65 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** q121: duplicated-SPAN detection — substring-level dedup (the signal
+    * behind "dedup at the 50-token-span grain, not the document grain":
+    * boilerplate headers, license blocks, and templated passages repeat
+    * across otherwise-distinct documents and document-level MinHash never
+    * sees them). Every 8-token window of every document becomes a
+    * positional shingle; a span is duplicated if its shingle digest occurs
+    * more than once in the corpus (cross-document or self-repetition —
+    * both are training-data repetition). Output is the per-document span
+    * profile: total spans, duplicated spans, duplicated fraction — the
+    * feature a span-level cleaner thresholds on.
+    *
+    * Scale shape: the explode is the dominant cost and is embarrassingly
+    * parallel (no shuffle); only 16-byte digests shuffle, never text —
+    * first into a map-side-combining count per digest, then one
+    * digest-keyed join back (AQE re-uses the aggregation's partitioning).
+    * At 100 TB the digest-count table is also the input you'd feed a
+    * suffix-style span REMOVER: it already names every repeated span. */
+  val q121DupSpans: Q = Q(
+    "q121_dup_spans",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+      |  FROM toks WHERE len(t) >= 8),
+      |sh AS (
+      |  SELECT doc_id, md5(array_to_string(t[i:i+7], ' ')) AS h FROM idx),
+      |g AS (SELECT h, count(*) AS gcnt FROM sh GROUP BY h)
+      |SELECT s.doc_id, count(*) AS spans,
+      |       count(*) FILTER (WHERE g.gcnt > 1) AS dup_spans,
+      |       round(CAST(count(*) FILTER (WHERE g.gcnt > 1) AS DOUBLE)
+      |             / CAST(count(*) AS DOUBLE), 4) AS dup_frac
+      |FROM sh s JOIN g USING (h)
+      |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    spanProfile(Tables(s, dir, "documents"), 8).orderBy(col("doc_id"))
+  }
+
+  /** The q121 core over any (doc_id, text) frame with a configurable
+    * span width (≥ 1 token). */
+  private[ops] def spanProfile(docs: DataFrame, width: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= width)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${width - 1})," +
+          s" i -> md5(array_join(slice(t, i, $width), ' ')))")).as("h"))
+      .persist(MEMORY_AND_DISK)
+    val g = sh.groupBy(col("h")).agg(count(lit(1)).as("gcnt"))
+    sh.join(g, "h")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("spans"),
+        count_if(col("gcnt") > 1).as("dup_spans"),
+        round(count_if(col("gcnt") > 1).cast("double")
+          / count(lit(1)).cast("double"), 4).as("dup_frac"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
-      q104BloomDecontaminate)
+      q104BloomDecontaminate, q121DupSpans)
 }

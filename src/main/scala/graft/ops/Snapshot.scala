@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — the incremental-ETL primitive the reference's
@@ -214,5 +214,72 @@ object Snapshot {
     }
   }
 
-  val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair)
+  /** q120: CDC apply / log compaction — the other half of the incremental
+    * story: q79 diffs two snapshots into a changelog; this op applies a
+    * changelog (insert / update / delete events with a per-key sequence)
+    * back into the final table state. It is exactly Kafka-style log
+    * compaction: keep each key's highest-sequence op, drop the key if that
+    * op is a delete.
+    *
+    * Scale shape: ONE hash shuffle on the key with map-side-combining
+    * `max_by` partials — the delete fold happens inside the same
+    * aggregate (a winner that is a 'D' is filtered post-agg), so there is
+    * no separate anti-join pass, no window, no second shuffle. At 100 TB
+    * this aggregation IS compaction: run it per partition of a
+    * date-partitioned changelog and union with the previous compacted
+    * state (whose rows enter as sequence-0 inserts).
+    *
+    * The changelog is simulated deterministically from `orders` (both
+    * engines derive the identical log, so the op under test — the
+    * compaction — is what's checked): every key is inserted at seq 1;
+    * keys %3==0 are updated at seq 2; keys %10==0 are deleted at seq 3;
+    * keys %30==0 are re-inserted at seq 4 (delete-then-reinsert is the
+    * case a naive "drop all deleted keys" anti-join gets wrong). */
+  val q120CdcApply: Q = Q(
+    "q120_cdc_apply",
+    """WITH log AS (
+      |  SELECT o_orderkey AS k, 1 AS seq, 'I' AS op, o_orderpriority AS payload
+      |  FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 2, 'U', 'upd:' || o_orderstatus
+      |  FROM orders WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 3, 'D', NULL
+      |  FROM orders WHERE o_orderkey % 10 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 4, 'I', 'resurrected'
+      |  FROM orders WHERE o_orderkey % 30 = 0),
+      |c AS (
+      |  SELECT k, max(seq) AS last_seq,
+      |         max_by(op, seq) AS op, max_by(payload, seq) AS payload
+      |  FROM log GROUP BY k)
+      |SELECT k, last_seq, payload FROM c
+      |WHERE op <> 'D' ORDER BY k""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+    def ev(pred: Column, seq: Int, op: String, payload: Column) =
+      o.filter(pred).select(
+        col("o_orderkey").as("k"), lit(seq).as("seq"), lit(op).as("op"),
+        payload.as("payload"))
+    val log = ev(lit(true), 1, "I", col("o_orderpriority"))
+      .unionByName(ev(col("o_orderkey") % 3 === 0, 2, "U",
+        concat(lit("upd:"), col("o_orderstatus"))))
+      .unionByName(ev(col("o_orderkey") % 10 === 0, 3, "D",
+        lit(null).cast("string")))
+      .unionByName(ev(col("o_orderkey") % 30 === 0, 4, "I", lit("resurrected")))
+    compactLog(log).orderBy(col("k"))
+  }
+
+  /** The q120 core over any (k, seq, op, payload) changelog: one
+    * max_by aggregation per key, delete winners dropped post-agg. */
+  private[ops] def compactLog(log: DataFrame): DataFrame =
+    log.groupBy(col("k"))
+      .agg(max(col("seq")).as("last_seq"),
+        expr("max_by(op, seq)").as("op"),
+        expr("max_by(payload, seq)").as("payload"))
+      .filter(col("op") =!= "D")
+      .select(col("k"), col("last_seq"), col("payload"))
+
+  val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
+    q120CdcApply)
 }

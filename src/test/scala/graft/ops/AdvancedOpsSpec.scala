@@ -214,6 +214,33 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(!rows(2L).getAs[Boolean]("repetitive"))
   }
 
+  test("q120 compactLog: delete-then-reinsert survives, plain delete dies") {
+    val log = Seq(
+      (1L, 1, "I", "a"), // insert only → survives as-is
+      (2L, 1, "I", "b"), (2L, 2, "U", "b2"), // update wins
+      (3L, 1, "I", "c"), (3L, 2, "D", null), // deleted → gone
+      (4L, 1, "I", "d"), (4L, 2, "D", null), (4L, 3, "I", "d2")) // reborn
+      .toDF("k", "seq", "op", "payload")
+    val out = Snapshot.compactLog(log).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out == Map(1L -> ((1, "a")), 2L -> ((2, "b2")), 4L -> ((3, "d2"))))
+  }
+
+  test("q121 spanProfile: cross-doc and self-repeated spans, short docs out") {
+    val docs = Seq(
+      (1L, "a b c d"), // spans: "a b c", "b c d"
+      (2L, "x a b c"), // spans: "x a b", "a b c" — shares "a b c" with doc 1
+      (3L, "p q p q p q"), // every width-3 window repeats within the doc
+      (4L, "u v")) // shorter than the span width → excluded
+      .toDF("doc_id", "text")
+    val out = Dedup.spanProfile(docs, 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    assert(out == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)), 3L -> ((4L, 4L, 1.0))))
+    spark.catalog.clearCache()
+  }
+
   test("q65 pigeonhole recall: every pair within hamming 3 is found") {
     // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
     // if its fingerprint is within hamming 3 of doc 1's, the block join MUST
