@@ -243,6 +243,131 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q122: BM25 ranking — the standard retrieval score, in the exact
+    * log-free rational form the COVERAGE.md determinism rules require.
+    * With k1 = 6/5 and b = 3/4 every factor of
+    * `idf × tf(k1+1) / (tf + k1(1 − b + b·dl/avgdl))` clears to integers
+    * when multiplied through by 10·S (S = Σdl, so dl/avgdl = dl·N/S), and
+    * the idf surrogate `(N − df + ½)/(df + ½)` becomes
+    * `(2(N−df)+1)/(2df+1)` — so each (doc, term) score is ONE
+    * correctly-rounded IEEE division of two exactly-computed BIGINTs:
+    *   num = 22·tf·S·(2(N−df)+1)
+    *   den = (10·tf·S + 3·S + 9·dl·N)·(2df+1)
+    * (monotone-equivalent to the ln idf for ranking, bit-identical across
+    * engines where libm ln need not be). Per-doc totals accumulate as
+    * DECIMAL(18,6) — associative, order-insensitive — then surface DOUBLE.
+    *
+    * Scale shape: the corpus stats (N, S) are a 1-row broadcast; df is a
+    * |query-terms|-row broadcast; tf explodes only rows matching the query
+    * terms (the IN filter runs before the explode's shuffle); the final
+    * top-20 is TakeOrdered (two-phase — partition-local heads, single
+    * merge), never a global sort. BIGINT holds to ~10^18: beyond ~10^11
+    * total tokens swap the products to DECIMAL(38,0), same plan. */
+  val q122Bm25: Q = {
+    val terms = "('join', 'vector', 'stream')"
+    Q("q122_bm25",
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |               CAST(sum(dl) AS BIGINT) AS s FROM dl),
+         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+         |       WHERE w IN $terms GROUP BY 1, 2),
+         |dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         |          FROM tok WHERE w IN $terms GROUP BY 1),
+         |sc AS (SELECT f.doc_id,
+         |         CAST(round(
+         |           CAST(22 * f.tf * t.s * (2 * (t.n - d.df) + 1) AS DOUBLE)
+         |           / CAST((10 * f.tf * t.s + 3 * t.s + 9 * l.dl * t.n)
+         |                  * (2 * d.df + 1) AS DOUBLE), 6)
+         |           AS DECIMAL(18,6)) AS term_score
+         |       FROM tf f JOIN dfreq d USING (w)
+         |       JOIN dl l ON f.doc_id = l.doc_id, tot t)
+         |SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25
+         |FROM sc GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      bm25Scores(Tables(s, dir, "documents"), Seq("join", "vector", "stream"))
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** The q122 core over any (doc_id, text) frame: per-doc BM25 totals for
+    * the given query terms (unsorted, uncapped). */
+  private[ops] def bm25Scores(
+      docs: org.apache.spark.sql.DataFrame,
+      inTerms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val dl = toks.select(col("doc_id"), size(col("t")).cast("long").as("dl"))
+    val tot = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("s"))
+    val tok = toks.select(col("doc_id"), explode(col("t")).as("w"))
+      .filter(col("w").isin(inTerms: _*))
+    val tf = tok.groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tok.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tf.join(broadcast(dfreq), "w")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"),
+        round(
+          (lit(22L) * col("tf") * col("s")
+            * (lit(2L) * (col("n") - col("df")) + 1L)).cast("double")
+            / ((lit(10L) * col("tf") * col("s") + lit(3L) * col("s")
+              + lit(9L) * col("dl") * col("n"))
+              * (lit(2L) * col("df") + 1L)).cast("double"), 6)
+          .cast("decimal(18,6)").as("term_score"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("term_score")).cast("double").as("bm25"))
+  }
+
+  /** q123: inverted-index construction — term → capped posting list, the
+    * materialization step of a search index build (and the output shape a
+    * sharded index loader ingests). Terms are the 10 highest-df tokens
+    * (df desc, term tie-break); each posting list is the first 20 doc_ids
+    * ascending plus the true df, so a consumer can tell "capped" from
+    * "complete".
+    *
+    * Scale shape: (doc, term) pairs dedup in ONE map-side-combining
+    * aggregate; the df ranking is TakeOrdered over the (small) vocabulary;
+    * the 10 winners re-enter as a broadcast semi-join; the per-term cap is
+    * a WindowGroupLimit (Spark 4 pushes rn ≤ 20 into the window sort, so
+    * no term ever materializes an unbounded posting buffer) — the
+    * collect_list only ever sees ≤ 20 rows per term. At 100 TB you shard
+    * the same plan by term-hash range; nothing here is per-corpus
+    * unbounded. */
+  val q123PostingLists: Q = Q(
+    "q123_posting_lists",
+    """WITH raw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |e AS (SELECT DISTINCT doc_id, w FROM raw),
+      |d AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY w),
+      |top AS (SELECT w, df FROM d ORDER BY df DESC, w LIMIT 10),
+      |r AS (SELECT e.w, top.df, e.doc_id,
+      |        row_number() OVER (PARTITION BY e.w ORDER BY e.doc_id) AS rn
+      |      FROM e JOIN top ON e.w = top.w)
+      |SELECT w AS term, df, CAST(count(*) AS BIGINT) AS n_posted,
+      |       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM r WHERE rn <= 20
+      |GROUP BY w, df ORDER BY term""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+    val top = e.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("w")).limit(10)
+    e.join(broadcast(top), "w")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col("w")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= 20)
+      .groupBy(col("w").as("term"), col("df"))
+      .agg(
+        count(lit(1)).as("n_posted"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))),
+            x => x.cast("string")), ",").as("postings"))
+      .orderBy(col("term"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
-    q63TfIdf, q87BigramFluency)
+    q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists)
 }

@@ -241,6 +241,43 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("q122 bm25: exact single-doc value; tf beats dl-penalized tf") {
+    // Minimal closed-form check: one doc = one token = the query term.
+    // num = 22·1·1·(2(1−1)+1) = 22; den = (10+3+9)·(2·1+1) = 66 → 1/3.
+    val one = TextAnalysis.bm25Scores(
+      Seq((1L, "join")).toDF("doc_id", "text"), Seq("join")).collect()
+    assert(one.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 0.333333)))
+    // Ranking property: same tf, longer doc scores lower; higher tf at the
+    // same length scores higher; docs without a query term are absent.
+    val docs = Seq(
+      (1L, "join join pad pad"),
+      (2L, "join join pad pad pad pad pad pad"),
+      (3L, "join pad pad pad"),
+      (4L, "pad pad pad pad"))
+      .toDF("doc_id", "text")
+    val sc = TextAnalysis.bm25Scores(docs, Seq("join")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(sc.keySet == Set(1L, 2L, 3L))
+    // N=4, S=20, df=3 → idf 3/7; tf-part = 440·tf / (200·tf + 60 + 36·dl):
+    // doc1 (tf2,dl4) 880/604 > doc2 (tf2,dl8) 880/748 > doc3 (tf1,dl4)
+    // 440/404 — higher tf wins, longer doc penalized.
+    assert(sc(1L) > sc(2L) && sc(2L) > sc(3L))
+  }
+
+  test("q123 posting lists: df ranking, tie-break, and the 20-doc cap") {
+    val rows = TextAnalysis.q123PostingLists.fn(spark, dir).collect()
+    val byTerm = rows.map(r => r.getAs[String]("term") ->
+      ((r.getAs[Long]("df"), r.getAs[Long]("n_posted"),
+        r.getAs[String]("postings")))).toMap
+    assert(rows.length == 10)
+    // word1..word49 all have df=3 (docs 1,2,3); lexicographic tie-break
+    // puts word1, word10..word18 in the top 10.
+    assert(byTerm.keySet == Set("word1", "word10", "word11", "word12",
+      "word13", "word14", "word15", "word16", "word17", "word18"))
+    assert(byTerm("word1") == ((3L, 3L, "1,2,3")))
+  }
+
   test("q65 pigeonhole recall: every pair within hamming 3 is found") {
     // The planted near-dup (doc 3) differs from 1/2 by one token out of 50;
     // if its fingerprint is within hamming 3 of doc 1's, the block join MUST
