@@ -353,8 +353,68 @@ object Extended {
       .orderBy(col("grp"), col("rank"))
   }
 
+  /** q125: group-wise OLS regression — slope / intercept / R² of
+    * extendedprice on quantity per returnflag, from the five sufficient
+    * statistics (n, Σx, Σy, Σxy, Σx², Σy²) in ONE pass. Same determinism
+    * discipline as q88: each sufficient statistic accumulates as an exact
+    * DECIMAL (the per-row product is one IEEE double multiply, identical
+    * across engines, then a deterministic decimal cast; the sum is then
+    * associative ⇒ order-insensitive), surfaces as DOUBLE, and the
+    * closed-form estimators are a fixed dag of IEEE ops over
+    * bit-identical inputs.
+    *
+    * Scale shape: a single map-side-combining hash aggregate — the
+    * regression never sees rows twice, never sorts, never shuffles more
+    * than 6 numbers per (partition × group). This is the cheapest
+    * possible distributed OLS and exactly how you'd fit millions of
+    * per-key trend lines (one groupBy key swap away). */
+  val q125GroupRegression: Q = Q(
+    "q125_group_regression",
+    """WITH s AS (SELECT l_returnflag AS grp, count(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT grp, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+      |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      |        / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM s ORDER BY grp""".stripMargin) { (s, dir) =>
+    regressionOf(Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("grp"), col("l_quantity").as("x"),
+        col("l_extendedprice").as("y")))
+      .orderBy(col("grp"))
+  }
+
+  /** The q125 core over any (grp, x, y) frame. */
+  private[ops] def regressionOf(in: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val (x, y) = (col("x"), col("y"))
+    val agg = in.groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum(y.cast(DecimalType(18, 2))).cast("double").as("sy"),
+        sum((x * y).cast(DecimalType(38, 6))).cast("double").as("sxy"),
+        sum((x * x).cast(DecimalType(28, 4))).cast("double").as("sxx"),
+        sum((y * y).cast(DecimalType(38, 6))).cast("double").as("syy"))
+    val (n, sx, sy) = (col("n"), col("sx"), col("sy"))
+    val (sxy, sxx, syy) = (col("sxy"), col("sxx"), col("syy"))
+    val cov = n * sxy - sx * sy
+    val varx = n * sxx - sx * sx
+    agg.select(
+      col("grp"), n,
+      round(cov / varx, 6).as("slope"),
+      round((sy - cov / varx * sx) / n, 6).as("intercept"),
+      round(cov * cov / (varx * (n * syy - sy * sy)), 6).as("r2"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
-    q88MomentStats, q89Winsorized, q91TopKAggregate)
+    q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression)
 }

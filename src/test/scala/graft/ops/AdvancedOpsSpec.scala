@@ -265,6 +265,17 @@ class AdvancedOpsSpec extends SparkSpec with BeforeAndAfterAll {
     assert(sc(1L) > sc(2L) && sc(2L) > sc(3L))
   }
 
+  test("q125 regressionOf: exact line recovers slope/intercept/r2 exactly") {
+    // y = 2x + 1 for x = 1..5: cov = 100, varx = 50 → slope 2, intercept 1,
+    // r² = 100²/(50·200) = 1 — all exact in the decimal sufficient stats.
+    val in = (1 to 5).map(x => ("a", x.toDouble, 2.0 * x + 1))
+      .toDF("grp", "x", "y")
+    val r = Extended.regressionOf(in).collect()
+    assert(r.length == 1)
+    assert((r(0).getString(0), r(0).getLong(1), r(0).getDouble(2),
+      r(0).getDouble(3), r(0).getDouble(4)) == (("a", 5L, 2.0, 1.0, 1.0)))
+  }
+
   test("q123 posting lists: df ranking, tie-break, and the 20-doc cap") {
     val rows = TextAnalysis.q123PostingLists.fn(spark, dir).collect()
     val byTerm = rows.map(r => r.getAs[String]("term") ->

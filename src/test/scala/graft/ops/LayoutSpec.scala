@@ -73,6 +73,25 @@ class LayoutSpec extends SparkSpec {
     assert(zTouched <= pTouched, s"z=$zTouched p=$pTouched")
   }
 
+  test("q124 zone-map audit: singleton buckets make pruning exact") {
+    // Four rows, each its own z-bucket (min = max, so zone-pruning cannot
+    // over-approximate): (17,7) hits p_point+s_point, (17,100) p_point,
+    // (40,100) the box, (200,50) nothing.
+    val dir = java.nio.file.Files.createTempDirectory("zonemap").toString
+    Seq((17L, 7L), (17L, 100L), (40L, 100L), (200L, 50L))
+      .toDF("l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Layout.q124ZoneMapAudit.fn(spark, dir).collect()
+      .map(r => r.getAs[String]("probe") ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got == Map(
+      "p_point" -> ((4L, 2L, 4L, 2L, 2L)),
+      "s_point" -> ((4L, 1L, 4L, 1L, 1L)),
+      "box" -> ((4L, 1L, 4L, 1L, 1L))))
+    spark.catalog.clearCache()
+  }
+
   test("q78 two-phase domain cap equals the single-window reference") {
     import org.apache.spark.sql.expressions.Window
     val rnd = new scala.util.Random(7)
