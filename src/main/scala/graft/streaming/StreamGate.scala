@@ -563,6 +563,25 @@ object StreamGate {
     * newest generation published BEFORE `id`, and overwrite `gen=<id>`.
     * Deterministic in (store-state-before-id, batch, id), so at-least-once
     * redelivery of a batch rewrites its generation with identical rows. */
+  /** q126's per-trigger counter merge: batch (token, df, tf) partials are
+    * summed into the newest generation strictly before `id` and published
+    * as `gen=<id>` (replay overwrites its own generation from the same
+    * base — idempotent under at-least-once delivery). The additive df
+    * merge is valid iff each document arrives in exactly one batch. */
+  private[graft] def vocabPublish(store: String,
+      batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+    val cur = batch
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    val merged = latestGenBefore(batch.sparkSession, store, id) match {
+      case Some(prev) => prev.unionByName(cur).groupBy(col("tok"))
+        .agg(sum(col("df")).as("df"), sum(col("tf")).as("tf"))
+      case None => cur
+    }
+    merged.write.mode("overwrite").parquet(s"$store/gen=$id")
+  }
+
   private[graft] def scd2Publish(store: String,
       batch: org.apache.spark.sql.DataFrame, id: Long): Unit = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -595,9 +614,50 @@ object StreamGate {
       .map(g => s.read.parquet(s"$store/gen=$g"))
   }
 
+  /** q126: streaming top-k vocabulary maintenance — the design lesson this
+    * gate encodes: top-k is NOT incrementally maintainable from a stored
+    * top-k alone (a term outside today's top 20 can climb into it
+    * tomorrow; once truncated, its count is gone). The maintainable state
+    * is the FULL counter table; top-k is a read-time view. So each
+    * micro-batch merges its (token, df, tf) partials into a stored counter
+    * generation — additive merge, valid because a document arrives in
+    * exactly one batch, so per-batch distinct-doc counts sum to the true
+    * df — published idempotently under `gen=<batchId>` (a replayed batch
+    * re-reads the newest generation strictly BEFORE its id, never its own
+    * possibly-stale output), and the gate answers q58's exact top-20 from
+    * the final generation. At 100 TB the counter table is
+    * token-partitioned and the merge is a co-partitioned sum; the top-k
+    * read is TakeOrdered over it — still never a global sort. */
+  val q126StreamTopK: Q = Q(
+    "q126_stream_topk",
+    graft.ops.Training.q58VocabTopK.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q126-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val store = work.resolve("vocab").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          vocabPublish(store, batch.toDF(), id)
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(sys.error("q126: no vocabulary generation was published"))
+      .orderBy(col("df").desc, col("tok"))
+      .limit(20)
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
-    q117StreamEnrich)
+    q117StreamEnrich, q126StreamTopK)
 }

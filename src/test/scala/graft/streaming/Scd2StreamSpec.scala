@@ -68,6 +68,26 @@ class Scd2StreamSpec extends SparkSpec with BeforeAndAfterAll {
       rowStrings(graft.ops.Events.scd2Of(day1.union(day2))))
   }
 
+  test("q126 vocabPublish: merged counters equal the one-shot aggregate") {
+    val store = s"$root/vocab"
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+    val b0 = docs((1L, "a b a"), (2L, "a c"))
+    val b1 = docs((3L, "a b"), (4L, "d"))
+    StreamGate.vocabPublish(store, b0, 0L)
+    StreamGate.vocabPublish(store, b1, 1L)
+    val want = b0.union(b1)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("tf"))
+    assert(rowStrings(gen(store, 1L).orderBy("tok"))
+      === rowStrings(want.orderBy("tok")),
+      "streamed counter merge must equal the batch aggregate")
+    // Replay of the last batch resolves its base as gen=0 → unchanged.
+    val before = rowStrings(gen(store, 1L).orderBy("tok"))
+    StreamGate.vocabPublish(store, b1, 1L)
+    assert(rowStrings(gen(store, 1L).orderBy("tok")) === before)
+  }
+
   test("base resolution skips the batch's own stale output") {
     val store = s"$root/crash"
     StreamGate.scd2Publish(store, day1, 0L)
