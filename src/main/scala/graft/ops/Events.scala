@@ -488,8 +488,48 @@ object Events {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** q129: sliding-window rate limiting — per-user quota enforcement
+    * (abuse / scraper detection, API throttling): every event is annotated
+    * with how many events its user produced in the trailing 10 minutes
+    * (inclusive) and flagged once that count exceeds the quota. The window
+    * is a value-RANGE frame over epoch seconds, so it is gap-aware (a user
+    * idle for an hour starts fresh) and tie-consistent (same-second events
+    * are frame peers in both engines — no order ambiguity).
+    *
+    * Scale shape: the window is partitioned BY USER — per-user event
+    * streams sort independently inside their hash partition, nothing is
+    * global. This is the partitioned-window shape that's safe at any
+    * scale (contrast q119's docstring: it exists because UNPARTITIONED
+    * ntile is not). Skewed users (one bot = millions of rows) would next
+    * get the q42 salt treatment: split the user's timeline into chunks
+    * carrying 10 minutes of overlap, count within chunks, keep rows past
+    * the overlap. */
+  val q129RateLimit: Q = Q(
+    "q129_rate_limit",
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events),
+      |w AS (
+      |  SELECT event_id, user_id, sec,
+      |         CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec
+      |           RANGE BETWEEN 599 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_recent
+      |  FROM e)
+      |SELECT event_id, user_id, sec, n_recent, n_recent > 5 AS throttled
+      |FROM w ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-599L, Window.currentRow)
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("sec"))
+      .withColumn("n_recent", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("sec"), col("n_recent"),
+        (col("n_recent") > 5).as("throttled"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
-      q107Scd2History, q111ForwardFill, q113Scd2Incremental)
+      q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit)
 }

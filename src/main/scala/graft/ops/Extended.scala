@@ -413,8 +413,63 @@ object Extended {
       round(cov * cov / (varx * (n * syy - sy * sy)), 6).as("r2"))
   }
 
+  /** q127: 2-D skyline (Pareto frontier) — the orders no other order
+    * dominates on (price HIGHER, date EARLIER): multi-objective "best"
+    * without collapsing the objectives into one score. Classic algorithmic
+    * shape: reduce to per-price LEVELS (min date per distinct price —
+    * every other row at that price is dominated by its level
+    * representative), then one price-descending sweep keeps a level iff
+    * its date beats the running-min date of all strictly-higher prices.
+    *
+    * Scale shape: the level reduction is a map-side-combining aggregate;
+    * the sweep is then SALTED — a partitioned window drops everything
+    * locally dominated (any local dominator is also a global one, so
+    * survivors ⊇ the true frontier), and only the survivors — O(frontier)
+    * per salt, ~H(n) ≈ ln n expected for independent dims — reach the one
+    * global window. The unpartitioned sweep only ever sees ~64·ln n rows;
+    * the oracle renders the unsalted sweep, and gate equality IS the
+    * salt-losslessness proof. */
+  val q127Skyline: Q = Q(
+    "q127_skyline",
+    """WITH lv AS (
+      |  SELECT o_totalprice AS price, min(o_orderdate) AS first_date
+      |  FROM orders GROUP BY 1),
+      |w AS (
+      |  SELECT price, first_date,
+      |         min(first_date) OVER (ORDER BY price DESC
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |  FROM lv)
+      |SELECT price, first_date FROM w
+      |WHERE rm IS NULL OR first_date < rm
+      |ORDER BY price DESC""".stripMargin) { (s, dir) =>
+    skylineOf(Tables(s, dir, "orders")
+      .select(col("o_totalprice").as("price"), col("o_orderdate").as("d")))
+      .orderBy(col("price").desc)
+  }
+
+  /** The q127 core over any (price, d) frame: maximize price, minimize d. */
+  private[ops] def skylineOf(points: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lv = points.groupBy(col("price")).agg(min(col("d")).as("first_date"))
+    val localW = Window.partitionBy(col("salt")).orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val survivors = lv
+      .withColumn("salt", pmod(hash(col("price")), lit(64)))
+      .withColumn("rm", min(col("first_date")).over(localW))
+      .filter(col("rm").isNull || col("first_date") < col("rm"))
+      .drop("salt", "rm")
+    val globalW = Window.orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    survivors
+      .withColumn("rm", min(col("first_date")).over(globalW))
+      .filter(col("rm").isNull || col("first_date") < col("rm"))
+      .select(col("price"), col("first_date"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
-    q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression)
+    q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
+    q127Skyline)
 }

@@ -205,5 +205,67 @@ object Graph {
     }
   }
 
-  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank)
+  /** q128: BFS hop distance — the reachability/traversal kernel (q106
+    * counts, q109 ranks, this one WALKS): minimum hop count from a
+    * deterministic seed (the smallest node in the edge set) to every node
+    * within 3 hops of it, over the same support-2 co-purchase graph.
+    *
+    * The Spark side is level-synchronous BFS (Pregel-lite): a persisted
+    * frontier joins the persisted edge list once per hop, an anti-join
+    * against the visited set keeps the frontier MINIMAL (a node re-reached
+    * at a later hop is dropped, so per-hop work is ∝ newly-reached nodes ×
+    * degree — never the path count). The oracle is the same traversal as a
+    * recursive CTE, which enumerates PATHS (min(d) collapses them) —
+    * exponentially worse on dense graphs, which is exactly why the
+    * frontier formulation is the one that scales; gate equality proves
+    * they agree. Fixed depth keeps both sides bounded; at 100 TB the
+    * visited set is the only growing state, and it's hash-partitioned on
+    * node — iterations reuse its partitioning for both the join and the
+    * anti-join. */
+  val q128BfsHops: Q = Q(
+    "q128_bfs_hops",
+    """WITH RECURSIVE lp AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |  FROM lp l1 JOIN lp l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      |walk(n, d) AS (
+      |  SELECT (SELECT min(u) FROM e0) AS n, 0 AS d
+      |  UNION ALL
+      |  SELECT e.v, walk.d + 1 FROM walk JOIN e ON e.u = walk.n
+      |  WHERE walk.d < 3)
+      |SELECT n, CAST(min(d) AS BIGINT) AS hops
+      |FROM walk GROUP BY n ORDER BY hops, n""".stripMargin) { (s, dir) =>
+    bfsFrom(supportedEdges(s, dir), 3).orderBy(col("hops"), col("n"))
+  }
+
+  /** The q128 core: level-synchronous BFS from min(u) over an undirected
+    * (u, v) edge list, to `maxHops`. */
+  private[ops] def bfsFrom(edges: org.apache.spark.sql.DataFrame,
+      maxHops: Int): org.apache.spark.sql.DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = edges.persist(lvl)
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(lvl)
+    val seed = e0.agg(min(col("u")).as("n")).select(col("n"), lit(0L).as("hops"))
+    var visited = seed.persist(lvl)
+    var frontier = seed.select(col("n"))
+    for (h <- 1 to maxHops) {
+      val next = frontier.as("f")
+        .join(e.as("e"), col("f.n") === col("e.u"))
+        .select(col("e.v").as("n")).distinct()
+        .join(visited, Seq("n"), "left_anti")
+        .select(col("n"), lit(h.toLong).as("hops"))
+        .persist(lvl)
+      visited = visited.unionByName(next).persist(lvl)
+      visited.count() // pin this level before the next one re-reads it
+      frontier = next.select(col("n"))
+    }
+    visited
+  }
+
+  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops)
 }

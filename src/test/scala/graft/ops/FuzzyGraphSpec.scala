@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Paths
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 
 /** Hand-computed fixtures for the fuzzy-match and graph operators. */
@@ -57,6 +58,50 @@ class FuzzyGraphSpec extends SparkSpec with BeforeAndAfterAll {
     assert(r.getAs[Long]("n_wedges") == 5L) // C(2,2)·2 + C(3,2) + 0 = 1+1+3
     assert(r.getAs[Long]("n_triangles") == 1L)
     assert(r.getAs[Double]("clustering") == 0.6) // 3·1/5
+  }
+
+  test("q128 bfsFrom: hop levels on a path graph; depth cap respected") {
+    // Path 0-1-2-3-4 plus a shortcut 0-2: hops = 0,1,1(!),2,3 — node 2 is
+    // reached at hop 1 via the shortcut, never re-labeled at hop 2.
+    val e0 = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (0L, 2L))
+      .toDF("u", "v")
+    val got = Graph.bfsFrom(e0, 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // Depth 1 stops the walk: nodes 3 and 4 stay unreached.
+    val shallow = Graph.bfsFrom(e0, 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shallow == Map(0L -> 0L, 1L -> 1L, 2L -> 1L))
+    spark.catalog.clearCache()
+  }
+
+  test("q127 skylineOf: dominated and duplicate points drop, frontier stays") {
+    val d = (n: Int) => java.sql.Timestamp.valueOf(s"2024-01-0$n 00:00:00")
+    // Staircase frontier (price↑ trades against date↓): 3@d3, 2@d2, 1@d1.
+    val pts = Seq(
+      (3.0, d(3)), // frontier: best price
+      (3.0, d(4)), // same price, later date → level-dominated
+      (2.0, d(2)), // frontier: cheaper but earlier than everything pricier
+      (2.5, d(4)), // dominated by (3.0, d3): lower price AND later date
+      (1.0, d(1)), // frontier: earliest date of all
+      (1.0, d(3))) // dominated by (2.0, d2) — equal-date ties lose too
+      .toDF("price", "d")
+    val got = Extended.skylineOf(pts).collect()
+      .map(r => (r.getDouble(0), r.getTimestamp(1))).toSet
+    assert(got == Set((3.0, d(3)), (2.0, d(2)), (1.0, d(1))))
+  }
+
+  test("q129 rate-limit window: the 599-second boundary is inclusive-exact") {
+    import org.apache.spark.sql.expressions.Window
+    // User 1 events at seconds 0, 599, 600, 1199: 599 counts 0 (inside),
+    // 600 drops 0 (600-599=1 > 0) and counts 599; 1199 still counts 600.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"))
+      .rangeBetween(-599L, Window.currentRow)
+    val got = Seq((1L, 1L, 0L), (2L, 1L, 599L), (3L, 1L, 600L), (4L, 1L, 1199L))
+      .toDF("event_id", "user_id", "sec")
+      .withColumn("n", count(lit(1)).over(w))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
   }
 
   test("q109: fixed-point PageRank respects graph structure exactly") {
