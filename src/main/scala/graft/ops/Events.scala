@@ -528,8 +528,77 @@ object Events {
       .orderBy(col("event_id"))
   }
 
+  /** q131: CUSUM changepoint detection — did a series' daily rate SHIFT,
+    * and when? (q98/q108 ask "do two distributions differ"; this asks
+    * "where in time did this one break".) The classic CUSUM statistic
+    * Σ(cᵢ − mean) is kept EXACT by scaling out the division: with D days
+    * and total T, dev_k = D·cum_k − k·T is D× the raw CUSUM — same argmax,
+    * same relative threshold, pure BIGINT. A series drifts when
+    * max|dev| · 10 > D·T (max excursion above 10% of total mass), and the
+    * changepoint is the FIRST day attaining the max (deterministic
+    * tie-break via a min over the max-equal rows — engine arg_max tie
+    * order is unspecified, so it's never used).
+    *
+    * Scale shape: raw events collapse to (series, day) counts map-side —
+    * everything after runs on ~D rows per series, windows partitioned BY
+    * series. Linear in events, then independent of them. */
+  val q131CusumChangepoint: Q = Q(
+    "q131_cusum_changepoint",
+    """WITH d AS (
+      |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |             CAST(sum(c) AS BIGINT) AS total FROM d GROUP BY 1),
+      |cum AS (
+      |  SELECT event_type, day,
+      |         CAST(sum(c) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cumc,
+      |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k
+      |  FROM d),
+      |dev AS (
+      |  SELECT c.event_type, c.day, abs(t.n_days * c.cumc - c.k * t.total) AS adev
+      |  FROM cum c JOIN t USING (event_type)),
+      |mx AS (SELECT event_type, max(adev) AS max_adev FROM dev GROUP BY 1)
+      |SELECT t.event_type, n_days, total, max_adev,
+      |       (SELECT min(day) FROM dev
+      |        WHERE dev.event_type = t.event_type AND dev.adev = mx.max_adev) AS cp_day,
+      |       max_adev * 10 > n_days * total AS drifted
+      |FROM t JOIN mx USING (event_type) ORDER BY event_type""".stripMargin) { (s, dir) =>
+    cusumOf(Tables(s, dir, "events")
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("c")))
+      .orderBy(col("event_type"))
+  }
+
+  /** The q131 core over any (event_type, day, c) daily-count frame. */
+  private[ops] def cusumOf(d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val dev = d
+      .withColumn("cumc", sum(col("c")).over(w))
+      .withColumn("k", row_number().over(w).cast("long"))
+      .withColumn("n_days", count(lit(1)).over(Window.partitionBy(col("event_type"))))
+      .withColumn("total", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+      .withColumn("adev", abs(col("n_days") * col("cumc") - col("k") * col("total")))
+      .withColumn("max_adev",
+        max(col("adev")).over(Window.partitionBy(col("event_type"))))
+      .persist(lvl)
+    dev.groupBy(col("event_type"))
+      .agg(
+        max(col("n_days")).as("n_days"), max(col("total")).as("total"),
+        max(col("max_adev")).as("max_adev"),
+        min(when(col("adev") === col("max_adev"), col("day"))).as("cp_day"))
+      .select(col("event_type"), col("n_days"), col("total"), col("max_adev"),
+        col("cp_day"),
+        (col("max_adev") * 10 > col("n_days") * col("total")).as("drifted"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
-      q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit)
+      q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
+      q131CusumChangepoint)
 }

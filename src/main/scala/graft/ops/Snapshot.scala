@@ -280,6 +280,78 @@ object Snapshot {
       .filter(col("op") =!= "D")
       .select(col("k"), col("last_seq"), col("payload"))
 
+  /** q130: referential-integrity audit — the cross-TABLE data-quality
+    * check (q55 validates rows, q112 checksums replicas; this one walks
+    * the foreign-key graph): for each child→parent relationship, how many
+    * child rows / distinct keys point at a parent row that does not exist.
+    * The lineitem→orders leg is deterministically corrupted (keys
+    * %97 == 0 are remapped far out of parent range, exactly q118's
+    * planted-divergence pattern) so the audit provably DETECTS — the
+    * clean legs prove it doesn't false-positive.
+    *
+    * Scale shape, per relationship: the child reduces to (key, rows)
+    * partials map-side — the anti join then shuffles DISTINCT keys, never
+    * child rows; the parent side ships only its key column. Orphan rows
+    * come back as sum(rows) over the anti-join survivors. Linear, two
+    * shuffles per edge, payloads never move. */
+  val q130FkAudit: Q = {
+    def duckLeg(rel: String, childKeys: String, parent: String,
+        pk: String): String =
+      s"""SELECT '$rel' AS rel, CAST(sum(c) AS BIGINT) AS n_rows,
+         |       count(*) AS n_keys,
+         |       CAST(coalesce(sum(c) FILTER (WHERE orphan), 0) AS BIGINT) AS orphan_rows,
+         |       count(*) FILTER (WHERE orphan) AS orphan_keys,
+         |       min(k) FILTER (WHERE orphan) AS min_orphan_key
+         |FROM (SELECT k, c, NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = g.k) AS orphan
+         |      FROM ($childKeys) g)""".stripMargin
+    val corrupted =
+      """SELECT CASE WHEN l_orderkey % 97 = 0 THEN l_orderkey + 1000000000
+        |            ELSE l_orderkey END AS k, count(*) AS c
+        |FROM lineitem GROUP BY 1""".stripMargin
+    Q("q130_fk_audit",
+      s"""${duckLeg("lineitem.l_orderkey->orders", corrupted, "orders", "o_orderkey")}
+         |UNION ALL
+         |${duckLeg("orders.o_custkey->customer",
+          "SELECT o_custkey AS k, count(*) AS c FROM orders GROUP BY 1",
+          "customer", "c_custkey")}
+         |UNION ALL
+         |${duckLeg("customer.c_nationkey->nation",
+          "SELECT c_nationkey AS k, count(*) AS c FROM customer GROUP BY 1",
+          "nation", "n_nationkey")}
+         |ORDER BY rel""".stripMargin) { (s, dir) =>
+      def leg(rel: String, childKeys: DataFrame, parent: DataFrame,
+          pk: String): DataFrame = {
+        val orphans = childKeys.join(parent.select(col(pk).as("k")).distinct(),
+          Seq("k"), "left_anti")
+        val oAgg = orphans.agg(
+          coalesce(sum(col("c")), lit(0L)).as("orphan_rows"),
+          count(lit(1)).as("orphan_keys"),
+          min(col("k")).as("min_orphan_key"))
+        val cAgg = childKeys.agg(sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        cAgg.crossJoin(oAgg)
+          .select(lit(rel).as("rel"), col("n_rows"), col("n_keys"),
+            col("orphan_rows"), col("orphan_keys"), col("min_orphan_key"))
+      }
+      val li = Tables(s, dir, "lineitem")
+        .select(when(col("l_orderkey") % 97 === 0,
+          col("l_orderkey") + 1000000000L)
+          .otherwise(col("l_orderkey")).as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+      val ord = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("c"))
+      val cust = Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").as("k")).agg(count(lit(1)).as("c"))
+      leg("lineitem.l_orderkey->orders", li,
+          Tables(s, dir, "orders"), "o_orderkey")
+        .unionByName(leg("orders.o_custkey->customer", ord,
+          Tables(s, dir, "customer"), "c_custkey"))
+        .unionByName(leg("customer.c_nationkey->nation", cust,
+          Tables(s, dir, "nation"), "n_nationkey"))
+        .orderBy(col("rel"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
-    q120CdcApply)
+    q120CdcApply, q130FkAudit)
 }
