@@ -353,5 +353,47 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash)
+  /** q132: the AUDIO codec under the oracle gate (q101's pattern for the
+    * other real JDK codec): each document synthesizes a PCM WAV whose
+    * format parameters are pure arithmetic over its text length, the
+    * executor encodes it with `javax.sound.sampled` and re-parses it with
+    * [[JdkCodec.decodeAudio]], and the gate holds iff the decoded
+    * (sample_rate, channels, frames, duration) round-trip EXACTLY to the
+    * oracle's closed form. Synthesis, encode and decode all run
+    * per-partition on executors (the mapInPandas shape — no binary ever
+    * reaches the driver); duration is BIGINT floor-division millis, exact
+    * in both engines. */
+  val q132AudioRoundtrip: Q = Q(
+    "q132_audio_roundtrip",
+    """SELECT doc_id,
+      |       CAST(8000 + (length(text) % 3) * 4000 AS BIGINT) AS sample_rate,
+      |       CAST(1 + length(text) % 2 AS BIGINT) AS channels,
+      |       CAST(100 + (length(text) * 3) % 500 AS BIGINT) AS frames,
+      |       CAST((100 + (length(text) * 3) % 500) * 1000
+      |            // (8000 + (length(text) % 3) * 4000) AS BIGINT) AS duration_ms
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(8000) + (length(col("text")) % 3) * 4000).cast("int").as("rate"),
+        (lit(1) + length(col("text")) % 2).cast("int").as("ch"),
+        (lit(100) + (length(col("text")) * 3) % 500).cast("int").as("n"))
+      .as[(Long, Int, Int, Int)]
+    prepped.mapPartitions(_.map { case (id, rate, ch, n) =>
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, ch, true, false)
+      val pcm = new Array[Byte](n * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      val (dRate, dCh, dFrames) = JdkCodec.decodeAudio(buf.toByteArray)
+        .getOrElse(sys.error(s"round-trip audio decode failed for doc $id"))
+      (id, dRate.toLong, dCh.toLong, dFrames, dFrames * 1000L / dRate.toLong)
+    }).toDF("doc_id", "sample_rate", "channels", "frames", "duration_ms")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash,
+    q132AudioRoundtrip)
 }

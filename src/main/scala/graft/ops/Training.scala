@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -355,8 +356,94 @@ object Training {
     whole.union(strad).orderBy(col("doc_id"))
   }
 
+  /** q133: sliding-window document chunking — the training-chunk
+    * materializer (q59 packs whole docs into bins; this SPLITS docs into
+    * overlapping model-context windows, the "max_length 20, stride 15"
+    * preprocessing step): chunk k of a T-token doc starts at 1 + k·15 and
+    * carries min(20, T−start+1) tokens, so consecutive chunks overlap by
+    * 5 tokens and every token is covered. Each chunk ships its exact
+    * md5 so the gate proves the TEXT math (slice bounds, tail clamping),
+    * not just the counts.
+    *
+    * Scale shape: pure per-row explode — no shuffle at all until the
+    * final presentation sort; chunk count ∝ tokens/stride. This is the
+    * op whose OUTPUT feeds q72 (chunk-grain dedup) and q59 (packing). */
+  val q133ChunkSplit: Q = Q(
+    "q133_chunk_split",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |st AS (
+      |  SELECT doc_id, t, unnest(range(1, len(t) + 1, 15)) AS start FROM toks)
+      |SELECT doc_id, CAST((start - 1) // 15 AS BIGINT) AS chunk_id,
+      |       CAST(start AS BIGINT) AS start,
+      |       CAST(least(20, len(t) - start + 1) AS BIGINT) AS chunk_len,
+      |       md5(array_to_string(t[start:start+19], ' ')) AS h
+      |FROM st ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, size(t), 15)")).as("start"))
+      .select(col("doc_id"),
+        expr("(start - 1) div 15").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        least(lit(20), size(col("t")) - col("start") + 1).cast("long")
+          .as("chunk_len"),
+        md5(expr("array_join(slice(t, start, 20), ' ')")).as("h"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** q134: split-leakage audit — the train/validation correctness check
+    * (q49 assigns splits; this VALIDATES them): for two split strategies
+    * over the events table — temporal (before/after a cutoff) and
+    * entity-hash (user_id mod) — count the users present on BOTH sides.
+    * A temporal split leaks every recurring user into validation
+    * (fine for forecasting, fatal for per-user generalization claims);
+    * an entity split leaks zero BY CONSTRUCTION, and the audit proves
+    * both facts as data instead of folklore.
+    *
+    * Scale shape: each side reduces to a distinct-user set map-side;
+    * leakage is one semi-join count over user ids — digest-sized rows,
+    * two shuffles per strategy, independent of event volume. */
+  val q134SplitLeakage: Q = Q(
+    "q134_split_leakage",
+    """WITH tt AS (SELECT DISTINCT user_id FROM events
+      |           WHERE ts < TIMESTAMP '2024-01-22'),
+      |tv AS (SELECT DISTINCT user_id FROM events
+      |       WHERE ts >= TIMESTAMP '2024-01-22'),
+      |ht AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 <> 0),
+      |hv AS (SELECT DISTINCT user_id FROM events WHERE user_id % 5 = 0)
+      |SELECT 'temporal' AS method,
+      |       (SELECT count(*) FROM tt) AS train_users,
+      |       (SELECT count(*) FROM tv) AS val_users,
+      |       (SELECT count(*) FROM tt WHERE user_id IN (SELECT user_id FROM tv)) AS leaked_users
+      |UNION ALL
+      |SELECT 'user_hash',
+      |       (SELECT count(*) FROM ht),
+      |       (SELECT count(*) FROM hv),
+      |       (SELECT count(*) FROM ht WHERE user_id IN (SELECT user_id FROM hv))
+      |ORDER BY method""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val cut = lit("2024-01-22").cast("timestamp")
+    def audit(method: String, train: DataFrame, valSide: DataFrame): DataFrame = {
+      val t = train.select(col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val v = valSide.select(col("user_id")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.agg(count(lit(1)).as("train_users"))
+        .crossJoin(v.agg(count(lit(1)).as("val_users")))
+        .crossJoin(t.join(v, Seq("user_id"), "left_semi")
+          .agg(count(lit(1)).as("leaked_users")))
+        .select(lit(method).as("method"), col("train_users"),
+          col("val_users"), col("leaked_users"))
+    }
+    audit("temporal", ev.filter(col("ts") < cut), ev.filter(col("ts") >= cut))
+      .unionByName(audit("user_hash",
+        ev.filter(col("user_id") % 5 =!= 0), ev.filter(col("user_id") % 5 === 0)))
+      .orderBy(col("method"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
-    q119TokenDeciles)
+    q119TokenDeciles, q133ChunkSplit, q134SplitLeakage)
 }

@@ -127,6 +127,25 @@ class TrainingSpec extends SparkSpec with BeforeAndAfterAll {
     }
   }
 
+  test("q133 chunking: window/stride arithmetic at the boundaries") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("chunkfix").toString
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 23 tokens → chunks (1,20) and (16,8); 20 → full chunk plus the
+    // stride-rule tail (16,5) (a start opens every 15 tokens while ≤ T —
+    // the tail is redundant but the rule is uniform and engine-shared);
+    // 7 (< stride) → one short chunk.
+    Seq((1L, words(23)), (2L, words(20)), (3L, words(7)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Training.q133ChunkSplit.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 0L, 1L, 20L), (1L, 1L, 16L, 8L),
+      (2L, 0L, 1L, 20L), (2L, 1L, 16L, 5L),
+      (3L, 0L, 1L, 7L)))
+  }
+
   private implicit class ShouldOps[A](a: A) {
     def shouldBe(b: A): Unit = assert(a == b, s"expected $b, got $a")
   }
