@@ -17,15 +17,25 @@ object Tables {
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as Long and
-      // convert to a µs TimestampType column (floor-truncation; FIXTURES.md
-      // pins all oracle comparisons to ≥1s granularity so this is lossless
-      // for the query surface).
+      // events.ts has shipped as parquet TIMESTAMP(NANOS) in some data
+      // drops (Spark's vectorized reader rejects it —
+      // [PARQUET_TYPE_ILLEGAL] — unless nanos are read as Long) and as
+      // TIMESTAMP(MICROS) without timezone (read as TIMESTAMP_NTZ) in
+      // others. Normalize BOTH to a µs TimestampType column so every
+      // query sees one stable schema: nanos floor-truncate to µs
+      // (FIXTURES.md pins oracle comparisons to ≥1s granularity), and
+      // NTZ reinterprets in the session zone, which Verify/Bench pin to
+      // UTC — value-identical to what DuckDB reads natively.
+      import org.apache.spark.sql.functions.{expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampType => raw
+        case _ => raw.withColumn("ts", raw("ts").cast(TimestampType))
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

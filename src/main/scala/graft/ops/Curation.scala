@@ -566,8 +566,83 @@ object Curation {
       .orderBy(col("bucket"))
   }
 
+  /** q135: two-sample Kolmogorov–Smirnov drift test — q98's PSI needs a
+    * bucketing choice; KS is the bucket-free complement (sup-distance
+    * between empirical CDFs), the standard "did this feature's
+    * distribution shift" test between a reference and a current window.
+    * Kept EXACT by cross-multiplying the ECDFs: with per-level cumulative
+    * counts F1, F2 and totals n1, n2, the statistic's numerator is
+    * max|F1·n2 − F2·n1| (D = that / n1·n2), pure integers — no float
+    * ratio ever compared. The α=0.05 decision c(α)=1.358 is likewise
+    * cleared of its square root: drifted ⇔ 10⁶·d² > 1844164·(n1+n2)·n1·n2
+    * (1.358² = 1.844164), evaluated in 128-bit exact arithmetic
+    * (HUGEINT / DECIMAL(38,0)).
+    *
+    * Scale shape: rows collapse map-side to distinct VALUE LEVELS (the
+    * q115/q119 level trick), and the cumulative count is two-phase so no
+    * global window ever forms: coarse value buckets (~100) take a tiny
+    * ordered window for bucket offsets; within-bucket cumulatives run
+    * PARTITIONED by bucket. Work after the first agg is ∝ distinct
+    * values, parallel at every step; totals are a 1-row broadcast. */
+  val q135KsDrift: Q = Q(
+    "q135_ks_drift",
+    """WITH lv AS (
+      |  SELECT o_totalprice AS v,
+      |         count(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-01-01') AS c1,
+      |         count(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-01-01') AS c2
+      |  FROM orders GROUP BY 1),
+      |bk AS (SELECT CAST(floor(v / 5000.0) AS BIGINT) AS b, v, c1, c2 FROM lv),
+      |bs AS (SELECT b, sum(c1) AS s1, sum(c2) AS s2 FROM bk GROUP BY 1),
+      |off AS (SELECT b, sum(s1) OVER (ORDER BY b) - s1 AS o1,
+      |               sum(s2) OVER (ORDER BY b) - s2 AS o2 FROM bs),
+      |cum AS (
+      |  SELECT CAST(o1 + sum(c1) OVER (PARTITION BY bk.b ORDER BY v) AS BIGINT) AS f1,
+      |         CAST(o2 + sum(c2) OVER (PARTITION BY bk.b ORDER BY v) AS BIGINT) AS f2
+      |  FROM bk JOIN off USING (b)),
+      |t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM lv),
+      |mx AS (SELECT CAST(max(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT) AS d_num
+      |       FROM cum CROSS JOIN t)
+      |SELECT t.n1 AS n_ref, t.n2 AS n_cur, mx.d_num,
+      |       CAST(mx.d_num AS DOUBLE)
+      |         / (CAST(t.n1 AS DOUBLE) * CAST(t.n2 AS DOUBLE)) AS d_stat,
+      |       CAST(1000000 AS HUGEINT) * mx.d_num * mx.d_num
+      |         > CAST(1844164 AS HUGEINT) * (t.n1 + t.n2) * t.n1 * t.n2 AS drifted
+      |FROM t CROSS JOIN mx""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val cut = lit("1998-01-01").cast("timestamp")
+    val lv = Tables(s, dir, "orders")
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(count_if(col("o_orderdate") < cut).as("c1"),
+        count_if(col("o_orderdate") >= cut).as("c2"))
+      .withColumn("b", floor(col("v") / 5000.0))
+    val bs = lv.groupBy(col("b"))
+      .agg(sum(col("c1")).as("s1"), sum(col("c2")).as("s2"))
+    val wb = Window.orderBy(col("b"))
+    val off = bs.select(col("b"),
+      (sum(col("s1")).over(wb) - col("s1")).as("o1"),
+      (sum(col("s2")).over(wb) - col("s2")).as("o2"))
+    val wv = Window.partitionBy(col("b")).orderBy(col("v"))
+    val cum = lv.join(off, "b")
+      .select((col("o1") + sum(col("c1")).over(wv)).cast("long").as("f1"),
+        (col("o2") + sum(col("c2")).over(wv)).cast("long").as("f2"))
+    val t = lv.agg(sum(col("c1")).cast("long").as("n1"),
+      sum(col("c2")).cast("long").as("n2"))
+    val mx = cum.crossJoin(broadcast(t))
+      .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1")))
+        .cast("long").as("d_num"))
+    broadcast(t).crossJoin(mx)
+      .select(col("n1").as("n_ref"), col("n2").as("n_cur"), col("d_num"),
+        (col("d_num").cast("double")
+          / (col("n1").cast("double") * col("n2").cast("double"))).as("d_stat"),
+        (lit(1000000L).cast(dec) * col("d_num").cast(dec) * col("d_num").cast(dec)
+          > lit(1844164L).cast(dec) * (col("n1") + col("n2")).cast(dec)
+            * col("n1").cast(dec) * col("n2").cast(dec)).as("drifted"))
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
-    q98QualityDrift)
+    q98QualityDrift, q135KsDrift)
 }

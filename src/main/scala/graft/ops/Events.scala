@@ -596,9 +596,60 @@ object Events {
         (col("max_adev") * 10 > col("n_days") * col("total")).as("drifted"))
   }
 
+  /** q137: time-weighted average (TWAP) — the correct mean for a sampled
+    * signal with irregular gaps (sensor readings, prices, gauges): each
+    * observation's value holds until the next one, so it contributes
+    * value·duration, not value·1 (a plain AVG over-weights bursts — q111
+    * forward-fills the timeline; this integrates it). Per user:
+    * TWA = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first) over second-grain event
+    * time, values as exact cents. The numerator accumulates in exact
+    * 128-bit integers and the single IEEE division at the end is the
+    * COVERAGE.md determinism rule. Same-second ties carry duration 0 and
+    * the ORDER BY is pinned to (sec, event_id) in both engines, so tie
+    * order can never shift the integral.
+    *
+    * Scale shape: one window partitioned BY USER (per-user timelines sort
+    * independently — the q129 shape), then a per-user aggregate. Nothing
+    * global, one shuffle on user_id serving both steps. */
+  val q137TimeWeighted: Q = Q(
+    "q137_time_weighted",
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, v,
+      |         lead(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) - sec
+      |           AS dur
+      |  FROM e)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |       CAST(sum(dur) AS BIGINT) AS span_s,
+      |       CAST(CAST(sum(CAST(v AS HUGEINT) * dur) AS DOUBLE)
+      |            / CAST(sum(dur) AS DOUBLE) AS DOUBLE) AS twa_cents
+      |FROM d GROUP BY 1 HAVING sum(dur) > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("sec"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"),
+        round(col("value") * 100).cast("long").as("v"))
+      .withColumn("dur", lead(col("sec"), 1).over(w) - col("sec"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("dur")).cast("long").as("span_s"),
+        (sum(col("v").cast(dec) * col("dur")).cast("double")
+          / sum(col("dur")).cast("double")).as("twa_cents"))
+      .filter(col("span_s") > 0)
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
-      q131CusumChangepoint)
+      q131CusumChangepoint, q137TimeWeighted)
 }

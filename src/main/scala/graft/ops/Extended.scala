@@ -467,9 +467,60 @@ object Extended {
       .select(col("price"), col("first_date"))
   }
 
+  /** q136: exact z-score outlier audit — per-group sigma-tail counts with
+    * NO square root and NO float: |x−μ| > z·σ is cross-multiplied into
+    * pure integer form. With per-group n, S=Σv, SS=Σv² (v = exact cents),
+    * σ² = (n·SS − S²)/n², so |x−μ| > 1.5σ ⇔ 4·(n·v−S)² > 9·(n·SS−S²) and
+    * |x−μ| > 3σ ⇔ (n·v−S)² > 9·(n·SS−S²) — both sides exact 128-bit
+    * integers (HUGEINT / DECIMAL(38,0)), so the flag can never disagree
+    * across engines the way a float sqrt comparison can. (q88 computes
+    * the moments; this turns them into a per-ROW decision — the anomaly
+    * feed, not the summary.)
+    *
+    * Scale shape: pass 1 reduces to one (n, S, SS) triple per group
+    * (map-side combining, tiny result); the triple table broadcasts back
+    * onto a second scan whose flags evaluate map-side, then collapse to
+    * per-group counts. Two linear scans, no wide shuffle, no window. At
+    * 100 TB the stats side stays a broadcast whatever the row count. */
+  val q136SigmaOutliers: Q = Q(
+    "q136_sigma_outliers",
+    """WITH e AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v FROM events),
+      |st AS (
+      |  SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |         CAST(sum(v) AS HUGEINT) AS s, CAST(sum(v * v) AS HUGEINT) AS ss
+      |  FROM e GROUP BY 1)
+      |SELECT e.event_type, CAST(max(st.n) AS BIGINT) AS n_events,
+      |       CAST(count(*) FILTER (WHERE 4 * (st.n * e.v - st.s) * (st.n * e.v - st.s)
+      |                                   > 9 * (st.n * st.ss - st.s * st.s)) AS BIGINT)
+      |         AS n_gt_1p5_sigma,
+      |       CAST(count(*) FILTER (WHERE (st.n * e.v - st.s) * (st.n * e.v - st.s)
+      |                                   > 9 * (st.n * st.ss - st.s * st.s)) AS BIGINT)
+      |         AS n_gt_3_sigma
+      |FROM e JOIN st USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val e = Tables(s, dir, "events")
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+    val st = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("v").cast(dec)).as("s"),
+        sum((col("v") * col("v")).cast(dec)).as("ss"))
+    val dev = col("n") * col("v").cast(dec) - col("s")
+    val varTerm = col("n") * col("ss") - col("s") * col("s")
+    e.join(broadcast(st), "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).cast("long").as("n_events"),
+        count_if(lit(4).cast(dec) * dev * dev > lit(9).cast(dec) * varTerm)
+          .as("n_gt_1p5_sigma"),
+        count_if(dev * dev > lit(9).cast(dec) * varTerm).as("n_gt_3_sigma"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
-    q127Skyline)
+    q127Skyline, q136SigmaOutliers)
 }

@@ -13,22 +13,23 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events.parquet schema as stored (ts = TIMESTAMP(NANOS) read as Long). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** Streaming source over the events directory, ts normalized to µs. */
+  /** Streaming source over the events directory, ts normalized to µs
+    * TimestampType. readStream needs an explicit schema, and the stored
+    * `ts` physical type has varied across data drops (TIMESTAMP(NANOS)
+    * readable only as Long, TIMESTAMP(MICROS) without tz read as NTZ), so
+    * the schema is inferred from a zero-cost batch footer read of the
+    * same path and `ts` is normalized exactly as in [[graft.Tables]]. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    val stored = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream
+      .schema(stored)
       .parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    stored("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** 10-minute tumbling counts with a 1-hour watermark (late data beyond an

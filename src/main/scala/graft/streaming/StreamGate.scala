@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -54,6 +55,37 @@ object StreamGate {
     * outlive the query (they otherwise accumulate across bench passes). */
   private def dropStagedInput(work: java.nio.file.Path): Unit =
     org.apache.commons.io.FileUtils.deleteQuietly(work.resolve("in").toFile)
+
+  /** Append sentinel rows to the staged input in its STORED ts layout —
+    * the testdata's physical type has varied across drops (Long nanos /
+    * µs NTZ / µs UTC, see [[graft.Tables]]), and a sentinel file whose
+    * `ts` type disagrees with the staged files would fail the stream's
+    * schema. Rows are (event_id, ts-in-µs, user_id, event_type, value,
+    * props); the µs value is converted to whatever the files store. */
+  private def appendSentinels(
+      s: SparkSession, in: java.nio.file.Path,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): Unit = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stored = s.read.parquet(in.toString).schema
+    def tsVal(micros: Long): Any = stored("ts").dataType match {
+      case LongType => micros * 1000L
+      case TimestampNTZType =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+      case _ =>
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L))
+    }
+    val jrows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.foreach { case (id, micros, uid, typ, v, props) =>
+      jrows.add(org.apache.spark.sql.Row(id, tsVal(micros), uid, typ, v, props))
+    }
+    s.createDataFrame(jrows, stored).write.mode("append").parquet(in.toString)
+  }
 
   /** A dedicated child session for one stream execution: same
     * SparkContext, ISOLATED SQLConf, so the state-partition cap below
@@ -145,16 +177,12 @@ object StreamGate {
     val srcRoot = stageEvents(dir, work)
     val in = Paths.get(srcRoot, "events.parquet")
 
-    // Sentinel 80 min past the real max ts (written in the stored
-    // raw layout: ts as Long nanoseconds).
+    // Sentinel 80 min past the real max ts (written in the staged
+    // files' stored layout).
     val maxTsMicros = Tables(s, dir, "events")
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
-    val sentinelNanos = (maxTsMicros + 80L * 60 * 1000000) * 1000
-    s.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, Sentinel, 0.0, "")),
-      EventStream.rawSchema)
-      .write.mode("append").parquet(in.toString)
+    appendSentinels(s, in,
+      Seq((-1L, maxTsMicros + 80L * 60 * 1000000, -1L, Sentinel, 0.0, "")))
 
     val agg = EventStream.events(streamSession(s), srcRoot)
       .withWatermark("ts", "1 hour")
@@ -225,12 +253,8 @@ object StreamGate {
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     // 2 h past max ts: final watermark = max + 1 h, past every real
     // session's end (≤ max + 30 min). The sentinel's session stays open.
-    val sentinelNanos = (maxTsMicros + 2L * 60 * 60 * 1000000) * 1000
-    s.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, Sentinel, 0.0, "")),
-      EventStream.rawSchema)
-      .write.mode("append").parquet(in.toString)
+    appendSentinels(s, in,
+      Seq((-1L, maxTsMicros + 2L * 60 * 60 * 1000000, -1L, Sentinel, 0.0, "")))
 
     val sessions = EventStream.sessionCounts(
       EventStream.events(streamSession(s), srcRoot))
@@ -497,13 +521,10 @@ object StreamGate {
     // 3 h past max: final watermark = max + 2 h > every real click's
     // eviction deadline (≤ max + 30 min); the sentinels' own state never
     // evicts and never emits.
-    val sentinelNanos = (maxTsMicros + 3L * 60 * 60 * 1000000) * 1000
-    s.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, "click", 0.0, ""),
-        org.apache.spark.sql.Row(-2L, sentinelNanos, -2L, "purchase", 0.0, "")),
-      EventStream.rawSchema)
-      .write.mode("append").parquet(in.toString)
+    val sentinelMicros = maxTsMicros + 3L * 60 * 60 * 1000000
+    appendSentinels(s, in, Seq(
+      (-1L, sentinelMicros, -1L, "click", 0.0, ""),
+      (-2L, sentinelMicros, -2L, "purchase", 0.0, "")))
     val joined = EventStream.attributionJoin(
       EventStream.events(streamSession(s), srcRoot), "left_outer")
     s.read.parquet(runToParquet(joined, work))
@@ -537,12 +558,8 @@ object StreamGate {
       .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
     // 3 h past max: final watermark = max + 2 h, past every 1-hour
     // window's end (≤ max + 1 h); the sentinel's own window stays open.
-    val sentinelNanos = (maxTsMicros + 3L * 60 * 60 * 1000000) * 1000
-    s.createDataFrame(
-      java.util.List.of(
-        org.apache.spark.sql.Row(-1L, sentinelNanos, -1L, Sentinel, 0.0, "")),
-      EventStream.rawSchema)
-      .write.mode("append").parquet(in.toString)
+    appendSentinels(s, in,
+      Seq((-1L, maxTsMicros + 3L * 60 * 60 * 1000000, -1L, Sentinel, 0.0, "")))
     val ss = streamSession(s)
     val dim = broadcast(Tables(ss, dir, "customer")
       .join(Tables(ss, dir, "nation"),
