@@ -158,6 +158,39 @@ object Multimodal {
       bytes.indices.by(stride).take(8).map { off =>
         bytes.slice(off, math.min(off + frameLen, bytes.length))
       }
+
+    /** STUB video container (the ffmpeg seam): "GVID" magic, big-endian
+      * frame count and frame length, then `nFrames` fixed-length frames.
+      * A real decoder replaces exactly this pair of functions; the Spark
+      * plumbing around them (schema, partition batching, explode shape)
+      * is the production code path. */
+    def encodeVideo(nFrames: Int, frameLen: Int, fill: Int => Int): Array[Byte] = {
+      val buf = java.nio.ByteBuffer.allocate(12 + nFrames * frameLen)
+      buf.put("GVID".getBytes("US-ASCII")).putInt(nFrames).putInt(frameLen)
+      var k = 0
+      while (k < nFrames) {
+        val b = fill(k).toByte
+        var i = 0
+        while (i < frameLen) { buf.put(b); i += 1 }
+        k += 1
+      }
+      buf.array()
+    }
+
+    /** Parse the stub container back: (n_frames, frame_len, frames).
+      * Corrupt or foreign payloads → None (skipped row, never a task
+      * failure — U7's error-isolation discipline). */
+    def parseVideo(bytes: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Byte]])] =
+      if (bytes.length < 12 || new String(bytes, 0, 4, "US-ASCII") != "GVID") None
+      else {
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        buf.position(4)
+        val nf = buf.getInt
+        val fl = buf.getInt
+        if (nf < 0 || fl <= 0 || bytes.length < 12L + nf.toLong * fl) None
+        else Some((nf, fl,
+          (0 until nf).map(k => bytes.slice(12 + k * fl, 12 + (k + 1) * fl))))
+      }
   }
 
   /** Synthesize a media table from `documents` (no binary fixture exists in
@@ -394,6 +427,49 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q138: the VIDEO seam under the oracle gate — executors synthesize a
+    * stub-container payload per doc (frame count / frame length / per-frame
+    * fill byte all closed-form arithmetic over (doc_id, text length)),
+    * parse it back through `FakeCodec.parseVideo`, stride-sample every 3rd
+    * frame, and emit what the DECODED bytes say. The gate holds iff the
+    * encode→parse→sample round trip reproduces the closed forms exactly —
+    * same device as q132's audio gate, so all three modalities now carry a
+    * CORRECTNESS row. The fill byte is read from the frame (uniformity
+    * asserted), not recomputed — a slicing bug cannot pass.
+    *
+    * Scale shape: pure per-row flatMap between the scan and the
+    * presentation sort — no shuffle, no driver binaries, frames stream
+    * through executors partition-batched. A real ffmpeg decoder replaces
+    * the two FakeCodec calls without touching the plan. */
+  val q138VideoFrames: Q = Q(
+    "q138_video_frames",
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (length(text) % 23) AS nf, 16 + (doc_id % 17) AS fl
+      |  FROM documents),
+      |f AS (SELECT doc_id, nf, fl, unnest(range(0, nf, 3)) AS k FROM d)
+      |SELECT doc_id, CAST(k AS BIGINT) AS frame_no,
+      |       CAST(nf AS BIGINT) AS n_frames, CAST(fl AS BIGINT) AS frame_len,
+      |       CAST((doc_id * 31 + k * 7) % 256 AS BIGINT) AS fill
+      |FROM f ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(8) + length(col("text")) % 23).cast("int").as("nf"),
+        (lit(16) + col("doc_id") % 17).cast("int").as("fl"))
+      .as[(Long, Int, Int)]
+    prepped.mapPartitions(_.flatMap { case (id, nf, fl) =>
+      val bytes = FakeCodec.encodeVideo(nf, fl, k => ((id * 31 + k * 7) % 256).toInt)
+      val (dnf, dfl, frames) = FakeCodec.parseVideo(bytes)
+        .getOrElse(sys.error(s"video container parse failed for doc $id"))
+      frames.zipWithIndex.collect { case (frame, k) if k % 3 == 0 =>
+        require(frame.nonEmpty && frame.forall(_ == frame(0)),
+          s"non-uniform frame $k for doc $id")
+        (id, k.toLong, dnf.toLong, dfl.toLong, (frame(0) & 0xff).toLong)
+      }
+    }).toDF("doc_id", "frame_no", "n_frames", "frame_len", "fill")
+      .orderBy(col("doc_id"), col("frame_no"))
+  }
+
   val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash,
-    q132AudioRoundtrip)
+    q132AudioRoundtrip, q138VideoFrames)
 }

@@ -518,9 +518,42 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** q140: unpivot / melt — the inverse of q28's pivot: the four lineitem
+    * measures become (metric, value) rows, then a long-format rollup per
+    * (returnflag, metric). Uses Spark's NATIVE `Dataset.unpivot` (planned
+    * as an Expand — a map-side row multiplier with zero shuffle), not a
+    * union of four scans like the SQL rendering: one pass over lineitem,
+    * 4× rows out of Expand, collapsed by partial aggregation BEFORE the
+    * single shuffle. At 100 TB melt-by-union is four full scans; this is
+    * one — same reason ANALYZE-style multi-column stats use Expand. Sums
+    * accumulate in exact DECIMAL (the Q.dsum6 parity rule). */
+  val q140Unpivot: Q = Q(
+    "q140_unpivot",
+    s"""WITH m AS (
+       |  SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+       |  UNION ALL
+       |  SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+       |SELECT l_returnflag, metric, count(*) AS n,
+       |       ${Q.oSum6("value")} AS sum_value
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+          col("l_tax")),
+        "metric", "value")
+      .groupBy(col("l_returnflag"), col("metric"))
+      .agg(count(lit(1)).as("n"), Q.dsum6(col("value")).as("sum_value"))
+      .orderBy(col("l_returnflag"), col("metric"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
-    q127Skyline, q136SigmaOutliers)
+    q127Skyline, q136SigmaOutliers, q140Unpivot)
 }

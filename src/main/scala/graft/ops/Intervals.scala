@@ -122,5 +122,60 @@ object Intervals {
       .orderBy(col("o_orderkey"))
   }
 
-  val all: Seq[Q] = Seq(q61RangeJoin, q80IntervalOverlap)
+  /** q139: interval coalescing (gaps-and-islands MERGE) — each event opens
+    * a fixed 10-minute availability interval [ts, ts+600); overlapping or
+    * touching intervals per user merge into maximal islands. The classic
+    * exact form: a row starts a new island iff its `lo` exceeds the
+    * running max of all PRIOR `hi` (running max, not lag — an earlier long
+    * interval can swallow several later short ones, which lag-based
+    * sessionization like q22 would wrongly split). Island id = running sum
+    * of the start flags; islands then collapse to (start, end, size).
+    * Everything is exact epoch-second integers.
+    *
+    * Scale shape: one shuffle on user_id serves both window passes AND the
+    * final groupBy (same partitioning, no second exchange); per-user
+    * timelines sort independently, nothing global. At 100 TB this is the
+    * availability/uptime-merge kernel: state per task = one running max. */
+  val q139IntervalCoalesce: Q = Q(
+    "q139_interval_coalesce",
+    """WITH iv AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS lo,
+      |         CAST(floor(epoch(ts)) + 600 AS BIGINT) AS hi
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, lo, hi,
+      |         CASE WHEN lo > coalesce(max(hi) OVER (
+      |                PARTITION BY user_id ORDER BY lo, hi
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |              THEN 1 ELSE 0 END AS new_isl
+      |  FROM iv),
+      |g AS (
+      |  SELECT user_id, lo, hi,
+      |         sum(new_isl) OVER (PARTITION BY user_id ORDER BY lo, hi
+      |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS isl
+      |  FROM m)
+      |SELECT user_id, min(lo) AS island_start, max(hi) AS island_end,
+      |       count(*) AS n_intervals
+      |FROM g GROUP BY user_id, isl
+      |ORDER BY user_id, island_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("lo"), col("hi"))
+    val iv = Tables(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("lo"))
+      .withColumn("hi", col("lo") + 600)
+    iv.withColumn("new_isl",
+        when(col("lo") > coalesce(
+          max(col("hi")).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(-1L)), 1).otherwise(0))
+      .withColumn("isl",
+        sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("lo")).as("island_start"), max(col("hi")).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+      .drop("isl")
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
+  val all: Seq[Q] = Seq(q61RangeJoin, q80IntervalOverlap, q139IntervalCoalesce)
 }

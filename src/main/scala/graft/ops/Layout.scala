@@ -162,5 +162,106 @@ object Layout {
     }
   }
 
-  val all: Seq[Q] = Seq(q81ZOrder, q124ZoneMapAudit)
+  /** q141: ANALYZE-style column statistics — the optimizer-stats
+    * collection pass (row count, null count, EXACT ndv, min/max) for four
+    * orders columns in ONE scan. Multiple `count(distinct col)` in a
+    * single aggregate is planned by Spark as an Expand (one row per
+    * distinct-column per input row) with partial aggregation — the same
+    * single-pass shape `ANALYZE TABLE .. FOR COLUMNS` uses, except exact
+    * instead of HLL. The 1-row result then explodes into one row per
+    * column. min/max are taken on the native type and cast to string
+    * AFTER aggregation (bigint→string formatting is identical across
+    * engines; double→string is not, so only keys/strings are profiled).
+    *
+    * Scale: one scan + Expand ×4; the shuffle carries (column, value)
+    * partials already combined map-side. The alternative — one agg per
+    * column — is four full scans of a 100 TB table. */
+  val q141ColumnStats: Q = Q(
+    "q141_column_stats",
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |         count(o_orderkey) AS nn1, count(DISTINCT o_orderkey) AS ndv1,
+      |         CAST(min(o_orderkey) AS VARCHAR) AS mn1, CAST(max(o_orderkey) AS VARCHAR) AS mx1,
+      |         count(o_custkey) AS nn2, count(DISTINCT o_custkey) AS ndv2,
+      |         CAST(min(o_custkey) AS VARCHAR) AS mn2, CAST(max(o_custkey) AS VARCHAR) AS mx2,
+      |         count(o_orderstatus) AS nn3, count(DISTINCT o_orderstatus) AS ndv3,
+      |         CAST(min(o_orderstatus) AS VARCHAR) AS mn3, CAST(max(o_orderstatus) AS VARCHAR) AS mx3,
+      |         count(o_orderpriority) AS nn4, count(DISTINCT o_orderpriority) AS ndv4,
+      |         CAST(min(o_orderpriority) AS VARCHAR) AS mn4, CAST(max(o_orderpriority) AS VARCHAR) AS mx4
+      |  FROM orders)
+      |SELECT 'o_orderkey' AS column_name, n AS n_rows, n - nn1 AS n_null,
+      |       ndv1 AS ndv, mn1 AS min_s, mx1 AS max_s FROM s
+      |UNION ALL
+      |SELECT 'o_custkey', n, n - nn2, ndv2, mn2, mx2 FROM s
+      |UNION ALL
+      |SELECT 'o_orderstatus', n, n - nn3, ndv3, mn3, mx3 FROM s
+      |UNION ALL
+      |SELECT 'o_orderpriority', n, n - nn4, ndv4, mn4, mx4 FROM s
+      |ORDER BY column_name""".stripMargin) { (s, dir) =>
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+    val aggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"ndv_$c"),
+      min(col(c)).cast("string").as(s"mn_$c"),
+      max(col(c)).cast("string").as(s"mx_$c")))
+    Tables(s, dir, "orders")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"), col("n").as("n_rows"),
+        (col("n") - col(s"nn_$c")).as("n_null"), col(s"ndv_$c").as("ndv"),
+        col(s"mn_$c").as("min_s"), col(s"mx_$c").as("max_s"))): _*)).as("st"))
+      .select(col("st.*"))
+      .orderBy(col("column_name"))
+  }
+
+  /** q142: equi-depth histogram build — the other half of optimizer
+    * statistics (q141 profiles columns; this bins a measure into 8
+    * equal-row buckets, the histogram the optimizer's selectivity
+    * estimates read). Exact and scale-safe despite the near-unique
+    * key space: rows reduce to (value, count) levels, the global ordered
+    * cumulative is the q135 two-phase form (coarse value buckets → tiny
+    * ordered window over ~bucket sums for offsets, within-bucket
+    * cumulative PARTITIONED by bucket — no global single-partition
+    * window ever forms), and a level's bucket is `(cum_end−1)·8 div n`
+    * (integer division in both engines — float division could land an
+    * exactly-divisible boundary in the wrong bucket). */
+  val q142EquidepthHist: Q = Q(
+    "q142_equidepth_hist",
+    """WITH lv AS (
+      |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v, count(*) AS c
+      |  FROM orders GROUP BY 1),
+      |bk AS (SELECT CAST(floor(v / 500000.0) AS BIGINT) AS b, v, c FROM lv),
+      |bs AS (SELECT b, sum(c) AS s FROM bk GROUP BY 1),
+      |off AS (SELECT b, sum(s) OVER (ORDER BY b) - s AS o FROM bs),
+      |cum AS (
+      |  SELECT v, c, o + sum(c) OVER (PARTITION BY bk.b ORDER BY v) AS ce
+      |  FROM bk JOIN off USING (b)),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lv)
+      |SELECT CAST((ce - 1) * 8 // t.n AS BIGINT) AS bucket,
+      |       min(v) AS lo_cents, max(v) AS hi_cents,
+      |       CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_values
+      |FROM cum CROSS JOIN t
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "orders")
+      .groupBy(round(col("o_totalprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("v") / 500000.0))
+    val bs = lv.groupBy(col("b")).agg(sum(col("c")).as("s"))
+    val off = bs.select(col("b"),
+      (sum(col("s")).over(Window.orderBy(col("b"))) - col("s")).as("o"))
+    val cum = lv.join(off, "b")
+      .select(col("v"), col("c"),
+        (col("o") + sum(col("c"))
+          .over(Window.partitionBy(col("b")).orderBy(col("v")))).as("ce"))
+    val t = lv.agg(sum(col("c")).cast("long").as("n"))
+    cum.crossJoin(broadcast(t))
+      .groupBy(expr("(ce - 1) * 8 div n").cast("long").as("bucket"))
+      .agg(min(col("v")).as("lo_cents"), max(col("v")).as("hi_cents"),
+        sum(col("c")).cast("long").as("n_rows"), count(lit(1)).as("n_values"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(q81ZOrder, q124ZoneMapAudit, q141ColumnStats,
+    q142EquidepthHist)
 }

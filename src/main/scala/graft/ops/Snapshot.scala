@@ -352,6 +352,115 @@ object Snapshot {
     }
   }
 
+  /** q143: Benford first-digit audit — the classic fabricated-numbers
+    * screen: naturally-occurring amounts follow P(d) = log10(1+1/d); a
+    * column that deviates hard was generated, capped, or corrupted. The
+    * expected law is pinned as INTEGER ppm literals (301030, 176091, …)
+    * in both engines — computing log10 at runtime would hang the gate on
+    * two libm implementations agreeing to the last ulp. The observed side
+    * stays exact: digit = first character of the bigint dollar amount
+    * (string truncation, not a float log), obs_ppm = n·10⁶ div total, and
+    * the per-digit flag cross-multiplies |n·10⁶ − exp_ppm·total| against
+    * a 20000-ppm tolerance — pure 64-bit integers throughout.
+    *
+    * Scale: rows collapse to ≤9 digit counts map-side; the expected table
+    * is a 9-row broadcast. Nothing after the first agg is bigger than 9
+    * rows. */
+  val q143BenfordAudit: Q = Q(
+    "q143_benford_audit",
+    """WITH d AS (
+      |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+      |              AS BIGINT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+      |e AS (SELECT * FROM (VALUES (1, 301030), (2, 176091), (3, 124939),
+      |                            (4, 96910), (5, 79181), (6, 66947),
+      |                            (7, 57992), (8, 51153), (9, 45757))
+      |      AS v(digit, exp_ppm))
+      |SELECT CAST(e.digit AS BIGINT) AS digit,
+      |       CAST(coalesce(c.n, 0) AS BIGINT) AS n,
+      |       CAST(coalesce(c.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+      |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+      |       abs(coalesce(c.n, 0) * 1000000 - e.exp_ppm * t.total)
+      |         > 20000 * t.total AS flagged
+      |FROM e LEFT JOIN c ON e.digit = c.digit CROSS JOIN t
+      |ORDER BY digit""".stripMargin) { (s, dir) =>
+    val expected = Seq(1 -> 301030, 2 -> 176091, 3 -> 124939, 4 -> 96910,
+      5 -> 79181, 6 -> 66947, 7 -> 57992, 8 -> 51153, 9 -> 45757)
+    val e = s.createDataFrame(expected.map(t => (t._1.toLong, t._2.toLong)))
+      .toDF("digit", "exp_ppm")
+    val c = Tables(s, dir, "orders")
+      .filter(col("o_totalprice") >= 1)
+      .select(substring(floor(col("o_totalprice")).cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val t = c.agg(sum(col("n")).cast("long").as("total"))
+    broadcast(e).join(c, Seq("digit"), "left")
+      .crossJoin(broadcast(t))
+      .select(col("digit"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        expr("coalesce(n, 0) * 1000000 div total").cast("long").as("obs_ppm"),
+        col("exp_ppm"),
+        (abs(coalesce(col("n"), lit(0L)) * 1000000 - col("exp_ppm") * col("total"))
+          > lit(20000L) * col("total")).as("flagged"))
+      .orderBy(col("digit"))
+  }
+
+  /** q144: incremental view maintenance (IVM) — a per-priority
+    * (count, sum) view maintained ALGEBRAICALLY from a CDC delta stream
+    * instead of recomputed: deletes contribute (−1, −old), updates (0,
+    * +change), inserts (+1, +new); the stored view and the delta
+    * aggregate merge by full-outer key union, and groups whose count
+    * reaches zero drop out. The oracle recomputes the view from the
+    * final state directly, so gate equality IS the IVM correctness
+    * theorem (delta-apply ≡ recompute) checked as data. Deltas are
+    * synthesized deterministically from orders: base = keys %10≠9,
+    * deletes %7=0, updates %5=0 (disjoint from deletes), inserts %10=9.
+    *
+    * Scale: the production win — maintenance work ∝ |changes|, not
+    * |base|. Here the base aggregate is computed (no store in the bench
+    * loop), but the MERGE path is the real one: both sides reduce to
+    * ≤|priorities| rows before the final broadcast-sized join; sums
+    * accumulate in exact DECIMAL so delta-apply is order-insensitive. */
+  val q144IvmDeltaAgg: Q = Q(
+    "q144_ivm_delta_agg",
+    s"""WITH fin AS (
+       |  SELECT o_orderpriority,
+       |         CASE WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0
+       |                   AND o_orderkey % 10 <> 9
+       |              THEN o_totalprice + 100 ELSE o_totalprice END AS p
+       |  FROM orders
+       |  WHERE o_orderkey % 10 = 9 OR o_orderkey % 7 <> 0)
+       |SELECT o_orderpriority, count(*) AS n_rows,
+       |       ${Q.oSum2("p")} AS sum_price
+       |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(18, 2)
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_orderpriority").as("prio"),
+        col("o_totalprice").cast(dec).as("p"))
+    val base = o.filter(col("k") % 10 =!= 9)
+    val baseAgg = base.groupBy(col("prio"))
+      .agg(count(lit(1)).as("bn"), sum(col("p")).as("bs"))
+    // CDC deltas, each row pre-shaped as (Δcount, Δsum):
+    val delta = base.filter(col("k") % 7 === 0)
+      .select(col("prio"), lit(-1L).as("dn"), (-col("p")).as("dp"))
+      .unionByName(base.filter(col("k") % 7 =!= 0 && col("k") % 5 === 0)
+        .select(col("prio"), lit(0L).as("dn"), lit(100).cast(dec).as("dp")))
+      .unionByName(o.filter(col("k") % 10 === 9)
+        .select(col("prio"), lit(1L).as("dn"), col("p").as("dp")))
+      .groupBy(col("prio"))
+      .agg(sum(col("dn")).as("dn"), sum(col("dp")).as("dp"))
+    baseAgg.join(delta, Seq("prio"), "full_outer")
+      .select(col("prio").as("o_orderpriority"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_rows"),
+        (coalesce(col("bs"), lit(0).cast(dec))
+          + coalesce(col("dp"), lit(0).cast(dec))).cast("double").as("sum_price"))
+      .filter(col("n_rows") > 0)
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
-    q120CdcApply, q130FkAudit)
+    q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg)
 }
