@@ -647,9 +647,96 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q145: calendar-spine gap detection — the "which days are MISSING"
+    * audit a delivery pipeline runs before publishing: per event_type,
+    * generate the full day spine [min_day, max_day] and anti-join the
+    * observed days away. Absence can't be grouped for, so the spine is
+    * generated (sequence + explode, one row per type from the bounds agg)
+    * and the check inverts to an anti-join. Days ship as 'yyyy-MM-dd'
+    * strings (date formatting is engine-identical; date VALUES cross
+    * pandas/DuckDB less cleanly). The test data has no natural gaps, so a
+    * deterministic OUTAGE is planted (every 5th epoch-day dropped) —
+    * detection is proven, not vacuously green on an empty result.
+    *
+    * Scale: observed days collapse map-side to (type, day) — bounded by
+    * types × calendar, not rows; the spine is tiny and the anti-join
+    * broadcasts. The 100 TB scan reduces before anything wide. */
+  val q145MissingDays: Q = Q(
+    "q145_missing_days",
+    """WITH d AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day FROM events
+      |  WHERE (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 5 <> 0
+      |  GROUP BY 1, 2),
+      |b AS (SELECT event_type, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+      |spine AS (
+      |  SELECT event_type,
+      |         CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM b)
+      |SELECT s.event_type, CAST(s.day AS VARCHAR) AS day
+      |FROM spine s LEFT JOIN d ON s.event_type = d.event_type AND s.day = d.day
+      |WHERE d.day IS NULL
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .filter(expr("(sec div 86400) % 5 <> 0"))
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .distinct()
+    val b = d.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+    val spine = b.select(col("event_type"),
+      explode(expr("sequence(lo, hi, interval 1 day)")).as("day"))
+    spine.join(d, Seq("event_type", "day"), "left_anti")
+      .select(col("event_type"), col("day").cast("string").as("day"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q146: contingency lift audit — independence screening over the
+    * event_type × day-of-week table: cell lift = P(type, dow) /
+    * (P(type)·P(dow)), flagged when it deviates >10% from 1. All exact:
+    * dow is pure epoch arithmetic ((days+3) mod 7, Monday=0 — the two
+    * engines' dayofweek() builtins disagree on numbering, arithmetic
+    * can't), lift ships as o·N·10⁶ div r·c ppm, and the flag
+    * cross-multiplies 10·|o·N − r·c| > r·c — int64 end to end.
+    *
+    * Scale: one map-side count to ≤ types×7 cells; marginals and N are
+    * re-aggregates of the CELLS (9 rows), not rescans; everything after
+    * the first agg is broadcast-sized. */
+  val q146LiftAudit: Q = Q(
+    "q146_lift_audit",
+    """WITH cells AS (
+      |  SELECT event_type,
+      |         (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+      |         count(*) AS o
+      |  FROM events GROUP BY 1, 2),
+      |r AS (SELECT event_type, sum(o) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT dow, sum(o) AS ct FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.event_type, CAST(cells.dow AS BIGINT) AS dow,
+      |       CAST(cells.o AS BIGINT) AS n_events,
+      |       CAST(cells.o * t.n * 1000000 // (r.rt * c.ct) AS BIGINT) AS lift_ppm,
+      |       10 * abs(cells.o * t.n - r.rt * c.ct) > r.rt * c.ct AS flagged
+      |FROM cells JOIN r USING (event_type) JOIN c USING (dow) CROSS JOIN t
+      |ORDER BY event_type, dow""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"),
+        expr("(sec div 86400 + 3) % 7").cast("long").as("dow"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+    val c = cells.groupBy(col("dow")).agg(sum(col("o")).as("ct"))
+    val t = cells.agg(sum(col("o")).cast("long").as("n"))
+    cells.join(broadcast(r), "event_type").join(broadcast(c), "dow")
+      .crossJoin(broadcast(t))
+      .select(col("event_type"), col("dow"), col("o").as("n_events"),
+        expr("o * n * 1000000 div (rt * ct)").cast("long").as("lift_ppm"),
+        (lit(10) * abs(col("o") * col("n") - col("rt") * col("ct"))
+          > col("rt") * col("ct")).as("flagged"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
-      q131CusumChangepoint, q137TimeWeighted)
+      q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit)
 }

@@ -551,9 +551,84 @@ object Extended {
       .orderBy(col("l_returnflag"), col("metric"))
   }
 
+  /** q147: group-wise EXACT discrete quantiles at scale — the SLO
+    * percentile kernel (p50/p90/p99 per event_type) computed without a
+    * per-group sorted array: rows reduce to (group, value, count) LEVELS
+    * map-side, one cumulative window runs PARTITIONED by group over the
+    * levels, and quantile q = min value whose cumulative count reaches
+    * ⌈q·n⌉ (the rank test is 100·cum ≥ q100·n in integers — no float
+    * rank). q25's `percentile` holds each group's values in one
+    * aggregation buffer; this form's state is the level table, partial-
+    * aggregated and spillable, and groups parallelize independently —
+    * the difference between "fits in one buffer" and 100 TB. Values are
+    * exact cents; discrete (lower-value) semantics, so results are actual
+    * data values and engine-identical. */
+  val q147GroupQuantiles: Q = Q(
+    "q147_group_quantiles",
+    """WITH lv AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, v,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM lv)
+      |SELECT event_type,
+      |       min(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50_cents,
+      |       min(CASE WHEN 100 * cum >= 90 * n THEN v END) AS p90_cents,
+      |       min(CASE WHEN 100 * cum >= 99 * n THEN v END) AS p99_cents
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "events")
+      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cum = lv.select(col("event_type"), col("v"),
+      sum(col("c")).over(byType.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(byType).as("n"))
+    cum.groupBy(col("event_type"))
+      .agg(
+        min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("v"))).as("p50_cents"),
+        min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("v"))).as("p90_cents"),
+        min(when(lit(100) * col("cum") >= lit(99) * col("n"), col("v"))).as("p99_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q148: BAG (multiset) set operations — q27 covers the set forms;
+    * INTERSECT ALL / EXCEPT ALL respect multiplicities (min / truncated
+    * difference of per-key counts), which is what reconciliation between
+    * two feeds with legitimate duplicates needs. Spark's native
+    * `intersectAll`/`exceptAll` plan this as count-aggregate + generate
+    * (no row-pairing join); the fixture doubles even custkeys on one side
+    * so multiplicities actually differ. */
+  val q148BagSetOps: Q = Q(
+    "q148_bag_set_ops",
+    """WITH a AS (SELECT o_custkey AS k FROM orders),
+      |b AS (SELECT c_custkey AS k FROM customer
+      |      UNION ALL
+      |      SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0)
+      |SELECT 'intersect_all' AS op, count(*) AS n
+      |FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b) t1
+      |UNION ALL
+      |SELECT 'except_all' AS op, count(*) AS n
+      |FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b) t2
+      |ORDER BY op""".stripMargin) { (s, dir) =>
+    val a = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+    val cust = Tables(s, dir, "customer")
+    val b = cust.select(col("c_custkey").as("k"))
+      .unionByName(cust.filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey").as("k")))
+    val ia = a.intersectAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("n"))
+    val ea = a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+    ia.unionByName(ea).orderBy(col("op"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
-    q127Skyline, q136SigmaOutliers, q140Unpivot)
+    q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
+    q148BagSetOps)
 }
