@@ -362,9 +362,47 @@ object Relational {
       .orderBy(col("bucket"))
   }
 
+  /** q149: SALTED skew join — q42 salts an aggregation; this salts a JOIN,
+    * the harder production case: a fact stream where ~70% of rows hit ONE
+    * key (every `user_id % 10 < 7` row maps to key 1) sort-merge-joined to
+    * a dimension. Unsalted, one task gets 70% of the probe side and the
+    * stage runs at straggler speed; salting appends `hash(event_id) % 8`
+    * to the fact key and EXPLODES the dimension row across all 8 salt
+    * values, so the hot key's rows spread over 8 tasks. The oracle is the
+    * plain unsalted join — gate equality proves the salt+replicate
+    * rewrite is lossless. The `merge` hint pins a shuffled sort-merge
+    * join: at this test size Spark would broadcast the dim (also correct,
+    * but then nothing is demonstrated); at 100 TB with a non-broadcastable
+    * dim, this salted SMJ IS the plan you want, complementing AQE's
+    * coarser split-by-size skew handling. */
+  val q149SaltedJoin: Q = Q(
+    "q149_salted_join",
+    s"""WITH f AS (
+       |  SELECT CASE WHEN user_id % 10 < 7 THEN 1
+       |              ELSE 1 + (user_id % 100) END AS k,
+       |         value
+       |  FROM events)
+       |SELECT c.c_mktsegment, count(*) AS n, ${oSum6("f.value")} AS sum_value
+       |FROM f JOIN customer c ON f.k = c.c_custkey
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val f = Tables(s, dir, "events")
+      .select(
+        expr("CASE WHEN user_id % 10 < 7 THEN 1 ELSE 1 + (user_id % 100) END")
+          .cast("long").as("k"),
+        col("value"),
+        pmod(hash(col("event_id")), lit(8)).as("salt"))
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("k"), col("c_mktsegment"))
+      .withColumn("salt", explode(expr("sequence(0, 7)")))
+    f.join(dim.hint("merge"), Seq("k", "salt"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
-    q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets)
+    q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin)
 }
