@@ -117,4 +117,20 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.extractFeatures(media).collect()
     assert(f(0).width == 24 && f(0).height == 12)
   }
+
+  test("video container: encode/parse round-trips; corrupt payloads → None") {
+    val bytes = Multimodal.FakeCodec.encodeVideo(3, 4, k => 10 * k + 1)
+    val Some((nf, fl, frames)) = Multimodal.FakeCodec.parseVideo(bytes)
+    assert(nf == 3 && fl == 4)
+    assert(frames.map(_.toSeq) == Seq(
+      Seq[Byte](1, 1, 1, 1), Seq[Byte](11, 11, 11, 11), Seq[Byte](21, 21, 21, 21)))
+    // Wrong magic, truncated body, short header: all skipped rows.
+    assert(Multimodal.FakeCodec.parseVideo("XVIDxxxxxxxxyy".getBytes).isEmpty)
+    assert(Multimodal.FakeCodec.parseVideo(bytes.dropRight(1)).isEmpty)
+    assert(Multimodal.FakeCodec.parseVideo(Array[Byte](1, 2, 3)).isEmpty)
+    // Fill bytes wrap mod 256 like the query's (id·31 + 7k) arithmetic.
+    val wrap = Multimodal.FakeCodec.encodeVideo(1, 2, _ => 300)
+    assert(Multimodal.FakeCodec.parseVideo(wrap).get._3.head.toSeq ==
+      Seq[Byte](44, 44))
+  }
 }
