@@ -442,8 +442,41 @@ object Training {
       .orderBy(col("method"))
   }
 
+  /** q150: dense global sequence ids WITHOUT a global sort — every
+    * training-data export needs a stable 0..N−1 numbering (shard/example
+    * ids), and `row_number() OVER (ORDER BY …)` funnels 100 TB through
+    * one partition. Two-phase instead: coarse key buckets → per-bucket
+    * counts → a tiny ordered window over ~#buckets rows for bucket
+    * OFFSETS → rank within bucket (window PARTITIONED by bucket) + offset
+    * = exact global rank. Deterministic regardless of partitioning (no
+    * sampled range boundaries, no spark_partition_id), every step
+    * parallel. The oracle IS the global row_number — gate equality proves
+    * the two-phase rank identical. Only ids ship: the payload joins back
+    * by key afterward if needed. */
+  val q150DenseIds: Q = Q(
+    "q150_dense_ids",
+    """WITH ids AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS seq_id
+      |  FROM documents)
+      |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id
+      |FROM ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), expr("doc_id div 64").as("b"))
+    val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("c"))
+      .withColumn("off",
+        coalesce(sum(col("c")).over(Window.orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("c")
+    docs.join(broadcast(offs), "b")
+      .withColumn("seq_id",
+        col("off") + row_number().over(
+          Window.partitionBy(col("b")).orderBy(col("doc_id"))) - 1)
+      .select(col("doc_id"), col("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
-    q119TokenDeciles, q133ChunkSplit, q134SplitLeakage)
+    q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds)
 }
