@@ -734,9 +734,72 @@ object Events {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** q151: multi-touch attribution — each purchase's value splits equally
+    * across the same user's clicks in the preceding 30 minutes (the q94
+    * attribution join, carried through to the CREDIT feed marketers
+    * actually consume). The split is conservation-exact in integer cents:
+    * every click gets v div m and the remainder v mod m goes to the
+    * EARLIEST click (row_number over (click_ts, click_id) — total order,
+    * so both engines pick the same row). No float division anywhere, so
+    * credits sum back to the purchase value cent-for-cent by
+    * construction.
+    *
+    * Scale: the θ-join is watermark-evictable in its streaming form
+    * (q94); the per-purchase window partitions by buy_id — millions of
+    * tiny partitions, nothing global — and the final rollup shuffles on
+    * (user, click). */
+  val q151Attribution: Q = Q(
+    "q151_attribution",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS buy_id, ts AS buy_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id, p.buy_id, p.v, c.click_id, c.click_ts
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND p.buy_ts >= c.click_ts
+      |   AND p.buy_ts <= c.click_ts + INTERVAL 30 MINUTE),
+      |j2 AS (
+      |  SELECT *, count(*) OVER (PARTITION BY buy_id) AS m,
+      |         row_number() OVER (PARTITION BY buy_id
+      |                            ORDER BY click_ts, click_id) AS rn
+      |  FROM j)
+      |SELECT user_id, click_id,
+      |       CAST(sum(v // m + CASE WHEN rn = 1 THEN v % m ELSE 0 END)
+      |            AS BIGINT) AS credit_cents,
+      |       count(*) AS n_purchases
+      |FROM j2 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"), round(col("value") * 100).cast("long").as("v"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val j = p.join(c, Seq("user_id"))
+      .filter(col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val byBuy = Window.partitionBy(col("buy_id"))
+    val j2 = j
+      .withColumn("m", count(lit(1)).over(byBuy))
+      .withColumn("rn", row_number().over(
+        byBuy.orderBy(col("click_ts"), col("click_id"))))
+    j2.groupBy(col("user_id"), col("click_id"))
+      .agg(
+        sum(expr("v div m") + when(col("rn") === 1, expr("v % m")).otherwise(0L))
+          .cast("long").as("credit_cents"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
-      q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit)
+      q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
+      q151Attribution)
 }

@@ -177,5 +177,112 @@ object Intervals {
       .orderBy(col("user_id"), col("island_start"))
   }
 
-  val all: Seq[Q] = Seq(q61RangeJoin, q80IntervalOverlap, q139IntervalCoalesce)
+  /** q152: nearest-neighbor join in one dimension — each order price
+    * matches the part with the CLOSEST retail price, either direction
+    * (q24/q60's as-of join is the backward-only special case). The
+    * classic merge trick: tag refs 0 / probes 1, "sort" by (price, tag),
+    * carry the last-ref-seen forward (prev ≤) and, in reverse, backward
+    * (next >); the nearer side wins, ties to the lower price and an
+    * equal-price ref lands on the prev side (diff 0). Refs reduce to
+    * price LEVELS (min partkey per level) and probes to distinct levels
+    * first, so ties are total-ordered in both engines.
+    *
+    * Scale shape: the global sorted merge is decomposed by coarse price
+    * buckets — within-bucket carries are windows PARTITIONED by bucket,
+    * and cross-bucket carry-in/out comes from a per-bucket summary (max
+    * ref / min ref struct) cascaded through a tiny window over ~#buckets
+    * rows, broadcast back. No single-partition window touches row-scale
+    * data; the oracle runs the same logic as one global window, so gate
+    * equality proves the bucket decomposition lossless. */
+  val q152NearestJoin: Q = Q(
+    "q152_nearest_join",
+    """WITH refs AS (
+      |  SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price,
+      |         min(p_partkey) AS rk
+      |  FROM part GROUP BY 1),
+      |pr AS (SELECT DISTINCT CAST(round(o_totalprice * 100) AS BIGINT) AS price
+      |       FROM orders),
+      |u AS (SELECT price, 0 AS tag, rk FROM refs
+      |      UNION ALL SELECT price, 1, NULL FROM pr),
+      |w AS (
+      |  SELECT price, tag,
+      |    last_value(CASE WHEN tag = 0 THEN price END IGNORE NULLS)
+      |      OVER (ORDER BY price, tag
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+      |    last_value(CASE WHEN tag = 0 THEN rk END IGNORE NULLS)
+      |      OVER (ORDER BY price, tag
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_k,
+      |    last_value(CASE WHEN tag = 0 THEN price END IGNORE NULLS)
+      |      OVER (ORDER BY price DESC, tag DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_p,
+      |    last_value(CASE WHEN tag = 0 THEN rk END IGNORE NULLS)
+      |      OVER (ORDER BY price DESC, tag DESC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS next_k
+      |  FROM u)
+      |SELECT price AS order_price_cents,
+      |  CASE WHEN next_p IS NULL
+      |         OR (prev_p IS NOT NULL AND price - prev_p <= next_p - price)
+      |       THEN prev_p ELSE next_p END AS part_price_cents,
+      |  CASE WHEN next_p IS NULL
+      |         OR (prev_p IS NOT NULL AND price - prev_p <= next_p - price)
+      |       THEN prev_k ELSE next_k END AS p_partkey,
+      |  CASE WHEN next_p IS NULL
+      |         OR (prev_p IS NOT NULL AND price - prev_p <= next_p - price)
+      |       THEN price - prev_p ELSE next_p - price END AS dist_cents
+      |FROM w WHERE tag = 1 ORDER BY price""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val refs = Tables(s, dir, "part")
+      .groupBy(round(col("p_retailprice") * 100).cast("long").as("price"))
+      .agg(min(col("p_partkey")).as("rk"))
+    val probes = Tables(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("price"))
+      .distinct()
+    val u = refs.select(col("price"), lit(0).as("tag"), col("rk"))
+      .unionByName(probes.select(col("price"), lit(1).as("tag"),
+        lit(null).cast("long").as("rk")))
+      .withColumn("b", expr("price div 100000"))
+    val refP = when(col("tag") === 0, col("price"))
+    val refK = when(col("tag") === 0, col("rk"))
+    val wAsc = Window.partitionBy(col("b"))
+      .orderBy(col("price"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wDesc = Window.partitionBy(col("b"))
+      .orderBy(col("price").desc, col("tag").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val inBucket = u
+      .withColumn("prev_p", last(refP, ignoreNulls = true).over(wAsc))
+      .withColumn("prev_k", last(refK, ignoreNulls = true).over(wAsc))
+      .withColumn("next_p", last(refP, ignoreNulls = true).over(wDesc))
+      .withColumn("next_k", last(refK, ignoreNulls = true).over(wDesc))
+    // Cross-bucket carries: per-bucket extreme ref (struct orders by
+    // price first; ref prices are unique levels), cascaded through a
+    // window over the ~#buckets summary rows only.
+    val summary = u.groupBy(col("b")).agg(
+      max(when(col("tag") === 0, struct(col("price"), col("rk")))).as("hi_ref"),
+      min(when(col("tag") === 0, struct(col("price"), col("rk")))).as("lo_ref"))
+    val wPrevB = Window.orderBy(col("b")).rowsBetween(Window.unboundedPreceding, -1)
+    val wNextB = Window.orderBy(col("b").desc).rowsBetween(Window.unboundedPreceding, -1)
+    val carries = summary
+      .withColumn("carry_prev", last(col("hi_ref"), ignoreNulls = true).over(wPrevB))
+      .withColumn("carry_next", last(col("lo_ref"), ignoreNulls = true).over(wNextB))
+      .select(col("b"), col("carry_prev"), col("carry_next"))
+    val full = inBucket.join(broadcast(carries), "b")
+      .select(col("price"), col("tag"),
+        coalesce(col("prev_p"), col("carry_prev.price")).as("prev_p"),
+        coalesce(col("prev_k"), col("carry_prev.rk")).as("prev_k"),
+        coalesce(col("next_p"), col("carry_next.price")).as("next_p"),
+        coalesce(col("next_k"), col("carry_next.rk")).as("next_k"))
+    val usePrev = col("next_p").isNull ||
+      (col("prev_p").isNotNull && col("price") - col("prev_p") <= col("next_p") - col("price"))
+    full.filter(col("tag") === 1)
+      .select(col("price").as("order_price_cents"),
+        when(usePrev, col("prev_p")).otherwise(col("next_p")).as("part_price_cents"),
+        when(usePrev, col("prev_k")).otherwise(col("next_k")).as("p_partkey"),
+        when(usePrev, col("price") - col("prev_p"))
+          .otherwise(col("next_p") - col("price")).as("dist_cents"))
+      .orderBy(col("order_price_cents"))
+  }
+
+  val all: Seq[Q] = Seq(q61RangeJoin, q80IntervalOverlap, q139IntervalCoalesce,
+    q152NearestJoin)
 }
