@@ -919,9 +919,67 @@ object Dedup {
           / count(lit(1)).cast("double"), 4).as("dup_frac"))
   }
 
+  /** q154: per-FIELD survivorship (golden-record merge) — q62 keeps one
+    * whole ROW per cluster; master-data merging picks each field by its
+    * OWN rule across the duplicate records: name ← the longest (ties to
+    * the lexicographically larger via a zero-padded length|name key —
+    * a bare string length would compare "9" > "10"), account balance ←
+    * from the LATEST source that has one (recency rule), segment ← from
+    * the EARLIEST source that has one (trust rule). Dirty duplicates are
+    * synthesized deterministically from customer (src 0 = full record;
+    * src 1, even keys = truncated name + null balance; src 2, %3 keys =
+    * suffixed name + shifted balance + null segment), so both engines
+    * derive identical input and every rule's FILTER path is exercised.
+    * All picks are max_by/min_by over a unique ordering key (src) with
+    * non-null FILTERs — no engine-specific null-ordering luck.
+    *
+    * Scale: one shuffle on the merge key; each rule is a single
+    * aggregate, map-side combined. The rule set extends per column
+    * without new passes. */
+  val q154Survivorship: Q = Q(
+    "q154_survivorship",
+    """WITH recs AS (
+      |  SELECT c_custkey AS k, 0 AS src, c_name AS name,
+      |         c_acctbal AS bal, c_mktsegment AS seg
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 1, substr(c_name, 1, 5), NULL, c_mktsegment
+      |  FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 2, c_name || '-dup', c_acctbal + 10, NULL
+      |  FROM customer WHERE c_custkey % 3 = 0)
+      |SELECT k, count(*) AS n_sources,
+      |       max_by(name, lpad(CAST(length(name) AS VARCHAR), 4, '0') || '|' || name)
+      |         AS name,
+      |       max_by(bal, src) FILTER (WHERE bal IS NOT NULL) AS bal,
+      |       min_by(seg, src) FILTER (WHERE seg IS NOT NULL) AS seg
+      |FROM recs GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+    val c = Tables(s, dir, "customer")
+    def rec(df: org.apache.spark.sql.DataFrame, src: Int,
+        name: org.apache.spark.sql.Column, bal: org.apache.spark.sql.Column,
+        seg: org.apache.spark.sql.Column) =
+      df.select(col("c_custkey").as("k"), lit(src).as("src"), name.as("name"),
+        bal.as("bal"), seg.as("seg"))
+    val recs = rec(c, 0, col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .unionByName(rec(c.filter(col("c_custkey") % 2 === 0), 1,
+        substring(col("c_name"), 1, 5), lit(null).cast("double"),
+        col("c_mktsegment")))
+      .unionByName(rec(c.filter(col("c_custkey") % 3 === 0), 2,
+        concat(col("c_name"), lit("-dup")), col("c_acctbal") + 10,
+        lit(null).cast("string")))
+    recs.groupBy(col("k"))
+      .agg(count(lit(1)).as("n_sources"),
+        max_by(col("name"),
+          concat(lpad(length(col("name")).cast("string"), 4, "0"),
+            lit("|"), col("name"))).as("name"),
+        expr("max_by(bal, src) FILTER (WHERE bal IS NOT NULL)").as("bal"),
+        expr("min_by(seg, src) FILTER (WHERE seg IS NOT NULL)").as("seg"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
-      q104BloomDecontaminate, q121DupSpans)
+      q104BloomDecontaminate, q121DupSpans, q154Survivorship)
 }

@@ -796,10 +796,54 @@ object Events {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** q155: Markov transition counts — the behavioral matrix behind
+    * next-action prediction and anomaly scoring: within a session (same
+    * 30-minute inactivity rule as q22), count (previous event_type →
+    * event_type) transitions, with each session's first event entering
+    * from the '<start>' state. One lag window per user ordered by
+    * (ts, event_id) — the tie order is pinned so same-second events
+    * transition identically in both engines — and the session break
+    * rewrites prev to '<start>' instead of dropping the row.
+    *
+    * Scale: one user_id shuffle for the lag, then the transition rollup
+    * collapses to ≤ (types+1)² cells map-side. */
+  val q155MarkovTransitions: Q = Q(
+    "q155_markov_transitions",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER w AS prev_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT CASE WHEN is_start = 1 THEN '<start>' ELSE prev_type END
+      |           AS from_type,
+      |         event_type AS to_type
+      |  FROM m)
+      |SELECT from_type, to_type, count(*) AS n
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          lit("<start>")).otherwise(col("prev_type")).as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
-      q151Attribution)
+      q151Attribution, q155MarkovTransitions)
 }

@@ -461,6 +461,42 @@ object Snapshot {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q153: schema-evolution union — reading across generations where a
+    * column was ADDED mid-history is the everyday lake problem: the old
+    * generation simply lacks the column. `unionByName(…,
+    * allowMissingColumns = true)` aligns by NAME and nulls the missing
+    * column (positional union would silently mis-bind), and downstream
+    * code owns the null policy explicitly (here: a '<legacy>' bucket).
+    * Generations are derived deterministically from orders (even keys =
+    * old schema, odd = new), so the oracle can rebuild both.
+    *
+    * Scale: the union is plan-level — two scans, each pruned to ITS
+    * generation's columns (the legacy scan never reads the added column),
+    * partial aggs collapse before one shuffle. */
+  val q153SchemaEvolution: Q = Q(
+    "q153_schema_evolution",
+    s"""WITH gen1 AS (
+       |  SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+       |  FROM orders WHERE o_orderkey % 2 = 0),
+       |gen2 AS (
+       |  SELECT o_orderkey, o_totalprice, o_orderpriority
+       |  FROM orders WHERE o_orderkey % 2 = 1),
+       |u AS (SELECT * FROM gen1 UNION ALL SELECT * FROM gen2)
+       |SELECT coalesce(o_orderpriority, '<legacy>') AS priority,
+       |       count(*) AS n, ${Q.oSum2("o_totalprice")} AS total
+       |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+    val gen1 = o.filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val gen2 = o.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    gen1.unionByName(gen2, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderpriority"), lit("<legacy>")).as("priority"))
+      .agg(count(lit(1)).as("n"), Q.dsum2(col("o_totalprice")).as("total"))
+      .orderBy(col("priority"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
-    q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg)
+    q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
+    q153SchemaEvolution)
 }
