@@ -840,10 +840,66 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q157: cohort LTV curve — q71 tracks cohort RETENTION (who came
+    * back); this tracks cohort VALUE: users cohorted by first-purchase
+    * WEEK, revenue accumulated by cohort age in weeks, the curve a
+    * growth team reads payback periods off. The week index is pure
+    * integer epoch arithmetic (epoch-day div 7 — date_diff/
+    * months_between semantics differ across engines; the test window
+    * spans one calendar month, so week grain also makes the curve real),
+    * revenue is exact cents, and the cumulative runs per cohort over
+    * ≤ #weeks rows. Cohorts are labeled by their week's start date.
+    *
+    * Scale: purchases reduce to (cohort, age) cells after a user-grain
+    * first-purchase agg; the only windows touch cohort×age cells. The
+    * user→cohort join shuffles on user_id once. */
+  val q157CohortLtv: Q = Q(
+    "q157_cohort_ltv",
+    """WITH p AS (
+      |  SELECT user_id,
+      |         (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wi,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (SELECT user_id, min(wi) AS cwi FROM p GROUP BY 1),
+      |r AS (SELECT c.cwi, p.wi - c.cwi AS age, sum(p.v) AS rev,
+      |             count(DISTINCT p.user_id) AS n_active
+      |      FROM p JOIN c USING (user_id) GROUP BY 1, 2),
+      |u AS (SELECT cwi, count(*) AS n_users FROM c GROUP BY 1)
+      |SELECT CAST(DATE '1970-01-01' + (r.cwi * 7)::INT AS VARCHAR)
+      |         AS cohort_week,
+      |       CAST(r.age AS BIGINT) AS age_weeks,
+      |       CAST(u.n_users AS BIGINT) AS n_users,
+      |       CAST(r.n_active AS BIGINT) AS n_active,
+      |       CAST(sum(r.rev) OVER (PARTITION BY r.cwi ORDER BY r.age) AS BIGINT)
+      |         AS cum_revenue_cents
+      |FROM r JOIN u USING (cwi)
+      |ORDER BY cohort_week, age_weeks""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val p = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("user_id"),
+        expr("(sec div 86400) div 7").as("wi"),
+        round(col("value") * 100).cast("long").as("v"))
+    val c = p.groupBy(col("user_id")).agg(min(col("wi")).as("cwi"))
+    val r = p.join(c, "user_id")
+      .groupBy(col("cwi"), (col("wi") - col("cwi")).as("age"))
+      .agg(sum(col("v")).as("rev"), countDistinct(col("user_id")).as("n_active"))
+    val u = c.groupBy(col("cwi")).agg(count(lit(1)).as("n_users"))
+    r.join(u, "cwi")
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          (col("cwi") * 7).cast("int")).cast("string").as("cohort_week"),
+        col("age").as("age_weeks"), col("n_users"), col("n_active"),
+        sum(col("rev")).over(Window.partitionBy(col("cwi")).orderBy(col("age")))
+          .cast("long").as("cum_revenue_cents"))
+      .orderBy(col("cohort_week"), col("age_weeks"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
-      q151Attribution, q155MarkovTransitions)
+      q151Attribution, q155MarkovTransitions, q157CohortLtv)
 }

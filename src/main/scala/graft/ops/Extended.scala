@@ -625,10 +625,75 @@ object Extended {
     ia.unionByName(ea).orderBy(col("op"))
   }
 
+  /** q156: median absolute deviation (MAD) — the robust dispersion
+    * estimate that q136's σ-based tails can't give when the data itself
+    * is contaminated (one wild outlier inflates σ and hides its peers;
+    * the median absolute deviation barely moves). Two composed passes of
+    * the q147 level-counting kernel, both exact in integer cents: (1)
+    * per-group discrete median via level cumulative ≥ ⌈n/2⌉; (2) the
+    * same kernel over |v − median| levels. Output includes the outlier
+    * count at the standard |x − med| > 3·MAD fence — pure integer
+    * comparison, no consistency-constant float.
+    *
+    * Scale: each pass is a map-side level reduction + group-partitioned
+    * window; the per-group medians re-enter pass 2 as a broadcast. Never
+    * a per-group value buffer, never a global window. */
+  val q156MadOutliers: Q = Q(
+    "q156_mad_outliers",
+    """WITH lv AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |med AS (
+      |  SELECT event_type, min(v) FILTER (WHERE 2 * cum >= n) AS med
+      |  FROM (SELECT event_type, v,
+      |               sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |               sum(c) OVER (PARTITION BY event_type) AS n
+      |        FROM lv) x
+      |  GROUP BY 1),
+      |dv AS (
+      |  SELECT lv.event_type, abs(lv.v - med.med) AS d, sum(lv.c) AS c
+      |  FROM lv JOIN med USING (event_type) GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT event_type, min(d) FILTER (WHERE 2 * cum >= n) AS mad
+      |  FROM (SELECT event_type, d,
+      |               sum(c) OVER (PARTITION BY event_type ORDER BY d) AS cum,
+      |               sum(c) OVER (PARTITION BY event_type) AS n
+      |        FROM dv) x
+      |  GROUP BY 1)
+      |SELECT m.event_type, med.med AS median_cents, m.mad AS mad_cents,
+      |       CAST(coalesce(sum(dv.c) FILTER (WHERE dv.d > 3 * m.mad), 0) AS BIGINT)
+      |         AS n_outliers
+      |FROM mad m JOIN med USING (event_type) JOIN dv USING (event_type)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    def medianOf(levels: org.apache.spark.sql.DataFrame, vCol: String) = {
+      val byG = Window.partitionBy(col("event_type"))
+      levels.select(col("event_type"), col(vCol),
+          sum(col("c")).over(byG.orderBy(col(vCol))).as("cum"),
+          sum(col("c")).over(byG).as("n"))
+        .groupBy(col("event_type"))
+        .agg(min(when(lit(2) * col("cum") >= col("n"), col(vCol))).as("m"))
+    }
+    val lv = Tables(s, dir, "events")
+      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val med = medianOf(lv, "v").withColumnRenamed("m", "med")
+    val dv = lv.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("v") - col("med")).as("d"))
+      .agg(sum(col("c")).as("c"))
+    val mad = medianOf(dv, "d").withColumnRenamed("m", "mad")
+    dv.join(broadcast(mad), "event_type").join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), col("med").as("median_cents"),
+        col("mad").as("mad_cents"))
+      .agg(coalesce(sum(when(col("d") > lit(3) * col("mad"), col("c"))), lit(0L))
+        .cast("long").as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
-    q148BagSetOps)
+    q148BagSetOps, q156MadOutliers)
 }
