@@ -672,9 +672,47 @@ object StreamGate {
       .limit(20)
   }
 
+  /** q158: the Markov transition feed (q155) run as an ACTUAL
+    * transformWithState stream — per-user last-event ValueState completes
+    * each (prev → next) edge in the trigger that sees `next`, across three
+    * time-split micro-batches (`maxFilesPerTrigger=1`, the q114 staging),
+    * so cross-batch transitions genuinely traverse the RocksDB-backed
+    * state. The sink's edge rows roll up to exactly the batch transition
+    * matrix — q155's DuckDB oracle gates the sink. At 100 TB/day the
+    * state is one tiny row per user (TTL-evictable), versus a batch lag
+    * window that re-sorts the full history every run. */
+  val q158StreamMarkov: Q = Q(
+    "q158_stream_markov",
+    graft.ops.Events.q155MarkovTransitions.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q158-")
+    val ev = Tables(s, dir, "events")
+    val cut1 = lit("2024-01-11").cast("timestamp")
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val in = stageOrderedBatches(work, Seq(
+      ev.filter(col("ts") < cut1),
+      ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+      ev.filter(col("ts") >= cut2)))
+    val ss = streamSession(s)
+    // transformWithState requires the RocksDB store (the default HDFS-backed
+    // provider has no column families); set on the ISOLATED child session.
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val stream = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("user_id"), unix_micros(col("ts")).as("micros"),
+        col("event_id"), col("event_type"))
+      .as[TransitionStream.Ev]
+    val edges = TransitionStream.transitions(stream)
+    s.read.parquet(runToParquet(edges.toDF(), work))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
-    q117StreamEnrich, q126StreamTopK)
+    q117StreamEnrich, q126StreamTopK, q158StreamMarkov)
 }
