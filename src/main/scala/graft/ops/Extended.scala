@@ -690,10 +690,72 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** q159: sketch MERGEABILITY audit — the pattern that makes distinct
+    * counts tractable at 100 TB: build one DataSketches HLL per day
+    * (`hll_sketch_agg`), union the stored sketches (`hll_union_agg`)
+    * instead of rescanning history, and estimate. The audit computes the
+    * EXACT distinct count alongside and asserts the merged estimate lands
+    * within ±5% — far outside lgK=12's ~1.6% RSE, so the claim is robust;
+    * the sketch pipeline is deterministic for a fixed input multiset
+    * (hash-based, merge-order-insensitive). The oracle checks the exact
+    * side and the claim; the estimate itself stays Spark-internal (DuckDB
+    * has no DataSketches HLL to cross-check bytes against).
+    *
+    * Scale: per-day sketches are the STORED artifact (a few KB each);
+    * month/quarter rollups union sketches, never raw rows. */
+  val q159SketchMerge: Q = Q(
+    "q159_sketch_merge",
+    """SELECT CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+      |       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+      |       true AS within_5pct
+      |FROM events""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val merged = daily.agg(count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users")) * 100
+          <= lit(5) * col("exact_users")).as("within_5pct"))
+  }
+
+  /** q162: relative-rank windows — percent_rank and cume_dist round out
+    * the rank family (q11 rank/dense_rank, q119 ntile): both are exact
+    * rationals evaluated as one integer-division-free double each
+    * ((rank−1)/(n−1), cum/n — identical IEEE results in both engines),
+    * over the per-group ordered window. */
+  val q162RelativeRank: Q = Q(
+    "q162_relative_rank",
+    """SELECT l_returnflag, l_orderkey, l_linenumber,
+      |       round(percent_rank() OVER w, 6) AS pr,
+      |       round(cume_dist() OVER w, 6) AS cd
+      |FROM lineitem
+      |WHERE l_orderkey % 61 = 0
+      |WINDOW w AS (PARTITION BY l_returnflag
+      |             ORDER BY l_quantity, l_orderkey, l_linenumber)
+      |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // Presentation sort = the window's own total order: (orderkey,
+    // linenumber) alone is NOT unique in this data (duplicate pairs with
+    // different quantities exist), and any residual full-row ties share
+    // their rank, so pr/cd are identical however they interleave.
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+    Tables(s, dir, "lineitem")
+      .filter(col("l_orderkey") % 61 === 0)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+        col("l_linenumber"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
-    q148BagSetOps, q156MadOutliers)
+    q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank)
 }

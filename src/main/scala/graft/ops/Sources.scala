@@ -1,0 +1,93 @@
+package graft.ops
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-format sources under the CORRECTNESS gate (CSV / JSON-lines were
+  * previously ScalaTest-only in `FormatsSpec`): each query derives a
+  * deterministic text dataset from the parquet tables on the fly, plants
+  * malformed lines, reads it back through the REAL Spark source with an
+  * explicit schema + PERMISSIVE mode, and proves (a) the parsed aggregate
+  * equals the parquet-derived oracle and (b) the malformed lines land in
+  * the corrupt-record column as rejected ROWS, not task failures — U7's
+  * error-isolation discipline at the source boundary.
+  *
+  * Numeric fields travel as integer cents — float→text→float formatting
+  * is the one step two engines (or two Spark versions) may render
+  * differently, so the gated path never round-trips a double through text.
+  *
+  * Scale: the staged text is a stand-in for the real 100 TB landing zone;
+  * the read path (schema-on-read, per-row reject capture, one pass to the
+  * partial aggregate) is exactly the production shape.
+  */
+object Sources {
+
+  private def stage(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(p.toFile)
+    p
+  }
+
+  /** q160: CSV with corrupt-record isolation. */
+  val q160CsvRejects: Q = Q(
+    "q160_csv_rejects",
+    """SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(2 AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val work = stage("graft-csv-")
+    Tables(s, dir, "orders")
+      .select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(work.resolve("csv").toString)
+    // Two planted rejects, both TYPE-invalid. (A short row like "garbage"
+    // is NOT corrupt under PERMISSIVE CSV — missing trailing columns read
+    // as nulls; only failed type casts set the corrupt column.)
+    java.nio.file.Files.writeString(work.resolve("csv").resolve("bad.txt"),
+      "x,y,z\n1,2,notanumber\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("c", LongType),
+      StructField("cents", LongType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(work.resolve("csv").toString)
+      .agg(count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  /** q161: JSON-lines with corrupt-record isolation (the other landing
+    * format; field ORDER in the staged text is deliberately non-schema
+    * order — JSON binds by name). */
+  val q161JsonlRejects: Q = Q(
+    "q161_jsonl_rejects",
+    """SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(2 AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val work = stage("graft-jsonl-")
+    Tables(s, dir, "orders")
+      .select(to_json(struct(
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        col("o_orderkey").as("k"), col("o_custkey").as("c"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(work.resolve("jl").toString)
+    java.nio.file.Files.writeString(work.resolve("jl").resolve("bad.txt"),
+      "{\"k\": 1, \"c\": 2, \"cents\":\n not json at all\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("c", LongType),
+      StructField("cents", LongType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(work.resolve("jl").toString)
+      .agg(count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
+  val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects)
+}
