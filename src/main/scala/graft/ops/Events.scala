@@ -896,10 +896,51 @@ object Events {
       .orderBy(col("cohort_week"), col("age_weeks"))
   }
 
+  /** q165: seasonal-naive forecast evaluation — before shipping any
+    * forecaster you beat the baseline, and the baseline for daily data is
+    * "same day last week". Per event_type: daily revenue totals in exact
+    * cents, naive(t) = actual(t−7), error = Σ|actual − naive| over the
+    * evaluable days (a self-join on day−7 at day-cell grain), MAE as the
+    * one final IEEE division. This is the denominator of MASE — the
+    * anomaly-alert threshold feed.
+    *
+    * Scale: rows collapse to (type, day) cells map-side; the lag-7
+    * self-join and everything after touch only those cells. */
+  val q165SeasonalNaive: Q = Q(
+    "q165_seasonal_naive",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |j AS (SELECT a.event_type, a.v, b.v AS naive
+      |      FROM d a JOIN d b
+      |        ON a.event_type = b.event_type AND b.day = a.day - 7)
+      |SELECT event_type, count(*) AS n_days,
+      |       CAST(sum(abs(v - naive)) AS BIGINT) AS total_abs_err_cents,
+      |       CAST(CAST(sum(abs(v - naive)) AS DOUBLE) / count(*) AS DOUBLE)
+      |         AS mae_cents
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val j = d.as("a").join(d.as("b"),
+      col("a.event_type") === col("b.event_type") &&
+        col("b.day") === col("a.day") - 7)
+      .select(col("a.event_type").as("event_type"), col("a.v").as("v"),
+        col("b.v").as("naive"))
+    j.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("v") - col("naive"))).cast("long").as("total_abs_err_cents"),
+        (sum(abs(col("v") - col("naive"))).cast("double") / count(lit(1)))
+          .as("mae_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
-      q151Attribution, q155MarkovTransitions, q157CohortLtv)
+      q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive)
 }

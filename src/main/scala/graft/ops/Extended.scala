@@ -752,10 +752,107 @@ object Extended {
         col("l_linenumber"))
   }
 
+  /** q163: group-wise MODE with pinned ties — the most frequent value per
+    * group, ties broken to the SMALLEST value. Neither engine's built-in
+    * mode() documents tie order, so both sides render the same explicit
+    * kernel: level counts, then max_by over a single composite key
+    * c·10⁹ − v (count major, SMALLER value wins ties; 10⁹ > any cents
+    * level so the components can't interleave) — deterministic by
+    * construction, immune to either engine changing its tie whim. Two
+    * map-side-combining aggregates, no window. */
+  val q163GroupMode: Q = Q(
+    "q163_group_mode",
+    """WITH lv AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |         count(*) AS c
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |       max_by(v, c * 1000000000 - v) AS mode_cents,
+      |       CAST(max(c) AS BIGINT) AS mode_count
+      |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("event_type"))
+      .agg(max_by(col("v"), col("c") * 1000000000L - col("v")).as("mode_cents"),
+        max(col("c")).cast("long").as("mode_count"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q164: Gini coefficient of revenue concentration — "what share of
+    * revenue sits with the top customers" as one audited number. The
+    * rank-sum formula G = (2·Σrᵢxᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) is computed
+    * ENTIRELY in integers: per-customer totals reduce to (value, count)
+    * levels; the level's rank mass Σr = c·cum_prev + c(c+1)/2 is an
+    * arithmetic series off the two-phase cumulative (q135's bucket-offset
+    * window — no global window over customers); ties share the series, so
+    * duplicate totals can't skew either engine. Gini ships as ppm via one
+    * integer division (DECIMAL(38,0) guards n·Σx·10⁶ at any scale).
+    *
+    * Scale: customer totals → levels → ~#bucket window → 3 scalars. */
+  val q164GiniConcentration: Q = Q(
+    "q164_gini_concentration",
+    """WITH tot AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                         AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |lv AS (SELECT v, count(*) AS c FROM tot GROUP BY 1),
+      |bk AS (SELECT CAST(floor(v / 1000000.0) AS BIGINT) AS b, v, c FROM lv),
+      |bs AS (SELECT b, sum(c) AS s FROM bk GROUP BY 1),
+      |off AS (SELECT b, sum(s) OVER (ORDER BY b) - s AS o FROM bs),
+      |cum AS (
+      |  SELECT v, c,
+      |         o + sum(c) OVER (PARTITION BY bk.b ORDER BY v) - c AS cp
+      |  FROM bk JOIN off USING (b)),
+      |agg AS (
+      |  SELECT CAST(sum(c) AS HUGEINT) AS n,
+      |         CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s0,
+      |         CAST(sum(CAST(v AS HUGEINT) * (c * cp + c * (c + 1) // 2))
+      |              AS HUGEINT) AS s1
+      |  FROM cum)
+      |SELECT CAST(n AS BIGINT) AS n_customers,
+      |       CAST(s0 AS BIGINT) AS total_cents,
+      |       CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
+      |         AS gini_ppm
+      |FROM agg""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tot = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("v"))
+    val lv = tot.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("v") / 1000000.0))
+    val bs = lv.groupBy(col("b")).agg(sum(col("c")).as("s"))
+    val off = bs.select(col("b"),
+      (sum(col("s")).over(Window.orderBy(col("b"))) - col("s")).as("o"))
+    val cum = lv.join(off, "b")
+      .select(col("v"), col("c"),
+        (col("o") + sum(col("c"))
+          .over(Window.partitionBy(col("b")).orderBy(col("v"))) - col("c"))
+          .as("cp"))
+    cum.agg(
+        sum(col("c")).cast(dec).as("n"),
+        sum(col("v").cast(dec) * col("c")).as("s0"),
+        sum(col("v").cast(dec)
+          * (col("c") * col("cp") + expr("c * (c + 1) div 2"))).as("s1"))
+      .select(col("n"), col("s0"),
+        ((lit(2).cast(dec) * col("s1") - (col("n") + 1) * col("s0"))
+          * lit(1000000).cast(dec)).as("num"),
+        (col("n") * col("s0")).as("den"))
+      // `div` (IntegralDivide) on decimals truncates the EXACT quotient —
+      // a decimal `/` would round half-up at scale 6 first, which can
+      // cross an integer boundary the oracle's `//` floor never crosses.
+      .select(col("n").cast("long").as("n_customers"),
+        col("s0").cast("long").as("total_cents"),
+        expr("num div den").cast("long").as("gini_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
-    q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank)
+    q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
+    q163GroupMode, q164GiniConcentration)
 }
