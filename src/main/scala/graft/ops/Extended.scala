@@ -848,11 +848,145 @@ object Extended {
         expr("num div den").cast("long").as("gini_ppm"))
   }
 
+  /** q166: A/B test readout — the two-proportion z-test, sqrt-free: with
+    * variants by user parity and conversion = "made a purchase", the
+    * α=0.05 decision z² > 1.96² cross-multiplies to
+    * 10⁴·(x1·n2 − x2·n1)²·N > 38416·X·(N−X)·n1·n2 (N=n1+n2, X=x1+x2) —
+    * exact 128-bit integers, so the verdict can never hinge on two libms'
+    * sqrt. Rates ship as ppm via integer division. The q135/q136 family
+    * discipline applied to experimentation analytics.
+    *
+    * Scale: users reduce map-side to one (variant, converted) pair each,
+    * then to TWO rows. Everything after is scalar. */
+  val q166AbTest: Q = Q(
+    "q166_ab_test",
+    """WITH u AS (
+      |  SELECT user_id, user_id % 2 AS variant,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1, 2),
+      |v AS (SELECT variant, count(*) AS n, sum(conv) AS x FROM u GROUP BY 1),
+      |w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n1,
+      |             max(CASE WHEN variant = 0 THEN x END) AS x1,
+      |             max(CASE WHEN variant = 1 THEN n END) AS n2,
+      |             max(CASE WHEN variant = 1 THEN x END) AS x2
+      |      FROM v)
+      |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(x1 AS BIGINT) AS conv_a,
+      |       CAST(n2 AS BIGINT) AS n_b, CAST(x2 AS BIGINT) AS conv_b,
+      |       CAST(x1 * 1000000 // n1 AS BIGINT) AS rate_a_ppm,
+      |       CAST(x2 * 1000000 // n2 AS BIGINT) AS rate_b_ppm,
+      |       CAST(10000 AS HUGEINT) * (x1 * n2 - x2 * n1) * (x1 * n2 - x2 * n1)
+      |         * (n1 + n2)
+      |         > CAST(38416 AS HUGEINT) * (x1 + x2) * (n1 + n2 - x1 - x2)
+      |           * n1 * n2 AS significant
+      |FROM w""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val v = Tables(s, dir, "events")
+      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
+    val w = v.agg(
+      max(when(col("variant") === 0, col("n"))).as("n1"),
+      max(when(col("variant") === 0, col("x"))).as("x1"),
+      max(when(col("variant") === 1, col("n"))).as("n2"),
+      max(when(col("variant") === 1, col("x"))).as("x2"))
+    val d = (col("x1") * col("n2") - col("x2") * col("n1")).cast(dec)
+    w.select(col("n1").cast("long").as("n_a"), col("x1").cast("long").as("conv_a"),
+      col("n2").cast("long").as("n_b"), col("x2").cast("long").as("conv_b"),
+      expr("x1 * 1000000 div n1").cast("long").as("rate_a_ppm"),
+      expr("x2 * 1000000 div n2").cast("long").as("rate_b_ppm"),
+      (lit(10000).cast(dec) * d * d * (col("n1") + col("n2")).cast(dec)
+        > lit(38416).cast(dec) * (col("x1") + col("x2")).cast(dec)
+          * (col("n1") + col("n2") - col("x1") - col("x2")).cast(dec)
+          * col("n1").cast(dec) * col("n2").cast(dec)).as("significant"))
+  }
+
+  /** q167: audience-overlap matrix — pairwise Jaccard between event
+    * types' USER SETS ("how much does the click audience overlap the
+    * purchase audience"). Distinct (type, user) pairs self-join on user
+    * for intersection sizes; |A∪B| = |A|+|B|−|A∩B|; Jaccard ships as ppm
+    * by integer division. Upper triangle only (a < b), ordered pairs.
+    *
+    * Scale: the self-join runs on the DEDUPED (type, user) table —
+    * per-user type lists are tiny (≤ #types), so the join output is
+    * bounded by Σ_user types(u)², not rows². */
+  val q167AudienceOverlap: Q = Q(
+    "q167_audience_overlap",
+    """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      |sz AS (SELECT event_type, count(*) AS n FROM tu GROUP BY 1),
+      |ix AS (
+      |  SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS i
+      |  FROM tu a JOIN tu b
+      |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+      |  GROUP BY 1, 2)
+      |SELECT ix.ta, ix.tb, CAST(ix.i AS BIGINT) AS n_both,
+      |       CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+      |       CAST(ix.i * 1000000 // (sa.n + sb.n - ix.i) AS BIGINT)
+      |         AS jaccard_ppm
+      |FROM ix JOIN sz sa ON ix.ta = sa.event_type
+      |        JOIN sz sb ON ix.tb = sb.event_type
+      |ORDER BY ta, tb""".stripMargin) { (s, dir) =>
+    val tu = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val sz = tu.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ix = tu.as("a").join(tu.as("b"),
+      col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("i"))
+    ix.join(broadcast(sz.withColumnsRenamed(Map("event_type" -> "ta", "n" -> "na"))), "ta")
+      .join(broadcast(sz.withColumnsRenamed(Map("event_type" -> "tb", "n" -> "nb"))), "tb")
+      .select(col("ta"), col("tb"), col("i").as("n_both"),
+        col("na").as("n_a"), col("nb").as("n_b"),
+        expr("i * 1000000 div (na + nb - i)").cast("long").as("jaccard_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
+  /** q168: WEIGHTED quantiles — "the price below which half the shipped
+    * VOLUME sits" (weight = quantity), not half the line items: the q147
+    * level kernel with the cumulative running over summed weights. Same
+    * exactness story: integer cents, integer weights, rank test
+    * 100·cumw ≥ q·W. */
+  val q168WeightedQuantiles: Q = Q(
+    "q168_weighted_quantiles",
+    """WITH lv AS (
+      |  SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wt
+      |  FROM lineitem GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT l_returnflag, v,
+      |         sum(wt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cw,
+      |         sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+      |  FROM lv)
+      |SELECT l_returnflag,
+      |       min(CASE WHEN 100 * cw >= 50 * tw THEN v END) AS wp50_cents,
+      |       min(CASE WHEN 100 * cw >= 90 * tw THEN v END) AS wp90_cents
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("v"))
+      .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("wt"))
+    val byG = Window.partitionBy(col("l_returnflag"))
+    lv.select(col("l_returnflag"), col("v"),
+        sum(col("wt")).over(byG.orderBy(col("v"))).as("cw"),
+        sum(col("wt")).over(byG).as("tw"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        min(when(lit(100) * col("cw") >= lit(50) * col("tw"), col("v")))
+          .as("wp50_cents"),
+        min(when(lit(100) * col("cw") >= lit(90) * col("tw"), col("v")))
+          .as("wp90_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
     q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
-    q163GroupMode, q164GiniConcentration)
+    q163GroupMode, q164GiniConcentration, q166AbTest, q167AudienceOverlap,
+    q168WeightedQuantiles)
 }
