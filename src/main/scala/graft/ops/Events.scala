@@ -937,10 +937,156 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q169: automation (bot) detection — humans don't fire events
+    * back-to-back for long: per user, count consecutive-event gaps under
+    * 2 seconds (µs-exact via unix_micros; a floor-seconds gap would call
+    * 1.9 s "1"), flag users where ≥ 3 such gaps occur. The inter-event
+    * delta is the same one-lag-window shape as q155 with the (ts,
+    * event_id) tie order pinned; sub-second ties count as gap 0 — the
+    * strongest bot signal, not an edge case to drop.
+    *
+    * Scale: one user_id shuffle, then a per-user rollup; the flagged
+    * output is the review queue, ∝ suspicious users. */
+  val q169BotDetection: Q = Q(
+    "q169_bot_detection",
+    """WITH g AS (
+      |  SELECT user_id,
+      |         epoch_us(ts) - lag(epoch_us(ts))
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |       count(*) FILTER (WHERE gap_us < 2000000) AS n_fast,
+      |       count(*) FILTER (WHERE gap_us < 2000000) >= 3 AS flagged
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        count_if(col("gap_us") < 2000000).as("n_fast"),
+        (count_if(col("gap_us") < 2000000) >= 3).as("flagged"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q170: double-charge detection — the payments-dedup classic: the SAME
+    * user charged the SAME amount within 5 minutes is a retry/duplicate
+    * suspect. One lag window over (user, amount) partitions ordered by
+    * (ts, event_id): each row pairs with its nearest same-amount
+    * predecessor, µs-exact window test, both event ids shipped for the
+    * refund queue. Distinct from q96's id-dedup: these are DIFFERENT
+    * events whose PAYLOAD collides. Continuous amounts collide ~never in
+    * the test data, so deterministic RETRIES are planted (every 5th
+    * purchase re-fires 90 s later under event_id + 10⁹) — the gate proves
+    * detection, and that un-planted rows produce no false positives.
+    *
+    * Scale: the window partitions by (user, cents) — finer than user, so
+    * skew is even less plausible; no self-join row blowup. */
+  val q170DoubleCharge: Q = Q(
+    "q170_double_charge",
+    """WITH p0 AS (
+      |  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+      |         event_id, epoch_us(ts) AS us
+      |  FROM events WHERE event_type = 'purchase'),
+      |p AS (
+      |  SELECT * FROM p0
+      |  UNION ALL
+      |  SELECT user_id, cents, event_id + 1000000000, us + 90000000
+      |  FROM p0 WHERE event_id % 5 = 0),
+      |g AS (
+      |  SELECT user_id, cents, event_id, us,
+      |         lag(event_id) OVER w AS prev_id,
+      |         us - lag(us) OVER w AS gap_us
+      |  FROM p WINDOW w AS (PARTITION BY user_id, cents ORDER BY us, event_id))
+      |SELECT user_id, cents, prev_id AS first_charge, event_id AS retry_charge,
+      |       CAST(gap_us // 1000000 AS BIGINT) AS gap_s
+      |FROM g WHERE gap_us IS NOT NULL AND gap_us <= 300000000
+      |ORDER BY user_id, cents, retry_charge""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("cents"))
+      .orderBy(col("us"), col("event_id"))
+    val p0 = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"),
+        col("event_id"), unix_micros(col("ts")).as("us"))
+    p0.unionByName(p0.filter(col("event_id") % 5 === 0)
+        .select(col("user_id"), col("cents"),
+          (col("event_id") + 1000000000L).as("event_id"),
+          (col("us") + 90000000L).as("us")))
+      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .filter(col("gap_us").isNotNull && col("gap_us") <= 300000000L)
+      .select(col("user_id"), col("cents"), col("prev_id").as("first_charge"),
+        col("event_id").as("retry_charge"),
+        expr("gap_us div 1000000").cast("long").as("gap_s"))
+      .orderBy(col("user_id"), col("cents"), col("retry_charge"))
+  }
+
+  /** q171: time-to-convert distribution — for each converting user, the
+    * seconds from their FIRST click to their FIRST subsequent purchase;
+    * p50/p90 of that across users via the q147 level kernel (exact
+    * integer seconds, no per-group buffer). The product-funnel latency
+    * metric: "how long does conversion take", robust to the long tail by
+    * construction.
+    *
+    * Scale: two min-aggregates at user grain, one broadcast-joined level
+    * cumulative over distinct delta values. */
+  val q171TimeToConvert: Q = Q(
+    "q171_time_to_convert",
+    """WITH fc AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS click_us
+      |  FROM events WHERE event_type = 'click' GROUP BY 1),
+      |fp AS (
+      |  SELECT e.user_id, min(epoch_us(e.ts)) AS buy_us
+      |  FROM events e JOIN fc ON e.user_id = fc.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.click_us
+      |  GROUP BY 1),
+      |d AS (
+      |  SELECT (fp.buy_us - fc.click_us) // 1000000 AS delta_s
+      |  FROM fp JOIN fc ON fp.user_id = fc.user_id),
+      |lv AS (SELECT delta_s, count(*) AS c FROM d GROUP BY 1),
+      |cum AS (SELECT delta_s,
+      |               sum(c) OVER (ORDER BY delta_s) AS cum,
+      |               sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_converters,
+      |       min(CASE WHEN 100 * cum >= 50 * n THEN delta_s END) AS p50_s,
+      |       min(CASE WHEN 100 * cum >= 90 * n THEN delta_s END) AS p90_s
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val fc = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("us")).as("click_us"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(fc, "user_id")
+      .filter(col("us") >= col("click_us"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("buy_us"),
+        min(col("click_us")).as("click_us2"))
+    val lv = fp.select(expr("(buy_us - click_us2) div 1000000").as("delta_s"))
+      .groupBy(col("delta_s")).agg(count(lit(1)).as("c"))
+    // The single-partition window is over DISTINCT delta levels of the
+    // converter set — bounded; at true scale this takes the q135
+    // bucket-offset decomposition.
+    val cum = lv.select(col("delta_s"),
+      sum(col("c")).over(Window.orderBy(col("delta_s"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    cum.agg(max(col("n")).cast("long").as("n_converters"),
+      min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("delta_s")))
+        .as("p50_s"),
+      min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("delta_s")))
+        .as("p90_s"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
-      q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive)
+      q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
+      q169BotDetection, q170DoubleCharge, q171TimeToConvert)
 }
