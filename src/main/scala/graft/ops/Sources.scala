@@ -89,5 +89,28 @@ object Sources {
         sum(col("cents")).as("sum_cents"))
   }
 
-  val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects)
+  /** q172: the DataSourceV2 generator source under the gate — 20000 rows
+    * planned as 16 input partitions, read in executors, rolled up by
+    * id mod 8. The oracle reproduces the generator's closed form over
+    * `generate_series`, so gate equality proves the source's partition
+    * planning covers [0, rows) exactly once — the off-by-one class of
+    * connector bug (gap or overlap at split boundaries) cannot pass. */
+  val q172GenSource: Q = Q(
+    "q172_gen_source",
+    """WITH g AS (
+      |  SELECT i AS id, (i * 2654435761) % 1000 AS val
+      |  FROM generate_series(0, 19999) t(i))
+      |SELECT id % 8 AS bucket, count(*) AS n,
+      |       CAST(sum(val) AS BIGINT) AS sum_val,
+      |       CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s.read.format("graft.sources.GenSource")
+      .option("rows", "20000").option("numPartitions", "16").load()
+      .groupBy((col("id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
+  val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource)
 }
