@@ -112,5 +112,34 @@ object Sources {
       .orderBy(col("bucket"))
   }
 
-  val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource)
+  /** q173: the DataSourceV2 digest SINK under the gate — events rows
+    * stream through the V2 write path (executor DataWriters → task
+    * commit messages → driver BatchWrite.commit → atomic one-line JSON
+    * publish), and the published digest must equal the q112-algebra
+    * checksum DuckDB computes over the same rows. Gate equality proves
+    * the whole two-phase commit pipeline delivered every row exactly
+    * once; nothing row-sized crossed the driver. */
+  val q173DigestSink: Q = Q(
+    "q173_digest_sink",
+    s"""SELECT count(*) AS n_rows,
+       |       bit_xor(h) AS xor_digest, CAST(sum(h) AS BIGINT) AS sum_digest
+       |FROM (SELECT ${graft.ops.PortableHash.hexHeadToLong("m", "strpos")} AS h
+       |      FROM (SELECT md5(concat_ws('|', event_id, user_id, event_type)) AS m
+       |            FROM events))""".stripMargin) { (s, dir) =>
+    val out = stage("graft-digest-").resolve("digest.json")
+    Tables(s, dir, "events")
+      .select(md5(concat_ws("|", col("event_id"), col("user_id"),
+        col("event_type"))).as("m"))
+      .write.format("graft.sources.DigestSink")
+      .option("out", out.toString).mode("append").save()
+    val line = java.nio.file.Files.readString(out)
+    def field(k: String): Long =
+      s""""$k":\\s*(-?\\d+)""".r.findFirstMatchIn(line).get.group(1).toLong
+    import s.implicits._
+    Seq((field("n_rows"), field("xor_digest"), field("sum_digest")))
+      .toDF("n_rows", "xor_digest", "sum_digest")
+  }
+
+  val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource,
+    q173DigestSink)
 }
