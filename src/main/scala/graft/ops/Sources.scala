@@ -140,6 +140,41 @@ object Sources {
       .toDF("n_rows", "xor_digest", "sum_digest")
   }
 
+  /** q174: the generator's STREAMING read path gated end-to-end — the
+    * same 20000 rows arrive through an actual `readStream` →
+    * `Trigger.AvailableNow` drain, admitted 3000 rows per micro-batch by
+    * the source's `latestOffset(start, limit)` (a backlogged-topic
+    * simulation), into a parquet sink the same rollup reads back. Gate
+    * equality proves the offset ranges tile [0, rows) with no gap or
+    * overlap ACROSS batch boundaries — the streaming connector's
+    * exactly-once read contract, checked as data. */
+  val q174GenStream: Q = Q(
+    "q174_gen_stream",
+    """WITH g AS (
+      |  SELECT i AS id, (i * 2654435761) % 1000 AS val
+      |  FROM generate_series(0, 19999) t(i))
+      |SELECT id % 8 AS bucket, count(*) AS n,
+      |       CAST(sum(val) AS BIGINT) AS sum_val,
+      |       CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.streaming.Trigger
+    val work = stage("graft-genstream-")
+    val query = s.readStream.format("graft.sources.GenSource")
+      .option("rows", "20000").option("numPartitions", "4")
+      .option("batchSize", "3000").load()
+      .writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    s.read.parquet(work.resolve("out").toString)
+      .groupBy((col("id") % 8).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col("val")).cast("long").as("sum_val"),
+        min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource,
-    q173DigestSink)
+    q173DigestSink, q174GenStream)
 }

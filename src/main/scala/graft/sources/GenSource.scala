@@ -51,21 +51,22 @@ private[sources] class GenTable(rows: Long, numPartitions: Int)
   override def name(): String = s"graft_gen($rows)"
   override def schema(): StructType = GenSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GenScanBuilder(rows, numPartitions)
+    new GenScanBuilder(rows, numPartitions,
+      options.getLong("batchSize", 1000L))
 }
 
-private[sources] class GenScanBuilder(rows: Long, numPartitions: Int)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+private[sources] class GenScanBuilder(rows: Long, numPartitions: Int,
+    batchSize: Long) extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GenSource.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new GenScan(rows, numPartitions, required)
+  override def build(): Scan = new GenScan(rows, numPartitions, batchSize, required)
 }
 
 private[sources] class GenScan(rows: Long, numPartitions: Int,
-    required: StructType) extends Scan with Batch {
+    batchSize: Long, required: StructType) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
@@ -78,6 +79,50 @@ private[sources] class GenScan(rows: Long, numPartitions: Int,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GenReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GenMicroBatchStream(rows, batchSize, required.fieldNames)
+}
+
+/** The STREAMING read path: a MicroBatchStream with admission control —
+  * offsets are plain row positions, `latestOffset(start, limit)` admits
+  * `batchSize` rows per trigger, and `SupportsTriggerAvailableNow`
+  * snapshots the end so `Trigger.AvailableNow` drains the source across
+  * SEVERAL bounded micro-batches exactly like a backlogged Kafka topic.
+  * This is the offset/admission skeleton every streaming connector
+  * implements; planInputPartitions(start, end) re-slices each admitted
+  * range so batch and stream share the executor-side reader. */
+private[sources] class GenMicroBatchStream(rows: Long, batchSize: Long,
+    fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private case class Pos(v: Long) extends Offset {
+    override def json(): String = v.toString
+  }
+  @volatile private var target: Long = rows
+
+  override def prepareForTriggerAvailableNow(): Unit = target = rows
+  override def initialOffset(): Offset = Pos(0L)
+  override def latestOffset(): Offset = Pos(rows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    Pos(math.min(start.asInstanceOf[Pos].v + batchSize, target))
+  override def reportLatestOffset(): Offset = Pos(target)
+  override def deserializeOffset(json: String): Offset = Pos(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[Pos].v
+    val hi = end.asInstanceOf[Pos].v
+    if (hi <= lo) Array.empty
+    else Array(GenPartition(lo, hi))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GenReaderFactory(fields)
 }
 
 private[sources] case class GenPartition(lo: Long, hi: Long) extends InputPartition

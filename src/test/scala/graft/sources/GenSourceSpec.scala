@@ -35,4 +35,24 @@ class GenSourceSpec extends SparkSpec {
       Seq((0L, 0L)))
     assert(gen(3, 8).count() == 3)
   }
+
+  test("streaming drain runs MULTIPLE admission-bounded micro-batches") {
+    val work = java.nio.file.Files.createTempDirectory("genstream")
+    val q = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", "1000").option("batchSize", "300").load()
+      .writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(work.resolve("out").toString)
+    assert(got.count() == 1000)
+    assert(got.agg(org.apache.spark.sql.functions.sum("id"))
+      .collect()(0).getLong(0) == 1000L * 999 / 2)
+    // ceil(1000/300) = 4 triggers → ≥4 committed batches in the sink log.
+    val batches = new java.io.File(work.resolve("out").resolve("_spark_metadata").toString)
+      .list().count(_.forall(_.isDigit))
+    assert(batches >= 4, s"expected >=4 micro-batches, saw $batches")
+  }
 }
