@@ -1082,11 +1082,74 @@ object Events {
         .as("p90_s"))
   }
 
+  /** q177: process-conformance audit — q155's observed transition matrix
+    * checked against a declared process model (the whitelist a
+    * session-flow owner maintains): any session may open with anything;
+    * view→{view, click}, click→{view, click, purchase, error},
+    * purchase→{view, signup?no}… the model here is a literal 14-pair
+    * table, identical in both engines. Violations = observed LEFT ANTI
+    * model, with counts — the process-mining "deviation report".
+    *
+    * Scale: the observed side is q155's ≤(types+1)² cells; the model
+    * broadcasts. Everything after the transition rollup is tiny. */
+  val q177Conformance: Q = Q(
+    "q177_conformance",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER w AS prev_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT CASE WHEN is_start = 1 THEN '<start>' ELSE prev_type END
+      |           AS from_type,
+      |         event_type AS to_type
+      |  FROM m),
+      |obs AS (SELECT from_type, to_type, count(*) AS n FROM t GROUP BY 1, 2),
+      |model AS (
+      |  SELECT * FROM (VALUES
+      |    ('<start>', 'view'), ('<start>', 'click'), ('<start>', 'signup'),
+      |    ('<start>', 'purchase'), ('<start>', 'error'),
+      |    ('view', 'view'), ('view', 'click'), ('view', 'error'),
+      |    ('click', 'view'), ('click', 'click'), ('click', 'purchase'),
+      |    ('click', 'error'), ('signup', 'view'), ('purchase', 'view'))
+      |  AS v(from_type, to_type))
+      |SELECT obs.from_type, obs.to_type, CAST(obs.n AS BIGINT) AS n
+      |FROM obs LEFT JOIN model
+      |  ON obs.from_type = model.from_type AND obs.to_type = model.to_type
+      |WHERE model.from_type IS NULL
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val obs = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          lit("<start>")).otherwise(col("prev_type")).as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val model = s.createDataFrame(Seq(
+      ("<start>", "view"), ("<start>", "click"), ("<start>", "signup"),
+      ("<start>", "purchase"), ("<start>", "error"),
+      ("view", "view"), ("view", "click"), ("view", "error"),
+      ("click", "view"), ("click", "click"), ("click", "purchase"),
+      ("click", "error"), ("signup", "view"), ("purchase", "view")))
+      .toDF("from_type", "to_type")
+    obs.join(broadcast(model), Seq("from_type", "to_type"), "left_anti")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
-      q169BotDetection, q170DoubleCharge, q171TimeToConvert)
+      q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance)
 }

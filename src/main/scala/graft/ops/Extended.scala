@@ -981,6 +981,71 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q176: Lorenz concentration points — q164's Gini as the three numbers
+    * an exec actually asks for: what revenue share do the top 1% / 10% /
+    * 50% of customers hold. Customers reduce to (total, count) levels,
+    * the DESC cumulative runs through the two-phase bucket-offset window,
+    * and a level straddling the top-k boundary contributes PARTIALLY —
+    * v·(min(cc, k) − min(cc−c, k)), exact because customers within a
+    * level are identical. k = ⌈n·p/100⌉ and shares ship as integer ppm;
+    * no floats anywhere.
+    *
+    * Scale: same as q164 — levels, a ~#buckets window, then scalars. */
+  val q176LorenzPoints: Q = Q(
+    "q176_lorenz_points",
+    """WITH tot AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                         AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |lv AS (SELECT v, count(*) AS c FROM tot GROUP BY 1),
+      |bk AS (SELECT CAST(floor(v / 1000000.0) AS BIGINT) AS b, v, c FROM lv),
+      |bs AS (SELECT b, sum(c) AS s FROM bk GROUP BY 1),
+      |off AS (SELECT b, sum(s) OVER (ORDER BY b DESC) - s AS o FROM bs),
+      |cum AS (
+      |  SELECT v, c, o + sum(c) OVER (PARTITION BY bk.b ORDER BY v DESC) AS cc
+      |  FROM bk JOIN off USING (b)),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(CAST(v AS HUGEINT) * c) AS HUGEINT) AS s0 FROM lv),
+      |pts AS (
+      |  SELECT p, (t.n * p + 99) // 100 AS k FROM (VALUES (1), (10), (50)) v(p)
+      |  CROSS JOIN t)
+      |SELECT CAST(pts.p AS BIGINT) AS top_pct, CAST(pts.k AS BIGINT) AS k_customers,
+      |       CAST(sum(CAST(cum.v AS HUGEINT)
+      |              * (least(cum.cc, pts.k) - least(cum.cc - cum.c, pts.k)))
+      |            * 1000000 // max(t.s0) AS BIGINT) AS share_ppm
+      |FROM cum CROSS JOIN pts CROSS JOIN t
+      |GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val tot = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("v"))
+    val lv = tot.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("v") / 1000000.0))
+    val bs = lv.groupBy(col("b")).agg(sum(col("c")).as("s"))
+    val off = bs.select(col("b"),
+      (sum(col("s")).over(Window.orderBy(col("b").desc)) - col("s")).as("o"))
+    val cum = lv.join(off, "b")
+      .select(col("v"), col("c"),
+        (col("o") + sum(col("c"))
+          .over(Window.partitionBy(col("b")).orderBy(col("v").desc))).as("cc"))
+    val t = lv.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("v").cast(dec) * col("c")).as("s0"))
+    val pts = s.createDataFrame(Seq(Tuple1(1L), Tuple1(10L), Tuple1(50L)))
+      .toDF("p").crossJoin(broadcast(t))
+      .select(col("p"), expr("(n * p + 99) div 100").as("k"), col("s0"))
+    cum.crossJoin(broadcast(pts))
+      .groupBy(col("p").as("top_pct"), col("k").as("k_customers"))
+      .agg(sum(col("v").cast(dec)
+          * (least(col("cc"), col("k")) - least(col("cc") - col("c"), col("k")))
+            .cast(dec)).as("top_rev"),
+        max(col("s0")).as("s0max"))
+      .select(col("top_pct"), col("k_customers"),
+        expr("(top_rev * 1000000) div s0max").cast("long").as("share_ppm"))
+      .orderBy(col("top_pct"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
@@ -988,5 +1053,5 @@ object Extended {
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
     q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
     q163GroupMode, q164GiniConcentration, q166AbTest, q167AudienceOverlap,
-    q168WeightedQuantiles)
+    q168WeightedQuantiles, q176LorenzPoints)
 }

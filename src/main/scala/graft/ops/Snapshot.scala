@@ -496,7 +496,50 @@ object Snapshot {
       .orderBy(col("priority"))
   }
 
+  /** q175: header-detail reconciliation — the finance-close audit: does
+    * each order header's total equal the sum of its lines at
+    * extprice·(1−disc)·(1+tax)? The per-line product is one double
+    * expression (bit-identical across engines), immediately pinned to
+    * DECIMAL(28,6) so the per-order SUM is associative — a raw double sum
+    * would hash-differ by partial-agg order. Comparison at cent grain.
+    * (This synthetic data reconciles almost nowhere — the point is the
+    * audit computes the discrepancy FEED deterministically; n_within_1c /
+    * max_abs_diff are real data, not a vacuous zero.)
+    *
+    * Scale: one join shuffle on orderkey with map-side partial sums;
+    * output is four scalars. */
+  val q175HeaderDetailRecon: Q = Q(
+    "q175_header_detail_recon",
+    """WITH d AS (
+      |  SELECT l_orderkey,
+      |         sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |                  AS DECIMAL(28,6))) AS detail
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT CAST(round(o.o_totalprice * 100) AS BIGINT) AS hc,
+      |         CAST(round(d.detail * 100) AS BIGINT) AS dc
+      |  FROM orders o JOIN d ON o.o_orderkey = d.l_orderkey)
+      |SELECT count(*) AS n_orders,
+      |       count(*) FILTER (WHERE abs(hc - dc) <= 1) AS n_within_1c,
+      |       CAST(max(abs(hc - dc)) AS BIGINT) AS max_abs_diff_cents,
+      |       CAST(sum(abs(hc - dc)) AS BIGINT) AS total_abs_diff_cents
+      |FROM j""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val d = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax"))).cast(DecimalType(28, 6))).as("detail"))
+    Tables(s, dir, "orders")
+      .join(d, col("o_orderkey") === col("l_orderkey"))
+      .select(round(col("o_totalprice") * 100).cast("long").as("hc"),
+        round(col("detail") * 100).cast("long").as("dc"))
+      .agg(count(lit(1)).as("n_orders"),
+        count_if(abs(col("hc") - col("dc")) <= 1).as("n_within_1c"),
+        max(abs(col("hc") - col("dc"))).cast("long").as("max_abs_diff_cents"),
+        sum(abs(col("hc") - col("dc"))).cast("long").as("total_abs_diff_cents"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
-    q153SchemaEvolution)
+    q153SchemaEvolution, q175HeaderDetailRecon)
 }
