@@ -144,5 +144,81 @@ object Fuzzy {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin)
+  /** q179: entity resolution END-TO-END — the MDM pipeline as one
+    * operator: q105's blocked fuzzy matcher produces the edge list,
+    * Dedup.connectedComponents folds matches into entity clusters
+    * (transitively: A~B, B~C ⇒ one entity even if A~C was never
+    * generated), and each cluster collapses to a golden record with
+    * q154's survivorship discipline (canonical name = longest via the
+    * zero-padded length|name key; support summed). Names get stable ids
+    * = min part key per name, so the cluster label is reproducible.
+    * The oracle recomputes the closure as a recursive CTE over the pure
+    * match semantics — gate equality proves blocking + iterative CC +
+    * survivorship together equal the declarative spec.
+    *
+    * Scale: each stage is the already-audited scale shape (pigeonhole
+    * blocking, label-propagation CC with its large-star fallback,
+    * one-shuffle survivorship); the composition adds no new hotspot. */
+  val q179EntityResolution: Q = Q(
+    "q179_entity_resolution",
+    """WITH RECURSIVE names AS (
+      |  SELECT p_name AS name, count(*) AS n_parts, min(p_partkey) AS nid
+      |  FROM part GROUP BY 1),
+      |pairs AS (
+      |  SELECT least(a.nid, b.nid) AS u, greatest(a.nid, b.nid) AS v
+      |  FROM names a JOIN names b
+      |    ON a.name < b.name
+      |   AND len(string_split(a.name, ' ')) = len(string_split(b.name, ' '))
+      |   AND (CASE WHEN split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+      |             THEN 0 ELSE 1 END
+      |      + CASE WHEN split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
+      |             THEN 0 ELSE 1 END) <= 1
+      |   AND levenshtein(a.name, b.name) <= 3),
+      |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+      |reach AS (SELECT u, v FROM edges
+      |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+      |lbl AS (SELECT u AS nid, least(u, min(v)) AS cluster_id
+      |        FROM reach GROUP BY u)
+      |SELECT cluster_id, count(*) AS n_names,
+      |       CAST(sum(n.n_parts) AS BIGINT) AS total_parts,
+      |       max_by(n.name,
+      |              lpad(CAST(length(n.name) AS VARCHAR), 4, '0') || '|' || n.name)
+      |         AS canonical_name
+      |FROM lbl JOIN names n USING (nid)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val names = Tables(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_parts"), min(col("p_partkey")).as("nid"))
+      .withColumn("ws", split(col("name"), " "))
+      .withColumn("wc", size(col("ws")))
+    val segs = names.select(col("name"), col("nid"), col("ws"), col("wc"),
+      posexplode(col("ws")).as(Seq("wi", "w")))
+    val edges = segs.as("a").join(segs.as("b"),
+        col("a.wi") === col("b.wi") && col("a.w") === col("b.w") &&
+          col("a.wc") === col("b.wc") && col("a.name") < col("b.name"))
+      .select(col("a.nid").as("nid_a"), col("b.nid").as("nid_b"),
+        col("a.ws").as("ws_a"), col("b.ws").as("ws_b"))
+      .distinct()
+      .withColumn("w_dist", expr(
+        "aggregate(zip_with(ws_a, ws_b, (x, y) -> IF(x <=> y, 0L, 1L)), 0L, (acc, v) -> acc + v)"))
+      // The lev ≤ 3 leg keeps match tightness meaningful in this dense
+      // two-word vocabulary (w_dist alone transitively collapses ALL
+      // names into one entity — true but useless as a fixture).
+      .filter(col("w_dist") <= 1 &&
+        levenshtein(concat_ws(" ", col("ws_a")), concat_ws(" ", col("ws_b"))) <= 3)
+      .select(least(col("nid_a"), col("nid_b")).as("doc_a"),
+        greatest(col("nid_a"), col("nid_b")).as("doc_b"))
+    Dedup.connectedComponents(edges)
+      .join(names.select(col("nid").as("doc_id"), col("name"), col("n_parts")),
+        "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_names"),
+        sum(col("n_parts")).cast("long").as("total_parts"),
+        max_by(col("name"),
+          concat(lpad(length(col("name")).cast("string"), 4, "0"),
+            lit("|"), col("name"))).as("canonical_name"))
+      .orderBy(col("cluster_id"))
+  }
+
+  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution)
 }

@@ -1018,8 +1018,43 @@ object Similarity {
         recall(col("n_pairs_9probe"), col("n_exact")).as("recall_9probe"))
   }
 
+  /** q178: higher-order array functions — the lambda surface
+    * (`transform` / `filter` / `aggregate`) exercised as first-class
+    * coverage over the embedding column, all codegen-friendly (no UDF).
+    * Floats are pinned FIRST — each element quantizes independently via
+    * round(double(x)·1000), element-wise so order can't matter — and
+    * every fold after that is integer, hence associative and
+    * engine-identical. (A raw float `aggregate` would be fold-order-
+    * dependent and is exactly what this pattern avoids at 100 TB too.) */
+  val q178ArrayFunctions: Q = Q(
+    "q178_array_functions",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding,
+      |           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id % 17 = 0)
+      |SELECT vec_id,
+      |       CAST(len(qv) AS BIGINT) AS n_dims,
+      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+      |       CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
+      |       CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+      |            AS BIGINT) AS sumsq_q
+      |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % 17 === 0)
+      .withColumn("qv", transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long")))
+      .select(col("vec_id"),
+        size(col("qv")).cast("long").as("n_dims"),
+        aggregate(col("qv"), lit(0L), (a, x) => a + x).as("sum_q"),
+        size(filter(col("qv"), _ > 0)).cast("long").as("n_pos"),
+        aggregate(transform(col("qv"), x => x * x), lit(0L), (a, x) => a + x)
+          .as("sumsq_q"))
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
-    q93NearDupMultiprobe, q100AnnIncremental)
+    q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions)
 }
