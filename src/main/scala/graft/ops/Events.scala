@@ -1145,11 +1145,136 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q180: top user journeys — q155's first-order transitions extended to
+    * 3-step paths (two lags over the same single window pass; a session
+    * break resets the path). The top-15 most-travelled (a→b→c) paths by
+    * count, ties to path order — the "what do users actually do"
+    * readout. One user_id shuffle; paths collapse to ≤ types³ cells. */
+  val q180JourneyPaths: Q = Q(
+    "q180_journey_paths",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type, 1) OVER w AS p1,
+      |         lag(event_type, 2) OVER w AS p2,
+      |         CASE WHEN lag(ts, 1) OVER w IS NULL
+      |                OR ts - lag(ts, 1) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk1,
+      |         CASE WHEN lag(ts, 2) OVER w IS NULL
+      |                OR lag(ts, 1) OVER w - lag(ts, 2) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS brk2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |t AS (
+      |  SELECT p2 AS s1, p1 AS s2, event_type AS s3 FROM m
+      |  WHERE brk1 = 0 AND brk2 = 0)
+      |SELECT s1, s2, s3, count(*) AS n
+      |FROM t GROUP BY 1, 2, 3
+      |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("p1", lag(col("event_type"), 1).over(w))
+      .withColumn("p2", lag(col("event_type"), 2).over(w))
+      .withColumn("t1", lag(col("ts"), 1).over(w))
+      .withColumn("t2", lag(col("ts"), 2).over(w))
+      .filter(col("t1").isNotNull &&
+        col("ts") < col("t1") + expr("INTERVAL 30 MINUTES") &&
+        col("t2").isNotNull &&
+        col("t1") < col("t2") + expr("INTERVAL 30 MINUTES"))
+      .groupBy(col("p2").as("s1"), col("p1").as("s2"),
+        col("event_type").as("s3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("s1"), col("s2"), col("s3"))
+      .limit(15)
+  }
+
+  /** q181: churn detection — users active in the FIRST week of the window
+    * who then go silent for its remainder (last activity inside week 1).
+    * Absence again inverts to per-user bounds: one min/max aggregate, no
+    * anti-join over raw rows. The test users are active continuously, so
+    * CHURNERS ARE PLANTED: every 13th user's post-week-1 events are
+    * dropped from the analysis stream (deterministic in both engines) —
+    * the gate proves those users are detected and, equally, that the
+    * always-active rest produce no false positives. */
+  val q181ChurnDetection: Q = Q(
+    "q181_churn_detection",
+    """WITH b AS (
+      |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0 FROM events),
+      |e AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec
+      |  FROM events CROSS JOIN b
+      |  WHERE NOT (user_id % 13 = 0
+      |             AND CAST(floor(epoch(ts)) AS BIGINT) >= b.t0 + 604800)),
+      |u AS (
+      |  SELECT user_id, min(sec) AS first_s, max(sec) AS last_s,
+      |         count(*) AS n_events
+      |  FROM e GROUP BY 1)
+      |SELECT u.user_id, u.last_s, CAST(u.n_events AS BIGINT) AS n_events
+      |FROM u CROSS JOIN b
+      |WHERE u.first_s < b.t0 + 604800 AND u.last_s < b.t0 + 604800
+      |ORDER BY u.user_id""".stripMargin) { (s, dir) =>
+    val ev0 = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+    val b = ev0.agg(min(col("sec")).as("t0"))
+    val ev = ev0.crossJoin(broadcast(b))
+      .filter(!(col("user_id") % 13 === 0 && col("sec") >= col("t0") + 604800))
+    ev.groupBy(col("user_id"))
+      .agg(min(col("sec")).as("first_s"), max(col("sec")).as("last_s"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(b))
+      .filter(col("first_s") < col("t0") + 604800 &&
+        col("last_s") < col("t0") + 604800)
+      .select(col("user_id"), col("last_s"), col("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q182: repeat-purchase cadence — median and p90 days between a user's
+    * consecutive purchases (the replenishment-cycle metric behind "when
+    * to remind"). Per-user gaps from one lag window, then the q147 level
+    * kernel over integer day gaps. */
+  val q182PurchaseCadence: Q = Q(
+    "q182_purchase_cadence",
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT (sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id))
+      |           // 86400 AS gap_d
+      |  FROM p),
+      |lv AS (SELECT gap_d, count(*) AS c FROM g WHERE gap_d IS NOT NULL GROUP BY 1),
+      |cum AS (SELECT gap_d, sum(c) OVER (ORDER BY gap_d) AS cum,
+      |               sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_gaps,
+      |       min(CASE WHEN 100 * cum >= 50 * n THEN gap_d END) AS p50_days,
+      |       min(CASE WHEN 100 * cum >= 90 * n THEN gap_d END) AS p90_days
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    val lv = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("gap_d",
+        expr("(sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id)) div 86400"))
+      .filter(col("gap_d").isNotNull)
+      .groupBy(col("gap_d")).agg(count(lit(1)).as("c"))
+    val cum = lv.select(col("gap_d"),
+      sum(col("c")).over(Window.orderBy(col("gap_d"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    cum.agg(max(col("n")).cast("long").as("n_gaps"),
+      min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("gap_d")))
+        .as("p50_days"),
+      min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("gap_d")))
+        .as("p90_days"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
-      q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance)
+      q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
+      q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence)
 }
