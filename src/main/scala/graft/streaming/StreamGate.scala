@@ -710,9 +710,43 @@ object StreamGate {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** q183: the MapState crosstab gated end-to-end — per-user×type running
+    * counts maintained in a RocksDB MapState across three time-split
+    * micro-batches; the sink's monotone emissions reduce to max(n) per
+    * cell, which must equal the batch groupBy count. Completes the
+    * transformWithState state-shape trio under the driver oracle
+    * (ValueState: q158; timers: TimerSessions specs; MapState: here). */
+  val q183StreamCrosstab: Q = Q(
+    "q183_stream_crosstab",
+    """SELECT user_id, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q183-")
+    val ev = Tables(s, dir, "events")
+    val cut1 = lit("2024-01-11").cast("timestamp")
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val in = stageOrderedBatches(work, Seq(
+      ev.filter(col("ts") < cut1),
+      ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+      ev.filter(col("ts") >= cut2)))
+    val ss = streamSession(s)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val stream = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("user_id"), col("event_type"))
+      .as[CrosstabStream.Ev]
+    val cells = CrosstabStream.crosstab(stream)
+    s.read.parquet(runToParquet(cells.toDF(), work))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(col("n")).as("n"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
-    q117StreamEnrich, q126StreamTopK, q158StreamMarkov)
+    q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab)
 }
