@@ -744,9 +744,52 @@ object StreamGate {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** q184: the ListState recent-activity buffer gated end-to-end — each
+    * user's last-5 event ids maintained across three time-split triggers;
+    * the oracle recomputes the same buffer as a rank window over the full
+    * history. Cross-batch correctness is the point: a user's buffer must
+    * stitch events from different triggers in (ts, event_id) order. */
+  val q184StreamRecent: Q = Q(
+    "q184_stream_recent",
+    """WITH r AS (
+      |  SELECT user_id, event_id,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT user_id, CAST(max(n) AS BIGINT) AS n_seen,
+      |       string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY rn DESC) AS last5
+      |FROM r WHERE rn <= 5
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q184-")
+    val ev = Tables(s, dir, "events")
+    val cut1 = lit("2024-01-11").cast("timestamp")
+    val cut2 = lit("2024-01-21").cast("timestamp")
+    val in = stageOrderedBatches(work, Seq(
+      ev.filter(col("ts") < cut1),
+      ev.filter(col("ts") >= cut1 && col("ts") < cut2),
+      ev.filter(col("ts") >= cut2)))
+    val ss = streamSession(s)
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import ss.implicits._
+    val stream = ss.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .select(col("user_id"), unix_micros(col("ts")).as("micros"),
+        col("event_id"))
+      .as[RecentBuffer.Ev]
+    val out = RecentBuffer.recent(stream)
+    s.read.parquet(runToParquet(out.toDF(), work))
+      .groupBy(col("user_id"))
+      .agg(max(col("n_seen")).as("n_seen"),
+        max_by(col("last5"), col("n_seen")).as("last5"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
-    q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab)
+    q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
+    q184StreamRecent)
 }
