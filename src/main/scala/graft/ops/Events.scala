@@ -1269,6 +1269,36 @@ object Events {
         .as("p90_days"))
   }
 
+  /** q185: cumulative BUYER reach curve — distinct users who have EVER
+    * purchased, by day: first-purchase day per user (one user-grain min),
+    * new-buyer counts per day, running sum over the ≤ #days cells. The
+    * conversion-growth curve, computed without any distinct-over-window
+    * (which would re-count the full buyer set per day). Purchases, not
+    * all events: everyone fires SOME event on day 1, so all-event reach
+    * is a degenerate one-point curve in this data. */
+  val q185ReachCurve: Q = Q(
+    "q185_reach_curve",
+    """WITH fs AS (
+      |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d0
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |nd AS (SELECT d0 AS day, count(*) AS new_buyers FROM fs GROUP BY 1)
+      |SELECT day, CAST(new_buyers AS BIGINT) AS new_buyers,
+      |       CAST(sum(new_buyers) OVER (ORDER BY day) AS BIGINT) AS cum_reach
+      |FROM nd ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("user_id"))
+      .agg(min(expr("sec div 86400")).as("d0"))
+      .groupBy(col("d0").as("day"))
+      .agg(count(lit(1)).as("new_buyers"))
+      .select(col("day"), col("new_buyers"),
+        sum(col("new_buyers")).over(Window.orderBy(col("day")))
+          .cast("long").as("cum_reach"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1276,5 +1306,5 @@ object Events {
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
-      q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence)
+      q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve)
 }

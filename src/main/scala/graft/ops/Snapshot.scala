@@ -539,7 +539,52 @@ object Snapshot {
         sum(abs(col("hc") - col("dc"))).cast("long").as("total_abs_diff_cents"))
   }
 
+  /** q188: data-contract validation — the producer/consumer contract
+    * (ranges, enum membership, time window, payload parseability)
+    * evaluated as one pass with per-RULE violation counts, the report a
+    * contract gate publishes before promoting a batch. Rules are chosen
+    * so both outcomes occur (value ≤ 95 genuinely fails on real rows;
+    * the enum/window/JSON rules genuinely pass) — a contract checker
+    * that's never seen a violation is untested. One scan, one 1-row agg
+    * exploded to rule rows (the q141 shape); per-row quarantine routing
+    * is U7/q55's surface. */
+  val q188DataContract: Q = Q(
+    "q188_data_contract",
+    """WITH s AS (
+      |  SELECT count(*) AS n,
+      |         count(*) FILTER (WHERE NOT value >= 0) AS v1,
+      |         count(*) FILTER (WHERE NOT value <= 95) AS v2,
+      |         count(*) FILTER (WHERE event_type NOT IN
+      |           ('click', 'error', 'purchase', 'signup', 'view')) AS v3,
+      |         count(*) FILTER (WHERE NOT (ts >= TIMESTAMP '2024-01-01'
+      |                                 AND ts < TIMESTAMP '2024-02-01')) AS v4,
+      |         count(*) FILTER (WHERE json_extract(props, '$.k') IS NULL) AS v5
+      |  FROM events)
+      |SELECT 'value_nonneg' AS rule, n AS n_checked, v1 AS n_violations FROM s
+      |UNION ALL SELECT 'value_le_95', n, v2 FROM s
+      |UNION ALL SELECT 'type_enum', n, v3 FROM s
+      |UNION ALL SELECT 'ts_in_window', n, v4 FROM s
+      |UNION ALL SELECT 'props_json_k', n, v5 FROM s
+      |ORDER BY rule""".stripMargin) { (s, dir) =>
+    val agg = Tables(s, dir, "events").agg(
+      count(lit(1)).as("n"),
+      count_if(!(col("value") >= 0)).as("v1"),
+      count_if(!(col("value") <= 95)).as("v2"),
+      count_if(!col("event_type").isin(
+        "click", "error", "purchase", "signup", "view")).as("v3"),
+      count_if(!(col("ts") >= lit("2024-01-01").cast("timestamp") &&
+        col("ts") < lit("2024-02-01").cast("timestamp"))).as("v4"),
+      count_if(get_json_object(col("props"), "$.k").isNull).as("v5"))
+    val rules = Seq("value_nonneg" -> "v1", "value_le_95" -> "v2",
+      "type_enum" -> "v3", "ts_in_window" -> "v4", "props_json_k" -> "v5")
+    agg.select(explode(array(rules.map { case (name, c) => struct(
+        lit(name).as("rule"), col("n").as("n_checked"),
+        col(c).as("n_violations")) }: _*)).as("st"))
+      .select(col("st.*"))
+      .orderBy(col("rule"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
-    q153SchemaEvolution, q175HeaderDetailRecon)
+    q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract)
 }

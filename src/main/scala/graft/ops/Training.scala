@@ -475,8 +475,74 @@ object Training {
       .orderBy(col("doc_id"))
   }
 
+  /** q186: EXACT-k stratified sample — q56's rate gate admits a
+    * binomially-varying count per stratum; fixed-size eval sets need
+    * exactly min(k, |stratum|) rows. Rank by (salted md5, doc_id) inside
+    * each stratum — a deterministic total order both engines reproduce —
+    * and keep rank ≤ 20. Spark 4 plans the rank filter as
+    * WindowGroupLimit, bounding every partition's sort to the top-k
+    * (the q78 machinery), so no stratum ever fully sorts. */
+  val q186ExactKSample: Q = Q(
+    "q186_exact_k_sample",
+    s"""WITH ${duckBucketed("-graft-exactk")},
+       |r AS (
+       |  SELECT lang, doc_id, n_chars,
+       |         row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rk
+       |  FROM b)
+       |SELECT lang, count(*) AS n_sampled,
+       |       CAST(sum(n_chars) AS BIGINT) AS sample_chars,
+       |       CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM r WHERE rk <= 20
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    sparkBucketed(s, dir, "-graft-exactk")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("m"), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).cast("long").as("sample_chars"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  /** q187: GROUP k-fold assignment — cross-validation folds where ALL of
+    * an entity's rows land in one fold (fold by hash of the GROUP key,
+    * here the document's source), the leakage-free construction q134
+    * audits for: row-level folds let one source straddle train and test.
+    * Fold = portable hash of source mod 5; output proves both the
+    * assignment (sizes per fold) and the invariant (each source touches
+    * exactly one fold) as data. */
+  val q187GroupKfold: Q = Q(
+    "q187_group_kfold",
+    s"""WITH g AS (
+       |  SELECT source, md5(concat(source, '-graft-fold')) AS m FROM documents
+       |  GROUP BY 1),
+       |f AS (SELECT source, (${PortableHash.hexHeadToLong("m", "strpos")}) % 5
+       |        AS fold FROM g),
+       |j AS (SELECT d.doc_id, d.n_chars, d.source, f.fold
+       |      FROM documents d JOIN f USING (source))
+       |SELECT fold, count(*) AS n_docs,
+       |       count(DISTINCT source) AS n_sources,
+       |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val f = Tables(s, dir, "documents")
+      .groupBy(col("source")).agg(count(lit(1)).as("_n"))
+      .withColumn("m", md5(concat(col("source"), lit("-graft-fold"))))
+      .select(col("source"),
+        (expr(PortableHash.hexHeadToLong("m", "instr")) % 5).as("fold"))
+    Tables(s, dir, "documents")
+      .join(broadcast(f), "source")
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("fold"))
+  }
+
   val all: Seq[Q] = Seq(
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
-    q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds)
+    q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds,
+    q186ExactKSample, q187GroupKfold)
 }
