@@ -220,5 +220,50 @@ object Fuzzy {
       .orderBy(col("cluster_id"))
   }
 
-  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution)
+  /** q189: containment join — the ASYMMETRIC near-dup q110's Jaccard
+    * misses: a short document quoted inside a much longer one has tiny
+    * Jaccard (the union is huge) but containment |A∩B|/|A| ≈ 1. Same
+    * shared-shingle co-count skeleton as q110; the decision is the
+    * integer cross-multiplication 10·inter ≥ 9·|A| per DIRECTION, so one
+    * pair can flag a⊂b, b⊂a (near-equal), or both. This is the
+    * "document swallowed by a concatenation" detector a dedup pipeline
+    * runs besides symmetric similarity.
+    *
+    * Scale: identical to q110 — candidate volume ∝ Σ_shingle |bucket|²
+    * over deduped (doc, shingle) tokens; the threshold test is
+    * integer-exact. */
+  val q189ContainmentJoin: Q = Q(
+    "q189_containment_join",
+    s"""WITH ${graft.ops.Dedup.duckShingleRows},
+       |tok AS (SELECT DISTINCT doc_id, sh FROM shl),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |co AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+       |       FROM tok a JOIN tok b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |       GROUP BY 1, 2),
+       |j AS (SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb
+       |      FROM co JOIN sz sa ON sa.doc_id = co.doc_a
+       |              JOIN sz sb ON sb.doc_id = co.doc_b)
+       |SELECT doc_a, doc_b, inter, na, nb,
+       |       10 * inter >= 9 * na AS a_in_b,
+       |       10 * inter >= 9 * nb AS b_in_a
+       |FROM j WHERE 10 * inter >= 9 * na OR 10 * inter >= 9 * nb
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val tok = graft.ops.Dedup.shingleRows(s, dir).distinct()
+    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val co = tok.as("a").join(tok.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sz.withColumnsRenamed(Map("doc_id" -> "doc_a", "n" -> "na")), "doc_a")
+      .join(sz.withColumnsRenamed(Map("doc_id" -> "doc_b", "n" -> "nb")), "doc_b")
+      .withColumn("a_in_b", lit(10) * col("inter") >= lit(9) * col("na"))
+      .withColumn("b_in_a", lit(10) * col("inter") >= lit(9) * col("nb"))
+      .filter(col("a_in_b") || col("b_in_a"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
+        col("a_in_b"), col("b_in_a"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution,
+    q189ContainmentJoin)
 }

@@ -584,7 +584,35 @@ object Snapshot {
       .orderBy(col("rule"))
   }
 
+  /** q190: k-anonymity audit — before publishing a "de-identified"
+    * extract, check the quasi-identifier combination (nation, market
+    * segment) leaves no group smaller than k=5: such rows are
+    * re-identification risks. One group-size aggregate, then scalars —
+    * the privacy gate's summary (the remediation — generalize or
+    * suppress — consumes the same group table). */
+  val q190KAnonymity: Q = Q(
+    "q190_k_anonymity",
+    """WITH g AS (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS sz
+      |  FROM customer GROUP BY 1, 2)
+      |SELECT CAST(count(*) AS BIGINT) AS n_groups,
+      |       count(*) FILTER (WHERE sz < 5) AS n_groups_below_k,
+      |       CAST(coalesce(sum(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+      |         AS n_rows_at_risk,
+      |       CAST(min(sz) AS BIGINT) AS min_group_size
+      |FROM g""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "customer")
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("sz"))
+      .agg(count(lit(1)).as("n_groups"),
+        count_if(col("sz") < 5).as("n_groups_below_k"),
+        coalesce(sum(when(col("sz") < 5, col("sz"))), lit(0L)).cast("long")
+          .as("n_rows_at_risk"),
+        min(col("sz")).cast("long").as("min_group_size"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
-    q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract)
+    q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract,
+    q190KAnonymity)
 }
