@@ -1299,6 +1299,163 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** q191: point-in-time (AS OF) dimension lookup — the read side of
+    * q107's SCD2 history: reconstruct every user's attribute exactly as
+    * it stood at 2024-01-15 00:00 UTC. The version whose
+    * [valid_from, valid_to) interval covers the instant is, equivalently,
+    * the MAX version with valid_from ≤ t — one max_by per user over the
+    * history, no interval join needed. Users whose history starts after
+    * t are correctly ABSENT (they did not exist yet). */
+  val q191PointInTime: Q = Q(
+    "q191_point_in_time",
+    """WITH m AS (
+      |  SELECT user_id, event_type AS attr, ts, event_id,
+      |         CASE WHEN lag(event_type) OVER
+      |                (PARTITION BY user_id ORDER BY ts, event_id)
+      |              IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+      |  FROM events),
+      |v AS (
+      |  SELECT user_id, attr, ts,
+      |         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS UNBOUNDED PRECEDING) AS ver
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, CAST(ver AS BIGINT) AS version, attr,
+      |         CAST(floor(epoch(min(ts))) AS BIGINT) AS valid_from
+      |  FROM v GROUP BY user_id, ver, attr)
+      |SELECT user_id,
+      |       max_by(version, version) AS version,
+      |       max_by(attr, version) AS attr,
+      |       max_by(valid_from, version) AS valid_from
+      |FROM g WHERE valid_from <= 1705276800
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("attr"), col("ts"),
+        col("event_id"))
+      .withColumn("chg",
+        when(!(lag(col("attr"), 1).over(w) <=> col("attr")), 1).otherwise(0))
+      .withColumn("ver", sum(col("chg"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .groupBy(col("user_id"), col("ver").as("version"), col("attr"))
+      .agg(min(unix_timestamp(col("ts"))).as("valid_from"))
+    g.filter(col("valid_from") <= 1705276800L)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("version"), col("version")).as("version"),
+        max_by(col("attr"), col("version")).as("attr"),
+        max_by(col("valid_from"), col("version")).as("valid_from"))
+      .orderBy(col("user_id"))
+  }
+
+  /** q192: id-sequence gap detection — completeness over a delivery's
+    * supposedly-contiguous id space: adjacent distinct ids more than 1
+    * apart bound a missing range. Gaps are PLANTED (every id %97 = 0 is
+    * dropped) so detection is proven; the lag runs over distinct-id
+    * levels. At 100 TB the distinct reduction happens map-side and the
+    * one global-ordered lag takes the q135 bucket decomposition — here
+    * the level table is the bounded artifact. */
+  val q192IdGapDetection: Q = Q(
+    "q192_id_gap_detection",
+    """WITH ids AS (
+      |  SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0),
+      |g AS (
+      |  SELECT lag(event_id) OVER (ORDER BY event_id) AS prev_id, event_id
+      |  FROM ids)
+      |SELECT prev_id + 1 AS gap_start, event_id - 1 AS gap_end,
+      |       event_id - prev_id - 1 AS n_missing
+      |FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
+      |ORDER BY gap_start""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "events")
+      .filter(col("event_id") % 97 =!= 0)
+      .select(col("event_id")).distinct()
+      .withColumn("prev_id", lag(col("event_id"), 1)
+        .over(Window.orderBy(col("event_id"))))
+      .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 1)
+      .select((col("prev_id") + 1).as("gap_start"),
+        (col("event_id") - 1).as("gap_end"),
+        (col("event_id") - col("prev_id") - 1).as("n_missing"))
+      .orderBy(col("gap_start"))
+  }
+
+  /** q193: week-over-week growth — revenue per epoch week with the
+    * percent change vs the prior week in ppm (integer division of exact
+    * cents; NULL for the first week rather than a fake 0). The standard
+    * BI trend readout, on ≤ #weeks cells. */
+  val q193WowChange: Q = Q(
+    "q193_wow_change",
+    """WITH w AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+      |SELECT wk, rev,
+      |       (rev - lag(rev) OVER (ORDER BY wk)) * 1000000
+      |         // lag(rev) OVER (ORDER BY wk) AS wow_change_ppm
+      |FROM w ORDER BY wk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("wk"))
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("(sec div 86400) div 7").as("wk"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+      .withColumn("wow_change_ppm",
+        expr("(rev - lag(rev, 1) OVER (ORDER BY wk)) * 1000000 div lag(rev, 1) OVER (ORDER BY wk)"))
+      .orderBy(col("wk"))
+  }
+
+  /** q194: maximum drawdown — peak-to-trough decline of the cumulative
+    * revenue-minus-baseline series per event type (the risk metric:
+    * "how far below its best has this stream fallen"). Drawdown IS
+    * window-expressible: dd(t) = runmax(cum) − cum, max over t — two
+    * stacked windows per type over ≤ #days cells, exact cents. The
+    * series is daily revenue minus its own mean-ish baseline (first
+    * day's revenue) so it actually goes down somewhere. */
+  val q194MaxDrawdown: Q = Q(
+    "q194_max_drawdown",
+    """WITH d AS (
+      |  SELECT event_type, (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |b AS (
+      |  SELECT event_type,
+      |         min_by(rev, day) AS base
+      |  FROM d GROUP BY 1),
+      |c AS (
+      |  SELECT d.event_type, d.day,
+      |         sum(d.rev - b.base) OVER (PARTITION BY d.event_type
+      |                                   ORDER BY d.day) AS cum
+      |  FROM d JOIN b USING (event_type)),
+      |m AS (
+      |  SELECT event_type, day, cum,
+      |         max(cum) OVER (PARTITION BY event_type ORDER BY day) AS peak
+      |  FROM c)
+      |SELECT event_type,
+      |       CAST(max(peak - cum) AS BIGINT) AS max_drawdown_cents,
+      |       CAST(max_by(day, (peak - cum) * 100000 + day) AS BIGINT)
+      |         AS trough_day
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+    val b = d.groupBy(col("event_type"))
+      .agg(min_by(col("rev"), col("day")).as("base"))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    d.join(broadcast(b), "event_type")
+      .withColumn("cum", sum(col("rev") - col("base")).over(byT))
+      .withColumn("peak", max(col("cum")).over(byT))
+      .groupBy(col("event_type"))
+      .agg(max(col("peak") - col("cum")).cast("long").as("max_drawdown_cents"),
+        // Composite tie key: several days can share the max drawdown
+        // (notably 0 on a monotone series) — pin to the LATEST such day.
+        max_by(col("day"), (col("peak") - col("cum")) * 100000 + col("day"))
+          .cast("long").as("trough_day"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1306,5 +1463,6 @@ object Events {
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
-      q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve)
+      q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
+      q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown)
 }
