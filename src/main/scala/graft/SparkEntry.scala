@@ -14,8 +14,8 @@ object SparkEntry {
       ops.TextAnalysis.all ++ ops.Dedup.all ++ ops.Similarity.all ++
       ops.Training.all ++ ops.Intervals.all ++ ops.Curation.all ++
       ops.Snapshot.all ++ ops.Layout.all ++ ops.Fuzzy.all ++ ops.Graph.all ++
-      ops.GitQueries.all ++ ops.Sources.all ++ ext.Multimodal.all ++
-      streaming.StreamGate.all
+      ops.GitQueries.all ++ ops.Sources.all ++ ops.Metrics.all ++
+      ext.Multimodal.all ++ streaming.StreamGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1456,6 +1456,141 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q196: weekly trending — top-3 event types per epoch week by exact
+    * revenue, rank ties broken by type name: the "what's hot this week"
+    * feed. Spark 4 plans the rank ≤ 3 filter as WindowGroupLimit, so no
+    * week ever fully sorts its types (trivial here, the point at types →
+    * items scale). */
+  val q196WeeklyTrending: Q = Q(
+    "q196_weekly_trending",
+    """WITH w AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+      |         event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT wk, event_type, rev,
+      |         row_number() OVER (PARTITION BY wk ORDER BY rev DESC, event_type)
+      |           AS rk
+      |  FROM w)
+      |SELECT wk, CAST(rk AS BIGINT) AS rk, event_type, rev
+      |FROM r WHERE rk <= 3 ORDER BY wk, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("(sec div 86400) div 7").as("wk"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("wk")).orderBy(col("rev").desc, col("event_type"))))
+      .filter(col("rk") <= 3)
+      .select(col("wk"), col("rk").cast("long").as("rk"), col("event_type"),
+        col("rev"))
+      .orderBy(col("wk"), col("rk"))
+  }
+
+  /** q197: activity heatmap — the dow×hour event-count matrix behind
+    * every "when are users active" dashboard. Both axes are pure epoch
+    * arithmetic ((days+3) mod 7 Monday=0, the q146 rule; hour = sec div
+    * 3600 mod 24 — builtins' numbering/timezone conventions never enter).
+    * Collapses map-side to ≤ 168 cells. */
+  val q197ActivityHeatmap: Q = Q(
+    "q197_activity_heatmap",
+    """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+      |       (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour,
+      |       count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("(sec div 86400 + 3) % 7").as("dow"),
+        expr("(sec div 3600) % 24").as("hour"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** q198: RFM segmentation — the marketing workhorse: each buyer scored
+    * on Recency (days since last purchase at the window's end), Frequency
+    * (purchase count) and Monetary (exact cents), each bucketed 1-3 by
+    * FIXED thresholds (fixed, not quantile — segment definitions must be
+    * stable period over period), concatenated to a segment code, rolled
+    * up to segment profiles. All integer arithmetic.
+    *
+    * Scale: one user-grain aggregate, then a ≤27-cell rollup. */
+  val q198RfmSegmentation: Q = Q(
+    "q198_rfm_segmentation",
+    """WITH mx AS (
+      |  SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS d_end
+      |  FROM events),
+      |u AS (
+      |  SELECT user_id,
+      |         mx.d_end - max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+      |           AS recency_d,
+      |         count(*) AS freq,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS monet
+      |  FROM events CROSS JOIN mx
+      |  WHERE event_type = 'purchase'
+      |  GROUP BY user_id, mx.d_end),
+      |sc AS (
+      |  SELECT user_id,
+      |         CASE WHEN recency_d <= 7 THEN 3 WHEN recency_d <= 14 THEN 2
+      |              ELSE 1 END AS r,
+      |         CASE WHEN freq >= 8 THEN 3 WHEN freq >= 4 THEN 2 ELSE 1 END AS f,
+      |         CASE WHEN monet >= 40000 THEN 3 WHEN monet >= 20000 THEN 2
+      |              ELSE 1 END AS m
+      |  FROM u)
+      |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+      |         AS segment,
+      |       count(*) AS n_users
+      |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+    val mx = ev.agg(max(expr("sec div 86400")).as("d_end"))
+    ev.filter(col("event_type") === "purchase")
+      .crossJoin(broadcast(mx))
+      .groupBy(col("user_id"), col("d_end"))
+      .agg(max(expr("sec div 86400")).as("last_d"),
+        count(lit(1)).as("freq"),
+        sum(round(col("value") * 100).cast("long")).cast("long").as("monet"))
+      .withColumn("recency_d", col("d_end") - col("last_d"))
+      .select(
+        when(col("recency_d") <= 7, 3).when(col("recency_d") <= 14, 2)
+          .otherwise(1).as("r"),
+        when(col("freq") >= 8, 3).when(col("freq") >= 4, 2).otherwise(1).as("f"),
+        when(col("monet") >= 40000, 3).when(col("monet") >= 20000, 2)
+          .otherwise(1).as("m"))
+      .groupBy(concat(col("r").cast("string"), col("f").cast("string"),
+        col("m").cast("string")).as("segment"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("segment"))
+  }
+
+  /** q199: ratio-to-report — each event type's share of its WEEK's
+    * revenue, in ppm by integer division: the named analytic
+    * (RATIO_TO_REPORT) as one window-sum over the ≤ weeks×types cells.
+    * Shares within a week sum to ≤ 10⁶ with the truncation remainder —
+    * exactness over prettiness. */
+  val q199RatioToReport: Q = Q(
+    "q199_ratio_to_report",
+    """WITH w AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+      |         event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events GROUP BY 1, 2)
+      |SELECT wk, event_type, rev,
+      |       CAST(rev * 1000000 // sum(rev) OVER (PARTITION BY wk) AS BIGINT)
+      |         AS share_ppm
+      |FROM w ORDER BY wk, event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("(sec div 86400) div 7").as("wk"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+      .withColumn("wk_total",
+        sum(col("rev")).over(Window.partitionBy(col("wk"))))
+      .select(col("wk"), col("event_type"), col("rev"),
+        expr("rev * 1000000 div wk_total").as("share_ppm"))
+      .orderBy(col("wk"), col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1464,5 +1599,7 @@ object Events {
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
-      q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown)
+      q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
+      q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
+      q199RatioToReport)
 }

@@ -1053,8 +1053,44 @@ object Similarity {
       .orderBy(col("vec_id"))
   }
 
+  /** q195: per-label centroid build — the supervised sibling of q66's
+    * Lloyd step: mean vector per LABEL (the class prototype a
+    * nearest-centroid classifier or a SemDeDup-style cluster summary
+    * consumes). Vectors flatten by posexplode to (label, dim, q) rows —
+    * quantized to integer milli-units FIRST, element-wise, so the
+    * per-dim sums are associative — and the centroid ships as exact
+    * (sum, count) plus the one final IEEE division. First 8 dims
+    * reported (the readout; the plan is dim-count-agnostic).
+    *
+    * Scale: one shuffle on (label, dim) with map-side combine — the
+    * canonical "average a billion vectors" shape, no vector ever
+    * materialized on the driver. */
+  val q195LabelCentroids: Q = Q(
+    "q195_label_centroids",
+    """WITH e AS (
+      |  SELECT label, t.i - 1 AS dim,
+      |         CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |  FROM embeddings, generate_series(1, 8) t(i)
+      |  WHERE t.i <= len(embedding))
+      |SELECT CAST(label AS BIGINT) AS label, CAST(dim AS BIGINT) AS dim,
+      |       count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_q,
+      |       CAST(CAST(sum(q) AS DOUBLE) / count(*) AS DOUBLE) AS centroid_milli
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .filter(col("dim") < 8)
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).cast("long").as("sum_q"),
+        (sum(col("q")).cast("double") / count(lit(1))).as("centroid_milli"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
-    q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions)
+    q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
+    q195LabelCentroids)
 }
