@@ -1591,6 +1591,104 @@ object Events {
       .orderBy(col("wk"), col("event_type"))
   }
 
+  /** q201: bounce rate by entry type — sessions (q22's 30-min gap rule)
+    * that end after ONE event, grouped by how they began: the landing-
+    * quality metric. Session ids from the lag/running-sum derivation; a
+    * session's entry type = its first event by (ts, event_id); bounce =
+    * size 1; rates in ppm. One user_id shuffle serves the session
+    * windows; the rollup is ≤ types cells. */
+  val q201BounceRate: Q = Q(
+    "q201_bounce_rate",
+    """WITH marks AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks),
+      |g AS (
+      |  SELECT user_id, sid,
+      |         min_by(event_type,
+      |                lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || '|'
+      |                  || lpad(CAST(event_id AS VARCHAR), 10, '0'))
+      |           AS entry_type,
+      |         count(*) AS sz
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT entry_type, count(*) AS n_sessions,
+      |       count(*) FILTER (WHERE sz = 1) AS n_bounces,
+      |       CAST(count(*) FILTER (WHERE sz = 1) * 1000000 // count(*) AS BIGINT)
+      |         AS bounce_ppm
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val sess = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"),
+          1).otherwise(0))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    sess.groupBy(col("user_id"), col("sid"))
+      // Composite scalar key, not a struct: DuckDB's min_by rejects
+      // tuple/list ordering keys (the q163 lesson), zero-padded strings
+      // order identically in both engines.
+      .agg(min_by(col("event_type"),
+        concat(lpad(unix_micros(col("ts")).cast("string"), 20, "0"),
+          lit("|"), lpad(col("event_id").cast("string"), 10, "0")))
+        .as("entry_type"), count(lit(1)).as("sz"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        count_if(col("sz") === 1).as("n_bounces"))
+      .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+        expr("n_bounces * 1000000 div n_sessions").cast("long").as("bounce_ppm"))
+      .orderBy(col("entry_type"))
+  }
+
+  /** q202: path-to-purchase length — how many events a converting user
+    * fires BEFORE their first purchase (strictly before, any type);
+    * p50/p90 across converters via the level kernel. The
+    * effort-to-convert metric complementing q171's time-to-convert. */
+  val q202PathLength: Q = Q(
+    "q202_path_length",
+    """WITH fp AS (
+      |  SELECT user_id, min(epoch_us(ts)) AS p_us
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |pre AS (
+      |  SELECT e.user_id, count(*) AS n_before
+      |  FROM events e JOIN fp ON e.user_id = fp.user_id
+      |  WHERE epoch_us(e.ts) < fp.p_us
+      |  GROUP BY 1),
+      |lv AS (SELECT n_before AS v, count(*) AS c FROM pre GROUP BY 1),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_converters,
+      |       min(CASE WHEN 100 * cum >= 50 * n THEN v END) AS p50_events,
+      |       min(CASE WHEN 100 * cum >= 90 * n THEN v END) AS p90_events
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+      .withColumn("us", unix_micros(col("ts")))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(col("us")).as("p_us"))
+    val lv = ev.join(fp, "user_id")
+      .filter(col("us") < col("p_us"))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = lv.select(col("v"),
+      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    cum.agg(max(col("n")).cast("long").as("n_converters"),
+      min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("v")))
+        .as("p50_events"),
+      min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("v")))
+        .as("p90_events"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1601,5 +1699,5 @@ object Events {
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
       q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
-      q199RatioToReport)
+      q199RatioToReport, q201BounceRate, q202PathLength)
 }

@@ -400,9 +400,93 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q203: cross-sell lift on a JOINED fact-dim — q146's independence
+    * screen lifted to the star schema: does customer segment predict
+    * order priority? Cells from orders ⋈ customer (broadcast dim),
+    * marginals re-aggregated from the ≤ segments×priorities cells, lift
+    * and flag in the same integer-exact form (o·N·10⁶ div r·c;
+    * 10·|o·N − r·c| > r·c). */
+  val q203CrosssellLift: Q = Q(
+    "q203_crosssell_lift",
+    """WITH cells AS (
+      |  SELECT c.c_mktsegment AS seg, o.o_orderpriority AS prio,
+      |         count(*) AS o
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT seg, sum(o) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT prio, sum(o) AS ct FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.seg, cells.prio, CAST(cells.o AS BIGINT) AS n_orders,
+      |       CAST(cells.o * t.n * 1000000 // (r.rt * c.ct) AS BIGINT)
+      |         AS lift_ppm,
+      |       10 * abs(cells.o * t.n - r.rt * c.ct) > r.rt * c.ct AS flagged
+      |FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t
+      |ORDER BY seg, prio""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("seg"), col("o_orderpriority").as("prio"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("seg")).agg(sum(col("o")).as("rt"))
+    val c = cells.groupBy(col("prio")).agg(sum(col("o")).as("ct"))
+    val t = cells.agg(sum(col("o")).cast("long").as("n"))
+    cells.join(broadcast(r), "seg").join(broadcast(c), "prio")
+      .crossJoin(broadcast(t))
+      .select(col("seg"), col("prio"), col("o").as("n_orders"),
+        expr("o * n * 1000000 div (rt * ct)").cast("long").as("lift_ppm"),
+        (lit(10) * abs(col("o") * col("n") - col("rt") * col("ct"))
+          > col("rt") * col("ct")).as("flagged"))
+      .orderBy(col("seg"), col("prio"))
+  }
+
+  /** q204: SLA lead-time audit — ship date minus order date per line,
+    * breach = beyond 30 days: breach rate in ppm plus the exact p90 lead
+    * time (level kernel over integer day gaps, partitioned by priority)
+    * per order priority — the fulfillment-ops readout. */
+  val q204SlaLeadtime: Q = Q(
+    "q204_sla_leadtime",
+    """WITH d AS (
+      |  SELECT o.o_orderpriority AS prio,
+      |         (CAST(floor(epoch(l.l_shipdate)) AS BIGINT)
+      |          - CAST(floor(epoch(o.o_orderdate)) AS BIGINT)) // 86400 AS lead_d
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |lv AS (SELECT prio, lead_d, count(*) AS c FROM d GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT prio, lead_d, c,
+      |         sum(c) OVER (PARTITION BY prio ORDER BY lead_d) AS cum,
+      |         sum(c) OVER (PARTITION BY prio) AS n
+      |  FROM lv)
+      |SELECT prio, CAST(max(n) AS BIGINT) AS n_lines,
+      |       CAST(coalesce(sum(c) FILTER (WHERE lead_d > 30), 0) AS BIGINT)
+      |         AS n_breach,
+      |       min(CASE WHEN 100 * cum >= 90 * n THEN lead_d END) AS p90_days
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        expr("(unix_timestamp(l_shipdate) - unix_timestamp(o_orderdate)) div 86400")
+          .as("lead_d"))
+      .groupBy(col("prio"), col("lead_d")).agg(count(lit(1)).as("c"))
+    val byP = Window.partitionBy(col("prio"))
+    val cum = lv.select(col("prio"), col("lead_d"), col("c"),
+      sum(col("c")).over(byP.orderBy(col("lead_d"))).as("cum"),
+      sum(col("c")).over(byP).as("n"))
+    cum.groupBy(col("prio"))
+      .agg(max(col("n")).cast("long").as("n_lines"),
+        coalesce(sum(when(col("lead_d") > 30, col("c"))), lit(0L)).cast("long")
+          .as("n_breach"),
+        min(when(lit(100) * col("cum") >= lit(90) * col("n"), col("lead_d")))
+          .as("p90_days"))
+      .orderBy(col("prio"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
-    q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin)
+    q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
+    q203CrosssellLift, q204SlaLeadtime)
 }
