@@ -1046,6 +1046,67 @@ object Extended {
       .orderBy(col("top_pct"))
   }
 
+  /** q205: Pareto point — q176 answers "what share do the top p% hold";
+    * this inverts it: the SMALLEST number of customers covering 80% of
+    * revenue (the "how concentrated is the book really" number). Levels
+    * DESC with the two-phase cumulative carry BOTH running count and
+    * running revenue; the boundary level contributes partial customers:
+    * k = cc_prev + ceil((target − crev_prev) / v) on the first level
+    * where 5·crev ≥ 4·total — all integer. */
+  val q205ParetoPoint: Q = Q(
+    "q205_pareto_point",
+    """WITH tot AS (
+      |  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                         AS BIGINT) AS v
+      |  FROM orders GROUP BY 1),
+      |lv AS (SELECT v, count(*) AS c FROM tot GROUP BY 1),
+      |bk AS (SELECT CAST(floor(v / 1000000.0) AS BIGINT) AS b, v, c FROM lv),
+      |bs AS (SELECT b, sum(c) AS sc, sum(v * c) AS sv FROM bk GROUP BY 1),
+      |off AS (SELECT b, sum(sc) OVER (ORDER BY b DESC) - sc AS oc,
+      |               sum(sv) OVER (ORDER BY b DESC) - sv AS ov FROM bs),
+      |cum AS (
+      |  SELECT v, c,
+      |         oc + sum(c) OVER (PARTITION BY bk.b ORDER BY v DESC) AS cc,
+      |         ov + sum(v * c) OVER (PARTITION BY bk.b ORDER BY v DESC) AS crev
+      |  FROM bk JOIN off USING (b)),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+      |             CAST(sum(v * c) AS BIGINT) AS total FROM lv),
+      |hit AS (
+      |  SELECT cum.v, cum.c, cum.cc, cum.crev, t.n, t.total
+      |  FROM cum CROSS JOIN t
+      |  WHERE 5 * cum.crev >= 4 * t.total
+      |  ORDER BY cum.v DESC LIMIT 1)
+      |SELECT n AS n_customers, total AS total_cents,
+      |       CAST(cc - c + ((4 * total + 4) // 5 - (crev - v * c) + v - 1) // v
+      |            AS BIGINT) AS k_for_80pct
+      |FROM hit""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tot = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("v"))
+    val lv = tot.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("b", floor(col("v") / 1000000.0))
+    val bs = lv.groupBy(col("b"))
+      .agg(sum(col("c")).as("sc"), sum(col("v") * col("c")).as("sv"))
+    val wd = Window.orderBy(col("b").desc)
+    val off = bs.select(col("b"),
+      (sum(col("sc")).over(wd) - col("sc")).as("oc"),
+      (sum(col("sv")).over(wd) - col("sv")).as("ov"))
+    val byB = Window.partitionBy(col("b")).orderBy(col("v").desc)
+    val cum = lv.join(off, "b")
+      .select(col("v"), col("c"),
+        (col("oc") + sum(col("c")).over(byB)).as("cc"),
+        (col("ov") + sum(col("v") * col("c")).over(byB)).as("crev"))
+    val t = lv.agg(sum(col("c")).cast("long").as("n"),
+      sum(col("v") * col("c")).cast("long").as("total"))
+    cum.crossJoin(broadcast(t))
+      .filter(lit(5) * col("crev") >= lit(4) * col("total"))
+      .orderBy(col("v").desc).limit(1)
+      .select(col("n").as("n_customers"), col("total").as("total_cents"),
+        expr("cc - c + ((4 * total + 4) div 5 - (crev - v * c) + v - 1) div v")
+          .cast("long").as("k_for_80pct"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
@@ -1053,5 +1114,5 @@ object Extended {
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
     q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
     q163GroupMode, q164GiniConcentration, q166AbTest, q167AudienceOverlap,
-    q168WeightedQuantiles, q176LorenzPoints)
+    q168WeightedQuantiles, q176LorenzPoints, q205ParetoPoint)
 }
