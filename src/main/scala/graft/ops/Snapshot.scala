@@ -611,8 +611,78 @@ object Snapshot {
         min(col("sz")).cast("long").as("min_group_size"))
   }
 
+  /** q206: freshness audit — per time-bearing table, the newest
+    * timestamp and its lag in hours behind the freshest table: the
+    * "is anything stale" dashboard a delivery pipeline publishes with
+    * every batch. One max per table (map-side, no shuffle beyond the
+    * 3-row union); lag by integer hour arithmetic. */
+  val q206FreshnessAudit: Q = Q(
+    "q206_freshness_audit",
+    """WITH m AS (
+      |  SELECT 'events' AS table_name,
+      |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS max_s FROM events
+      |  UNION ALL
+      |  SELECT 'lineitem', max(CAST(floor(epoch(l_shipdate)) AS BIGINT))
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orders', max(CAST(floor(epoch(o_orderdate)) AS BIGINT))
+      |  FROM orders),
+      |t AS (SELECT max(max_s) AS freshest FROM m)
+      |SELECT m.table_name, m.max_s,
+      |       CAST((t.freshest - m.max_s) // 3600 AS BIGINT) AS lag_hours
+      |FROM m CROSS JOIN t ORDER BY table_name""".stripMargin) { (s, dir) =>
+    def leg(table: String, tsCol: String) =
+      Tables(s, dir, table)
+        .agg(max(unix_timestamp(col(tsCol))).as("max_s"))
+        .select(lit(table).as("table_name"), col("max_s"))
+    val m = leg("events", "ts")
+      .unionByName(leg("lineitem", "l_shipdate"))
+      .unionByName(leg("orders", "o_orderdate"))
+    val t = m.agg(max(col("max_s")).as("freshest"))
+    m.crossJoin(broadcast(t))
+      .select(col("table_name"), col("max_s"),
+        expr("(freshest - max_s) div 3600").cast("long").as("lag_hours"))
+      .orderBy(col("table_name"))
+  }
+
+  /** q207: cents-convention precision audit — the meta-check behind every
+    * exact-integer query in this engine: is `round(x·100)` actually a
+    * lossless representation of the monetary doubles? Max residual
+    * |x·100 − round(x·100)| and the count beyond 1e-6 per column, plus
+    * the extrema where a residual is largest (evidence, not just a
+    * flag). Pure float arithmetic, bit-identical across engines; max is
+    * order-insensitive. */
+  val q207CentsPrecision: Q = Q(
+    "q207_cents_precision",
+    """WITH e AS (
+      |  SELECT 'events.value' AS col_name,
+      |         abs(value * 100 - round(value * 100)) AS err FROM events
+      |  UNION ALL
+      |  SELECT 'orders.o_totalprice',
+      |         abs(o_totalprice * 100 - round(o_totalprice * 100)) FROM orders
+      |  UNION ALL
+      |  SELECT 'lineitem.l_extendedprice',
+      |         abs(l_extendedprice * 100 - round(l_extendedprice * 100))
+      |  FROM lineitem)
+      |SELECT col_name, count(*) AS n_rows,
+      |       count(*) FILTER (WHERE err > 0.000001) AS n_beyond_tol,
+      |       max(err) AS max_err
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    def leg(name: String, table: String, c: String) =
+      Tables(s, dir, table).select(lit(name).as("col_name"),
+        abs(col(c) * 100 - round(col(c) * 100)).as("err"))
+    leg("events.value", "events", "value")
+      .unionByName(leg("orders.o_totalprice", "orders", "o_totalprice"))
+      .unionByName(leg("lineitem.l_extendedprice", "lineitem", "l_extendedprice"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_if(col("err") > 0.000001).as("n_beyond_tol"),
+        max(col("err")).as("max_err"))
+      .orderBy(col("col_name"))
+  }
+
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
     q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract,
-    q190KAnonymity)
+    q190KAnonymity, q206FreshnessAudit, q207CentsPrecision)
 }
