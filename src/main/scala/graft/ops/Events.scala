@@ -1689,6 +1689,140 @@ object Events {
         .as("p90_events"))
   }
 
+  /** q208: session-value distribution — purchase revenue per SESSION
+    * (q22's gap rule), then p50/p90 across purchasing sessions via the
+    * level kernel: "what is a session worth". Sessions with no purchase
+    * are excluded (their value isn't 0, it's not-a-purchase-session —
+    * mixing them in would answer a different question). */
+  val q208SessionValue: Q = Q(
+    "q208_session_value",
+    """WITH marks AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         CAST(round(value * 100) AS BIGINT) AS cents,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sess AS (
+      |  SELECT user_id, event_type, cents,
+      |         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marks),
+      |sv AS (
+      |  SELECT user_id, sid, sum(cents) AS v
+      |  FROM sess WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |lv AS (SELECT v, count(*) AS c FROM sv GROUP BY 1),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_sessions,
+      |       CAST(min(CASE WHEN 2 * cum >= n THEN v END) AS BIGINT)
+      |         AS p50_cents,
+      |       CAST(min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS BIGINT)
+      |         AS p90_cents
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val lv = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("new_sess",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          col("ts") >= lag(col("ts"), 1).over(w) + expr("INTERVAL 30 MINUTES"),
+          1).otherwise(0))
+      .withColumn("sid", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("sid"))
+      .agg(sum(col("cents")).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = lv.select(col("v"),
+      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    cum.agg(max(col("n")).cast("long").as("n_sessions"),
+      min(when(lit(2) * col("cum") >= col("n"), col("v"))).cast("long")
+        .as("p50_cents"),
+      min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("v"))).cast("long")
+        .as("p90_cents"))
+  }
+
+  /** q209: day-of-week seasonality index — each dow's average daily
+    * revenue vs the all-days average, as ppm (index 1e6 = a flat week).
+    * Two levels of exactness care: per-dow totals divide by the COUNT OF
+    * THAT DOW'S DAYS (a 31-day month has unequal dow counts — dividing
+    * by total days inflates the four-occurrence dows), and the index
+    * cross-multiplies the two rational averages into one integer
+    * division: (rev_d · n_days · 10⁶) div (n_d · total_rev). */
+  val q209SeasonalityIndex: Q = Q(
+    "q209_seasonality_index",
+    """WITH d AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |w AS (SELECT (day + 3) % 7 AS dow, count(*) AS n_d,
+      |             CAST(sum(rev) AS BIGINT) AS rev_d
+      |      FROM d GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+      |             CAST(sum(rev) AS BIGINT) AS total FROM d)
+      |SELECT w.dow, CAST(w.n_d AS BIGINT) AS n_days,
+      |       w.rev_d AS revenue_cents,
+      |       CAST(w.rev_d * t.n_days * 1000000 // (w.n_d * t.total) AS BIGINT)
+      |         AS index_ppm
+      |FROM w CROSS JOIN t ORDER BY dow""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+    val w = d.groupBy(expr("(day + 3) % 7").as("dow"))
+      .agg(count(lit(1)).as("n_d"), sum(col("rev")).cast("long").as("rev_d"))
+    val t = d.agg(count(lit(1)).cast("long").as("n_days"),
+      sum(col("rev")).cast("long").as("total"))
+    w.crossJoin(broadcast(t))
+      .select(col("dow"), col("n_d").cast("long").as("n_days"),
+        col("rev_d").as("revenue_cents"),
+        expr("rev_d * n_days * 1000000 div (n_d * total)").cast("long")
+          .as("index_ppm"))
+      .orderBy(col("dow"))
+  }
+
+  /** q210: peak-day detection — days whose revenue exceeds 1.2× the
+    * median daily revenue (the flash-sale / incident flag; median, not
+    * mean — one monster day shouldn't raise the bar for the others).
+    * Median via the level kernel over the ≤ #days cells; the threshold
+    * is the integer cross-multiplication 5·rev > 6·med — a 2× bar flags
+    * nothing at sf0.01, and a detector that never fires is untested. */
+  val q210PeakDays: Q = Q(
+    "q210_peak_days",
+    """WITH d AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |lv AS (SELECT rev AS v, count(*) AS c FROM d GROUP BY 1),
+      |med AS (
+      |  SELECT min(CASE WHEN 2 * cum >= n THEN v END) AS m
+      |  FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |        FROM lv) x)
+      |SELECT d.day, d.rev, med.m AS median_rev
+      |FROM d CROSS JOIN med
+      |WHERE 5 * d.rev > 6 * med.m
+      |ORDER BY d.day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+    val lv = d.groupBy(col("rev").as("v")).agg(count(lit(1)).as("c"))
+    val med = lv.select(col("v"),
+        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(Window.partitionBy()).as("n"))
+      .agg(min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("m"))
+    d.crossJoin(broadcast(med))
+      .filter(lit(5) * col("rev") > lit(6) * col("m"))
+      .select(col("day"), col("rev"), col("m").as("median_rev"))
+      .orderBy(col("day"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1699,5 +1833,6 @@ object Events {
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
       q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
-      q199RatioToReport, q201BounceRate, q202PathLength)
+      q199RatioToReport, q201BounceRate, q202PathLength, q208SessionValue,
+      q209SeasonalityIndex, q210PeakDays)
 }
