@@ -483,10 +483,106 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** q211: basket-size distribution — lines per order: p50/p90 via the
+    * level kernel (≤ ~7 levels — line counts are tiny integers, the
+    * extreme case of level compression) plus the exact mean as one
+    * division. The commerce "how big is an order" readout. */
+  val q211BasketSize: Q = Q(
+    "q211_basket_size",
+    """WITH o AS (
+      |  SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1),
+      |lv AS (SELECT n_lines AS v, count(*) AS c FROM o GROUP BY 1),
+      |cum AS (SELECT v, c, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_orders,
+      |       CAST(sum(v * c) AS BIGINT) AS total_lines,
+      |       min(CASE WHEN 2 * cum >= n THEN v END) AS p50_lines,
+      |       min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS p90_lines
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = lv.select(col("v"), col("c"),
+      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(Window.partitionBy()).as("n"))
+    cum.agg(max(col("n")).cast("long").as("n_orders"),
+      sum(col("v") * col("c")).cast("long").as("total_lines"),
+      min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("p50_lines"),
+      min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("v")))
+        .as("p90_lines"))
+  }
+
+  /** q212: discount-policy audit — revenue-WEIGHTED average discount per
+    * return flag (an unweighted mean over-counts cheap lines), plus the
+    * share of revenue on lines discounted beyond the 8% policy. Discounts
+    * pin to exact basis points (round(disc·10⁴)), prices to cents, the
+    * weighted average is one integer division of Σ(bp·cents) by Σcents,
+    * and the policy flag is integer (bp > 800). */
+  val q212DiscountAudit: Q = Q(
+    "q212_discount_audit",
+    """WITH l AS (
+      |  SELECT l_returnflag,
+      |         CAST(round(l_discount * 10000) AS BIGINT) AS bp,
+      |         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n_lines,
+      |       CAST(sum(bp * cents) // sum(cents) AS BIGINT) AS wavg_discount_bp,
+      |       CAST(coalesce(sum(cents) FILTER (WHERE bp > 800), 0) * 1000000
+      |            // sum(cents) AS BIGINT) AS over_policy_rev_ppm
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_discount") * 10000).cast("long").as("bp"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("bp") * col("cents")).as("s1"), sum(col("cents")).as("s0"),
+        coalesce(sum(when(col("bp") > 800, col("cents"))), lit(0L)).as("sp"))
+      .select(col("l_returnflag"), col("n_lines"),
+        expr("s1 div s0").cast("long").as("wavg_discount_bp"),
+        expr("sp * 1000000 div s0").cast("long").as("over_policy_rev_ppm"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** q213: return-rate analysis — the share of lines and of revenue
+    * flagged returned ('R'), per order priority (joined fact-dim): the
+    * quality-of-fulfillment readout. Rates in ppm, revenue in exact
+    * cents; one join shuffle with map-side partials. */
+  val q213ReturnRates: Q = Q(
+    "q213_return_rates",
+    """WITH j AS (
+      |  SELECT o.o_orderpriority AS prio,
+      |         l.l_returnflag = 'R' AS ret,
+      |         CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+      |SELECT prio, count(*) AS n_lines,
+      |       CAST(count(*) FILTER (WHERE ret) * 1000000 // count(*) AS BIGINT)
+      |         AS return_rate_ppm,
+      |       CAST(coalesce(sum(cents) FILTER (WHERE ret), 0) * 1000000
+      |            // sum(cents) AS BIGINT) AS returned_rev_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority").as("prio"),
+        (col("l_returnflag") === "R").as("ret"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("prio"))
+      .agg(count(lit(1)).as("n_lines"),
+        count_if(col("ret")).as("nr"),
+        sum(col("cents")).as("s0"),
+        coalesce(sum(when(col("ret"), col("cents"))), lit(0L)).as("sr"))
+      .select(col("prio"), col("n_lines"),
+        expr("nr * 1000000 div n_lines").cast("long").as("return_rate_ppm"),
+        expr("sr * 1000000 div s0").cast("long").as("returned_rev_ppm"))
+      .orderBy(col("prio"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
-    q203CrosssellLift, q204SlaLeadtime)
+    q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
+    q213ReturnRates)
 }
