@@ -1823,6 +1823,54 @@ object Events {
       .orderBy(col("day"))
   }
 
+  /** q214: purchase-regularity detector — subscription-like users: the
+    * coefficient of variation of a user's inter-purchase gaps, decided
+    * WITHOUT floats or sqrt: CV² < ¼ ⟺ 4·(n·SS − S²) < n·S² over exact
+    * gap seconds (q136's cross-multiplication discipline applied to a
+    * behavioral signal). Users need ≥ 3 purchases (≥ 2 gaps) for the
+    * variance to mean anything; mean gap ships as one integer division.
+    * The replenishment-targeting feed: regular users get reminders, not
+    * promotions. */
+  val q214Regularity: Q = Q(
+    "q214_regularity",
+    """WITH p AS (
+      |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT user_id,
+      |         sec - lag(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id)
+      |           AS gap
+      |  FROM p),
+      |u AS (
+      |  SELECT user_id, count(*) AS n,
+      |         CAST(sum(gap) AS HUGEINT) AS s,
+      |         CAST(sum(gap * gap) AS HUGEINT) AS ss
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+      |       CAST(s // n AS BIGINT) AS mean_gap_s,
+      |       4 * (n * ss - s * s) < n * s * s AS regular
+      |FROM u ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+    Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("gap").cast(dec)).as("s"),
+        sum((col("gap") * col("gap")).cast(dec)).as("ss"))
+      .filter(col("n") >= 2)
+      .select(col("user_id"), col("n").cast("long").as("n_gaps"),
+        expr("s div n").cast("long").as("mean_gap_s"),
+        (lit(4).cast(dec) * (col("n") * col("ss") - col("s") * col("s"))
+          < col("n").cast(dec) * col("s") * col("s")).as("regular"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1834,5 +1882,5 @@ object Events {
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
       q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
       q199RatioToReport, q201BounceRate, q202PathLength, q208SessionValue,
-      q209SeasonalityIndex, q210PeakDays)
+      q209SeasonalityIndex, q210PeakDays, q214Regularity)
 }

@@ -578,11 +578,47 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** q215: single-source supply risk — per part, how many suppliers ship
+    * it and what share the biggest one carries; rolled up to the risk
+    * profile (parts by supplier-count level, single-sourced count, and
+    * how many have a >80% dominant supplier via 5·top > 4·total in
+    * integer quantities). Two aggregates over (part, supplier) partials —
+    * the procurement-risk readout. */
+  val q215SupplierRisk: Q = Q(
+    "q215_supplier_risk",
+    """WITH ps AS (
+      |  SELECT l_partkey, l_suppkey,
+      |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+      |  FROM lineitem GROUP BY 1, 2),
+      |p AS (
+      |  SELECT l_partkey, count(*) AS n_supp,
+      |         CAST(max(qty) AS BIGINT) AS top_qty,
+      |         CAST(sum(qty) AS BIGINT) AS tot_qty
+      |  FROM ps GROUP BY 1)
+      |SELECT n_supp, count(*) AS n_parts,
+      |       count(*) FILTER (WHERE n_supp = 1) AS n_single_sourced,
+      |       count(*) FILTER (WHERE 5 * top_qty > 4 * tot_qty) AS n_dominated
+      |FROM p GROUP BY 1 ORDER BY n_supp""".stripMargin) { (s, dir) =>
+    val ps = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(round(col("l_quantity")).cast("long")).cast("long").as("qty"))
+    ps.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        max(col("qty")).cast("long").as("top_qty"),
+        sum(col("qty")).cast("long").as("tot_qty"))
+      .groupBy(col("n_supp"))
+      .agg(count(lit(1)).as("n_parts"),
+        count_if(col("n_supp") === 1).as("n_single_sourced"),
+        count_if(lit(5) * col("top_qty") > lit(4) * col("tot_qty"))
+          .as("n_dominated"))
+      .orderBy(col("n_supp"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
-    q213ReturnRates)
+    q213ReturnRates, q215SupplierRisk)
 }
