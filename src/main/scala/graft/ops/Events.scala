@@ -1871,6 +1871,88 @@ object Events {
       .orderBy(col("user_id"))
   }
 
+  /** q216: growth accounting — the canonical weekly user-state ledger:
+    * per week, NEW (first week ever), RETAINED (also active last week),
+    * RESURRECTED (active before, silent last week); churned is last
+    * week's actives minus this week's retained, derivable from the same
+    * table. (week, user) activity cells join their own lag — no per-user
+    * history scan — and each user carries a first-week tag from one
+    * min-aggregate. */
+  val q216GrowthAccounting: Q = Q(
+    "q216_growth_accounting",
+    """WITH wu AS (
+      |  SELECT DISTINCT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+      |         user_id
+      |  FROM events),
+      |fw AS (SELECT user_id, min(wk) AS w0 FROM wu GROUP BY 1),
+      |j AS (
+      |  SELECT a.wk, a.user_id,
+      |         fw.w0 = a.wk AS is_new,
+      |         b.user_id IS NOT NULL AS was_last_week
+      |  FROM wu a
+      |  JOIN fw ON a.user_id = fw.user_id
+      |  LEFT JOIN wu b ON b.user_id = a.user_id AND b.wk = a.wk - 1)
+      |SELECT wk, count(*) AS active_users,
+      |       count(*) FILTER (WHERE is_new) AS new_users,
+      |       count(*) FILTER (WHERE NOT is_new AND was_last_week) AS retained,
+      |       count(*) FILTER (WHERE NOT is_new AND NOT was_last_week)
+      |         AS resurrected
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val wu = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(expr("(sec div 86400) div 7").as("wk"), col("user_id"))
+      .distinct()
+    val fw = wu.groupBy(col("user_id")).agg(min(col("wk")).as("w0"))
+    val prev = wu.select((col("wk") + 1).as("wk"), col("user_id"),
+      lit(true).as("was_last_week"))
+    wu.join(fw, "user_id")
+      .join(prev, Seq("wk", "user_id"), "left")
+      .select(col("wk"), (col("w0") === col("wk")).as("is_new"),
+        coalesce(col("was_last_week"), lit(false)).as("was_last_week"))
+      .groupBy(col("wk"))
+      .agg(count(lit(1)).as("active_users"),
+        count_if(col("is_new")).as("new_users"),
+        count_if(!col("is_new") && col("was_last_week")).as("retained"),
+        count_if(!col("is_new") && !col("was_last_week")).as("resurrected"))
+      .orderBy(col("wk"))
+  }
+
+  /** q218: behavioral diversity — how varied is each user's event mix,
+    * as the Gini-Simpson index 1 − Σpᵢ², EXACT: diversity_ppm =
+    * (n² − Σcᵢ²)·10⁶ div n² over per-type counts (entropy needs logs;
+    * Simpson is the rational diversity measure, so it gates). Rolled up
+    * to a distribution: users by diversity decile band. */
+  val q218BehaviorDiversity: Q = Q(
+    "q218_behavior_diversity",
+    """WITH tc AS (
+      |  SELECT user_id, event_type, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+      |         CAST(sum(c * c) AS BIGINT) AS ss
+      |  FROM tc GROUP BY 1),
+      |d AS (
+      |  SELECT user_id, (n * n - ss) * 1000000 // (n * n) AS div_ppm
+      |  FROM u)
+      |SELECT CAST(div_ppm // 100000 AS BIGINT) AS decile_band,
+      |       count(*) AS n_users,
+      |       CAST(min(div_ppm) AS BIGINT) AS min_ppm,
+      |       CAST(max(div_ppm) AS BIGINT) AS max_ppm
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("c")).as("n"), sum(col("c") * col("c")).as("ss"))
+      .select(col("user_id"),
+        expr("(n * n - ss) * 1000000 div (n * n)").as("div_ppm"))
+      .groupBy(expr("div_ppm div 100000").cast("long").as("decile_band"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("div_ppm")).cast("long").as("min_ppm"),
+        max(col("div_ppm")).cast("long").as("max_ppm"))
+      .orderBy(col("decile_band"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1882,5 +1964,6 @@ object Events {
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
       q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
       q199RatioToReport, q201BounceRate, q202PathLength, q208SessionValue,
-      q209SeasonalityIndex, q210PeakDays, q214Regularity)
+      q209SeasonalityIndex, q210PeakDays, q214Regularity, q216GrowthAccounting,
+      q218BehaviorDiversity)
 }

@@ -1088,9 +1088,55 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** q217: embedding-hygiene audit — the checks that break vector search
+    * when skipped: zero(-ish) vectors (cosine undefined), norm outliers,
+    * dimension consistency. Norms stay EXACT as integer milli²-units
+    * (Σ round(x·1000)², element-wise quantization then associative
+    * integer sums — no float fold); the norm² distribution ships as
+    * min/p50/max via the level kernel. One posexplode pass. */
+  val q217EmbeddingHygiene: Q = Q(
+    "q217_embedding_hygiene",
+    """WITH e AS (
+      |  SELECT vec_id, len(embedding) AS n_dims,
+      |         (SELECT CAST(coalesce(sum(q * q), 0) AS BIGINT)
+      |          FROM (SELECT CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) AS q
+      |                FROM unnest(embedding) t(x)) qq) AS norm2
+      |  FROM embeddings),
+      |lv AS (SELECT norm2 AS v, count(*) AS c FROM e GROUP BY 1),
+      |cum AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum, sum(c) OVER () AS n
+      |        FROM lv)
+      |SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_vectors,
+      |       (SELECT CAST(count(DISTINCT n_dims) AS BIGINT) FROM e)
+      |         AS n_distinct_dims,
+      |       (SELECT CAST(count(*) FILTER (WHERE norm2 < 1000) AS BIGINT) FROM e)
+      |         AS n_near_zero,
+      |       (SELECT min(v) FROM lv) AS min_norm2,
+      |       (SELECT min(CASE WHEN 2 * cum >= n THEN v END) FROM cum) AS p50_norm2,
+      |       (SELECT max(v) FROM lv) AS max_norm2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), size(col("embedding")).as("n_dims"),
+        aggregate(
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")),
+          lit(0L), (a, q) => a + q * q).as("norm2"))
+    val lv = e.groupBy(col("norm2").as("v")).agg(count(lit(1)).as("c"))
+    val med = lv.select(col("v"),
+        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(Window.partitionBy()).as("n"))
+      .agg(min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("p50_norm2"),
+        min(col("v")).as("min_norm2"), max(col("v")).as("max_norm2"))
+    val stats = e.agg(count(lit(1)).as("n_vectors"),
+      countDistinct(col("n_dims")).as("n_distinct_dims"),
+      count_if(col("norm2") < 1000).as("n_near_zero"))
+    stats.crossJoin(broadcast(med))
+      .select(col("n_vectors"), col("n_distinct_dims"), col("n_near_zero"),
+        col("min_norm2"), col("p50_norm2"), col("max_norm2"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
-    q195LabelCentroids)
+    q195LabelCentroids, q217EmbeddingHygiene)
 }
