@@ -614,11 +614,78 @@ object Relational {
       .orderBy(col("n_supp"))
   }
 
+  /** q219: dead-stock detection — parts with NO sales in the analysis
+    * window (part LEFT ANTI lineitem-sales), with their locked-up retail
+    * value. Every part sells somewhere in this data, so dead stock is
+    * PLANTED (every 13th part's lines excluded from the sales view) —
+    * detection and the no-false-positive side both proven. Anti-join
+    * ships distinct part keys only. */
+  val q219DeadStock: Q = Q(
+    "q219_dead_stock",
+    """WITH sales AS (
+      |  SELECT DISTINCT l_partkey FROM lineitem WHERE l_partkey % 13 <> 0)
+      |SELECT p.p_partkey, CAST(round(p.p_retailprice * 100) AS BIGINT)
+      |         AS retail_cents
+      |FROM part p LEFT JOIN sales s ON p.p_partkey = s.l_partkey
+      |WHERE s.l_partkey IS NULL
+      |ORDER BY p.p_partkey""".stripMargin) { (s, dir) =>
+    val sales = Tables(s, dir, "lineitem")
+      .filter(col("l_partkey") % 13 =!= 0)
+      .select(col("l_partkey")).distinct()
+    Tables(s, dir, "part")
+      .join(sales, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"),
+        round(col("p_retailprice") * 100).cast("long").as("retail_cents"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** q220: dimension-coverage density — how much of the (nation ×
+    * segment × priority) combination space actually occurs in the data:
+    * observed combos vs the full cross product (ppm density) and the
+    * per-nation coverage profile. The data-modeling audit behind "can I
+    * safely cube on these dimensions". Distinct-combo reduction
+    * map-side; the possible-space size is a product of three tiny
+    * distinct counts. */
+  val q220CoverageDensity: Q = Q(
+    "q220_coverage_density",
+    """WITH obs AS (
+      |  SELECT DISTINCT c.c_nationkey AS nat, c.c_mktsegment AS seg,
+      |         o.o_orderpriority AS prio
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+      |dims AS (
+      |  SELECT (SELECT count(DISTINCT c_nationkey) FROM customer) AS n_nat,
+      |         (SELECT count(DISTINCT c_mktsegment) FROM customer) AS n_seg,
+      |         (SELECT count(DISTINCT o_orderpriority) FROM orders) AS n_prio)
+      |SELECT CAST(count(*) AS BIGINT) AS observed_combos,
+      |       CAST(max(d.n_nat * d.n_seg * d.n_prio) AS BIGINT) AS possible_combos,
+      |       CAST(count(*) * 1000000 // max(d.n_nat * d.n_seg * d.n_prio)
+      |            AS BIGINT) AS density_ppm
+      |FROM obs CROSS JOIN dims d""".stripMargin) { (s, dir) =>
+    val obs = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").as("nat"),
+          col("c_mktsegment").as("seg"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("nat"), col("seg"), col("o_orderpriority").as("prio"))
+      .distinct()
+    val cust = Tables(s, dir, "customer")
+    val dims = cust.agg(countDistinct(col("c_nationkey")).as("n_nat"),
+        countDistinct(col("c_mktsegment")).as("n_seg"))
+      .crossJoin(Tables(s, dir, "orders")
+        .agg(countDistinct(col("o_orderpriority")).as("n_prio")))
+    obs.crossJoin(broadcast(dims))
+      .agg(count(lit(1)).as("observed_combos"),
+        max(col("n_nat") * col("n_seg") * col("n_prio")).as("possible_combos"))
+      .select(col("observed_combos"), col("possible_combos"),
+        expr("observed_combos * 1000000 div possible_combos").cast("long")
+          .as("density_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
-    q213ReturnRates, q215SupplierRisk)
+    q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity)
 }
