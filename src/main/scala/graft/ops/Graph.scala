@@ -267,5 +267,59 @@ object Graph {
     visited
   }
 
-  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops)
+  /** q221: association rules — the directed market-basket readout on top
+    * of the co-purchase counts: for each frequent pair, confidence
+    * P(B|A) = n(A,B)/n(A) and lift = conf/P(B), both as integer ppm
+    * (n_ab·10⁶ div n_a; n_ab·N·10⁶ div n_a·n_b). Both DIRECTIONS emit —
+    * confidence is asymmetric, the whole point vs the undirected edge
+    * set. Support ≥ 2 pairs only (the q106 rationale); item counts are
+    * distinct-order counts, N = total orders. */
+  val q221AssociationRules: Q = Q(
+    "q221_association_rules",
+    """WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |item AS (SELECT l_partkey, count(*) AS n_i FROM op GROUP BY 1),
+      |t AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+      |pair AS (
+      |  SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n_ab
+      |  FROM op a JOIN op b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2),
+      |dir AS (
+      |  SELECT pa AS ante, pb AS cons, n_ab FROM pair
+      |  UNION ALL SELECT pb, pa, n_ab FROM pair)
+      |SELECT d.ante, d.cons, CAST(d.n_ab AS BIGINT) AS n_both,
+      |       CAST(d.n_ab * 1000000 // ia.n_i AS BIGINT) AS confidence_ppm,
+      |       CAST(d.n_ab * t.n * 1000000 // (ia.n_i * ic.n_i) AS BIGINT)
+      |         AS lift_ppm
+      |FROM dir d JOIN item ia ON d.ante = ia.l_partkey
+      |           JOIN item ic ON d.cons = ic.l_partkey
+      |CROSS JOIN t
+      |ORDER BY ante, cons""".stripMargin) { (s, dir) =>
+    val op = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val item = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_i"))
+    val t = op.agg(countDistinct(col("l_orderkey")).as("n"))
+    val pair = op.as("a").join(op.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val both = pair.select(col("pa").as("ante"), col("pb").as("cons"), col("n_ab"))
+      .unionByName(pair.select(col("pb").as("ante"), col("pa").as("cons"),
+        col("n_ab")))
+    both
+      .join(broadcast(item.withColumnsRenamed(
+        Map("l_partkey" -> "ante", "n_i" -> "na"))), "ante")
+      .join(broadcast(item.withColumnsRenamed(
+        Map("l_partkey" -> "cons", "n_i" -> "nc"))), "cons")
+      .crossJoin(broadcast(t))
+      .select(col("ante"), col("cons"), col("n_ab").as("n_both"),
+        expr("n_ab * 1000000 div na").cast("long").as("confidence_ppm"),
+        expr("n_ab * n * 1000000 div (na * nc)").cast("long").as("lift_ppm"))
+      .orderBy(col("ante"), col("cons"))
+  }
+
+  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops,
+    q221AssociationRules)
 }
