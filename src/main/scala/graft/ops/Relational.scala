@@ -681,11 +681,84 @@ object Relational {
           .as("density_ppm"))
   }
 
+  /** q222: nation value index — each nation's average order value vs the
+    * global average, the q209 cross-multiplication on the customer dim:
+    * index_ppm = (rev_n · N) · 10⁶ div (n_n · total_rev), so the two
+    * rational averages never materialize as floats. Two broadcast dims,
+    * cells ≤ #nations. */
+  val q222NationValueIndex: Q = Q(
+    "q222_nation_value_index",
+    """WITH j AS (
+      |  SELECT n.n_name AS nation,
+      |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |                JOIN nation n ON c.c_nationkey = n.n_nationkey),
+      |g AS (SELECT nation, count(*) AS n_orders,
+      |             CAST(sum(cents) AS BIGINT) AS rev FROM j GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_orders) AS BIGINT) AS nn,
+      |             CAST(sum(rev) AS BIGINT) AS total FROM g)
+      |SELECT g.nation, g.n_orders, g.rev AS revenue_cents,
+      |       CAST(CAST(g.rev AS HUGEINT) * t.nn * 1000000
+      |            // (CAST(g.n_orders AS HUGEINT) * t.total) AS BIGINT)
+      |         AS value_index_ppm
+      |FROM g CROSS JOIN t ORDER BY nation""".stripMargin) { (s, dir) =>
+    val g = Tables(s, dir, "orders")
+      .join(broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("rev"))
+    val t = g.agg(sum(col("n_orders")).cast("long").as("nn"),
+      sum(col("rev")).cast("long").as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("nation"), col("n_orders"), col("rev").as("revenue_cents"),
+        // rev·N·10⁶ overflows int64 already at sf0.01 — 128-bit products.
+        expr("""CAST(rev AS DECIMAL(38,0)) * nn * 1000000
+                div (CAST(n_orders AS DECIMAL(38,0)) * total)""")
+          .cast("long").as("value_index_ppm"))
+      .orderBy(col("nation"))
+  }
+
+  /** q223: keyword revenue attribution — revenue per part-NAME token
+    * ("which words sell"): explode names to (word, part), join line
+    * revenue, roll up per word. The token-level attribution readout
+    * merchandising runs on catalog text; per-part revenue reduces FIRST
+    * so the explode multiplies a part-grain table, not line rows. */
+  val q223KeywordRevenue: Q = Q(
+    "q223_keyword_revenue",
+    """WITH pr AS (
+      |  SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                         AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |w AS (
+      |  SELECT unnest(string_split(p.p_name, ' ')) AS word, pr.rev
+      |  FROM part p JOIN pr ON p.p_partkey = pr.l_partkey)
+      |SELECT word, count(*) AS n_parts,
+      |       CAST(sum(rev) AS BIGINT) AS revenue_cents
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val pr = Tables(s, dir, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+        .as("rev"))
+    Tables(s, dir, "part")
+      .join(pr, col("p_partkey") === col("l_partkey"))
+      .select(explode(split(col("p_name"), " ")).as("word"), col("rev"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("rev")).cast("long").as("revenue_cents"))
+      .orderBy(col("word"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
     q11WindowRank, q12WindowLag, q13RunningSum, q14Distinct, q15Union,
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
-    q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity)
+    q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity,
+    q222NationValueIndex, q223KeywordRevenue)
 }
