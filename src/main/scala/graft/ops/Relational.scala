@@ -753,6 +753,48 @@ object Relational {
       .orderBy(col("word"))
   }
 
+  /** q224: supplier scorecard — per supplier nation: supplier count,
+    * shipped revenue, and the return rate of their shipments in ppm (the
+    * vendor-management league table). Fact rows reduce per supplier
+    * first, then the supplier⋈nation dims broadcast — the fact shuffle
+    * is on s_suppkey once. */
+  val q224SupplierScorecard: Q = Q(
+    "q224_supplier_scorecard",
+    """WITH f AS (
+      |  SELECT l_suppkey, count(*) AS n_lines,
+      |         count(*) FILTER (WHERE l_returnflag = 'R') AS n_ret,
+      |         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM lineitem GROUP BY 1),
+      |j AS (
+      |  SELECT n.n_name AS nation, f.n_lines, f.n_ret, f.rev
+      |  FROM f JOIN supplier s ON f.l_suppkey = s.s_suppkey
+      |         JOIN nation n ON s.s_nationkey = n.n_nationkey)
+      |SELECT nation, count(*) AS n_suppliers,
+      |       CAST(sum(rev) AS BIGINT) AS revenue_cents,
+      |       CAST(sum(n_ret) * 1000000 // sum(n_lines) AS BIGINT)
+      |         AS return_rate_ppm
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val f = Tables(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        count_if(col("l_returnflag") === "R").as("n_ret"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).cast("long")
+          .as("rev"))
+    f.join(broadcast(Tables(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name").as("nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).cast("long").as("revenue_cents"),
+        expr("sum(n_ret) * 1000000 div sum(n_lines)").cast("long")
+          .as("return_rate_ppm"))
+      .orderBy(col("nation"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
@@ -760,5 +802,5 @@ object Relational {
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
     q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity,
-    q222NationValueIndex, q223KeywordRevenue)
+    q222NationValueIndex, q223KeywordRevenue, q224SupplierScorecard)
 }
