@@ -795,6 +795,88 @@ object Relational {
       .orderBy(col("nation"))
   }
 
+  /** q225: catalog independence screen — does brand predict type in the
+    * part catalog? The q146 lift machinery on the (brand × type) cells:
+    * integer-exact lift ppm and the 10·|o·N − r·c| > r·c flag. A skewed
+    * catalog (brands specializing in types) changes how safely either
+    * dim can be used as a blocking key. */
+  val q225BrandTypeLift: Q = Q(
+    "q225_brand_type_lift",
+    """WITH cells AS (
+      |  SELECT p_brand AS brand, p_type AS typ, count(*) AS o
+      |  FROM part GROUP BY 1, 2),
+      |r AS (SELECT brand, sum(o) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT typ, sum(o) AS ct FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.brand, cells.typ, CAST(cells.o AS BIGINT) AS n_parts,
+      |       CAST(cells.o * t.n * 1000000 // (r.rt * c.ct) AS BIGINT)
+      |         AS lift_ppm,
+      |       10 * abs(cells.o * t.n - r.rt * c.ct) > r.rt * c.ct AS flagged
+      |FROM cells JOIN r USING (brand) JOIN c USING (typ) CROSS JOIN t
+      |ORDER BY brand, typ""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "part")
+      .groupBy(col("p_brand").as("brand"), col("p_type").as("typ"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("brand")).agg(sum(col("o")).as("rt"))
+    val c = cells.groupBy(col("typ")).agg(sum(col("o")).as("ct"))
+    val t = cells.agg(sum(col("o")).cast("long").as("n"))
+    cells.join(broadcast(r), "brand").join(broadcast(c), "typ")
+      .crossJoin(broadcast(t))
+      .select(col("brand"), col("typ"), col("o").as("n_parts"),
+        expr("o * n * 1000000 div (rt * ct)").cast("long").as("lift_ppm"),
+        (lit(10) * abs(col("o") * col("n") - col("rt") * col("ct"))
+          > col("rt") * col("ct")).as("flagged"))
+      .orderBy(col("brand"), col("typ"))
+  }
+
+  /** q226: price-size monotonicity audit — within a brand, does the
+    * median retail price rise with size? Median per (brand, size) via
+    * the level kernel, then a lag over the ≤ sizes-per-brand cells
+    * counts INVERSIONS (median dropping as size grows) — the catalog
+    * data-quality check behind "is size priced sanely". All exact
+    * integers; medians make one wild SKU per cell harmless. */
+  val q226PriceSizeMonotonic: Q = Q(
+    "q226_price_size_monotonic",
+    """WITH lv AS (
+      |  SELECT p_brand AS brand, p_size AS sz,
+      |         CAST(round(p_retailprice * 100) AS BIGINT) AS v, count(*) AS c
+      |  FROM part GROUP BY 1, 2, 3),
+      |med AS (
+      |  SELECT brand, sz, min(CASE WHEN 2 * cum >= n THEN v END) AS med
+      |  FROM (SELECT brand, sz, v,
+      |               sum(c) OVER (PARTITION BY brand, sz ORDER BY v) AS cum,
+      |               sum(c) OVER (PARTITION BY brand, sz) AS n
+      |        FROM lv) x
+      |  GROUP BY 1, 2),
+      |g AS (
+      |  SELECT brand, sz, med,
+      |         lag(med) OVER (PARTITION BY brand ORDER BY sz) AS prev_med
+      |  FROM med)
+      |SELECT brand, count(*) AS n_sizes,
+      |       count(*) FILTER (WHERE prev_med IS NOT NULL AND med < prev_med)
+      |         AS n_inversions
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "part")
+      .groupBy(col("p_brand").as("brand"), col("p_size").as("sz"),
+        round(col("p_retailprice") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byCell = Window.partitionBy(col("brand"), col("sz"))
+    val med = lv.select(col("brand"), col("sz"), col("v"),
+        sum(col("c")).over(byCell.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(byCell).as("n"))
+      .groupBy(col("brand"), col("sz"))
+      .agg(min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("med"))
+    med.withColumn("prev_med",
+        lag(col("med"), 1).over(Window.partitionBy(col("brand"))
+          .orderBy(col("sz"))))
+      .groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_sizes"),
+        count_if(col("prev_med").isNotNull && col("med") < col("prev_med"))
+          .as("n_inversions"))
+      .orderBy(col("brand"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
@@ -802,5 +884,6 @@ object Relational {
     q16Rollup, q17StringFuncs, q18DateParts, q19CaseBuckets, q149SaltedJoin,
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
     q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity,
-    q222NationValueIndex, q223KeywordRevenue, q224SupplierScorecard)
+    q222NationValueIndex, q223KeywordRevenue, q224SupplierScorecard,
+    q225BrandTypeLift, q226PriceSizeMonotonic)
 }
