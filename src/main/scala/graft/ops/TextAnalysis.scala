@@ -368,6 +368,74 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** q227: corpus-composition lift — does source predict language in the
+    * documents corpus (the q146 independence machinery on (lang ×
+    * source) cells)? The curation question behind "will a per-source cap
+    * skew language balance": flagged cells are exactly where capping one
+    * dimension moves the other. Integer-exact lift ppm + flag. */
+  val q227LangSourceLift: Q = Q(
+    "q227_lang_source_lift",
+    """WITH cells AS (
+      |  SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+      |r AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+      |c AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.lang, cells.source, CAST(cells.o AS BIGINT) AS n_docs,
+      |       CAST(cells.o * t.n * 1000000 // (r.rt * c.ct) AS BIGINT)
+      |         AS lift_ppm,
+      |       10 * abs(cells.o * t.n - r.rt * c.ct) > r.rt * c.ct AS flagged
+      |FROM cells JOIN r USING (lang) JOIN c USING (source) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val r = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+    val c = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+    val t = cells.agg(sum(col("o")).cast("long").as("n"))
+    cells.join(broadcast(r), "lang").join(broadcast(c), "source")
+      .crossJoin(broadcast(t))
+      .select(col("lang"), col("source"), col("o").as("n_docs"),
+        expr("o * n * 1000000 div (rt * ct)").cast("long").as("lift_ppm"),
+        (lit(10) * abs(col("o") * col("n") - col("rt") * col("ct"))
+          > col("rt") * col("ct")).as("flagged"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** q228: per-source length profile — p50/p90 document length per
+    * source via the level kernel (group-partitioned cumulative over
+    * distinct char-count levels): the corpus-mix fingerprint a sampling
+    * plan is tuned against. */
+  val q228SourceLengthProfile: Q = Q(
+    "q228_source_length_profile",
+    """WITH lv AS (
+      |  SELECT source, n_chars AS v, count(*) AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, v,
+      |         sum(c) OVER (PARTITION BY source ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY source) AS n
+      |  FROM lv)
+      |SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+      |       min(CASE WHEN 2 * cum >= n THEN v END) AS p50_chars,
+      |       min(CASE WHEN 10 * cum >= 9 * n THEN v END) AS p90_chars
+      |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val byS = Window.partitionBy(col("source"))
+    Tables(s, dir, "documents")
+      .groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("source"), col("v"),
+        sum(col("c")).over(byS.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(byS).as("n"))
+      .groupBy(col("source"))
+      .agg(max(col("n")).cast("long").as("n_docs"),
+        min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("p50_chars"),
+        min(when(lit(10) * col("cum") >= lit(9) * col("n"), col("v")))
+          .as("p90_chars"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
-    q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists)
+    q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
+    q228SourceLengthProfile)
 }
