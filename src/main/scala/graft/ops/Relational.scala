@@ -877,6 +877,92 @@ object Relational {
       .orderBy(col("brand"))
   }
 
+  /** q229: region revenue rollup — the full four-table star (orders ⋈
+    * customer ⋈ nation ⋈ region) collapsed to region share-of-revenue in
+    * ppm: the executive top-line. Fact reduces per custkey first; all
+    * three dims broadcast; products in 128-bit (the q222 lesson). */
+  val q229RegionRollup: Q = Q(
+    "q229_region_rollup",
+    """WITH f AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT r.r_name AS region, CAST(sum(f.n_orders) AS BIGINT) AS n_orders,
+      |         CAST(sum(f.rev) AS BIGINT) AS rev
+      |  FROM f JOIN customer c ON f.o_custkey = c.c_custkey
+      |         JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |         JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev) AS HUGEINT) AS total FROM g)
+      |SELECT g.region, g.n_orders, g.rev AS revenue_cents,
+      |       CAST(CAST(g.rev AS HUGEINT) * 1000000 // t.total AS BIGINT)
+      |         AS share_ppm
+      |FROM g CROSS JOIN t ORDER BY region""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val f = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("rev"))
+    val g = f
+      .join(broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables(s, dir, "region")
+        .select(col("r_regionkey"), col("r_name").as("region"))),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("region"))
+      .agg(sum(col("n_orders")).cast("long").as("n_orders"),
+        sum(col("rev")).cast("long").as("rev"))
+    val t = g.agg(sum(col("rev")).cast(DecimalType(38, 0)).as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("region"), col("n_orders"), col("rev").as("revenue_cents"),
+        expr("CAST(rev AS DECIMAL(38,0)) * 1000000 div total").cast("long")
+          .as("share_ppm"))
+      .orderBy(col("region"))
+  }
+
+  /** q230: repeat-buyer economics — the retention-economics headline:
+    * what share of revenue comes from customers with 2+ orders. One
+    * customer-grain aggregate classifies buyers; the split is two cells
+    * plus ppm shares with 128-bit products. */
+  val q230RepeatRevenue: Q = Q(
+    "q230_repeat_revenue",
+    """WITH u AS (
+      |  SELECT o_custkey, count(*) AS n_orders,
+      |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |           AS rev
+      |  FROM orders GROUP BY 1),
+      |g AS (
+      |  SELECT CASE WHEN n_orders >= 2 THEN 'repeat' ELSE 'one_time' END
+      |           AS buyer_class,
+      |         count(*) AS n_buyers, CAST(sum(rev) AS BIGINT) AS rev
+      |  FROM u GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev) AS HUGEINT) AS total FROM g)
+      |SELECT g.buyer_class, g.n_buyers, g.rev AS revenue_cents,
+      |       CAST(CAST(g.rev AS HUGEINT) * 1000000 // t.total AS BIGINT)
+      |         AS revenue_share_ppm
+      |FROM g CROSS JOIN t ORDER BY buyer_class""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val g = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("rev"))
+      .groupBy(when(col("n_orders") >= 2, "repeat").otherwise("one_time")
+        .as("buyer_class"))
+      .agg(count(lit(1)).as("n_buyers"), sum(col("rev")).cast("long").as("rev"))
+    val t = g.agg(sum(col("rev")).cast(DecimalType(38, 0)).as("total"))
+    g.crossJoin(broadcast(t))
+      .select(col("buyer_class"), col("n_buyers"), col("rev").as("revenue_cents"),
+        expr("CAST(rev AS DECIMAL(38,0)) * 1000000 div total").cast("long")
+          .as("revenue_share_ppm"))
+      .orderBy(col("buyer_class"))
+  }
+
   val all: Seq[Q] = Seq(
     q1Authors, q2ActiveDays, q3HotPairs, q4CountsPerGroup, q5ConditionalAgg,
     q6SummaryStats, q7StarJoin, q8SemiJoin, q9AntiJoin, q10TopK,
@@ -885,5 +971,6 @@ object Relational {
     q203CrosssellLift, q204SlaLeadtime, q211BasketSize, q212DiscountAudit,
     q213ReturnRates, q215SupplierRisk, q219DeadStock, q220CoverageDensity,
     q222NationValueIndex, q223KeywordRevenue, q224SupplierScorecard,
-    q225BrandTypeLift, q226PriceSizeMonotonic)
+    q225BrandTypeLift, q226PriceSizeMonotonic, q229RegionRollup,
+    q230RepeatRevenue)
 }
