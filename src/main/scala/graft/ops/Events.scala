@@ -1953,6 +1953,47 @@ object Events {
       .orderBy(col("decile_band"))
   }
 
+  /** q231: weekly top movers — the event types whose share of weekly
+    * revenue swung hardest vs the prior week (q199's ratio-to-report
+    * composed with a per-type lag): the "what changed this week" alert
+    * feed. Share deltas in ppm; top-10 by |delta| with a total (|delta|
+    * DESC, wk, type) tie order so the cut is deterministic. */
+  val q231TopMovers: Q = Q(
+    "q231_top_movers",
+    """WITH w AS (
+      |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk,
+      |         event_type,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS rev
+      |  FROM events GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT wk, event_type,
+      |         CAST(rev * 1000000 // sum(rev) OVER (PARTITION BY wk) AS BIGINT)
+      |           AS share_ppm
+      |  FROM w),
+      |d AS (
+      |  SELECT wk, event_type, share_ppm,
+      |         share_ppm - lag(share_ppm)
+      |           OVER (PARTITION BY event_type ORDER BY wk) AS delta_ppm
+      |  FROM sh)
+      |SELECT wk, event_type, share_ppm, delta_ppm
+      |FROM d WHERE delta_ppm IS NOT NULL
+      |ORDER BY abs(delta_ppm) DESC, wk, event_type LIMIT 10""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val sh = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(expr("(sec div 86400) div 7").as("wk"), col("event_type"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
+      .withColumn("wt", sum(col("rev")).over(Window.partitionBy(col("wk"))))
+      .select(col("wk"), col("event_type"),
+        expr("rev * 1000000 div wt").cast("long").as("share_ppm"))
+    sh.withColumn("delta_ppm",
+        col("share_ppm") - lag(col("share_ppm"), 1).over(
+          Window.partitionBy(col("event_type")).orderBy(col("wk"))))
+      .filter(col("delta_ppm").isNotNull)
+      .orderBy(abs(col("delta_ppm")).desc, col("wk"), col("event_type"))
+      .limit(10)
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
@@ -1965,5 +2006,5 @@ object Events {
       q196WeeklyTrending, q197ActivityHeatmap, q198RfmSegmentation,
       q199RatioToReport, q201BounceRate, q202PathLength, q208SessionValue,
       q209SeasonalityIndex, q210PeakDays, q214Regularity, q216GrowthAccounting,
-      q218BehaviorDiversity)
+      q218BehaviorDiversity, q231TopMovers)
 }
