@@ -1351,10 +1351,19 @@ object Events {
   /** q192: id-sequence gap detection — completeness over a delivery's
     * supposedly-contiguous id space: adjacent distinct ids more than 1
     * apart bound a missing range. Gaps are PLANTED (every id %97 = 0 is
-    * dropped) so detection is proven; the lag runs over distinct-id
-    * levels. At 100 TB the distinct reduction happens map-side and the
-    * one global-ordered lag takes the q135 bucket decomposition — here
-    * the level table is the bounded artifact. */
+    * dropped) so detection is proven. Distinct ids are ROW-scale
+    * (≈ every event), so NO global-ordered lag: the q150 two-phase form —
+    * coarse id buckets → per-bucket lag (window PARTITIONED by bucket)
+    * closes every within-bucket adjacency; the ONE cross-bucket adjacency
+    * per bucket (its min id vs the previous non-empty bucket's max)
+    * stitches through a tiny summary window over ≤ #buckets rows,
+    * broadcast back. Lossless by construction: every adjacent distinct-id
+    * pair is either same-bucket (the partitioned lag sees it) or spans a
+    * bucket boundary (exactly the stitched bmin/prev_max pair — buckets
+    * between them are empty by definition of "previous NON-EMPTY").
+    * The oracle IS the global lag — gate equality proves the
+    * decomposition. EventsSpec plan-asserts no unpartitioned window
+    * touches the row-scale id set. */
   val q192IdGapDetection: Q = Q(
     "q192_id_gap_detection",
     """WITH ids AS (
@@ -1367,11 +1376,22 @@ object Events {
       |FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
       |ORDER BY gap_start""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    Tables(s, dir, "events")
+    val ids = Tables(s, dir, "events")
       .filter(col("event_id") % 97 =!= 0)
       .select(col("event_id")).distinct()
-      .withColumn("prev_id", lag(col("event_id"), 1)
-        .over(Window.orderBy(col("event_id"))))
+      .withColumn("b", expr("event_id div 512"))
+    val stitch = ids.groupBy(col("b"))
+      .agg(min(col("event_id")).as("bmin"), max(col("event_id")).as("bmax"))
+      .withColumn("prev_max",
+        lag(col("bmax"), 1).over(Window.orderBy(col("b"))))
+      .select(col("b"), col("prev_max"))
+    ids.join(broadcast(stitch), "b")
+      // lag is NULL exactly on each bucket's first id — the stitched
+      // prev_max (previous non-empty bucket's last id) completes it.
+      .withColumn("prev_id", coalesce(
+        lag(col("event_id"), 1).over(
+          Window.partitionBy(col("b")).orderBy(col("event_id"))),
+        col("prev_max")))
       .filter(col("prev_id").isNotNull && col("event_id") - col("prev_id") > 1)
       .select((col("prev_id") + 1).as("gap_start"),
         (col("event_id") - 1).as("gap_end"),

@@ -1,7 +1,9 @@
 package graft.ops
 
 import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
 /** Fuzzy entity matching — the record-linkage stage of a data pipeline
   * (vendor/product/author name reconciliation before joining feeds).
@@ -24,6 +26,63 @@ import org.apache.spark.sql.functions._
   */
 object Fuzzy {
 
+  /** Edge-count ceiling for the driver-side union-find tier of
+    * [[resolveClusters]]. ~5M (u, v) Long pairs ≈ 80 MB of driver heap —
+    * comfortably inside any real driver, far outside anything a
+    * vocabulary-level graph should produce. Above it the SAME pairs go to
+    * the distributed min-label CC instead of silently OOMing the driver. */
+  val DriverClosureMaxEdges: Long = 5_000_000L
+
+  /** Transitive closure with TIER SELECTION AS CODE, not authorship:
+    * count the (deduped) edge list first; at or below `driverMaxEdges`
+    * run a driver union-find (a vocabulary-level graph is sublinear in
+    * rows, and one in-heap pass beats 10–20 tiny label-propagation
+    * rounds' fixed job overhead — measured 20 s → ~2 s at sf0.1); above
+    * it hand the SAME pairs to the distributed min-label CC
+    * ([[Dedup.connectedComponents]], star-transform fallback included).
+    * Both tiers label every node that appears in an edge with the MIN
+    * member id of its component — the oracle's `least(u, min(v))` — so
+    * the choice is invisible to results (FuzzyGraphSpec asserts label
+    * equality across tiers on the same graph).
+    *
+    * Input: (doc_a, doc_b) Long pairs. Output: (doc_id, cluster_id),
+    * driver tier pre-broadcast (vocabulary-sized by construction). */
+  def resolveClusters(spark: SparkSession, edgesIn: DataFrame,
+      driverMaxEdges: Long = DriverClosureMaxEdges): DataFrame = {
+    val edges = edgesIn.select(col("doc_a").cast("long").as("doc_a"),
+      col("doc_b").cast("long").as("doc_b")).persist(MEMORY_AND_DISK)
+    val nEdges = edges.count()
+    if (nEdges <= driverMaxEdges) {
+      val edgeList = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edgeList.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val labels = parent.keys.toSeq.map(n => (n, find(n)))
+      val minOfComp = labels.groupBy(_._2).map { case (root, ms) =>
+        root -> ms.map(_._1).min
+      }
+      broadcast(spark.createDataFrame(
+          labels.map { case (n, root) => (n, minOfComp(root)) })
+        .toDF("doc_id", "cluster_id"))
+    } else {
+      // connectedComponents persists the same plan (cache hit, not a
+      // recompute) and handles its own cleanup; min-label fixpoint labels
+      // are exactly the component-min ids.
+      Dedup.connectedComponents(edges)
+    }
+  }
+
   /** q105: near-duplicate part names — same word count, at most one word
     * differs. Output one row per matched pair: support counts from the
     * vocabulary dedup, the word-hamming distance (0/1 per position,
@@ -41,10 +100,9 @@ object Fuzzy {
       |pairs AS (
       |  SELECT a.name AS name_a, b.name AS name_b,
       |         a.n_parts AS n_a, b.n_parts AS n_b,
-      |         (CASE WHEN split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
-      |               THEN 0 ELSE 1 END
-      |        + CASE WHEN split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
-      |               THEN 0 ELSE 1 END) AS w_dist,
+      |         len(list_filter(range(1, len(string_split(a.name, ' ')) + 1),
+      |             i -> string_split(a.name, ' ')[i]
+      |                  IS DISTINCT FROM string_split(b.name, ' ')[i])) AS w_dist,
       |         levenshtein(a.name, b.name) AS lev
       |  FROM names a JOIN names b
       |    ON a.name < b.name
@@ -157,14 +215,17 @@ object Fuzzy {
     * survivorship together equal the declarative spec.
     *
     * Scale: blocking and survivorship are the audited distributed shapes;
-    * the CLOSURE runs as a driver union-find over the collected edge
-    * list — deliberately. This is a VOCABULARY-level graph (nodes =
-    * distinct names, edges ≤ colliding name pairs), bounded by the name
-    * vocabulary whatever the row count — the same reduction that makes
-    * q105 viable — so a 10⁶-node union-find on the driver beats 10-20
-    * tiny label-propagation rounds' fixed job overhead (measured: 20 s →
-    * ~2 s at sf0.1). Row-scale graphs keep the distributed CC (q47/q62);
-    * picking the right tier per graph size IS the scale design. */
+    * the CLOSURE goes through [[resolveClusters]] — a GUARDED tier choice.
+    * This is a VOCABULARY-level graph (nodes = distinct names, edges ≤
+    * colliding name pairs), bounded by the name vocabulary whatever the
+    * row count — the same reduction that makes q105 viable — so a
+    * 10⁶-node union-find on the driver beats 10-20 tiny
+    * label-propagation rounds' fixed job overhead (measured: 20 s →
+    * ~2 s at sf0.1). But "vocabulary-bounded" is a checked invariant,
+    * not a comment: resolveClusters counts the edge list first and
+    * routes anything past DriverClosureMaxEdges to the distributed CC
+    * (q47/q62's min-label loop) with identical min-member labels.
+    * Picking the right tier per MEASURED graph size IS the scale design. */
   val q179EntityResolution: Q = Q(
     "q179_entity_resolution",
     """WITH RECURSIVE names AS (
@@ -175,10 +236,9 @@ object Fuzzy {
       |  FROM names a JOIN names b
       |    ON a.name < b.name
       |   AND len(string_split(a.name, ' ')) = len(string_split(b.name, ' '))
-      |   AND (CASE WHEN split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
-      |             THEN 0 ELSE 1 END
-      |      + CASE WHEN split_part(a.name, ' ', 2) = split_part(b.name, ' ', 2)
-      |             THEN 0 ELSE 1 END) <= 1
+      |   AND len(list_filter(range(1, len(string_split(a.name, ' ')) + 1),
+      |           i -> string_split(a.name, ' ')[i]
+      |                IS DISTINCT FROM string_split(b.name, ' ')[i])) <= 1
       |   AND levenshtein(a.name, b.name) <= 3),
       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
       |reach AS (SELECT u, v FROM edges
@@ -214,30 +274,10 @@ object Fuzzy {
         levenshtein(concat_ws(" ", col("ws_a")), concat_ws(" ", col("ws_b"))) <= 3)
       .select(least(col("nid_a"), col("nid_b")).as("doc_a"),
         greatest(col("nid_a"), col("nid_b")).as("doc_b"))
-    // Driver union-find over the vocabulary-bounded edge list; final
-    // label = min member per component (the oracle's least(u, min(v))).
-    val edgeList = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
-    val parent = scala.collection.mutable.Map.empty[Long, Long]
-    def find(x: Long): Long = {
-      var r = x
-      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-      var c = x
-      while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
-      r
-    }
-    edgeList.foreach { case (a, b) =>
-      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-    }
-    val labels = parent.keys.toSeq.map(n => (n, find(n)))
-    val minOfComp = labels.groupBy(_._2).map { case (root, ms) =>
-      root -> ms.map(_._1).min
-    }
-    val labelDf = s.createDataFrame(
-      labels.map { case (n, root) => (n, minOfComp(root)) })
-      .toDF("doc_id", "cluster_id")
-    broadcast(labelDf)
+    // Tier-selected transitive closure: driver union-find while the edge
+    // list stays vocabulary-bounded, distributed CC past the guard — the
+    // threshold is CHECKED, not assumed (see resolveClusters).
+    resolveClusters(s, edges)
       .join(names.select(col("nid").as("doc_id"), col("name"), col("n_parts")),
         "doc_id")
       .groupBy(col("cluster_id"))

@@ -114,4 +114,36 @@ class EventsSpec extends SparkSpec with BeforeAndAfterAll {
         (r.getAs[String]("attr"), r.getAs[Long]("n_events"))).toMap
     assert(u1 == Map(1L -> ("a", 1L), 2L -> ("b", 2L), 3L -> ("c", 1L)))
   }
+
+  test("q192: bucket-decomposed lag equals the global lag; no row-scale unpartitioned window") {
+    // Ids span four non-empty buckets (width 512) with gaps WITHIN buckets,
+    // ACROSS adjacent buckets (510→513), and across a run of EMPTY buckets
+    // (2000 in b3 → 5000 in b9). 194 = 2·97 is planted for the %97 filter;
+    // id 5 appears twice for the distinct.
+    val d2 = Paths.get("target", "tmp", "eventsgap").toAbsolutePath.toString
+    Seq(1L, 2L, 5L, 5L, 194L, 510L, 513L, 1030L, 2000L, 5000L)
+      .map(id => (id, ns(0), 1L, "click", 1.0, """{"k": 1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val df = Events.q192IdGapDetection.fn(spark, d2)
+    val wins = df.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the q192 plan")
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.length == 1,
+      s"expected exactly ONE unpartitioned window (the bucket-summary stitch), got ${unpart.length}")
+    // …and that one must consume the ≤ #buckets summary, never the id set.
+    val stitchCols = unpart.head.child.output.map(_.name).toSet
+    assert(stitchCols.contains("bmax") && !stitchCols.contains("event_id"),
+      s"unpartitioned window should read the bucket summary, saw columns $stitchCols")
+    // Semantics: the global-lag gaps over distinct [1,2,5,510,513,1030,2000,5000].
+    val got = df.collect()
+      .map(r => (r.getAs[Long]("gap_start"), r.getAs[Long]("gap_end"),
+        r.getAs[Long]("n_missing"))).toSeq
+    assert(got == Seq(
+      (3L, 4L, 2L), (6L, 509L, 504L), (511L, 512L, 2L),
+      (514L, 1029L, 516L), (1031L, 1999L, 969L), (2001L, 4999L, 2999L)),
+      s"got $got")
+  }
 }

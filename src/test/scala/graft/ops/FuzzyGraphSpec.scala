@@ -52,6 +52,44 @@ class FuzzyGraphSpec extends SparkSpec with BeforeAndAfterAll {
       s"got ${rows.mkString(", ")}")
   }
 
+  test("resolveClusters: forced distributed tier labels equal the driver tier") {
+    // Chain, triangle, pendant pair, and a second chain — mixed shapes.
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L),
+      (30L, 31L), (31L, 32L)).toDF("doc_a", "doc_b")
+    val driver = Fuzzy.resolveClusters(spark, edges, driverMaxEdges = Long.MaxValue)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driverMaxEdges = 0 < |E| forces the distributed min-label CC path.
+    val dist = Fuzzy.resolveClusters(spark, edges, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 30L, 32L -> 30L)
+    assert(driver == want, s"driver tier: $driver")
+    assert(dist == want, s"distributed tier: $dist")
+    spark.catalog.clearCache()
+  }
+
+  test("resolveClusters: tier equivalence on randomized graphs") {
+    val rnd = new scala.util.Random(0xF99L)
+    for (trial <- 1 to 5) {
+      val n = 40
+      val raw = Seq.fill(60)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      val edges = raw.toDF("doc_a", "doc_b")
+      val driver = Fuzzy.resolveClusters(spark, edges, driverMaxEdges = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = Fuzzy.resolveClusters(spark, edges, driverMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == dist, s"trial $trial: driver=$driver dist=$dist")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q106: support-1 noise filtered; one triangle, exact wedge count") {
     val r = Graph.q106TriangleCount.fn(spark, dir).collect().head
     assert(r.getAs[Long]("n_edges") == 4L) // 12 13 23 34; 14 is support-1
