@@ -417,10 +417,32 @@ object Similarity {
     * daily cost is O(|batch| · k) map-side work against a broadcast
     * centroid table; the archive's inverted lists are never recomputed.
     * Centroid drift is handled the standard way — a scheduled re-train +
-    * full re-assign — not per batch. */
+    * full re-assign, [[ivfRetrain]], which publishes a new index
+    * generation behind an atomic pointer — not per batch. */
+  /** Generation pointer prefix for retrained IVF indexes: the highest
+    * `_ivfgen-<seq>` file names the live generation dir (`gen=<seq>/`).
+    * A pre-retrain index has no pointer — its root IS generation 0. */
+  private val IvfGenPrefix = "_ivfgen-"
+
+  /** Resolve the committed generation root of a persisted IVF index:
+    * `indexDir/gen=<maxSeq>` when a retrain has been promoted, the index
+    * root otherwise. One file listing; every reader and writer goes
+    * through this, so a retrain mid-publish (its pointer not yet
+    * renamed in) is invisible. */
+  private[graft] def ivfCurrentRoot(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return indexDir
+    val seqs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(IvfGenPrefix))
+      .map(_.stripPrefix(IvfGenPrefix).toLong)
+    if (seqs.isEmpty) indexDir else s"$indexDir/gen=${seqs.max}"
+  }
+
   def ivfAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       batchId: Long): Unit = {
-    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    val root = ivfCurrentRoot(spark, indexDir)
+    val centPath = new org.apache.hadoop.fs.Path(s"$root/centroids")
     val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(centPath)) {
       val k = semK(batch.count())
@@ -431,7 +453,7 @@ object Similarity {
     }
     val cent = spark.read.parquet(centPath.toString)
     assignTo(batch, cent)
-      .write.mode("overwrite").parquet(s"$indexDir/assign/batch=$batchId")
+      .write.mode("overwrite").parquet(s"$root/assign/batch=$batchId")
   }
 
   /** ANN query against the PERSISTED index: rank each query against the
@@ -443,8 +465,9 @@ object Similarity {
   def ivfQuery(spark: SparkSession, indexDir: String, corpus: DataFrame,
       queries: DataFrame, nprobe: Int = 2, topk: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val assign = spark.read.parquet(s"$indexDir/assign")
+    val root = ivfCurrentRoot(spark, indexDir)
+    val cent = spark.read.parquet(s"$root/centroids")
+    val assign = spark.read.parquet(s"$root/assign")
     val crankW = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     val probe = queries.join(broadcast(cent))
@@ -469,6 +492,105 @@ object Similarity {
       .withColumn("rank", row_number().over(rankW).cast("long"))
       .filter(col("rank") <= topk)
       .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+  }
+
+  /** Re-train the persisted IVF index — the EXECUTABLE drift policy
+    * [[ivfAppend]]'s scaladoc prescribes. Day-N growth leaves k frozen at
+    * semK(|day-1 batch|): as the corpus grows G×, every inverted list
+    * grows G× and [[ivfQuery]]'s "~nprobe·TargetClusterSize candidates at
+    * any corpus size" cost law fails toward a linear scan. This entry
+    * point restores it: recompute k = semK(N_total) over the CURRENTLY
+    * INDEXED membership (vectors come from `corpus`, the same
+    * vector-table-of-record ivfQuery reads — the index stores ids and
+    * topology, never payloads), improve the seed centroids with
+    * `lloydIters` Lloyd passes (the q66 kernel: broadcast map-side
+    * argmax assignment, then (centroid, dim) decimal partial sums — the
+    * shuffle carries k×64 sums per partition, never the vectors),
+    * re-assign everything with the shared two-stage argmax, and publish
+    * centroids+assignments as a NEW GENERATION (`gen=<seq>/`) promoted by
+    * ONE atomic pointer rename (`_ivfgen-<seq>`) — the manifest-commit
+    * discipline of `git/Pipeline`: readers resolve the pointer first
+    * ([[ivfCurrentRoot]]), so a half-written retrain is invisible, a
+    * crash before the rename leaves only an unreferenced gen dir (reaped
+    * by the next retrain's pre-clean), and the single-writer check
+    * refuses to clobber a concurrently committed generation.
+    *
+    * Seeds that end a Lloyd pass with zero members keep their previous
+    * position (standard empty-cluster handling) so the published k stays
+    * semK(N) and mean inverted-list size returns to ~TargetClusterSize —
+    * the invariant IncrementalIvfRetrainSpec asserts after 4× growth.
+    * Post-retrain [[ivfAppend]] calls write into the new generation;
+    * batch ids continue unchanged. */
+  def ivfRetrain(spark: SparkSession, indexDir: String, corpus: DataFrame,
+      lloydIters: Int = 2): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(indexDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"ivfRetrain: no index at $indexDir")
+    val curSeq = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith(IvfGenPrefix))
+      .map(_.stripPrefix(IvfGenPrefix).toLong)
+      .maxOption.getOrElse(0L)
+    val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+    // Membership = the ids the live generation has indexed; payloads join
+    // in from the corpus. Persisted: count + seeds + every Lloyd pass +
+    // the final re-assign all re-read it.
+    val indexed = spark.read.parquet(s"$root/assign")
+      .select(col("vec_id")).distinct()
+      .join(corpus.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = semK(indexed.count())
+    var cent = indexed.orderBy(col("vec_id")).limit(k.toInt)
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").as("emb_cent"), col("n2").as("n2_cent"))
+      .localCheckpoint()
+    for (_ <- 1 to lloydIters) {
+      val assign = assignTo(indexed, cent)
+      // q66's centroid update: decimal per-dimension partial sums (order-
+      // free), mean per (centroid, dim), array rebuilt in index order.
+      val means = indexed.join(assign, "vec_id")
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("i", "vf")))
+        .groupBy(col("centroid_id"), col("i"))
+        .agg((sum(col("vf").cast("double").cast("decimal(38,12)")).cast("double")
+          / count(lit(1))).as("mean_v"))
+        .groupBy(col("centroid_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, mean_v)))," +
+          " x -> CAST(x.mean_v AS FLOAT))").as("emb_cent"))
+        .withColumn("n2_cent", expr(dDot("emb_cent", "emb_cent")))
+      // Empty-cluster handling: a seed whose list emptied keeps its
+      // previous position (k is preserved; the centroid table is tiny).
+      cent = means
+        .unionByName(cent.join(means.select(col("centroid_id")),
+          Seq("centroid_id"), "left_anti"))
+        .localCheckpoint()
+    }
+    val genSeq = curSeq + 1
+    val genDir = s"$indexDir/gen=$genSeq"
+    fs.delete(new Path(genDir), true) // junk from a crashed prior attempt
+    cent.write.mode("overwrite").parquet(s"$genDir/centroids")
+    assignTo(indexed, cent).write.mode("overwrite")
+      .parquet(s"$genDir/assign/batch=0")
+    indexed.unpersist()
+    // Promote: stage the pointer under a dot-tmp name, one atomic rename.
+    val tmp = new Path(base, s".ivfgen-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"gen=$genSeq".getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(base, s"$IvfGenPrefix$genSeq")
+    require(!fs.exists(dest), s"concurrent ivfRetrain detected: $dest exists")
+    require(fs.rename(tmp, dest), s"ivfRetrain pointer commit failed at $dest")
+    // Drop the superseded generation: old pointers, then the replaced
+    // data (the root-layout centroids/assign for gen 0, gen=<curSeq>
+    // otherwise) — same post-commit GC as the manifest publishes.
+    fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith(IvfGenPrefix) &&
+        p.getName.stripPrefix(IvfGenPrefix).toLong < genSeq)
+      .foreach(fs.delete(_, false))
+    if (curSeq == 0L) {
+      fs.delete(new Path(s"$indexDir/centroids"), true)
+      fs.delete(new Path(s"$indexDir/assign"), true)
+    } else fs.delete(new Path(s"$indexDir/gen=$curSeq"), true)
   }
 
   /** q100: incremental ANN index maintenance gated end-to-end — day 1
