@@ -85,6 +85,13 @@ object Bench {
     val reruns = rerunCounts.mkString("[", ",", "]")
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs}""")
+    // The driver's one-line record truncates past ~100 queries, losing the
+    // per-query tail; persist the full distribution as a repo artifact so
+    // the whole record stays auditable after every bench run.
+    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"queries":$qs}"""
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
+    catch { case _: Throwable => () } // an unwritable CWD must not fail the bench
     spark.stop()
   }
 }

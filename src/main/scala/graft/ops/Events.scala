@@ -1072,9 +1072,7 @@ object Events {
     // The single-partition window is over DISTINCT delta levels of the
     // converter set — bounded; at true scale this takes the q135
     // bucket-offset decomposition.
-    val cum = lv.select(col("delta_s"),
-      sum(col("c")).over(Window.orderBy(col("delta_s"))).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val cum = Kernels.levelCdf(lv, "delta_s")
     cum.agg(max(col("n")).cast("long").as("n_converters"),
       min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("delta_s")))
         .as("p50_s"),
@@ -1259,9 +1257,7 @@ object Events {
         expr("(sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY sec, event_id)) div 86400"))
       .filter(col("gap_d").isNotNull)
       .groupBy(col("gap_d")).agg(count(lit(1)).as("c"))
-    val cum = lv.select(col("gap_d"),
-      sum(col("c")).over(Window.orderBy(col("gap_d"))).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val cum = Kernels.levelCdf(lv, "gap_d")
     cum.agg(max(col("n")).cast("long").as("n_gaps"),
       min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("gap_d")))
         .as("p50_days"),
@@ -1699,9 +1695,7 @@ object Events {
       .filter(col("us") < col("p_us"))
       .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val cum = lv.select(col("v"),
-      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val cum = Kernels.levelCdf(lv, "v")
     cum.agg(max(col("n")).cast("long").as("n_converters"),
       min(when(lit(100) * col("cum") >= lit(50) * col("n"), col("v")))
         .as("p50_events"),
@@ -1755,9 +1749,7 @@ object Events {
       .groupBy(col("user_id"), col("sid"))
       .agg(sum(col("cents")).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val cum = lv.select(col("v"),
-      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val cum = Kernels.levelCdf(lv, "v")
     cum.agg(max(col("n")).cast("long").as("n_sessions"),
       min(when(lit(2) * col("cum") >= col("n"), col("v"))).cast("long")
         .as("p50_cents"),
@@ -1833,9 +1825,7 @@ object Events {
       .groupBy(expr("sec div 86400").as("day"))
       .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("rev"))
     val lv = d.groupBy(col("rev").as("v")).agg(count(lit(1)).as("c"))
-    val med = lv.select(col("v"),
-        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
-        sum(col("c")).over(Window.partitionBy()).as("n"))
+    val med = Kernels.levelCdf(lv, "v")
       .agg(min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("m"))
     d.crossJoin(broadcast(med))
       .filter(lit(5) * col("rev") > lit(6) * col("m"))

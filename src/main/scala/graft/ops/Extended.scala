@@ -759,19 +759,31 @@ object Extended {
     * c·10⁹ − v (count major, SMALLER value wins ties; 10⁹ > any cents
     * level so the components can't interleave) — deterministic by
     * construction, immune to either engine changing its tie whim. Two
-    * map-side-combining aggregates, no window. */
+    * map-side-combining aggregates, no window. The key packing is only
+    * valid for 0 ≤ v < 10⁹, so BOTH engines raise on a level outside
+    * that range rather than silently interleaving the components — a
+    * data drop with negative or ≥ $10M values fails loudly. */
   val q163GroupMode: Q = Q(
     "q163_group_mode",
     """WITH lv AS (
-      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |  SELECT event_type,
+      |         CASE WHEN round(value * 100) BETWEEN 0 AND 999999999
+      |              THEN CAST(round(value * 100) AS BIGINT)
+      |              ELSE CAST(error('q163: cents level outside composite-key bounds')
+      |                        AS BIGINT) END AS v,
       |         count(*) AS c
       |  FROM events GROUP BY 1, 2)
       |SELECT event_type,
       |       max_by(v, c * 1000000000 - v) AS mode_cents,
       |       CAST(max(c) AS BIGINT) AS mode_count
       |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cents = round(col("value") * 100).cast("long")
     Tables(s, dir, "events")
-      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .groupBy(col("event_type"),
+        when(cents.between(0L, 999999999L), cents)
+          .otherwise(raise_error(concat(
+            lit("q163: cents level outside composite-key bounds: "),
+            cents.cast("string")))).as("v"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("event_type"))
       .agg(max_by(col("v"), col("c") * 1000000000L - col("v")).as("mode_cents"),

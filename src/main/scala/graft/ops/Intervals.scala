@@ -249,11 +249,17 @@ object Intervals {
     val wDesc = Window.partitionBy(col("b"))
       .orderBy(col("price").desc, col("tag").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Each direction's (price, key) pair rides ONE WindowExec: a
+    // withColumn chain would interleave Projects between same-spec
+    // windows and defeat window collapsing — four data passes where two
+    // suffice (PlanShapeSpec asserts the 2-node shape).
     val inBucket = u
-      .withColumn("prev_p", last(refP, ignoreNulls = true).over(wAsc))
-      .withColumn("prev_k", last(refK, ignoreNulls = true).over(wAsc))
-      .withColumn("next_p", last(refP, ignoreNulls = true).over(wDesc))
-      .withColumn("next_k", last(refK, ignoreNulls = true).over(wDesc))
+      .select(col("*"),
+        last(refP, ignoreNulls = true).over(wAsc).as("prev_p"),
+        last(refK, ignoreNulls = true).over(wAsc).as("prev_k"))
+      .select(col("*"),
+        last(refP, ignoreNulls = true).over(wDesc).as("next_p"),
+        last(refK, ignoreNulls = true).over(wDesc).as("next_k"))
     // Cross-bucket carries: per-bucket extreme ref (struct orders by
     // price first; ref prices are unique levels), cascaded through a
     // window over the ~#buckets summary rows only.

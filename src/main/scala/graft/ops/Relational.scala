@@ -503,9 +503,7 @@ object Relational {
     val lv = Tables(s, dir, "lineitem")
       .groupBy(col("l_orderkey")).agg(count(lit(1)).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
-    val cum = lv.select(col("v"), col("c"),
-      sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
-      sum(col("c")).over(Window.partitionBy()).as("n"))
+    val cum = Kernels.levelCdf(lv, "v")
     cum.agg(max(col("n")).cast("long").as("n_orders"),
       sum(col("v") * col("c")).cast("long").as("total_lines"),
       min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("p50_lines"),

@@ -331,8 +331,10 @@ object Similarity {
         struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
   }
 
-  val q48AnnIvf: Q = Q(
-    "q48_ann_ivf",
+  /** q48's full-corpus IVF rendering (k = semK(N), seeds vec_id < k) —
+    * shared verbatim with q232: a correct retrain over the whole indexed
+    * membership must converge the index to exactly this topology. */
+  private lazy val duckIvfFullOracle: String =
     s"""WITH $duckEl,
        |$duckN2,
        |$duckKk,
@@ -354,7 +356,11 @@ object Similarity {
        |      FROM d JOIN n2 nq ON nq.vec_id = query_id
        |              JOIN n2 nc ON nc.vec_id = neighbor_id)
        |SELECT query_id, neighbor_id, cos_sim, rank
-       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  val q48AnnIvf: Q = Q(
+    "q48_ann_ivf",
+    duckIvfFullOracle) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     // One metadata-cheap count sizes the index (k ∝ N, same formula as the
     // oracle's kk CTE): inverted lists stay ~TargetClusterSize members at
@@ -633,6 +639,31 @@ object Similarity {
     val idx = java.nio.file.Files.createTempDirectory("graft-q100-")
     ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0), 0L) // day 1: trains
     ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1), 1L) // day 2: frozen
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+    ivfQuery(s, idx.toString, e, e.filter(col("vec_id") < 10))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q232: index RETRAIN gated end-to-end — the day-2 lifecycle closed:
+    * day 1 (even ids) trains k = semK(|day 1|) frozen centroids, day 2
+    * (odd ids) appends to them, then [[ivfRetrain]] recomputes
+    * k = semK(N_total) seeds over the FULL indexed membership
+    * (lloydIters = 0: pure re-seed + re-assign, so the retrained topology
+    * is exactly a fresh train over the whole corpus) and promotes the new
+    * generation behind the atomic pointer; the ten sample queries probe
+    * the retrained lists through the generation-resolved reader. Oracle:
+    * q48's full-corpus rendering, verbatim — what a correct retrain must
+    * converge the index to regardless of arrival order. (The Lloyd
+    * quality pass and the 4×-growth cost-law restoration are
+    * ScalaTest-gated in IncrementalIvfRetrainSpec.) */
+  val q232AnnRetrain: Q = Q(
+    "q232_ann_retrain",
+    duckIvfFullOracle) { (s, dir) =>
+    val e = embWithNorm(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-q232-")
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0), 0L) // day 1
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1), 1L) // day 2
+    ivfRetrain(s, idx.toString, e, lloydIters = 0)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
     ivfQuery(s, idx.toString, e, e.filter(col("vec_id") < 10))
       .orderBy(col("query_id"), col("rank"))
@@ -1157,9 +1188,9 @@ object Similarity {
       |  FROM embeddings WHERE vec_id % 17 = 0)
       |SELECT vec_id,
       |       CAST(len(qv) AS BIGINT) AS n_dims,
-      |       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS sum_q,
+      |       CAST(coalesce(list_aggregate(qv, 'sum'), 0) AS BIGINT) AS sum_q,
       |       CAST(len(list_filter(qv, x -> x > 0)) AS BIGINT) AS n_pos,
-      |       CAST(list_aggregate(list_transform(qv, x -> x * x), 'sum')
+      |       CAST(coalesce(list_aggregate(list_transform(qv, x -> x * x), 'sum'), 0)
       |            AS BIGINT) AS sumsq_q
       |FROM q ORDER BY vec_id""".stripMargin) { (s, dir) =>
     Tables(s, dir, "embeddings")
@@ -1243,9 +1274,7 @@ object Similarity {
             x => round(x.cast("double") * 1000).cast("long")),
           lit(0L), (a, q) => a + q * q).as("norm2"))
     val lv = e.groupBy(col("norm2").as("v")).agg(count(lit(1)).as("c"))
-    val med = lv.select(col("v"),
-        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
-        sum(col("c")).over(Window.partitionBy()).as("n"))
+    val med = Kernels.levelCdf(lv, "v")
       .agg(min(when(lit(2) * col("cum") >= col("n"), col("v"))).as("p50_norm2"),
         min(col("v")).as("min_norm2"), max(col("v")).as("max_norm2"))
     val stats = e.agg(count(lit(1)).as("n_vectors"),
@@ -1260,5 +1289,5 @@ object Similarity {
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
-    q195LabelCentroids, q217EmbeddingHygiene)
+    q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain)
 }

@@ -38,9 +38,16 @@ class DigestSink extends TableProvider {
 object DigestSink {
   val schema: StructType = StructType(Seq(StructField("m", StringType)))
 
-  /** JVM mirror of PortableHash.hexHeadToLong: first 12 hex digits → [0, P). */
-  def headToLong(md5Hex: String): Long =
+  /** JVM mirror of PortableHash.hexHeadToLong: first 12 hex digits → [0, P).
+    * Contract-checked: a null or short row fails with the sink's message,
+    * not an executor StringIndexOutOfBounds (the source/sink error-isolation
+    * discipline — see Validate). */
+  def headToLong(md5Hex: String): Long = {
+    require(md5Hex != null && md5Hex.length >= 12,
+      s"DigestSink expects md5-hex rows (>= 12 hex chars), got " +
+        (if (md5Hex == null) "null" else s"'$md5Hex'"))
     java.lang.Long.parseLong(md5Hex.substring(0, 12), 16) % 4294967291L
+  }
 
   final case class Digest(n: Long, xor: Long, sum: Long)
       extends WriterCommitMessage

@@ -82,7 +82,7 @@ private[sources] class GenScan(rows: Long, numPartitions: Int,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GenMicroBatchStream(rows, batchSize, required.fieldNames)
+    new GenMicroBatchStream(rows, batchSize, numPartitions, required.fieldNames)
 }
 
 /** The STREAMING read path: a MicroBatchStream with admission control —
@@ -94,7 +94,7 @@ private[sources] class GenScan(rows: Long, numPartitions: Int,
   * implements; planInputPartitions(start, end) re-slices each admitted
   * range so batch and stream share the executor-side reader. */
 private[sources] class GenMicroBatchStream(rows: Long, batchSize: Long,
-    fields: Array[String])
+    numPartitions: Int, fields: Array[String])
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -118,7 +118,14 @@ private[sources] class GenMicroBatchStream(rows: Long, batchSize: Long,
     val lo = start.asInstanceOf[Pos].v
     val hi = end.asInstanceOf[Pos].v
     if (hi <= lo) Array.empty
-    else Array(GenPartition(lo, hi))
+    else {
+      // Re-slice the admitted range so a micro-batch reads with the same
+      // parallelism as the batch scan, not one task per trigger.
+      val per = math.max(1L, (hi - lo + numPartitions - 1) / numPartitions)
+      (lo until hi by per)
+        .map(l => GenPartition(l, math.min(l + per, hi)): InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -36,6 +36,25 @@ class GenSourceSpec extends SparkSpec {
     assert(gen(3, 8).count() == 3)
   }
 
+  test("each micro-batch re-slices its admitted range to numPartitions") {
+    val work = java.nio.file.Files.createTempDirectory("genslice")
+    val q = spark.readStream.format("graft.sources.GenSource")
+      .option("rows", "600").option("batchSize", "600")
+      .option("numPartitions", "4").load()
+      // spark_partition_id() observes the actual reader task layout.
+      .selectExpr("id", "spark_partition_id() AS pid")
+      .writeStream.format("parquet")
+      .option("path", work.resolve("out").toString)
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(work.resolve("out").toString)
+    assert(got.count() == 600)
+    val pids = got.select("pid").distinct().count()
+    assert(pids == 4, s"one admitted range must read as 4 partitions, saw $pids")
+  }
+
   test("streaming drain runs MULTIPLE admission-bounded micro-batches") {
     val work = java.nio.file.Files.createTempDirectory("genstream")
     val q = spark.readStream.format("graft.sources.GenSource")
