@@ -238,7 +238,8 @@ object Dedup {
     * generation, which would inflate hot-bucket counts toward the cap. */
   def incrementalDayRun(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, batchId: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(indexDir)
+    val root = bandIndexRoot(spark, indexDir)
+    val path = new org.apache.hadoop.fs.Path(root)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val archive =
       if (fs.exists(path))
@@ -246,14 +247,96 @@ object Dedup {
         // replay it already exists from the crashed attempt, and an
         // archive containing the batch itself would re-emit every
         // within-batch pair with a spurious both_new=false variant.
-        spark.read.parquet(indexDir)
+        spark.read.parquet(root)
           .filter(col("batch") =!= batchId)
           .select(col("doc_id"), col("bh"))
       else spark.range(0).select(col("id").as("doc_id"), lit("").as("bh"))
     val pairs = incrementalPairs(archive, newDocs).localCheckpoint()
     bandsOf(newDocs).write.mode("overwrite")
-      .parquet(s"$indexDir/batch=$batchId")
+      .parquet(s"$root/batch=$batchId")
     pairs
+  }
+
+  /** Generation pointer prefix for compacted band indexes — the same
+    * promote-by-one-rename discipline as the IVF `_ivfgen-` pointer. */
+  private val BandGenPrefix = "_bandgen-"
+
+  /** Resolve the committed generation root of a persisted band index:
+    * `indexDir/gen=<maxSeq>` once a compaction has been promoted, the
+    * index root before that. Readers and the daily append both resolve
+    * through this, so a compaction mid-publish is invisible. */
+  private[graft] def bandIndexRoot(spark: SparkSession, indexDir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return indexDir
+    val seqs = fs.listStatus(p).map(_.getPath.getName)
+      .filter(_.startsWith(BandGenPrefix))
+      .map(_.stripPrefix(BandGenPrefix).toLong)
+    if (seqs.isEmpty) indexDir else s"$indexDir/gen=${seqs.max}"
+  }
+
+  /** Compact the persisted band index — the file-count maintenance a
+    * year of daily `batch=<id>` appends needs (365 dirs × shuffle-width
+    * files is the classic listing/footer/scheduling pressure at 100 TB).
+    * All batches EXCEPT the `keepRecent` most recent fold into one
+    * consolidated `batch=-1` partition (coalesced to `targetFiles`);
+    * recent batches are copied verbatim so the at-least-once replay
+    * contract survives: only the tail of the stream can ever be
+    * replayed, and a replayed batch id must still find its OWN subdir
+    * excluded from the archive — ids folded into `batch=-1` are by
+    * construction past the replay window. Content is untouched (same
+    * (doc_id, bh) rows, `both_new`/hot-bucket semantics identical —
+    * spec-checked by pair equality against an uncompacted twin); only
+    * the physical layout changes. The new generation publishes under
+    * `gen=<seq>/` and is promoted by ONE atomic `_bandgen-<seq>` rename
+    * with a single-writer check; the superseded generation is GC'd after
+    * the commit, and a crash before the rename leaves only an
+    * unreferenced dir the next compaction pre-cleans. */
+  def compactBandIndex(spark: SparkSession, indexDir: String,
+      keepRecent: Int = 2, targetFiles: Int = 8): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(indexDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(base), s"compactBandIndex: no index at $indexDir")
+    val curSeq = fs.listStatus(base).map(_.getPath.getName)
+      .filter(_.startsWith(BandGenPrefix))
+      .map(_.stripPrefix(BandGenPrefix).toLong)
+      .maxOption.getOrElse(0L)
+    val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+    val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
+    val recent = batches.takeRight(keepRecent).filter(_ >= 0)
+    val old = batches.filterNot(recent.contains)
+    // Idempotent: nothing older than the replay window but the already-
+    // consolidated partition → a second compact run touches nothing.
+    if (old.isEmpty || old == Seq(-1L)) return
+    val genSeq = curSeq + 1
+    val genDir = s"$indexDir/gen=$genSeq"
+    fs.delete(new Path(genDir), true) // junk from a crashed prior attempt
+    spark.read.option("basePath", root)
+      .parquet(old.map(k => s"$root/batch=$k"): _*)
+      .select(col("doc_id"), col("bh"))
+      .coalesce(math.max(1, targetFiles))
+      .write.mode("overwrite").parquet(s"$genDir/batch=-1")
+    recent.foreach { k =>
+      spark.read.parquet(s"$root/batch=$k").select(col("doc_id"), col("bh"))
+        .write.mode("overwrite").parquet(s"$genDir/batch=$k")
+    }
+    val tmp = new Path(base, s".bandgen-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"gen=$genSeq".getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(base, s"$BandGenPrefix$genSeq")
+    require(!fs.exists(dest), s"concurrent compactBandIndex detected: $dest exists")
+    require(fs.rename(tmp, dest), s"band-index pointer commit failed at $dest")
+    fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith(BandGenPrefix) &&
+        p.getName.stripPrefix(BandGenPrefix).toLong < genSeq)
+      .foreach(fs.delete(_, false))
+    if (curSeq == 0L)
+      batches.foreach(k => fs.delete(new Path(s"$indexDir/batch=$k"), true))
+    else fs.delete(new Path(s"$indexDir/gen=$curSeq"), true)
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =

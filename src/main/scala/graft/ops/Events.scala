@@ -1372,10 +1372,17 @@ object Events {
       |FROM g WHERE prev_id IS NOT NULL AND event_id - prev_id > 1
       |ORDER BY gap_start""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val ids = Tables(s, dir, "events")
+    val idsRaw = Tables(s, dir, "events")
       .filter(col("event_id") % 97 =!= 0)
-      .select(col("event_id")).distinct()
-      .withColumn("b", expr("event_id div 512"))
+      .select(col("event_id"))
+    // Width derives from the OBSERVED id range (one scalar min/max agg —
+    // column-pruned scan), so #buckets ≤ 4097 at ANY scale: a fixed width
+    // would make the stitch summary itself row-scale at a 10¹²-id range.
+    val bounds = idsRaw.agg(min(col("event_id")), max(col("event_id"))).first()
+    val width =
+      if (bounds.isNullAt(0)) 512L
+      else math.max(512L, (bounds.getLong(1) - bounds.getLong(0)) / 4096L + 1L)
+    val ids = idsRaw.distinct().withColumn("b", expr(s"event_id div $width"))
     val stitch = ids.groupBy(col("b"))
       .agg(min(col("event_id")).as("bmin"), max(col("event_id")).as("bmax"))
       .withColumn("prev_max",

@@ -460,8 +460,14 @@ object Training {
       |  FROM documents)
       |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id
       |FROM ids ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
-      .select(col("doc_id"), expr("doc_id div 64").as("b"))
+    val docsRaw = Tables(s, dir, "documents").select(col("doc_id"))
+    // Range-derived width keeps the offsets table ≤ 4097 rows at ANY id
+    // range (a fixed width would make it row-scale at 10¹² ids).
+    val bounds = docsRaw.agg(min(col("doc_id")), max(col("doc_id"))).first()
+    val width =
+      if (bounds.isNullAt(0)) 64L
+      else math.max(64L, (bounds.getLong(1) - bounds.getLong(0)) / 4096L + 1L)
+    val docs = docsRaw.select(col("doc_id"), expr(s"doc_id div $width").as("b"))
     val offs = docs.groupBy(col("b")).agg(count(lit(1)).as("c"))
       .withColumn("off",
         coalesce(sum(col("c")).over(Window.orderBy(col("b"))

@@ -222,6 +222,46 @@ class DedupSimSpec extends SparkSpec with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[Double]("cos_sim") == 1.0))
   }
 
+  test("compactBandIndex: identical pairs after consolidation; replay window preserved") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables(spark, dir, "documents")
+    def newIdx() = Paths.get("target", "tmp",
+      s"bandcmp-${java.util.UUID.randomUUID()}").toAbsolutePath.toString
+    val idxA = newIdx(); val idxB = newIdx() // A compacts, B is the twin
+    def day(idx: String, d: Int): Set[(Long, Long, Boolean)] = {
+      val out = Dedup.incrementalDayRun(spark, idx,
+        docs.filter(col("doc_id") % 4 === d), d.toLong)
+      val rows = out.collect().map(r => (r.getAs[Long]("doc_a"),
+        r.getAs[Long]("doc_b"), r.getAs[Boolean]("both_new"))).toSet
+      out.unpersist()
+      rows
+    }
+    assert(day(idxA, 0) == day(idxB, 0))
+    val a1 = day(idxA, 1); assert(a1 == day(idxB, 1))
+    Dedup.compactBandIndex(spark, idxA, keepRecent = 1, targetFiles = 1)
+    // Promoted layout: pointer + consolidated batch=-1 + the replayable
+    // recent batch; the superseded root generation is GC'd.
+    assert(new java.io.File(s"$idxA/_bandgen-1").exists())
+    assert(new java.io.File(s"$idxA/gen=1/batch=-1").exists())
+    assert(new java.io.File(s"$idxA/gen=1/batch=1").exists())
+    assert(!new java.io.File(s"$idxA/batch=0").exists())
+    // The at-least-once window: replaying the most recent day must still
+    // exclude its own bands and reproduce its original pairs exactly.
+    assert(day(idxA, 1) == a1, "recent-batch replay diverged after compaction")
+    // Later days see identical candidates on compacted vs twin index.
+    assert(day(idxA, 2) == day(idxB, 2))
+    // Second compaction folds the old recent batch into the archive...
+    Dedup.compactBandIndex(spark, idxA, keepRecent = 1, targetFiles = 1)
+    assert(new java.io.File(s"$idxA/_bandgen-2").exists())
+    assert(!new java.io.File(s"$idxA/gen=1").exists(), "old generation must be GC'd")
+    assert(day(idxA, 3) == day(idxB, 3))
+    // ...and a compaction with nothing outside the replay window is a no-op.
+    Dedup.compactBandIndex(spark, idxA, keepRecent = 2, targetFiles = 1)
+    assert(!new java.io.File(s"$idxA/_bandgen-3").exists(),
+      "no-op compaction must not publish a new generation")
+    spark.catalog.clearCache()
+  }
+
   test("three-day incremental dedup against a persisted band index") {
     import org.apache.spark.sql.functions.col
     val docs = graft.Tables(spark, dir, "documents")
