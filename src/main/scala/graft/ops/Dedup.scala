@@ -501,6 +501,48 @@ object Dedup {
     cc(lshCandidatePairs(s, dir)).orderBy(col("doc_id"))
   }
 
+  /** q233: INCREMENTAL dedup clustering — the label-maintenance stage the
+    * incremental candidate pipeline (q97/q99) feeds: day 2's labels are
+    * recomputed from the STORED day-1 labels plus only the new day's
+    * pairs, never by re-walking the archive's full edge set. The stored
+    * label table IS a star forest (every member points at its component's
+    * min id, diameter ≤ 2), so CC over star-edges ∪ new-pairs
+    * re-converges in O(1) label-propagation rounds and its cost is
+    * O(|labeled docs| + |day-2 pairs|) — at 100 TB this is the difference
+    * between a nightly label refresh and a full-graph recluster. Star
+    * compression preserves connectivity exactly (u ~ v in the archive ⟺
+    * both point at the same min), so the oracle is the FULL-corpus
+    * closure, q47's rendering verbatim — gate equality proves the
+    * incremental update equals the from-scratch answer. */
+  val q233DedupIncrementalCluster: Q = Q(
+    "q233_dedup_incremental_cluster",
+    s"""WITH RECURSIVE $duckLshPairCtes,
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q233-")
+    val idx = tmp.resolve("idx") // must not pre-exist: day 1 has no archive
+    val p1 = incrementalDayRun(s, idx.toString,
+      docs.filter(col("doc_id") % 2 === 0), 0L)
+    val labels1 = connectedComponents(p1.select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+    p1.unpersist()
+    val p2 = incrementalDayRun(s, idx.toString,
+      docs.filter(col("doc_id") % 2 === 1), 1L)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(tmp.toFile)
+    // The archive re-enters as its star forest: one (min, member) edge
+    // per labeled doc. Self-edges drop; the min member stays reachable
+    // through its members' edges (components have >= 2 members).
+    val star = labels1.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+    connectedComponents(star.unionByName(p2.select(col("doc_a"), col("doc_b"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** q62: dedup representative selection — the pipeline stage after
     * clustering: each near-duplicate cluster keeps ONE document, the rest
     * are dropped. Keeper policy here is "longest text wins" (a common
@@ -1064,5 +1106,6 @@ object Dedup {
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
-      q104BloomDecontaminate, q121DupSpans, q154Survivorship)
+      q104BloomDecontaminate, q121DupSpans, q154Survivorship,
+      q233DedupIncrementalCluster)
 }
