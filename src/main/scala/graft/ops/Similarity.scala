@@ -249,7 +249,7 @@ object Similarity {
     * toward a linear scan — and any cluster that still exceeds ScanCap
     * members (skew) is excluded from pair scanning entirely. Both constants
     * are mirrored literally in the DuckDB oracles. */
-  private[ops] val TargetClusterSize = 64L
+  private[graft] val TargetClusterSize = 64L
   private[ops] val SemScanCap = 200L
   private[ops] def semK(n: Long): Long =
     math.max(16L, math.min(4096L, n / TargetClusterSize))
@@ -451,11 +451,16 @@ object Similarity {
     val centPath = new org.apache.hadoop.fs.Path(s"$root/centroids")
     val fs = centPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(centPath)) {
-      val k = semK(batch.count())
+      val n0 = batch.count()
+      val k = semK(n0)
       batch.orderBy(col("vec_id")).limit(k.toInt)
         .select(col("vec_id").as("centroid_id"),
           col("embedding").as("emb_cent"), col("n2").as("n2_cent"))
         .write.mode("overwrite").parquet(centPath.toString)
+      // The generation records its own train size — the baseline the
+      // growth-based retrain policy (q234) measures degradation against.
+      spark.range(1).select(lit(n0).as("n_at_train"))
+        .write.mode("overwrite").parquet(s"$root/trainmeta")
     }
     val cent = spark.read.parquet(centPath.toString)
     assignTo(batch, cent)
@@ -538,14 +543,17 @@ object Similarity {
       .map(_.stripPrefix(IvfGenPrefix).toLong)
       .maxOption.getOrElse(0L)
     val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
-    // Membership = the ids the live generation has indexed; payloads join
-    // in from the corpus. Persisted: count + seeds + every Lloyd pass +
-    // the final re-assign all re-read it.
+    // Membership = the ids the live generation has indexed (with their
+    // ORIGINAL batch ids — preserved through the retrain so a replayed
+    // tail batch still overwrites exactly its own partition afterwards);
+    // payloads join in from the corpus. Persisted: count + seeds + every
+    // Lloyd pass + the final re-assign all re-read it.
     val indexed = spark.read.parquet(s"$root/assign")
-      .select(col("vec_id")).distinct()
+      .select(col("vec_id"), col("batch").cast("long").as("batch")).distinct()
       .join(corpus.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val k = semK(indexed.count())
+    val n = indexed.count()
+    val k = semK(n)
     var cent = indexed.orderBy(col("vec_id")).limit(k.toInt)
       .select(col("vec_id").as("centroid_id"),
         col("embedding").as("emb_cent"), col("n2").as("n2_cent"))
@@ -575,8 +583,11 @@ object Similarity {
     val genDir = s"$indexDir/gen=$genSeq"
     fs.delete(new Path(genDir), true) // junk from a crashed prior attempt
     cent.write.mode("overwrite").parquet(s"$genDir/centroids")
-    assignTo(indexed, cent).write.mode("overwrite")
-      .parquet(s"$genDir/assign/batch=0")
+    assignTo(indexed, cent)
+      .join(indexed.select(col("vec_id"), col("batch")), "vec_id")
+      .write.partitionBy("batch").mode("overwrite").parquet(s"$genDir/assign")
+    spark.range(1).select(lit(n).as("n_at_train"))
+      .write.mode("overwrite").parquet(s"$genDir/trainmeta")
     indexed.unpersist()
     // Promote: stage the pointer under a dot-tmp name, one atomic rename.
     val tmp = new Path(base, s".ivfgen-tmp-${java.util.UUID.randomUUID()}")

@@ -389,6 +389,59 @@ object StreamGate {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q234: the SELF-MAINTAINING streaming ANN index — q103's ingest loop
+    * plus the retrain policy IN the loop: after each append the trigger
+    * compares the live generation's assignment count against the
+    * `n_at_train` baseline the generation recorded when its centroids
+    * were trained, and at ≥ 2× growth fires
+    * [[graft.ops.Similarity.ivfRetrain]] (re-seed k = semK(N), atomic
+    * generation promote) before the next trigger. Growth-since-train is
+    * the policy that works at EVERY corpus size: in the unclamped
+    * region it coincides with the mean-list ≥ 2·TargetClusterSize
+    * cost-law breach (k ∝ N), and at clamped-k sizes — where the list
+    * ratio never moves — it still heals the seed bias a frozen early
+    * train left behind. With the two parity days, day 2 doubles the
+    * corpus, so the stream trains, degrades, and HEALS itself; the
+    * final index is the fresh-train topology and q48's oracle gates the
+    * whole loop. The check is two metadata-cheap counts per trigger; a
+    * replayed trigger re-appends idempotently (retrain preserves
+    * per-batch partitions) and at worst re-publishes an identical
+    * generation — readers resolve the pointer, never an intermediate
+    * state. This is the operational answer to "who calls ivfRetrain":
+    * the ingest stream itself, on a measured breach, not a calendar. */
+  val q234StreamAnnMaintain: Q = Q(
+    "q234_stream_ann_maintain",
+    graft.ops.Similarity.q48AnnIvf.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q234-")
+    val e = graft.ops.Similarity.embWithNorm(s, dir)
+    val in = stageParityBatches(work, e, "vec_id")
+    val idx = work.resolve("ivfidx").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          graft.ops.Similarity.ivfAppend(sb, idx, batch.toDF(), id)
+          val root = graft.ops.Similarity.ivfCurrentRoot(sb, idx)
+          val n = sb.read.parquet(s"$root/assign").count()
+          val n0 = sb.read.parquet(s"$root/trainmeta").first().getLong(0)
+          if (n >= 2L * n0)
+            graft.ops.Similarity.ivfRetrain(sb, idx,
+              graft.ops.Similarity.embWithNorm(sb, dir), lloydIters = 0)
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q108: the PSI drift monitor run as a STREAM — the pre-ingest guard in
     * its production position. Document batches arrive as micro-batches;
     * each trigger (1) scores the incoming batch against the PERSISTED
@@ -791,5 +844,5 @@ object StreamGate {
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
-    q184StreamRecent)
+    q184StreamRecent, q234StreamAnnMaintain)
 }
