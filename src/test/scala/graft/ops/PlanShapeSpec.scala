@@ -32,6 +32,8 @@ class PlanShapeSpec extends SparkSpec with BeforeAndAfterAll {
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     Seq((1L, 12.0), (2L, 24.0)).toDF("o_orderkey", "o_totalprice")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    Seq((1L, "a"), (2L, "b"), (700L, "c")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
   }
 
   /** Physical plan with Exchanges visible: EnsureRequirements only runs
@@ -93,5 +95,24 @@ class PlanShapeSpec extends SparkSpec with BeforeAndAfterAll {
     val bcasts = p.collect { case b: BroadcastExchangeExec => b }
     assert(bcasts.length == 1,
       s"expected the summary to re-enter via ONE broadcast, got ${bcasts.length}")
+  }
+
+  test("q150: global rank with no global sort — the offsets window reads only bucket counts") {
+    val p = planned(Training.q150DenseIds.fn(spark, dir))
+    val winGlobal = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+    assert(winGlobal.length == 1,
+      s"expected exactly the offsets window unpartitioned, got ${winGlobal.length}:\n$p")
+    val cols = winGlobal.head.child.output.map(_.name).toSet
+    assert(!cols.contains("doc_id"),
+      s"the offsets window must read per-bucket counts, not row-scale ids: $cols")
+    // The rank window is partitioned (by bucket) and the offsets re-enter
+    // via broadcast; the only range exchange is the presentation sort.
+    assert(p.collect { case w: WindowExec if w.partitionSpec.nonEmpty => w }.nonEmpty)
+    assert(p.collect { case b: BroadcastExchangeExec => b }.length == 1)
+    val range = p.collect {
+      case e: ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[RangePartitioning] => e
+    }
+    assert(range.length == 1, "only the presentation sort may globally order")
   }
 }
