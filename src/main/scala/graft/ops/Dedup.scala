@@ -528,7 +528,11 @@ object Dedup {
     val idx = tmp.resolve("idx") // must not pre-exist: day 1 has no archive
     val p1 = incrementalDayRun(s, idx.toString,
       docs.filter(col("doc_id") % 2 === 0), 0L)
-    val labels1 = connectedComponents(p1.select(col("doc_a"), col("doc_b")))
+    // Both closures route through the GUARDED tier selector (the q179
+    // discipline): near-dup pair graphs are small after LSH blocking, so
+    // the measured edge count — not authorship — picks driver union-find
+    // vs the distributed min-label CC; labels are identical either way.
+    val labels1 = Fuzzy.resolveClusters(s, p1.select(col("doc_a"), col("doc_b")))
       .localCheckpoint()
     p1.unpersist()
     val p2 = incrementalDayRun(s, idx.toString,
@@ -539,7 +543,8 @@ object Dedup {
     // through its members' edges (components have >= 2 members).
     val star = labels1.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
-    connectedComponents(star.unionByName(p2.select(col("doc_a"), col("doc_b"))))
+    Fuzzy.resolveClusters(s,
+        star.unionByName(p2.select(col("doc_a"), col("doc_b"))))
       .orderBy(col("doc_id"))
   }
 
