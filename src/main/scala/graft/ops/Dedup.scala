@@ -257,23 +257,19 @@ object Dedup {
     pairs
   }
 
-  /** Generation pointer prefix for compacted band indexes — the same
-    * promote-by-one-rename discipline as the IVF `_ivfgen-` pointer. */
+  /** Generation pointer prefix for compacted band indexes — the shared
+    * [[GenStore]] promote-by-one-rename protocol, `_ivfgen-`'s twin. */
   private val BandGenPrefix = "_bandgen-"
 
   /** Resolve the committed generation root of a persisted band index:
     * `indexDir/gen=<maxSeq>` once a compaction has been promoted, the
-    * index root before that. Readers and the daily append both resolve
-    * through this, so a compaction mid-publish is invisible. */
-  private[graft] def bandIndexRoot(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return indexDir
-    val seqs = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith(BandGenPrefix))
-      .map(_.stripPrefix(BandGenPrefix).toLong)
-    if (seqs.isEmpty) indexDir else s"$indexDir/gen=${seqs.max}"
-  }
+    * index root before that. READERS resolve through this, so a
+    * compaction mid-publish is invisible to reads; the daily append
+    * resolves here too but runs in the same single-writer loop as the
+    * compaction (q99's foreachBatch) — see [[GenStore]]'s writer
+    * contract. */
+  private[graft] def bandIndexRoot(spark: SparkSession, indexDir: String): String =
+    GenStore.currentRoot(spark, indexDir, BandGenPrefix)
 
   /** Compact the persisted band index — the file-count maintenance a
     * year of daily `batch=<id>` appends needs (365 dirs × shuffle-width
@@ -296,12 +292,15 @@ object Dedup {
       keepRecent: Int = 2, targetFiles: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(indexDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"compactBandIndex: no index at $indexDir")
-    val curSeq = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith(BandGenPrefix))
-      .map(_.stripPrefix(BandGenPrefix).toLong)
-      .maxOption.getOrElse(0L)
+    val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
+    def rootBatchDirs(): Seq[String] =
+      fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    // Reclaim crashed-run leftovers (stale tmp pointers, unreferenced gen
+    // dirs, superseded root batch dirs) before listing the live state.
+    GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
     val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
     val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
       .map(_.getPath.getName).filter(_.startsWith("batch="))
@@ -313,7 +312,6 @@ object Dedup {
     if (old.isEmpty || old == Seq(-1L)) return
     val genSeq = curSeq + 1
     val genDir = s"$indexDir/gen=$genSeq"
-    fs.delete(new Path(genDir), true) // junk from a crashed prior attempt
     spark.read.option("basePath", root)
       .parquet(old.map(k => s"$root/batch=$k"): _*)
       .select(col("doc_id"), col("bh"))
@@ -323,20 +321,7 @@ object Dedup {
       spark.read.parquet(s"$root/batch=$k").select(col("doc_id"), col("bh"))
         .write.mode("overwrite").parquet(s"$genDir/batch=$k")
     }
-    val tmp = new Path(base, s".bandgen-tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"gen=$genSeq".getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(base, s"$BandGenPrefix$genSeq")
-    require(!fs.exists(dest), s"concurrent compactBandIndex detected: $dest exists")
-    require(fs.rename(tmp, dest), s"band-index pointer commit failed at $dest")
-    fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.startsWith(BandGenPrefix) &&
-        p.getName.stripPrefix(BandGenPrefix).toLong < genSeq)
-      .foreach(fs.delete(_, false))
-    if (curSeq == 0L)
-      batches.foreach(k => fs.delete(new Path(s"$indexDir/batch=$k"), true))
-    else fs.delete(new Path(s"$indexDir/gen=$curSeq"), true)
+    GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq, rootBatchDirs())
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
@@ -538,6 +523,24 @@ object Dedup {
     val p2 = incrementalDayRun(s, idx.toString,
       docs.filter(col("doc_id") % 2 === 1), 1L)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(tmp.toFile)
+    // CHECKED precondition (the q97-family equality assumption made
+    // loud): incremental == from-scratch only while no band bucket
+    // crosses the hot cap MID-STREAM — a bucket under cap at day 1 but
+    // over it on the full corpus had its day-1 pairs emitted where the
+    // full-corpus oracle drops the bucket entirely. The stored index
+    // holds every band, so the check is one small aggregate; a violating
+    // data drop fails here instead of silently hash-mismatching.
+    val crossed = s.read.parquet(bandIndexRoot(s, idx.toString))
+      .groupBy(col("bh"))
+      .agg(count(lit(1)).as("full_c"),
+        count_if(col("batch") === 0).as("d1_c"))
+      .filter(col("d1_c") >= 2 && col("d1_c") <= BandBucketCap &&
+        col("full_c") > BandBucketCap)
+      .limit(1).count()
+    require(crossed == 0L,
+      "q233 precondition violated: a band bucket crossed the hot cap " +
+        "mid-stream; incremental labels would diverge from the " +
+        "full-corpus closure")
     // The archive re-enters as its star forest: one (min, member) edge
     // per labeled doc. Self-edges drop; the min member stays reachable
     // through its members' edges (components have >= 2 members).

@@ -767,7 +767,8 @@ object Extended {
     "q163_group_mode",
     """WITH lv AS (
       |  SELECT event_type,
-      |         CASE WHEN round(value * 100) BETWEEN 0 AND 999999999
+      |         CASE WHEN round(value * 100) IS NULL
+      |                OR round(value * 100) BETWEEN 0 AND 999999999
       |              THEN CAST(round(value * 100) AS BIGINT)
       |              ELSE CAST(error('q163: cents level outside composite-key bounds')
       |                        AS BIGINT) END AS v,
@@ -779,8 +780,10 @@ object Extended {
       |FROM lv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val cents = round(col("value") * 100).cast("long")
     Tables(s, dir, "events")
+      // NULL passes through (it groups as its own level, as before the
+      // guard); only a NON-NULL level outside [0, 1e9) aborts.
       .groupBy(col("event_type"),
-        when(cents.between(0L, 999999999L), cents)
+        when(cents.isNull || cents.between(0L, 999999999L), cents)
           .otherwise(raise_error(concat(
             lit("q163: cents level outside composite-key bounds: "),
             cents.cast("string")))).as("v"))

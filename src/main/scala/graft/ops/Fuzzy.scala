@@ -27,11 +27,13 @@ import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 object Fuzzy {
 
   /** Edge-count ceiling for the driver-side union-find tier of
-    * [[resolveClusters]]. ~5M (u, v) Long pairs ≈ 80 MB of driver heap —
-    * comfortably inside any real driver, far outside anything a
-    * vocabulary-level graph should produce. Above it the SAME pairs go to
-    * the distributed min-label CC instead of silently OOMing the driver. */
-  val DriverClosureMaxEdges: Long = 5_000_000L
+    * [[resolveClusters]]. The collected edges materialize as boxed Rows
+    * then tuples (~100 B/edge transient, not 16 B): 2M edges ≈ 200 MB of
+    * short-lived driver heap — safe on any real driver, far above
+    * anything a vocabulary-level graph should produce. Above it the SAME
+    * pairs go to the distributed min-label CC instead of silently OOMing
+    * the driver. */
+  val DriverClosureMaxEdges: Long = 2_000_000L
 
   /** Transitive closure with TIER SELECTION AS CODE, not authorship:
     * count the (deduped) edge list first; at or below `driverMaxEdges`

@@ -427,23 +427,20 @@ object Similarity {
     * generation behind an atomic pointer — not per batch. */
   /** Generation pointer prefix for retrained IVF indexes: the highest
     * `_ivfgen-<seq>` file names the live generation dir (`gen=<seq>/`).
-    * A pre-retrain index has no pointer — its root IS generation 0. */
+    * A pre-retrain index has no pointer — its root IS generation 0.
+    * Protocol (resolution, promote, crash reclamation, single-WRITER
+    * contract between appends and maintenance) is [[GenStore]]'s. */
   private val IvfGenPrefix = "_ivfgen-"
+  private val IvfRootArtifacts = Seq("centroids", "assign", "trainmeta")
 
   /** Resolve the committed generation root of a persisted IVF index:
     * `indexDir/gen=<maxSeq>` when a retrain has been promoted, the index
-    * root otherwise. One file listing; every reader and writer goes
-    * through this, so a retrain mid-publish (its pointer not yet
-    * renamed in) is invisible. */
-  private[graft] def ivfCurrentRoot(spark: SparkSession, indexDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return indexDir
-    val seqs = fs.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith(IvfGenPrefix))
-      .map(_.stripPrefix(IvfGenPrefix).toLong)
-    if (seqs.isEmpty) indexDir else s"$indexDir/gen=${seqs.max}"
-  }
+    * root otherwise. One file listing; every READER resolves through
+    * this, so a retrain mid-publish (its pointer not yet renamed in) is
+    * invisible to reads. Appends also resolve here but are part of the
+    * single-writer loop — see [[GenStore]]. */
+  private[graft] def ivfCurrentRoot(spark: SparkSession, indexDir: String): String =
+    GenStore.currentRoot(spark, indexDir, IvfGenPrefix)
 
   def ivfAppend(spark: SparkSession, indexDir: String, batch: DataFrame,
       batchId: Long): Unit = {
@@ -536,12 +533,12 @@ object Similarity {
       lloydIters: Int = 2): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(indexDir)
-    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"ivfRetrain: no index at $indexDir")
-    val curSeq = fs.listStatus(base).map(_.getPath.getName)
-      .filter(_.startsWith(IvfGenPrefix))
-      .map(_.stripPrefix(IvfGenPrefix).toLong)
-      .maxOption.getOrElse(0L)
+    val curSeq = GenStore.currentSeq(fs, base, IvfGenPrefix)
+    // Reclaim whatever a crashed prior maintenance run left behind
+    // (stale tmp pointers, unreferenced gen dirs, superseded root data).
+    GenStore.preClean(fs, base, IvfGenPrefix, curSeq, IvfRootArtifacts)
     val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
     // Membership = the ids the live generation has indexed (with their
     // ORIGINAL batch ids — preserved through the retrain so a replayed
@@ -581,7 +578,6 @@ object Similarity {
     }
     val genSeq = curSeq + 1
     val genDir = s"$indexDir/gen=$genSeq"
-    fs.delete(new Path(genDir), true) // junk from a crashed prior attempt
     cent.write.mode("overwrite").parquet(s"$genDir/centroids")
     assignTo(indexed, cent)
       .join(indexed.select(col("vec_id"), col("batch")), "vec_id")
@@ -589,25 +585,7 @@ object Similarity {
     spark.range(1).select(lit(n).as("n_at_train"))
       .write.mode("overwrite").parquet(s"$genDir/trainmeta")
     indexed.unpersist()
-    // Promote: stage the pointer under a dot-tmp name, one atomic rename.
-    val tmp = new Path(base, s".ivfgen-tmp-${java.util.UUID.randomUUID()}")
-    val out = fs.create(tmp, true)
-    try out.write(s"gen=$genSeq".getBytes("UTF-8"))
-    finally out.close()
-    val dest = new Path(base, s"$IvfGenPrefix$genSeq")
-    require(!fs.exists(dest), s"concurrent ivfRetrain detected: $dest exists")
-    require(fs.rename(tmp, dest), s"ivfRetrain pointer commit failed at $dest")
-    // Drop the superseded generation: old pointers, then the replaced
-    // data (the root-layout centroids/assign for gen 0, gen=<curSeq>
-    // otherwise) — same post-commit GC as the manifest publishes.
-    fs.listStatus(base).map(_.getPath)
-      .filter(p => p.getName.startsWith(IvfGenPrefix) &&
-        p.getName.stripPrefix(IvfGenPrefix).toLong < genSeq)
-      .foreach(fs.delete(_, false))
-    if (curSeq == 0L) {
-      fs.delete(new Path(s"$indexDir/centroids"), true)
-      fs.delete(new Path(s"$indexDir/assign"), true)
-    } else fs.delete(new Path(s"$indexDir/gen=$curSeq"), true)
+    GenStore.promote(fs, base, IvfGenPrefix, genSeq, curSeq, IvfRootArtifacts)
   }
 
   /** q100: incremental ANN index maintenance gated end-to-end — day 1

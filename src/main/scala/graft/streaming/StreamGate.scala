@@ -427,7 +427,9 @@ object StreamGate {
           val root = graft.ops.Similarity.ivfCurrentRoot(sb, idx)
           val n = sb.read.parquet(s"$root/assign").count()
           val n0 = sb.read.parquet(s"$root/trainmeta").first().getLong(0)
-          if (n >= 2L * n0)
+          // 2·n0 − 1, not 2·n0: an integer-halved stream (odd corpus →
+          // first day one row larger) must still count as "doubled".
+          if (n >= 2L * n0 - 1L)
             graft.ops.Similarity.ivfRetrain(sb, idx,
               graft.ops.Similarity.embWithNorm(sb, dir), lloydIters = 0)
           ()
