@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Crash-window reclamation for the shared generation-pointer protocol:
+  * every state a dead maintenance run can leave (stale tmp pointer,
+  * unreferenced gen dir, superseded root artifacts after a
+  * commit-then-crash) is reclaimed by the NEXT maintenance run, and the
+  * live generation keeps answering correctly throughout. */
+class GenStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ivfRetrain pre-clean reclaims stale tmp pointers, orphan gens, and superseded root data") {
+    val big = Paths.get("target", "tmp", "genstore").toAbsolutePath.toString
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    (0 until 256).map(i => (i.toLong, unit(i % 16), (i % 16).toLong))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    val e = Similarity.embWithNorm(spark, big)
+    val idx = Paths.get("target", "tmp",
+      s"genstore-idx-${java.util.UUID.randomUUID()}").toAbsolutePath
+    Similarity.ivfAppend(spark, idx.toString, e, 0L)
+
+    // Simulate a maintenance run that died before its pointer rename:
+    // a stale dot-tmp pointer and a half-written, unreferenced gen dir.
+    Files.writeString(idx.resolve(".ivfgen-tmp-deadbeef"), "gen=1")
+    Files.createDirectories(idx.resolve("gen=1").resolve("centroids"))
+    Files.writeString(idx.resolve("gen=1").resolve("junk.txt"), "orphan")
+
+    // The orphan gen dir has no pointer — readers still resolve gen 0.
+    assert(Similarity.ivfCurrentRoot(spark, idx.toString) == idx.toString)
+
+    Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
+
+    assert(!Files.exists(idx.resolve(".ivfgen-tmp-deadbeef")),
+      "stale tmp pointer must be reclaimed by the next maintenance run")
+    assert(Files.exists(idx.resolve("_ivfgen-1")))
+    assert(!Files.exists(idx.resolve("centroids")),
+      "superseded root-layout data must be GC'd after the commit")
+    assert(Files.exists(idx.resolve("gen=1").resolve("centroids")),
+      "the promoted generation replaces the crashed attempt's dir")
+    // Simulate commit-then-crash: gen=1 promoted but imagine the root
+    // artifacts had survived — a SECOND retrain's pre-clean sweeps any
+    // root leftovers and the prior generation after its own promote.
+    Files.createDirectories(idx.resolve("assign"))
+    Files.writeString(idx.resolve("assign").resolve("leftover.parquet"), "x")
+    Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
+    assert(!Files.exists(idx.resolve("assign")),
+      "root leftovers from a crashed GC must be reclaimed")
+    assert(!Files.exists(idx.resolve("gen=1")), "replaced generation GC'd")
+    assert(Files.exists(idx.resolve("_ivfgen-2")))
+    // The index still answers: vec 0's top neighbors are its same-axis
+    // copies at cosine 1.0 through every generation change.
+    val rows = Similarity.ivfQuery(spark, idx.toString, e,
+        e.filter(col("vec_id") === 0))
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(16L, 32L, 48L))
+    assert(rows.forall(_.getAs[Double]("cos_sim") == 1.0))
+  }
+}
