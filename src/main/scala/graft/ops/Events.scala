@@ -827,9 +827,9 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     Tables(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
       .select(
         when(col("prev_ts").isNull ||
           col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
@@ -1017,8 +1017,9 @@ object Events {
         .select(col("user_id"), col("cents"),
           (col("event_id") + 1000000000L).as("event_id"),
           (col("us") + 90000000L).as("us")))
-      .withColumn("prev_id", lag(col("event_id"), 1).over(w))
-      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .select(col("*"),
+        lag(col("event_id"), 1).over(w).as("prev_id"),
+        (col("us") - lag(col("us"), 1).over(w)).as("gap_us"))
       .filter(col("gap_us").isNotNull && col("gap_us") <= 300000000L)
       .select(col("user_id"), col("cents"), col("prev_id").as("first_charge"),
         col("event_id").as("retry_charge"),
@@ -1122,9 +1123,9 @@ object Events {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val obs = Tables(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
       .select(
         when(col("prev_ts").isNull ||
           col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
@@ -1170,12 +1171,15 @@ object Events {
       |ORDER BY n DESC, s1, s2, s3 LIMIT 15""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // All four lags in ONE select → one WindowExec pass (a withColumn
+    // chain interleaves Projects and defeats window collapsing — the
+    // q152 lesson, row-scale here).
     Tables(s, dir, "events")
-      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-      .withColumn("p1", lag(col("event_type"), 1).over(w))
-      .withColumn("p2", lag(col("event_type"), 2).over(w))
-      .withColumn("t1", lag(col("ts"), 1).over(w))
-      .withColumn("t2", lag(col("ts"), 2).over(w))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("p1"),
+        lag(col("event_type"), 2).over(w).as("p2"),
+        lag(col("ts"), 1).over(w).as("t1"),
+        lag(col("ts"), 2).over(w).as("t2"))
       .filter(col("t1").isNotNull &&
         col("ts") < col("t1") + expr("INTERVAL 30 MINUTES") &&
         col("t2").isNotNull &&
