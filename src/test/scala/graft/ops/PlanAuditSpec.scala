@@ -84,4 +84,18 @@ class PlanAuditSpec extends SparkSpec with BeforeAndAfterAll {
     val stale = audited.filterNot(withGlobal.toSet)
     assert(stale.isEmpty, s"stale allow-list entries (queries re-planned): $stale")
   }
+
+  test("column pruning reaches every lineitem scan (the widest fact)") {
+    // A scan reading ALL 11 lineitem columns means projection pruning
+    // failed — no query in the suite touches every column.
+    val offenders = plans().collect {
+      case (name, p)
+        if p.collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains("lineitem")) &&
+              s.requiredSchema.length >= 11 => s
+        }.nonEmpty => name
+    }
+    assert(offenders.isEmpty, s"unpruned lineitem scans in: $offenders")
+  }
 }
