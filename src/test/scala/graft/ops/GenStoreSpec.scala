@@ -1,6 +1,6 @@
 package graft.ops
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.Files
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
@@ -14,15 +14,18 @@ class GenStoreSpec extends SparkSpec {
   import spark.implicits._
 
   test("ivfRetrain pre-clean reclaims stale tmp pointers, orphan gens, and superseded root data") {
-    val big = Paths.get("target", "tmp", "genstore").toAbsolutePath.toString
+    // One tmp root per run for BOTH the table and the index (no shared
+    // fixed path to race on across concurrent checkouts), reaped on exit.
+    val work = Files.createTempDirectory("graft-genstore-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val big = work.resolve("data").toString
     def unit(axis: Int): Array[Float] =
       Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
     (0 until 256).map(i => (i.toLong, unit(i % 16), (i % 16).toLong))
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
     val e = Similarity.embWithNorm(spark, big)
-    val idx = Paths.get("target", "tmp",
-      s"genstore-idx-${java.util.UUID.randomUUID()}").toAbsolutePath
+    val idx = work.resolve("idx")
     Similarity.ivfAppend(spark, idx.toString, e, 0L)
 
     // Simulate a maintenance run that died before its pointer rename:
