@@ -82,6 +82,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "topk_by_score", TopKByScore.fromExprs, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch", FreqSketch.fromExprs, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
@@ -112,6 +114,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TopKByScore].getName, "topk_by_score"),
       (exprs: Seq[Expression]) => TopKByScore.fromExprs(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("freq_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FreqSketch].getName, "freq_sketch"),
+      (exprs: Seq[Expression]) => FreqSketch.fromExprs(exprs)))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -1274,9 +1274,207 @@ object Similarity {
         col("min_norm2"), col("p50_norm2"), col("max_norm2"))
   }
 
+  /** q236: product-quantization ANN (Jégou et al., PAMI'11) — the memory
+    * side of the 100 TB vector story, complementing IVF's pruning side
+    * (q48): split each 64-dim vector into M=4 contiguous 16-dim
+    * subvectors and encode each against a per-subspace codebook of C=16
+    * centroids, so a vector becomes 4 small codes (4 bytes) instead of
+    * 256 bytes of floats — a 64× compression that turns a 100 TB
+    * embedding corpus into a ~1.6 TB code table that scans from memory.
+    * Queries score candidates with the ADC trick: precompute the query's
+    * 4×16 subspace-to-centroid distance table once, then a candidate's
+    * approximate distance is 4 table lookups + adds — no float vector is
+    * ever touched at scan time.
+    *
+    * Codebooks here are the deterministic seed subset (vec_id < 16 per
+    * subspace — the same oracle-renderable choice as q48's centroids; a
+    * production train would Lloyd-refine them per subspace exactly as
+    * q66 does, changing quality but not the cost law). Distances are
+    * decimal-exact in both engines so encode argmin and the ADC ranking
+    * are reproducible.
+    *
+    * Spark plan (the 100 TB shape):
+    *  - encode: broadcast the 64 codebook rows against the exploded
+    *    (vec, subspace) table — map-side 16-way expansion, partial
+    *    `min_by` collapse before the (vec_id, s) shuffle.
+    *  - ADC: the 10 queries' distance tables (640 rows) broadcast
+    *    against the code table; per-(query, vec) sum of 4 decimal
+    *    lookups. The only shuffle is the narrow (query_id, neighbor_id,
+    *    decimal) aggregation — codes, not vectors, flow through the
+    *    scan, which is the entire point of PQ. Per-query rank is a
+    *    10-partition window over scored candidates (query count is an
+    *    input constant, as in q48). */
+  /** Oracle CTE chain for the PQ pipeline (expects `el` in scope):
+    * `cd` = every (vector, subspace, code) decimal squared-L2 —
+    * grouping the shared-dim join by (a.i-1)//16 slices the 64-dim sum
+    * into the 4 subspace sums with no explicit subvector machinery —
+    * `enc` = per-(vector, subspace) argmin code, `adc` = per
+    * (query, neighbor) sum of the query's 4 distance-table entries at
+    * the neighbor's codes. */
+  private val duckPqCtes: String =
+    """cd AS (SELECT a.vec_id, (a.i - 1) // 16 AS s, b.vec_id AS c,
+      |              SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12))) AS d2
+      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
+      |       GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id, s, c FROM (
+      |          SELECT vec_id, s, c,
+      |                 row_number() OVER (PARTITION BY vec_id, s
+      |                   ORDER BY d2, c) AS rn
+      |          FROM cd) t WHERE rn = 1),
+      |adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |               SUM(q.d2) AS ad2
+      |        FROM enc e JOIN cd q
+      |          ON q.s = e.s AND q.c = e.c AND q.vec_id < 10
+      |         AND q.vec_id <> e.vec_id
+      |        GROUP BY 1, 2)""".stripMargin
+
+  /** Decimal-exact squared L2 between two float (sub)vectors (the dDot
+    * discipline: double arithmetic per element — bit-identical across
+    * engines — then an associative decimal fold). */
+  private def dL2(a: String, b: String): String =
+    s"""aggregate(
+       |  zip_with($a, $b, (x, y) ->
+       |    CAST((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+       |         * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) AS DECIMAL(38,12))),
+       |  CAST(0 AS DECIMAL(38,12)),
+       |  (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))""".stripMargin
+
+  /** Spark side of the PQ pipeline: encode the corpus against the
+    * 4×16 seed codebooks and score the 10 sample queries by ADC.
+    * Returns (query_id, neighbor_id, ad2 decimal, rank) with rank ≤ 5.
+    * Shared by q236 (the ANN result) and q237 (the recall audit). */
+  private def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+    // (vec_id, s, sv): one row per vector per subspace, sv = dims [16s+1, 16s+16].
+    val subs = e.select(col("vec_id"), posexplode(expr(
+      "transform(sequence(0, 3), sp -> slice(embedding, sp * 16 + 1, 16))"))
+      .as(Seq("s", "sv")))
+    val cb = subs.filter(col("vec_id") < 16)
+      .select(col("s"), col("vec_id").as("c"), col("sv").as("cv"))
+    val withD2 = subs.join(broadcast(cb), "s")
+      .withColumn("d2", expr(dL2("sv", "cv")))
+    // Encode: per-(vector, subspace) argmin code — partial min_by
+    // collapses the 16 candidate rows map-side (broadcast join keeps
+    // them co-located), so the shuffle carries one row per (vec, s).
+    val enc = withD2
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
+    // ADC tables: the queries' full 4×16 distance rows (tiny, broadcast).
+    val qdt = withD2.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("s"), col("c"), col("d2"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad2"), col("neighbor_id"))
+    enc.join(broadcast(qdt), Seq("s", "c"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("d2")).as("ad2"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 5)
+  }
+
+  val q236PqAnn: Q = Q(
+    "q236_pq_ann",
+    s"""WITH $duckEl,
+       |$duckPqCtes,
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(CAST(ad2 AS DOUBLE), 6) AS approx_d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY ad2, neighbor_id) AS rank
+       |      FROM adc)
+       |SELECT query_id, neighbor_id, approx_d2, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    pqAdcTop5(s, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("ad2").cast("double"), 6).as("approx_d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q237: compression-recall audit — how much nearest-neighbor quality
+    * do the two storage-reduction levers actually cost? Arms:
+    *  - PQ/ADC (q236's 4-byte codes, 64× compression),
+    *  - prefix truncation to the first 16 dims (4× compression — the
+    *    Matryoshka-style cheap prefilter),
+    * each scored top-5 and audited against the decimal-exact full-dim
+    * squared-L2 top-5 per query. Counting follows q84's discipline: the
+    * exact shortlist is the expensive O(Q×N) side and is computed ONCE —
+    * one pass produces BOTH the full-dim and the truncated distance (the
+    * truncated fold is a prefix of the same zip), so the audit pays one
+    * exact scan for two arms. Recall is hits/5 per query. */
+  val q237PqRecall: Q = Q(
+    "q237_pq_recall",
+    s"""WITH $duckEl,
+       |$duckPqCtes,
+       |pq AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |                row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY ad2, neighbor_id) AS rank
+       |         FROM adc) t WHERE rank <= 5),
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              SUM(CAST((q.v - c.v) * (q.v - c.v) AS DECIMAL(38,12))) AS d2,
+       |              SUM(CASE WHEN q.i <= 16
+       |                    THEN CAST((q.v - c.v) * (q.v - c.v) AS DECIMAL(38,12))
+       |                    ELSE CAST(0 AS DECIMAL(38,12)) END) AS d2t
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10
+       |         AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |x AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY d2, neighbor_id) AS rank
+       |        FROM xd) t WHERE rank <= 5),
+       |tr AS (SELECT query_id, neighbor_id FROM (
+       |         SELECT query_id, neighbor_id,
+       |                row_number() OVER (PARTITION BY query_id
+       |                  ORDER BY d2t, neighbor_id) AS rank
+       |         FROM xd) t WHERE rank <= 5)
+       |SELECT x.query_id,
+       |       count(pq.neighbor_id) AS n_hits_pq,
+       |       CAST(count(pq.neighbor_id) AS DOUBLE) / 5 AS recall_pq,
+       |       count(tr.neighbor_id) AS n_hits_trunc,
+       |       CAST(count(tr.neighbor_id) AS DOUBLE) / 5 AS recall_trunc
+       |FROM x
+       |LEFT JOIN pq ON pq.query_id = x.query_id AND pq.neighbor_id = x.neighbor_id
+       |LEFT JOIN tr ON tr.query_id = x.query_id AND tr.neighbor_id = x.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    // One exact scan, both distances: the truncated fold reuses the same
+    // broadcast pair row (CollapseProject keeps them in one Project).
+    val xd = e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", expr(dL2("emb_q", "embedding")))
+      .withColumn("d2t", expr(dL2("slice(emb_q, 1, 16)", "slice(embedding, 1, 16)")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def top5(by: String): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col(by), col("neighbor_id"))
+      xd.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    top5("d2").as("x")
+      .join(pqAdcTop5(s, dir).select(col("query_id"), col("neighbor_id")).as("pq"),
+        col("x.query_id") === col("pq.query_id") &&
+          col("x.neighbor_id") === col("pq.neighbor_id"), "left")
+      .join(top5("d2t").as("tr"),
+        col("x.query_id") === col("tr.query_id") &&
+          col("x.neighbor_id") === col("tr.neighbor_id"), "left")
+      .groupBy(col("x.query_id").as("query_id"))
+      .agg(
+        count(col("pq.neighbor_id")).as("n_hits_pq"),
+        (count(col("pq.neighbor_id")).cast("double") / 5).as("recall_pq"),
+        count(col("tr.neighbor_id")).as("n_hits_trunc"),
+        (count(col("tr.neighbor_id")).cast("double") / 5).as("recall_trunc"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
-    q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain)
+    q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
+    q237PqRecall)
 }

@@ -435,7 +435,86 @@ object TextAnalysis {
       .orderBy(col("source"))
   }
 
+  /** q235: exact corpus-level heavy-hitter n-grams (boilerplate
+    * discovery — the trigrams that dominate a crawl are templates,
+    * headers, license banners; curation pipelines surface and strip
+    * them). Two passes:
+    *
+    *  1. sketch: ONE scan aggregating a Misra–Gries summary
+    *     ([[graft.functions.FreqSketch]], capacity 5000) plus the total
+    *     trigram count. MG is deterministic (not probabilistic): every
+    *     trigram with share > 1/5001 of the corpus is guaranteed in the
+    *     candidate set regardless of partitioning/merge order, so the
+    *     threshold share > 1/5000 can never lose a true heavy hitter.
+    *  2. recount: a second scan joins the ≤5000 broadcast candidates and
+    *     counts THEM exactly; the exact threshold `cnt · 5000 > N` makes
+    *     the final answer independent of which extra candidates the
+    *     sketch happened to retain.
+    *
+    * Scale shape: the trigram VOCABULARY grows with the corpus (16k at
+    * sf0.01 — billions at 100 TB), so the oracle's `GROUP BY gram` is a
+    * row-scale shuffle; the sketch pass carries exactly 5000 counters
+    * per map task into a 1-row reduce, and the recount pass shuffles
+    * only candidate-key rows (map-side partial count first). No shuffle
+    * in the whole job exceeds O(candidates × partitions). The oracle
+    * renders pure semantics — count every gram, threshold — and gate
+    * equality proves the sketch's superset guarantee held. */
+  /** Sketch capacity / exact threshold shared by q235 and the streaming
+    * fold (q238): threshold share 1/5000 with capacity 5000 keeps the MG
+    * guarantee margin (1/5000 > 1/5001) in BOTH deployments. */
+  private[graft] val HhCapacity = 5000
+  private[graft] val duckHeavyNgramsOracle: String =
+    s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+       |                 i -> array_to_string(ws[i:i+2], ' '))) AS gram
+       |        FROM w WHERE len(ws) >= 3),
+       |tot AS (SELECT count(*) AS n FROM tok),
+       |c AS (SELECT gram, count(*) AS cnt FROM tok GROUP BY gram)
+       |SELECT gram, cnt, round(CAST(cnt AS DOUBLE) / n, 6) AS share
+       |FROM c, tot WHERE cnt * $HhCapacity > n
+       |ORDER BY cnt DESC, gram""".stripMargin
+
+  /** One row per word trigram of `docs` (column `gram`). Spark's
+    * sequence(1, n) DESCENDS for n < 1 (DuckDB's generate_series is
+    * empty) — the length gate keeps the engines aligned and is a no-op
+    * for real documents. */
+  private[graft] def trigrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"))
+        .as("gram"))
+
+  /** Exact recount + threshold over a candidate table (gram): the second
+    * pass both q235 (batch sketch) and q238 (streamed rolling sketch)
+    * finish with — candidates broadcast, map-side partial count, and
+    * the integer threshold `cnt · cap > N` applied against the exact
+    * corpus total carried on the candidate rows. */
+  private[graft] def hhRecount(tok: org.apache.spark.sql.DataFrame,
+      cands: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    tok.join(broadcast(cands), "gram")
+      .groupBy(col("gram"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * HhCapacity > col("n"))
+      .select(col("gram"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("gram"))
+
+  val q235HeavyHitters: Q = Q(
+    "q235_heavy_ngrams",
+    duckHeavyNgramsOracle) { (s, dir) =>
+    graft.functions.GraftFunctions.register(s)
+    val tok = trigrams(Tables(s, dir, "documents"))
+    val sk = tok.agg(
+      count(lit(1)).as("n"),
+      expr(s"freq_sketch(gram, $HhCapacity)").as("cand"))
+    val cands = sk.select(col("n"), explode(col("cand")).as("e"))
+      .select(col("n"), col("e.item").as("gram"))
+    hhRecount(tok, cands)
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
-    q228SourceLengthProfile)
+    q228SourceLengthProfile, q235HeavyHitters)
 }

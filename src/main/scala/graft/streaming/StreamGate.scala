@@ -841,10 +841,87 @@ object StreamGate {
       .orderBy(col("user_id"))
   }
 
+  /** One fold step of the rolling Misra–Gries sketch (the mergeable-
+    * summaries merge rule, relationally): union the stored counter rows
+    * with the incoming batch's, sum per gram, and if over capacity
+    * subtract the (k+1)-th largest combined count from all and keep the
+    * positive — at most k items can exceed that cut, so the result is
+    * ≤ k rows, and the cumulative undercount across every fold stays
+    * ≤ N_total/(k+1) (Agarwal et al., PODS'12). All inputs are ≤ 2k tiny
+    * counter rows; the scalar cut is a 1-row aggregate (the StreamGate
+    * driver-scalar discipline — bounded by construction). */
+  private[graft] def foldSketch(prev: org.apache.spark.sql.DataFrame,
+      own: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    val merged = prev.unionByName(own)
+      .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+    if (merged.count() <= k) merged
+    else {
+      val cut = merged.orderBy(col("cnt").desc, col("gram")).limit(k + 1)
+        .agg(min(col("cnt"))).head().getLong(0)
+      merged.select(col("gram"), (col("cnt") - cut).as("cnt"))
+        .filter(col("cnt") > 0)
+    }
+  }
+
+  /** q238: corpus heavy-hitter n-grams maintained as a STREAM — q235's
+    * boilerplate-discovery sketch in its day-2 position. Document batches
+    * arrive as micro-batches; each trigger computes the batch's OWN
+    * Misra–Gries summary (the freq_sketch aggregate — bounded map-side
+    * state, counter rows out) and folds it into the persisted rolling
+    * sketch with [[foldSketch]], publishing generation `gen=<id>` derived
+    * only from generations < id (replay-idempotent, the q114 chain
+    * discipline). The store is ≤ k counter rows FOREVER — state does not
+    * grow with the corpus, which is the whole point at 100 TB: the
+    * vocabulary grows unboundedly, the sketch does not.
+    *
+    * The gate composes the guarantee end-to-end: after the last fold,
+    * every trigram with global count > N/(k+1) is still in the store
+    * (merge rule preserves the bound), so the exact recount + threshold
+    * (share > 1/k > 1/(k+1)) over the full corpus must hash-match the
+    * batch q235 oracle — which is exactly what the driver checks. */
+  val q238StreamHeavyNgrams: Q = Q(
+    "q238_stream_heavy_ngrams",
+    graft.ops.TextAnalysis.duckHeavyNgramsOracle) { (s, dir) =>
+    val k = graft.ops.TextAnalysis.HhCapacity
+    val work = Files.createTempDirectory("graft-q238-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val store = work.resolve("sketch").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          graft.functions.GraftFunctions.register(sb)
+          val own = graft.ops.TextAnalysis.trigrams(batch.toDF())
+            .agg(expr(s"freq_sketch(gram, $k)").as("cand"))
+            .select(explode(col("cand")).as("e"))
+            .select(col("e.item").as("gram"), col("e.lb").as("cnt"))
+          val prev = latestGenBefore(sb, store, id).getOrElse(own.limit(0))
+          foldSketch(prev, own, k).coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val cands = latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(sys.error("q238: no sketch generation was published"))
+      .select(col("gram"))
+    val tok = graft.ops.TextAnalysis.trigrams(docs)
+    val tot = tok.agg(count(lit(1)).as("n"))
+    graft.ops.TextAnalysis.hhRecount(tok, cands.crossJoin(broadcast(tot)))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
-    q184StreamRecent, q234StreamAnnMaintain)
+    q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams)
 }
