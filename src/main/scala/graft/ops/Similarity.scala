@@ -1350,18 +1350,37 @@ object Similarity {
     val subs = e.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), sp -> slice(embedding, sp * 16 + 1, 16))"))
       .as(Seq("s", "sv")))
+    graft.functions.GraftFunctions.register(s)
     val cb = subs.filter(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("c"), col("sv").as("cv"))
-    val withD2 = subs.join(broadcast(cb), "s")
+    // Encode, two-stage (the assignTo discipline): a codegen'd DOUBLE
+    // distance scores all 16 codes and a bounded-heap top-2 keeps the
+    // candidates; only those pay the decimal-exact rescore that decides
+    // the argmin — 64N decimal folds become 8N for one extra
+    // (vec_id, s)-clustered join of the subvector payload. The true
+    // decimal winner is excluded only if TWO codes sit within the
+    // ~1e-13 double rounding band of each other — the same q38-prefilter
+    // assumption the repo already relies on, re-proven against the
+    // full-decimal oracle at sf0.001 and sf0.01.
+    val fL2 = """aggregate(zip_with(sv, cv, (x, y) ->
+      |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+      |  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val top2 = subs.join(broadcast(cb), "s")
+      .withColumn("fd2", expr(fL2))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(expr("topk_by_score(-fd2, c, 2)").as("t"))
+      .select(col("vec_id"), col("s"), explode(col("t.id")).as("c"))
+    val enc = top2
+      .join(broadcast(cb), Seq("s", "c"))
+      .join(subs, Seq("vec_id", "s"))
       .withColumn("d2", expr(dL2("sv", "cv")))
-    // Encode: per-(vector, subspace) argmin code — partial min_by
-    // collapses the 16 candidate rows map-side (broadcast join keeps
-    // them co-located), so the shuffle carries one row per (vec, s).
-    val enc = withD2
       .groupBy(col("vec_id"), col("s"))
       .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
-    // ADC tables: the queries' full 4×16 distance rows (tiny, broadcast).
-    val qdt = withD2.filter(col("vec_id") < 10)
+    // ADC tables: the queries' full 4×16 distance rows (tiny — decimal
+    // on all 16 codes is free at query grain), broadcast.
+    val qdt = subs.filter(col("vec_id") < 10).join(broadcast(cb), "s")
+      .withColumn("d2", expr(dL2("sv", "cv")))
       .select(col("vec_id").as("query_id"), col("s"), col("c"), col("d2"))
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("ad2"), col("neighbor_id"))

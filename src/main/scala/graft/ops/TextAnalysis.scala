@@ -441,28 +441,28 @@ object TextAnalysis {
     * them). Two passes:
     *
     *  1. sketch: ONE scan aggregating a Misra–Gries summary
-    *     ([[graft.functions.FreqSketch]], capacity 5000) plus the total
+    *     ([[graft.functions.FreqSketch]], capacity 12000) plus the total
     *     trigram count. MG is deterministic (not probabilistic): every
-    *     trigram with share > 1/5001 of the corpus is guaranteed in the
+    *     trigram with share > 1/12001 of the corpus is guaranteed in the
     *     candidate set regardless of partitioning/merge order, so the
-    *     threshold share > 1/5000 can never lose a true heavy hitter.
-    *  2. recount: a second scan joins the ≤5000 broadcast candidates and
-    *     counts THEM exactly; the exact threshold `cnt · 5000 > N` makes
+    *     threshold share > 1/12000 can never lose a true heavy hitter.
+    *  2. recount: a second scan joins the ≤12000 broadcast candidates and
+    *     counts THEM exactly; the exact threshold `cnt · 12000 > N` makes
     *     the final answer independent of which extra candidates the
     *     sketch happened to retain.
     *
     * Scale shape: the trigram VOCABULARY grows with the corpus (16k at
     * sf0.01 — billions at 100 TB), so the oracle's `GROUP BY gram` is a
-    * row-scale shuffle; the sketch pass carries exactly 5000 counters
+    * row-scale shuffle; the sketch pass carries exactly 12000 counters
     * per map task into a 1-row reduce, and the recount pass shuffles
     * only candidate-key rows (map-side partial count first). No shuffle
     * in the whole job exceeds O(candidates × partitions). The oracle
     * renders pure semantics — count every gram, threshold — and gate
     * equality proves the sketch's superset guarantee held. */
   /** Sketch capacity / exact threshold shared by q235 and the streaming
-    * fold (q238): threshold share 1/5000 with capacity 5000 keeps the MG
-    * guarantee margin (1/5000 > 1/5001) in BOTH deployments. */
-  private[graft] val HhCapacity = 5000
+    * fold (q238): threshold share 1/12000 with capacity 12000 keeps the MG
+    * guarantee margin (1/12000 > 1/12001) in BOTH deployments. */
+  private[graft] val HhCapacity = 12000
   private[graft] val duckHeavyNgramsOracle: String =
     s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
        |tok AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
