@@ -1311,7 +1311,8 @@ object Similarity {
     * `enc` = per-(vector, subspace) argmin code, `adc` = per
     * (query, neighbor) sum of the query's 4 distance-table entries at
     * the neighbor's codes. */
-  private val duckPqCtes: String =
+  /** cd/enc — the codebooks + code assignment, shared by q236/q237/q239. */
+  private val duckPqEncCtes: String =
     """cd AS (SELECT a.vec_id, (a.i - 1) // 16 AS s, b.vec_id AS c,
       |              SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12))) AS d2
       |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < 16
@@ -1320,7 +1321,10 @@ object Similarity {
       |          SELECT vec_id, s, c,
       |                 row_number() OVER (PARTITION BY vec_id, s
       |                   ORDER BY d2, c) AS rn
-      |          FROM cd) t WHERE rn = 1),
+      |          FROM cd) t WHERE rn = 1)""".stripMargin
+
+  private val duckPqCtes: String =
+    s"""$duckPqEncCtes,
       |adc AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
       |               SUM(q.d2) AS ad2
       |        FROM enc e JOIN cd q
@@ -1339,12 +1343,12 @@ object Similarity {
        |  CAST(0 AS DECIMAL(38,12)),
        |  (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))""".stripMargin
 
-  /** Spark side of the PQ pipeline: encode the corpus against the
-    * 4×16 seed codebooks and score the 10 sample queries by ADC.
-    * Returns (query_id, neighbor_id, ad2 decimal, rank) with rank ≤ 5.
-    * Shared by q236 (the ANN result) and q237 (the recall audit). */
-  private def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Spark side of the PQ encode: (enc, qdt) where `enc(vec_id, s, c)`
+    * is every vector's per-subspace code and `qdt(query_id, s, c, d2)`
+    * the 10 sample queries' full decimal distance tables (tiny —
+    * broadcast at the ADC join). Shared by q236/q237 (exhaustive ADC
+    * scan) and q239 (IVF-pruned ADC). */
+  private def pqEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val e = Tables(s, dir, "embeddings")
     // (vec_id, s, sv): one row per vector per subspace, sv = dims [16s+1, 16s+16].
     val subs = e.select(col("vec_id"), posexplode(expr(
@@ -1382,6 +1386,15 @@ object Similarity {
     val qdt = subs.filter(col("vec_id") < 10).join(broadcast(cb), "s")
       .withColumn("d2", expr(dL2("sv", "cv")))
       .select(col("vec_id").as("query_id"), col("s"), col("c"), col("d2"))
+    (enc, qdt)
+  }
+
+  /** Exhaustive ADC top-5: every (query, vector) pair scored through the
+    * code table. Returns (query_id, neighbor_id, ad2 decimal, rank ≤ 5).
+    * Shared by q236 (the ANN result) and q237 (the recall audit). */
+  private def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (enc, qdt) = pqEncoded(s, dir)
     val rankW = Window.partitionBy(col("query_id"))
       .orderBy(col("ad2"), col("neighbor_id"))
     enc.join(broadcast(qdt), Seq("s", "c"))
@@ -1490,10 +1503,106 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q239: IVF-PQ — the two scale levers COMPOSED, which is the actual
+    * production vector-index layout (Faiss IVFPQ): a coarse quantizer
+    * prunes the scan to ~nprobe·N/k candidates per query (q48's cost
+    * law), and PQ codes are all the scan ever touches (q236's memory
+    * law). Everything is squared-L2 here — coarse routing and ADC
+    * scoring in the SAME metric (mixing q48's cosine router with L2
+    * ADC would mis-route; metric consistency is the design point).
+    *
+    * Spark plan: k = semK(N) seed centroids broadcast; corpus
+    * assignment is the two-stage double-prefilter/decimal-rescore
+    * argmin (map-side, one row per vector into the shuffle); the
+    * 10-query probe set is exact decimal over all k (10·k rows — free);
+    * candidates = probe-list membership join (broadcast probe);
+    * scoring joins the candidates' 4 code rows against the broadcast
+    * query distance tables — per query ~nprobe·N/k candidates × 4
+    * decimal adds, no vector payload anywhere past the encode. */
+  val q239IvfPqAnn: Q = Q(
+    "q239_ivfpq_ann",
+    s"""WITH $duckEl,
+       |$duckKk,
+       |ld AS (SELECT a.vec_id, b.vec_id AS centroid_id,
+       |              SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12))) AS d2
+       |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < (SELECT k FROM kk)
+       |       GROUP BY 1, 2),
+       |lr AS (SELECT vec_id, centroid_id,
+       |              row_number() OVER (PARTITION BY vec_id
+       |                ORDER BY d2, centroid_id) AS crank
+       |       FROM ld),
+       |lassign AS (SELECT vec_id, centroid_id FROM lr WHERE crank = 1),
+       |probe AS (SELECT vec_id AS query_id, centroid_id
+       |          FROM lr WHERE crank <= 2 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN lassign a ON a.centroid_id = p.centroid_id
+       |         WHERE a.vec_id <> p.query_id),
+       |$duckPqEncCtes,
+       |adc2 AS (SELECT c.query_id, c.neighbor_id, SUM(q.d2) AS ad2
+       |         FROM cand c JOIN enc e ON e.vec_id = c.neighbor_id
+       |              JOIN cd q ON q.vec_id = c.query_id
+       |               AND q.s = e.s AND q.c = e.c
+       |         GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(CAST(ad2 AS DOUBLE), 6) AS approx_d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY ad2, neighbor_id) AS rank
+       |      FROM adc2)
+       |SELECT query_id, neighbor_id, approx_d2, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables(s, dir, "embeddings")
+    val k = semK(e.count())
+    val cent = e.filter(col("vec_id") < k).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"))
+    val fL2full = """aggregate(zip_with(embedding, emb_cent, (x, y) ->
+      |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+      |  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
+      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    // Corpus → nearest centroid, two-stage (double top-2, decimal decides).
+    val top2 = e.join(broadcast(cent))
+      .withColumn("fd2", expr(fL2full))
+      .groupBy(col("vec_id"))
+      .agg(expr("topk_by_score(-fd2, centroid_id, 2)").as("t"))
+      .select(col("vec_id"), explode(col("t.id")).as("centroid_id"))
+    val assign = top2
+      .join(broadcast(cent), "centroid_id")
+      .join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .withColumn("d2", expr(dL2("embedding", "emb_cent")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("centroid_id"),
+        struct(col("d2"), col("centroid_id"))).as("centroid_id"))
+    // Queries → 2 nearest lists, exact decimal over all k (tiny side).
+    val crankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("d2"), col("centroid_id"))
+    val probe = e.filter(col("vec_id") < 10).join(broadcast(cent))
+      .withColumn("d2", expr(dL2("embedding", "emb_cent")))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = assign.join(broadcast(probe), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val (enc, qdt) = pqEncoded(s, dir)
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ad2"), col("neighbor_id"))
+    cand
+      .join(enc.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(broadcast(qdt), Seq("query_id", "s", "c"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("d2")).as("ad2"))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("ad2").cast("double"), 6).as("approx_d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
-    q237PqRecall)
+    q237PqRecall, q239IvfPqAnn)
 }

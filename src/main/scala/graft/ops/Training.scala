@@ -512,6 +512,77 @@ object Training {
       .orderBy(col("lang"))
   }
 
+  /** q240: proportional budget allocation (largest-remainder / Hamilton
+    * rounding) + the allocated selection — the "sample exactly 1000 docs
+    * matching the corpus's language mix" op a training-set builder runs.
+    * q186 selects a FIXED k per stratum; here the per-stratum quota is
+    * DERIVED: base = ⌊B·n_i/N⌋, and the B − Σbase leftover seats go to
+    * the largest remainders (ties to lang asc) — exact integer
+    * arithmetic, Σalloc = B by construction, no float shares anywhere.
+    * Selection inside each stratum is the q186 discipline: rank by
+    * (salted md5, doc_id) — a total order both engines reproduce — with
+    * a LITERAL rank cap at B first (WindowGroupLimit bounds every
+    * stratum's sort to top-B; a column-bound filter alone would not
+    * trigger it) and the exact per-stratum `rk ≤ alloc` applied on the
+    * join. Output proves the quota math AND the selection: n_sel must
+    * equal alloc, id_sum pins the exact membership.
+    *
+    * Scale: quota math runs on the ≤#languages aggregate (its global
+    * window is a bounded reduction); the selection never fully sorts a
+    * stratum. */
+  val q240BudgetAllocation: Q = Q(
+    "q240_budget_allocation",
+    s"""WITH ${duckBucketed("-graft-quota")},
+       |s AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM s),
+       |q AS (SELECT lang, n, (1000 * n) // nt AS base, (1000 * n) % nt AS rem
+       |      FROM s, t),
+       |l AS (SELECT CAST(1000 - sum(base) AS BIGINT) AS leftover FROM q),
+       |r AS (SELECT lang, n, base, rem,
+       |             row_number() OVER (ORDER BY rem DESC, lang) AS rr FROM q),
+       |a AS (SELECT lang, n,
+       |             base + CASE WHEN rr <= (SELECT leftover FROM l)
+       |                         THEN 1 ELSE 0 END AS alloc
+       |      FROM r),
+       |d AS (SELECT lang, doc_id,
+       |             row_number() OVER (PARTITION BY lang ORDER BY m, doc_id) AS rk
+       |      FROM b)
+       |SELECT a.lang, CAST(a.n AS BIGINT) AS n_docs,
+       |       CAST(a.alloc AS BIGINT) AS alloc,
+       |       count(d.doc_id) AS n_sel, CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+       |FROM a LEFT JOIN d ON d.lang = a.lang AND d.rk <= a.alloc
+       |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = sparkBucketed(s, dir, "-graft-quota")
+    val st = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val t = st.agg(sum(col("n")).cast("long").as("nt"))
+    val q = st.crossJoin(broadcast(t))
+      .select(col("lang"), col("n"),
+        expr("1000 * n div nt").as("base"),
+        (lit(1000) * col("n") % col("nt")).as("rem"))
+    val lo = q.agg((lit(1000) - sum(col("base"))).cast("long").as("leftover"))
+    // Global window over the ≤#languages quota rows — bounded reduction.
+    val a = q.withColumn("rr",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .crossJoin(broadcast(lo))
+      .select(col("lang"), col("n"),
+        (col("base") +
+          when(col("rr") <= col("leftover"), 1).otherwise(0)).as("alloc"))
+    val d = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("m"), col("doc_id"))))
+      .filter(col("rk") <= 1000) // literal cap → WindowGroupLimit
+      .select(col("lang"), col("doc_id"), col("rk"))
+    a.as("a").join(d.as("d"),
+        col("a.lang") === col("d.lang") && col("d.rk") <= col("a.alloc"), "left")
+      .groupBy(col("a.lang").as("lang"),
+        col("a.n").cast("long").as("n_docs"),
+        col("a.alloc").cast("long").as("alloc"))
+      .agg(count(col("d.doc_id")).as("n_sel"),
+        sum(col("d.doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
   /** q187: GROUP k-fold assignment — cross-validation folds where ALL of
     * an entity's rows land in one fold (fold by hash of the GROUP key,
     * here the document's source), the leakage-free construction q134
@@ -547,6 +618,7 @@ object Training {
   }
 
   val all: Seq[Q] = Seq(
+    q240BudgetAllocation,
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
     q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds,

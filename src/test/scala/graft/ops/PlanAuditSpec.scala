@@ -89,7 +89,8 @@ class PlanAuditSpec extends SparkSpec {
       "q208_session_value",     // session-value levels
       "q210_peak_days",         // one row per day
       "q211_basket_size",       // basket-size levels
-      "q217_embedding_hygiene") // norm2 levels
+      "q217_embedding_hygiene", // norm2 levels
+      "q240_budget_allocation") // one row per language (quota ranking)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
