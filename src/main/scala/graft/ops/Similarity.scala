@@ -1599,10 +1599,97 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q241: cluster-quality audit over the shared centroid assignment —
+    * the health check a centroid family (q48 IVF lists, q74 SemDeDup
+    * cells, q66 training) runs before trusting its partition: per
+    * cluster, COHESION (mean member→centroid cosine) vs SEPARATION
+    * (cosine to the nearest OTHER centroid), Davies–Bouldin-flavored;
+    * a cluster is flagged when its neighbor centroid is closer than its
+    * own members on average — exactly the clusters whose IVF lists leak
+    * recall and whose SemDeDup cells miss cross-cell duplicates.
+    *
+    * Determinism: per-member cosines are rounded to 6 BEFORE the
+    * decimal(18,6) sum (sum-of-rounded is associative and engine-exact;
+    * a double sum would be order-dependent), mean surfaced as double.
+    * Scale: cohesion is one N-row pass over the assignment lineage
+    * (broadcast centroids, partial agg); separation is the k×k centroid
+    * matrix — broadcast-nested-loop over the SEED SET only, never the
+    * corpus (k ≤ 4096 by semK, so ≤ 16.7M tiny rows at the clamp). */
+  val q241ClusterQuality: Q = Q(
+    "q241_cluster_quality",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |$duckKk,
+       |${duckAssignCtes("(SELECT k FROM kk)")},
+       |ic AS (SELECT a.vec_id, a.centroid_id, ad.dot,
+       |              nv.n2 AS n2v, nc.n2 AS n2c
+       |       FROM assign a
+       |       JOIN ad ON ad.vec_id = a.vec_id AND ad.centroid_id = a.centroid_id
+       |       JOIN n2 nv ON nv.vec_id = a.vec_id
+       |       JOIN n2 nc ON nc.vec_id = a.centroid_id),
+       |intra AS (SELECT centroid_id, count(*) AS n_members,
+       |                 SUM(CAST(round(dot / sqrt(n2v * n2c), 6)
+       |                     AS DECIMAL(18,6))) AS sc
+       |          FROM ic GROUP BY 1),
+       |cc AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+       |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el a JOIN el b ON b.i = a.i
+       |        AND a.vec_id < (SELECT k FROM kk)
+       |        AND b.vec_id < (SELECT k FROM kk)
+       |        AND a.vec_id <> b.vec_id
+       |       GROUP BY 1, 2),
+       |sep AS (SELECT ca AS centroid_id, cb AS nn_centroid_id,
+       |               round(dot / sqrt(na.n2 * nb.n2), 6) AS cos_sep,
+       |               row_number() OVER (PARTITION BY ca
+       |                 ORDER BY round(dot / sqrt(na.n2 * nb.n2), 6) DESC, cb) AS rn
+       |        FROM cc JOIN n2 na ON na.vec_id = ca
+       |                JOIN n2 nb ON nb.vec_id = cb)
+       |SELECT i.centroid_id, i.n_members,
+       |       round(CAST(i.sc AS DOUBLE) / i.n_members, 6) AS mean_intra,
+       |       s.nn_centroid_id, s.cos_sep,
+       |       round(CAST(i.sc AS DOUBLE) / i.n_members, 6) < s.cos_sep AS flagged
+       |FROM intra i JOIN sep s ON s.centroid_id = i.centroid_id AND s.rn = 1
+       |ORDER BY i.centroid_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = semK(Tables(s, dir, "embeddings").count())
+    val e = embWithNorm(s, dir)
+    val cent = e.filter(col("vec_id") < k).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
+      col("n2").as("n2_cent"))
+    // Cohesion: rescore each member against its ASSIGNED centroid only.
+    val ic = centroidAssign(e, k)
+      .join(e.select(col("vec_id"), col("embedding"), col("n2")), "vec_id")
+      .join(broadcast(cent), "centroid_id")
+      .withColumn("ccos", round(
+        expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")), 6))
+    val intra = ic.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("ccos").cast("decimal(18,6)")).as("sc"))
+    // Separation: k×k centroid matrix (seed set only, both sides tiny).
+    val cb = cent.select(col("centroid_id").as("nn_centroid_id"),
+      col("emb_cent").as("emb_b"), col("n2_cent").as("n2_b"))
+    val rnW = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("cos_sep").desc, col("nn_centroid_id"))
+    val sep = cent.join(broadcast(cb),
+        col("centroid_id") =!= col("nn_centroid_id"))
+      .withColumn("cos_sep", round(
+        expr(dDot("emb_cent", "emb_b")) / sqrt(col("n2_cent") * col("n2_b")), 6))
+      .withColumn("rn", row_number().over(rnW))
+      .filter(col("rn") === 1)
+      .select(col("centroid_id"), col("nn_centroid_id"), col("cos_sep"))
+    intra.join(sep, "centroid_id")
+      .withColumn("mean_intra",
+        round(col("sc").cast("double") / col("n_members"), 6))
+      .select(col("centroid_id"), col("n_members"), col("mean_intra"),
+        col("nn_centroid_id"), col("cos_sep"),
+        (col("mean_intra") < col("cos_sep")).as("flagged"))
+      .orderBy(col("centroid_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
-    q237PqRecall, q239IvfPqAnn)
+    q237PqRecall, q239IvfPqAnn, q241ClusterQuality)
 }
