@@ -1348,12 +1348,15 @@ object Similarity {
     * the 10 sample queries' full decimal distance tables (tiny —
     * broadcast at the ADC join). Shared by q236/q237 (exhaustive ADC
     * scan) and q239 (IVF-pruned ADC). */
-  private def pqEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val e = Tables(s, dir, "embeddings")
-    // (vec_id, s, sv): one row per vector per subspace, sv = dims [16s+1, 16s+16].
-    val subs = e.select(col("vec_id"), posexplode(expr(
+  /** (vec_id, s, sv): one row per vector per subspace, sv = dims
+    * [16s+1, 16s+16]. */
+  private def pqSubs(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), posexplode(expr(
       "transform(sequence(0, 3), sp -> slice(embedding, sp * 16 + 1, 16))"))
       .as(Seq("s", "sv")))
+
+  private def pqEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val subs = pqSubs(Tables(s, dir, "embeddings"))
     graft.functions.GraftFunctions.register(s)
     val cb = subs.filter(col("vec_id") < 16)
       .select(col("s"), col("vec_id").as("c"), col("sv").as("cv"))
@@ -1686,10 +1689,163 @@ object Similarity {
       .orderBy(col("centroid_id"))
   }
 
+  /** q242: PQ codebook TRAINING — one Lloyd step per subspace (the q66
+    * kernel at subvector grain), completing the PQ arc the IVF side
+    * already has (q48 seed → q66 Lloyd → q232 retrain): refined
+    * codebook entry (s, c) = the per-dimension mean of the subvectors
+    * the seed codebook assigned to (s, c); every vector is re-encoded
+    * against the refined books and BOTH generations are recall-audited
+    * against the exact full-dim L2 top-5. Codebook means are exact
+    * decimal sums divided as doubles (the q66 discipline), distances to
+    * the refined (double-valued) books stay decimal-exact, so encode
+    * argmin and ADC ranks reproduce across engines.
+    *
+    * Scale: training touches (s, c, dim) cells — 4×16×16 = 1024
+    * accumulators over one corpus pass, partial-agg'd map-side; the
+    * refined books broadcast like the seed books, so re-encode and ADC
+    * are the q236 shapes unchanged (the two-stage prefilter applies
+    * identically; left single-stage here since the audit runs all three
+    * PQ lineages in one gate). */
+  val q242PqTrain: Q = Q(
+    "q242_pq_train",
+    s"""WITH $duckEl,
+       |$duckPqCtes,
+       |pq0 AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY ad2, neighbor_id) AS rank
+       |          FROM adc) t WHERE rank <= 5),
+       |mem AS (SELECT e.s, e.c, a.i, a.v
+       |        FROM enc e JOIN el a ON a.vec_id = e.vec_id
+       |         AND (a.i - 1) // 16 = e.s),
+       |ncb AS (SELECT s, c, i,
+       |               CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+       |                 / count(*) AS v
+       |        FROM mem GROUP BY 1, 2, 3),
+       |cd2 AS (SELECT a.vec_id, b.s, b.c,
+       |               SUM(CAST((a.v - b.v) * (a.v - b.v) AS DECIMAL(38,12))) AS d2
+       |        FROM el a JOIN ncb b ON b.i = a.i
+       |        GROUP BY 1, 2, 3),
+       |enc2 AS (SELECT vec_id, s, c FROM (
+       |           SELECT vec_id, s, c,
+       |                  row_number() OVER (PARTITION BY vec_id, s
+       |                    ORDER BY d2, c) AS rn
+       |           FROM cd2) t WHERE rn = 1),
+       |adc2 AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |                SUM(q.d2) AS ad2
+       |         FROM enc2 e JOIN cd2 q
+       |           ON q.s = e.s AND q.c = e.c AND q.vec_id < 10
+       |          AND q.vec_id <> e.vec_id
+       |         GROUP BY 1, 2),
+       |pq1 AS (SELECT query_id, neighbor_id FROM (
+       |          SELECT query_id, neighbor_id,
+       |                 row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY ad2, neighbor_id) AS rank
+       |          FROM adc2) t WHERE rank <= 5),
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              SUM(CAST((q.v - c.v) * (q.v - c.v) AS DECIMAL(38,12))) AS d2
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10
+       |         AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |x AS (SELECT query_id, neighbor_id FROM (
+       |        SELECT query_id, neighbor_id,
+       |               row_number() OVER (PARTITION BY query_id
+       |                 ORDER BY d2, neighbor_id) AS rank
+       |        FROM xd) t WHERE rank <= 5)
+       |SELECT x.query_id,
+       |       count(pq0.neighbor_id) AS n_hits_seed,
+       |       CAST(count(pq0.neighbor_id) AS DOUBLE) / 5 AS recall_seed,
+       |       count(pq1.neighbor_id) AS n_hits_trained,
+       |       CAST(count(pq1.neighbor_id) AS DOUBLE) / 5 AS recall_trained
+       |FROM x
+       |LEFT JOIN pq0 ON pq0.query_id = x.query_id AND pq0.neighbor_id = x.neighbor_id
+       |LEFT JOIN pq1 ON pq1.query_id = x.query_id AND pq1.neighbor_id = x.neighbor_id
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    // Decimal-exact squared L2 against an already-double codebook array.
+    def dL2d(a: String, b: String): String =
+      s"""aggregate(
+         |  zip_with($a, $b, (x, y) ->
+         |    CAST((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)
+         |         AS DECIMAL(38,12))),
+         |  CAST(0 AS DECIMAL(38,12)),
+         |  (acc, v) -> CAST(acc + v AS DECIMAL(38,12)))""".stripMargin
+    val e = Tables(s, dir, "embeddings")
+    val subs = pqSubs(e)
+    val (enc, qdt) = pqEncoded(s, dir)
+    def top5(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("ad2"), col("neighbor_id"))
+      scored
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    def adcScores(encX: DataFrame, qdtX: DataFrame): DataFrame =
+      encX.join(broadcast(qdtX), Seq("s", "c"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+        .agg(sum(col("d2")).as("ad2"))
+    val pq0 = top5(adcScores(enc, qdt))
+    // Lloyd step: per-dimension decimal means of each (s, c) cell's
+    // members, reassembled into the refined codebook arrays (j is unique
+    // per cell, so the struct sort is a deterministic dimension order).
+    val mem = enc.join(subs, Seq("vec_id", "s"))
+      .select(col("s"), col("c"), posexplode(col("sv")).as(Seq("j", "vf")))
+      .select(col("s"), col("c"), col("j"), col("vf").cast("double").as("v"))
+    val ncb = mem.groupBy(col("s"), col("c"), col("j"))
+      .agg((sum(col("v").cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).as("mv"))
+      .groupBy(col("s"), col("c"))
+      .agg(expr("transform(sort_array(collect_list(struct(j, mv))), x -> x.mv)")
+        .as("cv2"))
+    // Re-encode, two-stage like the seed path: double prefilter picks
+    // top-2 codes, decimal rescore decides (64N → 8N decimal folds).
+    val fL2d = """aggregate(zip_with(sv, cv2, (x, y) ->
+      |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    val top2b = subs.join(broadcast(ncb), "s")
+      .withColumn("fd2", expr(fL2d))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(expr("topk_by_score(-fd2, c, 2)").as("t"))
+      .select(col("vec_id"), col("s"), explode(col("t.id")).as("c"))
+    val enc2 = top2b
+      .join(broadcast(ncb), Seq("s", "c"))
+      .join(subs, Seq("vec_id", "s"))
+      .withColumn("d2", expr(dL2d("sv", "cv2")))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(min_by(col("c"), struct(col("d2"), col("c"))).as("c"))
+    val qdt2 = subs.filter(col("vec_id") < 10).join(broadcast(ncb), "s")
+      .withColumn("d2", expr(dL2d("sv", "cv2")))
+      .select(col("vec_id").as("query_id"), col("s"), col("c"), col("d2"))
+    val pq1 = top5(adcScores(enc2, qdt2))
+    // Exact full-dim baseline (the q237 scan, single arm).
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"))
+    val x = top5(e.select(col("vec_id").as("neighbor_id"), col("embedding"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("ad2", expr(dL2("emb_q", "embedding"))))
+    x.as("x")
+      .join(pq0.as("p0"),
+        col("x.query_id") === col("p0.query_id") &&
+          col("x.neighbor_id") === col("p0.neighbor_id"), "left")
+      .join(pq1.as("p1"),
+        col("x.query_id") === col("p1.query_id") &&
+          col("x.neighbor_id") === col("p1.neighbor_id"), "left")
+      .groupBy(col("x.query_id").as("query_id"))
+      .agg(
+        count(col("p0.neighbor_id")).as("n_hits_seed"),
+        (count(col("p0.neighbor_id")).cast("double") / 5).as("recall_seed"),
+        count(col("p1.neighbor_id")).as("n_hits_trained"),
+        (count(col("p1.neighbor_id")).cast("double") / 5).as("recall_trained"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
-    q237PqRecall, q239IvfPqAnn, q241ClusterQuality)
+    q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain)
 }

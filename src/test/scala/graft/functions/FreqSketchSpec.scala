@@ -72,6 +72,26 @@ class FreqSketchSpec extends SparkSpec {
     }, 15)
   }
 
+  test("grouped aggregation keeps per-group buffers independent") {
+    GraftFunctions.register(spark)
+    // Distinct per-group heavy items: a shared buffer (or cross-group
+    // merge bug) would leak one group's items into the other's output.
+    val items = Seq.fill(50)(("g1", "alpha")) ++ Seq.fill(50)(("g2", "beta")) ++
+      (1 to 100).map(i => ("g1", "t" + (i % 37))) ++
+      (1 to 100).map(i => ("g2", "u" + (i % 37)))
+    val got = items.toDF("g", "w").repartition(4)
+      .groupBy($"g").agg(expr("freq_sketch(w, 4)").as("c"))
+      .select($"g", explode($"c").as("e"))
+      .select($"g", $"e.item".as("w"))
+      .as[(String, String)].collect().toSet
+    // alpha is 1/3 of g1's stream (> 150/5) and beta 1/3 of g2's — each
+    // MUST be retained in ITS group; neither vocabulary overlaps, so any
+    // cross-group item proves buffer leakage.
+    assert(got.contains(("g1", "alpha")) && got.contains(("g2", "beta")))
+    assert(got.collect { case ("g1", w) => w }.forall(w => w == "alpha" || w.startsWith("t")))
+    assert(got.collect { case ("g2", w) => w }.forall(w => w == "beta" || w.startsWith("u")))
+  }
+
   test("sketch→recount composition equals the exact group-by heavy hitters") {
     GraftFunctions.register(spark)
     val items = (1 to 300).map(i => "t" + (i % 97)) ++
