@@ -146,6 +146,23 @@ class TrainingSpec extends SparkSpec with BeforeAndAfterAll {
       (3L, 0L, 1L, 7L)))
   }
 
+  test("q240 quota invariants: allocations sum to B and stay within ⌊q⌋..⌈q⌉") {
+    // Largest-remainder (Hamilton) guarantees: Σalloc = B exactly, and
+    // every group's allocation is its exact quota floored or ceiled —
+    // checked on the randomized fixture AND on the selection output
+    // (n_sel must equal alloc when the stratum is large enough).
+    val got = Training.q240BudgetAllocation.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val nTotal = got.map(_._2).sum
+    assert(got.map(_._3).sum == 1000L, "allocations must sum to the budget")
+    got.foreach { case (lang, n, alloc, nSel) =>
+      val floorQ = 1000L * n / nTotal
+      assert(alloc == floorQ || alloc == floorQ + 1,
+        s"$lang: alloc $alloc outside ⌊q⌋=$floorQ .. ⌊q⌋+1")
+      assert(nSel == math.min(alloc, n), s"$lang: selected $nSel of alloc $alloc")
+    }
+  }
+
   private implicit class ShouldOps[A](a: A) {
     def shouldBe(b: A): Unit = assert(a == b, s"expected $b, got $a")
   }
