@@ -140,7 +140,12 @@ case class FreqSketch(
     val it = buf.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed raw UTF-8, not writeUTF: a retained item longer
+      // than 64 KiB (one giant space-free crawl token inside a trigram)
+      // would make writeUTF throw at shuffle time.
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -152,8 +157,10 @@ case class FreqSketch(
     val buf = new MGBuffer(in.readInt())
     var n = in.readInt()
     while (n > 0) {
-      val key = in.readUTF()
-      buf.counts.put(key, in.readLong())
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.counts.put(
+        new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
       n -= 1
     }
     buf

@@ -1703,9 +1703,10 @@ object Similarity {
     * Scale: training touches (s, c, dim) cells — 4×16×16 = 1024
     * accumulators over one corpus pass, partial-agg'd map-side; the
     * refined books broadcast like the seed books, so re-encode and ADC
-    * are the q236 shapes unchanged (the two-stage prefilter applies
-    * identically; left single-stage here since the audit runs all three
-    * PQ lineages in one gate). */
+    * are the q236 shapes unchanged — including the two-stage
+    * double-prefilter/decimal-rescore argmin, so the trained path makes
+    * the SAME ~1e-13 rounding-band parity assumption as the seed path
+    * (re-proven against the full-decimal oracle at both gate SFs). */
   val q242PqTrain: Q = Q(
     "q242_pq_train",
     s"""WITH $duckEl,

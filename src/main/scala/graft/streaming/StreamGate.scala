@@ -852,8 +852,16 @@ object StreamGate {
     * driver-scalar discipline — bounded by construction). */
   private[graft] def foldSketch(prev: org.apache.spark.sql.DataFrame,
       own: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    // ONE materialization feeds all three consumers (count, cut, result):
+    // `own` is a freq_sketch aggregate whose retained tail is
+    // merge-order-dependent, so re-executing it per action could compute
+    // the cut on one materialization and subtract it from another —
+    // over-subtracting past the N/(k+1) bound exactly where the
+    // 1/12000-vs-1/12001 threshold margin has no slack. localCheckpoint
+    // is eager and ≤ 2k counter rows.
     val merged = prev.unionByName(own)
       .groupBy(col("gram")).agg(sum(col("cnt")).as("cnt"))
+      .localCheckpoint()
     if (merged.count() <= k) merged
     else {
       val cut = merged.orderBy(col("cnt").desc, col("gram")).limit(k + 1)

@@ -72,6 +72,19 @@ class FreqSketchSpec extends SparkSpec {
     }, 15)
   }
 
+  test("items beyond the 64 KiB writeUTF limit survive buffer serialization") {
+    GraftFunctions.register(spark)
+    // One giant space-free token (crawl reality: base64 blobs, minified
+    // markup). repartition forces partial buffers through serialize/
+    // deserialize at the shuffle — writeUTF would throw here.
+    val big = "x" * 70000
+    val items = Seq.fill(5)(big) ++ (1 to 20).map("t" + _)
+    val got = items.toDF("w").repartition(3)
+      .agg(expr("freq_sketch(w, 4)").as("c"))
+      .select(explode($"c").as("e")).select($"e.item").as[String].collect()
+    assert(got.contains(big)) // 5/25 > 1/(k+1) ⇒ guaranteed retained
+  }
+
   test("grouped aggregation keeps per-group buffers independent") {
     GraftFunctions.register(spark)
     // Distinct per-group heavy items: a shared buffer (or cross-group
