@@ -183,9 +183,16 @@ object Fuzzy {
         count(lit(1)).over(w).as("n"))
     // prefix length |A| − ⌈0.8·|A|⌉ + 1, with ⌈4n/5⌉ = (4n+4) div 5
     val prefix = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
-      .select(col("doc_id"), col("sh"))
+      .select(col("doc_id"), col("sh"), col("n"))
+    // PPJoin LENGTH filter alongside the prefix lemma: J ≥ 0.8 forces
+    // 0.8·|A| ≤ |B| ≤ |A|/0.8 (intersection ≤ min, union ≥ max), so
+    // size-incompatible prefix collisions are dropped IN the join —
+    // exact, like the prefix bound itself, and it prunes before the
+    // expensive verify intersection.
     val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
+          lit(4) * col("a.n") <= lit(5) * col("b.n") &&
+          lit(4) * col("b.n") <= lit(5) * col("a.n"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cands

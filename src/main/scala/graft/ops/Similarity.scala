@@ -1355,7 +1355,7 @@ object Similarity {
       "transform(sequence(0, 3), sp -> slice(embedding, sp * 16 + 1, 16))"))
       .as(Seq("s", "sv")))
 
-  private def pqEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private[graft] def pqEncoded(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val subs = pqSubs(Tables(s, dir, "embeddings"))
     graft.functions.GraftFunctions.register(s)
     val cb = subs.filter(col("vec_id") < 16)
