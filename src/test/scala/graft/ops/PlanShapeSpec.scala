@@ -97,6 +97,24 @@ class PlanShapeSpec extends SparkSpec with BeforeAndAfterAll {
       s"expected the summary to re-enter via ONE broadcast, got ${bcasts.length}")
   }
 
+  test("q235: the recount joins broadcast candidates — no sort-merge join anywhere") {
+    // PLANS.md's candidate-bounded claim as an assert: the only join in
+    // the heavy-hitter pipeline is the ≤k-candidate broadcast equi-join;
+    // a SortMergeJoin would mean the vocabulary-scale token stream is
+    // being shuffled on gram, exactly the exchange the sketch exists to
+    // avoid.
+    graft.functions.GraftFunctions.register(spark)
+    val p = planned(TextAnalysis.q235HeavyHitters.fn(spark, dir))
+    val smj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+    }
+    assert(smj.isEmpty, s"vocabulary-scale shuffle join in q235:\n$p")
+    val bhj = p.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "the candidate recount must be a broadcast hash join")
+  }
+
   test("q150: global rank with no global sort — the offsets window reads only bucket counts") {
     val p = planned(Training.q150DenseIds.fn(spark, dir))
     val winGlobal = p.collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
