@@ -84,6 +84,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch", FreqSketch.fromExprs, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2sq_f32", exprs => L2SqF32(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
@@ -119,6 +121,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FreqSketch].getName, "freq_sketch"),
       (exprs: Seq[Expression]) => FreqSketch.fromExprs(exprs)))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("l2sq_f32"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[L2SqF32].getName, "l2sq_f32"),
+      (exprs: Seq[Expression]) => L2SqF32(exprs.head, exprs(1))))
     ext.injectFunction((
       new org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_filter_agg"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

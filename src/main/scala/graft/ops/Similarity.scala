@@ -1369,12 +1369,10 @@ object Similarity {
     // ~1e-13 double rounding band of each other — the same q38-prefilter
     // assumption the repo already relies on, re-proven against the
     // full-decimal oracle at sf0.001 and sf0.01.
-    val fL2 = """aggregate(zip_with(sv, cv, (x, y) ->
-      |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-      |  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
+    // Codegen'd native L2² (functions.L2SqF32) — no per-row lambda
+    // arrays; doubles feed only the bounded heap, never the oracle.
     val top2 = subs.join(broadcast(cb), "s")
-      .withColumn("fd2", expr(fL2))
+      .withColumn("fd2", expr("l2sq_f32(sv, cv)"))
       .groupBy(col("vec_id"), col("s"))
       .agg(expr("topk_by_score(-fd2, c, 2)").as("t"))
       .select(col("vec_id"), col("s"), explode(col("t.id")).as("c"))
@@ -1559,13 +1557,10 @@ object Similarity {
     val k = semK(e.count())
     val cent = e.filter(col("vec_id") < k).select(
       col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"))
-    val fL2full = """aggregate(zip_with(embedding, emb_cent, (x, y) ->
-      |  (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-      |  * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))),
-      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
-    // Corpus → nearest centroid, two-stage (double top-2, decimal decides).
+    // Corpus → nearest centroid, two-stage (double top-2, decimal decides);
+    // the prefilter is the codegen'd native L2² expression.
     val top2 = e.join(broadcast(cent))
-      .withColumn("fd2", expr(fL2full))
+      .withColumn("fd2", expr("l2sq_f32(embedding, emb_cent)"))
       .groupBy(col("vec_id"))
       .agg(expr("topk_by_score(-fd2, centroid_id, 2)").as("t"))
       .select(col("vec_id"), explode(col("t.id")).as("centroid_id"))
@@ -1803,11 +1798,8 @@ object Similarity {
         .as("cv2"))
     // Re-encode, two-stage like the seed path: double prefilter picks
     // top-2 codes, decimal rescore decides (64N → 8N decimal folds).
-    val fL2d = """aggregate(zip_with(sv, cv2, (x, y) ->
-      |  (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
-      |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
     val top2b = subs.join(broadcast(ncb), "s")
-      .withColumn("fd2", expr(fL2d))
+      .withColumn("fd2", expr("l2sq_f32(sv, cv2)"))
       .groupBy(col("vec_id"), col("s"))
       .agg(expr("topk_by_score(-fd2, c, 2)").as("t"))
       .select(col("vec_id"), col("s"), explode(col("t.id")).as("c"))
