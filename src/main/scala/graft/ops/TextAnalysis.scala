@@ -514,7 +514,88 @@ object TextAnalysis {
     hhRecount(tok, cands)
   }
 
+  /** q243: winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    * MOSS selector): hash every token 4-gram, slide a w=4 window over
+    * the hash sequence, keep each window's MINIMUM — any shared
+    * substring of ≥ w+3 tokens between two documents is GUARANTEED to
+    * contribute a shared fingerprint (the winnowing theorem), while the
+    * selected density stays ~2/(w+1) of the grams. That guarantee is
+    * what q33's single k-min sketch can't give: q33 detects whole-doc
+    * similarity, winnowing localizes shared PASSAGES — the
+    * plagiarism/license-boilerplate detector at corpus scale. Ties
+    * select by hash VALUE and the output is the distinct fingerprint
+    * set, so the leftmost/rightmost tie rule is immaterial.
+    *
+    * Output per doc: gram count, fingerprint count (the ~2/(w+1)
+    * density is visible), and how many fingerprints are shared with
+    * ANY other document. Scale shape: everything per-doc is array math
+    * inside one Project (codegen'd, no shuffle); the only exchanges are
+    * the fingerprint explode → shared-set reduction (distinct fp keys,
+    * vocabulary-scale but REDUCED — only selected mins, ~29% of grams)
+    * and the ex⋈shared join on those reduced keys — deliberately NOT a
+    * broadcast hint: the shared set is duplication-proportional (tiny on
+    * a clean corpus, O(corpus) on a templated one), so AQE picks
+    * broadcast only when it actually fits. Short docs (< w windows)
+    * degrade to one whole-sequence min in both engines. */
+  val q243Winnowing: Q = Q(
+    "q243_winnowing",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g AS (SELECT doc_id,
+      |             list_transform(generate_series(1, len(ws) - 3),
+      |               i -> md5(array_to_string(ws[i:i+3], ' '))) AS hs
+      |      FROM w WHERE len(ws) >= 4),
+      |f AS (SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+      |             CASE WHEN len(hs) >= 4
+      |                  THEN list_distinct(list_transform(
+      |                         generate_series(1, len(hs) - 3),
+      |                         i -> list_aggregate(hs[i:i+3], 'min')))
+      |                  ELSE [list_aggregate(hs, 'min')] END AS fps
+      |      FROM g),
+      |ex AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |sh AS (SELECT fp FROM ex GROUP BY fp HAVING count(DISTINCT doc_id) > 1)
+      |SELECT f.doc_id, f.n_grams, CAST(len(f.fps) AS BIGINT) AS n_fps,
+      |       CAST(count(sh.fp) AS BIGINT) AS n_shared
+      |FROM f LEFT JOIN ex ON ex.doc_id = f.doc_id
+      |       LEFT JOIN sh ON sh.fp = ex.fp
+      |GROUP BY 1, 2, 3 ORDER BY f.doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables(s, dir, "documents")
+      .withColumn("ws", split(col("text"), " "))
+      .filter(size(col("ws")) >= 4)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(ws) - 3), i -> md5(array_join(slice(ws, i, 4), ' ')))")
+        .as("hs"))
+    // Four consumers (ex→sh, ex→shared, and the final doc rollup) —
+    // persist the doc-grain fingerprint table or each re-runs the
+    // md5+winnow chain (interpreted higher-order functions, the
+    // expensive per-row step).
+    val f = g.select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+      expr("""CASE WHEN size(hs) >= 4
+             |     THEN array_distinct(transform(sequence(1, size(hs) - 3),
+             |            i -> array_min(slice(hs, i, 4))))
+             |     ELSE array(array_min(hs)) END""".stripMargin).as("fps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // explode_OUTER, deliberately: InferFiltersFromGenerate gives plain
+    // explode a `size(fps) > 0` filter that pushdown inlines with the
+    // WHOLE nested winnowing expression (the md5 transform inside the
+    // window-min transform — O(n²) interpreted md5 per row, evaluated
+    // thrice in the Filter: 8.6→2.1 s at sf0.01 measured). The rule
+    // skips outer generators, and fps is never empty here (every doc in
+    // `g` has ≥ 1 hash), so the outer variant is semantically identical.
+    val ex = f.select(col("doc_id"), explode_outer(col("fps")).as("fp"))
+    val sh = ex.groupBy(col("fp"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("fp"))
+    val shared = ex.join(sh, "fp")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    f.select(col("doc_id"), col("n_grams"), size(col("fps")).cast("long").as("n_fps"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"), col("n_fps"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
-    q228SourceLengthProfile, q235HeavyHitters)
+    q228SourceLengthProfile, q235HeavyHitters, q243Winnowing)
 }
