@@ -43,10 +43,22 @@ object Dedup {
 
   /** One row per (doc_id, shingle), both renderings — the explode every
     * shingle consumer starts from. */
-  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  /** Shingle explode of any documents-shaped frame. explode_OUTER on
+    * purpose: plain explode triggers InferFiltersFromGenerate, whose
+    * size()>0 filter is pushed down with the shingle transform INLINED —
+    * the array gets computed up to 3× per row (~20% of the scan step,
+    * measured; see q243's O(n²) variant of the same pathology). The
+    * rule skips outer generators, and after the text guard the shingle
+    * array is provably non-null and non-empty (greatest(…, 1)), so the
+    * outer variant is row-identical. The null-text guard also matches
+    * the oracle: DuckDB's unnest emits nothing for a NULL list. */
+  private[ops] def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+      .select(col("doc_id"), explode_outer(expr(sparkShingles)).as("sh"))
+
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
+    shingleRowsOf(Tables(s, dir, "documents"))
   private[ops] val duckShingleRows: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w)""".stripMargin
@@ -157,9 +169,7 @@ object Dedup {
     * joins a day's batch against the stored index, and the batch's own
     * bands are appended to it for the next day. */
   def bandsOf(docs: DataFrame): DataFrame = {
-    val sh = docs
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+    val sh = shingleRowsOf(docs)
       .withColumn("m", md5(col("sh")))
       .withColumn("h", expr(hexHeadToLong("m", "instr")))
     val sigCols = (0 until 16).map(j =>
@@ -809,9 +819,7 @@ object Dedup {
       .distinct()
     // Distinct shingle sets ONLY for candidate docs (broadcast semi-join
     // prune runs before the heavy collect_set).
-    val docSets = Tables(s, dir, "documents")
-      .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkShingles)).as("sh"))
+    val docSets = shingleRows(s, dir)
       .join(broadcast(ids), "doc_id")
       .groupBy(col("doc_id"))
       .agg(collect_set(col("sh")).as("shs"))

@@ -482,7 +482,11 @@ object TextAnalysis {
       : org.apache.spark.sql.DataFrame =
     docs.select(split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
-      .select(explode(expr(
+      // explode_OUTER: sidesteps InferFiltersFromGenerate re-inlining
+      // the trigram transform into a pushed filter (the q243/shingleRows
+      // pathology); the size ≥ 3 gate proves the array non-null and
+      // non-empty, so the outer variant is row-identical.
+      .select(explode_outer(expr(
         "transform(sequence(1, size(ws) - 2), i -> array_join(slice(ws, i, 3), ' '))"))
         .as("gram"))
 
