@@ -164,8 +164,13 @@ object Curation {
        |FROM dch JOIN nd USING (ch)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val dch = Tables(s, dir, "documents")
+      // explode_OUTER + text guard: InferFiltersFromGenerate would
+      // re-inline the md5 chunk transform into a pushed filter (the
+      // Dedup.shingleRowsOf pathology); greatest(…, 1) + non-null text
+      // prove the array non-null/non-empty, so rows are identical.
+      .filter(col("text").isNotNull)
       .withColumn("ws", split(col("text"), " "))
-      .select(col("doc_id"), explode(expr(sparkChunks)).as("ch"))
+      .select(col("doc_id"), explode_outer(expr(sparkChunks)).as("ch"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shared = dch.groupBy(col("ch")).agg(count(lit(1)).as("nd"))
@@ -227,8 +232,11 @@ object Curation {
     val ws = Tables(s, dir, "documents")
       .withColumn("ws", split(col("text"), " "))
     val toks = ws.select(explode(col("ws")).as("tok"))
+    // explode_OUTER: the size ≥ 2 gate proves the bigram array non-null
+    // and non-empty, and the outer generator keeps the transform out of
+    // an inferred pushed filter (the Dedup.shingleRowsOf pathology).
     val bigrams = ws.filter(size(col("ws")) >= 2)
-      .select(explode(expr(
+      .select(explode_outer(expr(
         "transform(sequence(1, size(ws) - 1), " +
           "i -> concat_ws(' ', element_at(ws, cast(i as int)), element_at(ws, cast(i + 1 as int))))"))
         .as("bigram"))
