@@ -52,17 +52,24 @@ case class CosineSimF32(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh local names: two instances of this expression may land in the
+      // same generated function (one projection, two similarities).
+      val gx = ctx.freshName("gx"); val gy = ctx.freshName("gy")
+      val gn = ctx.freshName("gn"); val gi = ctx.freshName("gi")
+      val gdot = ctx.freshName("gdot"); val gnx = ctx.freshName("gnx")
+      val gny = ctx.freshName("gny"); val gxv = ctx.freshName("gxv")
+      val gyv = ctx.freshName("gyv"); val gden = ctx.freshName("gden")
       s"""
-         |float[] gx = $a.toFloatArray();
-         |float[] gy = $b.toFloatArray();
-         |int gn = Math.min(gx.length, gy.length);
-         |double gdot = 0.0, gnx = 0.0, gny = 0.0;
-         |for (int gi = 0; gi < gn; gi++) {
-         |  double gxv = (double) gx[gi]; double gyv = (double) gy[gi];
-         |  gdot += gxv * gyv; gnx += gxv * gxv; gny += gyv * gyv;
+         |float[] $gx = $a.toFloatArray();
+         |float[] $gy = $b.toFloatArray();
+         |int $gn = Math.min($gx.length, $gy.length);
+         |double $gdot = 0.0, $gnx = 0.0, $gny = 0.0;
+         |for (int $gi = 0; $gi < $gn; $gi++) {
+         |  double $gxv = (double) $gx[$gi]; double $gyv = (double) $gy[$gi];
+         |  $gdot += $gxv * $gyv; $gnx += $gxv * $gxv; $gny += $gyv * $gyv;
          |}
-         |double gden = Math.sqrt(gnx) * Math.sqrt(gny);
-         |if (gden == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = gdot / gden; }
+         |double $gden = Math.sqrt($gnx) * Math.sqrt($gny);
+         |if ($gden == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $gdot / $gden; }
        """.stripMargin
     })
 

@@ -28,8 +28,11 @@ final class MGBuffer(val k: Int) {
   val counts = new java.util.HashMap[String, Long](k * 2)
 
   def add(item: String, w: Long): Unit = {
-    val cur = counts.get(item)
-    if (cur != 0L) counts.put(item, cur + w)
+    // getOrDefault: absence is decided by presence, not by the
+    // counters-are-positive invariant (a stored 0 would otherwise be
+    // conflated with absence via null-unboxing).
+    val cur = counts.getOrDefault(item, 0L)
+    if (counts.containsKey(item)) counts.put(item, cur + w)
     else if (counts.size < k) counts.put(item, w)
     else {
       // Decrement-all by the incoming weight (capped at the smallest
@@ -56,7 +59,7 @@ final class MGBuffer(val k: Int) {
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = counts.get(e.getKey)
+      val cur = counts.getOrDefault(e.getKey, 0L)
       counts.put(e.getKey, cur + e.getValue)
     }
     if (counts.size > k) {

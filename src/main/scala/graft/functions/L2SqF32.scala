@@ -60,24 +60,32 @@ case class L2SqF32(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // Fresh local names: two instances of this expression may land in the
+      // same generated function (one projection, two distances).
+      val qx = ctx.freshName("qx")
+      val qy = ctx.freshName("qy")
+      val qn = ctx.freshName("qn")
+      val qacc = ctx.freshName("qacc")
+      val qi = ctx.freshName("qi")
+      val qd = ctx.freshName("qd")
       def arr(v: String, dt: DataType, name: String): (String, String) = dt match {
         case ArrayType(FloatType, _) =>
-          (s"float[] $name = $v.toFloatArray();", s"(double) $name[qi]")
+          (s"float[] $name = $v.toFloatArray();", s"(double) $name[$qi]")
         case _ =>
-          (s"double[] $name = $v.toDoubleArray();", s"$name[qi]")
+          (s"double[] $name = $v.toDoubleArray();", s"$name[$qi]")
       }
-      val (declX, readX) = arr(a, left.dataType, "qx")
-      val (declY, readY) = arr(b, right.dataType, "qy")
+      val (declX, readX) = arr(a, left.dataType, qx)
+      val (declY, readY) = arr(b, right.dataType, qy)
       s"""
          |$declX
          |$declY
-         |int qn = Math.min(qx.length, qy.length);
-         |double qacc = 0.0;
-         |for (int qi = 0; qi < qn; qi++) {
-         |  double qd = $readX - $readY;
-         |  qacc += qd * qd;
+         |int $qn = Math.min($qx.length, $qy.length);
+         |double $qacc = 0.0;
+         |for (int $qi = 0; $qi < $qn; $qi++) {
+         |  double $qd = $readX - $readY;
+         |  $qacc += $qd * $qd;
          |}
-         |${ev.value} = qacc;
+         |${ev.value} = $qacc;
        """.stripMargin
     })
 

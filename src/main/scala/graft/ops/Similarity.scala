@@ -1480,27 +1480,29 @@ object Similarity {
       .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
       .withColumn("d2", expr(dL2("emb_q", "embedding")))
       .withColumn("d2t", expr(dL2("slice(emb_q, 1, 16)", "slice(embedding, 1, 16)")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def top5(by: String): DataFrame = {
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col(by), col("neighbor_id"))
-      xd.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query_id"), col("neighbor_id"))
-    }
-    top5("d2").as("x")
+    // Both ranks in one pass over the SAME frame (one shuffle — the two
+    // windows share partitionBy(query_id)); restricting to exact-top-5
+    // rows makes the truncated arm a conditional count instead of a
+    // self-join, so the exact scan has exactly ONE consumer and the r7
+    // persist-without-unpersist goes away entirely.
+    def w(by: String) = Window.partitionBy(col("query_id"))
+      .orderBy(col(by), col("neighbor_id"))
+    val x = xd
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w("d2")).as("rank_d2"),
+        row_number().over(w("d2t")).as("rank_d2t"))
+      .filter(col("rank_d2") <= 5)
+    x.as("x")
       .join(pqAdcTop5(s, dir).select(col("query_id"), col("neighbor_id")).as("pq"),
         col("x.query_id") === col("pq.query_id") &&
           col("x.neighbor_id") === col("pq.neighbor_id"), "left")
-      .join(top5("d2t").as("tr"),
-        col("x.query_id") === col("tr.query_id") &&
-          col("x.neighbor_id") === col("tr.neighbor_id"), "left")
       .groupBy(col("x.query_id").as("query_id"))
       .agg(
         count(col("pq.neighbor_id")).as("n_hits_pq"),
         (count(col("pq.neighbor_id")).cast("double") / 5).as("recall_pq"),
-        count(col("tr.neighbor_id")).as("n_hits_trunc"),
-        (count(col("tr.neighbor_id")).cast("double") / 5).as("recall_trunc"))
+        sum(when(col("rank_d2t") <= 5, 1L).otherwise(0L)).as("n_hits_trunc"),
+        (sum(when(col("rank_d2t") <= 5, 1L).otherwise(0L)).cast("double") / 5)
+          .as("recall_trunc"))
       .orderBy(col("query_id"))
   }
 
