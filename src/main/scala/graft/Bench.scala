@@ -22,8 +22,48 @@ import org.apache.spark.sql.SparkSession
   *    gets the full spaced retry.
   *  - the cache is cleared between passes, so every pass pays its own
   *    persist()s and later passes differ from pass 1 only by JVM warmth.
+  *  - regression gate: the prior `bench_full.json` (same SF only) is read
+  *    BEFORE this run overwrites it, and any query whose new best exceeds
+  *    3× its prior best AND a 0.5 s noise floor is flagged in a
+  *    `regressions` map in both the stdout record and the artifact — so a
+  *    round-over-round delta is attributable per query in one read instead
+  *    of reverse-engineered from two totals (the r7 failure mode).
   */
 object Bench {
+
+  /** Pure compare for the regression gate (unit-tested in BenchDiffSpec):
+    * flags queries whose new best is > `ratio`× the prior best and above
+    * `floor` seconds — the floor absorbs scheduler jitter on sub-second
+    * queries, the ratio absorbs multi-tenant noise (NOTES.md records 3×
+    * machine-load swings on this box; a real plan regression is bigger). */
+  def regressions(
+      prior: Map[String, Double],
+      now: Map[String, Double],
+      ratio: Double = 3.0,
+      floor: Double = 0.5): Map[String, (Double, Double)] =
+    now.flatMap { case (name, t) =>
+      prior.get(name) match {
+        case Some(p) if t > floor && t > p * ratio => Some(name -> (p, t))
+        case _ => None
+      }
+    }
+
+  /** Read the prior record's (sf, per-query best) from bench_full.json.
+    * Jackson (on Spark's classpath) so the parse is robust to formatting;
+    * any failure — absent file, corrupt JSON — degrades to None (a bench
+    * run must never fail because the previous artifact is unreadable). */
+  def readPrior(path: java.nio.file.Path): Option[(String, Map[String, Double])] =
+    try {
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(java.nio.file.Files.readAllBytes(path))
+      val sf = root.get("sf").asText()
+      val qs = root.get("queries")
+      val it = qs.fields()
+      val m = scala.collection.mutable.Map.empty[String, Double]
+      while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
+      Some((sf, m.toMap))
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -78,17 +118,44 @@ object Bench {
       spark.catalog.clearCache()
       passTimes.sum
     }
+    // Regression gate vs the prior artifact (same SF only — a record taken
+    // at a different scale factor is not a baseline for this run).
+    val artifact = java.nio.file.Paths.get("bench_full.json")
+    val prior = readPrior(artifact).filter(_._1 == sfDir)
+    // Confirmation pass: a flagged query whose best is a SINGLE sample
+    // (sub-threshold, so the later passes never re-timed it) may be one
+    // unlucky scheduling window, not a regression — re-time each flagged
+    // query once and keep the min, so only reproducible slowdowns reach
+    // the report (the gate's job is separating code from machine noise).
+    prior.map(p => regressions(p._2, best.toMap)).getOrElse(Map.empty)
+      .keys.toSeq.sorted.foreach { name =>
+        SparkEntry.queries.get(name).foreach { fn =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val dt = (System.nanoTime() - t0) / 1e9
+            best(name) = math.min(best(name), dt)
+          } catch { case _: Throwable => () }
+          spark.catalog.clearCache()
+        }
+      }
+    val regr = prior.map(p => regressions(p._2, best.toMap)).getOrElse(Map.empty)
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
     val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
     val reruns = rerunCounts.mkString("[", ",", "]")
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs}""")
+    val priorTotal = prior.map(_._2.values.sum)
+    val regrJson = regr.toSeq.sortBy(-_._2._2).map { case (n, (p, t)) =>
+      s"""\"$n\":{\"prev\":$p,\"now\":$t,\"ratio\":${t / p}}"""
+    }.mkString("{", ",", "}")
+    val prevTotalJson = priorTotal.map(t => f"$t%.3f").getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson}""")
     // The driver's one-line record truncates past ~100 queries, losing the
     // per-query tail; persist the full distribution as a repo artifact so
     // the whole record stays auditable after every bench run.
-    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"queries":$qs}"""
+    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // an unwritable CWD must not fail the bench
