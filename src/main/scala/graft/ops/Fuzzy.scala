@@ -183,16 +183,29 @@ object Fuzzy {
         count(lit(1)).over(w).as("n"))
     // prefix length |A| − ⌈0.8·|A|⌉ + 1, with ⌈4n/5⌉ = (4n+4) div 5
     val prefix = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
-      .select(col("doc_id"), col("sh"), col("n"))
+      .select(col("doc_id"), col("sh"), col("n"), col("rn"))
     // PPJoin LENGTH filter alongside the prefix lemma: J ≥ 0.8 forces
     // 0.8·|A| ≤ |B| ≤ |A|/0.8 (intersection ≤ min, union ≥ max), so
     // size-incompatible prefix collisions are dropped IN the join —
     // exact, like the prefix bound itself, and it prunes before the
     // expensive verify intersection.
+    //
+    // PPJoin POSITIONAL filter (also exact): shared tokens appear in the
+    // same relative order on both sides (one global (df, sh) order), so
+    // the pair's FIRST shared prefix token has nothing shared before it
+    // and bounds the whole intersection: inter ≤ 1 + min(n_a − rn_a,
+    // n_b − rn_b). J ≥ 0.8 needs 9·inter ≥ 4·(n_a + n_b); a row whose
+    // bound can't reach that is dropped IN the join. Non-first shared
+    // tokens have larger rn on BOTH sides (smaller bound) — dropping
+    // them never loses a pair the first-token row admits, and a pair
+    // whose first-token bound fails has every row fail. Exact pruning
+    // at first-token tightness, still one equi-join + distinct.
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id") &&
           lit(4) * col("a.n") <= lit(5) * col("b.n") &&
-          lit(4) * col("b.n") <= lit(5) * col("a.n"))
+          lit(4) * col("b.n") <= lit(5) * col("a.n") &&
+          lit(9) * (lit(1) + least(col("a.n") - col("a.rn"),
+            col("b.n") - col("b.rn"))) >= lit(4) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = cands
