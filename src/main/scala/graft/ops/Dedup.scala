@@ -281,6 +281,41 @@ object Dedup {
   private[graft] def bandIndexRoot(spark: SparkSession, indexDir: String): String =
     GenStore.currentRoot(spark, indexDir, BandGenPrefix)
 
+  /** CHECKED precondition for the incremental≡from-scratch label
+    * equality (q233/q244): incremental pairs equal the full-corpus pair
+    * set only while no band bucket crosses the hot cap MID-STREAM — a
+    * bucket under cap after batch b (so its pairs were emitted) but over
+    * cap on the full corpus (so the from-scratch oracle drops the bucket
+    * entirely) makes the two answers diverge silently. The stored index
+    * keeps every band row with its batch id, so the check is one
+    * bucket-partitioned cumulative count: flag any bucket whose running
+    * count sat in [2, cap] at some batch boundary while its final count
+    * exceeds the cap. Generalizes q233's two-batch aggregate to any
+    * number of micro-batches; a violating data drop fails loudly here
+    * instead of hash-mismatching at the gate. */
+  private[graft] def assertNoMidStreamCapCross(s: SparkSession,
+      indexDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val perBatch = s.read.parquet(bandIndexRoot(s, indexDir))
+      .groupBy(col("bh"), col("batch"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("bh")).orderBy(col("batch"))
+    val crossed = perBatch
+      .select(col("bh"),
+        sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cum"),
+        sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("full_c"))
+      .filter(col("cum") >= 2 && col("cum") <= BandBucketCap &&
+        col("full_c") > BandBucketCap)
+      .limit(1).count()
+    require(crossed == 0L,
+      "incremental-dedup precondition violated: a band bucket crossed " +
+        "the hot cap mid-stream; incremental labels would diverge from " +
+        "the full-corpus closure")
+  }
+
   /** Compact the persisted band index — the file-count maintenance a
     * year of daily `batch=<id>` appends needs (365 dirs × shuffle-width
     * files is the classic listing/footer/scheduling pressure at 100 TB).
@@ -304,34 +339,40 @@ object Dedup {
     val base = new Path(indexDir)
     val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"compactBandIndex: no index at $indexDir")
-    val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
     def rootBatchDirs(): Seq[String] =
       fs.listStatus(base).filter(_.isDirectory)
         .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
-    // Reclaim crashed-run leftovers (stale tmp pointers, unreferenced gen
-    // dirs, superseded root batch dirs) before listing the live state.
-    GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
-    val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
-    val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
-    val recent = batches.takeRight(keepRecent).filter(_ >= 0)
-    val old = batches.filterNot(recent.contains)
-    // Idempotent: nothing older than the replay window but the already-
-    // consolidated partition → a second compact run touches nothing.
-    if (old.isEmpty || old == Seq(-1L)) return
-    val genSeq = curSeq + 1
-    val genDir = s"$indexDir/gen=$genSeq"
-    spark.read.option("basePath", root)
-      .parquet(old.map(k => s"$root/batch=$k"): _*)
-      .select(col("doc_id"), col("bh"))
-      .coalesce(math.max(1, targetFiles))
-      .write.mode("overwrite").parquet(s"$genDir/batch=-1")
-    recent.foreach { k =>
-      spark.read.parquet(s"$root/batch=$k").select(col("doc_id"), col("bh"))
-        .write.mode("overwrite").parquet(s"$genDir/batch=$k")
+    // The whole maintenance pass — preClean through promote — runs under
+    // the writer lease: a concurrent compaction fails at acquire instead
+    // of deleting this run's staged generation mid-interleave.
+    GenStore.withLease(fs, base) {
+      val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
+      // Reclaim crashed-run leftovers (stale tmp pointers, unreferenced gen
+      // dirs, superseded root batch dirs) before listing the live state.
+      GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
+      val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+      val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch="))
+        .map(_.stripPrefix("batch=").toLong).sorted.toSeq
+      val recent = batches.takeRight(keepRecent).filter(_ >= 0)
+      val old = batches.filterNot(recent.contains)
+      // Idempotent: nothing older than the replay window but the already-
+      // consolidated partition → a second compact run touches nothing.
+      if (old.nonEmpty && old != Seq(-1L)) {
+        val genSeq = curSeq + 1
+        val genDir = s"$indexDir/gen=$genSeq"
+        spark.read.option("basePath", root)
+          .parquet(old.map(k => s"$root/batch=$k"): _*)
+          .select(col("doc_id"), col("bh"))
+          .coalesce(math.max(1, targetFiles))
+          .write.mode("overwrite").parquet(s"$genDir/batch=-1")
+        recent.foreach { k =>
+          spark.read.parquet(s"$root/batch=$k").select(col("doc_id"), col("bh"))
+            .write.mode("overwrite").parquet(s"$genDir/batch=$k")
+        }
+        GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq, rootBatchDirs())
+      }
     }
-    GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq, rootBatchDirs())
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
@@ -534,23 +575,10 @@ object Dedup {
       docs.filter(col("doc_id") % 2 === 1), 1L)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(tmp.toFile)
     // CHECKED precondition (the q97-family equality assumption made
-    // loud): incremental == from-scratch only while no band bucket
-    // crosses the hot cap MID-STREAM — a bucket under cap at day 1 but
-    // over it on the full corpus had its day-1 pairs emitted where the
-    // full-corpus oracle drops the bucket entirely. The stored index
-    // holds every band, so the check is one small aggregate; a violating
-    // data drop fails here instead of silently hash-mismatching.
-    val crossed = s.read.parquet(bandIndexRoot(s, idx.toString))
-      .groupBy(col("bh"))
-      .agg(count(lit(1)).as("full_c"),
-        count_if(col("batch") === 0).as("d1_c"))
-      .filter(col("d1_c") >= 2 && col("d1_c") <= BandBucketCap &&
-        col("full_c") > BandBucketCap)
-      .limit(1).count()
-    require(crossed == 0L,
-      "q233 precondition violated: a band bucket crossed the hot cap " +
-        "mid-stream; incremental labels would diverge from the " +
-        "full-corpus closure")
+    // loud): see [[assertNoMidStreamCapCross]] — a bucket under cap at
+    // day 1 but over it on the full corpus had its day-1 pairs emitted
+    // where the full-corpus oracle drops the bucket entirely.
+    assertNoMidStreamCapCross(s, idx.toString)
     // The archive re-enters as its star forest: one (min, member) edge
     // per labeled doc. Self-edges drop; the min member stays reachable
     // through its members' edges (components have >= 2 members).

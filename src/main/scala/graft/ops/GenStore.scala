@@ -13,9 +13,12 @@ import org.apache.spark.sql.SparkSession
   *
   * Writer contract: maintenance (retrain/compaction) and appends are
   * SINGLE-WRITER — the daily loop runs them in sequence (q99/q234's
-  * foreachBatch does exactly that). The single-writer `require` on the
-  * pointer rename catches a violated contract between two maintenance
-  * runs; an append racing a maintenance run is the caller's bug, not a
+  * foreachBatch does exactly that). The contract is ENFORCED by the
+  * [[withLease]] writer lease (create-fail-if-exists `_maintenance
+  * .lease` with epoch-TTL takeover of crashed holders): a second
+  * maintenance run fails loudly at acquire, before preClean can touch
+  * shared state; the promote-time `require` remains as a backstop. An
+  * append racing a maintenance run is still the caller's bug, not a
   * protocol state this store can repair.
   *
   * Crash windows, all reclaimed by [[preClean]] on the NEXT maintenance
@@ -61,6 +64,88 @@ private[graft] object GenStore {
     }
     if (curSeq > 0L)
       rootArtifacts.foreach(a => fs.delete(new Path(base, a), true))
+  }
+
+  /** Maintenance writer-lease file, living next to the pointer files. */
+  val LeaseName = "_maintenance.lease"
+
+  private def readLease(fs: FileSystem, lease: Path): (String, Long) =
+    try {
+      val in = fs.open(lease)
+      val txt = try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](4096)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        buf.toString("UTF-8")
+      } finally in.close()
+      val lines = txt.split("\n", 2)
+      (lines(0), lines(1).trim.toLong)
+    } catch {
+      // Unreadable/partial lease (holder died mid-write, or it vanished
+      // between the failed create and this read): treat as abandoned.
+      case _: Throwable => ("<unreadable>", 0L)
+    }
+
+  /** Acquire the maintenance writer lease, making the single-writer
+    * contract ENFORCED rather than documented: the realistic day-2
+    * failure is two cron maintenance runs overlapping, which without a
+    * lease can interleave preClean/stage/promote and delete each other's
+    * staged generation before the promote-time `require` ever fires.
+    *
+    * Acquisition is `create(overwrite = false)` — atomic
+    * create-fail-if-exists on HDFS (and object stores with conditional
+    * create; on RawLocalFileSystem it is check-then-create, which still
+    * catches every non-pathological overlap). A lease whose recorded
+    * epoch is older than `ttlMs` belongs to a CRASHED holder (a clean
+    * failure releases in its finally) and is taken over; a live lease
+    * held by someone else fails loudly at acquire — before any state is
+    * touched. */
+  def acquireLease(fs: FileSystem, base: Path, owner: String,
+      ttlMs: Long = 30L * 60 * 1000): Unit = {
+    val lease = new Path(base, LeaseName)
+    def tryCreate(): Boolean =
+      try {
+        val out = fs.create(lease, false)
+        try out.write(s"$owner\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (tryCreate()) return
+    val (heldBy, epoch) = readLease(fs, lease)
+    if (System.currentTimeMillis() - epoch <= ttlMs)
+      throw new IllegalStateException(
+        s"maintenance lease at $lease is held by '$heldBy' — a concurrent " +
+          "maintenance run is active; this run refuses to start (single-" +
+          "writer contract). Stale leases are taken over after the TTL.")
+    fs.delete(lease, false)
+    if (!tryCreate())
+      throw new IllegalStateException(
+        s"maintenance lease at $lease: lost the stale-takeover race to " +
+          "another writer; this run refuses to start.")
+  }
+
+  /** Release the lease; requires this owner still holds it (an owner
+    * mismatch means the lease was taken over mid-run — surfaced, because
+    * this run's promote may then have raced the takeover's preClean). */
+  def releaseLease(fs: FileSystem, base: Path, owner: String): Unit = {
+    val lease = new Path(base, LeaseName)
+    if (!fs.exists(lease)) return
+    val (heldBy, _) = readLease(fs, lease)
+    require(heldBy == owner,
+      s"maintenance lease at $lease now held by '$heldBy', not '$owner' — " +
+        "lease was taken over mid-run (run exceeded the TTL?)")
+    fs.delete(lease, false)
+  }
+
+  /** Run `body` under the writer lease (acquire → body → release in
+    * finally — a thrown body still frees the lease; only a killed JVM
+    * leaves it for TTL takeover). */
+  def withLease[T](fs: FileSystem, base: Path, ttlMs: Long = 30L * 60 * 1000)(
+      body: => T): T = {
+    val owner = java.util.UUID.randomUUID().toString
+    acquireLease(fs, base, owner, ttlMs)
+    try body finally releaseLease(fs, base, owner)
   }
 
   /** Commit `gen=<genSeq>` as the live generation: stage the pointer

@@ -535,6 +535,9 @@ object Similarity {
     val base = new Path(indexDir)
     val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"ivfRetrain: no index at $indexDir")
+    // preClean through promote under the writer lease: a concurrent
+    // retrain fails at acquire instead of interleaving destructively.
+    GenStore.withLease(fs, base) {
     val curSeq = GenStore.currentSeq(fs, base, IvfGenPrefix)
     // Reclaim whatever a crashed prior maintenance run left behind
     // (stale tmp pointers, unreferenced gen dirs, superseded root data).
@@ -586,6 +589,7 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$genDir/trainmeta")
     indexed.unpersist()
     GenStore.promote(fs, base, IvfGenPrefix, genSeq, curSeq, IvfRootArtifacts)
+    }
   }
 
   /** q100: incremental ANN index maintenance gated end-to-end — day 1

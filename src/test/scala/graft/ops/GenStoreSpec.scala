@@ -64,4 +64,69 @@ class GenStoreSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(16L, 32L, 48L))
     assert(rows.forall(_.getAs[Double]("cos_sim") == 1.0))
   }
+
+  test("writer lease: overlapping maintenance runs -> one winner, one clean rejection, no lost generation") {
+    val work = Files.createTempDirectory("graft-genlease-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val big = work.resolve("data").toString
+    def unit(axis: Int): Array[Float] =
+      Array.tabulate(64)(i => if (i == axis) 1.0f else 0.0f)
+    (0 until 64).map(i => (i.toLong, unit(i % 8), (i % 8).toLong))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+    val e = Similarity.embWithNorm(spark, big)
+    val idx = work.resolve("idx")
+    Similarity.ivfAppend(spark, idx.toString, e, 0L)
+
+    val base = new org.apache.hadoop.fs.Path(idx.toString)
+    val fs = GenStore.fsOf(spark, idx.toString)
+    // Run 1 holds the lease (as if mid-maintenance, between preClean and
+    // promote — the destructive interleave window). Run 2 must be
+    // rejected AT ACQUIRE, before touching any state.
+    GenStore.acquireLease(fs, base, "run1")
+    val ex = intercept[IllegalStateException] {
+      Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
+    }
+    assert(ex.getMessage.contains("held by 'run1'"))
+    // No lost generation: the rejected run changed nothing.
+    assert(Similarity.ivfCurrentRoot(spark, idx.toString) == idx.toString)
+    assert(!Files.exists(idx.resolve("gen=1")))
+
+    // Releasing with the wrong owner is itself a loud failure.
+    intercept[IllegalArgumentException] {
+      GenStore.releaseLease(fs, base, "run2")
+    }
+    // Run 1 finishes and releases; run 2 (retried) now wins cleanly.
+    GenStore.releaseLease(fs, base, "run1")
+    Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
+    assert(Files.exists(idx.resolve("_ivfgen-1")))
+    assert(Files.exists(idx.resolve("gen=1").resolve("centroids")))
+    // The lease is released after a successful run (withLease finally).
+    assert(!Files.exists(idx.resolve(GenStore.LeaseName)))
+
+    // Crashed-holder takeover: a lease whose epoch is past the TTL is
+    // abandoned property, not a block — the next run takes it over.
+    Files.writeString(idx.resolve(GenStore.LeaseName), "deadrun\n12345")
+    Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
+    assert(Files.exists(idx.resolve("_ivfgen-2")),
+      "a stale (crashed-holder) lease must not block maintenance forever")
+    assert(!Files.exists(idx.resolve(GenStore.LeaseName)))
+
+    // compactBandIndex honors the same lease (shared protocol).
+    val bidx = work.resolve("bandidx")
+    (0L to 9L).map(i => (i, i % 3)).toDF("doc_id", "bh")
+      .write.mode("overwrite").parquet(s"$bidx/batch=0")
+    (10L to 19L).map(i => (i, i % 3)).toDF("doc_id", "bh")
+      .write.mode("overwrite").parquet(s"$bidx/batch=1")
+    (20L to 29L).map(i => (i, i % 3)).toDF("doc_id", "bh")
+      .write.mode("overwrite").parquet(s"$bidx/batch=2")
+    val bbase = new org.apache.hadoop.fs.Path(bidx.toString)
+    GenStore.acquireLease(fs, bbase, "run1")
+    intercept[IllegalStateException] {
+      Dedup.compactBandIndex(spark, bidx.toString, keepRecent = 1)
+    }
+    GenStore.releaseLease(fs, bbase, "run1")
+    Dedup.compactBandIndex(spark, bidx.toString, keepRecent = 1)
+    assert(Files.exists(bidx.resolve("_bandgen-1")))
+  }
 }
