@@ -105,6 +105,9 @@ object StreamGate {
     if (scala.util.Try(
         ss.conf.get("spark.sql.shuffle.partitions").toInt).toOption.forall(_ > 8))
       ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // Child sessions have their own listener manager — re-attach the plan
+    // probe (no-op unless the standing plan audit is capturing).
+    graft.PlanProbe.attach(ss, "stream-child")
     ss
   }
 
@@ -126,6 +129,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     out
@@ -343,6 +347,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     s.read.parquet(outPairs)
@@ -383,6 +388,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
@@ -438,6 +444,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
@@ -497,6 +504,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     s.read.parquet(outDir)
@@ -536,6 +544,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val last = latestGenBefore(s, store, Long.MaxValue)
@@ -719,6 +728,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     latestGenBefore(s, store, Long.MaxValue)
@@ -916,6 +926,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val cands = latestGenBefore(s, store, Long.MaxValue)
@@ -926,10 +937,92 @@ object StreamGate {
     graft.ops.TextAnalysis.hhRecount(tok, cands.crossJoin(broadcast(tot)))
   }
 
+  /** q244: streaming CLUSTER-LABEL maintenance — q233's star-forest label
+    * refresh folded into q99's per-trigger loop, closing the last
+    * "nightly batch" gap in the streaming dedup story: each micro-batch
+    * pairs against the persisted band index (incrementalDayRun), then
+    * refreshes the PERSISTED label table from the prior labels' star
+    * forest ∪ the batch's pairs — O(labeled + batch-pairs) per trigger,
+    * never a re-walk of the archive's edge set. Labels publish as
+    * cumulative `batch=<id>` generations: a replayed batch recomputes
+    * from the SAME prior generation and the same recomputed pairs (the
+    * band index excludes the batch's own subdir), so the overwrite is
+    * idempotent under at-least-once delivery. Star compression preserves
+    * connectivity exactly, so the final generation equals the
+    * full-corpus closure — q47's oracle rendering verbatim — and the
+    * mid-stream hot-cap precondition is CHECKED over every batch
+    * boundary ([[graft.ops.Dedup.assertNoMidStreamCapCross]]). */
+  val q244StreamClusterMaintain: Q = Q(
+    "q244_stream_cluster_maintain",
+    s"""WITH RECURSIVE ${graft.ops.Dedup.duckLshPairCtes},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q244-")
+    val docs = graft.Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val idx = work.resolve("bandidx").toString
+    val lbl = work.resolve("labels").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val pairs = graft.ops.Dedup.incrementalDayRun(sb, idx, batch.toDF(), id)
+          // Prior labels = the highest generation BELOW this batch id (a
+          // replay must not read its own crashed attempt's output).
+          val lblPath = new org.apache.hadoop.fs.Path(lbl)
+          val fs = lblPath.getFileSystem(sb.sparkContext.hadoopConfiguration)
+          val prevIds =
+            if (fs.exists(lblPath))
+              fs.listStatus(lblPath).map(_.getPath.getName)
+                .filter(_.startsWith("batch="))
+                .map(_.stripPrefix("batch=").toLong).filter(_ < id)
+            else Array.empty[Long]
+          // The archive re-enters as its star forest: one (min, member)
+          // edge per labeled doc — q233's exact re-entry shape.
+          val star = prevIds.maxOption match {
+            case Some(p) =>
+              sb.read.parquet(s"$lbl/batch=$p")
+                .filter(col("doc_id") =!= col("cluster_id"))
+                .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+            case None =>
+              sb.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
+          }
+          graft.ops.Fuzzy.resolveClusters(sb,
+              star.unionByName(pairs.select(col("doc_a"), col("doc_b"))))
+            .write.mode("overwrite").parquet(s"$lbl/batch=$id")
+          pairs.unpersist()
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
+    val fs = new org.apache.hadoop.fs.Path(lbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = fs.listStatus(new org.apache.hadoop.fs.Path(lbl))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    s.read.parquet(s"$lbl/batch=$last")
+      .select(col("doc_id"), col("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
-    q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams)
+    q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
+    q244StreamClusterMaintain)
 }
