@@ -176,6 +176,41 @@ object Sources {
       .orderBy(col("bucket"))
   }
 
+  /** q246: ORC source/sink round-trip — the second columnar format the
+    * landing zone speaks (Spark's built-in ORC datasource): lineitem is
+    * written PARTITIONED by l_returnflag to ORC, read back through the
+    * ORC scan with a partition filter (directory pruning — the 'A'
+    * partition is the only one listed) plus a data filter (l_quantity,
+    * pushed into the ORC reader as a search argument), and the rollup
+    * must equal the parquet-derived oracle. Floats never round-trip
+    * through the format boundary decision: the gated aggregates are the
+    * integer-cents/integer-quantity casts (the q160 discipline).
+    * Plan evidence: the OrcScan shows PushedFilters + the pruned
+    * partition count (recorded in PLANS.md). */
+  val q246OrcRoundtrip: Q = Q(
+    "q246_orc_roundtrip",
+    """SELECT l_linestatus, count(*) AS n,
+      |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+      |       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 25
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val work = stage("graft-orc-")
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .orc(work.resolve("orc").toString)
+    s.read.orc(work.resolve("orc").toString)
+      .filter(col("l_returnflag") === "A" && col("l_quantity") > 25)
+      .groupBy(col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        sum(col("cents")).as("sum_cents"))
+      .orderBy(col("l_linestatus"))
+  }
+
   val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource,
-    q173DigestSink, q174GenStream)
+    q173DigestSink, q174GenStream, q246OrcRoundtrip)
 }

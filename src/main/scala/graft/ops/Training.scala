@@ -617,8 +617,56 @@ object Training {
       .orderBy(col("fold"))
   }
 
+  /** q245: TEMPERATURE-weighted mixture sampling — the multilingual/
+    * multi-domain rebalancing law every large pretraining corpus uses
+    * (α-smoothing, mBERT/XLM-R style): natural token share p_i is
+    * flattened to q_i = p_i^α / Σ p_j^α (α = 0.7), boosting low-resource
+    * languages without discarding the head. Distinct from q86 (fixed
+    * per-language keep RATES) and q240 (integer seat allocation): this
+    * derives the CONTINUOUS sampling distribution from measured corpus
+    * statistics, plus the boost factor q/p and the expected epoch count
+    * each language pays under a half-corpus token budget — epochs > 1 is
+    * the overfitting-risk signal smoothing papers warn about.
+    *
+    * Scale shape: one map-side-combined groupBy(lang) over (lang,
+    * token-count) — the text column never shuffles; everything after is
+    * arithmetic on the LANGUAGE-cardinality table with two 1-row
+    * broadcast totals (Σtok, Σp^α) re-entering as
+    * BroadcastNestedLoopJoins. Double pow() in both engines; all
+    * surfaced ratios rounded to 6 (the q31 discipline). */
+  val q245TemperatureMix: Q = Q(
+    "q245_temperature_mix",
+    """WITH bl AS (SELECT lang,
+      |            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+      |            FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM bl),
+      |p AS (SELECT lang, tok, CAST(tok AS DOUBLE) / tt AS p, tt
+      |      FROM bl, t),
+      |z AS (SELECT sum(pow(p, 0.7)) AS z FROM p)
+      |SELECT lang, tok, round(p, 6) AS p_natural,
+      |       round(pow(p, 0.7) / z, 6) AS p_smoothed,
+      |       round(pow(p, 0.7) / z / p, 6) AS boost,
+      |       round((tt / 2) * (pow(p, 0.7) / z) / tok, 6) AS epochs
+      |FROM p, z ORDER BY lang""".stripMargin) { (s, dir) =>
+    val byLang = Tables(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " "))).cast("long").as("tok"))
+    val tot = byLang.agg(sum(col("tok")).cast("long").as("tt"))
+    val withP = byLang.crossJoin(broadcast(tot))
+      .withColumn("p", col("tok").cast("double") / col("tt"))
+    val z = withP.agg(sum(pow(col("p"), 0.7)).as("z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("lang"), col("tok"),
+        round(col("p"), 6).as("p_natural"),
+        round(pow(col("p"), 0.7) / col("z"), 6).as("p_smoothed"),
+        round(pow(col("p"), 0.7) / col("z") / col("p"), 6).as("boost"),
+        round((col("tt") / lit(2)) * (pow(col("p"), 0.7) / col("z")) / col("tok"), 6)
+          .as("epochs"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
-    q240BudgetAllocation,
+    q240BudgetAllocation, q245TemperatureMix,
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
     q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds,

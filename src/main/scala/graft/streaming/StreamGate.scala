@@ -451,6 +451,72 @@ object StreamGate {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q247: band-index COMPACTION inside the streaming loop — the q234
+    * self-maintenance pattern applied to the dedup index: four
+    * micro-batches (doc_id mod 4) pair-and-append through q99's
+    * topology, and after every trigger the loop calls
+    * [[graft.ops.Dedup.compactBandIndex]] (keepRecent = 2 — the replay
+    * window), which is a no-op while the store fits the window, folds
+    * batch 0 into the consolidated `batch=-1` partition after batch 2,
+    * and folds batch 1 after batch 3 — each an atomic `_bandgen-`
+    * pointer promote UNDER the writer lease, while traffic is still
+    * flowing. Gate equality against the full-corpus LSH pair oracle
+    * proves compaction is content-preserving IN SITU: batch 3's pairs
+    * are generated against the compacted generation (its archive reads
+    * `batch=-1` ∪ recents through the pointer) and still land exactly
+    * on the declarative pair set. `both_new` = same residue mod 4. This closes
+    * the operational loop for the band index the way q234 closed it for
+    * IVF: file-count maintenance fires from the ingest stream on a
+    * measured condition (store past the replay window), not a calendar.
+    * The final pointer is asserted — the gate fails if compaction
+    * silently stopped firing. */
+  val q247StreamBandCompact: Q = Q(
+    "q247_stream_band_compact",
+    s"""WITH ${graft.ops.Dedup.duckLshPairCtes}
+       |SELECT doc_a, doc_b, (doc_a % 4 = doc_b % 4) AS both_new
+       |FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q247-")
+    val docs = graft.Tables(s, dir, "documents")
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2, 3).map(p => docs.filter(col("doc_id") % 4 === p)))
+    val idx = work.resolve("bandidx").toString
+    val outPairs = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val pairs = graft.ops.Dedup.incrementalDayRun(sb, idx, batch.toDF(), id)
+          pairs.write.mode("overwrite").parquet(s"$outPairs/batch=$id")
+          pairs.unpersist()
+          // Maintenance in the loop: no-op while the store fits the
+          // replay window, one generation fold once it doesn't.
+          graft.ops.Dedup.compactBandIndex(sb, idx, keepRecent = 2)
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
+    // The maintenance must actually have fired: a promoted generation
+    // pointer is the proof (batches 2 and 3 each pushed the store past
+    // keepRecent=2).
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith("_bandgen-")),
+      "q247: in-loop compaction never promoted a generation")
+    s.read.parquet(outPairs)
+      .select(col("doc_a"), col("doc_b"), col("both_new"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** q108: the PSI drift monitor run as a STREAM — the pre-ingest guard in
     * its production position. Document batches arrive as micro-batches;
     * each trigger (1) scores the incoming batch against the PERSISTED
@@ -1024,5 +1090,5 @@ object StreamGate {
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
-    q244StreamClusterMaintain)
+    q244StreamClusterMaintain, q247StreamBandCompact)
 }

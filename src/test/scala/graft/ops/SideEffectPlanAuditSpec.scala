@@ -24,7 +24,8 @@ class SideEffectPlanAuditSpec extends SparkSpec {
     val names = graft.streaming.StreamGate.all.map(_.name).toSet ++
       Set("q100_ann_incremental", "q232_ann_retrain",
         "q233_dedup_incremental_cluster", "q160_csv_rejects",
-        "q161_jsonl_rejects", "q173_digest_sink", "q174_gen_stream")
+        "q161_jsonl_rejects", "q173_digest_sink", "q174_gen_stream",
+        "q246_orc_roundtrip")
     SparkEntry.registry.filter(q => names(q.name))
   }
 
