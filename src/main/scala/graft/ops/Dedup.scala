@@ -1146,10 +1146,74 @@ object Dedup {
       .orderBy(col("k"))
   }
 
+  /** q248: CONTAINMENT-direction near-dup detection — asymmetric overlap
+    * C(A→B) = |A∩B|/|A|, the measure that catches snippet-in-page and
+    * quote-farm duplication symmetric Jaccard structurally misses: a
+    * 50-shingle snippet fully embedded in a 5000-shingle page has
+    * C(A→B) = 1.0 but J ≈ 0.01, far under any Jaccard gate. Candidates
+    * are the same LSH band pairs (a contained doc shares its shingles,
+    * so it shares band keys); verification reuses q37's two-hash-join
+    * intersection count and reports BOTH directions plus the engulfing
+    * verdict (which side is ≥ 80% inside the other). In a curation
+    * pipeline the contained side is the drop candidate and the container
+    * survives — the opposite of q62's length-keeper policy, which is why
+    * the direction label matters. */
+  val q248ContainmentDedup: Q = Q(
+    "q248_containment_dedup",
+    s"""WITH $duckLshPairCtes,
+       |dsh AS (SELECT DISTINCT doc_id, sh FROM shl),
+       |cnt AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+       |          FROM pairs p
+       |          JOIN dsh a ON a.doc_id = p.doc_a
+       |          JOIN dsh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, n_inter, ca.n_sh AS n_a, cb.n_sh AS n_b,
+       |       round(CAST(n_inter AS DOUBLE) / ca.n_sh, 4) AS cont_a,
+       |       round(CAST(n_inter AS DOUBLE) / cb.n_sh, 4) AS cont_b,
+       |       CASE WHEN 5 * n_inter >= 4 * ca.n_sh
+       |              AND 5 * n_inter >= 4 * cb.n_sh THEN 'mutual'
+       |            WHEN 5 * n_inter >= 4 * ca.n_sh THEN 'a_in_b'
+       |            ELSE 'b_in_a' END AS engulfed
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE 5 * n_inter >= 4 * least(ca.n_sh, cb.n_sh)
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
+    val pairs = lshCandidatePairs(s, dir).persist(MEMORY_AND_DISK)
+    val ids = pairs.select(col("doc_a").as("doc_id"))
+      .unionByName(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val docSets = shingleRows(s, dir)
+      .join(broadcast(ids), "doc_id")
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("sh")).as("shs"))
+      .withColumn("n_sh", size(col("shs")).cast("long"))
+    // The 0.8 containment gate as integer cross-multiplication (the q110
+    // discipline — no float in a decision).
+    pairs
+      .join(docSets.select(col("doc_id").as("doc_a"),
+        col("shs").as("shs_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(docSets.select(col("doc_id").as("doc_b"),
+        col("shs").as("shs_b"), col("n_sh").as("n_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
+      .filter(lit(5) * col("n_inter") >= lit(4) * least(col("n_a"), col("n_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("n_a"), col("n_b"),
+        round(col("n_inter").cast("double") / col("n_a"), 4).as("cont_a"),
+        round(col("n_inter").cast("double") / col("n_b"), 4).as("cont_b"),
+        when(lit(5) * col("n_inter") >= lit(4) * col("n_a") &&
+          lit(5) * col("n_inter") >= lit(4) * col("n_b"), "mutual")
+          .when(lit(5) * col("n_inter") >= lit(4) * col("n_a"), "a_in_b")
+          .otherwise("b_in_a").as("engulfed"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val all: Seq[Q] =
     Seq(q34ExactDedup, q35MinHashLsh, q36SimHash, q37NgramJaccard,
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
       q104BloomDecontaminate, q121DupSpans, q154Survivorship,
-      q233DedupIncrementalCluster)
+      q233DedupIncrementalCluster, q248ContainmentDedup)
 }

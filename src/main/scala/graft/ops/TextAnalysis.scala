@@ -599,7 +599,79 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q249: Gopher-style repetition battery, rolled up per language — the
+    * corpus-health report a filtering run starts from (Rae et al.'s
+    * repetition rules, at 2-gram/token grain): per doc, the fraction of
+    * 2-gram occurrences claimed by the single most frequent 2-gram
+    * (`top1 > 0.20` → boilerplate loop) and the fraction claimed by ANY
+    * repeated 2-gram (`dup > 0.40` → templated text). Distinct from q68
+    * (per-doc 3-shingle dup fraction on a 50-doc sample): this is the
+    * FULL-corpus per-language failure-rate rollup — the table a curation
+    * owner actually reads to decide where the repetition budget goes.
+    *
+    * Scale shape: one (doc, 2-gram) count aggregate (map-side combining;
+    * the gram table is the only data-sized exchange), folded to doc
+    * grain in the same shuffle's second aggregate, then a doc_id join
+    * back to (lang) — the text column is pruned everywhere past the
+    * explode — and a LANGUAGE-cardinality rollup. Thresholds are integer
+    * cross-multiplications (5·top1 > n2, 5·dup > 2·n2): no float
+    * decides a flag. */
+  val q249GopherRepetition: Q = Q(
+    "q249_gopher_repetition",
+    """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+      |           FROM documents),
+      |bg AS (SELECT doc_id,
+      |              unnest(list_transform(generate_series(1, len(ws) - 1),
+      |                i -> ws[i] || ' ' || ws[i + 1])) AS g
+      |       FROM w WHERE len(ws) >= 2),
+      |c AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+      |d AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2,
+      |             CAST(max(c) AS BIGINT) AS top1,
+      |             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+      |               AS dup
+      |      FROM c GROUP BY 1)
+      |SELECT lang, count(*) AS n_docs,
+      |       CAST(count(*) FILTER (WHERE 5 * top1 > n2) AS BIGINT)
+      |         AS n_fail_top,
+      |       CAST(count(*) FILTER (WHERE 5 * dup > 2 * n2) AS BIGINT)
+      |         AS n_fail_dup,
+      |       CAST(count(*) FILTER (WHERE 5 * top1 > n2 OR 5 * dup > 2 * n2)
+      |            AS BIGINT) AS n_fail_any,
+      |       round(CAST(count(*) FILTER (WHERE 5 * top1 > n2 OR
+      |                                         5 * dup > 2 * n2) AS DOUBLE)
+      |             / count(*), 4) AS fail_rate
+      |FROM d JOIN w USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir, "documents")
+    val ws = docs.withColumn("ws", split(col("text"), " "))
+    // explode_OUTER behind the size ≥ 2 gate (the q73 discipline): keeps
+    // the bigram transform out of an inferred pushed filter.
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode_outer(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat_ws(' ', element_at(ws, cast(i as int)), element_at(ws, cast(i + 1 as int))))"))
+        .as("g"))
+    val perDoc = bg.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n2"), max(col("c")).as("top1"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    val failTop = lit(5) * col("top1") > col("n2")
+    val failDup = lit(5) * col("dup") > lit(2) * col("n2")
+    perDoc
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_if(failTop).as("n_fail_top"),
+        count_if(failDup).as("n_fail_dup"),
+        count_if(failTop || failDup).as("n_fail_any"),
+        round(count_if(failTop || failDup).cast("double") / count(lit(1)), 4)
+          .as("fail_rate"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
-    q228SourceLengthProfile, q235HeavyHitters, q243Winnowing)
+    q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
+    q249GopherRepetition)
 }

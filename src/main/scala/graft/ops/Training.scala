@@ -665,8 +665,83 @@ object Training {
       .orderBy(col("lang"))
   }
 
+  /** q251: EPOCH EXPANSION — q245's sampling distribution made
+    * executable: each document's repeat count under the α-smoothed mix is
+    * materialized as floor(epochs) guaranteed passes plus one extra pass
+    * for a deterministic hash-fraction of docs (the portable-md5 gate, so
+    * both engines pick the SAME extras — q49's split discipline), and the
+    * rollup verifies the realized token mass per language lands on the
+    * smoothed target. This is the last step between "here are the
+    * weights" and "here is the training manifest": repeat counts, not
+    * copied rows — at 100 TB the expansion stays a per-doc integer column
+    * the loader consumes, never a materialized duplicate corpus.
+    *
+    * Determinism: epochs is rounded to 6 decimals BEFORE floor/frac in
+    * both engines (pow() may differ by 1 ulp between libm builds; the
+    * round collapses that under every downstream integer decision), and
+    * the extra-pass gate compares integers (hash‰ < ⌊frac·10⁶⌋). */
+  val q251EpochExpansion: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q251_epoch_expansion",
+      s"""WITH bl AS (SELECT lang,
+         |            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tok
+         |            FROM documents GROUP BY 1),
+         |t AS (SELECT CAST(sum(tok) AS BIGINT) AS tt FROM bl),
+         |p AS (SELECT lang, tok, CAST(tok AS DOUBLE) / tt AS p, tt
+         |      FROM bl, t),
+         |z AS (SELECT sum(pow(p, 0.7)) AS z FROM p),
+         |e AS (SELECT lang,
+         |             round((tt / 2) * (pow(p, 0.7) / z) / tok, 6) AS e
+         |      FROM p, z),
+         |d AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS dtok,
+         |             md5(CAST(doc_id AS VARCHAR)) AS m
+         |      FROM documents),
+         |r AS (SELECT d.lang, dtok,
+         |             CAST(floor(e) AS BIGINT)
+         |               + CASE WHEN ($h) % 1000000 <
+         |                     CAST(floor((e - floor(e)) * 1000000) AS BIGINT)
+         |                 THEN 1 ELSE 0 END AS reps
+         |      FROM d JOIN e USING (lang))
+         |SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(reps) AS BIGINT) AS n_passes,
+         |       CAST(sum(reps * dtok) AS BIGINT) AS expanded_tokens,
+         |       round(CAST(sum(reps * dtok) AS DOUBLE) / sum(dtok), 4)
+         |         AS realized_epochs
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val byLang = docs.groupBy(col("lang"))
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("tok"))
+      val tot = byLang.agg(sum(col("tok")).cast("long").as("tt"))
+      val withP = byLang.crossJoin(broadcast(tot))
+        .withColumn("p", col("tok").cast("double") / col("tt"))
+      val z = withP.agg(sum(pow(col("p"), 0.7)).as("z"))
+      val e = withP.crossJoin(broadcast(z))
+        .select(col("lang"),
+          round((col("tt") / lit(2)) * (pow(col("p"), 0.7) / col("z"))
+            / col("tok"), 6).as("e"))
+      val d = docs.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("dtok"),
+        md5(col("doc_id").cast("string")).as("m"))
+      val r = d.join(broadcast(e), "lang")
+        .withColumn("reps",
+          floor(col("e")).cast("long") +
+            when(expr(PortableHash.hexHeadToLong("m", "instr")) % 1000000L <
+              floor((col("e") - floor(col("e"))) * 1000000).cast("long"), 1L)
+              .otherwise(0L))
+      r.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("reps")).as("n_passes"),
+          sum(col("reps") * col("dtok")).as("expanded_tokens"),
+          round(sum(col("reps") * col("dtok")).cast("double")
+            / sum(col("dtok")), 4).as("realized_epochs"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q240BudgetAllocation, q245TemperatureMix,
+    q240BudgetAllocation, q245TemperatureMix, q251EpochExpansion,
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
     q119TokenDeciles, q133ChunkSplit, q134SplitLeakage, q150DenseIds,
