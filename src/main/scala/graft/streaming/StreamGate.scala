@@ -1084,11 +1084,87 @@ object StreamGate {
       .orderBy(col("doc_id"))
   }
 
+  /** q252: streaming DISTINCT-count maintenance via mergeable HLL
+    * sketches (Spark's DataSketches `hll_sketch_agg`/`hll_union`) — the
+    * cardinality counterpart of q238's Misra–Gries fold, and the
+    * contrast to q126's top-k lesson: top-k is NOT incrementally
+    * maintainable from a summary, but distinct counts ARE, because HLL
+    * union is exactly lossless w.r.t. the sketch semantics (sketch(A) ∪
+    * sketch(B) = sketch(A∪B) — the mergeable-summaries property). Each
+    * micro-batch folds its per-language vocabulary sketch into a
+    * constant-size generation store (one ~2^12-register binary per
+    * language, FOREVER, while the vocabulary grows with the corpus);
+    * replay recomputes the same union from the prior generation
+    * (idempotent overwrite, the q238 store discipline).
+    *
+    * Estimates are engine-specific, so the gate follows q43's
+    * error-envelope pattern: the oracle renders the EXACT per-language
+    * vocabulary plus constant-true bounds, and Spark surfaces the exact
+    * count (hash-gated) plus a boolean asserting the folded sketch's
+    * estimate landed within ±5% (≈3σ at lgK=12, rse ≈ 1.6%). At 100 TB
+    * this replaces a vocabulary-scale distinct per reporting window with
+    * a kilobyte-sized mergeable state read. */
+  val q252StreamHllVocab: Q = Q(
+    "q252_stream_hll_vocab",
+    """WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |           FROM documents)
+      |SELECT lang, count(DISTINCT w) AS n_vocab, true AS hll_ok
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q252-")
+    val docs = graft.Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val store = work.resolve("hllgen").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val own = batch.toDF()
+            .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+            .groupBy(col("lang"))
+            .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+          val prev = latestGenBefore(sb, store, id)
+            .getOrElse(own.limit(0))
+            .select(col("lang"), col("sk").as("sk_prev"))
+          // Lossless union per language; a language seen on only one
+          // side carries its side's sketch through unchanged.
+          own.join(prev, Seq("lang"), "full_outer")
+            .select(col("lang"),
+              when(col("sk").isNotNull && col("sk_prev").isNotNull,
+                expr("hll_union(sk, sk_prev)"))
+                .otherwise(coalesce(col("sk"), col("sk_prev"))).as("sk"))
+            .coalesce(1)
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val folded = latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(sys.error("q252: no sketch generation was published"))
+      .select(col("lang"),
+        expr("hll_sketch_estimate(sk)").cast("double").as("est"))
+    docs.select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_vocab"))
+      .join(broadcast(folded), "lang")
+      .select(col("lang"), col("n_vocab"),
+        (col("est") >= col("n_vocab") * 0.95 &&
+          col("est") <= col("n_vocab") * 1.05).as("hll_ok"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
-    q244StreamClusterMaintain, q247StreamBandCompact)
+    q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab)
 }
