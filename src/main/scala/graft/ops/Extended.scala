@@ -1122,6 +1122,51 @@ object Extended {
           .cast("long").as("k_for_80pct"))
   }
 
+  /** q254: MERGEABLE quantiles via KLL sketches — the capability q43's
+    * `approx_percentile` audit lacks: approx_percentile's buffer is not a
+    * publishable artifact, so percentiles can't be pre-aggregated per
+    * shard/day and combined later. DataSketches KLL sketches CAN: here
+    * each order-parity "shard" of lineitem builds its own per-returnflag
+    * sketch (the pre-aggregation a 1000-executor fleet would publish
+    * per partition-day), `kll_merge_agg_double` folds the shard sketches,
+    * and the merged sketch's p50/p90 are verified by q43's rank-counting
+    * discipline against the FULL data — proving the merge preserved the
+    * rank guarantee across shards (default k=200 → rank error ≈ 1.65%;
+    * the ±5%-rank window is ≈3ε). Exact counts hash-gate; booleans carry
+    * the envelope. At 100 TB this is how percentile dashboards avoid
+    * re-scanning history: day-grain sketches are kilobytes, merge is
+    * associative, and this gate is the correctness proof for that
+    * pipeline shape. */
+  val q254KllMergeQuantiles: Q = Q(
+    "q254_kll_merge_quantiles",
+    """SELECT l_returnflag, count(*) AS n, true AS p50_ok, true AS p90_ok
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val li = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_extendedprice"))
+    // Shard-grain sketches (the published per-day artifacts)...
+    val shard = li.groupBy(col("l_returnflag"), (col("l_orderkey") % 2).as("p"))
+      .agg(expr("kll_sketch_agg_double(l_extendedprice)").as("sk"))
+    // ...merged per group, quantiles read from the MERGED sketch only.
+    val merged = shard.groupBy(col("l_returnflag"))
+      .agg(expr("kll_merge_agg_double(sk)").as("msk"))
+      .select(col("l_returnflag"),
+        expr("kll_sketch_get_quantile_double(msk, 0.5)").as("q50"),
+        expr("kll_sketch_get_quantile_double(msk, 0.9)").as("q90"))
+    li.join(broadcast(merged), "l_returnflag")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("l_extendedprice") <= col("q50")).as("le50"),
+        count_if(col("l_extendedprice") < col("q50")).as("lt50"),
+        count_if(col("l_extendedprice") <= col("q90")).as("le90"),
+        count_if(col("l_extendedprice") < col("q90")).as("lt90"))
+      .select(col("l_returnflag"), col("n"),
+        (col("le50") >= col("n") * 0.45 && col("lt50") <= col("n") * 0.55)
+          .as("p50_ok"),
+        (col("le90") >= col("n") * 0.85 && col("lt90") <= col("n") * 0.95)
+          .as("p90_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
@@ -1129,5 +1174,6 @@ object Extended {
     q127Skyline, q136SigmaOutliers, q140Unpivot, q147GroupQuantiles,
     q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
     q163GroupMode, q164GiniConcentration, q166AbTest, q167AudienceOverlap,
-    q168WeightedQuantiles, q176LorenzPoints, q205ParetoPoint)
+    q168WeightedQuantiles, q176LorenzPoints, q205ParetoPoint,
+    q254KllMergeQuantiles)
 }

@@ -670,8 +670,68 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** q253: corpus NOVELTY tracking via theta sketches — the question a
+    * growing corpus asks daily ("how much of today's crawl is new
+    * vocabulary?") answered two ways in one gate: exactly (one
+    * distinct-grain aggregate with day membership flags — the
+    * hash-compared truth) and by DataSketches THETA sketches, whose SET
+    * OPERATIONS (difference/intersection — what HLL cannot do) make the
+    * same answer a kilobyte-state computation: sketch(day2) −
+    * sketch(day1) estimates the new-word count without ever
+    * materializing either vocabulary. The sketch estimates are
+    * engine-specific, so they gate as q43-style error-envelope booleans
+    * (|est − exact| ≤ 5% of the union — set-op error scales with the
+    * UNION size, not the result size, which is why the envelope is
+    * anchored there). At 100 TB the exact arm is a daily
+    * vocabulary-scale shuffle; the sketch arm is a constant-size fold —
+    * this gate proves the cheap one tracks the true one. */
+  val q253VocabNovelty: Q = Q(
+    "q253_vocab_novelty",
+    """WITH t AS (SELECT lang, doc_id % 2 AS day,
+      |                  unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |m AS (SELECT lang, w,
+      |             max(CASE WHEN day = 0 THEN 1 ELSE 0 END) AS h1,
+      |             max(CASE WHEN day = 1 THEN 1 ELSE 0 END) AS h2
+      |      FROM t GROUP BY 1, 2)
+      |SELECT lang,
+      |       CAST(count(*) FILTER (WHERE h2 = 1 AND h1 = 0) AS BIGINT)
+      |         AS n_new,
+      |       CAST(count(*) FILTER (WHERE h1 = 1 AND h2 = 1) AS BIGINT)
+      |         AS n_shared,
+      |       count(*) AS n_union,
+      |       true AS theta_diff_ok, true AS theta_inter_ok
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir, "documents")
+      .select(col("lang"), (col("doc_id") % 2).as("day"),
+        explode_outer(split(col("text"), " ")).as("w"))
+    val exact = t.groupBy(col("lang"), col("w"))
+      .agg(max(when(col("day") === 0, 1).otherwise(0)).as("h1"),
+        max(when(col("day") === 1, 1).otherwise(0)).as("h2"))
+      .groupBy(col("lang"))
+      .agg(count_if(col("h2") === 1 && col("h1") === 0).as("n_new"),
+        count_if(col("h1") === 1 && col("h2") === 1).as("n_shared"),
+        count(lit(1)).as("n_union"))
+    val sk = t.groupBy(col("lang"))
+      .agg(
+        expr("theta_sketch_agg(CASE WHEN day = 0 THEN w END)").as("sk1"),
+        expr("theta_sketch_agg(CASE WHEN day = 1 THEN w END)").as("sk2"))
+      .select(col("lang"),
+        expr("theta_sketch_estimate(theta_difference(sk2, sk1))")
+          .cast("double").as("est_new"),
+        expr("theta_sketch_estimate(theta_intersection(sk1, sk2))")
+          .cast("double").as("est_shared"))
+    exact.join(broadcast(sk), "lang")
+      .select(col("lang"), col("n_new"), col("n_shared"), col("n_union"),
+        (abs(col("est_new") - col("n_new")) <= col("n_union") * 0.05)
+          .as("theta_diff_ok"),
+        (abs(col("est_shared") - col("n_shared")) <= col("n_union") * 0.05)
+          .as("theta_inter_ok"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
-    q249GopherRepetition)
+    q249GopherRepetition, q253VocabNovelty)
 }
