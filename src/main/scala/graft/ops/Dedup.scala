@@ -214,10 +214,19 @@ object Dedup {
     *
     * The union (minus dropped buckets) is also tomorrow's band index:
     * append `bandsOf(newDocs)` to the store after the run. */
-  def incrementalPairs(archiveBands: DataFrame, newDocs: DataFrame): DataFrame = {
+  def incrementalPairs(archiveBands: DataFrame, newDocs: DataFrame): DataFrame =
+    incrementalPairsFromBands(archiveBands, bandsOf(newDocs))
+
+  /** As [[incrementalPairs]], but from an already-computed band table —
+    * the day-run path hands the SAME band frame to the pair join and the
+    * index append, so the minhash signature pass (shingle explode + md5 +
+    * 16 min-aggregates, the expensive step) runs once per batch, not
+    * twice. */
+  def incrementalPairsFromBands(archiveBands: DataFrame,
+      newBands: DataFrame): DataFrame = {
     val all = dropHotBuckets(
       archiveBands.withColumn("is_new", lit(false))
-        .unionByName(bandsOf(newDocs).withColumn("is_new", lit(true)))
+        .unionByName(newBands.withColumn("is_new", lit(true)))
         .persist(MEMORY_AND_DISK))
     all.filter(col("is_new")).as("n")
       .join(all.as("c"),
@@ -261,9 +270,13 @@ object Dedup {
           .filter(col("batch") =!= batchId)
           .select(col("doc_id"), col("bh"))
       else spark.range(0).select(col("id").as("doc_id"), lit("").as("bh"))
-    val pairs = incrementalPairs(archive, newDocs).localCheckpoint()
-    bandsOf(newDocs).write.mode("overwrite")
+    // ONE signature pass per batch: the band table feeds both the pair
+    // join and the index append (persisted — two consumers).
+    val newBands = bandsOf(newDocs).persist(MEMORY_AND_DISK)
+    val pairs = incrementalPairsFromBands(archive, newBands).localCheckpoint()
+    newBands.write.mode("overwrite")
       .parquet(s"$root/batch=$batchId")
+    newBands.unpersist()
     pairs
   }
 
