@@ -211,6 +211,44 @@ object Sources {
       .orderBy(col("l_linestatus"))
   }
 
+  /** q256: XML source with corrupt-record isolation — the fourth landing
+    * format (built-in since Spark 4.0), under the same U7 discipline as
+    * q160/q161: orders rows round-trip through a real XML write/read with
+    * an explicit schema + PERMISSIVE mode, two planted malformed records
+    * land in the corrupt column as rows (not task failures), and the
+    * parsed aggregate equals the parquet-derived oracle. Integer cents
+    * only across the text boundary (the q160 float rule). */
+  val q256XmlRejects: Q = Q(
+    "q256_xml_rejects",
+    """SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(2 AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val work = stage("graft-xml-")
+    Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .coalesce(1).write.format("xml").option("rowTag", "row")
+      .mode("overwrite").save(work.resolve("xml").toString)
+    // Two planted rejects: a type-invalid cents value and an unclosed
+    // element (XML adds a structural failure mode CSV doesn't have).
+    java.nio.file.Files.writeString(work.resolve("xml").resolve("bad.xml"),
+      "<row><k>1</k><c>2</c><cents>notanumber</cents></row>\n" +
+        "<row><k>3</k><c>4</c><cents>99\n")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("c", LongType),
+      StructField("cents", LongType), StructField("_corrupt", StringType)))
+    s.read.schema(schema)
+      .option("rowTag", "row")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .format("xml").load(work.resolve("xml").toString)
+      .agg(count(when(col("_corrupt").isNull, 1)).as("n_good"),
+        count(col("_corrupt")).as("n_corrupt"),
+        sum(col("cents")).as("sum_cents"))
+  }
+
   val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource,
-    q173DigestSink, q174GenStream, q246OrcRoundtrip)
+    q173DigestSink, q174GenStream, q246OrcRoundtrip, q256XmlRejects)
 }

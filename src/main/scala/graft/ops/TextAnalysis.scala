@@ -730,8 +730,55 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** q255: count-min sketch CONTRACT audit — the third frequency-sketch
+    * guarantee in the suite, complementing q235's Misra–Gries (≤k
+    * counters, guaranteed heavy-hitter SUPERSET, undercounting lower
+    * bounds) with the opposite trade: count-min never undercounts, and
+    * overcounts by at most ε·N with probability 1−δ per query. The gate
+    * checks BOTH sides of that contract on the 20 most frequent tokens:
+    * `est ≥ exact` (deterministic — a violation means the sketch
+    * plumbing is broken) and `est ≤ exact + ε·N` (the probabilistic
+    * envelope; seed fixed, so the outcome at a given SF is
+    * reproducible). Exact counts hash-gate; booleans carry the contract.
+    *
+    * Scale shape: the sketch is ONE pass with a mergeable fixed-size
+    * aggregate (d=⌈ln 1/δ⌉ rows × 2/ε counters); the exact top-20 is a
+    * vocabulary-grain count + TakeOrderedAndProject. The sketch binary
+    * and the 20 candidates are the only driver-side data — both bounded
+    * by construction (the q173 scalar-read discipline), never row-scale. */
+  val q255CountMinAudit: Q = Q(
+    "q255_countmin_audit",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |c AS (SELECT w, count(*) AS n FROM t GROUP BY 1
+      |      ORDER BY n DESC, w LIMIT 20)
+      |SELECT w, CAST(n AS BIGINT) AS n, true AS never_under, true AS within_eps
+      |FROM c ORDER BY n DESC, w""".stripMargin) { (s, dir) =>
+    val toks = Tables(s, dir, "documents")
+      .select(explode_outer(split(col("text"), " ")).as("w"))
+    val counts = toks.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = counts.agg(sum(col("n")).as("t")).first().getLong(0)
+    // eps=0.001, confidence=0.999, fixed seed: width 2000, depth 7 —
+    // a ~112 KB mergeable state whatever the corpus size.
+    val skBytes = toks
+      .agg(expr("count_min_sketch(w, 0.001d, 0.999d, 42)").as("sk"))
+      .first().getAs[Array[Byte]]("sk")
+    val cm = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val top = counts.orderBy(col("n").desc, col("w")).limit(20).collect()
+      .map(r => (r.getString(0), r.getLong(1), cm.estimateCount(r.getString(0))))
+    counts.unpersist()
+    val slack = (0.001 * total).toLong
+    import s.implicits._
+    top.toSeq.toDF("w", "n", "est")
+      .select(col("w"), col("n"),
+        (col("est") >= col("n")).as("never_under"),
+        (col("est") <= col("n") + slack).as("within_eps"))
+      .orderBy(col("n").desc, col("w"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
-    q249GopherRepetition, q253VocabNovelty)
+    q249GopherRepetition, q253VocabNovelty, q255CountMinAudit)
 }

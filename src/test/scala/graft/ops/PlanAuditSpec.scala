@@ -27,7 +27,7 @@ class PlanAuditSpec extends SparkSpec {
       Set("q100_ann_incremental", "q232_ann_retrain",
         "q233_dedup_incremental_cluster", "q160_csv_rejects",
         "q161_jsonl_rejects", "q173_digest_sink", "q174_gen_stream",
-        "q246_orc_roundtrip")
+        "q246_orc_roundtrip", "q255_countmin_audit", "q256_xml_rejects")
 
   /** One sweep shared by every test (several fns run real fixpoint jobs
     * at construction — pay that once). AQE off so EnsureRequirements'

@@ -25,7 +25,7 @@ class SideEffectPlanAuditSpec extends SparkSpec {
       Set("q100_ann_incremental", "q232_ann_retrain",
         "q233_dedup_incremental_cluster", "q160_csv_rejects",
         "q161_jsonl_rejects", "q173_digest_sink", "q174_gen_stream",
-        "q246_orc_roundtrip")
+        "q246_orc_roundtrip", "q255_countmin_audit", "q256_xml_rejects")
     SparkEntry.registry.filter(q => names(q.name))
   }
 
