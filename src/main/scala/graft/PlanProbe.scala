@@ -44,6 +44,12 @@ object PlanProbe {
     })
   }
 
+  /** Capture a finished streaming query's last micro-batch plan under the
+    * standard `stream/<name-or-id>` label — the one-argument form every
+    * gate's await site calls. */
+  def recordStreaming(q: StreamingQuery): Unit =
+    recordStreaming("stream/" + Option(q.name).getOrElse(q.id.toString), q)
+
   /** Capture the last micro-batch executed plan of a (finished) streaming
     * query: unwrap StreamingQueryWrapper → StreamExecution.lastExecution
     * reflectively (both are `private[sql]`). */

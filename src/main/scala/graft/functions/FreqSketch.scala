@@ -25,14 +25,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * even though the intermediate sketch contents are partition-dependent.
   */
 final class MGBuffer(val k: Int) {
-  val counts = new java.util.HashMap[String, Long](k * 2)
+  // Boxed values so absence is a null — ONE hash probe on the hottest
+  // path (add runs once per token occurrence), and presence is decided
+  // by the probe itself, never by the counters-are-positive invariant.
+  val counts = new java.util.HashMap[String, java.lang.Long](k * 2)
 
   def add(item: String, w: Long): Unit = {
-    // getOrDefault: absence is decided by presence, not by the
-    // counters-are-positive invariant (a stored 0 would otherwise be
-    // conflated with absence via null-unboxing).
-    val cur = counts.getOrDefault(item, 0L)
-    if (counts.containsKey(item)) counts.put(item, cur + w)
+    val cur = counts.get(item)
+    if (cur != null) counts.put(item, cur + w)
     else if (counts.size < k) counts.put(item, w)
     else {
       // Decrement-all by the incoming weight (capped at the smallest
@@ -59,8 +59,8 @@ final class MGBuffer(val k: Int) {
     val it = other.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      val cur = counts.getOrDefault(e.getKey, 0L)
-      counts.put(e.getKey, cur + e.getValue)
+      val cur = counts.get(e.getKey)
+      counts.put(e.getKey, (if (cur == null) 0L else cur.longValue) + e.getValue)
     }
     if (counts.size > k) {
       val vals = new Array[Long](counts.size)

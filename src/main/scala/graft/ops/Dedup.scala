@@ -223,12 +223,20 @@ object Dedup {
     * 16 min-aggregates, the expensive step) runs once per batch, not
     * twice. */
   def incrementalPairsFromBands(archiveBands: DataFrame,
-      newBands: DataFrame): DataFrame = {
+      newBands: DataFrame): DataFrame =
+    pairsWithCache(archiveBands, newBands)._1
+
+  /** The pair plan plus the persisted band-union handle, so the day-run
+    * path can release the cache once its eager checkpoint has consumed
+    * it — without this, a long-running stream leaks one dead cache entry
+    * per trigger. */
+  private def pairsWithCache(archiveBands: DataFrame,
+      newBands: DataFrame): (DataFrame, DataFrame) = {
     val all = dropHotBuckets(
       archiveBands.withColumn("is_new", lit(false))
         .unionByName(newBands.withColumn("is_new", lit(true)))
         .persist(MEMORY_AND_DISK))
-    all.filter(col("is_new")).as("n")
+    val pairs = all.filter(col("is_new")).as("n")
       .join(all.as("c"),
         col("n.bh") === col("c.bh") && col("n.doc_id") =!= col("c.doc_id"))
       .select(
@@ -236,6 +244,7 @@ object Dedup {
         greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"),
         (col("n.is_new") && col("c.is_new")).as("both_new"))
       .distinct()
+    (pairs, all)
   }
 
   /** One DAY of the production incremental pipeline against a PERSISTED
@@ -273,7 +282,11 @@ object Dedup {
     // ONE signature pass per batch: the band table feeds both the pair
     // join and the index append (persisted — two consumers).
     val newBands = bandsOf(newDocs).persist(MEMORY_AND_DISK)
-    val pairs = incrementalPairsFromBands(archive, newBands).localCheckpoint()
+    val (pairsLazy, cachedUnion) = pairsWithCache(archive, newBands)
+    val pairs = pairsLazy.localCheckpoint()
+    // The eager checkpoint is the cache's last consumer — release both
+    // handles so a per-trigger loop doesn't accumulate dead entries.
+    cachedUnion.unpersist()
     newBands.write.mode("overwrite")
       .parquet(s"$root/batch=$batchId")
     newBands.unpersist()
@@ -305,7 +318,13 @@ object Dedup {
     * count sat in [2, cap] at some batch boundary while its final count
     * exceeds the cap. Generalizes q233's two-batch aggregate to any
     * number of micro-batches; a violating data drop fails loudly here
-    * instead of hash-mismatching at the gate. */
+    * instead of hash-mismatching at the gate.
+    *
+    * CALLER CONTRACT under compaction: folding batches into `batch=-1`
+    * coarsens the boundaries this check can see (a crossing BETWEEN two
+    * folded batches becomes invisible), so a loop that compacts must run
+    * the check each trigger BEFORE its compaction call — every boundary
+    * is at batch granularity the first time it exists (q247 does this). */
   private[graft] def assertNoMidStreamCapCross(s: SparkSession,
       indexDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window

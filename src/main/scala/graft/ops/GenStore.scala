@@ -57,7 +57,8 @@ private[graft] object GenStore {
     val tmpPrefix = "." + prefix.stripPrefix("_").stripSuffix("-") + "-tmp-"
     fs.listStatus(base).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(tmpPrefix)) fs.delete(p, false)
+      if (n.startsWith(tmpPrefix) || n.startsWith(".lease-takeover-"))
+        fs.delete(p, false)
       else if (n.startsWith("gen=") &&
         n.stripPrefix("gen=").toLongOption.exists(_ != curSeq))
         fs.delete(p, true)
@@ -118,19 +119,41 @@ private[graft] object GenStore {
         s"maintenance lease at $lease is held by '$heldBy' — a concurrent " +
           "maintenance run is active; this run refuses to start (single-" +
           "writer contract). Stale leases are taken over after the TTL.")
-    fs.delete(lease, false)
+    // Takeover must be single-winner even when two runs observe the SAME
+    // stale lease: claim it by RENAME (atomic on HDFS) to a unique name —
+    // the loser's rename fails because the source is gone. A plain
+    // delete-then-create would let the second runner delete the first
+    // runner's FRESH lease and both would proceed.
+    val claimed = new Path(base,
+      s".lease-takeover-${java.util.UUID.randomUUID()}")
+    val won =
+      try fs.rename(lease, claimed)
+      catch { case _: java.io.IOException => false }
+    if (!won)
+      throw new IllegalStateException(
+        s"maintenance lease at $lease: lost the stale-takeover race to " +
+          "another writer; this run refuses to start.")
+    fs.delete(claimed, false)
     if (!tryCreate())
       throw new IllegalStateException(
         s"maintenance lease at $lease: lost the stale-takeover race to " +
           "another writer; this run refuses to start.")
   }
 
-  /** Release the lease; requires this owner still holds it (an owner
-    * mismatch means the lease was taken over mid-run — surfaced, because
-    * this run's promote may then have raced the takeover's preClean). */
+  /** Release the lease; requires this owner still holds it. An owner
+    * mismatch OR a vanished lease both mean the run was taken over
+    * mid-run (it exceeded the TTL and another writer claimed — and in
+    * the vanished case also finished and released) — surfaced loudly,
+    * because this run's promote may then have raced the takeover's
+    * preClean and the operator must reconcile, not trust both runs'
+    * "success". */
   def releaseLease(fs: FileSystem, base: Path, owner: String): Unit = {
     val lease = new Path(base, LeaseName)
-    if (!fs.exists(lease)) return
+    if (!fs.exists(lease))
+      throw new IllegalStateException(
+        s"maintenance lease at $lease vanished — this run exceeded the " +
+          "TTL and was taken over (the takeover already completed); its " +
+          "own writes may have interleaved with the takeover's")
     val (heldBy, _) = readLease(fs, lease)
     require(heldBy == owner,
       s"maintenance lease at $lease now held by '$heldBy', not '$owner' — " +
@@ -140,12 +163,24 @@ private[graft] object GenStore {
 
   /** Run `body` under the writer lease (acquire → body → release in
     * finally — a thrown body still frees the lease; only a killed JVM
-    * leaves it for TTL takeover). */
+    * leaves it for TTL takeover). A release failure (lease taken over
+    * mid-run) propagates when the body succeeded, but must not MASK the
+    * body's own exception when it didn't. */
   def withLease[T](fs: FileSystem, base: Path, ttlMs: Long = 30L * 60 * 1000)(
       body: => T): T = {
     val owner = java.util.UUID.randomUUID().toString
     acquireLease(fs, base, owner, ttlMs)
-    try body finally releaseLease(fs, base, owner)
+    var failed: Throwable = null
+    try body
+    catch { case t: Throwable => failed = t; throw t }
+    finally {
+      try releaseLease(fs, base, owner)
+      catch {
+        case t: Throwable =>
+          if (failed == null) throw t
+          else failed.addSuppressed(t)
+      }
+    }
   }
 
   /** Commit `gen=<genSeq>` as the live generation: stage the pointer

@@ -168,7 +168,7 @@ object Sources {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     s.read.parquet(work.resolve("out").toString)
       .groupBy((col("id") % 8).as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col("val")).cast("long").as("sum_val"),

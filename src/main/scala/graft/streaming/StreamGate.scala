@@ -129,7 +129,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     out
@@ -347,7 +347,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     s.read.parquet(outPairs)
@@ -388,7 +388,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
@@ -444,7 +444,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     graft.ops.Similarity.ivfQuery(s, idx, e, e.filter(col("vec_id") < 10))
@@ -491,6 +491,13 @@ object StreamGate {
           val pairs = graft.ops.Dedup.incrementalDayRun(sb, idx, batch.toDF(), id)
           pairs.write.mode("overwrite").parquet(s"$outPairs/batch=$id")
           pairs.unpersist()
+          // The cap-cross precondition must be checked BEFORE compaction
+          // folds batch boundaries into `batch=-1` (a crossing between
+          // two folded batches is invisible afterwards): per-trigger, the
+          // running count through THIS batch is the prefix the check
+          // needs, and every boundary is still at batch granularity the
+          // first time it exists.
+          graft.ops.Dedup.assertNoMidStreamCapCross(sb, idx)
           // Maintenance in the loop: no-op while the store fits the
           // replay window, one generation fold once it doesn't.
           graft.ops.Dedup.compactBandIndex(sb, idx, keepRecent = 2)
@@ -500,10 +507,11 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
-    graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
+    // (The cap-cross precondition was checked per-trigger inside the
+    // loop, where batch boundaries were still unfolded.)
     // The maintenance must actually have fired: a promoted generation
     // pointer is the proof (batches 2 and 3 each pushed the store past
     // keepRecent=2).
@@ -570,7 +578,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     s.read.parquet(outDir)
@@ -610,7 +618,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val last = latestGenBefore(s, store, Long.MaxValue)
@@ -794,7 +802,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     latestGenBefore(s, store, Long.MaxValue)
@@ -992,7 +1000,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val cands = latestGenBefore(s, store, Long.MaxValue)
@@ -1070,7 +1078,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
@@ -1143,7 +1151,7 @@ object StreamGate {
       .trigger(Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    graft.PlanProbe.recordStreaming("stream/" + Option(query.name).getOrElse(query.id.toString), query)
+    graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val folded = latestGenBefore(s, store, Long.MaxValue)
