@@ -200,6 +200,46 @@ object StreamGate {
       .orderBy(col("win_start"), col("event_type"))
   }
 
+  /** q257: SLIDING event windows gated end-to-end — the overlapping-
+    * window counterpart of q92's tumbling gate (20-minute windows every
+    * 10 minutes, so each event contributes to exactly TWO windows).
+    * Spark aligns sliding windows to the epoch, so the batch oracle is
+    * closed-form: the two starts are ⌊e/600⌋·600 and that minus 600 —
+    * one unnest, no window join. The sentinel sits 100 minutes past the
+    * real maximum: the final watermark (max+40 min) clears every real
+    * window end (≤ max+20 min) with a 20-minute margin — q92's margin
+    * discipline re-derived for the longer window. State is bounded by
+    * size/slide × the watermark horizon per key; at 100 TB the overlap
+    * factor (2×) is the knob traded against trend smoothness. */
+  val q257StreamSliding: Q = Q(
+    "q257_stream_sliding",
+    s"""WITH t AS (SELECT event_type, value,
+       |                  CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS w0
+       |           FROM events),
+       |x AS (SELECT event_type, value, unnest([w0, w0 - 600]) AS win_start
+       |      FROM t)
+       |SELECT win_start, event_type, count(*) AS n,
+       |       ${Q.oSum6("value")} AS sum_value
+       |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q257-")
+    val srcRoot = stageEvents(dir, work)
+    val in = Paths.get(srcRoot, "events.parquet")
+    val maxTsMicros = Tables(s, dir, "events")
+      .agg(max(unix_micros(col("ts")))).collect()(0).getLong(0)
+    appendSentinels(s, in,
+      Seq((-1L, maxTsMicros + 100L * 60 * 1000000, -1L, Sentinel, 0.0, "")))
+    val agg = EventStream.events(streamSession(s), srcRoot)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "20 minutes", "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Q.dsum6(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    s.read.parquet(runToParquet(agg, work))
+      .filter(col("event_type") =!= Sentinel)
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
   /** q94: the watermarked STREAM-STREAM join run end-to-end against the
     * driver oracle — purchase-to-click attribution (each purchase matches
     * the same user's clicks from the preceding 30 minutes), executed as an
@@ -1174,5 +1214,6 @@ object StreamGate {
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
-    q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab)
+    q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
+    q257StreamSliding)
 }
