@@ -649,54 +649,58 @@ object Curation {
             * col("n1").cast(dec) * col("n2").cast(dec)).as("drifted"))
   }
 
-  /** q250: k-ANONYMITY audit — the privacy gate q69's direct-identifier
-    * redaction does NOT cover: quasi-identifier COMBINATIONS re-identify
-    * even with every name and email stripped (the Sweeney result —
-    * zip+birthdate+sex identifies most of a population). Quasi-identifier
-    * here = (event_type, user cohort, value decile); any combination
-    * observed on fewer than k = 5 rows is a re-identification risk and
-    * its rows are the suppression set. Reported per event_type: group
-    * and row counts, risky share — the table that decides whether a
-    * dataset release needs another generalization pass.
+  /** q250: l-DIVERSITY audit — the attribute-disclosure gate k-anonymity
+    * (q190) does NOT cover: a quasi-identifier group can satisfy k ≥ 5
+    * and still leak, because if every row in the group shares the SAME
+    * sensitive value, re-identifying "which row is you" is unnecessary —
+    * membership alone discloses the attribute (Machanavajjhala et al.'s
+    * homogeneity attack). Quasi-identifier here = (user cohort, value
+    * decile); sensitive attribute = event_type. Per value-decile stratum:
+    * the k-anonymity suppression set (groups under k) AND the
+    * l-diversity failure set (groups AT-or-over k whose distinct
+    * sensitive count < l = 2 — the groups k-anonymity certifies and
+    * still leak). The two risk classes are disjoint by construction; a
+    * release gate needs both counts.
     *
-    * Scale shape: ONE map-side-combining aggregate to the
-    * quasi-identifier grain (the only data-sized exchange — bounded by
-    * the QI cardinality, which generalization keeps small by design),
-    * then a QI-cardinality rollup; the raw events never shuffle twice.
-    * Integer thresholds decide the flag. */
-  val q250KAnonymity: Q = Q(
-    "q250_k_anonymity",
-    """WITH q AS (SELECT event_type,
-      |                  user_id % 100 AS cohort,
-      |                  CAST(floor(value) AS BIGINT) % 10 AS vdec,
-      |                  count(*) AS n
-      |           FROM events GROUP BY 1, 2, 3)
-      |SELECT event_type,
-      |       CAST(sum(n) AS BIGINT) AS n_rows,
-      |       count(*) AS n_groups,
-      |       CAST(count(*) FILTER (WHERE n < 5) AS BIGINT) AS n_risky_groups,
-      |       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
-      |         AS n_risky_rows,
-      |       round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS DOUBLE)
-      |             / sum(n), 4) AS suppression_rate
-      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val q = Tables(s, dir, "events")
-      .groupBy(col("event_type"),
-        (col("user_id") % 100).as("cohort"),
-        (floor(col("value")).cast("long") % 10).as("vdec"))
+    * Scale shape: ONE map-side-combining aggregate to (QI, sensitive)
+    * grain, folded to QI grain in the same shuffle's second aggregate
+    * (count + distinct-sensitive together), then a decile-cardinality
+    * rollup. Integer thresholds decide every flag. */
+  val q250LDiversity: Q = Q(
+    "q250_l_diversity",
+    """WITH qs AS (SELECT user_id % 100 AS cohort,
+      |                   CAST(floor(value) AS BIGINT) % 10 AS vdec,
+      |                   event_type, count(*) AS n
+      |            FROM events GROUP BY 1, 2, 3),
+      |g AS (SELECT cohort, vdec, CAST(sum(n) AS BIGINT) AS sz,
+      |             count(*) AS ndv
+      |      FROM qs GROUP BY 1, 2)
+      |SELECT vdec, count(*) AS n_groups,
+      |       CAST(count(*) FILTER (WHERE sz < 5) AS BIGINT)
+      |         AS n_below_k,
+      |       CAST(count(*) FILTER (WHERE sz >= 5 AND ndv < 2) AS BIGINT)
+      |         AS n_homogeneous,
+      |       CAST(coalesce(sum(sz) FILTER (WHERE sz >= 5 AND ndv < 2), 0)
+      |            AS BIGINT) AS n_rows_disclosed
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val qs = Tables(s, dir, "events")
+      .groupBy((col("user_id") % 100).as("cohort"),
+        (floor(col("value")).cast("long") % 10).as("vdec"),
+        col("event_type"))
       .agg(count(lit(1)).as("n"))
-    q.groupBy(col("event_type"))
-      .agg(sum(col("n")).as("n_rows"),
-        count(lit(1)).as("n_groups"),
-        count_if(col("n") < 5).as("n_risky_groups"),
-        sum(when(col("n") < 5, col("n")).otherwise(0L)).as("n_risky_rows"),
-        round(sum(when(col("n") < 5, col("n")).otherwise(0L)).cast("double")
-          / sum(col("n")), 4).as("suppression_rate"))
-      .orderBy(col("event_type"))
+    val g = qs.groupBy(col("cohort"), col("vdec"))
+      .agg(sum(col("n")).as("sz"), count(lit(1)).as("ndv"))
+    g.groupBy(col("vdec"))
+      .agg(count(lit(1)).as("n_groups"),
+        count_if(col("sz") < 5).as("n_below_k"),
+        count_if(col("sz") >= 5 && col("ndv") < 2).as("n_homogeneous"),
+        coalesce(sum(when(col("sz") >= 5 && col("ndv") < 2, col("sz"))),
+          lit(0L)).cast("long").as("n_rows_disclosed"))
+      .orderBy(col("vdec"))
   }
 
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
-    q98QualityDrift, q135KsDrift, q250KAnonymity)
+    q98QualityDrift, q135KsDrift, q250LDiversity)
 }
