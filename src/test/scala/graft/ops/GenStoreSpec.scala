@@ -112,6 +112,28 @@ class GenStoreSpec extends SparkSpec {
       "a stale (crashed-holder) lease must not block maintenance forever")
     assert(!Files.exists(idx.resolve(GenStore.LeaseName)))
 
+    // Stale-takeover interleave, step-serialized. Protocol: claim the
+    // stale lease by atomic RENAME, then CREATE the fresh lease —
+    // whoever CREATES wins; the rename only serializes stale deletion.
+    // Simulated: run A claims the stale lease (rename) but run B slips
+    // into A's claim→create window and creates the fresh lease first.
+    // Exactly one winner (B); A's completion must LOSE loudly, not
+    // delete B's fresh lease (the delete-then-create bug this replaced).
+    Files.writeString(idx.resolve(GenStore.LeaseName), "deadrun\n12345")
+    val lease = new org.apache.hadoop.fs.Path(idx.toString, GenStore.LeaseName)
+    val claimedA = new org.apache.hadoop.fs.Path(
+      idx.toString, ".lease-takeover-simulated-A")
+    assert(fs.rename(lease, claimedA), "A's claim rename must succeed")
+    GenStore.acquireLease(fs, base, "runB") // B creates in A's window — wins
+    fs.delete(claimedA, false) // A resumes: drops its claim artifact...
+    val lost = intercept[IllegalStateException] {
+      GenStore.acquireLease(fs, base, "runA") // ...and must lose at create
+    }
+    assert(lost.getMessage.contains("held by 'runB'"))
+    assert(Files.readString(idx.resolve(GenStore.LeaseName))
+      .startsWith("runB"), "exactly one recorded holder")
+    GenStore.releaseLease(fs, base, "runB")
+
     // compactBandIndex honors the same lease (shared protocol).
     val bidx = work.resolve("bandidx")
     (0L to 9L).map(i => (i, i % 3)).toDF("doc_id", "bh")
