@@ -232,10 +232,15 @@ object Dedup {
     * per trigger. */
   private def pairsWithCache(archiveBands: DataFrame,
       newBands: DataFrame): (DataFrame, DataFrame) = {
-    val all = dropHotBuckets(
-      archiveBands.withColumn("is_new", lit(false))
-        .unionByName(newBands.withColumn("is_new", lit(true)))
-        .persist(MEMORY_AND_DISK))
+    // Persist into ITS OWN val: Dataset.unpersist(cascade=false) only
+    // drops the cache entry whose plan sameResults the dataset it is
+    // called on — returning the anti-join built ON TOP of the persisted
+    // union (as a first draft did) makes the later unpersist a no-op
+    // and the per-trigger leak silently survives.
+    val union = archiveBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+      .persist(MEMORY_AND_DISK)
+    val all = dropHotBuckets(union)
     val pairs = all.filter(col("is_new")).as("n")
       .join(all.as("c"),
         col("n.bh") === col("c.bh") && col("n.doc_id") =!= col("c.doc_id"))
@@ -244,7 +249,7 @@ object Dedup {
         greatest(col("n.doc_id"), col("c.doc_id")).as("doc_b"),
         (col("n.is_new") && col("c.is_new")).as("both_new"))
       .distinct()
-    (pairs, all)
+    (pairs, union)
   }
 
   /** One DAY of the production incremental pipeline against a PERSISTED
@@ -323,8 +328,29 @@ object Dedup {
     * CALLER CONTRACT under compaction: folding batches into `batch=-1`
     * coarsens the boundaries this check can see (a crossing BETWEEN two
     * folded batches becomes invisible), so a loop that compacts must run
-    * the check each trigger BEFORE its compaction call — every boundary
-    * is at batch granularity the first time it exists (q247 does this). */
+    * the check BEFORE any trigger's fold plus once at stream end. Only
+    * fold triggers need it — between folds the boundaries are intact, so
+    * the next pre-fold (or final) check still sees every boundary since
+    * the last fold at batch granularity; gating on [[pendingFold]] keeps
+    * the cost O(folds × index), not O(triggers × index) (q247 does
+    * exactly this). */
+  /** Would [[compactBandIndex]] fold anything right now? — the gate a
+    * compacting loop uses to run [[assertNoMidStreamCapCross]] only on
+    * triggers where boundaries are about to coarsen (one cheap listing,
+    * no Spark job). */
+  private[graft] def pendingFold(s: SparkSession, indexDir: String,
+      keepRecent: Int): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(bandIndexRoot(s, indexDir))
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return false
+    val batches = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
+    val old = batches.filterNot(batches.takeRight(keepRecent).filter(_ >= 0).contains)
+    old.nonEmpty && old != Seq(-1L)
+  }
+
   private[graft] def assertNoMidStreamCapCross(s: SparkSession,
       indexDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window

@@ -129,10 +129,18 @@ private[graft] object GenStore {
     val won =
       try fs.rename(lease, claimed)
       catch { case _: java.io.IOException => false }
-    if (!won)
+    if (!won) {
+      // Not necessarily a lost takeover: the holder may have simply
+      // RELEASED between our failed create and the read (readLease maps
+      // absence to epoch 0, which reads as "stale"). One clean create
+      // retry settles it — a free lease is acquired, a recreated one
+      // reports its live holder.
+      if (tryCreate()) return
+      val (h2, _) = readLease(fs, lease)
       throw new IllegalStateException(
         s"maintenance lease at $lease: lost the stale-takeover race to " +
-          "another writer; this run refuses to start.")
+          s"'$h2'; this run refuses to start.")
+    }
     fs.delete(claimed, false)
     if (!tryCreate())
       throw new IllegalStateException(

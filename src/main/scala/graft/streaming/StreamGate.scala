@@ -531,13 +531,15 @@ object StreamGate {
           val pairs = graft.ops.Dedup.incrementalDayRun(sb, idx, batch.toDF(), id)
           pairs.write.mode("overwrite").parquet(s"$outPairs/batch=$id")
           pairs.unpersist()
-          // The cap-cross precondition must be checked BEFORE compaction
-          // folds batch boundaries into `batch=-1` (a crossing between
-          // two folded batches is invisible afterwards): per-trigger, the
-          // running count through THIS batch is the prefix the check
-          // needs, and every boundary is still at batch granularity the
-          // first time it exists.
-          graft.ops.Dedup.assertNoMidStreamCapCross(sb, idx)
+          // The cap-cross precondition must be checked BEFORE a fold
+          // coarsens batch boundaries into `batch=-1` (a crossing
+          // between two folded batches is invisible afterwards) — and
+          // ONLY then: between folds the boundaries are intact, so the
+          // next pre-fold check (or the final one) still sees every
+          // boundary since the last fold. Gating on pendingFold keeps
+          // the check O(folds × index), not O(triggers × index).
+          if (graft.ops.Dedup.pendingFold(sb, idx, keepRecent = 2))
+            graft.ops.Dedup.assertNoMidStreamCapCross(sb, idx)
           // Maintenance in the loop: no-op while the store fits the
           // replay window, one generation fold once it doesn't.
           graft.ops.Dedup.compactBandIndex(sb, idx, keepRecent = 2)
@@ -550,8 +552,9 @@ object StreamGate {
     graft.PlanProbe.recordStreaming(query)
     dropStagedInput(work)
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
-    // (The cap-cross precondition was checked per-trigger inside the
-    // loop, where batch boundaries were still unfolded.)
+    // Final cap-cross check: covers the boundaries created since the
+    // last in-loop fold (which checked everything before it).
+    graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
     // The maintenance must actually have fired: a promoted generation
     // pointer is the proof (batches 2 and 3 each pushed the store past
     // keepRecent=2).
