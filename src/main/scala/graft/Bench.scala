@@ -64,6 +64,22 @@ object Bench {
       Some((sf, m.toMap))
     } catch { case _: Throwable => None }
 
+  /** Locale-pinned 3-decimal format: the artifact is load-bearing INPUT
+    * for the next run's regression gate, and default-locale `f"%.3f"`
+    * emits a comma decimal separator on e.g. a de_DE JVM — invalid JSON
+    * that silently disables the gate forever (readPrior → None). */
+  private def f3(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+
+  /** Machine load at a pass boundary (`/proc/loadavg` 1/5/15-min fields)
+    * — recorded per pass so every future cross-round comparison is
+    * self-describing about multi-tenant noise. "null" where unreadable. */
+  private def loadAvgJson(): String =
+    try {
+      java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .trim.split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "null" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -90,8 +106,10 @@ object Bench {
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errored = scala.collection.mutable.LinkedHashSet.empty[String]
     val rerunCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val passLoads = scala.collection.mutable.ArrayBuffer.empty[String]
     val passTotals = (1 to reps).map { pass =>
       var reruns = 0
+      passLoads += loadAvgJson()
       val passTimes = names.map { case (name, fn) =>
         // A fast FAILURE must not exempt a query from retry (its
         // time-to-throw is not a valid timing), so errored queries always
@@ -143,19 +161,20 @@ object Bench {
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
-    val passes = passTotals.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val passes = passTotals.map(f3).mkString("[", ",", "]")
+    val loads = passLoads.mkString("[", ",", "]")
     val reruns = rerunCounts.mkString("[", ",", "]")
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val priorTotal = prior.map(_._2.values.sum)
     val regrJson = regr.toSeq.sortBy(-_._2._2).map { case (n, (p, t)) =>
       s"""\"$n\":{\"prev\":$p,\"now\":$t,\"ratio\":${t / p}}"""
     }.mkString("{", ",", "}")
-    val prevTotalJson = priorTotal.map(t => f"$t%.3f").getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson}""")
+    val prevTotalJson = priorTotal.map(f3).getOrElse("null")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson}""")
     // The driver's one-line record truncates past ~100 queries, losing the
     // per-query tail; persist the full distribution as a repo artifact so
     // the whole record stays auditable after every bench run.
-    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"queries":$qs}"""
+    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // an unwritable CWD must not fail the bench

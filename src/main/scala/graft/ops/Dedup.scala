@@ -334,6 +334,28 @@ object Dedup {
     * the last fold at batch granularity; gating on [[pendingFold]] keeps
     * the cost O(folds × index), not O(triggers × index) (q247 does
     * exactly this). */
+  /** One batch listing → the fold decision [[compactBandIndex]] will
+    * make over it. [[pendingFold]] and the compaction itself both go
+    * through THIS, so the q247 pre-fold cap-cross precondition check can
+    * never disagree with the compaction on when a fold happens (the
+    * predicate used to live as two copies — a drift hazard). `recent` =
+    * the replay-window tail (the consolidated `batch=-1` partition never
+    * counts as recent); `old` = everything that would fold; a fold is
+    * pending unless `old` is empty or already just the consolidated
+    * partition (idempotence). */
+  private[graft] final case class FoldPlan(recent: Seq[Long], old: Seq[Long]) {
+    def shouldFold: Boolean = old.nonEmpty && old != Seq(-1L)
+  }
+
+  private[graft] def foldPlanOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keepRecent: Int): FoldPlan = {
+    val batches = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
+    val recent = batches.takeRight(keepRecent).filter(_ >= 0)
+    FoldPlan(recent, batches.filterNot(recent.contains))
+  }
+
   /** Would [[compactBandIndex]] fold anything right now? — the gate a
     * compacting loop uses to run [[assertNoMidStreamCapCross]] only on
     * triggers where boundaries are about to coarsen (one cheap listing,
@@ -343,12 +365,7 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val root = new Path(bandIndexRoot(s, indexDir))
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) return false
-    val batches = fs.listStatus(root).filter(_.isDirectory)
-      .map(_.getPath.getName).filter(_.startsWith("batch="))
-      .map(_.stripPrefix("batch=").toLong).sorted.toSeq
-    val old = batches.filterNot(batches.takeRight(keepRecent).filter(_ >= 0).contains)
-    old.nonEmpty && old != Seq(-1L)
+    fs.exists(root) && foldPlanOf(fs, root, keepRecent).shouldFold
   }
 
   private[graft] def assertNoMidStreamCapCross(s: SparkSession,
@@ -403,20 +420,17 @@ object Dedup {
     // The whole maintenance pass — preClean through promote — runs under
     // the writer lease: a concurrent compaction fails at acquire instead
     // of deleting this run's staged generation mid-interleave.
-    GenStore.withLease(fs, base) {
+    GenStore.withLease(fs, base) { lease =>
       val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
       // Reclaim crashed-run leftovers (stale tmp pointers, unreferenced gen
       // dirs, superseded root batch dirs) before listing the live state.
       GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
       val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
-      val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch="))
-        .map(_.stripPrefix("batch=").toLong).sorted.toSeq
-      val recent = batches.takeRight(keepRecent).filter(_ >= 0)
-      val old = batches.filterNot(recent.contains)
+      val plan = foldPlanOf(fs, new Path(root), keepRecent)
+      import plan.{old, recent}
       // Idempotent: nothing older than the replay window but the already-
       // consolidated partition → a second compact run touches nothing.
-      if (old.nonEmpty && old != Seq(-1L)) {
+      if (plan.shouldFold) {
         val genSeq = curSeq + 1
         val genDir = s"$indexDir/gen=$genSeq"
         spark.read.option("basePath", root)
@@ -428,7 +442,8 @@ object Dedup {
           spark.read.parquet(s"$root/batch=$k").select(col("doc_id"), col("bh"))
             .write.mode("overwrite").parquet(s"$genDir/batch=$k")
         }
-        GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq, rootBatchDirs())
+        GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq,
+          rootBatchDirs(), Some(lease))
       }
     }
   }

@@ -57,7 +57,8 @@ private[graft] object GenStore {
     val tmpPrefix = "." + prefix.stripPrefix("_").stripSuffix("-") + "-tmp-"
     fs.listStatus(base).map(_.getPath).foreach { p =>
       val n = p.getName
-      if (n.startsWith(tmpPrefix) || n.startsWith(".lease-takeover-"))
+      if (n.startsWith(tmpPrefix) || n.startsWith(".lease-takeover-") ||
+        n.startsWith(".lease-release-"))
         fs.delete(p, false)
       else if (n.startsWith("gen=") &&
         n.stripPrefix("gen=").toLongOption.exists(_ != curSeq))
@@ -148,40 +149,136 @@ private[graft] object GenStore {
           "another writer; this run refuses to start.")
   }
 
-  /** Release the lease; requires this owner still holds it. An owner
-    * mismatch OR a vanished lease both mean the run was taken over
-    * mid-run (it exceeded the TTL and another writer claimed — and in
-    * the vanished case also finished and released) — surfaced loudly,
-    * because this run's promote may then have raced the takeover's
-    * preClean and the operator must reconcile, not trust both runs'
-    * "success". */
+  /** Release the lease; requires this owner still holds it. The check
+    * and the removal are ONE atomic step — the same rename-claim used in
+    * takeover: rename the lease to a unique name (atomic on HDFS), THEN
+    * inspect what was claimed. If it is this owner's lease, the release
+    * is done (drop the claim file). If a TTL takeover landed first, the
+    * rename yanked the NEW holder's fresh lease — restore it by renaming
+    * back and fail loudly, because this run exceeded the TTL and its
+    * writes may have interleaved with the takeover's; the operator must
+    * reconcile, not trust both runs' "success". (The previous
+    * exists→read→delete shape had a window where exactly that takeover
+    * could land between the owner check and the delete, silently
+    * deleting the new holder's lease — the multi-writer door the lease
+    * exists to close.) */
   def releaseLease(fs: FileSystem, base: Path, owner: String): Unit = {
     val lease = new Path(base, LeaseName)
-    if (!fs.exists(lease))
+    val claim = new Path(base,
+      s".lease-release-${java.util.UUID.randomUUID()}")
+    val renamed =
+      try fs.rename(lease, claim)
+      catch { case _: java.io.IOException => false }
+    if (!renamed)
       throw new IllegalStateException(
         s"maintenance lease at $lease vanished — this run exceeded the " +
           "TTL and was taken over (the takeover already completed); its " +
           "own writes may have interleaved with the takeover's")
-    val (heldBy, _) = readLease(fs, lease)
-    require(heldBy == owner,
+    val (heldBy, _) = readLease(fs, claim)
+    if (heldBy == owner) { fs.delete(claim, false); return }
+    // We just claimed someone ELSE's fresh lease (takeover mid-run):
+    // put it back before failing. If the restore rename loses (a third
+    // writer created yet another lease in the gap), drop the claim —
+    // the yanked holder's own release will then fail loudly too.
+    val restored =
+      try fs.rename(claim, lease)
+      catch { case _: java.io.IOException => false }
+    if (!restored) fs.delete(claim, false)
+    throw new IllegalStateException(
       s"maintenance lease at $lease now held by '$heldBy', not '$owner' — " +
-        "lease was taken over mid-run (run exceeded the TTL?)")
-    fs.delete(lease, false)
+        "lease was taken over mid-run (run exceeded the TTL?); " +
+        (if (restored) "the new holder's lease was restored"
+         else "the new holder's lease could NOT be restored (a third " +
+           "writer raced the restore) — its release will fail loudly"))
   }
+
+  /** Live handle to a held lease: the heartbeat renews through it and
+    * [[promote]] re-checks ownership through it immediately before the
+    * pointer rename. Constructed by [[withLease]] (or directly by tests
+    * that step-serialize the interleave). */
+  final class Lease private[ops] (fs: FileSystem, base: Path,
+      val owner: String) {
+    private val leasePath = new Path(base, LeaseName)
+    /** Set once a renew/check observes another holder: the run was taken
+      * over (it stalled past the TTL); renewal stops so the takeover is
+      * never clobbered, and the eventual release fails loudly. */
+    @volatile private[graft] var lostOwnership: Boolean = false
+
+    /** Re-stamp the lease epoch iff still this owner's — called every
+      * ttl/3 by the heartbeat so a long-running body never LOOKS crashed
+      * to a would-be takeover. The read→overwrite is not atomic, but a
+      * takeover can only land when the epoch is already > TTL stale —
+      * i.e. after the heartbeat itself has been dead for a full TTL
+      * (JVM pause/suspend) — and [[promote]]'s ownership re-check is the
+      * backstop for exactly that residual window. A transient IO failure
+      * skips one beat; the next beat retries (the lease only goes stale
+      * after ~3 consecutive failures × ttl/3). */
+    private[graft] def renew(): Unit = synchronized {
+      if (lostOwnership) return
+      val (heldBy, _) = readLease(fs, leasePath)
+      if (heldBy != owner) { lostOwnership = true; return }
+      try {
+        val out = fs.create(leasePath, true)
+        try out.write(s"$owner\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+        finally out.close()
+      } catch { case _: java.io.IOException => () }
+    }
+
+    /** Assert this owner still holds the lease — [[promote]] calls this
+      * immediately before the pointer rename, so a takeover-then-
+      * interleave is rejected BEFORE the destructive step rather than
+      * detected after at release. */
+    private[graft] def checkOwned(context: String): Unit = synchronized {
+      val (heldBy, _) = readLease(fs, leasePath)
+      if (heldBy != owner) {
+        lostOwnership = true
+        throw new IllegalStateException(
+          s"$context: maintenance lease now held by '$heldBy', not " +
+            s"'$owner' — this run stalled past the TTL and was taken " +
+            "over; refusing to promote over the takeover's state")
+      }
+    }
+  }
+
+  /** Heartbeat period as a fraction of the TTL: renew every ttl/3, so
+    * the lease goes TTL-stale only after ~3 consecutive missed beats. */
+  private def heartbeatIntervalMs(ttlMs: Long): Long = math.max(1L, ttlMs / 3)
 
   /** Run `body` under the writer lease (acquire → body → release in
     * finally — a thrown body still frees the lease; only a killed JVM
-    * leaves it for TTL takeover). A release failure (lease taken over
-    * mid-run) propagates when the body succeeded, but must not MASK the
-    * body's own exception when it didn't. */
+    * leaves it for TTL takeover). While the body runs, a driver-side
+    * daemon thread renews the lease epoch every ttl/3, so a maintenance
+    * run LONGER than the TTL (big compaction, slow retrain) is never
+    * mistaken for a crashed holder — takeover now requires the heartbeat
+    * itself to be dead (killed JVM) for a full TTL, which is exactly the
+    * abandoned-property case it exists for. The body receives the
+    * [[Lease]] handle to thread into [[promote]] for the pre-rename
+    * ownership re-check. A release failure (lease taken over mid-run)
+    * propagates when the body succeeded, but must not MASK the body's
+    * own exception when it didn't. */
   def withLease[T](fs: FileSystem, base: Path, ttlMs: Long = 30L * 60 * 1000)(
-      body: => T): T = {
+      body: Lease => T): T = {
     val owner = java.util.UUID.randomUUID().toString
     acquireLease(fs, base, owner, ttlMs)
+    val lease = new Lease(fs, base, owner)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val hb = new Thread(() => {
+      val interval = heartbeatIntervalMs(ttlMs)
+      while (!stop.get()) {
+        try Thread.sleep(interval)
+        catch { case _: InterruptedException => () }
+        if (!stop.get()) lease.renew()
+      }
+    }, s"graft-lease-heartbeat-$owner")
+    hb.setDaemon(true)
+    hb.start()
     var failed: Throwable = null
-    try body
+    try body(lease)
     catch { case t: Throwable => failed = t; throw t }
     finally {
+      stop.set(true)
+      hb.interrupt()
+      hb.join(5000)
       try releaseLease(fs, base, owner)
       catch {
         case t: Throwable =>
@@ -194,15 +291,22 @@ private[graft] object GenStore {
   /** Commit `gen=<genSeq>` as the live generation: stage the pointer
     * under a dot-tmp name, promote with one atomic rename (single-writer
     * checked), then GC superseded pointers and the replaced generation's
-    * data. The caller has fully written `gen=<genSeq>/` beforehand. */
+    * data. The caller has fully written `gen=<genSeq>/` beforehand.
+    * When a [[Lease]] handle is passed (every maintenance path does),
+    * ownership is re-checked immediately before the pointer rename: a
+    * run that stalled past the TTL and was taken over is rejected HERE,
+    * before the destructive step, making takeover-then-interleave
+    * impossible rather than detected-after at release. */
   def promote(fs: FileSystem, base: Path, prefix: String, genSeq: Long,
-      curSeq: Long, rootArtifacts: Seq[String]): Unit = {
+      curSeq: Long, rootArtifacts: Seq[String],
+      lease: Option[Lease] = None): Unit = {
     val tmpPrefix = "." + prefix.stripPrefix("_").stripSuffix("-") + "-tmp-"
     val tmp = new Path(base, s"$tmpPrefix${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(s"gen=$genSeq".getBytes("UTF-8"))
     finally out.close()
     val dest = new Path(base, s"$prefix$genSeq")
+    lease.foreach(_.checkOwned(s"promote of $prefix$genSeq"))
     require(!fs.exists(dest), s"concurrent generation publish detected: $dest exists")
     require(fs.rename(tmp, dest), s"generation pointer commit failed at $dest")
     fs.listStatus(base).map(_.getPath)

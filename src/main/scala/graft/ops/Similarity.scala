@@ -537,7 +537,7 @@ object Similarity {
     require(fs.exists(base), s"ivfRetrain: no index at $indexDir")
     // preClean through promote under the writer lease: a concurrent
     // retrain fails at acquire instead of interleaving destructively.
-    GenStore.withLease(fs, base) {
+    GenStore.withLease(fs, base) { lease =>
     val curSeq = GenStore.currentSeq(fs, base, IvfGenPrefix)
     // Reclaim whatever a crashed prior maintenance run left behind
     // (stale tmp pointers, unreferenced gen dirs, superseded root data).
@@ -588,7 +588,8 @@ object Similarity {
     spark.range(1).select(lit(n).as("n_at_train"))
       .write.mode("overwrite").parquet(s"$genDir/trainmeta")
     indexed.unpersist()
-    GenStore.promote(fs, base, IvfGenPrefix, genSeq, curSeq, IvfRootArtifacts)
+    GenStore.promote(fs, base, IvfGenPrefix, genSeq, curSeq, IvfRootArtifacts,
+      Some(lease))
     }
   }
 

@@ -29,11 +29,26 @@ object Sources {
     p
   }
 
+  /** Planted malformed records, one list per format: the oracle's
+    * `n_corrupt` literal is DERIVED from each list's size, so adding or
+    * dropping a planted row can never silently diverge the two sides —
+    * the count the gate compares and the rows the query plants share one
+    * definition. Every entry must be TYPE- or STRUCTURE-invalid under
+    * the format's PERMISSIVE parse (a merely short CSV row is NOT
+    * corrupt — missing trailing columns read as nulls). */
+  private val CsvPlanted = Seq("x,y,z", "1,2,notanumber")
+  private val JsonlPlanted = Seq("{\"k\": 1, \"c\": 2, \"cents\":", " not json at all")
+  // A type-invalid cents value and an unclosed element (XML adds a
+  // structural failure mode CSV doesn't have).
+  private val XmlPlanted = Seq(
+    "<row><k>1</k><c>2</c><cents>notanumber</cents></row>",
+    "<row><k>3</k><c>4</c><cents>99")
+
   /** q160: CSV with corrupt-record isolation. */
   val q160CsvRejects: Q = Q(
     "q160_csv_rejects",
-    """SELECT CAST(count(*) AS BIGINT) AS n_good,
-      |       CAST(2 AS BIGINT) AS n_corrupt,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(${CsvPlanted.size} AS BIGINT) AS n_corrupt,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |         AS sum_cents
       |FROM orders""".stripMargin) { (s, dir) =>
@@ -42,11 +57,8 @@ object Sources {
       .select(concat_ws(",", col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long")).as("value"))
       .coalesce(1).write.mode("overwrite").text(work.resolve("csv").toString)
-    // Two planted rejects, both TYPE-invalid. (A short row like "garbage"
-    // is NOT corrupt under PERMISSIVE CSV — missing trailing columns read
-    // as nulls; only failed type casts set the corrupt column.)
     java.nio.file.Files.writeString(work.resolve("csv").resolve("bad.txt"),
-      "x,y,z\n1,2,notanumber\n")
+      CsvPlanted.mkString("", "\n", "\n"))
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("c", LongType),
       StructField("cents", LongType), StructField("_corrupt", StringType)))
@@ -64,8 +76,8 @@ object Sources {
     * order — JSON binds by name). */
   val q161JsonlRejects: Q = Q(
     "q161_jsonl_rejects",
-    """SELECT CAST(count(*) AS BIGINT) AS n_good,
-      |       CAST(2 AS BIGINT) AS n_corrupt,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(${JsonlPlanted.size} AS BIGINT) AS n_corrupt,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |         AS sum_cents
       |FROM orders""".stripMargin) { (s, dir) =>
@@ -76,7 +88,7 @@ object Sources {
         col("o_orderkey").as("k"), col("o_custkey").as("c"))).as("value"))
       .coalesce(1).write.mode("overwrite").text(work.resolve("jl").toString)
     java.nio.file.Files.writeString(work.resolve("jl").resolve("bad.txt"),
-      "{\"k\": 1, \"c\": 2, \"cents\":\n not json at all\n")
+      JsonlPlanted.mkString("", "\n", "\n"))
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("c", LongType),
       StructField("cents", LongType), StructField("_corrupt", StringType)))
@@ -220,8 +232,8 @@ object Sources {
     * only across the text boundary (the q160 float rule). */
   val q256XmlRejects: Q = Q(
     "q256_xml_rejects",
-    """SELECT CAST(count(*) AS BIGINT) AS n_good,
-      |       CAST(2 AS BIGINT) AS n_corrupt,
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(${XmlPlanted.size} AS BIGINT) AS n_corrupt,
       |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
       |         AS sum_cents
       |FROM orders""".stripMargin) { (s, dir) =>
@@ -231,11 +243,8 @@ object Sources {
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .coalesce(1).write.format("xml").option("rowTag", "row")
       .mode("overwrite").save(work.resolve("xml").toString)
-    // Two planted rejects: a type-invalid cents value and an unclosed
-    // element (XML adds a structural failure mode CSV doesn't have).
     java.nio.file.Files.writeString(work.resolve("xml").resolve("bad.xml"),
-      "<row><k>1</k><c>2</c><cents>notanumber</cents></row>\n" +
-        "<row><k>3</k><c>4</c><cents>99\n")
+      XmlPlanted.mkString("", "\n", "\n"))
     val schema = StructType(Seq(
       StructField("k", LongType), StructField("c", LongType),
       StructField("cents", LongType), StructField("_corrupt", StringType)))

@@ -1211,6 +1211,162 @@ object StreamGate {
       .orderBy(col("lang"))
   }
 
+  /** q259: the SINGLE-LOOP day-2 composition gate — every maintenance
+    * discipline the streaming dedup story has, running in ONE
+    * `foreachBatch` over one checkpoint: each of four micro-batches
+    * (doc_id mod 4) (1) pairs against the persisted band index
+    * (q99's `incrementalDayRun`), (2) refreshes the persisted label
+    * table from the prior generation's star forest ∪ the batch's pairs
+    * (q244's re-entry), (3) folds the per-language HLL vocabulary
+    * sketch into its generation store (q252's lossless union), and
+    * (4) compacts the band index when it outgrows the replay window
+    * (q247's fold-under-lease, with the pre-fold cap-cross check).
+    * Three stores, three writer leases — the label and sketch publishes
+    * run under [[graft.ops.GenStore.withLease]] on their own store
+    * roots; compaction takes the band store's lease internally — so the
+    * composed loop exercises the heartbeat-renewed single-writer
+    * contract on every store it maintains, per trigger.
+    *
+    * The oracle is the UNION of the three outputs' existing full-corpus
+    * renderings (q247's pair set, q244's recursive closure, q252's
+    * exact vocabulary + estimate envelope) in one discriminated frame —
+    * proving the disciplines COMPOSE: same pairs, same labels, same
+    * sketch, under replay-idempotent publishes, when they share one
+    * loop instead of owning one each. Per-trigger cost is the sum of
+    * its parts: O(batch) pairing, O(labeled + batch-pairs) label
+    * refresh, O(languages) sketch fold, no-op-until-breach compaction —
+    * nothing scales with the archive. */
+  val q259StreamFullMaintenance: Q = Q(
+    "q259_stream_full_maintenance",
+    s"""WITH RECURSIVE ${graft.ops.Dedup.duckLshPairCtes},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+       |cl AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |       FROM reach GROUP BY u),
+       |vt AS (SELECT lang, count(DISTINCT w) AS n_vocab
+       |       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+       |             FROM documents) GROUP BY 1)
+       |SELECT 'pairs' AS part, doc_a AS a, doc_b AS b,
+       |       (doc_a % 4 = doc_b % 4) AS ok FROM pairs
+       |UNION ALL SELECT 'labels', doc_id, cluster_id, TRUE FROM cl
+       |UNION ALL SELECT 'vocab_' || lang, n_vocab, CAST(NULL AS BIGINT), TRUE
+       |FROM vt
+       |ORDER BY part, a, b""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q259-")
+    val docs = graft.Tables(s, dir, "documents")
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2, 3).map(p => docs.filter(col("doc_id") % 4 === p)))
+    val idx = work.resolve("bandidx").toString
+    val lbl = work.resolve("labels").toString
+    val store = work.resolve("hllgen").toString
+    val outPairs = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val hconf = sb.sparkContext.hadoopConfiguration
+          // (1) pair against the archive, emit exactly-once pairs.
+          val pairs = graft.ops.Dedup.incrementalDayRun(sb, idx, batch.toDF(), id)
+          pairs.write.mode("overwrite").parquet(s"$outPairs/batch=$id")
+          // (2) label refresh under the label store's writer lease:
+          // prior generation's star forest ∪ this batch's pairs,
+          // published as cumulative batch=<id> (replay reads < id).
+          val lblPath = new org.apache.hadoop.fs.Path(lbl)
+          val lfs = lblPath.getFileSystem(hconf)
+          graft.ops.GenStore.withLease(lfs, lblPath) { _ =>
+            val prevIds =
+              if (lfs.exists(lblPath))
+                lfs.listStatus(lblPath).map(_.getPath.getName)
+                  .filter(_.startsWith("batch="))
+                  .map(_.stripPrefix("batch=").toLong).filter(_ < id)
+              else Array.empty[Long]
+            val star = prevIds.maxOption match {
+              case Some(p) =>
+                sb.read.parquet(s"$lbl/batch=$p")
+                  .filter(col("doc_id") =!= col("cluster_id"))
+                  .select(col("cluster_id").as("doc_a"), col("doc_id").as("doc_b"))
+              case None =>
+                sb.range(0).select(col("id").as("doc_a"), col("id").as("doc_b"))
+            }
+            graft.ops.Fuzzy.resolveClusters(sb,
+                star.unionByName(pairs.select(col("doc_a"), col("doc_b"))))
+              .write.mode("overwrite").parquet(s"$lbl/batch=$id")
+          }
+          pairs.unpersist()
+          // (3) HLL vocabulary fold under the sketch store's lease.
+          val storePath = new org.apache.hadoop.fs.Path(store)
+          val sfs = storePath.getFileSystem(hconf)
+          graft.ops.GenStore.withLease(sfs, storePath) { _ =>
+            val own = batch.toDF()
+              .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+              .groupBy(col("lang"))
+              .agg(expr("hll_sketch_agg(w, 12)").as("sk"))
+            val prev = latestGenBefore(sb, store, id)
+              .getOrElse(own.limit(0))
+              .select(col("lang"), col("sk").as("sk_prev"))
+            own.join(prev, Seq("lang"), "full_outer")
+              .select(col("lang"),
+                when(col("sk").isNotNull && col("sk_prev").isNotNull,
+                  expr("hll_union(sk, sk_prev)"))
+                  .otherwise(coalesce(col("sk"), col("sk_prev"))).as("sk"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"$store/gen=$id")
+          }
+          // (4) band-index compaction when the store outgrows the replay
+          // window — cap-cross precondition checked pre-fold only.
+          if (graft.ops.Dedup.pendingFold(sb, idx, keepRecent = 2))
+            graft.ops.Dedup.assertNoMidStreamCapCross(sb, idx)
+          graft.ops.Dedup.compactBandIndex(sb, idx, keepRecent = 2)
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    // Final cap-cross check (boundaries since the last in-loop fold) and
+    // proof the compaction actually fired at least once.
+    graft.ops.Dedup.assertNoMidStreamCapCross(s, idx)
+    val ifs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(ifs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .exists(_.getPath.getName.startsWith("_bandgen-")),
+      "q259: in-loop compaction never promoted a generation")
+    val pairsOut = s.read.parquet(outPairs)
+      .select(lit("pairs").as("part"), col("doc_a").as("a"),
+        col("doc_b").as("b"), col("both_new").as("ok"))
+    val lfs = new org.apache.hadoop.fs.Path(lbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val last = lfs.listStatus(new org.apache.hadoop.fs.Path(lbl))
+      .map(_.getPath.getName).filter(_.startsWith("batch="))
+      .map(_.stripPrefix("batch=").toLong).max
+    val labelsOut = s.read.parquet(s"$lbl/batch=$last")
+      .select(lit("labels").as("part"), col("doc_id").as("a"),
+        col("cluster_id").as("b"), lit(true).as("ok"))
+    val folded = latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(sys.error("q259: no sketch generation was published"))
+      .select(col("lang"),
+        expr("hll_sketch_estimate(sk)").cast("double").as("est"))
+    val vocabOut = docs
+      .select(col("lang"), explode_outer(split(col("text"), " ")).as("w"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("w")).as("n_vocab"))
+      .join(broadcast(folded), "lang")
+      .select(concat(lit("vocab_"), col("lang")).as("part"),
+        col("n_vocab").as("a"), lit(null).cast("long").as("b"),
+        (col("est") >= col("n_vocab") * 0.95 &&
+          col("est") <= col("n_vocab") * 1.05).as("ok"))
+    pairsOut.unionByName(labelsOut).unionByName(vocabOut)
+      .orderBy(col("part"), col("a"), col("b"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
@@ -1218,5 +1374,5 @@ object StreamGate {
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
-    q257StreamSliding)
+    q257StreamSliding, q259StreamFullMaintenance)
 }

@@ -92,10 +92,16 @@ class GenStoreSpec extends SparkSpec {
     assert(Similarity.ivfCurrentRoot(spark, idx.toString) == idx.toString)
     assert(!Files.exists(idx.resolve("gen=1")))
 
-    // Releasing with the wrong owner is itself a loud failure.
-    intercept[IllegalArgumentException] {
+    // Releasing with the wrong owner is itself a loud failure — and an
+    // ATOMIC one: the release claims the lease by rename, sees it is
+    // run1's, and renames it BACK before throwing (the old exists→read→
+    // delete shape could delete a fresh lease it didn't own).
+    val exRel = intercept[IllegalStateException] {
       GenStore.releaseLease(fs, base, "run2")
     }
+    assert(exRel.getMessage.contains("held by 'run1'"))
+    assert(Files.readString(idx.resolve(GenStore.LeaseName)).startsWith("run1"),
+      "a wrongful release must RESTORE the rightful holder's lease")
     // Run 1 finishes and releases; run 2 (retried) now wins cleanly.
     GenStore.releaseLease(fs, base, "run1")
     Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
@@ -150,5 +156,95 @@ class GenStoreSpec extends SparkSpec {
     GenStore.releaseLease(fs, bbase, "run1")
     Dedup.compactBandIndex(spark, bidx.toString, keepRecent = 1)
     assert(Files.exists(bidx.resolve("_bandgen-1")))
+  }
+
+  test("lease heartbeat: a run longer than the TTL keeps the lease (renewal); a silent holder is taken over after the TTL") {
+    val work = Files.createTempDirectory("graft-genlease-hb-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val base = new org.apache.hadoop.fs.Path(work.toString)
+    val fs = GenStore.fsOf(spark, work.toString)
+
+    // Step-serialized long run: acquire with a TTL the body will OUTLIVE,
+    // renewing manually at the heartbeat cadence (withLease's daemon
+    // thread does exactly this on real runs). A second writer probing at
+    // every step must be rejected for the whole run — before the
+    // heartbeat existed, it would have "taken over" the still-live run
+    // the moment the ORIGINAL epoch went TTL-stale.
+    val ttl = 2000L
+    GenStore.acquireLease(fs, base, "longrun", ttl)
+    val lease = new GenStore.Lease(fs, base, "longrun")
+    val t0 = System.currentTimeMillis()
+    while (System.currentTimeMillis() - t0 < ttl + ttl / 2) {
+      Thread.sleep(ttl / 8) // well inside the ttl/3 heartbeat cadence
+      lease.renew()
+      val ex = intercept[IllegalStateException] {
+        GenStore.acquireLease(fs, base, "intruder", ttl)
+      }
+      assert(ex.getMessage.contains("held by 'longrun'"))
+    }
+    assert(!lease.lostOwnership, "renewal must never observe another holder")
+    GenStore.releaseLease(fs, base, "longrun")
+
+    // Inverse: the holder is KILLED (heartbeat stops — no more renew
+    // calls). Once the last-stamped epoch is TTL-stale the next writer's
+    // takeover must succeed; before that it must still be rejected.
+    val ttl2 = 600L
+    GenStore.acquireLease(fs, base, "deadrun", ttl2)
+    intercept[IllegalStateException] {
+      GenStore.acquireLease(fs, base, "taker", ttl2) // too early — rejected
+    }
+    Thread.sleep(ttl2 + 200)
+    GenStore.acquireLease(fs, base, "taker", ttl2) // stale now — takeover
+    assert(Files.readString(work.resolve(GenStore.LeaseName)).startsWith("taker"))
+    GenStore.releaseLease(fs, base, "taker")
+  }
+
+  test("withLease background heartbeat + promote-time ownership re-check") {
+    val work = Files.createTempDirectory("graft-genlease-wl-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val base = new org.apache.hadoop.fs.Path(work.toString)
+    val fs = GenStore.fsOf(spark, work.toString)
+
+    // The real withLease daemon renews on its own: a body that sleeps
+    // past the TTL stays the holder and an intruder is rejected mid-body.
+    GenStore.withLease(fs, base, ttlMs = 600) { lease =>
+      Thread.sleep(1500) // 2.5× the TTL — only the heartbeat keeps it live
+      val ex = intercept[IllegalStateException] {
+        GenStore.acquireLease(fs, base, "intruder", 600)
+      }
+      assert(ex.getMessage.contains("held by"))
+      assert(!lease.lostOwnership)
+    }
+    assert(!Files.exists(work.resolve(GenStore.LeaseName)))
+
+    // promote re-checks ownership immediately before the pointer rename:
+    // simulate a takeover landing mid-body (long default TTL here so the
+    // background heartbeat never races the simulated thief), and the
+    // promote must refuse BEFORE committing the pointer.
+    // (Lease writes go through the Hadoop fs API — a direct
+    // Files.writeString would leave the LocalFileSystem's .crc sidecar
+    // stale and read back as corrupt.)
+    def writeLease(owner: String): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(base, GenStore.LeaseName), true)
+      try out.write(s"$owner\n${System.currentTimeMillis()}".getBytes("UTF-8"))
+      finally out.close()
+    }
+    Files.createDirectories(work.resolve("gen=1"))
+    GenStore.withLease(fs, base) { lease =>
+      writeLease("thief")
+      val ex = intercept[IllegalStateException] {
+        GenStore.promote(fs, base, "_tgen-", 1L, 0L, Nil, Some(lease))
+      }
+      assert(ex.getMessage.contains("held by 'thief'") ||
+        ex.getMessage.contains("'thief'"))
+      assert(!Files.exists(work.resolve("_tgen-1")),
+        "the pointer must NOT commit after a detected takeover")
+      assert(lease.lostOwnership)
+      // Hand the lease back to this owner so the withLease release is
+      // clean (the takeover-detected release path is covered above).
+      writeLease(lease.owner)
+    }
+    assert(!Files.exists(work.resolve(GenStore.LeaseName)))
   }
 }

@@ -91,7 +91,8 @@ class PlanAuditSpec extends SparkSpec {
       "q210_peak_days",         // one row per day
       "q211_basket_size",       // basket-size levels
       "q217_embedding_hygiene", // norm2 levels
-      "q240_budget_allocation") // one row per language (quota ranking)
+      "q240_budget_allocation", // one row per language (quota ranking)
+      "q258_bpe_token_budget")  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +

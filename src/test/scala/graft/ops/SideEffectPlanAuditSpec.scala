@@ -94,12 +94,14 @@ class SideEffectPlanAuditSpec extends SparkSpec {
         case _ => false
       } => label
     }.distinct.sorted
-    // Audited: every entry's global window runs over a bounded reduction
-    // (levels/buckets/summaries), mirrored from PlanAuditSpec's list.
-    // q103/q234's IVF probe ranks over ≤10 query rows; q126's crosstab
-    // pivots a bounded category set; q238's sketch fold ranks ≤k counter
-    // rows. Regenerate from the failure message when a gate is re-planned
-    // and re-verify the new entry before admitting it.
+    // Allow-list of audited bounded-reduction global windows. Currently
+    // EMPTY on purpose: no executed side-effect plan contains an
+    // unpartitioned window at all (the IVF probes, crosstab pivot, and
+    // sketch folds that LOOK global all partition or pre-reduce before
+    // any window). When this assert ever fires, verify the new entry is
+    // a bounded reduction (≤k rows feeding the window) and admit it here
+    // with a one-line justification; the stale-entry assert below keeps
+    // the list honest in the other direction.
     val audited: Set[String] = Set()
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
