@@ -171,10 +171,16 @@ object Fuzzy {
        |FROM j WHERE 9 * inter >= 4 * (na + nb)
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    // Four consumers (df table, prefix ranking, both sides of the
-    // intersection count) — persist, or each re-shingles the corpus.
+    // The token table has four consumers (df table, prefix ranking, both
+    // sides of the verify intersection) but is NOT persisted: its
+    // distinct's shuffle subtree is identical in all four branches, so
+    // ReuseExchange materializes it once and the other three read the
+    // shuffle files — cheaper than a MEMORY_AND_DISK materialization of
+    // the full token table on pass 1 (6.9 s driver-record vs 2.4 s warm
+    // was mostly that persist). Only the PREFIX table (~30% of rows, the
+    // one input consumed twice by the self-join under a different
+    // partitioning) is persisted.
     val tok = graft.ops.Dedup.shingleRows(s, dir).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tok.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
     val ranked = tok.join(dfreq, "sh")
@@ -184,6 +190,7 @@ object Fuzzy {
     // prefix length |A| − ⌈0.8·|A|⌉ + 1, with ⌈4n/5⌉ = (4n+4) div 5
     val prefix = ranked.filter(col("rn") <= expr("n - ((4 * n + 4) div 5) + 1"))
       .select(col("doc_id"), col("sh"), col("n"), col("rn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // PPJoin LENGTH filter alongside the prefix lemma: J ≥ 0.8 forces
     // 0.8·|A| ≤ |B| ≤ |A|/0.8 (intersection ≤ min, union ≥ max), so
     // size-incompatible prefix collisions are dropped IN the join —
@@ -206,17 +213,18 @@ object Fuzzy {
           lit(4) * col("b.n") <= lit(5) * col("a.n") &&
           lit(9) * (lit(1) + least(col("a.n") - col("a.rn"),
             col("b.n") - col("b.rn"))) >= lit(4) * (col("a.n") + col("b.n")))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      // Set sizes ride along from the prefix rows (n is per-doc constant),
+      // so the two post-verify size joins are gone entirely.
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
     val inter = cands
       .join(tok.as("ta"), col("doc_a") === col("ta.doc_id"))
       .join(tok.as("tb"),
         col("doc_b") === col("tb.doc_id") && col("ta.sh") === col("tb.sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val sz = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_a"), col("doc_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
     inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .filter(lit(9) * col("inter") >= lit(4) * (col("na") + col("nb")))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("na"), col("nb"),
         round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6)

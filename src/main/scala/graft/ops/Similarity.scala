@@ -1398,7 +1398,7 @@ object Similarity {
   /** Exhaustive ADC top-5: every (query, vector) pair scored through the
     * code table. Returns (query_id, neighbor_id, ad2 decimal, rank ≤ 5).
     * Shared by q236 (the ANN result) and q237 (the recall audit). */
-  private def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def pqAdcTop5(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val (enc, qdt) = pqEncoded(s, dir)
     val rankW = Window.partitionBy(col("query_id"))
@@ -1558,6 +1558,15 @@ object Similarity {
        |      FROM adc2)
        |SELECT query_id, neighbor_id, approx_d2, rank
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    ivfPqTop5(s, dir, nprobe = 2)
+  }
+
+  /** q239's pipeline with the probe width as a parameter — the gate runs
+    * it at nprobe = 2 (mirrored in the oracle's `crank <= 2`);
+    * `IvfPqQualitySpec` sweeps nprobe on the product-clustered fixture
+    * to pin the recall/probe-cost trade-off as a tested invariant. */
+  private[graft] def ivfPqTop5(s: SparkSession, dir: String,
+      nprobe: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(s)
     val e = Tables(s, dir, "embeddings")
@@ -1584,7 +1593,7 @@ object Similarity {
     val probe = e.filter(col("vec_id") < 10).join(broadcast(cent))
       .withColumn("d2", expr(dL2("embedding", "emb_cent")))
       .withColumn("crank", row_number().over(crankW))
-      .filter(col("crank") <= 2)
+      .filter(col("crank") <= nprobe)
       .select(col("vec_id").as("query_id"), col("centroid_id"))
     val cand = assign.join(broadcast(probe), Seq("centroid_id"))
       .filter(col("vec_id") =!= col("query_id"))
