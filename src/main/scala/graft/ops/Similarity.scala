@@ -1851,10 +1851,168 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** Shared SQ8 reconstruction CTEs for the oracle: per-vector max-abs
+    * scale, int8 codes (kept as whole doubles — the integer clamp with a
+    * zero-vector guard, q64's exact arithmetic), and the reconstructed
+    * values the approximate distance is computed over. */
+  private val duckSq8Ctes: String =
+    """am AS (SELECT vec_id, max(abs(v)) AS amax FROM el GROUP BY vec_id),
+      |rec AS (SELECT e.vec_id, e.i,
+      |               CASE WHEN amax = 0 THEN 0.0
+      |                    ELSE greatest(-127.0, least(127.0,
+      |                           round(v * 127.0 / amax))) * amax / 127.0
+      |               END AS r
+      |        FROM el e JOIN am USING (vec_id))""".stripMargin
+
+  /** Spark side: (vec_id, embedding, rarr) with rarr = the SQ8
+    * reconstruction of the embedding — codes never materialize
+    * separately; the decode is fused into one codegen'd projection. */
+  private def sq8Reconstructed(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), col("embedding"),
+        expr("array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("amax"))
+      .withColumn("rarr", expr(
+        """transform(embedding, x ->
+          |  IF(amax = 0, CAST(0.0 AS DOUBLE),
+          |     greatest(-127.0, least(127.0,
+          |       round(CAST(x AS DOUBLE) * 127.0 / amax))) * amax / 127.0))"""
+          .stripMargin))
+      .select(col("vec_id"), col("embedding"), col("rarr"))
+
+  /** q262: SQ8 (int8 scalar quantization) ANN recall audit — the OTHER
+    * production quantizer next to PQ (Faiss SQ8): 4× compression, but
+    * unlike PQ every dimension keeps its own value, so recall is near-
+    * exact where PQ's subspace codes are lossy. q64 audits the
+    * reconstruction ERROR; this gate audits what that error costs in
+    * RANKING: top-5 by reconstructed squared-L2 vs the decimal-exact
+    * full-precision top-5, per query. Follows q237's one-scan
+    * discipline: a single broadcast pair join produces BOTH distances
+    * (exact and reconstructed) from the same row; two shared-partition
+    * windows rank both arms in one shuffle.
+    *
+    * Scale: at 100 TB the SQ8 scan is the memory-bandwidth lever — ¼
+    * the bytes of f32 at near-unit recall (this gate pins the "near"),
+    * and the natural shortlist stage under an exact reranker (q263). */
+  val q262Sq8Ann: Q = Q(
+    "q262_sq8_ann",
+    s"""WITH $duckEl,
+       |$duckSq8Ctes,
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              SUM(CAST((q.v - c.v) * (q.v - c.v) AS DECIMAL(38,12))) AS d2,
+       |              SUM(CAST((qr.r - cr.r) * (qr.r - cr.r) AS DECIMAL(38,12))) AS d2q
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 10
+       |         AND c.vec_id <> q.vec_id
+       |         JOIN rec qr ON qr.vec_id = q.vec_id AND qr.i = q.i
+       |         JOIN rec cr ON cr.vec_id = c.vec_id AND cr.i = c.i
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY d2, neighbor_id) AS rke,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY d2q, neighbor_id) AS rkq
+       |      FROM xd)
+       |SELECT query_id,
+       |       CAST(sum(CASE WHEN rkq <= 5 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_hits_sq8,
+       |       CAST(sum(CASE WHEN rkq <= 5 THEN 1 ELSE 0 END) AS DOUBLE) / 5
+       |         AS recall_sq8
+       |FROM r WHERE rke <= 5 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val coded = sq8Reconstructed(Tables(s, dir, "embeddings"))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        col("rarr").as("rarr_q"))
+    val xd = coded.select(col("vec_id").as("neighbor_id"), col("embedding"),
+        col("rarr"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2", expr(dL2("emb_q", "embedding")))
+      .withColumn("d2q", expr(dL2("rarr_q", "rarr")))
+    def w(by: String) = Window.partitionBy(col("query_id"))
+      .orderBy(col(by), col("neighbor_id"))
+    xd.select(col("query_id"), col("neighbor_id"),
+        row_number().over(w("d2")).as("rke"),
+        row_number().over(w("d2q")).as("rkq"))
+      .filter(col("rke") <= 5)
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rkq") <= 5, 1L).otherwise(0L)).as("n_hits_sq8"),
+        (sum(when(col("rkq") <= 5, 1L).otherwise(0L)).cast("double") / 5)
+          .as("recall_sq8"))
+      .orderBy(col("query_id"))
+  }
+
+  /** q263: RETRIEVE-THEN-RERANK — the two-stage serving topology every
+    * production vector search runs: a cheap quantized scan (q262's SQ8
+    * reconstruction) shortlists top-20 per query, then ONLY the
+    * shortlist is rescored with the decimal-exact full-precision
+    * distance and the final top-5 is ranked by the EXACT number. The
+    * composition is what the gate proves: the emitted distances are
+    * exact (no quantization error reaches the output), yet the exact
+    * work is 20 pairs per query instead of N.
+    *
+    * Scale: stage 1 reads int8 codes (¼ memory bandwidth, SIMD int
+    * dot at 100 TB); stage 2 touches 20 full vectors per query — the
+    * recall/cost dial is the shortlist width, and q262 pins the recall
+    * side of that dial. */
+  val q263AnnRerank: Q = Q(
+    "q263_ann_rerank",
+    s"""WITH $duckEl,
+       |$duckSq8Ctes,
+       |ad AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              SUM(CAST((q.r - c.r) * (q.r - c.r) AS DECIMAL(38,12))) AS d2q
+       |       FROM rec q JOIN rec c ON q.i = c.i AND q.vec_id < 10
+       |         AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |            SELECT query_id, neighbor_id,
+       |                   row_number() OVER (PARTITION BY query_id
+       |                     ORDER BY d2q, neighbor_id) AS rank
+       |            FROM ad) t WHERE rank <= 20),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |              SUM(CAST((q.v - c.v) * (q.v - c.v) AS DECIMAL(38,12))) AS d2
+       |       FROM short s
+       |       JOIN el q ON q.vec_id = s.query_id
+       |       JOIN el c ON c.vec_id = s.neighbor_id AND c.i = q.i
+       |       GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(CAST(d2 AS DOUBLE), 6) AS exact_d2,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY d2, neighbor_id) AS rank
+       |      FROM ex)
+       |SELECT query_id, neighbor_id, exact_d2, rank
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val coded = sq8Reconstructed(Tables(s, dir, "embeddings"))
+    val q = coded.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("rarr").as("rarr_q"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2q"), col("neighbor_id"))
+    val short = coded.select(col("vec_id").as("neighbor_id"), col("rarr"))
+      .join(broadcast(q), col("neighbor_id") =!= col("query_id"))
+      .withColumn("d2q", expr(dL2("rarr_q", "rarr")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("neighbor_id"))
+    val e = Tables(s, dir, "embeddings")
+    val exactW = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("neighbor_id"))
+    short
+      .join(e.select(col("vec_id").as("query_id"), col("embedding").as("emb_q")),
+        "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        "neighbor_id")
+      .withColumn("d2", expr(dL2("emb_q", "embedding")))
+      .withColumn("rank", row_number().over(exactW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("d2").cast("double"), 6).as("exact_d2"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
-    q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain)
+    q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain,
+    q262Sq8Ann, q263AnnRerank)
 }

@@ -307,6 +307,37 @@ object Subword {
     }
   }
 
+  /** q264: q59's sequence packing at SUBWORD grain — greedy fill of
+    * 2048-token bins per `lang` stratum in doc_id order, where "token"
+    * is what the tokenizer emits. The bin boundaries move materially vs
+    * whitespace grain (~3.2× expansion on this corpus), which is exactly
+    * the point: a loader packing to a 2048 CONTEXT length packs subword
+    * tokens, and whitespace-grain bins would overflow it 3× over. Same
+    * plan as q59: per-stratum running sums, no global order. */
+  val q264BpePackSequences: Q = Q(
+    "q264_bpe_pack_sequences",
+    s"""WITH RECURSIVE $duckSubCtes,
+       |tk AS (SELECT d.lang, d.doc_id, dt.stok AS tok
+       |       FROM documents d JOIN dt USING (doc_id)),
+       |c AS (SELECT lang, doc_id, tok,
+       |             CAST(sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+       |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM tk)
+       |SELECT lang, (cum - tok) // 2048 AS bin,
+       |       count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS total_tokens
+       |FROM c GROUP BY 1, 2 ORDER BY lang, bin""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+      .join(docSubTokens(s, dir), Seq("doc_id"))
+      .select(col("lang"), col("doc_id"), col("stok").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .withColumn("bin", expr("(cum - tok) div 2048"))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("total_tokens"))
+      .orderBy(col("lang"), col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q258BpeTokenBudget, q260BpeTemperatureMix,
-    q261BpeEpochExpansion)
+    q261BpeEpochExpansion, q264BpePackSequences)
 }
