@@ -777,8 +777,80 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("w"))
   }
 
+  /** q265: n-gram LM quality filter — the CCNet/fastText-era quality
+    * gate: train a bigram language model on the corpus itself (add-one
+    * smoothed conditional p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V)) and score
+    * every document by its mean −log2 p — bits per token, a perplexity
+    * proxy. Documents whose text is statistically SURPRISING under the
+    * corpus's own statistics (garbled text, boilerplate the corpus
+    * doesn't share, wrong-language fragments) score high; the rollup
+    * counts per-language flagged mass at a fixed 4.9-bit threshold.
+    * Distinct from q87 (raw corpus-frequency mean): this is a smoothed
+    * CONDITIONAL model — the actual LM-filter construction.
+    *
+    * Determinism: log2 is libm territory (the one transcendental the
+    * q122 rational-BM25 trick cannot remove from a sum of logs), so
+    * every per-bigram score is rounded to 6 decimals BEFORE the
+    * DECIMAL(18,6) accumulation (associative, order-free — q245's
+    * discipline), per-doc means re-round, and the flag threshold
+    * compares the rounded number.
+    *
+    * Scale shape: the model IS vocabulary-bounded — c1 is |V| rows, c2
+    * at most |V|² (both broadcast here; at a vocabulary where |V|²
+    * outgrows broadcast, c2 joins by shuffle on w1 — same plan shape).
+    * The token stream shuffles once into the doc-grain score aggregate;
+    * everything else is map-side. */
+  val q265LmQuality: Q = Q(
+    "q265_lm_quality",
+    """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents),
+      |bg AS (SELECT doc_id, lang, ts[i] AS w1, ts[i+1] AS w2
+      |       FROM t, unnest(generate_series(1, len(ts) - 1)) u(i)),
+      |c1 AS (SELECT w1 AS w, count(*) AS c FROM bg GROUP BY 1),
+      |c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+      |vv AS (SELECT count(DISTINCT w) AS v FROM c1),
+      |sc AS (SELECT bg.doc_id, bg.lang,
+      |              round(-log2((c2.c + 1.0) / (c1.c + vv.v)), 6) AS bits
+      |       FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1, vv),
+      |d AS (SELECT doc_id, lang, count(*) AS nb,
+      |             round(CAST(sum(CAST(bits AS DECIMAL(18,6))) AS DOUBLE)
+      |                   / count(*), 6) AS score
+      |      FROM sc GROUP BY 1, 2)
+      |SELECT lang, count(*) AS n_docs,
+      |       round(CAST(sum(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+      |             / count(*), 6) AS mean_bits,
+      |       CAST(sum(CASE WHEN score > 4.9 THEN 1 ELSE 0 END) AS BIGINT)
+      |         AS n_flagged
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val bg = Tables(s, dir, "documents")
+      .withColumn("ts", split(col("text"), " "))
+      .filter(size(col("ts")) >= 2)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """transform(sequence(1, size(ts) - 1),
+          |  i -> struct(element_at(ts, i) AS w1, element_at(ts, i + 1) AS w2))"""
+          .stripMargin)).as("b"))
+      .select(col("doc_id"), col("lang"), col("b.w1"), col("b.w2"))
+    val c1 = bg.groupBy(col("w1").as("w")).agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val vv = c1.agg(countDistinct(col("w")).as("v"))
+    val d = bg
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1.withColumnRenamed("w", "w1")), Seq("w1"))
+      .crossJoin(broadcast(vv))
+      .withColumn("bits",
+        round(-log2((col("c2") + lit(1.0)) / (col("c1") + col("v"))), 6))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(sum(col("bits").cast("decimal(18,6)")).cast("double")
+        / count(lit(1)), 6).as("score"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("mean_bits"),
+        sum(when(col("score") > 4.9, 1L).otherwise(0L)).as("n_flagged"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
-    q249GopherRepetition, q253VocabNovelty, q255CountMinAudit)
+    q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality)
 }
