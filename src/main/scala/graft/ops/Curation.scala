@@ -699,8 +699,76 @@ object Curation {
       .orderBy(col("vdec"))
   }
 
+  /** q266: DSIR-style importance selection (Xie et al. 2023) — the
+    * modern data-selection operator: score every document by how much
+    * more likely its tokens are under a TARGET-domain unigram model than
+    * under the full-corpus model (mean log2 importance ratio, add-one
+    * smoothed on both sides), and select the top-100. Target here = the
+    * `en` slice (a stand-in for "looks like the eval domain"); the
+    * importance weight w(x) = p_target(x)/p_source(x) is exactly the
+    * resampling weight DSIR hashes into n-gram buckets at scale.
+    * Distinct from q265 (one model, absolute surprisal → quality) —
+    * this is a two-model RATIO → domain relevance.
+    *
+    * Determinism: the per-token ratio is ONE log2 of an exactly-
+    * computed integer product ratio ((c_t+1)(n_s+V)) / ((c_s+1)(n_t+V)),
+    * all counts < 2^53 so the double products are exact; the single
+    * libm log2 is rounded to 6 BEFORE the decimal accumulation (q265's
+    * discipline), the per-doc mean re-rounds, and ranking ties break on
+    * doc_id.
+    *
+    * Scale shape: both models are vocabulary-bounded broadcasts; the
+    * token stream is scored map-side and aggregates to doc grain
+    * (map-side combine); the selection is TakeOrderedAndProject(100) —
+    * only 100 rows ever leave the executors. */
+  val q266DsirSelection: Q = Q(
+    "q266_dsir_selection",
+    """WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |cs AS (SELECT w, count(*) AS c FROM t GROUP BY 1),
+      |ct AS (SELECT w, count(*) AS c FROM t WHERE lang = 'en' GROUP BY 1),
+      |tot AS (SELECT (SELECT count(*) FROM t) AS ns,
+      |               (SELECT count(*) FROM t WHERE lang = 'en') AS nt,
+      |               (SELECT count(*) FROM cs) AS v),
+      |sc AS (SELECT t.doc_id, t.lang,
+      |              round(log2(((coalesce(ct.c, 0) + 1.0) * (tot.ns + tot.v))
+      |                         / ((cs.c + 1.0) * (tot.nt + tot.v))), 6) AS lw
+      |       FROM t JOIN cs USING (w) LEFT JOIN ct USING (w), tot),
+      |d AS (SELECT doc_id, lang, count(*) AS ntok,
+      |             round(CAST(sum(CAST(lw AS DECIMAL(18,6))) AS DOUBLE)
+      |                   / count(*), 6) AS score
+      |      FROM sc GROUP BY 1, 2)
+      |SELECT doc_id, lang, ntok, score,
+      |       row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+      |FROM d ORDER BY score DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
+    val cs = t.groupBy(col("w")).agg(count(lit(1)).as("cs"))
+    val ct = t.filter(col("lang") === "en")
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val tot = cs.agg(sum(col("cs")).as("ns"), count(lit(1)).as("v"))
+      .crossJoin(t.filter(col("lang") === "en").agg(count(lit(1)).as("nt")))
+    val d = t
+      .join(broadcast(cs), Seq("w"))
+      .join(broadcast(ct), Seq("w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("lw", round(log2(
+        ((coalesce(col("ct"), lit(0L)) + lit(1.0)) * (col("ns") + col("v")))
+          / ((col("cs") + lit(1.0)) * (col("nt") + col("v")))), 6))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("ntok"),
+        round(sum(col("lw").cast("decimal(18,6)")).cast("double")
+          / count(lit(1)), 6).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    d.orderBy(col("score").desc, col("doc_id")).limit(100)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
+          .cast("long"))
+      .select(col("doc_id"), col("lang"), col("ntok"), col("score"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
-    q98QualityDrift, q135KsDrift, q250LDiversity)
+    q98QualityDrift, q135KsDrift, q250LDiversity, q266DsirSelection)
 }

@@ -279,7 +279,13 @@ private[graft] object GenStore {
       stop.set(true)
       hb.interrupt()
       hb.join(5000)
-      try releaseLease(fs, base, owner)
+      // Release under the Lease monitor: if the join timed out because a
+      // renew is stalled INSIDE its synchronized block (hung fs call),
+      // this waits for it to finish rather than racing it — otherwise the
+      // stalled create could re-materialize the lease file AFTER the
+      // release and block the next writer for a full TTL. New renews
+      // cannot start (stop is set before the join).
+      try lease.synchronized { releaseLease(fs, base, owner) }
       catch {
         case t: Throwable =>
           if (failed == null) throw t

@@ -2008,11 +2008,75 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q268: EMBEDDING-SPACE drift monitor — the vector-side complement
+    * of q98/q108's token-histogram PSI: per label, the cosine between
+    * the day-1 and day-2 member centroids (parity split, the standing
+    * two-day convention). An embedding model swap, a feature-pipeline
+    * change, or genuine distribution shift moves the centroids long
+    * before token statistics notice; a label whose day centroids drop
+    * below cos 0.99 is flagged for re-embedding/re-indexing (stale IVF
+    * lists and SemDeDup cells are the concrete casualties).
+    *
+    * Numerics: per-(label, day, dim) means are DECIMAL sums → one
+    * correctly-rounded double division; the cross-day dot and both
+    * norms re-enter DECIMAL for the 64-dim fold; cosine rounds to 6.
+    * Scale: one pass over the exploded vectors into a (label × 2 × 64)-
+    * bounded aggregate (map-side combine); everything after is
+    * label-cardinality arithmetic. The monitor's state is two centroid
+    * sets — kilobytes at any corpus size. */
+  val q268EmbeddingDrift: Q = Q(
+    "q268_embedding_drift",
+    s"""WITH $duckEl,
+       |m AS (SELECT label, vec_id % 2 AS day, i,
+       |             CAST(SUM(CAST(v AS DECIMAL(38,12))) AS DOUBLE)
+       |               / count(*) AS mv,
+       |             count(*) AS n
+       |      FROM el GROUP BY 1, 2, 3),
+       |j AS (SELECT a.label,
+       |             max(a.n) AS n_day1, max(b.n) AS n_day2,
+       |             CAST(SUM(CAST(a.mv * b.mv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+       |             CAST(SUM(CAST(a.mv * a.mv AS DECIMAL(38,12))) AS DOUBLE) AS na,
+       |             CAST(SUM(CAST(b.mv * b.mv AS DECIMAL(38,12))) AS DOUBLE) AS nb
+       |      FROM m a JOIN m b ON a.label = b.label AND a.i = b.i
+       |        AND a.day = 0 AND b.day = 1
+       |      GROUP BY 1)
+       |SELECT label, CAST(n_day1 AS BIGINT) AS n_day1,
+       |       CAST(n_day2 AS BIGINT) AS n_day2,
+       |       round(dot / sqrt(na * nb), 6) AS cos_shift,
+       |       dot / sqrt(na * nb) < 0.99 AS drifted
+       |FROM j ORDER BY label""".stripMargin) { (s, dir) =>
+    val m = Tables(s, dir, "embeddings")
+      .select(col("label"), (col("vec_id") % 2).as("day"),
+        posexplode(col("embedding")).as(Seq("i0", "vf")))
+      .select(col("label"), col("day"), (col("i0") + 1).as("i"),
+        col("vf").cast("double").as("v"))
+      .groupBy(col("label"), col("day"), col("i"))
+      .agg((sum(col("v").cast("decimal(38,12)")).cast("double")
+        / count(lit(1))).as("mv"),
+        count(lit(1)).as("n"))
+    m.as("a").join(m.as("b"),
+        col("a.label") === col("b.label") && col("a.i") === col("b.i") &&
+          col("a.day") === 0 && col("b.day") === 1)
+      .groupBy(col("a.label").as("label"))
+      .agg(max(col("a.n")).as("n_day1"), max(col("b.n")).as("n_day2"),
+        sum((col("a.mv") * col("b.mv")).cast("decimal(38,12)")).cast("double")
+          .as("dot"),
+        sum((col("a.mv") * col("a.mv")).cast("decimal(38,12)")).cast("double")
+          .as("na"),
+        sum((col("b.mv") * col("b.mv")).cast("decimal(38,12)")).cast("double")
+          .as("nb"))
+      .select(col("label"), col("n_day1").cast("long").as("n_day1"),
+        col("n_day2").cast("long").as("n_day2"),
+        round(col("dot") / sqrt(col("na") * col("nb")), 6).as("cos_shift"),
+        (col("dot") / sqrt(col("na") * col("nb")) < 0.99).as("drifted"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
     q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain,
-    q262Sq8Ann, q263AnnRerank)
+    q262Sq8Ann, q263AnnRerank, q268EmbeddingDrift)
 }

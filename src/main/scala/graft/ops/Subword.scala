@@ -338,6 +338,43 @@ object Subword {
       .orderBy(col("lang"), col("bin"))
   }
 
+  /** q267: tokenizer FERTILITY audit — subwords per word and chars per
+    * subword, per language, against the corpus average. Fertility is
+    * the standard tokenizer-fairness metric (a language whose words
+    * fragment into many more pieces than average pays more compute per
+    * content unit and effectively gets a shorter context window); this
+    * is the subword analog of q75's whitespace-grain OOV audit, read
+    * off the SAME per-language masses the mixture tier smooths. One
+    * language-cardinality table + a 1-row broadcast global; flags at
+    * 1.05× the corpus fertility. */
+  val q267BpeFertility: Q = Q(
+    "q267_bpe_fertility",
+    s"""WITH RECURSIVE $duckSubCtes,
+       |$duckLangMasses,
+       |ch AS (SELECT lang, CAST(sum(n_chars) AS BIGINT) AS chars
+       |       FROM documents GROUP BY 1),
+       |g AS (SELECT CAST(sum(tok) AS DOUBLE) / sum(ws_tok) AS gfert FROM bl)
+       |SELECT bl.lang, bl.ws_tok, bl.tok AS sub_tok, ch.chars,
+       |       round(CAST(bl.tok AS DOUBLE) / bl.ws_tok, 4) AS fertility,
+       |       round(CAST(ch.chars AS DOUBLE) / bl.tok, 4) AS chars_per_tok,
+       |       round(CAST(bl.tok AS DOUBLE) / bl.ws_tok / g.gfert, 4) AS rel_fertility,
+       |       CAST(bl.tok AS DOUBLE) / bl.ws_tok / g.gfert > 1.05 AS over_fragmented
+       |FROM bl JOIN ch USING (lang), g ORDER BY lang""".stripMargin) { (s, dir) =>
+    val bl = langMasses(s, dir)
+    val ch = Tables(s, dir, "documents")
+      .groupBy(col("lang")).agg(sum(col("n_chars")).cast("long").as("chars"))
+    val g = bl.agg((sum(col("tok")).cast("double") / sum(col("ws_tok"))).as("gfert"))
+    bl.join(ch, Seq("lang")).crossJoin(broadcast(g))
+      .select(col("lang"), col("ws_tok"), col("tok").as("sub_tok"), col("chars"),
+        round(col("tok").cast("double") / col("ws_tok"), 4).as("fertility"),
+        round(col("chars").cast("double") / col("tok"), 4).as("chars_per_tok"),
+        round(col("tok").cast("double") / col("ws_tok") / col("gfert"), 4)
+          .as("rel_fertility"),
+        (col("tok").cast("double") / col("ws_tok") / col("gfert") > 1.05)
+          .as("over_fragmented"))
+      .orderBy(col("lang"))
+  }
+
   val all: Seq[Q] = Seq(q258BpeTokenBudget, q260BpeTemperatureMix,
-    q261BpeEpochExpansion, q264BpePackSequences)
+    q261BpeEpochExpansion, q264BpePackSequences, q267BpeFertility)
 }

@@ -92,7 +92,8 @@ class PlanAuditSpec extends SparkSpec {
       "q211_basket_size",       // basket-size levels
       "q217_embedding_hygiene", // norm2 levels
       "q240_budget_allocation", // one row per language (quota ranking)
-      "q258_bpe_token_budget")  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
+      "q258_bpe_token_budget",  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
+      "q266_dsir_selection")    // rank over the already-limited top-100 selection (≤ 100 rows)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
