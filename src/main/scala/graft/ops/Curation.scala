@@ -765,6 +765,10 @@ object Curation {
         row_number().over(Window.orderBy(col("score").desc, col("doc_id")))
           .cast("long"))
       .select(col("doc_id"), col("lang"), col("ntok"), col("score"), col("rank"))
+      // The oracle's output order is load-bearing (driver compare is
+      // row-ordered) — make it explicit rather than inherited from the
+      // window's incidental sort.
+      .orderBy(col("score").desc, col("doc_id"))
   }
 
   val all: Seq[Q] = Seq(

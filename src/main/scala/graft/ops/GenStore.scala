@@ -89,6 +89,20 @@ private[graft] object GenStore {
       case _: Throwable => ("<unreadable>", 0L)
     }
 
+  /** Effective lease epoch: the LATER of the epoch recorded in the file
+    * content (written once at create) and the file's modification time
+    * (re-stamped by every heartbeat via `setTimes` — an atomic metadata
+    * update, so renewal NEVER rewrites the file content and a concurrent
+    * reader can never observe a truncated lease). A file that cannot be
+    * statted contributes only the content epoch; a file that cannot be
+    * READ but can be statted still reads as live through its mtime —
+    * which also closes the create-then-write window at acquire (an empty
+    * just-created lease has mtime ≈ now, so it is never mistaken for a
+    * stale one). */
+  private def leaseEpoch(fs: FileSystem, lease: Path, contentEpoch: Long): Long =
+    try math.max(contentEpoch, fs.getFileStatus(lease).getModificationTime)
+    catch { case _: Throwable => contentEpoch }
+
   /** Acquire the maintenance writer lease, making the single-writer
     * contract ENFORCED rather than documented: the realistic day-2
     * failure is two cron maintenance runs overlapping, which without a
@@ -98,11 +112,12 @@ private[graft] object GenStore {
     * Acquisition is `create(overwrite = false)` — atomic
     * create-fail-if-exists on HDFS (and object stores with conditional
     * create; on RawLocalFileSystem it is check-then-create, which still
-    * catches every non-pathological overlap). A lease whose recorded
-    * epoch is older than `ttlMs` belongs to a CRASHED holder (a clean
-    * failure releases in its finally) and is taken over; a live lease
-    * held by someone else fails loudly at acquire — before any state is
-    * touched. */
+    * catches every non-pathological overlap). A lease whose EFFECTIVE
+    * epoch ([[leaseEpoch]]: content epoch ∨ heartbeat-stamped mtime) is
+    * older than `ttlMs` belongs to a CRASHED holder (a clean failure
+    * releases in its finally; a live long run renews its mtime) and is
+    * taken over; a live lease held by someone else fails loudly at
+    * acquire — before any state is touched. */
   def acquireLease(fs: FileSystem, base: Path, owner: String,
       ttlMs: Long = 30L * 60 * 1000): Unit = {
     val lease = new Path(base, LeaseName)
@@ -114,7 +129,8 @@ private[graft] object GenStore {
         true
       } catch { case _: java.io.IOException => false }
     if (tryCreate()) return
-    val (heldBy, epoch) = readLease(fs, lease)
+    val (heldBy, contentEpoch) = readLease(fs, lease)
+    val epoch = leaseEpoch(fs, lease, contentEpoch)
     if (System.currentTimeMillis() - epoch <= ttlMs)
       throw new IllegalStateException(
         s"maintenance lease at $lease is held by '$heldBy' — a concurrent " +
@@ -206,30 +222,38 @@ private[graft] object GenStore {
 
     /** Re-stamp the lease epoch iff still this owner's — called every
       * ttl/3 by the heartbeat so a long-running body never LOOKS crashed
-      * to a would-be takeover. The read→overwrite is not atomic, but a
-      * takeover can only land when the epoch is already > TTL stale —
-      * i.e. after the heartbeat itself has been dead for a full TTL
-      * (JVM pause/suspend) — and [[promote]]'s ownership re-check is the
-      * backstop for exactly that residual window. A transient IO failure
-      * skips one beat; the next beat retries (the lease only goes stale
-      * after ~3 consecutive failures × ttl/3). */
+      * to a would-be takeover. The stamp is `setTimes` (mtime), an
+      * ATOMIC metadata update: the lease file's CONTENT is never
+      * rewritten after create, so a concurrent acquire can never read a
+      * truncated/empty lease and mistake a live holder for a stale one.
+      * A transient unreadable read skips the beat WITHOUT latching
+      * lostOwnership (the next beat retries; the lease only goes stale
+      * after ~3 consecutive failures × ttl/3) — only a successfully-read
+      * DIFFERENT owner means this run was actually taken over. */
     private[graft] def renew(): Unit = synchronized {
       if (lostOwnership) return
-      val (heldBy, _) = readLease(fs, leasePath)
-      if (heldBy != owner) { lostOwnership = true; return }
-      try {
-        val out = fs.create(leasePath, true)
-        try out.write(s"$owner\n${System.currentTimeMillis()}".getBytes("UTF-8"))
-        finally out.close()
-      } catch { case _: java.io.IOException => () }
+      readLease(fs, leasePath) match {
+        case (`owner`, _) =>
+          try fs.setTimes(leasePath, System.currentTimeMillis(), -1)
+          catch { case _: java.io.IOException => () }
+        case ("<unreadable>", _) => () // transient — skip this beat
+        case _ => lostOwnership = true
+      }
     }
 
     /** Assert this owner still holds the lease — [[promote]] calls this
       * immediately before the pointer rename, so a takeover-then-
       * interleave is rejected BEFORE the destructive step rather than
-      * detected after at release. */
+      * detected after at release. A transiently unreadable lease is
+      * re-read once before failing: the gate must fail SAFE (refuse the
+      * rename) on persistent unreadability, but one IO hiccup must not
+      * spuriously abort a multi-hour run at its final step. */
     private[graft] def checkOwned(context: String): Unit = synchronized {
-      val (heldBy, _) = readLease(fs, leasePath)
+      var (heldBy, _) = readLease(fs, leasePath)
+      if (heldBy == "<unreadable>") {
+        Thread.sleep(100)
+        heldBy = readLease(fs, leasePath)._1
+      }
       if (heldBy != owner) {
         lostOwnership = true
         throw new IllegalStateException(

@@ -110,9 +110,13 @@ class GenStoreSpec extends SparkSpec {
     // The lease is released after a successful run (withLease finally).
     assert(!Files.exists(idx.resolve(GenStore.LeaseName)))
 
-    // Crashed-holder takeover: a lease whose epoch is past the TTL is
-    // abandoned property, not a block — the next run takes it over.
+    // Crashed-holder takeover: a lease whose EFFECTIVE epoch (content
+    // epoch ∨ heartbeat mtime) is past the TTL is abandoned property,
+    // not a block — the next run takes it over. The planted file's
+    // mtime must be backdated too: a fresh mtime reads as a live
+    // heartbeat (that is the point of the mtime channel).
     Files.writeString(idx.resolve(GenStore.LeaseName), "deadrun\n12345")
+    assert(idx.resolve(GenStore.LeaseName).toFile.setLastModified(12345L))
     Similarity.ivfRetrain(spark, idx.toString, e, lloydIters = 0)
     assert(Files.exists(idx.resolve("_ivfgen-2")),
       "a stale (crashed-holder) lease must not block maintenance forever")
@@ -126,6 +130,7 @@ class GenStoreSpec extends SparkSpec {
     // Exactly one winner (B); A's completion must LOSE loudly, not
     // delete B's fresh lease (the delete-then-create bug this replaced).
     Files.writeString(idx.resolve(GenStore.LeaseName), "deadrun\n12345")
+    assert(idx.resolve(GenStore.LeaseName).toFile.setLastModified(12345L))
     val lease = new org.apache.hadoop.fs.Path(idx.toString, GenStore.LeaseName)
     val claimedA = new org.apache.hadoop.fs.Path(
       idx.toString, ".lease-takeover-simulated-A")
@@ -170,7 +175,10 @@ class GenStoreSpec extends SparkSpec {
     // every step must be rejected for the whole run — before the
     // heartbeat existed, it would have "taken over" the still-live run
     // the moment the ORIGINAL epoch went TTL-stale.
-    val ttl = 2000L
+    // Margins are sized for a loaded CI box: the TTL is 4 s and the probe
+    // cadence 500 ms, so only a multi-second stall between a renew and
+    // its probe could flake this — not ordinary GC/IO jitter.
+    val ttl = 4000L
     GenStore.acquireLease(fs, base, "longrun", ttl)
     val lease = new GenStore.Lease(fs, base, "longrun")
     val t0 = System.currentTimeMillis()
@@ -187,13 +195,14 @@ class GenStoreSpec extends SparkSpec {
 
     // Inverse: the holder is KILLED (heartbeat stops — no more renew
     // calls). Once the last-stamped epoch is TTL-stale the next writer's
-    // takeover must succeed; before that it must still be rejected.
-    val ttl2 = 600L
+    // takeover must succeed; before that it must still be rejected (the
+    // too-early probe has the full 3 s TTL as its margin).
+    val ttl2 = 3000L
     GenStore.acquireLease(fs, base, "deadrun", ttl2)
     intercept[IllegalStateException] {
       GenStore.acquireLease(fs, base, "taker", ttl2) // too early — rejected
     }
-    Thread.sleep(ttl2 + 200)
+    Thread.sleep(ttl2 + 400)
     GenStore.acquireLease(fs, base, "taker", ttl2) // stale now — takeover
     assert(Files.readString(work.resolve(GenStore.LeaseName)).startsWith("taker"))
     GenStore.releaseLease(fs, base, "taker")
@@ -207,10 +216,12 @@ class GenStoreSpec extends SparkSpec {
 
     // The real withLease daemon renews on its own: a body that sleeps
     // past the TTL stays the holder and an intruder is rejected mid-body.
-    GenStore.withLease(fs, base, ttlMs = 600) { lease =>
-      Thread.sleep(1500) // 2.5× the TTL — only the heartbeat keeps it live
+    // (ttl 2 s, heartbeat every ~666 ms: a stall would need to exceed a
+    // full TTL between beats to flake this.)
+    GenStore.withLease(fs, base, ttlMs = 2000) { lease =>
+      Thread.sleep(4500) // 2.25× the TTL — only the heartbeat keeps it live
       val ex = intercept[IllegalStateException] {
-        GenStore.acquireLease(fs, base, "intruder", 600)
+        GenStore.acquireLease(fs, base, "intruder", 2000)
       }
       assert(ex.getMessage.contains("held by"))
       assert(!lease.lostOwnership)
