@@ -109,7 +109,11 @@ object Dedup {
   /** Shared DuckDB CTE chain producing the LSH candidate pairs (used by the
     * q35 oracle, the q37 verification oracle, and as the edge set of the
     * q47 clustering oracle). Mirrors the Spark plan step for step. */
-  private[graft] val duckLshPairCtes: String = {
+  /** As [[duckLshPairCtes]] with a WHERE clause on the documents scan —
+    * the deletion gate (q269) renders the pair set of the corpus MINUS
+    * the forgotten ids; banding is per-doc, so filtered-corpus pairs
+    * equal pairs among the remaining docs' bands. */
+  private[graft] def duckLshPairCtesWhere(where: String): String = {
     val sigCols = (0 until 16)
       .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS s$j")
       .mkString(",\n       |               ")
@@ -117,7 +121,7 @@ object Dedup {
       val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
       s"concat_ws('|', '$b', ${parts.mkString(", ")})"
     }.mkString(",\n       |             ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents $where),
        |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w),
        |hh AS (SELECT doc_id, ${hexHeadToLong("m", "strpos")} AS h
        |       FROM (SELECT doc_id, md5(sh) AS m FROM shl)),
@@ -135,6 +139,8 @@ object Dedup {
        |          FROM capped a JOIN capped c
        |            ON a.bh = c.bh AND a.doc_id < c.doc_id)""".stripMargin
   }
+
+  private[graft] val duckLshPairCtes: String = duckLshPairCtesWhere("")
 
   /** LSH candidate near-duplicate pairs — the shared generator consumed by
     * q35 (as output), q37 (as the verification scope), and q47 (as the
@@ -446,6 +452,106 @@ object Dedup {
           rootBatchDirs(), Some(lease))
       }
     }
+  }
+
+  /** Right-to-be-forgotten purge of the persisted band index: every
+    * stored band row of a deleted doc_id is removed, published as a NEW
+    * generation (per-batch subdirs preserved — the replay contract
+    * survives the purge) and promoted by one atomic pointer rename
+    * under the heartbeat-renewed writer lease. Deletion lists are
+    * small relative to the corpus (a GDPR request batch), so the purge
+    * is one broadcast anti-join per stored batch partition; a list too
+    * big to broadcast shuffles the anti-join — same plan shape. A crash
+    * mid-purge leaves an unreferenced gen dir for the next
+    * maintenance pass's preClean; readers resolve the pointer and never
+    * see a half-purged index. */
+  def forgetDocs(spark: SparkSession, indexDir: String,
+      deleted: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(indexDir)
+    val fs = GenStore.fsOf(spark, indexDir)
+    require(fs.exists(base), s"forgetDocs: no index at $indexDir")
+    def rootBatchDirs(): Seq[String] =
+      fs.listStatus(base).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    GenStore.withLease(fs, base) { lease =>
+      val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
+      GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
+      val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+      val batches = fs.listStatus(new Path(root)).filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+      val genSeq = curSeq + 1
+      val genDir = s"$indexDir/gen=$genSeq"
+      batches.foreach { k =>
+        spark.read.parquet(s"$root/$k")
+          .select(col("doc_id"), col("bh"))
+          .join(broadcast(deleted.select(col("doc_id"))), Seq("doc_id"),
+            "left_anti")
+          .write.mode("overwrite").parquet(s"$genDir/$k")
+      }
+      GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq,
+        rootBatchDirs(), Some(lease))
+    }
+  }
+
+  /** Full candidate pair set answered FROM the stored band index (reads
+    * through the generation pointer): the post-purge/post-compaction
+    * read path — hot-bucket caps recomputed over the stored rows, so a
+    * bucket that fell under cap when members were forgotten contributes
+    * its pairs again, exactly as a from-scratch run over the remaining
+    * corpus would. */
+  private[ops] def pairsFromStoredBands(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val bands = s.read.parquet(bandIndexRoot(s, indexDir))
+      .select(col("doc_id"), col("bh"))
+      .persist(MEMORY_AND_DISK)
+    val capped = dropHotBuckets(bands)
+    capped.as("a").join(capped.as("c"),
+        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** q269: the DELETION day-2 gate — build the incremental dedup store
+    * (two parity batches through [[incrementalDayRun]]), then FORGET a
+    * deterministic deletion set (doc_id % 37 = 0, a GDPR-request
+    * stand-in) via [[forgetDocs]], and re-derive the duplicate-cluster
+    * labels from the purged store. The oracle is the from-scratch
+    * closure over the corpus MINUS the deleted docs: equality proves
+    * (a) the purge removed every trace of the deleted ids from the
+    * maintained state (also asserted directly — the purged index must
+    * contain zero deleted rows), and (b) the surviving pairs/labels are
+    * exactly what a rebuild without those docs would produce — deletion
+    * is a GENERATION, not a rebuild. Bands are per-doc, so purging rows
+    * commutes with banding; only the hot-bucket caps shift, and they
+    * are recomputed at read (a bucket that fell under cap when members
+    * were forgotten re-emits its pairs, matching the rebuild). */
+  val q269ForgetDocs: Q = Q(
+    "q269_forget_docs",
+    s"""WITH RECURSIVE ${duckLshPairCtesWhere("WHERE doc_id % 37 <> 0")},
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT u, v FROM edges
+       |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+       |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+       |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val work = java.nio.file.Files.createTempDirectory("graft-q269-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val idx = work.resolve("bandidx").toString
+    val docs = Tables(s, dir, "documents")
+    incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 0), 0L)
+      .unpersist()
+    incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 1), 1L)
+      .unpersist()
+    val deleted = docs.filter(col("doc_id") % 37 === 0).select(col("doc_id"))
+    forgetDocs(s, idx, deleted)
+    // No trace of a forgotten id may remain in the live generation.
+    val leftover = s.read.parquet(bandIndexRoot(s, idx))
+      .join(broadcast(deleted), Seq("doc_id"), "left_semi").limit(1).count()
+    require(leftover == 0L,
+      s"q269: purged index still contains forgotten doc_ids")
+    graft.ops.Fuzzy.resolveClusters(s, pairsFromStoredBands(s, idx))
+      .orderBy(col("doc_id"))
   }
 
   /** MinHash(16) + LSH(4 bands × 4 rows): candidate near-duplicate pairs =
@@ -1288,5 +1394,5 @@ object Dedup {
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
       q104BloomDecontaminate, q121DupSpans, q154Survivorship,
-      q233DedupIncrementalCluster, q248ContainmentDedup)
+      q233DedupIncrementalCluster, q248ContainmentDedup, q269ForgetDocs)
 }

@@ -663,6 +663,113 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Right-to-be-forgotten purge of the persisted IVF index: every
+    * assignment row of a deleted vec_id is removed, published as a NEW
+    * generation (per-batch assign partitions preserved — replay
+    * contract survives) and promoted atomically under the
+    * heartbeat-renewed writer lease; centroids and trainmeta carry over
+    * verbatim. REFUSES when a deleted id is a centroid id: the centroid
+    * VECTOR is a trained parameter whose payload the query path reads
+    * from the corpus — erasing it requires a retrain over the remaining
+    * membership ([[ivfRetrain]], q232's path), not a purge; refusing
+    * loudly is the honest contract. `n_at_train` is deliberately NOT
+    * rewritten — the growth-based retrain policy measures against the
+    * trained baseline, and shrinkage only delays a retrain it would
+    * have fired anyway. */
+  def ivfForget(spark: SparkSession, indexDir: String,
+      deleted: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val base = new Path(indexDir)
+    val fs = GenStore.fsOf(spark, indexDir)
+    require(fs.exists(base), s"ivfForget: no index at $indexDir")
+    GenStore.withLease(fs, base) { lease =>
+      val curSeq = GenStore.currentSeq(fs, base, IvfGenPrefix)
+      GenStore.preClean(fs, base, IvfGenPrefix, curSeq, IvfRootArtifacts)
+      val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+      val del = deleted.select(col("vec_id"))
+      val hitCentroid = spark.read.parquet(s"$root/centroids")
+        .join(broadcast(del),
+          col("centroid_id") === del("vec_id"), "left_semi")
+        .limit(1).count()
+      require(hitCentroid == 0L,
+        "ivfForget: deletion set contains a centroid id — the centroid " +
+          "is a trained parameter; run ivfRetrain over the remaining " +
+          "corpus instead of a purge")
+      val genSeq = curSeq + 1
+      val genDir = s"$indexDir/gen=$genSeq"
+      val assignBatches = fs.listStatus(new Path(s"$root/assign"))
+        .filter(_.isDirectory).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSeq
+      assignBatches.foreach { k =>
+        spark.read.parquet(s"$root/assign/$k")
+          .join(broadcast(del), Seq("vec_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$genDir/assign/$k")
+      }
+      spark.read.parquet(s"$root/centroids")
+        .write.mode("overwrite").parquet(s"$genDir/centroids")
+      spark.read.parquet(s"$root/trainmeta")
+        .write.mode("overwrite").parquet(s"$genDir/trainmeta")
+      GenStore.promote(fs, base, IvfGenPrefix, genSeq, curSeq,
+        IvfRootArtifacts, Some(lease))
+    }
+  }
+
+  /** q270: the DELETION day-2 gate for the ANN store — q269's
+    * right-to-be-forgotten discipline applied to the IVF index: build
+    * the two-day incremental index (q100's topology, frozen even-seed
+    * centroids), FORGET vec_id % 37 = 21 (disjoint from the seed set
+    * and the probe queries by construction) via [[ivfForget]], then
+    * answer the ten sample queries from the purged store. Oracle =
+    * q100's frozen-assignment rendering with the forgotten ids removed
+    * from the candidate lists: equality proves the purge removed
+    * exactly the deleted vectors' index state (also asserted directly —
+    * zero deleted rows survive in the live generation) and nothing
+    * else; deletion is a GENERATION, not a rebuild. */
+  val q270AnnForget: Q = Q(
+    "q270_ann_forget",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |kk2 AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
+       |        FROM embeddings WHERE vec_id % 2 = 0),
+       |seeds AS (SELECT vec_id FROM (
+       |            SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
+       |            FROM embeddings WHERE vec_id % 2 = 0) s
+       |          WHERE rn <= (SELECT k FROM kk2)),
+       |${duckAssignCtesCond("b.vec_id IN (SELECT vec_id FROM seeds)")},
+       |probe AS (SELECT vec_id AS query_id, centroid_id
+       |          FROM ac WHERE crank <= 2 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+       |         WHERE a.vec_id <> p.query_id AND a.vec_id % 37 <> 21),
+       |d AS (SELECT query_id, neighbor_id,
+       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el a ON a.vec_id = query_id
+       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id
+       |              JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    val e = embWithNorm(s, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-q270-")
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0), 0L)
+    ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1), 1L)
+    val deleted = e.filter(col("vec_id") % 37 === 21).select(col("vec_id"))
+    ivfForget(s, idx.toString, deleted)
+    val leftover = s.read
+      .parquet(s"${ivfCurrentRoot(s, idx.toString)}/assign")
+      .join(broadcast(deleted), Seq("vec_id"), "left_semi").limit(1).count()
+    require(leftover == 0L,
+      "q270: purged index still contains forgotten vec_ids")
+    ivfQuery(s, idx.toString, e, e.filter(col("vec_id") < 10))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** q64: int8 symmetric quantization of the embedding column — the
     * compression step a 100 TB vector store applies before ANN serving
     * (4× smaller than f32, SIMD-friendly int dot products). Per vector:
@@ -2078,5 +2185,5 @@ object Similarity {
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
     q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain,
-    q262Sq8Ann, q263AnnRerank, q268EmbeddingDrift)
+    q262Sq8Ann, q263AnnRerank, q268EmbeddingDrift, q270AnnForget)
 }
