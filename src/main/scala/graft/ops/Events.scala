@@ -937,6 +937,71 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q271: Holt double-exponential smoothing (level + linear trend) —
+    * the forecasting step past q165's seasonal-naive baseline: per
+    * event_type, fold the daily cents series through
+    * l_t = ½·y_t + ½·(l + b), b_t = ½·(l_t − l) + ½·b (α = β = ½) and
+    * surface the final state plus 1- and 3-step-ahead forecasts.
+    *
+    * Determinism: the recursion is SEQUENTIAL by construction (no
+    * reordering for an engine to disagree on) and every step is IEEE
+    * basic ops (+, ×½) — correctly rounded and bit-identical in both
+    * engines, so no round-before-sum discipline is needed; the halving
+    * coefficients also keep early iterates exactly representable
+    * (dyadic). DuckDB renders the same fold as a recursive CTE stepping
+    * t → t+1 per key.
+    *
+    * Scale: the series is DAY-cardinality per key — bounded by the
+    * calendar, not the row count — so the per-key collect_list + O(days)
+    * aggregate HOF is a bounded reduction at any corpus size; the daily
+    * rollup beneath it combines map-side. */
+  val q271HoltForecast: Q = Q(
+    "q271_holt_forecast",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM d),
+      |nmax AS (SELECT event_type, max(t) AS tn FROM ser GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, t, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b
+      |  FROM ser WHERE t = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.t,
+      |         0.5e0 * s.v + 0.5e0 * (r.l + r.b),
+      |         0.5e0 * ((0.5e0 * s.v + 0.5e0 * (r.l + r.b)) - r.l) + 0.5e0 * r.b
+      |  FROM rec r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t + 1)
+      |SELECT r.event_type, CAST(n.tn AS BIGINT) AS n_days,
+      |       round(r.l, 6) AS level_cents,
+      |       round(r.b, 6) AS trend_cents,
+      |       round(r.l + r.b, 6) AS forecast_1,
+      |       round(r.l + 3 * r.b, 6) AS forecast_3
+      |FROM rec r JOIN nmax n USING (event_type) WHERE r.t = n.tn
+      |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_sort(collect_list(struct(day, v)))").as("arr"))
+      .withColumn("st", expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  named_struct('l', CAST(element_at(arr, 1).v AS DOUBLE),
+          |               'b', CAST(0.0 AS DOUBLE)),
+          |  (st, e) -> named_struct(
+          |    'l', 0.5D * CAST(e.v AS DOUBLE) + 0.5D * (st.l + st.b),
+          |    'b', 0.5D * ((0.5D * CAST(e.v AS DOUBLE) + 0.5D * (st.l + st.b))
+          |                 - st.l) + 0.5D * st.b))""".stripMargin))
+      .select(col("event_type"), size(col("arr")).cast("long").as("n_days"),
+        round(col("st.l"), 6).as("level_cents"),
+        round(col("st.b"), 6).as("trend_cents"),
+        round(col("st.l") + col("st.b"), 6).as("forecast_1"),
+        round(col("st.l") + lit(3) * col("st.b"), 6).as("forecast_3"))
+      .orderBy(col("event_type"))
+  }
+
   /** q169: automation (bot) detection — humans don't fire events
     * back-to-back for long: per user, count consecutive-event gaps under
     * 2 seconds (µs-exact via unix_micros; a floor-seconds gap would call
@@ -2021,6 +2086,7 @@ object Events {
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
+      q271HoltForecast,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
