@@ -849,8 +849,80 @@ object TextAnalysis {
       .orderBy(col("lang"))
   }
 
+  /** q272: classifier EVALUATION rollup — q32's language-ID predictions
+    * scored against the table's ground-truth labels: per language,
+    * support, predicted count, true positives, precision, recall, F1.
+    * This is the model-eval operator every quality/language classifier
+    * in a curation pipeline needs before its threshold is trusted —
+    * q32 emits the confusion matrix; this reduces it to the decision
+    * metrics. The 'und' prediction counts against recall (a miss) and
+    * never against precision (no 'und' ground truth row exists).
+    *
+    * Determinism: the matrix is exact integers; each metric is one
+    * correctly-rounded division (NULL where undefined via NULLIF — the
+    * same in both engines); F1 from the already-exact integer
+    * 2·tp / (pred + support). Scale: the matrix is |langs|² rows from
+    * one map-side-combined aggregate; everything after is
+    * class-cardinality arithmetic. */
+  val q272LangidEval: Q = {
+    val langs = stop.map(_._1)
+    def duckScore(ws: Seq[String]) = s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(ws)}))"
+    def sparkScore(ws: Seq[String]) = s"size(filter(split(text, ' '), x -> x IN ${inList(ws)}))"
+    val duckScores = stop.map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(", ")
+    val sparkScores = stop.map { case (l, ws) => s"${sparkScore(ws)} AS s_$l" }
+    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val caseSql = s"CASE WHEN m = 0 THEN 'und' $pick END"
+    Q(
+      "q272_langid_eval",
+      s"""WITH sc AS (SELECT lang, $duckScores FROM documents),
+         |p AS (SELECT *, $m AS m FROM sc),
+         |cm AS (SELECT lang, $caseSql AS pred, count(*) AS n FROM p GROUP BY 1, 2),
+         |act AS (SELECT lang, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
+         |prd AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS predicted
+         |        FROM cm GROUP BY 1),
+         |tp AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tp FROM cm
+         |       WHERE lang = pred GROUP BY 1)
+         |SELECT a.lang, a.support,
+         |       coalesce(p2.predicted, 0) AS predicted,
+         |       coalesce(t.tp, 0) AS tp,
+         |       round(CAST(coalesce(t.tp, 0) AS DOUBLE)
+         |             / NULLIF(coalesce(p2.predicted, 0), 0), 4) AS precision,
+         |       round(CAST(coalesce(t.tp, 0) AS DOUBLE) / a.support, 4) AS recall,
+         |       round(CAST(2 * coalesce(t.tp, 0) AS DOUBLE)
+         |             / (coalesce(p2.predicted, 0) + a.support), 4) AS f1
+         |FROM act a LEFT JOIN prd p2 ON p2.lang = a.lang
+         |           LEFT JOIN tp t ON t.lang = a.lang
+         |ORDER BY a.lang""".stripMargin) { (s, dir) =>
+      val cm = Tables(s, dir, "documents")
+        .selectExpr(Seq("lang") ++ sparkScores: _*)
+        .withColumn("m", expr(m))
+        .groupBy(col("lang"), expr(caseSql).as("pred"))
+        .agg(count(lit(1)).as("n"))
+      val act = cm.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("support"))
+      val prd = cm.groupBy(col("pred").as("lang"))
+        .agg(sum(col("n")).cast("long").as("predicted"))
+      val tp = cm.filter(col("lang") === col("pred"))
+        .groupBy(col("lang")).agg(sum(col("n")).cast("long").as("tp"))
+      act.join(prd, Seq("lang"), "left").join(tp, Seq("lang"), "left")
+        .select(col("lang"), col("support"),
+          coalesce(col("predicted"), lit(0L)).as("predicted"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          round(coalesce(col("tp"), lit(0L)).cast("double")
+            / nullif(coalesce(col("predicted"), lit(0L)), lit(0L)), 4)
+            .as("precision"),
+          round(coalesce(col("tp"), lit(0L)).cast("double") / col("support"), 4)
+            .as("recall"),
+          round((lit(2) * coalesce(col("tp"), lit(0L))).cast("double")
+            / (coalesce(col("predicted"), lit(0L)) + col("support")), 4)
+            .as("f1"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
-    q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality)
+    q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
+    q272LangidEval)
 }

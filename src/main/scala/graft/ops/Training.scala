@@ -740,7 +740,48 @@ object Training {
     }
   }
 
+  /** q273: WEIGHTED k-sampling without replacement (Efraimidis–
+    * Spirakis A-ES) — the principled "sample documents proportional to
+    * token count" selection a token-budgeted corpus build needs (plain
+    * uniform sampling under-represents long documents' token mass):
+    * each doc draws u from the portable-hash uniform and competes with
+    * key ln(u)/w (monotone-equivalent to u^(1/w)); the top-50 keys win.
+    * Deterministic: u is an exact integer construction both engines
+    * share (q49's gate discipline), ln is the one libm call and is
+    * rounded to 9 decimals BEFORE the ranking decision (q245's
+    * discipline), ties break on doc_id.
+    *
+    * Scale: the key is a stateless map-side projection; selection is
+    * TakeOrderedAndProject(50) — two-phase heads, never a global sort;
+    * re-drawing a different sample is a salt change, not a new plan. */
+  val q273WeightedSample: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q273_weighted_sample",
+      s"""WITH d AS (SELECT doc_id, lang,
+         |             CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |             md5(concat(CAST(doc_id AS VARCHAR), '-graft-wsamp')) AS m
+         |           FROM documents),
+         |k AS (SELECT doc_id, lang, w,
+         |             round(ln((($h) % 1000000 + 1) / 1000001.0) / w, 9) AS samp_key
+         |      FROM d)
+         |SELECT doc_id, lang, w, samp_key
+         |FROM k ORDER BY samp_key DESC, doc_id LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          md5(concat(col("doc_id").cast("string"), lit("-graft-wsamp"))).as("m"))
+        .withColumn("samp_key",
+          round(log((expr(PortableHash.hexHeadToLong("m", "instr")) % 1000000L
+            + lit(1L)) / lit(1000001.0)) / col("w"), 9))
+        .select(col("doc_id"), col("lang"), col("w"), col("samp_key"))
+        .orderBy(col("samp_key").desc, col("doc_id"))
+        .limit(50)
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    q273WeightedSample,
     q240BudgetAllocation, q245TemperatureMix, q251EpochExpansion,
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
