@@ -414,15 +414,22 @@ object Dedup {
     * with a single-writer check; the superseded generation is GC'd after
     * the commit, and a crash before the rename leaves only an
     * unreferenced dir the next compaction pre-cleans. */
+  /** `batch=` dirs at the store ROOT — the superseded root-layout
+    * artifacts preClean/promote must GC once a generation pointer
+    * exists. One definition for BOTH band-store maintenance paths
+    * (compaction and deletion) so their GC sets can never drift. */
+  private def bandRootBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path): Seq[String] =
+    fs.listStatus(base).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+
   def compactBandIndex(spark: SparkSession, indexDir: String,
       keepRecent: Int = 2, targetFiles: Int = 8): Unit = {
     import org.apache.hadoop.fs.Path
     val base = new Path(indexDir)
     val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"compactBandIndex: no index at $indexDir")
-    def rootBatchDirs(): Seq[String] =
-      fs.listStatus(base).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    def rootBatchDirs(): Seq[String] = bandRootBatchDirs(fs, base)
     // The whole maintenance pass — preClean through promote — runs under
     // the writer lease: a concurrent compaction fails at acquire instead
     // of deleting this run's staged generation mid-interleave.
@@ -458,10 +465,12 @@ object Dedup {
     * stored band row of a deleted doc_id is removed, published as a NEW
     * generation (per-batch subdirs preserved — the replay contract
     * survives the purge) and promoted by one atomic pointer rename
-    * under the heartbeat-renewed writer lease. Deletion lists are
-    * small relative to the corpus (a GDPR request batch), so the purge
-    * is one broadcast anti-join per stored batch partition; a list too
-    * big to broadcast shuffles the anti-join — same plan shape. A crash
+    * under the heartbeat-renewed writer lease. The purge is one
+    * anti-join per stored batch partition — UNHINTED, so Catalyst
+    * broadcasts a small GDPR batch (the common case, under the
+    * auto-broadcast threshold) and degrades to a shuffled anti-join for
+    * a deletion list too big to replicate, instead of collecting an
+    * arbitrary-size list to the driver on a forced hint. A crash
     * mid-purge leaves an unreferenced gen dir for the next
     * maintenance pass's preClean; readers resolve the pointer and never
     * see a half-purged index. */
@@ -471,9 +480,7 @@ object Dedup {
     val base = new Path(indexDir)
     val fs = GenStore.fsOf(spark, indexDir)
     require(fs.exists(base), s"forgetDocs: no index at $indexDir")
-    def rootBatchDirs(): Seq[String] =
-      fs.listStatus(base).filter(_.isDirectory)
-        .map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+    def rootBatchDirs(): Seq[String] = bandRootBatchDirs(fs, base)
     GenStore.withLease(fs, base) { lease =>
       val curSeq = GenStore.currentSeq(fs, base, BandGenPrefix)
       GenStore.preClean(fs, base, BandGenPrefix, curSeq, rootBatchDirs())
@@ -485,8 +492,7 @@ object Dedup {
       batches.foreach { k =>
         spark.read.parquet(s"$root/$k")
           .select(col("doc_id"), col("bh"))
-          .join(broadcast(deleted.select(col("doc_id"))), Seq("doc_id"),
-            "left_anti")
+          .join(deleted.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$genDir/$k")
       }
       GenStore.promote(fs, base, BandGenPrefix, genSeq, curSeq,

@@ -223,19 +223,38 @@ private[graft] object GenStore {
     /** Re-stamp the lease epoch iff still this owner's — called every
       * ttl/3 by the heartbeat so a long-running body never LOOKS crashed
       * to a would-be takeover. The stamp is `setTimes` (mtime), an
-      * ATOMIC metadata update: the lease file's CONTENT is never
-      * rewritten after create, so a concurrent acquire can never read a
-      * truncated/empty lease and mistake a live holder for a stale one.
-      * A transient unreadable read skips the beat WITHOUT latching
-      * lostOwnership (the next beat retries; the lease only goes stale
-      * after ~3 consecutive failures × ttl/3) — only a successfully-read
+      * ATOMIC metadata update: on mutable filesystems (local, HDFS) the
+      * lease file's CONTENT is never rewritten, so a concurrent acquire
+      * can never read a truncated/empty lease and mistake a live holder
+      * for a stale one. Some FileSystem implementations (object stores —
+      * Hadoop's base `setTimes` is an empty default) silently no-op the
+      * mtime update; the stamp is VERIFIED by re-statting, and where it
+      * didn't land the renewal falls back to rewriting the content epoch
+      * — safe there because object-store overwrite is atomic
+      * whole-object replacement, not a truncate-then-write (readers see
+      * the old or the new object, never a prefix). A transient
+      * unreadable read skips the beat WITHOUT latching lostOwnership
+      * (the next beat retries; the lease only goes stale after ~3
+      * consecutive failures × ttl/3) — only a successfully-read
       * DIFFERENT owner means this run was actually taken over. */
     private[graft] def renew(): Unit = synchronized {
       if (lostOwnership) return
       readLease(fs, leasePath) match {
         case (`owner`, _) =>
-          try fs.setTimes(leasePath, System.currentTimeMillis(), -1)
-          catch { case _: java.io.IOException => () }
+          try {
+            val now = System.currentTimeMillis()
+            fs.setTimes(leasePath, now, -1)
+            // Allow a minute of store-side timestamp granularity; a
+            // beat-old mtime means setTimes was a no-op on this FS.
+            val landed =
+              try fs.getFileStatus(leasePath).getModificationTime >= now - 60000
+              catch { case _: java.io.IOException => true }
+            if (!landed) {
+              val out = fs.create(leasePath, true)
+              try out.write(s"$owner\n$now".getBytes("UTF-8"))
+              finally out.close()
+            }
+          } catch { case _: java.io.IOException => () }
         case ("<unreadable>", _) => () // transient — skip this beat
         case _ => lostOwnership = true
       }
@@ -291,7 +310,11 @@ private[graft] object GenStore {
       while (!stop.get()) {
         try Thread.sleep(interval)
         catch { case _: InterruptedException => () }
-        if (!stop.get()) lease.renew()
+        // Never let one throwing beat kill the heartbeat thread — a
+        // dead heartbeat silently re-opens the slow-run takeover.
+        if (!stop.get())
+          try lease.renew()
+          catch { case _: Throwable => () }
       }
     }, s"graft-lease-heartbeat-$owner")
     hb.setDaemon(true)
@@ -305,10 +328,15 @@ private[graft] object GenStore {
       hb.join(5000)
       // Release under the Lease monitor: if the join timed out because a
       // renew is stalled INSIDE its synchronized block (hung fs call),
-      // this waits for it to finish rather than racing it — otherwise the
-      // stalled create could re-materialize the lease file AFTER the
-      // release and block the next writer for a full TTL. New renews
-      // cannot start (stop is set before the join).
+      // this waits for it to finish rather than racing it. On the
+      // object-store fallback path renew DOES rewrite the lease content,
+      // and a stalled rewrite completing after the release would
+      // re-materialize the lease and block the next writer for a full
+      // TTL; on the common mtime-only path the monitor merely orders a
+      // metadata stamp before the release. (A truly hung fs call would
+      // hang releaseLease's own fs ops on the same store anyway — the
+      // wait adds no new failure mode.) New renews cannot start (stop is
+      // set before the join).
       try lease.synchronized { releaseLease(fs, base, owner) }
       catch {
         case t: Throwable =>

@@ -686,10 +686,13 @@ object Similarity {
       val curSeq = GenStore.currentSeq(fs, base, IvfGenPrefix)
       GenStore.preClean(fs, base, IvfGenPrefix, curSeq, IvfRootArtifacts)
       val root = if (curSeq == 0L) indexDir else s"$indexDir/gen=$curSeq"
+      // Unhinted joins throughout: Catalyst broadcasts a small GDPR
+      // batch and degrades to shuffled joins for one too big to
+      // replicate (a forced broadcast hint would collect an
+      // arbitrary-size deletion list to the driver).
       val del = deleted.select(col("vec_id"))
       val hitCentroid = spark.read.parquet(s"$root/centroids")
-        .join(broadcast(del),
-          col("centroid_id") === del("vec_id"), "left_semi")
+        .join(del, col("centroid_id") === del("vec_id"), "left_semi")
         .limit(1).count()
       require(hitCentroid == 0L,
         "ivfForget: deletion set contains a centroid id — the centroid " +
@@ -702,7 +705,7 @@ object Similarity {
         .filter(_.startsWith("batch=")).toSeq
       assignBatches.foreach { k =>
         spark.read.parquet(s"$root/assign/$k")
-          .join(broadcast(del), Seq("vec_id"), "left_anti")
+          .join(del, Seq("vec_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$genDir/assign/$k")
       }
       spark.read.parquet(s"$root/centroids")
@@ -717,8 +720,11 @@ object Similarity {
   /** q270: the DELETION day-2 gate for the ANN store — q269's
     * right-to-be-forgotten discipline applied to the IVF index: build
     * the two-day incremental index (q100's topology, frozen even-seed
-    * centroids), FORGET vec_id % 37 = 21 (disjoint from the seed set
-    * and the probe queries by construction) via [[ivfForget]], then
+    * centroids), FORGET the ODD vec_ids ≡ 21 (mod 37) — odd, so
+    * disjoint from the even-id seed-centroid set at ANY k (a plain
+    * mod-37 class contains even ids like 58 that become seeds once
+    * k ≥ 30), and ≥ 21, so disjoint from the probe queries — via
+    * [[ivfForget]], then
     * answer the ten sample queries from the purged store. Oracle =
     * q100's frozen-assignment rendering with the forgotten ids removed
     * from the candidate lists: equality proves the purge removed
@@ -740,7 +746,8 @@ object Similarity {
        |          FROM ac WHERE crank <= 2 AND vec_id < 10),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
-       |         WHERE a.vec_id <> p.query_id AND a.vec_id % 37 <> 21),
+       |         WHERE a.vec_id <> p.query_id
+       |           AND NOT (a.vec_id % 37 = 21 AND a.vec_id % 2 = 1)),
        |d AS (SELECT query_id, neighbor_id,
        |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
        |      FROM cand JOIN el a ON a.vec_id = query_id
@@ -759,7 +766,9 @@ object Similarity {
     org.apache.commons.io.FileUtils.forceDeleteOnExit(idx.toFile)
     ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 0), 0L)
     ivfAppend(s, idx.toString, e.filter(col("vec_id") % 2 === 1), 1L)
-    val deleted = e.filter(col("vec_id") % 37 === 21).select(col("vec_id"))
+    val deleted = e
+      .filter(col("vec_id") % 37 === 21 && col("vec_id") % 2 === 1)
+      .select(col("vec_id"))
     ivfForget(s, idx.toString, deleted)
     val leftover = s.read
       .parquet(s"${ivfCurrentRoot(s, idx.toString)}/assign")

@@ -103,31 +103,41 @@ object TextAnalysis {
     }
   }
 
+  /** The ONE language-ID classifier definition — q32 emits its confusion
+    * matrix, q272 scores it against ground truth; both consume these
+    * renderings, so a heuristic tweak (score expression, tie order, the
+    * 'und' rule) can never make the two gates silently evaluate
+    * different classifiers. */
+  private object LangId {
+    val langs: Seq[String] = stop.map(_._1)
+    private def sparkScore(ws: Seq[String]) =
+      s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
+    private def duckScore(ws: Seq[String]) =
+      s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
+    val sparkScores: Seq[String] =
+      stop.map { case (l, ws) => s"${sparkScore(ws)} AS s_$l" }
+    val duckScores: String =
+      stop.map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(", ")
+    val m: String = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    private val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
+    val caseSql: String = s"CASE WHEN m = 0 THEN 'und' $pick END"
+  }
+
   /** Language-ID: stopword-hit scoring per candidate language, deterministic
     * argmax (fixed language priority on ties, 'und' when no hits). Output is
     * the (true-lang, predicted-lang) confusion matrix. */
-  val q32LangId: Q = {
-    val langs = stop.map(_._1)
-    def sparkScore(ws: Seq[String]) = s"size(filter(split(text, ' '), w -> w IN ${inList(ws)}))"
-    def duckScore(ws: Seq[String]) = s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(ws)}))"
-    val sparkScores = stop.map { case (l, ws) => s"${sparkScore(ws)} AS s_$l" }
-    val duckScores = stop.map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(", ")
-    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
-    val caseSql = s"CASE WHEN m = 0 THEN 'und' $pick END"
-    Q(
-      "q32_lang_id",
-      s"""WITH sc AS (SELECT lang, $duckScores FROM documents),
-         |p AS (SELECT *, $m AS m FROM sc)
-         |SELECT lang, $caseSql AS pred_lang, count(*) AS n
-         |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .selectExpr(Seq("lang") ++ sparkScores: _*)
-        .withColumn("m", expr(m))
-        .groupBy(col("lang"), expr(caseSql).as("pred_lang"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("lang"), col("pred_lang"))
-    }
+  val q32LangId: Q = Q(
+    "q32_lang_id",
+    s"""WITH sc AS (SELECT lang, ${LangId.duckScores} FROM documents),
+       |p AS (SELECT *, ${LangId.m} AS m FROM sc)
+       |SELECT lang, ${LangId.caseSql} AS pred_lang, count(*) AS n
+       |FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "documents")
+      .selectExpr(Seq("lang") ++ LangId.sparkScores: _*)
+      .withColumn("m", expr(LangId.m))
+      .groupBy(col("lang"), expr(LangId.caseSql).as("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
   }
 
   /** Document fingerprinting: k-min sketch (k=1) over word 4-grams — the
@@ -865,19 +875,11 @@ object TextAnalysis {
     * one map-side-combined aggregate; everything after is
     * class-cardinality arithmetic. */
   val q272LangidEval: Q = {
-    val langs = stop.map(_._1)
-    def duckScore(ws: Seq[String]) = s"len(list_filter(string_split(text, ' '), x -> x IN ${inList(ws)}))"
-    def sparkScore(ws: Seq[String]) = s"size(filter(split(text, ' '), x -> x IN ${inList(ws)}))"
-    val duckScores = stop.map { case (l, ws) => s"${duckScore(ws)} AS s_$l" }.mkString(", ")
-    val sparkScores = stop.map { case (l, ws) => s"${sparkScore(ws)} AS s_$l" }
-    val m = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
-    val pick = langs.map(l => s"WHEN s_$l = m THEN '$l'").mkString(" ")
-    val caseSql = s"CASE WHEN m = 0 THEN 'und' $pick END"
     Q(
       "q272_langid_eval",
-      s"""WITH sc AS (SELECT lang, $duckScores FROM documents),
-         |p AS (SELECT *, $m AS m FROM sc),
-         |cm AS (SELECT lang, $caseSql AS pred, count(*) AS n FROM p GROUP BY 1, 2),
+      s"""WITH sc AS (SELECT lang, ${LangId.duckScores} FROM documents),
+         |p AS (SELECT *, ${LangId.m} AS m FROM sc),
+         |cm AS (SELECT lang, ${LangId.caseSql} AS pred, count(*) AS n FROM p GROUP BY 1, 2),
          |act AS (SELECT lang, CAST(sum(n) AS BIGINT) AS support FROM cm GROUP BY 1),
          |prd AS (SELECT pred AS lang, CAST(sum(n) AS BIGINT) AS predicted
          |        FROM cm GROUP BY 1),
@@ -895,9 +897,9 @@ object TextAnalysis {
          |           LEFT JOIN tp t ON t.lang = a.lang
          |ORDER BY a.lang""".stripMargin) { (s, dir) =>
       val cm = Tables(s, dir, "documents")
-        .selectExpr(Seq("lang") ++ sparkScores: _*)
-        .withColumn("m", expr(m))
-        .groupBy(col("lang"), expr(caseSql).as("pred"))
+        .selectExpr(Seq("lang") ++ LangId.sparkScores: _*)
+        .withColumn("m", expr(LangId.m))
+        .groupBy(col("lang"), expr(LangId.caseSql).as("pred"))
         .agg(count(lit(1)).as("n"))
       val act = cm.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("support"))
       val prd = cm.groupBy(col("pred").as("lang"))
