@@ -386,6 +386,58 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q274: perceptual-hash IMAGE DEDUP — the multimodal dedup operator
+    * built ON q102's hash: every document's (real, executor-encoded)
+    * PNG goes through the actual JDK decode → resize → luma →
+    * mean-threshold aHash, and images sharing a hash form a duplicate
+    * group with q154's keeper election (min doc_id survives). The
+    * rollup is per hash: group size, keeper, duplicates to drop — the
+    * image-side analog of q34's exact text dedup, with the hash
+    * equality standing where near-dup thresholds would at production
+    * scale (hamming-block joins are q65's machinery, ready to compose).
+    * Oracle: the aHash fixed point from length(text) alone (q102's
+    * closed form) and the same rollup — decode/resize/threshold/pack
+    * all sit on the Spark side of the equality.
+    *
+    * Scale: hashes are 16 chars/image; the dedup is one
+    * map-side-combined groupBy over them — the shuffle carries hashes
+    * and counts, never pixels. */
+  val q274ImageDedup: Q = Q(
+    "q274_image_dedup",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |         repeat(lower(lpad(to_hex((1 << (8 - (1 + length(text) % 7))) - 1), 2, '0')),
+      |                8) AS ahash
+      |  FROM documents)
+      |SELECT ahash, count(*) AS n_images,
+      |       CAST(min(doc_id) AS BIGINT) AS keeper,
+      |       count(*) - 1 AS n_dupes
+      |FROM h GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(1) + length(col("text")) % 7).cast("int").as("p"))
+      .as[(Long, Int)]
+    prepped.mapPartitions(_.map { case (id, p) =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val g = if (x < p) 40 else 200
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", buf)
+      val hash = JdkCodec.aHash(buf.toByteArray)
+        .getOrElse(sys.error(s"aHash failed for doc $id"))
+      (id, hash)
+    }).toDF("doc_id", "ahash")
+      .groupBy(col("ahash"))
+      .agg(count(lit(1)).as("n_images"),
+        min(col("doc_id")).as("keeper"),
+        (count(lit(1)) - 1).as("n_dupes"))
+      .orderBy(col("ahash"))
+  }
+
   /** q132: the AUDIO codec under the oracle gate (q101's pattern for the
     * other real JDK codec): each document synthesizes a PCM WAV whose
     * format parameters are pure arithmetic over its text length, the
@@ -471,5 +523,5 @@ object Multimodal {
   }
 
   val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash,
-    q132AudioRoundtrip, q138VideoFrames)
+    q132AudioRoundtrip, q138VideoFrames, q274ImageDedup)
 }
