@@ -771,8 +771,96 @@ object Curation {
       .orderBy(col("score").desc, col("doc_id"))
   }
 
+  /** q275: t-CLOSENESS audit — the third rung of the privacy-release
+    * ladder (q190 k-anonymity → q250 l-diversity → this). l-diversity
+    * only counts DISTINCT sensitive values per quasi-identifier group;
+    * a group can hold 5 distinct event types and still leak if 96% of
+    * its rows share one (a skewness attack — Li, Li & Venkatasubramanian
+    * 2007). t-closeness bounds the DISTANCE between each group's
+    * sensitive-value distribution and the global one; for a categorical
+    * attribute under uniform ground distance the EMD is exactly the
+    * total-variation distance TV(g) = ½ Σ_s |c_{g,s}/n_g − C_s/N|.
+    *
+    * Exactness: TV is held as the integer numerator
+    * tv_num = Σ_{s∈g} |c·N − C·n| + (N − Σ_{s∈g} C)·n over denominator
+    * 2·n·N — the absent-sensitive-value mass folds into one closed-form
+    * term, so no group×sensitive cross join is ever built. The release
+    * decision (t = ¼: 2·tv_num > n·N) compares BIGINTs; the surfaced
+    * tv_ppm divides in DECIMAL(38,0)/HUGEINT so the ×10⁶ product can
+    * never overflow at any SF.
+    *
+    * Scale shape: everything derives from ONE map-side-combining
+    * aggregate to (QI, sensitive) grain; the global distribution and
+    * total are vocabulary-bounded broadcasts re-aggregated FROM that
+    * grain (the raw table is scanned once); the rollup is a second
+    * aggregate on the same QI keys. */
+  val q275TCloseness: Q = Q(
+    "q275_t_closeness",
+    """WITH qs AS (SELECT user_id % 100 AS cohort,
+      |                   CAST(floor(value) AS BIGINT) % 10 AS vdec,
+      |                   event_type, CAST(count(*) AS BIGINT) AS c
+      |            FROM events GROUP BY 1, 2, 3),
+      |gs AS (SELECT cohort, vdec, CAST(sum(c) AS BIGINT) AS n
+      |       FROM qs GROUP BY 1, 2),
+      |gd AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS cg
+      |         FROM qs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM gd),
+      |pres AS (SELECT qs.cohort, qs.vdec, gs.n, tot.nn,
+      |                CAST(sum(abs(qs.c * tot.nn - gd.cg * gs.n)) AS BIGINT)
+      |                  AS present_num,
+      |                CAST(sum(gd.cg) AS BIGINT) AS cg_present
+      |         FROM qs JOIN gd USING (event_type)
+      |              JOIN gs USING (cohort, vdec) CROSS JOIN tot
+      |         GROUP BY 1, 2, 3, 4),
+      |tv AS (SELECT cohort, vdec, n, nn,
+      |              present_num + (nn - cg_present) * n AS tv_num
+      |       FROM pres)
+      |SELECT vdec, CAST(count(*) AS BIGINT) AS n_groups,
+      |       CAST(count(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_anonymous,
+      |       CAST(count(*) FILTER (WHERE n >= 5 AND 2 * tv_num > n * nn)
+      |            AS BIGINT) AS n_t_fail,
+      |       CAST(coalesce(max(CAST(tv_num AS HUGEINT) * 1000000
+      |                         // (2 * CAST(n AS HUGEINT) * nn))
+      |                       FILTER (WHERE n >= 5), 0) AS BIGINT)
+      |         AS max_tv_ppm
+      |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 0)
+    val qs = Tables(s, dir, "events")
+      .groupBy((col("user_id") % 100).as("cohort"),
+        (floor(col("value")).cast("long") % 10).as("vdec"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val gs = qs.groupBy(col("cohort"), col("vdec"))
+      .agg(sum(col("c")).cast("long").as("n"))
+    val glob = qs.groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("cg"))
+    val tot = glob.agg(sum(col("cg")).cast("long").as("nn"))
+    val tv = qs
+      .join(broadcast(glob), Seq("event_type"))
+      .join(gs, Seq("cohort", "vdec"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("cohort"), col("vdec"), col("n"), col("nn"))
+      .agg(sum(abs(col("c") * col("nn") - col("cg") * col("n")))
+          .cast("long").as("present_num"),
+        sum(col("cg")).cast("long").as("cg_present"))
+      .withColumn("tv_num",
+        col("present_num") + (col("nn") - col("cg_present")) * col("n"))
+    tv.groupBy(col("vdec"))
+      .agg(count(lit(1)).as("n_groups"),
+        count_if(col("n") >= 5).as("n_anonymous"),
+        count_if(col("n") >= 5 && lit(2) * col("tv_num") > col("n") * col("nn"))
+          .as("n_t_fail"),
+        coalesce(max(when(col("n") >= 5,
+            expr("(CAST(tv_num AS DECIMAL(38,0)) * 1000000) div " +
+              "(2 * CAST(n AS DECIMAL(38,0)) * nn)"))),
+          lit(0L)).cast("long").as("max_tv_ppm"))
+      .orderBy(col("vdec"))
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
-    q98QualityDrift, q135KsDrift, q250LDiversity, q266DsirSelection)
+    q98QualityDrift, q135KsDrift, q250LDiversity, q266DsirSelection,
+    q275TCloseness)
 }
