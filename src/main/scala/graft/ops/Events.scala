@@ -1002,6 +1002,78 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q276: exact autocorrelation function (ACF, lags 1–7) of the daily
+    * revenue series per event_type — the diagnostic that DECIDES between
+    * q165's seasonal-naive and q271's Holt (a spike at lag 7 says
+    * "seasonal", fast decay says "trend model suffices"), and the
+    * standard residual-whiteness check after either.
+    *
+    * Exactness: ACF(k) = Σ(y_t−ȳ)(y_{t−k}−ȳ) / Σ(y_t−ȳ)² is computed
+    * with both sides multiplied through by n² — centered terms become
+    * the exact integers (n·y_t − S) — so numerator and denominator are
+    * integer sums (DECIMAL(38,0)/HUGEINT: n·y ≈ 90·10⁹ cents squared
+    * exceeds BIGINT) and the surfaced acf_ppm is ONE integer division.
+    * Missing days are handled by indexing on the observation order t
+    * (q271's convention), not the calendar day.
+    *
+    * Scale shape: the raw table collapses to (type, day) cells map-side;
+    * the per-type stats broadcast back; the 7 lags come from ONE
+    * broadcast-lag cross join over the day-grain table (bounded by
+    * calendar × 7, never row count). */
+  val q276AcfDaily: Q = Q(
+    "q276_acf_daily",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM d),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |              CAST(sum(v) AS HUGEINT) AS sv
+      |       FROM ser GROUP BY 1),
+      |cen AS (SELECT s.event_type, s.t, st.n * s.v - st.sv AS c
+      |        FROM ser s JOIN st USING (event_type)),
+      |den AS (SELECT event_type, sum(c * c) AS den FROM cen GROUP BY 1),
+      |k AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |num AS (SELECT a.event_type, k.lag,
+      |               CAST(count(*) AS BIGINT) AS n_pairs,
+      |               sum(a.c * b.c) AS num
+      |        FROM cen a CROSS JOIN k
+      |             JOIN cen b ON b.event_type = a.event_type
+      |                       AND b.t = a.t - k.lag
+      |        GROUP BY 1, 2)
+      |SELECT n.event_type, CAST(n.lag AS BIGINT) AS lag, n.n_pairs,
+      |       CAST(1000000 * n.num // d2.den AS BIGINT) AS acf_ppm
+      |FROM num n JOIN den d2 USING (event_type)
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val ser = d.withColumn("t",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val st = ser.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("v")).cast("decimal(38,0)").as("sv"))
+    val cen = ser.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("t"),
+        (col("n") * col("v") - col("sv")).as("c"))
+    val den = cen.groupBy(col("event_type")).agg(sum(col("c") * col("c")).as("den"))
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val num = cen.as("a").crossJoin(broadcast(lags))
+      .join(cen.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.t") === col("a.t") - col("lag"))
+      .groupBy(col("a.event_type").as("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("a.c") * col("b.c")).as("num"))
+    num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag"), col("n_pairs"),
+        expr("(1000000 * num) div den").cast("long").as("acf_ppm"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
   /** q169: automation (bot) detection — humans don't fire events
     * back-to-back for long: per user, count consecutive-event gaps under
     * 2 seconds (µs-exact via unix_micros; a floor-seconds gap would call
@@ -2086,7 +2158,7 @@ object Events {
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
-      q271HoltForecast,
+      q271HoltForecast, q276AcfDaily,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

@@ -320,6 +320,87 @@ object Graph {
       .orderBy(col("ante"), col("cons"))
   }
 
+  /** q277: HITS (Kleinberg hubs & authorities) on the customer→part
+    * purchase bipartite graph — the link-analysis complement of q109:
+    * PageRank ranks within ONE node type by random-walk mass; HITS ranks
+    * the two SIDES of a bipartite relation against each other (a part is
+    * authoritative when broad-basket customers buy it; a customer is a
+    * hub when they buy authoritative parts). Two unrolled iterations
+    * (a¹ ← h⁰, h¹ ← a¹, a² ← h¹), each followed by an exact
+    * L1 re-normalization to total mass 10¹² — the same fixed-point
+    * BIGINT discipline as q109, because float HITS can never hash-match
+    * across engines. The ×10¹² normalization product exceeds BIGINT
+    * (score · mass ≈ 10²⁴) so it rides in HUGEINT/DECIMAL(38,0); the
+    * division is ONE floor divide.
+    *
+    * Scale shape: the edge list is built once, persisted, and probed by
+    * every half-iteration (q109's lesson — unpersisted, each iteration
+    * re-runs the edge build); every half-step is one equi-join plus a
+    * map-side-combined sum keyed by the receiving side. Joins stay
+    * unhinted: the part side is catalog-bounded (AQE broadcasts it),
+    * the customer side legitimately shuffles at 100 TB. h⁰ is uniform,
+    * so a¹ needs no join at all — it is in-degree × h. */
+  val q277Hits: Q = {
+    val M = 1000000000000L
+    Q("q277_hits",
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |           FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM e),
+        |a1r AS (SELECT p, CAST(count(*) AS HUGEINT)
+        |                    * ($M // (SELECT n FROM nc)) AS s
+        |        FROM e GROUP BY 1),
+        |a1t AS (SELECT sum(s) AS tot FROM a1r),
+        |a1 AS (SELECT p, CAST(s * $M // (SELECT tot FROM a1t) AS BIGINT) AS a
+        |       FROM a1r),
+        |h1r AS (SELECT e.c, CAST(sum(a1.a) AS HUGEINT) AS s
+        |        FROM e JOIN a1 USING (p) GROUP BY 1),
+        |h1t AS (SELECT sum(s) AS tot FROM h1r),
+        |h1 AS (SELECT c, CAST(s * $M // (SELECT tot FROM h1t) AS BIGINT) AS h
+        |       FROM h1r),
+        |a2r AS (SELECT e.p, CAST(sum(h1.h) AS HUGEINT) AS s
+        |        FROM e JOIN h1 USING (c) GROUP BY 1),
+        |a2t AS (SELECT sum(s) AS tot FROM a2r),
+        |a2 AS (SELECT p, CAST(s * $M // (SELECT tot FROM a2t) AS BIGINT) AS a
+        |       FROM a2r)
+        |SELECT CAST(row_number() OVER (ORDER BY a DESC, p) AS BIGINT) AS pos,
+        |       p AS partkey, a AS authority
+        |FROM a2 QUALIFY pos <= 50 ORDER BY pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      import org.apache.spark.sql.expressions.Window
+      val dec = "decimal(38,0)"
+      val e = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+        .persist(MEMORY_AND_DISK)
+      // Uniform h⁰ = M // n_customers, a driver scalar (also materializes
+      // the persisted edge list, as q109's count does).
+      val h0 = M / e.select(col("c")).distinct().count()
+      def normalize(raw: org.apache.spark.sql.DataFrame, key: String,
+          out: String): org.apache.spark.sql.DataFrame = {
+        val tot = raw.agg(sum(col("s")).as("tot"))
+        raw.crossJoin(broadcast(tot))
+          .select(col(key),
+            expr(s"(CAST(s AS $dec) * $M) div tot").cast("long").as(out))
+      }
+      val a1 = normalize(
+        e.groupBy(col("p")).agg((count(lit(1)) * h0).cast(dec).as("s")),
+        "p", "a")
+      val h1 = normalize(
+        e.join(a1, "p").groupBy(col("c")).agg(sum(col("a")).cast(dec).as("s")),
+        "c", "h")
+      val a2 = normalize(
+        e.join(h1, "c").groupBy(col("p")).agg(sum(col("h")).cast(dec).as("s")),
+        "p", "a")
+      a2.withColumn("pos",
+          row_number().over(Window.orderBy(col("a").desc, col("p"))).cast("long"))
+        .filter(col("pos") <= 50)
+        .select(col("pos"), col("p").as("partkey"), col("a").as("authority"))
+        .orderBy(col("pos"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops,
-    q221AssociationRules)
+    q221AssociationRules, q277Hits)
 }

@@ -93,7 +93,8 @@ class PlanAuditSpec extends SparkSpec {
       "q217_embedding_hygiene", // norm2 levels
       "q240_budget_allocation", // one row per language (quota ranking)
       "q258_bpe_token_budget",  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
-      "q266_dsir_selection")    // rank over the already-limited top-100 selection (≤ 100 rows)
+      "q266_dsir_selection",    // rank over the already-limited top-100 selection (≤ 100 rows)
+      "q277_hits")              // fixed-point rank over the part-authority table (catalog-bounded)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
