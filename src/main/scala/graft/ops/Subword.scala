@@ -375,6 +375,119 @@ object Subword {
       .orderBy(col("lang"))
   }
 
+  /** q278: BPE merge TRAINING — four iterations of the actual byte-pair
+    * encoding learner (Sennrich et al. 2016), in-engine: count adjacent
+    * symbol pairs over the weighted word vocabulary, merge the most
+    * frequent pair into a fresh symbol, repeat. This is the piece the
+    * q258 tier's FIXED top-k-gram vocabulary deliberately avoided; here
+    * the vocabulary is LEARNED, and each round's pair statistics depend
+    * on the previous round's merge — the sequential dependence that makes
+    * BPE training a genuinely iterative engine workload.
+    *
+    * Representation: a merged pair becomes ONE private-use-area character
+    * (U+E000+i — provably absent from the ASCII corpus, 1 char in both
+    * engines' length semantics), so "adjacent symbol pair" stays
+    * `substring(w, j, 2)` at every round and applying a merge is ONE
+    * `replace(w, pair, placeholder)` — string replace is left-to-right
+    * non-overlapping in BOTH engines, which is exactly BPE's greedy merge
+    * order ('aaa' + merge "aa" → [aa][a]). Pair counts follow the
+    * reference implementation's get_stats: every adjacent occurrence
+    * counts, overlaps included. Ties break (count DESC, pair ASC) —
+    * binary string order, identical in both engines over ASCII+PUA.
+    *
+    * Output: merge_no 0 = the untouched corpus baseline, then one row per
+    * learned merge with the merged token EXPANDED back to its full
+    * surface string, its winning pair count, and the corpus symbol count
+    * after applying it — the compression trajectory a tokenizer team
+    * actually reviews.
+    *
+    * Scale shape: everything runs at DISTINCT-WORD grain (the vocabulary
+    * table production BPE trainers shard on), weighted by occurrence
+    * counts that ride along from one map-side-combined aggregate of the
+    * token stream; each round is one vocab-grain explode→aggregate and
+    * the chosen pair is an O(1) driver scalar — the merge table IS
+    * driver/broadcast state in every real trainer. The word table is
+    * persisted once; rounds stack narrow `replace` projections on it. */
+  val q278BpeLearn: Q = {
+    val K = 4
+    // chr(57344 + i) = U+E000 + i, the round-i merge symbol.
+    def ph(i: Int): Char = (0xE000 + i - 1).toChar
+    val oracle = {
+      val stages = (1 to K).map { i =>
+        val prev = s"w${i - 1}"
+        s"""p$i AS (SELECT substr(w, CAST(j AS INT), 2) AS pair,
+           |        CAST(sum(n) AS BIGINT) AS cnt
+           |        FROM (SELECT w, n, unnest(generate_series(1, len(w) - 1)) AS j
+           |              FROM $prev WHERE len(w) >= 2)
+           |        GROUP BY 1),
+           |m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+           |w$i AS (SELECT replace(w, (SELECT pair FROM m$i), chr(${57343 + i}))
+           |          AS w, n FROM $prev)""".stripMargin
+      }.mkString(",\n")
+      // Expanded surface form of merge i: its 2-symbol pair with every
+      // earlier placeholder substituted by that merge's own (already
+      // placeholder-free) expansion.
+      val exps = (1 to K).map { i =>
+        val inner = (1 until i).foldLeft(s"(SELECT pair FROM m$i)") { (acc, j) =>
+          s"replace($acc, chr(${57343 + j}), (SELECT e FROM e$j))"
+        }
+        s"e$i AS (SELECT $inner AS e)"
+      }.mkString(",\n")
+      val outRows =
+        s"""SELECT CAST(0 AS BIGINT) AS merge_no, '' AS token,
+           |       CAST(0 AS BIGINT) AS support,
+           |       (SELECT CAST(sum(n * len(w)) AS BIGINT) FROM w0) AS symbols_after""".stripMargin +:
+          (1 to K).map { i =>
+            s"""SELECT CAST($i AS BIGINT), (SELECT e FROM e$i),
+               |       (SELECT cnt FROM m$i),
+               |       (SELECT CAST(sum(n * len(w)) AS BIGINT) FROM w$i)""".stripMargin
+          }
+      s"""WITH w0 AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY 1),
+         |$stages,
+         |$exps
+         |${outRows.mkString("\nUNION ALL\n")}
+         |ORDER BY merge_no""".stripMargin
+    }
+    Q("q278_bpe_learn", oracle) { (s, dir) =>
+      import s.implicits._
+      val words0 = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def symbols(words: DataFrame): Long =
+        words.agg(sum(col("n") * char_length(col("w"))).cast("long"))
+          .head.getLong(0)
+      var words = words0
+      var expansions = Map.empty[Char, String]
+      val rows = Seq.newBuilder[(Long, String, Long, Long)]
+      rows += ((0L, "", 0L, symbols(words0)))
+      for (i <- 1 to K) {
+        // explode_outer per the InferFiltersFromGenerate discipline: the
+        // length guard proves the sequence non-empty.
+        val best = words.filter(char_length(col("w")) >= 2)
+          .select(col("n"),
+            explode_outer(expr("sequence(1, char_length(w) - 1)")).as("j"),
+            col("w"))
+          .select(expr("substring(w, j, 2)").as("pair"), col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).cast("long").as("cnt"))
+          .orderBy(col("cnt").desc, col("pair"))
+          .limit(1).head
+        val pair = best.getString(0)
+        val expanded = pair.flatMap(c => expansions.getOrElse(c, c.toString))
+        expansions += (ph(i) -> expanded)
+        words = words.select(
+          call_function("replace", col("w"), lit(pair), lit(ph(i).toString)).as("w"),
+          col("n"))
+        rows += ((i.toLong, expanded, best.getLong(1), symbols(words)))
+      }
+      rows.result().toDF("merge_no", "token", "support", "symbols_after")
+        .orderBy(col("merge_no"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q258BpeTokenBudget, q260BpeTemperatureMix,
-    q261BpeEpochExpansion, q264BpePackSequences, q267BpeFertility)
+    q261BpeEpochExpansion, q264BpePackSequences, q267BpeFertility,
+    q278BpeLearn)
 }
