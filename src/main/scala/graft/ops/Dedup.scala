@@ -113,7 +113,12 @@ object Dedup {
     * the deletion gate (q269) renders the pair set of the corpus MINUS
     * the forgotten ids; banding is per-doc, so filtered-corpus pairs
     * equal pairs among the remaining docs' bands. */
-  private[graft] def duckLshPairCtesWhere(where: String): String = {
+  private[graft] def duckLshPairCtesWhere(where: String): String =
+    duckLshPairCtesFrom(s"documents $where")
+
+  /** As [[duckLshPairCtes]] over an arbitrary source relation (a prior
+    * CTE) — q281 runs the generator over its audit corpus. */
+  private[graft] def duckLshPairCtesFrom(src: String): String = {
     val sigCols = (0 until 16)
       .map(j => s"min((h * ${permA(j)} + ${permB(j)}) % $P) AS s$j")
       .mkString(",\n       |               ")
@@ -121,7 +126,7 @@ object Dedup {
       val parts = (0 until 4).map(r => s"CAST(s${b * 4 + r} AS VARCHAR)")
       s"concat_ws('|', '$b', ${parts.mkString(", ")})"
     }.mkString(",\n       |             ")
-    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents $where),
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
        |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w),
        |hh AS (SELECT doc_id, ${hexHeadToLong("m", "strpos")} AS h
        |       FROM (SELECT doc_id, md5(sh) AS m FROM shl)),
@@ -163,6 +168,17 @@ object Dedup {
     */
   private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
     val capped = cappedBands(s, dir)
+    capped.as("a").join(capped.as("c"),
+        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** The same production pair generator (bands → hot-bucket cap →
+    * band-key self-join) over an arbitrary documents-shaped frame —
+    * q281 audits the generator on its probe-augmented corpus. */
+  private[ops] def lshCandidatePairsOf(docs: DataFrame): DataFrame = {
+    val capped = dropHotBuckets(bandsOf(docs).persist(MEMORY_AND_DISK))
     capped.as("a").join(capped.as("c"),
         col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
@@ -506,7 +522,7 @@ object Dedup {
     * bucket that fell under cap when members were forgotten contributes
     * its pairs again, exactly as a from-scratch run over the remaining
     * corpus would. */
-  private[ops] def pairsFromStoredBands(s: SparkSession,
+  private[graft] def pairsFromStoredBands(s: SparkSession,
       indexDir: String): DataFrame = {
     val bands = s.read.parquet(bandIndexRoot(s, indexDir))
       .select(col("doc_id"), col("bh"))
@@ -567,6 +583,122 @@ object Dedup {
     s"""WITH $duckLshPairCtes
        |SELECT doc_a, doc_b FROM pairs ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
     lshCandidatePairs(s, dir).orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** q281: LSH S-CURVE audit — the measurement that justifies the (b=4,
+    * r=4) banding choice every LSH consumer in this file inherits: for
+    * candidate-pair recall, theory says a pair with shingle-set Jaccard
+    * s collides in ≥1 band with probability 1 − (1 − s⁴)⁴; this gate
+    * bins an all-pairs SAMPLE (doc_id % 10 = 0 — recall audits sample,
+    * the q84 precedent; the universe is sample pairs sharing ≥ 1
+    * shingle) by exact Jaccard decile and compares the production pair
+    * generator's empirical catch rate per bin against the analytic
+    * curve. Reading the output IS the banding decision: bins past the
+    * τ ≈ 0.55 inflection must catch ~everything, low bins must stay
+    * near zero (they are the verify stage's cost).
+    *
+    * The corpus's own pairs are bimodal (near-0 or near-1 Jaccard), so
+    * the audit PLANTS mid-curve probes — for every sample doc, a
+    * derived doc holding its first ⌈n/2⌉ words (doc_id + 10⁹; the
+    * q93/q69 planted-fixture discipline). Each (doc, half-doc) pair
+    * sits near s ≈ ½ — exactly the inflection region where the (4,4)
+    * curve gives ~23% collision and a banding decision actually
+    * changes. The generator runs over the probe-augmented corpus with
+    * the production topology unchanged (bands → hot-bucket cap →
+    * band-key self-join).
+    *
+    * Determinism: exact Jaccard is integer (shared-distinct-shingle
+    * counts); bins are integer cross-multiplication; the analytic curve
+    * is ONE IEEE division (s = inter/union) followed by MULTIPLICATIONS
+    * ONLY (s²·s² and (1−s⁴)²·(1−s⁴)² — no pow(), whose last ulp
+    * diverges across libms), rounded to ppm per pair before the integer
+    * mean. Empirical membership tests the REAL generator — full-corpus
+    * bands, hot-bucket caps included — restricted to sample endpoints.
+    *
+    * Scale shape: the sample's all-pairs Jaccard is one shingle
+    * equi-join bounded by sample² (the audit dial); the generator side
+    * reuses the production band machinery unchanged. */
+  val q281LshScurve: Q = Q(
+    "q281_lsh_scurve",
+    s"""WITH aud AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000,
+       |         array_to_string(
+       |           (string_split(text, ' '))[1:(len(string_split(text, ' ')) + 1) // 2],
+       |           ' ')
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |${duckLshPairCtesFrom("aud")},
+       |sw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM aud),
+       |sshl AS (SELECT DISTINCT doc_id, sh FROM
+       |           (SELECT doc_id, unnest($duckShingles) AS sh FROM sw)),
+       |ssz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM sshl
+       |        GROUP BY 1),
+       |six AS (SELECT a.doc_id AS da, b.doc_id AS db,
+       |               CAST(count(*) AS BIGINT) AS inter
+       |        FROM sshl a JOIN sshl b
+       |          ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |        GROUP BY 1, 2),
+       |sj AS (SELECT da, db, inter, sa.n + sb.n - inter AS uni
+       |       FROM six JOIN ssz sa ON sa.doc_id = six.da
+       |                 JOIN ssz sb ON sb.doc_id = six.db),
+       |cat AS (SELECT sj.inter, sj.uni, p.doc_a IS NOT NULL AS caught,
+       |               CAST(sj.inter AS DOUBLE) / sj.uni AS s
+       |        FROM sj LEFT JOIN pairs p
+       |          ON p.doc_a = sj.da AND p.doc_b = sj.db),
+       |pp AS (SELECT least((10 * inter) // uni, 9) AS bin, caught,
+       |              CAST(round((1 - (1 - (s * s) * (s * s))
+       |                              * (1 - (s * s) * (s * s))
+       |                              * ((1 - (s * s) * (s * s))
+       |                                 * (1 - (s * s) * (s * s))))
+       |                         * 1000000) AS BIGINT) AS expected_ppm
+       |       FROM cat)
+       |SELECT bin, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       CAST(count(*) FILTER (WHERE caught) AS BIGINT) AS n_caught,
+       |       1000000 * CAST(count(*) FILTER (WHERE caught) AS BIGINT)
+       |         // count(*) AS catch_ppm,
+       |       CAST(sum(expected_ppm) AS BIGINT) // count(*)
+       |         AS mean_expected_ppm
+       |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val sample = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+    val probes = sample.select(
+      (col("doc_id") + 1000000000L).as("doc_id"),
+      expr("array_join(slice(split(text, ' '), 1, " +
+        "(size(split(text, ' ')) + 1) div 2), ' ')").as("text"))
+    val aud = sample.unionByName(probes)
+    val sshl = shingleRowsOf(aud).distinct()
+    val ssz = sshl.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val six = sshl.as("a").join(sshl.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+    val sj = six
+      .join(ssz.select(col("doc_id").as("da"), col("n").as("na")), "da")
+      .join(ssz.select(col("doc_id").as("db"), col("n").as("nb")), "db")
+      .select(col("da"), col("db"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"))
+    val cat = sj.join(lshCandidatePairsOf(aud),
+        col("doc_a") === col("da") && col("doc_b") === col("db"), "left")
+      .select(col("inter"), col("uni"), col("doc_a").isNotNull.as("caught"),
+        (col("inter").cast("double") / col("uni")).as("s"))
+    // s⁴ and (1−s⁴)⁴ by explicit squaring — multiplications only, no
+    // pow(): identical last-ulp in both engines.
+    val pp = cat.select(
+      least(expr("(10 * inter) div uni"), lit(9L)).as("bin"),
+      col("caught"),
+      expr("""CAST(round((1 - (1 - (s * s) * (s * s))
+             |                * (1 - (s * s) * (s * s))
+             |                * ((1 - (s * s) * (s * s))
+             |                   * (1 - (s * s) * (s * s))))
+             |           * 1000000) AS BIGINT)""".stripMargin)
+        .as("expected_ppm"))
+    pp.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count_if(col("caught")).as("n_caught"),
+        expr("(1000000 * count_if(caught)) div count(1)").as("catch_ppm"),
+        expr("sum(expected_ppm) div count(1)").as("mean_expected_ppm"))
+      .orderBy(col("bin"))
   }
 
   /** Connected components by iterative min-label propagation:
@@ -1400,5 +1532,6 @@ object Dedup {
       q47DedupClusters, q62DedupKeepBest, q65SimhashHamming, q82DedupEnsemble,
       q67Decontaminate, q68Repetition, q97DedupIncremental,
       q104BloomDecontaminate, q121DupSpans, q154Survivorship,
-      q233DedupIncrementalCluster, q248ContainmentDedup, q269ForgetDocs)
+      q233DedupIncrementalCluster, q248ContainmentDedup, q269ForgetDocs,
+      q281LshScurve)
 }

@@ -922,9 +922,80 @@ object TextAnalysis {
     }
   }
 
+  /** q280: CALIBRATION audit (reliability diagram + ECE) of the language
+    * classifier — the eval dimension q272's precision/recall cannot see:
+    * a classifier can rank perfectly and still be mis-calibrated, and a
+    * curation pipeline that THRESHOLDS on confidence (keep docs with
+    * lang-confidence ≥ 0.9) ships the calibration error, not the
+    * accuracy. Confidence here is the classifier's LAPLACE-SMOOTHED
+    * posterior (m+1) / (Σ_l s_l + |langs|) — the uniform-Dirichlet
+    * posterior mean; the raw ratio m/tot is DEGENERATE on this corpus
+    * (the languages' stoplists barely collide, so it is 1.0 for every
+    * doc), while smoothing grades confidence by evidence VOLUME: three
+    * stopword hits are weaker evidence than thirty. Still a rational,
+    * so the whole audit runs in exact integer arithmetic:
+    * conf_ppm = 10⁶·(m+1) // (tot+L) per doc, reliability bins are
+    * conf_ppm // 10⁵ (clamped to 9), per-bin accuracy and mean
+    * confidence are integer divisions, and
+    * ECE_ppm = Σ_bins n_b·|acc_b − conf_b| // N needs no float at any
+    * step. Docs with zero stopword hits ('und', no posterior) are
+    * excluded — calibration is defined over emitted confidences.
+    *
+    * Scale shape: one map-side projection to (bin, correct, conf_ppm),
+    * one ≤10-group map-side-combined aggregate, one 1-row rollup
+    * broadcast back onto the bins. */
+  val q280Calibration: Q = {
+    val tot = LangId.langs.map(l => s"s_$l").mkString(" + ")
+    Q(
+      "q280_calibration",
+      s"""WITH sc AS (SELECT lang, ${LangId.duckScores} FROM documents),
+         |p AS (SELECT *, ${LangId.m} AS m, $tot AS tot FROM sc),
+         |d AS (SELECT (${LangId.caseSql}) = lang AS correct,
+         |             1000000 * (m + 1) // (tot + ${LangId.langs.size})
+         |               AS conf_ppm
+         |      FROM p WHERE m > 0),
+         |b AS (SELECT least(conf_ppm // 100000, 9) AS bin,
+         |             CAST(count(*) AS BIGINT) AS n,
+         |             CAST(count(*) FILTER (WHERE correct) AS BIGINT)
+         |               AS n_correct,
+         |             1000000 * CAST(count(*) FILTER (WHERE correct)
+         |                            AS BIGINT) // count(*) AS acc_ppm,
+         |             CAST(sum(conf_ppm) AS BIGINT) // count(*)
+         |               AS mean_conf_ppm
+         |      FROM d GROUP BY 1),
+         |e AS (SELECT CAST(sum(n * abs(acc_ppm - mean_conf_ppm)) AS BIGINT)
+         |               // CAST(sum(n) AS BIGINT) AS ece_ppm FROM b)
+         |SELECT bin, n, n_correct, acc_ppm, mean_conf_ppm,
+         |       abs(acc_ppm - mean_conf_ppm) AS gap_ppm, e.ece_ppm
+         |FROM b, e ORDER BY bin""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .selectExpr(Seq("lang") ++ LangId.sparkScores: _*)
+        .withColumn("m", expr(LangId.m))
+        .withColumn("tot", expr(tot))
+        .filter(col("m") > 0)
+        .select((expr(LangId.caseSql) === col("lang")).as("correct"),
+          expr(s"(CAST(1000000 AS BIGINT) * (m + 1)) div (tot + ${LangId.langs.size})")
+            .as("conf_ppm"))
+      val b = d
+        .groupBy(least(expr("conf_ppm div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).as("n"),
+          count_if(col("correct")).as("n_correct"),
+          expr("(1000000 * count_if(correct)) div count(1)").as("acc_ppm"),
+          expr("sum(conf_ppm) div count(1)").as("mean_conf_ppm"))
+      val e = b.agg(
+        expr("sum(n * abs(acc_ppm - mean_conf_ppm)) div sum(n)").as("ece_ppm"))
+      b.crossJoin(broadcast(e))
+        .select(col("bin"), col("n"), col("n_correct"), col("acc_ppm"),
+          col("mean_conf_ppm"),
+          abs(col("acc_ppm") - col("mean_conf_ppm")).as("gap_ppm"),
+          col("ece_ppm"))
+        .orderBy(col("bin"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
     q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
-    q272LangidEval)
+    q272LangidEval, q280Calibration)
 }

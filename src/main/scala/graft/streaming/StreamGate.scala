@@ -568,6 +568,97 @@ object StreamGate {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q279: right-to-be-forgotten as a COMMAND TOPIC in the ingest loop —
+    * the streaming day-2 shape q269 (batch purge) does not cover. One
+    * file stream carries BOTH document batches and deletion commands
+    * (command rows share the document schema, marked lang='__forget__'
+    * — one topic, one ordering, exactly how a production pipeline
+    * serializes adds and GDPR erasure against each other). Per trigger:
+    * document rows are anti-joined against the persisted SUPPRESSION
+    * LIST before entering [[graft.ops.Dedup.incrementalDayRun]]'s band
+    * index, and command rows (a) append to the suppression list
+    * (idempotent `batch=<id>` overwrite — replay-safe like every store
+    * in this file) and (b) purge the live index through
+    * [[graft.ops.Dedup.forgetDocs]] (new generation under the writer
+    * lease). The suppression list is the piece an index purge alone
+    * gets wrong: a deletion command must also BLOCK the doc's
+    * re-arrival — here batch 2's ingest includes docs whose erasure
+    * command arrived in batch 1, and they must never enter the store.
+    *
+    * Gate: the final labels from the purged+suppressed store equal
+    * q269's from-scratch oracle over the corpus minus the deletion set
+    * — erasure-as-command ≡ rebuild-without-the-docs, regardless of
+    * arrival order; plus the q269 zero-trace assert over the FULL
+    * deletion set (covers both the purge of stored rows and the
+    * suppression of late arrivals). At 100 TB the suppression list is
+    * ∝ total erasure requests (tiny, Catalyst broadcasts it unhinted —
+    * degrading to shuffle if a purge wave ever isn't), the purge is
+    * ∝ store size ONLY on command triggers, and ingest triggers pay one
+    * anti-join more than q99. */
+  val q279StreamForget: Q = Q(
+    "q279_stream_forget",
+    graft.ops.Dedup.q269ForgetDocs.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q279-")
+    val docs = Tables(s, dir, "documents")
+    val forgetIds = docs.filter(col("doc_id") % 37 === 0)
+    // Command rows ride the document schema: the payload is the doc_id.
+    val cmds = forgetIds
+      .withColumn("text", lit(""))
+      .withColumn("lang", lit("__forget__"))
+    val in = stageOrderedBatches(work, Seq(
+      docs.filter(col("doc_id") % 2 === 0),       // ingest day 0
+      cmds,                                       // erasure wave (ALL ids)
+      docs.filter(col("doc_id") % 2 === 1)))      // ingest day 1 (late arrivals)
+    val idx = work.resolve("bandidx").toString
+    val supp = work.resolve("suppress").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val fs = new org.apache.hadoop.fs.Path(supp)
+            .getFileSystem(sb.sparkContext.hadoopConfiguration)
+          val adds = batch.toDF().filter(col("lang") =!= "__forget__")
+          if (adds.take(1).nonEmpty) {
+            // Suppression first: a doc whose erasure already arrived must
+            // never re-enter the store. Unhinted anti-join (deletion-set
+            // discipline: broadcast when small, shuffle when not).
+            val clean =
+              if (fs.exists(new org.apache.hadoop.fs.Path(supp)))
+                adds.join(sb.read.parquet(supp).select(col("doc_id")),
+                  Seq("doc_id"), "left_anti")
+              else adds
+            graft.ops.Dedup.incrementalDayRun(sb, idx, clean, id).unpersist()
+          }
+          val forget = batch.toDF().filter(col("lang") === "__forget__")
+            .select(col("doc_id"))
+          if (forget.take(1).nonEmpty) {
+            forget.write.mode("overwrite").parquet(s"$supp/batch=$id")
+            graft.ops.Dedup.forgetDocs(sb, idx, forget)
+          }
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    // Zero trace: neither a purged row nor a suppressed late arrival may
+    // be in the live generation.
+    val leftover = s.read.parquet(graft.ops.Dedup.bandIndexRoot(s, idx))
+      .join(broadcast(forgetIds.select(col("doc_id"))), Seq("doc_id"),
+        "left_semi").limit(1).count()
+    require(leftover == 0L,
+      "q279: live index retains erased or suppressed doc_ids")
+    graft.ops.Fuzzy.resolveClusters(s,
+        graft.ops.Dedup.pairsFromStoredBands(s, idx))
+      .orderBy(col("doc_id"))
+  }
+
   /** q108: the PSI drift monitor run as a STREAM — the pre-ingest guard in
     * its production position. Document batches arrive as micro-batches;
     * each trigger (1) scores the incoming batch against the PERSISTED
@@ -1374,5 +1465,5 @@ object StreamGate {
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
-    q257StreamSliding, q259StreamFullMaintenance)
+    q257StreamSliding, q259StreamFullMaintenance, q279StreamForget)
 }
