@@ -2188,11 +2188,120 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** q282: farthest-point (k-center / Gonzalez) SEEDING — the
+    * initialization step the centroid family (q48 IVF, q66 Lloyd, q242
+    * PQ training) consumes: iteratively pick the point farthest from
+    * its nearest already-chosen seed. Gonzalez's guarantee (a
+    * 2-approximation of the optimal k-center radius) is exactly what a
+    * seeding pass wants — maximal coverage spread, no two seeds wasted
+    * on one dense cluster (the failure mode of the first-k-rows seeds
+    * q48/q66 deliberately use as their fixed baseline).
+    *
+    * Determinism: every candidate distance is the exact decimal L2²
+    * ([[dL2]]); the argmax ties on vec_id; the selection sequence is
+    * therefore bit-identical in both engines, with the ONE libm-free
+    * rounding (round(CAST(d AS DOUBLE), 6)) applied only to the
+    * surfaced distances. The k selected ids are driver scalars — seed
+    * sets ARE driver/broadcast state in every real k-means‖ trainer
+    * (q278's merge-table precedent); only integers cross the boundary,
+    * every float comparison stays in-engine.
+    *
+    * Scale shape: each of the k−1 rounds is ONE broadcast of the ≤k
+    * seed vectors against the point set, a map-side min per point, and
+    * a TakeOrdered(1) — O(k·N) distances total, no shuffle of the
+    * points. The surfaced sel_d2 (each seed's distance to its nearest
+    * predecessor — the coverage radius trajectory) recomputes only the
+    * k² seed-pair distances in-plan. */
+  val q282KcenterSeed: Q = {
+    val K = 4 // picks after the deterministic first seed (min vec_id)
+    val mdChain = {
+      val sb = new StringBuilder
+      sb.append(
+        s"""d0 AS (SELECT e.vec_id,
+           |             SUM(CAST((e.v - se.v) * (e.v - se.v)
+           |                      AS DECIMAL(38,12))) AS d
+           |       FROM el e JOIN el se
+           |         ON se.i = e.i AND se.vec_id = (SELECT sid FROM s0)
+           |       GROUP BY 1),
+           |m1 AS (SELECT vec_id FROM d0 ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin)
+      for (i <- 2 to K) {
+        val prevMd = if (i == 2) "d0" else s"md${i - 2}"
+        sb.append(
+          s""",
+             |dd${i - 1} AS (SELECT e.vec_id,
+             |       SUM(CAST((e.v - se.v) * (e.v - se.v)
+             |                AS DECIMAL(38,12))) AS d
+             |       FROM el e JOIN el se
+             |         ON se.i = e.i AND se.vec_id = (SELECT vec_id FROM m${i - 1})
+             |       GROUP BY 1),
+             |md${i - 1} AS (SELECT p.vec_id, least(p.d, dd${i - 1}.d) AS d
+             |       FROM $prevMd p JOIN dd${i - 1} USING (vec_id)),
+             |m$i AS (SELECT vec_id FROM md${i - 1} ORDER BY d DESC, vec_id LIMIT 1)""".stripMargin)
+      }
+      sb.toString
+    }
+    val seedRows =
+      "SELECT 0 AS seed_no, (SELECT sid FROM s0) AS vec_id" +:
+        (1 to K).map(i => s"SELECT $i, (SELECT vec_id FROM m$i)")
+    Q(
+      "q282_kcenter_seed",
+      s"""WITH el AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS v
+         |            FROM embeddings, range(1, 65) t(i)),
+         |s0 AS (SELECT min(vec_id) AS sid FROM embeddings),
+         |$mdChain,
+         |seeds AS (${seedRows.mkString("\n          UNION ALL ")}),
+         |sp AS (SELECT a.seed_no AS sa, a.vec_id AS va, b.vec_id AS vb
+         |       FROM seeds a JOIN seeds b ON b.seed_no < a.seed_no),
+         |spd AS (SELECT sa, va, vb,
+         |               SUM(CAST((ea.v - eb.v) * (ea.v - eb.v)
+         |                        AS DECIMAL(38,12))) AS d
+         |        FROM sp JOIN el ea ON ea.vec_id = sp.va
+         |                JOIN el eb ON eb.vec_id = sp.vb AND eb.i = ea.i
+         |        GROUP BY 1, 2, 3),
+         |sel AS (SELECT sa AS seed_no, min(d) AS d FROM spd GROUP BY 1)
+         |SELECT CAST(s.seed_no AS BIGINT) AS seed_no,
+         |       CAST(s.vec_id AS BIGINT) AS vec_id,
+         |       coalesce(round(CAST(sel.d AS DOUBLE), 6), 0.0) AS sel_d2
+         |FROM seeds s LEFT JOIN sel USING (seed_no)
+         |ORDER BY seed_no""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val first = emb.agg(min(col("vec_id"))).head.getLong(0)
+      val seedIds = scala.collection.mutable.ArrayBuffer(first)
+      for (_ <- 1 to K) {
+        val seedEmb = emb.filter(col("vec_id").isInCollection(seedIds))
+          .select(col("embedding").as("semb"))
+        val pick = emb.crossJoin(broadcast(seedEmb))
+          .select(col("vec_id"), expr(dL2("embedding", "semb")).as("d"))
+          .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
+          .orderBy(col("d").desc, col("vec_id"))
+          .limit(1).head.getLong(0)
+        seedIds += pick
+      }
+      val seeds = seedIds.toSeq.zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+        .toDF("seed_no", "vec_id")
+      val se = seeds.join(emb, "vec_id")
+      val sp = se.select(col("seed_no").as("sa"), col("embedding").as("ea"))
+        .join(se.select(col("seed_no").as("sb"), col("embedding").as("eb")),
+          col("sb") < col("sa"))
+        .select(col("sa"), expr(dL2("ea", "eb")).as("d"))
+        .groupBy(col("sa")).agg(min(col("d")).as("d"))
+      seeds.join(sp, col("seed_no") === col("sa"), "left")
+        .select(col("seed_no"), col("vec_id"),
+          coalesce(round(col("d").cast("double"), 6), lit(0.0)).as("sel_d2"))
+        .orderBy(col("seed_no"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
     q195LabelCentroids, q217EmbeddingHygiene, q232AnnRetrain, q236PqAnn,
     q237PqRecall, q239IvfPqAnn, q241ClusterQuality, q242PqTrain,
-    q262Sq8Ann, q263AnnRerank, q268EmbeddingDrift, q270AnnForget)
+    q262Sq8Ann, q263AnnRerank, q268EmbeddingDrift, q270AnnForget,
+    q282KcenterSeed)
 }
