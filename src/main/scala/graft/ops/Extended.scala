@@ -1167,6 +1167,86 @@ object Extended {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q283: shuffle-key SKEW audit — the measurement that decides whether
+    * a join/aggregation key needs the q149/q42 salting machinery BEFORE
+    * a 100 TB run discovers it as one straggler reducer. Over the
+    * l_partkey key of lineitem: per-key-count distribution (p50/p99/max
+    * by rank counting over COUNT LEVELS — the q115/q164 bounded-level
+    * trick, never a window over the key table), the keys breaching the
+    * AQE-shaped skew threshold (count > 5× the mean per-partition load
+    * at S=32 shuffle partitions: 32·cnt > 5·rows), and for the top-10
+    * heaviest keys the integer salt factor ⌈cnt·S/rows⌉ a salted
+    * repartition would use. Everything is BIGINT; the two global
+    * windows run over bounded reductions (count levels; the
+    * already-limited top-10).
+    *
+    * Scale shape: ONE map-side-combining aggregate to key grain; levels,
+    * rollups, and the top-10 TakeOrdered all derive from it (persisted —
+    * four consumers); nothing else touches the fact table. */
+  val q283SkewAudit: Q = {
+    val S = 32 // shuffle partitions the salt recommendation targets
+    Q(
+      "q283_skew_audit",
+      s"""WITH k AS (SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+         |           FROM lineitem GROUP BY 1),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |               CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |               CAST(max(cnt) AS BIGINT) AS max_cnt FROM k),
+         |lv AS (SELECT cnt, CAST(count(*) AS BIGINT) AS c FROM k GROUP BY 1),
+         |cdf AS (SELECT cnt, CAST(sum(c) OVER (ORDER BY cnt) AS BIGINT) AS cum
+         |        FROM lv),
+         |p50 AS (SELECT min(cnt) AS p50_cnt FROM cdf, tot
+         |        WHERE 100 * cum >= 50 * n_keys),
+         |p99 AS (SELECT min(cnt) AS p99_cnt FROM cdf, tot
+         |        WHERE 100 * cum >= 99 * n_keys),
+         |sk AS (SELECT CAST(count(*) AS BIGINT) AS n_skewed FROM k, tot
+         |       WHERE $S * cnt > 5 * n_rows),
+         |top AS (SELECT key, cnt,
+         |               CAST(row_number() OVER (ORDER BY cnt DESC, key)
+         |                    AS BIGINT) AS rank
+         |        FROM k QUALIFY rank <= 10)
+         |SELECT rank, key, cnt,
+         |       1000000 * cnt // n_rows AS share_ppm,
+         |       greatest(1, (cnt * $S + n_rows - 1) // n_rows) AS salt_rec,
+         |       n_keys, n_rows, max_cnt, p50_cnt, p99_cnt, n_skewed
+         |FROM top, tot, p50, p99, sk ORDER BY rank""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val k = Tables(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist(MEMORY_AND_DISK)
+      val tot = k.agg(count(lit(1)).as("n_keys"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        max(col("cnt")).as("max_cnt"))
+      val lv = k.groupBy(col("cnt")).agg(count(lit(1)).as("c"))
+      val cdf = lv.select(col("cnt"),
+        sum(col("c")).over(Window.orderBy(col("cnt"))).as("cum"))
+      val p50 = cdf.crossJoin(broadcast(tot))
+        .filter(lit(100) * col("cum") >= lit(50) * col("n_keys"))
+        .agg(min(col("cnt")).as("p50_cnt"))
+      val p99 = cdf.crossJoin(broadcast(tot))
+        .filter(lit(100) * col("cum") >= lit(99) * col("n_keys"))
+        .agg(min(col("cnt")).as("p99_cnt"))
+      val sk = k.crossJoin(broadcast(tot))
+        .filter(lit(S) * col("cnt") > lit(5) * col("n_rows"))
+        .agg(count(lit(1)).as("n_skewed"))
+      val top = k.orderBy(col("cnt").desc, col("key")).limit(10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("cnt").desc, col("key")))
+            .cast("long"))
+      top.crossJoin(broadcast(tot)).crossJoin(broadcast(p50))
+        .crossJoin(broadcast(p99)).crossJoin(broadcast(sk))
+        .select(col("rank"), col("key"), col("cnt"),
+          expr("(CAST(1000000 AS BIGINT) * cnt) div n_rows").as("share_ppm"),
+          greatest(lit(1L),
+            expr(s"(cnt * $S + n_rows - 1) div n_rows")).as("salt_rec"),
+          col("n_keys"), col("n_rows"), col("max_cnt"), col("p50_cnt"),
+          col("p99_cnt"), col("n_skewed"))
+        .orderBy(col("rank"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
@@ -1175,5 +1255,5 @@ object Extended {
     q148BagSetOps, q156MadOutliers, q159SketchMerge, q162RelativeRank,
     q163GroupMode, q164GiniConcentration, q166AbTest, q167AudienceOverlap,
     q168WeightedQuantiles, q176LorenzPoints, q205ParetoPoint,
-    q254KllMergeQuantiles)
+    q254KllMergeQuantiles, q283SkewAudit)
 }
