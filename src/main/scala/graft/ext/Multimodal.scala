@@ -522,6 +522,91 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_no"))
   }
 
+  /** q284: audio CONTENT features through the real codec — the
+    * feature-extract step q132's header round-trip stops short of: each
+    * document synthesizes a deterministic 16-bit mono PCM waveform
+    * (sample s(k) = (doc_id·31 + k·17) mod 2001 − 1000, a closed form
+    * both engines can state), the executor encodes it as a real WAV
+    * (`javax.sound.sampled`), DECODES it back, and computes the
+    * standard audio-quality features FROM THE DECODED BYTES: frame
+    * count, peak amplitude, integer sum-of-|s| (the RMS-proxy a
+    * loudness filter thresholds on), strict zero-crossing count
+    * (s(k−1)·s(k) < 0 — the cheap voiced/unvoiced & noisiness signal),
+    * and mean |s| in integer milli-units. The gate holds iff the full
+    * encode → WAV → decode → DSP loop reproduces the oracle's closed
+    * forms exactly — a sample-grain guarantee (any byte-order, header
+    * or truncation bug lands in the features), where q132 only proved
+    * the header.
+    *
+    * Scale shape: pure per-row mapPartitions between scan and
+    * presentation sort — no shuffle, no driver binaries; the oracle's
+    * window-free closed forms mean the Spark side carries no window at
+    * all. */
+  val q284AudioFeatures: Q = Q(
+    "q284_audio_features",
+    """WITH d AS (SELECT doc_id, 100 + doc_id % 400 AS n FROM documents),
+      |sam AS (SELECT doc_id, n, k,
+      |               (doc_id * 31 + k * 17) % 2001 - 1000 AS s
+      |        FROM (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS k
+      |              FROM d)),
+      |agg AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS n_frames,
+      |               CAST(max(abs(s)) AS BIGINT) AS peak,
+      |               CAST(sum(abs(s)) AS BIGINT) AS sum_abs
+      |        FROM sam GROUP BY 1),
+      |zc AS (SELECT a.doc_id,
+      |              CAST(count(*) FILTER (WHERE a.s * b.s < 0) AS BIGINT)
+      |                AS zero_crossings
+      |       FROM sam a JOIN sam b
+      |         ON b.doc_id = a.doc_id AND b.k = a.k - 1
+      |       GROUP BY 1)
+      |SELECT agg.doc_id, n_frames, peak, sum_abs, zero_crossings,
+      |       1000 * sum_abs // n_frames AS mean_abs_milli
+      |FROM agg JOIN zc USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"), (lit(100) + col("doc_id") % 400).cast("int").as("n"))
+      .as[(Long, Int)]
+    prepped.mapPartitions(_.map { case (id, n) =>
+      // Synthesize the closed-form waveform and write REAL WAV bytes.
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val pcm = new Array[Byte](n * 2)
+      var k = 0
+      while (k < n) {
+        val v = ((id * 31 + k * 17) % 2001 - 1000).toShort
+        pcm(2 * k) = (v & 0xff).toByte
+        pcm(2 * k + 1) = ((v >> 8) & 0xff).toByte
+        k += 1
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+      val buf = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+      // Decode the WAV back and compute every feature from the DECODED
+      // sample stream — not from the synthesis parameters.
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(buf.toByteArray))
+      val raw = try in.readAllBytes() finally in.close()
+      val nf = raw.length / 2
+      var i = 0
+      var sumAbs = 0L
+      var peak = 0L
+      var zc = 0L
+      var prev = 0
+      while (i < nf) {
+        val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort.toInt
+        sumAbs += math.abs(v)
+        if (math.abs(v) > peak) peak = math.abs(v)
+        if (i > 0 && prev.toLong * v < 0) zc += 1
+        prev = v
+        i += 1
+      }
+      (id, nf.toLong, peak, sumAbs, zc, 1000L * sumAbs / nf)
+    }).toDF("doc_id", "n_frames", "peak", "sum_abs", "zero_crossings",
+      "mean_abs_milli")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash,
-    q132AudioRoundtrip, q138VideoFrames, q274ImageDedup)
+    q132AudioRoundtrip, q138VideoFrames, q274ImageDedup, q284AudioFeatures)
 }
