@@ -784,10 +784,12 @@ object Curation {
     * Exactness: TV is held as the integer numerator
     * tv_num = Σ_{s∈g} |c·N − C·n| + (N − Σ_{s∈g} C)·n over denominator
     * 2·n·N — the absent-sensitive-value mass folds into one closed-form
-    * term, so no group×sensitive cross join is ever built. The release
-    * decision (t = ¼: 2·tv_num > n·N) compares BIGINTs; the surfaced
-    * tv_ppm divides in DECIMAL(38,0)/HUGEINT so the ×10⁶ product can
-    * never overflow at any SF.
+    * term, so no group×sensitive cross join is ever built. Every
+    * centered product (c·N, C·n) promotes to DECIMAL(38,0)/HUGEINT
+    * BEFORE multiplying — c·N alone is ≈ N² at the cell grain, past
+    * BIGINT in the 10¹¹-row regime this audit targets — and the release
+    * decision (t = ¼: 2·tv_num > n·N) and ×10⁶ surface stay in that
+    * width end-to-end.
     *
     * Scale shape: everything derives from ONE map-side-combining
     * aggregate to (QI, sensitive) grain; the global distribution and
@@ -806,26 +808,25 @@ object Curation {
       |         FROM qs GROUP BY 1),
       |tot AS (SELECT CAST(sum(cg) AS BIGINT) AS nn FROM gd),
       |pres AS (SELECT qs.cohort, qs.vdec, gs.n, tot.nn,
-      |                CAST(sum(abs(qs.c * tot.nn - gd.cg * gs.n)) AS BIGINT)
-      |                  AS present_num,
+      |                sum(abs(CAST(qs.c AS HUGEINT) * tot.nn
+      |                        - CAST(gd.cg AS HUGEINT) * gs.n)) AS present_num,
       |                CAST(sum(gd.cg) AS BIGINT) AS cg_present
       |         FROM qs JOIN gd USING (event_type)
       |              JOIN gs USING (cohort, vdec) CROSS JOIN tot
       |         GROUP BY 1, 2, 3, 4),
       |tv AS (SELECT cohort, vdec, n, nn,
-      |              present_num + (nn - cg_present) * n AS tv_num
+      |              present_num + CAST(nn - cg_present AS HUGEINT) * n AS tv_num
       |       FROM pres)
       |SELECT vdec, CAST(count(*) AS BIGINT) AS n_groups,
       |       CAST(count(*) FILTER (WHERE n >= 5) AS BIGINT) AS n_anonymous,
-      |       CAST(count(*) FILTER (WHERE n >= 5 AND 2 * tv_num > n * nn)
+      |       CAST(count(*) FILTER (WHERE n >= 5
+      |                              AND 2 * tv_num > CAST(n AS HUGEINT) * nn)
       |            AS BIGINT) AS n_t_fail,
-      |       CAST(coalesce(max(CAST(tv_num AS HUGEINT) * 1000000
+      |       CAST(coalesce(max(tv_num * 1000000
       |                         // (2 * CAST(n AS HUGEINT) * nn))
       |                       FILTER (WHERE n >= 5), 0) AS BIGINT)
       |         AS max_tv_ppm
       |FROM tv GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 0)
     val qs = Tables(s, dir, "events")
       .groupBy((col("user_id") % 100).as("cohort"),
         (floor(col("value")).cast("long") % 10).as("vdec"),
@@ -841,18 +842,20 @@ object Curation {
       .join(gs, Seq("cohort", "vdec"))
       .crossJoin(broadcast(tot))
       .groupBy(col("cohort"), col("vdec"), col("n"), col("nn"))
-      .agg(sum(abs(col("c") * col("nn") - col("cg") * col("n")))
-          .cast("long").as("present_num"),
+      .agg(sum(abs(expr("CAST(c AS DECIMAL(38,0)) * nn")
+            - expr("CAST(cg AS DECIMAL(38,0)) * n"))).as("present_num"),
         sum(col("cg")).cast("long").as("cg_present"))
       .withColumn("tv_num",
-        col("present_num") + (col("nn") - col("cg_present")) * col("n"))
+        col("present_num")
+          + expr("CAST(nn - cg_present AS DECIMAL(38,0))") * col("n"))
     tv.groupBy(col("vdec"))
       .agg(count(lit(1)).as("n_groups"),
         count_if(col("n") >= 5).as("n_anonymous"),
-        count_if(col("n") >= 5 && lit(2) * col("tv_num") > col("n") * col("nn"))
+        count_if(col("n") >= 5 &&
+            lit(2) * col("tv_num") > expr("CAST(n AS DECIMAL(38,0)) * nn"))
           .as("n_t_fail"),
         coalesce(max(when(col("n") >= 5,
-            expr("(CAST(tv_num AS DECIMAL(38,0)) * 1000000) div " +
+            expr("(tv_num * 1000000) div " +
               "(2 * CAST(n AS DECIMAL(38,0)) * nn)"))),
           lit(0L)).cast("long").as("max_tv_ppm"))
       .orderBy(col("vdec"))

@@ -166,24 +166,24 @@ object Dedup {
     * that lineage. At cluster scale this is the materialized signature
     * table every LSH pipeline keeps.
     */
-  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame = {
-    val capped = cappedBands(s, dir)
+  /** The ONE band-key self-join every pair generator ends in — factored
+    * so pair semantics (tie direction, distinct) cannot drift between
+    * the q35/q37/q47 path, the stored-index read path, and the q281
+    * audit path. */
+  private def bandPairJoin(capped: DataFrame): DataFrame =
     capped.as("a").join(capped.as("c"),
         col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
       .distinct()
-  }
+
+  private[ops] def lshCandidatePairs(s: SparkSession, dir: String): DataFrame =
+    bandPairJoin(cappedBands(s, dir))
 
   /** The same production pair generator (bands → hot-bucket cap →
     * band-key self-join) over an arbitrary documents-shaped frame —
     * q281 audits the generator on its probe-augmented corpus. */
-  private[ops] def lshCandidatePairsOf(docs: DataFrame): DataFrame = {
-    val capped = dropHotBuckets(bandsOf(docs).persist(MEMORY_AND_DISK))
-    capped.as("a").join(capped.as("c"),
-        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
-  }
+  private[ops] def lshCandidatePairsOf(docs: DataFrame): DataFrame =
+    bandPairJoin(dropHotBuckets(bandsOf(docs).persist(MEMORY_AND_DISK)))
 
   /** MinHash(16) signatures → 4 band keys per document, for any
     * documents-shaped frame (`doc_id`, `text`). This is the LSH BAND INDEX
@@ -527,11 +527,7 @@ object Dedup {
     val bands = s.read.parquet(bandIndexRoot(s, indexDir))
       .select(col("doc_id"), col("bh"))
       .persist(MEMORY_AND_DISK)
-    val capped = dropHotBuckets(bands)
-    capped.as("a").join(capped.as("c"),
-        col("a.bh") === col("c.bh") && col("a.doc_id") < col("c.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("c.doc_id").as("doc_b"))
-      .distinct()
+    bandPairJoin(dropHotBuckets(bands))
   }
 
   /** q269: the DELETION day-2 gate — build the incremental dedup store
@@ -662,6 +658,13 @@ object Dedup {
        |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     val sample = Tables(s, dir, "documents").filter(col("doc_id") % 10 === 0)
       .select(col("doc_id"), col("text"))
+    // Probe ids live at doc_id + 10^9; a real id in that range would
+    // silently merge with a probe under one key and corrupt the audit in
+    // a way BOTH engines agree on (the gate could not catch it) - fail
+    // loudly instead.
+    val maxId = sample.agg(max(col("doc_id"))).head.getLong(0)
+    require(maxId < 1000000000L,
+      s"q281: corpus doc_ids reach $maxId - probe ids (+1e9) would collide; raise the probe offset")
     val probes = sample.select(
       (col("doc_id") + 1000000000L).as("doc_id"),
       expr("array_join(slice(split(text, ' '), 1, " +

@@ -2265,21 +2265,37 @@ object Similarity {
          |FROM seeds s LEFT JOIN sel USING (seed_no)
          |ORDER BY seed_no""".stripMargin) { (s, dir) =>
       import s.implicits._
+      val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val emb = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(MD)
       val first = emb.agg(min(col("vec_id"))).head.getLong(0)
+      def seedEmb(id: Long) =
+        emb.filter(col("vec_id") === id).select(col("embedding").as("semb"))
       val seedIds = scala.collection.mutable.ArrayBuffer(first)
-      for (_ <- 1 to K) {
-        val seedEmb = emb.filter(col("vec_id").isInCollection(seedIds))
-          .select(col("embedding").as("semb"))
-        val pick = emb.crossJoin(broadcast(seedEmb))
-          .select(col("vec_id"), expr(dL2("embedding", "semb")).as("d"))
-          .groupBy(col("vec_id")).agg(min(col("d")).as("d"))
-          .orderBy(col("d").desc, col("vec_id"))
+      // Per-point RUNNING min-distance, persisted each round (the
+      // oracle's least-chain): round i computes exactly N new distances
+      // against the ONE newest seed - O(k.N) total, not O(k^2.N) as a
+      // recompute-all-seeds loop would pay.
+      var md = emb.crossJoin(broadcast(seedEmb(first)))
+        .select(col("vec_id"), col("embedding"),
+          expr(dL2("embedding", "semb")).as("d"))
+        .persist(MD)
+      for (i <- 1 to K) {
+        val pick = md.orderBy(col("d").desc, col("vec_id"))
           .limit(1).head.getLong(0)
         seedIds += pick
+        if (i < K) {
+          val md2 = md.crossJoin(broadcast(seedEmb(pick)))
+            .select(col("vec_id"), col("embedding"),
+              least(col("d"), expr(dL2("embedding", "semb"))).as("d"))
+            .persist(MD)
+          md2.count() // materialize before freeing the parent cache
+          md.unpersist()
+          md = md2
+        }
       }
+      md.unpersist()
       val seeds = seedIds.toSeq.zipWithIndex
         .map { case (v, i) => (i.toLong, v) }
         .toDF("seed_no", "vec_id")
