@@ -1074,6 +1074,52 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** q285: exponentially time-decayed engagement — the feature-store
+    * kernel behind "recent activity counts more" ranking signals: per
+    * user, Σ cents·½^age_weeks anchored at the corpus's newest day.
+    * Exponential decay is normally a float accumulation (order-
+    * dependent, never hash-matchable) — but a HALF-LIFE decay is
+    * DYADIC: multiply through by 2^16 and every weight 2^(16−k) is an
+    * integer (age capped at 16 weeks ≈ the decay floor; the events
+    * window spans about a month, so the cap is slack, and at the floor
+    * an event contributes 1/65536 of its value — operationally zero
+    * either way). The surfaced double is ONE exact division by 65536
+    * (a power of two — no rounding at all).
+    *
+    * Scale shape: one 1-row max-day broadcast, one map-side projection
+    * (shift, multiply), one user-grain map-side-combined aggregate. */
+  val q285DecayedEngagement: Q = Q(
+    "q285_decayed_engagement",
+    """WITH mx AS (SELECT max(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+      |              AS mday FROM events),
+      |e AS (SELECT user_id,
+      |             CAST(round(value * 100) AS BIGINT) AS cents,
+      |             least((mx.mday
+      |                    - CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7,
+      |                   16) AS k
+      |      FROM events, mx)
+      |SELECT user_id, count(*) AS n_events,
+      |       CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - k AS INT)))
+      |            AS BIGINT) AS decayed_x65536,
+      |       CAST(sum(cents * (CAST(1 AS BIGINT) << CAST(16 - k AS INT)))
+      |            AS DOUBLE) / 65536 AS decayed_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+    val mx = ev.agg(max(col("day")).as("mday"))
+    ev.crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        round(col("value") * 100).cast("long").as("cents"),
+        least(expr("(mday - day) div 7"), lit(16L)).as("k"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("cents * shiftleft(CAST(1 AS BIGINT), CAST(16 - k AS INT))"))
+          .cast("long").as("decayed_x65536"))
+      .select(col("user_id"), col("n_events"), col("decayed_x65536"),
+        (col("decayed_x65536").cast("double") / 65536).as("decayed_cents"))
+      .orderBy(col("user_id"))
+  }
+
   /** q169: automation (bot) detection — humans don't fire events
     * back-to-back for long: per user, count consecutive-event gaps under
     * 2 seconds (µs-exact via unix_micros; a floor-seconds gap would call
@@ -2158,7 +2204,7 @@ object Events {
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
-      q271HoltForecast, q276AcfDaily,
+      q271HoltForecast, q276AcfDaily, q285DecayedEngagement,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

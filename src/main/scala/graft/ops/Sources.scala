@@ -258,6 +258,59 @@ object Sources {
         sum(col("cents")).as("sum_cents"))
   }
 
+  // One under-length line (structural) and one full-length line whose
+  // cents field is non-numeric (type) — the two fixed-width failure
+  // modes. Both are exactly what a mainframe feed actually ships.
+  private val FwPlanted = Seq(
+    "too short line",
+    "0000000001" + "0000000002" + "0000notanum0")
+
+  /** q286: FIXED-WIDTH text with reject isolation — the fifth landing
+    * format, and the one Spark has NO built-in source for: the read
+    * path is `text()` + positional substring slicing with an explicit
+    * schema-on-read contract (line length + per-field `try_cast`), and
+    * reject capture is therefore MANUAL — the validity predicate is the
+    * corrupt-record column. That is the production reality of
+    * mainframe/finance feeds, and the interesting delta vs q160/q161:
+    * when the format has no parser, U7's error-isolation discipline has
+    * to be stated as expressions, and the gate proves the stated
+    * contract (32-char lines, zero-padded digit fields) classifies
+    * every planted failure mode without a task failure.
+    *
+    * Scale shape: one text scan, per-row slicing inside codegen, one
+    * partial aggregate — schema-on-read at its cheapest; rejects cost a
+    * length check and three try_casts per row. */
+  val q286FixedwidthRejects: Q = Q(
+    "q286_fixedwidth_rejects",
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_good,
+      |       CAST(${FwPlanted.size} AS BIGINT) AS n_corrupt,
+      |       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM orders""".stripMargin) { (s, dir) =>
+    val work = stage("graft-fw-")
+    Tables(s, dir, "orders")
+      .select(concat(
+        lpad(col("o_orderkey").cast("string"), 10, "0"),
+        lpad(col("o_custkey").cast("string"), 10, "0"),
+        lpad(round(col("o_totalprice") * 100).cast("long").cast("string"),
+          12, "0")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(work.resolve("fw").toString)
+    java.nio.file.Files.writeString(work.resolve("fw").resolve("bad.txt"),
+      FwPlanted.mkString("", "\n", "\n"))
+    s.read.text(work.resolve("fw").toString)
+      .select(col("value"),
+        expr("try_cast(substring(value, 1, 10) AS BIGINT)").as("k"),
+        expr("try_cast(substring(value, 11, 10) AS BIGINT)").as("c"),
+        expr("try_cast(substring(value, 21, 12) AS BIGINT)").as("cents"))
+      .withColumn("bad",
+        length(col("value")) =!= 32 || col("k").isNull || col("c").isNull ||
+          col("cents").isNull)
+      .agg(count_if(!col("bad")).as("n_good"),
+        count_if(col("bad")).as("n_corrupt"),
+        sum(when(!col("bad"), col("cents"))).cast("long").as("sum_cents"))
+  }
+
   val all: Seq[Q] = Seq(q160CsvRejects, q161JsonlRejects, q172GenSource,
-    q173DigestSink, q174GenStream, q246OrcRoundtrip, q256XmlRejects)
+    q173DigestSink, q174GenStream, q246OrcRoundtrip, q256XmlRejects,
+    q286FixedwidthRejects)
 }

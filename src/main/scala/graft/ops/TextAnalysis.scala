@@ -993,9 +993,51 @@ object TextAnalysis {
     }
   }
 
+  /** q287: positional PROXIMITY search — the phrase/near-query kernel
+    * the retrieval tier (q122 BM25, q123 posting lists) was missing:
+    * find documents where 'scan' is followed by 'column' within 3 token
+    * positions, with per-doc match count and tightest gap. This is
+    * exactly how a positional inverted index answers "term A NEAR/k
+    * term B": two positional posting lists, an equi-join on doc, a gap
+    * band filter — candidate volume is tf(A)·tf(B) per doc, never
+    * positions². All integer.
+    *
+    * Scale shape: the token stream explodes once with positions
+    * (codegen posexplode), each term's postings are a filter of it, and
+    * the join is keyed by doc_id — co-partitioned by the same shuffle,
+    * bounded by term frequencies. DuckDB renders positions by
+    * generate_series + list indexing (no WITH ORDINALITY — the q195
+    * lesson). */
+  val q287ProximitySearch: Q = Q(
+    "q287_proximity_search",
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, pos, ws[pos] AS w
+      |      FROM (SELECT doc_id, ws,
+      |                   unnest(generate_series(1, len(ws))) AS pos
+      |            FROM w)),
+      |a AS (SELECT doc_id, pos FROM p WHERE w = 'scan'),
+      |b AS (SELECT doc_id, pos FROM p WHERE w = 'column')
+      |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+      |       CAST(min(b.pos - a.pos) AS BIGINT) AS min_gap
+      |FROM a JOIN b ON b.doc_id = a.doc_id
+      |              AND b.pos - a.pos BETWEEN 1 AND 3
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val a = p.filter(col("w") === "scan").select(col("doc_id"), col("pos").as("pa"))
+    val b = p.filter(col("w") === "column").select(col("doc_id"), col("pos").as("pb"))
+    a.join(b, Seq("doc_id"))
+      .filter((col("pb") - col("pa")).between(1, 3))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("pb") - col("pa")).cast("long").as("min_gap"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
     q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
-    q272LangidEval, q280Calibration)
+    q272LangidEval, q280Calibration, q287ProximitySearch)
 }
