@@ -861,9 +861,66 @@ object Curation {
       .orderBy(col("vdec"))
   }
 
+  /** q293: ε-differentially-private count release (Laplace mechanism) —
+    * the top rung of the privacy ladder above q190 (k-anonymity), q250
+    * (l-diversity), and q275 (t-closeness): those audit a release;
+    * DP *constructs* one with a provable guarantee. Per-nation customer
+    * counts (sensitivity 1) get Laplace(1/ε) noise at ε = 0.5, clamped
+    * at zero (post-processing preserves the guarantee). The true counts
+    * are never surfaced.
+    *
+    * Determinism vs privacy: the noise draw must hash-match the oracle,
+    * so u comes from the portable-hash uniform seeded per release key +
+    * salt — the inverse-CDF ln() is the one libm call, rounded to 9
+    * decimals before use (q273's discipline), and the final micro-unit
+    * rounding is floor(x + 0.5) in both engines (no round-half ambiguity
+    * on negatives). A production release swaps the seeded uniform for a
+    * CSPRNG draw — one column swap; every other expression is unchanged.
+    *
+    * Scale shape: one map-side-combined count per key, then noise as a
+    * stateless per-GROUP projection — the mechanism costs nothing at any
+    * scale (|keys| rows). */
+  val q293DpRelease: Q = {
+    // Identical text interpolated into both engines: Laplace inverse-CDF
+    // noise in micro-units from materialized uniform column u, b = 1/ε = 2.
+    val noise =
+      "CAST(floor(-2000000.0 * sign(u - 0.5) * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9) + 0.5) AS BIGINT)"
+    Q(
+      "q293_dp_release",
+      s"""WITH g AS (SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |                  CAST(count(*) AS BIGINT) AS n
+        |           FROM customer GROUP BY 1),
+        |gm AS (SELECT nationkey, n,
+        |              md5(concat(CAST(nationkey AS VARCHAR), '-graft-dp')) AS m
+        |       FROM g),
+        |u AS (SELECT nationkey, n,
+        |             ((${PortableHash.hexHeadToLong("m", "strpos")}) % 1000000
+        |              + 1) / 1000001.0 AS u
+        |      FROM gm)
+        |SELECT nationkey,
+        |       CAST(greatest(n * 1000000 + $noise, 0) AS DOUBLE) / 1000000
+        |         AS noisy_count,
+        |       CAST(0.5 AS DOUBLE) AS epsilon
+        |FROM u ORDER BY 1""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("m",
+          md5(concat(col("nationkey").cast("string"), lit("-graft-dp"))))
+        .withColumn("u",
+          ((expr(PortableHash.hexHeadToLong("m", "instr")) % 1000000L + lit(1L))
+            / lit(1000001.0)))
+        .select(col("nationkey"),
+          (greatest(col("n") * lit(1000000L) + expr(noise), lit(0L))
+            .cast("double") / 1000000).as("noisy_count"),
+          lit(0.5).cast("double").as("epsilon"))
+        .orderBy(col("nationkey"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
     q98QualityDrift, q135KsDrift, q250LDiversity, q266DsirSelection,
-    q275TCloseness)
+    q275TCloseness, q293DpRelease)
 }

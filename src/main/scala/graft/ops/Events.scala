@@ -1074,6 +1074,72 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** q289: Theil–Sen robust trend — the slope estimator a monitoring
+    * pipeline wants when q271's Holt fit is dragged by outlier days: the
+    * median over ALL pairwise day slopes has a 29% breakdown point, so a
+    * single corrupted day cannot move it. Exact across engines because
+    * each pairwise slope is one HUGEINT/DECIMAL(38,0) cross-multiply and
+    * one truncating division (engines agree on toward-zero truncation —
+    * the q194 discipline), and the median is the LOW median selected by
+    * rank, never an average of two middles (which would reintroduce a
+    * float).
+    *
+    * Scale shape: slopes live at DAY²-grain per series — calendar-
+    * bounded (a decade is ~6.7M pairs per key), so the self-join and the
+    * per-key rank window cost O(days²) regardless of corpus row count;
+    * the raw events fold into the day grain map-side first. Slope uses
+    * CALENDAR distance (b.day − a.day), not observation index — missing
+    * days must widen the run, or a gap would masquerade as a steep step. */
+  val q289TheilSen: Q = Q(
+    "q289_theil_sen",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+      |       FROM d GROUP BY 1),
+      |p AS (SELECT a.event_type, a.day AS d1, b.day AS d2,
+      |             CAST((CAST(b.v AS HUGEINT) - a.v) * 1000000
+      |                  // (b.day - a.day) AS BIGINT) AS slope_ppm
+      |      FROM d a JOIN d b ON b.event_type = a.event_type
+      |                       AND b.day > a.day),
+      |r AS (SELECT event_type, slope_ppm,
+      |             row_number() OVER (PARTITION BY event_type
+      |                                ORDER BY slope_ppm, d1, d2) AS rn,
+      |             count(*) OVER (PARTITION BY event_type) AS np
+      |      FROM p)
+      |SELECT r.event_type, nd.n_days, CAST(np AS BIGINT) AS n_pairs,
+      |       slope_ppm AS median_slope_ppm
+      |FROM r JOIN nd USING (event_type)
+      |WHERE rn = (np + 1) // 2
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val pairs = d.as("a").join(d.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.day") > col("a.day"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.v").cast("decimal(38,0)") - col("a.v")) * lit(1000000)).as("num"),
+        (col("b.day") - col("a.day")).as("dd"),
+        col("a.day").as("d1"), col("b.day").as("d2"))
+      .select(col("event_type"),
+        expr("CAST(num div dd AS LONG)").as("slope_ppm"), col("d1"), col("d2"))
+    val ranked = pairs
+      .withColumn("rn", row_number().over(Window.partitionBy(col("event_type"))
+        .orderBy(col("slope_ppm"), col("d1"), col("d2"))))
+      .withColumn("np",
+        count(lit(1)).over(Window.partitionBy(col("event_type"))).cast("long"))
+    val nd = d.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+    ranked.filter(col("rn") === expr("(np + 1) div 2"))
+      .join(broadcast(nd), "event_type")
+      .select(col("event_type"), col("n_days"), col("np").as("n_pairs"),
+        col("slope_ppm").as("median_slope_ppm"))
+      .orderBy(col("event_type"))
+  }
+
   /** q285: exponentially time-decayed engagement — the feature-store
     * kernel behind "recent activity counts more" ranking signals: per
     * user, Σ cents·½^age_weeks anchored at the corpus's newest day.
@@ -2204,7 +2270,7 @@ object Events {
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
-      q271HoltForecast, q276AcfDaily, q285DecayedEngagement,
+      q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

@@ -363,6 +363,64 @@ object Fuzzy {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** q288: sorted-neighborhood blocking (Hernández–Stolfo) — the OTHER
+    * classic ER candidate generator, complementing q105's pigeonhole
+    * blocks: sort the name vocabulary once, pair every name with its w=2
+    * successors in the global order, verify with exact edit distance.
+    * Where pigeonhole recall is structural (same-width, ≤1 word), SNM
+    * recall follows the sort key — typo families that sort adjacently
+    * surface even when no whole word matches.
+    *
+    * Scale shape: the textbook pitfall is that "global order" reads as a
+    * global sort + unpartitioned window (one reducer owns the world).
+    * The distributed form used here: partition by a RANGE block (first
+    * character — order-consistent with the full key, so block boundaries
+    * respect the global order), rank WITHIN blocks (partitioned window),
+    * and recover global ranks by adding per-block offsets — the block
+    * directory is charset-bounded, so offsets are a driver scalar pass
+    * exactly like q109's base/jump, broadcast back. Neighbor pairing is
+    * then an EQUI-join on rank (each name probes rank+1, rank+2 — a
+    * 2-row generate, not a range join), which also stitches pairs ACROSS
+    * block boundaries for free — the part a naive per-block window
+    * misses. Candidate volume is exactly w·N; the O(N²) verify never
+    * exists. */
+  val q288SortedNeighborhood: Q = Q(
+    "q288_sorted_neighborhood",
+    """WITH names AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+      |r AS (SELECT name, CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS rk
+      |      FROM names)
+      |SELECT a.name AS name_a, b.name AS name_b,
+      |       CAST(b.rk - a.rk AS BIGINT) AS gap,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS lev
+      |FROM r a JOIN r b ON b.rk - a.rk BETWEEN 1 AND 2
+      |WHERE levenshtein(a.name, b.name) <= 3
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val names = Tables(s, dir, "part")
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+      .withColumn("blk", substring(col("name"), 1, 1))
+    val ranked = names.withColumn("wrk",
+      row_number().over(Window.partitionBy(col("blk")).orderBy(col("name")))
+        .cast("long"))
+    // Block directory: charset-bounded (≤ |alphabet| rows) — offsets are
+    // a bounded driver reduction, not a data-plane collect.
+    val offsets = ranked.groupBy(col("blk")).agg(count(lit(1)).as("bn"))
+      .collect().toSeq.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+      .scanLeft(("", 0L)) { case ((_, acc), (b, n)) => (b, acc + n) }
+      .sliding(2).collect { case Seq((_, off), (b, _)) => (b, off) }.toSeq
+    val offDf = s.createDataFrame(offsets).toDF("blk", "off")
+    val g = ranked.join(broadcast(offDf), "blk")
+      .select(col("name"), (col("off") + col("wrk")).as("rk"))
+    val probes = g.select(col("name").as("name_a"), col("rk"),
+        explode(array(lit(1L), lit(2L))).as("gap"))
+      .withColumn("rk", col("rk") + col("gap"))
+    probes.join(g.select(col("name").as("name_b"), col("rk")), "rk")
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("lev") <= 3)
+      .select(col("name_a"), col("name_b"), col("gap"), col("lev"))
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
   val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution,
-    q189ContainmentJoin)
+    q189ContainmentJoin, q288SortedNeighborhood)
 }

@@ -401,6 +401,151 @@ object Graph {
     }
   }
 
+  /** q290: item-item collaborative filtering — "customers who bought X
+    * also bought Y" as cosine similarity over the order-item incidence
+    * matrix, the memory-based recommender kernel. For binary incidence,
+    * cosine(a,b) = co / √(n_a·n_b); comparing and ranking on cosine² —
+    * co²·10⁹ // (n_a·n_b), one HUGEINT cross-multiply and one truncating
+    * divide — is order-equivalent for non-negative scores and EXACT, so
+    * no sqrt ulp ever reaches the oracle compare (same move as q110's
+    * integer Jaccard gate).
+    *
+    * Scale shape: co-occurrence volume is Σ_order |items|², bounded by
+    * basket size, never N² over the catalog; item totals join the pair
+    * table at pair-grain (map-side combined first). Per-item top-3 is a
+    * partitioned rank window — Spark 4 plans WindowGroupLimit, so each
+    * partition keeps a 3-row heap, not a full sort-materialize. The
+    * min-support floor (co ≥ 2) is the standard noise cut and bounds the
+    * ranked table. */
+  val q290ItemCf: Q = Q(
+    "q290_item_cf",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |n AS (SELECT l_partkey AS item, count(*) AS nn FROM lp GROUP BY 1),
+      |co AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
+      |              CAST(count(*) AS BIGINT) AS co
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT a AS item, b AS other, co FROM co
+      |        UNION ALL SELECT b, a, co FROM co),
+      |sc AS (SELECT s.item, s.other, s.co,
+      |              CAST(CAST(s.co AS HUGEINT) * s.co * 1000000000
+      |                   // (na.nn * nb.nn) AS BIGINT) AS cos2_ppb
+      |       FROM sym s JOIN n na ON na.item = s.item
+      |                  JOIN n nb ON nb.item = s.other),
+      |r AS (SELECT item, other, co, cos2_ppb,
+      |             CAST(row_number() OVER (PARTITION BY item
+      |               ORDER BY cos2_ppb DESC, co DESC, other) AS BIGINT) AS rk
+      |      FROM sc)
+      |SELECT item, other, co, cos2_ppb, rk
+      |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = lp.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("nn"))
+    val co = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("a"), col("l2.l_partkey").as("b"))
+      .agg(count(lit(1)).as("co"))
+      .filter(col("co") >= 2)
+    val sym = co.select(col("a").as("item"), col("b").as("other"), col("co"))
+      .unionAll(co.select(col("b").as("item"), col("a").as("other"), col("co")))
+    val sc = sym
+      .join(n.withColumnsRenamed(Map("nn" -> "na")), "item")
+      .join(n.withColumnsRenamed(Map("item" -> "other", "nn" -> "nb")), "other")
+      .select(col("item"), col("other"), col("co"),
+        expr("CAST((CAST(co AS DECIMAL(38,0)) * co * 1000000000) div (CAST(na AS DECIMAL(38,0)) * nb) AS LONG)")
+          .as("cos2_ppb"))
+    sc.withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+        .orderBy(col("cos2_ppb").desc, col("co").desc, col("other"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("item"), col("other"), col("co"), col("cos2_ppb"), col("rk"))
+      .orderBy(col("item"), col("rk"))
+  }
+
+  /** q292: k-core decomposition (3-core, three unrolled peels) — the
+    * density filter a graph-curation stage runs before expensive kernels
+    * (PageRank/HITS behave badly on degree-1 tendrils; community mining
+    * wants the dense core). One peel round = drop every node whose
+    * degree among survivors is < k; the survivor sets are monotone
+    * decreasing, so convergence is detectable by COUNT equality of the
+    * last two rounds (set equality for free — no set diff needed), and
+    * the `converged` column makes the fixed unroll honest: at a scale
+    * where 3 rounds don't reach the fixpoint, the flag says so instead
+    * of the result silently pretending.
+    *
+    * Scale shape: each round is two semi-joins (edge endpoints against
+    * survivors) + one map-side-combined degree count — the standard
+    * distributed peel; the symmetrized edge list is built once and
+    * persisted, rounds shrink it monotonically. Production runs
+    * peel-to-fixpoint with the same round body (the q47 CC cap lesson:
+    * cap + converged flag, never silent truncation). */
+  val q292KCore: Q = Q(
+    "q292_k_core",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |s1 AS (SELECT u AS n FROM sym GROUP BY 1 HAVING count(*) >= 3),
+      |e1 AS (SELECT u, v FROM sym WHERE u IN (SELECT n FROM s1)
+      |                              AND v IN (SELECT n FROM s1)),
+      |s2 AS (SELECT u AS n FROM e1 GROUP BY 1 HAVING count(*) >= 3),
+      |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT n FROM s2)
+      |                             AND v IN (SELECT n FROM s2)),
+      |s3 AS (SELECT u AS n FROM e2 GROUP BY 1 HAVING count(*) >= 3),
+      |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT n FROM s3)
+      |                             AND v IN (SELECT n FROM s3)),
+      |c AS (SELECT (SELECT count(*) FROM s2) = (SELECT count(*) FROM s3)
+      |        AS converged)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS round,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_nodes,
+      |         (SELECT CAST(count(*) AS BIGINT) FROM e1) // 2 AS n_edges,
+      |         (SELECT converged FROM c) AS converged
+      |  UNION ALL
+      |  SELECT 2, (SELECT count(*) FROM s2), (SELECT count(*) FROM e2) // 2,
+      |         (SELECT converged FROM c)
+      |  UNION ALL
+      |  SELECT 3, (SELECT count(*) FROM s3), (SELECT count(*) FROM e3) // 2,
+      |         (SELECT converged FROM c))
+      |ORDER BY round""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    var edges = sym
+    val held = scala.collection.mutable.Buffer[org.apache.spark.sql.DataFrame]()
+    val counts = (1 to 3).map { _ =>
+      val surv = edges.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("u").as("n"))
+        .persist(MEMORY_AND_DISK)
+      edges = edges
+        .join(surv.withColumnsRenamed(Map("n" -> "u")), Seq("u"), "left_semi")
+        .join(surv.withColumnsRenamed(Map("n" -> "v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .persist(MEMORY_AND_DISK)
+      held += surv += edges
+      (surv.count(), edges.count() / 2)
+    }
+    // Counts are materialized scalars by here — release every round's
+    // cache (the result DataFrame below is built from driver rows, so
+    // nothing downstream re-reads these).
+    held.foreach(_.unpersist())
+    sym.unpersist()
+    val converged = counts(1)._1 == counts(2)._1
+    val rows = counts.zipWithIndex.map { case ((nn, ne), i) =>
+      (i + 1L, nn, ne, converged)
+    }
+    s.createDataFrame(rows)
+      .toDF("round", "n_nodes", "n_edges", "converged")
+      .orderBy(col("round"))
+  }
+
   val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops,
-    q221AssociationRules, q277Hits)
+    q221AssociationRules, q277Hits, q290ItemCf, q292KCore)
 }

@@ -461,6 +461,59 @@ object Snapshot {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** q295: incremental JOIN-view maintenance — the two-sided delta-join
+    * algebra q144 (single-table delta agg) stops short of: a materialized
+    * join view V = γ(L ⋈ O) absorbs simultaneous deltas on BOTH inputs
+    * as Δ V = γ(ΔL ⋈ O_old) + γ(L_old ⋈ ΔO) + γ(ΔL ⋈ ΔO) — the classic
+    * distributivity of join over union, with the old×old term never
+    * recomputed. The splits are deliberately INDEPENDENT (orders by
+    * orderkey mod, lineitems by (orderkey+linenumber) mod) so all three
+    * delta terms are non-empty — a lineitem can arrive late for an
+    * already-loaded order and vice versa, which is exactly the case that
+    * breaks "deltas arrive together" shortcuts.
+    *
+    * Scale shape: each delta term's cost is ∝|Δ| (the delta side drives
+    * the join; AQE broadcasts it when small, degrades to shuffle when
+    * not), the union aggregates ONCE map-side before the merge, and the
+    * merge with the old view is a keyed full-outer + coalesce-sum — the
+    * 100 TB path never touches L_old ⋈ O_old again. The oracle is the
+    * from-scratch join: equality IS the IVM correctness proof. */
+  val q295IvmDeltaJoin: Q = Q(
+    "q295_ivm_delta_join",
+    """SELECT o.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("custkey"))
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"),
+        ((col("l_orderkey") + col("l_linenumber")) % 7).as("slot"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val oOld = o.filter(col("ok") % 5 =!= 4)
+    val oDelta = o.filter(col("ok") % 5 === 4)
+    val lOld = l.filter(col("slot") =!= 0).drop("slot")
+    val lDelta = l.filter(col("slot") === 0).drop("slot")
+    def agg(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("custkey"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+    val vOld = agg(lOld.join(oOld, "ok"))
+      .withColumnsRenamed(Map("n" -> "bn", "c" -> "bc"))
+    val dAgg = agg(
+      lDelta.join(oOld, "ok")
+        .unionByName(lOld.join(oDelta, "ok"))
+        .unionByName(lDelta.join(oDelta, "ok")))
+      .withColumnsRenamed(Map("n" -> "dn", "c" -> "dc"))
+    vOld.join(dAgg, Seq("custkey"), "full_outer")
+      .select(col("custkey"),
+        (coalesce(col("bn"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+          .as("n_lines"),
+        (coalesce(col("bc"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+          .as("sum_cents"))
+      .orderBy(col("custkey"))
+  }
+
   /** q153: schema-evolution union — reading across generations where a
     * column was ADDED mid-history is the everyday lake problem: the old
     * generation simply lacks the column. `unionByName(…,
@@ -683,6 +736,7 @@ object Snapshot {
 
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
+    q295IvmDeltaJoin,
     q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract,
     q190KAnonymity, q206FreshnessAudit, q207CentsPrecision)
 }

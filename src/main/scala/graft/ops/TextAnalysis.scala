@@ -1035,9 +1035,168 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** q291: TextRank keyword extraction — q109's PageRank discipline
+    * applied to the word CO-OCCURRENCE graph (two words linked when they
+    * appear within 2 positions anywhere in the corpus; edge weight = the
+    * co-occurrence count). The canonical unsupervised keyword ranker:
+    * high-rank words are those central to the co-occurrence topology,
+    * not merely frequent. WEIGHTED PageRank stays integer-exact the same
+    * way q109 does: node mass splits proportionally as (r·w_uv) // W_u
+    * (floor per edge), two unrolled iterations, jump/damping in the
+    * identical integer map — so the ranks hash-match DuckDB bit-for-bit.
+    *
+    * Scale shape: the co-occurrence build is q287's posexplode + doc-
+    * keyed equi-join (gap ≤ 2, tf-bounded per doc — never positions²);
+    * everything after lives at VOCABULARY grain, the whole point of
+    * ranking words instead of documents. Edge+strength table built once
+    * and probed by both iterations (q109's persist lesson applies at
+    * vocab scale; here the table is catalog-small so AQE broadcasts). */
+  val q291TextrankKeywords: Q = {
+    val S = 1000000000000L
+    Q(
+      "q291_textrank_keywords",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, pos, ws[pos] AS w
+        |      FROM (SELECT doc_id, ws,
+        |                   unnest(generate_series(1, len(ws))) AS pos
+        |            FROM w)),
+        |e0 AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v,
+        |              CAST(count(*) AS BIGINT) AS wt
+        |       FROM p a JOIN p b ON b.doc_id = a.doc_id
+        |                        AND b.pos - a.pos BETWEEN 1 AND 2
+        |                        AND a.w <> b.w
+        |       GROUP BY 1, 2),
+        |sym AS (SELECT u, v, wt FROM e0 UNION ALL SELECT v, u, wt FROM e0),
+        |outw AS (SELECT u, sum(wt) AS tw FROM sym GROUP BY 1),
+        |consts AS (SELECT $S // count(*) AS base,
+        |                  (15 * ($S // count(*))) // 100 AS jump
+        |           FROM outw),
+        |r0 AS (SELECT u AS n, (SELECT base FROM consts) AS r FROM outw),
+        |r1 AS (SELECT sym.v AS n,
+        |              (SELECT jump FROM consts)
+        |                + (85 * sum((r0.r * sym.wt) // outw.tw)) // 100 AS r
+        |       FROM sym JOIN r0 ON r0.n = sym.u JOIN outw ON outw.u = sym.u
+        |       GROUP BY sym.v),
+        |r2 AS (SELECT sym.v AS n,
+        |              (SELECT jump FROM consts)
+        |                + (85 * sum((r1.r * sym.wt) // outw.tw)) // 100 AS r
+        |       FROM sym JOIN r1 ON r1.n = sym.u JOIN outw ON outw.u = sym.u
+        |       GROUP BY sym.v)
+        |SELECT CAST(row_number() OVER (ORDER BY r DESC, n) AS BIGINT) AS pos,
+        |       n AS word, CAST(r AS BIGINT) AS r
+        |FROM r2 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      val e0 = p.as("a").join(p.as("b"),
+          col("b.doc_id") === col("a.doc_id") &&
+            (col("b.pos") - col("a.pos")).between(1, 2) &&
+            col("a.w") =!= col("b.w"))
+        .groupBy(least(col("a.w"), col("b.w")).as("u"),
+          greatest(col("a.w"), col("b.w")).as("v"))
+        .agg(count(lit(1)).as("wt"))
+      val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"), col("wt")))
+      val outw = sym.groupBy(col("u")).agg(sum(col("wt")).as("tw"))
+        .persist(MEMORY_AND_DISK)
+      val nn = outw.count()
+      val base = S / nn
+      val jump = (15L * base) / 100L
+      val edges = sym.join(outw, "u").persist(MEMORY_AND_DISK)
+      var r = outw.select(col("u").as("n"), lit(base).as("r"))
+      for (_ <- 1 to 2) {
+        r = edges.join(r, col("n") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("(r * wt) div tw")).as("c"))
+          .select(col("v").as("n"),
+            (lit(jump) + expr("(85 * c) div 100")).as("r"))
+      }
+      // No unpersist: the returned plan still references the cached
+      // tables; the harness clears the cache after each query.
+      r.withColumn("pos",
+          row_number().over(Window.orderBy(col("r").desc, col("n"))).cast("long"))
+        .filter(col("pos") <= 20)
+        .select(col("pos"), col("n").as("word"), col("r"))
+        .orderBy(col("pos"))
+    }
+  }
+
+  /** q294: collocation extraction by Dunning's log-likelihood ratio —
+    * the statistically-honest upgrade over raw PMI (q177's family): G²
+    * on the 2×2 contingency of (first word = w1) × (second word = w2)
+    * over adjacent bigrams, which PREFERS evidence volume where PMI
+    * rewards rare coincidences. Cross-engine determinism is the q273
+    * libm discipline generalized: every ln() takes an exact-integer-
+    * valued double (counts < 2^53), each log term is rounded to 9
+    * decimals BEFORE arithmetic, the 4-term combination is written with
+    * identical association in both renderings, and the surfaced score is
+    * one final round to micro-units.
+    *
+    * Scale shape: the contingency margins are the bigram table's own
+    * row/column aggregates (two map-side-combined passes over the
+    * bigram-grain table, joined back at bigram grain) — the corpus is
+    * read once, everything after is vocabulary²-bounded (and min-support
+    * floored: k11 ≥ 5). */
+  val q294LlrCollocations: Q = {
+    // One rounded log term per contingency cell: k·round(ln k + ln N −
+    // ln row − ln col, 9), zero when the cell is empty. Rendered ONCE
+    // and interpolated into both engines so association cannot drift.
+    def cell(k: String, row: String, colm: String): String =
+      s"(CASE WHEN $k > 0 THEN $k * round(((ln(CAST($k AS DOUBLE)) + ln(CAST(nn AS DOUBLE))) - ln(CAST($row AS DOUBLE))) - ln(CAST($colm AS DOUBLE)), 9) ELSE 0.0 END)"
+    val llr =
+      s"((((${cell("k11", "r1", "c1")} + ${cell("k12", "r1", "c2")}) + ${cell("k21", "r2", "c1")}) + ${cell("k22", "r2", "c2")}))"
+    Q(
+      "q294_llr_collocations",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |p AS (SELECT doc_id, pos, ws[pos] AS w
+        |      FROM (SELECT doc_id, ws,
+        |                   unnest(generate_series(1, len(ws))) AS pos
+        |            FROM w)),
+        |bg AS (SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS k11
+        |       FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2),
+        |r AS (SELECT w1, sum(k11) AS r1 FROM bg GROUP BY 1),
+        |c AS (SELECT w2, sum(k11) AS c1 FROM bg GROUP BY 1),
+        |t AS (SELECT sum(k11) AS nn FROM bg),
+        |k AS (SELECT bg.w1, bg.w2, bg.k11,
+        |             r.r1 - bg.k11 AS k12, c.c1 - bg.k11 AS k21,
+        |             t.nn - r.r1 - c.c1 + bg.k11 AS k22,
+        |             r.r1, t.nn - r.r1 AS r2, c.c1, t.nn - c.c1 AS c2, t.nn
+        |      FROM bg JOIN r USING (w1) JOIN c USING (w2) CROSS JOIN t
+        |      WHERE bg.k11 >= 5)
+        |SELECT w1, w2, k11,
+        |       CAST(round(2000000 * $llr) AS BIGINT) AS llr_micro
+        |FROM k
+        |ORDER BY llr_micro DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      val bg = p.as("a").join(p.as("b"),
+          col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("k11"))
+      val rM = bg.groupBy(col("w1")).agg(sum(col("k11")).as("r1"))
+      val cM = bg.groupBy(col("w2")).agg(sum(col("k11")).as("c1"))
+      val t = bg.agg(sum(col("k11")).as("nn"))
+      bg.filter(col("k11") >= 5)
+        .join(rM, "w1").join(cM, "w2").crossJoin(broadcast(t))
+        .withColumn("k12", col("r1") - col("k11"))
+        .withColumn("k21", col("c1") - col("k11"))
+        .withColumn("k22", col("nn") - col("r1") - col("c1") + col("k11"))
+        .withColumn("r2", col("nn") - col("r1"))
+        .withColumn("c2", col("nn") - col("c1"))
+        .select(col("w1"), col("w2"), col("k11"),
+          expr(s"CAST(round(2000000 * $llr) AS BIGINT)").as("llr_micro"))
+        .orderBy(col("llr_micro").desc, col("w1"), col("w2"))
+        .limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
     q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
-    q272LangidEval, q280Calibration, q287ProximitySearch)
+    q272LangidEval, q280Calibration, q287ProximitySearch,
+    q291TextrankKeywords, q294LlrCollocations)
 }

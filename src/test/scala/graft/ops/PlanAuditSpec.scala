@@ -95,7 +95,8 @@ class PlanAuditSpec extends SparkSpec {
       "q258_bpe_token_budget",  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
       "q266_dsir_selection",    // rank over the already-limited top-100 selection (≤ 100 rows)
       "q277_hits",              // fixed-point rank over the part-authority table (catalog-bounded)
-      "q283_skew_audit")        // count-level CDF + rank over the already-limited top-10
+      "q283_skew_audit",        // count-level CDF + rank over the already-limited top-10
+      "q291_textrank_keywords") // fixed-point rank over the word-vocabulary table (vocab-bounded)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
