@@ -1074,6 +1074,77 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** q298: event-time DISORDER profile — the measurement that should
+    * precede every watermark choice in the streaming tier (q92's 1-hour
+    * watermark is an assumption; this derives it from data): per event in
+    * ARRIVAL order (event_id), lateness = high-water event time seen so
+    * far minus own event time, then the lateness distribution and the
+    * p99-derived watermark recommendation. An event's state is dropped
+    * iff it is later than the watermark — so p99 lateness IS the
+    * business-visible drop-rate dial.
+    *
+    * Scale shape: "running max over a global order" is the textbook
+    * one-reducer trap (q192's lesson); the distributed form is the same
+    * bucket stitch — ≤ 4097 bucket summaries (width derived from the id
+    * range) take the prefix max EXCLUDING self on the summary table, each
+    * bucket computes its within-bucket running max in parallel, and
+    * greatest(prefix, within) is exact. The percentile read is the level
+    * kernel (≤ distinct-lateness rows), not a row-grain sort. At another
+    * 1000× the stitch recurses: summaries of summaries, same shape. */
+  val q298DisorderProfile: Q = Q(
+    "q298_disorder_profile",
+    """WITH e AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+      |lat AS (SELECT (max(us) OVER (ORDER BY event_id) - us) // 1000000
+      |          AS late_s
+      |        FROM e),
+      |lv AS (SELECT late_s, CAST(count(*) AS BIGINT) AS cnt
+      |       FROM lat GROUP BY 1),
+      |cum AS (SELECT late_s, cnt,
+      |               sum(cnt) OVER (ORDER BY late_s) AS cum,
+      |               sum(cnt) OVER () AS n
+      |        FROM lv)
+      |SELECT CAST(max(n) AS BIGINT) AS n_events,
+      |       CAST(sum(CASE WHEN late_s > 0 THEN cnt ELSE 0 END) AS BIGINT)
+      |         AS n_late,
+      |       min(CASE WHEN cum * 100 >= 50 * n THEN late_s END) AS p50_s,
+      |       min(CASE WHEN cum * 100 >= 90 * n THEN late_s END) AS p90_s,
+      |       min(CASE WHEN cum * 100 >= 99 * n THEN late_s END) AS p99_s,
+      |       max(late_s) AS max_s,
+      |       ((min(CASE WHEN cum * 100 >= 99 * n THEN late_s END) + 59)
+      |        // 60) * 60 AS wm_recommend_s
+      |FROM cum""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables(s, dir, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val bounds = e.agg(min(col("event_id")), max(col("event_id"))).first()
+    val width = math.max(512L, (bounds.getLong(1) - bounds.getLong(0)) / 4096L + 1L)
+    val b = e.withColumn("b", expr(s"event_id div $width"))
+    val stitch = b.groupBy(col("b")).agg(max(col("us")).as("bmax"))
+      .withColumn("prefix_us", max(col("bmax")).over(Window.orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("b"), col("prefix_us"))
+    val lat = b.join(broadcast(stitch), "b")
+      .withColumn("run_us", max(col("us")).over(
+        Window.partitionBy(col("b")).orderBy(col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select((greatest(col("run_us"), coalesce(col("prefix_us"), col("run_us")))
+        - col("us")).as("late_us"))
+      .select(expr("late_us div 1000000").as("late_s"))
+    val lv = lat.groupBy(col("late_s")).agg(count(lit(1)).as("cnt"))
+    val cum = lv
+      .withColumn("cum", sum(col("cnt")).over(Window.orderBy(col("late_s"))))
+      .withColumn("n", sum(col("cnt")).over(
+        Window.orderBy(col("late_s"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def pct(p: Int) = min(when(col("cum") * 100 >= col("n") * p, col("late_s")))
+    cum.agg(max(col("n")).as("n_events"),
+        sum(when(col("late_s") > 0, col("cnt")).otherwise(lit(0L)))
+          .as("n_late"),
+        pct(50).as("p50_s"), pct(90).as("p90_s"), pct(99).as("p99_s"),
+        max(col("late_s")).as("max_s"))
+      .withColumn("wm_recommend_s", expr("((p99_s + 59) div 60) * 60"))
+  }
+
   /** q289: Theil–Sen robust trend — the slope estimator a monitoring
     * pipeline wants when q271's Holt fit is dragged by outlier days: the
     * median over ALL pairwise day slopes has a 29% breakdown point, so a
@@ -2271,6 +2342,7 @@ object Events {
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
+      q298DisorderProfile,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

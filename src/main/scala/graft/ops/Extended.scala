@@ -1247,7 +1247,84 @@ object Extended {
     }
   }
 
+  /** q299: quantile-normalization mapping table — the distribution
+    * aligner an ML feature pipeline applies when per-group value
+    * distributions drift (batch effects, per-source score calibration,
+    * bias correction): for each group and decile, the group's decile
+    * value, the POOLED distribution's value at the same decile, and the
+    * shift between them. Downstream the table broadcasts and a map-side
+    * lookup replaces each value with its pooled equivalent — this query
+    * builds the table, which is the part that touches the data.
+    *
+    * Exactness: both decile reads use the rank-selection level kernel
+    * (q147's: min level whose cumulative count covers d/10 of the mass)
+    * — never an interpolating percentile, so every surfaced value is an
+    * integer that exists in the data and the engines agree bit-for-bit.
+    *
+    * Scale shape: one (group, cents-level) aggregate feeds the per-group
+    * kernel (partitioned windows); the pooled kernel re-aggregates the
+    * SAME level table to value grain — map-side combine on a
+    * levels-bounded input, with its global cum window on value levels
+    * (allow-listed bounded reduction). The decile expansion is a
+    * broadcast 10-row cross join. Nothing row-scale ever sorts. */
+  val q299QuantileNormalize: Q = Q(
+    "q299_quantile_normalize",
+    """WITH lv AS (
+      |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cumg AS (
+      |  SELECT event_type, v,
+      |         sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+      |         sum(c) OVER (PARTITION BY event_type) AS n
+      |  FROM lv),
+      |pool AS (SELECT v, sum(c) AS c FROM lv GROUP BY 1),
+      |cump AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+      |                sum(c) OVER () AS n
+      |         FROM pool),
+      |d AS (SELECT unnest(generate_series(1, 10)) AS decile),
+      |gq AS (SELECT event_type, decile, min(v) AS group_cents
+      |       FROM cumg CROSS JOIN d WHERE 10 * cum >= decile * n
+      |       GROUP BY 1, 2),
+      |pq AS (SELECT decile, min(v) AS pooled_cents
+      |       FROM cump CROSS JOIN d WHERE 10 * cum >= decile * n
+      |       GROUP BY 1)
+      |SELECT gq.event_type, CAST(gq.decile AS BIGINT) AS decile,
+      |       gq.group_cents, pq.pooled_cents,
+      |       gq.group_cents - pq.pooled_cents AS shift_cents
+      |FROM gq JOIN pq USING (decile)
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val lv = Tables(s, dir, "events")
+      .groupBy(col("event_type"), round(col("value") * 100).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val cumg = lv.select(col("event_type"), col("v"),
+      sum(col("c")).over(byType.orderBy(col("v"))).as("cum"),
+      sum(col("c")).over(byType).as("n"))
+    val cump = lv.groupBy(col("v")).agg(sum(col("c")).as("c"))
+      .select(col("v"),
+        sum(col("c")).over(Window.orderBy(col("v"))).as("cum"),
+        sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("n"))
+    val d = s.range(1, 11).select(col("id").as("decile"))
+    val gq = cumg.crossJoin(broadcast(d))
+      .filter(lit(10) * col("cum") >= col("decile") * col("n"))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(min(col("v")).as("group_cents"))
+    val pq = cump.crossJoin(broadcast(d))
+      .filter(lit(10) * col("cum") >= col("decile") * col("n"))
+      .groupBy(col("decile")).agg(min(col("v")).as("pooled_cents"))
+    gq.join(broadcast(pq), "decile")
+      .select(col("event_type"), col("decile"), col("group_cents"),
+        col("pooled_cents"),
+        (col("group_cents") - col("pooled_cents")).as("shift_cents"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   val all: Seq[Q] = Seq(
+    q299QuantileNormalize,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

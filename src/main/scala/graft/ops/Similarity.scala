@@ -2312,7 +2312,92 @@ object Similarity {
     }
   }
 
+  /** q297: FILTERED vector search — ANN under a metadata predicate, the
+    * operation every retrieval stack actually runs ("nearest docs *in
+    * language X* / *with license Y*") and the one that separates a toy
+    * index from a production one. Strategy is PRE-filter: the label
+    * predicate lands on the inverted-list rows BEFORE the probe join, so
+    * top-k is computed over exactly the eligible set — post-filtering a
+    * k-sized answer instead silently returns < k (or misses eligible
+    * near neighbors entirely) whenever the predicate is selective, which
+    * is precisely when users filter. Same q48 IVF topology otherwise:
+    * frozen seed centroids, nprobe=2, exact decimal rescore of the
+    * candidate set.
+    *
+    * Scale shape: the filter column rides WITH the inverted list (one
+    * vec_id-keyed join here; stored inline in a production index), so
+    * selectivity multiplies the candidate count DOWN — a 1/3 predicate
+    * scans a third of each probed bucket. Nothing new shuffles: the
+    * probe side is still a broadcast, the rescore is still
+    * candidate-bounded. */
+  val q297FilteredAnn: Q = Q(
+    "q297_filtered_ann",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |$duckKk,
+       |${duckAssignCtes("(SELECT k FROM kk)")},
+       |probe AS (SELECT vec_id AS query_id, centroid_id
+       |          FROM ac WHERE crank <= 2 AND vec_id < 10),
+       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+       |              JOIN embeddings em ON em.vec_id = a.vec_id
+       |         WHERE a.vec_id <> p.query_id AND em.label % 3 = 0),
+       |d AS (SELECT query_id, neighbor_id,
+       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |      FROM cand JOIN el a ON a.vec_id = query_id
+       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+       |      GROUP BY 1, 2),
+       |r AS (SELECT query_id, neighbor_id,
+       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+       |             row_number() OVER (PARTITION BY query_id
+       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |      FROM d JOIN n2 nq ON nq.vec_id = query_id
+       |              JOIN n2 nc ON nc.vec_id = neighbor_id)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val k = semK(Tables(s, dir, "embeddings").count())
+    val e = embWithNorm(s, dir)
+    val cent = e.filter(col("vec_id") < k).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
+      col("n2").as("n2_cent"))
+    def withCcos(vecs: DataFrame) =
+      vecs.join(broadcast(cent))
+        .withColumn("ccos",
+          expr(dDot("embedding", "emb_cent")) / sqrt(col("n2") * col("n2_cent")))
+    // The eligible inverted list: predicate applied AT the list, before
+    // any probe touches it.
+    val eligible = centroidAssign(e, k)
+      .join(e.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") % 3 === 0)
+      .select(col("vec_id"), col("centroid_id"))
+    val crankW = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val probe = withCcos(e.filter(col("vec_id") < 10))
+      .withColumn("crank", row_number().over(crankW))
+      .filter(col("crank") <= 2)
+      .select(col("vec_id").as("query_id"), col("centroid_id"))
+    val cand = eligible.join(broadcast(probe), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    val q = e.filter(col("vec_id") < 10).select(
+      col("vec_id").as("query_id"), col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = e.select(
+      col("vec_id").as("neighbor_id"), col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val all: Seq[Q] = Seq(
+    q297FilteredAnn,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,

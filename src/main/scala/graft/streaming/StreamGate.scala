@@ -1458,6 +1458,105 @@ object StreamGate {
       .orderBy(col("part"), col("a"), col("b"))
   }
 
+  /** q296: STREAMING join-view maintenance — q295's two-sided delta-join
+    * algebra in its day-2 position. The input is CDC-shaped: ONE change
+    * topic carrying rows for BOTH tables (tagged by `kind`), because
+    * that is how change capture actually arrives — there is no luxury of
+    * "all of orders, then all of lineitems". Each trigger splits its
+    * batch into ΔO/ΔL, computes ΔV = γ(ΔL⋈O_acc) + γ(L_acc⋈ΔO) +
+    * γ(ΔL⋈ΔO) against the ACCUMULATED other-side stores, merges into the
+    * prior view generation, and publishes `gen=<id>`; the old×old join
+    * never runs. Replay safety is the strict `< id` discipline
+    * everywhere: accumulators read only `batch < id` subdirs and the
+    * view chains from the newest generation strictly before its id, so
+    * a redelivered batch recomputes the identical delta from identical
+    * inputs and idempotently overwrites its own outputs — in ANY
+    * crash/replay interleaving of the three per-trigger writes.
+    *
+    * Per-trigger cost is ∝|Δ|·(matching accumulated rows), never
+    * archive² — at 100 TB the accumulators are the partitioned store
+    * the deltas probe (bucketed by join key in production so the probe
+    * is shuffle-free), and the view merge is |keys|-bounded. The oracle
+    * is the from-scratch join over everything that streamed: equality
+    * proves the maintenance algebra under micro-batch arrival. */
+  val q296StreamIvmJoin: Q = Q(
+    "q296_stream_ivm_join",
+    """SELECT o.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_lines,
+      |       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents
+      |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q296-")
+    val o = Tables(s, dir, "orders").select(lit("o").as("kind"),
+      col("o_orderkey").as("ok"), col("o_custkey").as("custkey"),
+      lit(null).cast("long").as("cents"))
+    val l = Tables(s, dir, "lineitem").select(lit("l").as("kind"),
+      col("l_orderkey").as("ok"), lit(null).cast("long").as("custkey"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"),
+      col("l_linenumber"))
+    val topic = (0 to 2).map { slot =>
+      o.filter(col("ok") % 3 === slot).unionByName(
+        l.filter((col("ok") + col("l_linenumber")) % 3 === slot)
+          .drop("l_linenumber"))
+    }
+    val in = stageOrderedBatches(work, topic)
+    val oacc = work.resolve("oacc").toString
+    val lacc = work.resolve("lacc").toString
+    val view = work.resolve("view").toString
+    val ss = streamSession(s)
+    val schema = topic.head.schema
+    def accBefore(sb: SparkSession, store: String, id: Long,
+        empty: org.apache.spark.sql.DataFrame) = {
+      val p = new org.apache.hadoop.fs.Path(store)
+      val fs = p.getFileSystem(sb.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) empty
+      else sb.read.option("basePath", store).parquet(store)
+        .filter(col("batch") < id).drop("batch")
+    }
+    val query = ss.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val dO = batch.filter(col("kind") === "o")
+            .select(col("ok"), col("custkey"))
+          val dL = batch.filter(col("kind") === "l")
+            .select(col("ok"), col("cents"))
+          val oPrev = accBefore(sb, oacc, id, dO.limit(0))
+          val lPrev = accBefore(sb, lacc, id, dL.limit(0))
+          def agg(df: org.apache.spark.sql.DataFrame) =
+            df.groupBy(col("custkey"))
+              .agg(count(lit(1)).as("dn"), sum(col("cents")).as("dc"))
+          val delta = agg(dL.join(oPrev, "ok")
+            .unionByName(lPrev.join(dO, "ok"))
+            .unionByName(dL.join(dO, "ok")))
+          val vPrev = latestGenBefore(sb, view, id).getOrElse(
+            delta.select(col("custkey"), col("dn").as("n_lines"),
+              col("dc").as("sum_cents")).limit(0))
+          vPrev.join(delta, Seq("custkey"), "full_outer")
+            .select(col("custkey"),
+              (coalesce(col("n_lines"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+                .as("n_lines"),
+              (coalesce(col("sum_cents"), lit(0L)) + coalesce(col("dc"), lit(0L)))
+                .as("sum_cents"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$view/gen=$id")
+          dO.write.mode("overwrite").parquet(s"$oacc/batch=$id")
+          dL.write.mode("overwrite").parquet(s"$lacc/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, view, Long.MaxValue)
+      .getOrElse(sys.error("q296: no view generation was published"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
@@ -1465,5 +1564,6 @@ object StreamGate {
     q117StreamEnrich, q126StreamTopK, q158StreamMarkov, q183StreamCrosstab,
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
-    q257StreamSliding, q259StreamFullMaintenance, q279StreamForget)
+    q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
+    q296StreamIvmJoin)
 }

@@ -96,7 +96,9 @@ class PlanAuditSpec extends SparkSpec {
       "q266_dsir_selection",    // rank over the already-limited top-100 selection (≤ 100 rows)
       "q277_hits",              // fixed-point rank over the part-authority table (catalog-bounded)
       "q283_skew_audit",        // count-level CDF + rank over the already-limited top-10
-      "q291_textrank_keywords") // fixed-point rank over the word-vocabulary table (vocab-bounded)
+      "q291_textrank_keywords",// fixed-point rank over the word-vocabulary table (vocab-bounded)
+      "q298_disorder_profile",  // bucket-summary stitch (≤ 4097 rows) + lateness levels
+      "q299_quantile_normalize")// pooled cum over cents-value levels
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
