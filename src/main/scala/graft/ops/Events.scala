@@ -1117,7 +1117,11 @@ object Events {
     val e = Tables(s, dir, "events")
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
     val bounds = e.agg(min(col("event_id")), max(col("event_id"))).first()
-    val width = math.max(512L, (bounds.getLong(1) - bounds.getLong(0)) / 4096L + 1L)
+    // Empty-input guard (q192's): a null aggregate row must not NPE the
+    // driver — the oracle's rendering degrades to one all-NULL row.
+    val width =
+      if (bounds.isNullAt(0)) 512L
+      else math.max(512L, (bounds.getLong(1) - bounds.getLong(0)) / 4096L + 1L)
     val b = e.withColumn("b", expr(s"event_id div $width"))
     val stitch = b.groupBy(col("b")).agg(max(col("us")).as("bmax"))
       .withColumn("prefix_us", max(col("bmax")).over(Window.orderBy(col("b"))

@@ -386,7 +386,7 @@ object Fuzzy {
     * exists. */
   val q288SortedNeighborhood: Q = Q(
     "q288_sorted_neighborhood",
-    """WITH names AS (SELECT p_name AS name, count(*) AS n FROM part GROUP BY 1),
+    """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
       |r AS (SELECT name, CAST(row_number() OVER (ORDER BY name) AS BIGINT) AS rk
       |      FROM names)
       |SELECT a.name AS name_a, b.name AS name_b,
@@ -397,7 +397,7 @@ object Fuzzy {
       |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val names = Tables(s, dir, "part")
-      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n"))
+      .select(col("p_name").as("name")).distinct()
       .withColumn("blk", substring(col("name"), 1, 1))
     val ranked = names.withColumn("wrk",
       row_number().over(Window.partitionBy(col("blk")).orderBy(col("name")))

@@ -441,8 +441,13 @@ object Graph {
       |SELECT item, other, co, cos2_ppb, rk
       |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // Three consumers (item totals + both sides of the pair self-join):
+    // persist the distinct incidence table so lineitem scans once
+    // (q106/q292 persist this same shape).
     val lp = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(MEMORY_AND_DISK)
     val n = lp.groupBy(col("l_partkey").as("item")).agg(count(lit(1)).as("nn"))
     val co = lp.as("l1").join(lp.as("l2"),
         col("l1.l_orderkey") === col("l2.l_orderkey") &&

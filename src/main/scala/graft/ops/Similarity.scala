@@ -331,10 +331,14 @@ object Similarity {
         struct(col("ccos"), -col("centroid_id"))).as("centroid_id"))
   }
 
-  /** q48's full-corpus IVF rendering (k = semK(N), seeds vec_id < k) —
-    * shared verbatim with q232: a correct retrain over the whole indexed
-    * membership must converge the index to exactly this topology. */
-  private lazy val duckIvfFullOracle: String =
+  /** Full-corpus IVF rendering (k = semK(N), seeds vec_id < k),
+    * parameterized by an optional candidate-side filter: `candJoin` /
+    * `candPred` land IN the `cand` CTE (pre-filter — the eligible set is
+    * fixed before top-k, q297's semantics). One body serves q48 and
+    * q232 (unfiltered — a correct retrain must converge the index to
+    * exactly this topology) and q297 (label predicate), so a probe or
+    * rescore change can never drift the three oracles apart. */
+  private def duckIvfOracle(candJoin: String, candPred: String): String =
     s"""WITH $duckEl,
        |$duckN2,
        |$duckKk,
@@ -343,7 +347,8 @@ object Similarity {
        |          FROM ac WHERE crank <= 2 AND vec_id < 10),
        |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
        |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
-       |         WHERE a.vec_id <> p.query_id),
+       |         $candJoin
+       |         WHERE a.vec_id <> p.query_id $candPred),
        |d AS (SELECT query_id, neighbor_id,
        |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
        |      FROM cand JOIN el a ON a.vec_id = query_id
@@ -357,6 +362,8 @@ object Similarity {
        |              JOIN n2 nc ON nc.vec_id = neighbor_id)
        |SELECT query_id, neighbor_id, cos_sim, rank
        |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val duckIvfFullOracle: String = duckIvfOracle("", "")
 
   val q48AnnIvf: Q = Q(
     "q48_ann_ivf",
@@ -2332,29 +2339,8 @@ object Similarity {
     * candidate-bounded. */
   val q297FilteredAnn: Q = Q(
     "q297_filtered_ann",
-    s"""WITH $duckEl,
-       |$duckN2,
-       |$duckKk,
-       |${duckAssignCtes("(SELECT k FROM kk)")},
-       |probe AS (SELECT vec_id AS query_id, centroid_id
-       |          FROM ac WHERE crank <= 2 AND vec_id < 10),
-       |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
-       |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
-       |              JOIN embeddings em ON em.vec_id = a.vec_id
-       |         WHERE a.vec_id <> p.query_id AND em.label % 3 = 0),
-       |d AS (SELECT query_id, neighbor_id,
-       |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
-       |      FROM cand JOIN el a ON a.vec_id = query_id
-       |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
-       |      GROUP BY 1, 2),
-       |r AS (SELECT query_id, neighbor_id,
-       |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
-       |             row_number() OVER (PARTITION BY query_id
-       |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
-       |      FROM d JOIN n2 nq ON nq.vec_id = query_id
-       |              JOIN n2 nc ON nc.vec_id = neighbor_id)
-       |SELECT query_id, neighbor_id, cos_sim, rank
-       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin) { (s, dir) =>
+    duckIvfOracle("JOIN embeddings em ON em.vec_id = a.vec_id",
+      "AND em.label % 3 = 0")) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
     val k = semK(Tables(s, dir, "embeddings").count())
     val e = embWithNorm(s, dir)

@@ -993,6 +993,27 @@ object TextAnalysis {
     }
   }
 
+  /** Token stream WITH positions, shared by the positional kernels
+    * (q287 proximity, q291 TextRank, q294 LLR): one posexplode per
+    * consumer, 1-based positions. The DuckDB rendering is the matching
+    * CTE pair [[duckTokenCtes]] — change tokenization in BOTH or an
+    * oracle silently drifts. */
+  private def tokenPositions(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+
+  /** DuckDB side of [[tokenPositions]]: `p(doc_id, pos, w)`, 1-based
+    * (generate_series + list indexing — no WITH ORDINALITY, the q195
+    * lesson). */
+  private val duckTokenCtes: String =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |p AS (SELECT doc_id, pos, ws[pos] AS w
+      |      FROM (SELECT doc_id, ws,
+      |                   unnest(generate_series(1, len(ws))) AS pos
+      |            FROM w))""".stripMargin
+
   /** q287: positional PROXIMITY search — the phrase/near-query kernel
     * the retrieval tier (q122 BM25, q123 posting lists) was missing:
     * find documents where 'scan' is followed by 'column' within 3 token
@@ -1010,11 +1031,7 @@ object TextAnalysis {
     * lesson). */
   val q287ProximitySearch: Q = Q(
     "q287_proximity_search",
-    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      |p AS (SELECT doc_id, pos, ws[pos] AS w
-      |      FROM (SELECT doc_id, ws,
-      |                   unnest(generate_series(1, len(ws))) AS pos
-      |            FROM w)),
+    s"""WITH $duckTokenCtes,
       |a AS (SELECT doc_id, pos FROM p WHERE w = 'scan'),
       |b AS (SELECT doc_id, pos FROM p WHERE w = 'column')
       |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_matches,
@@ -1022,9 +1039,7 @@ object TextAnalysis {
       |FROM a JOIN b ON b.doc_id = a.doc_id
       |              AND b.pos - a.pos BETWEEN 1 AND 3
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val p = Tables(s, dir, "documents")
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+    val p = tokenPositions(s, dir)
     val a = p.filter(col("w") === "scan").select(col("doc_id"), col("pos").as("pa"))
     val b = p.filter(col("w") === "column").select(col("doc_id"), col("pos").as("pb"))
     a.join(b, Seq("doc_id"))
@@ -1055,11 +1070,7 @@ object TextAnalysis {
     val S = 1000000000000L
     Q(
       "q291_textrank_keywords",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p AS (SELECT doc_id, pos, ws[pos] AS w
-        |      FROM (SELECT doc_id, ws,
-        |                   unnest(generate_series(1, len(ws))) AS pos
-        |            FROM w)),
+      s"""WITH $duckTokenCtes,
         |e0 AS (SELECT least(a.w, b.w) AS u, greatest(a.w, b.w) AS v,
         |              CAST(count(*) AS BIGINT) AS wt
         |       FROM p a JOIN p b ON b.doc_id = a.doc_id
@@ -1087,9 +1098,7 @@ object TextAnalysis {
         |FROM r2 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val p = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      val p = tokenPositions(s, dir)
       val e0 = p.as("a").join(p.as("b"),
           col("b.doc_id") === col("a.doc_id") &&
             (col("b.pos") - col("a.pos")).between(1, 2) &&
@@ -1148,11 +1157,7 @@ object TextAnalysis {
       s"((((${cell("k11", "r1", "c1")} + ${cell("k12", "r1", "c2")}) + ${cell("k21", "r2", "c1")}) + ${cell("k22", "r2", "c2")}))"
     Q(
       "q294_llr_collocations",
-      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |p AS (SELECT doc_id, pos, ws[pos] AS w
-        |      FROM (SELECT doc_id, ws,
-        |                   unnest(generate_series(1, len(ws))) AS pos
-        |            FROM w)),
+      s"""WITH $duckTokenCtes,
         |bg AS (SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS k11
         |       FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
         |       GROUP BY 1, 2),
@@ -1169,13 +1174,16 @@ object TextAnalysis {
         |       CAST(round(2000000 * $llr) AS BIGINT) AS llr_micro
         |FROM k
         |ORDER BY llr_micro DESC, w1, w2 LIMIT 20""".stripMargin) { (s, dir) =>
-      val p = Tables(s, dir, "documents")
-        .select(col("doc_id"), posexplode(split(col("text"), " ")))
-        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("w"))
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val p = tokenPositions(s, dir)
+      // Four consumers (margins, total, final projection) probe the
+      // bigram table; persist so the position self-join runs once
+      // (q73's discipline — the harness clears the cache per query).
       val bg = p.as("a").join(p.as("b"),
           col("b.doc_id") === col("a.doc_id") && col("b.pos") === col("a.pos") + 1)
         .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
         .agg(count(lit(1)).as("k11"))
+        .persist(MEMORY_AND_DISK)
       val rM = bg.groupBy(col("w1")).agg(sum(col("k11")).as("r1"))
       val cM = bg.groupBy(col("w2")).agg(sum(col("k11")).as("c1"))
       val t = bg.agg(sum(col("k11")).as("nn"))

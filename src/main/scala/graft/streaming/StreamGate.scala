@@ -1505,13 +1505,29 @@ object StreamGate {
     val view = work.resolve("view").toString
     val ss = streamSession(s)
     val schema = topic.head.schema
+    // Read accumulated batches strictly BEFORE id by LISTING committed
+    // subdirs (latestGenBefore's discipline), never by whole-dir schema
+    // inference: a crash mid-first-write leaves `batch=K/_temporary`
+    // only, and inferring over that throws — permanently failing the
+    // replay the store exists to survive. Dirs with k < id are committed
+    // by the stream's own ordering (the source never advances past an
+    // uncommitted trigger); the crashed batch's own dir has k == id and
+    // is excluded. At production trigger counts the per-batch subdirs
+    // fold into generations (q247's compaction) before the union grows.
     def accBefore(sb: SparkSession, store: String, id: Long,
         empty: org.apache.spark.sql.DataFrame) = {
       val p = new org.apache.hadoop.fs.Path(store)
       val fs = p.getFileSystem(sb.sparkContext.hadoopConfiguration)
       if (!fs.exists(p)) empty
-      else sb.read.option("basePath", store).parquet(store)
-        .filter(col("batch") < id).drop("batch")
+      else {
+        val done = fs.listStatus(p).toSeq.map(_.getPath.getName)
+          .collect { case n if n.startsWith("batch=") =>
+            n.stripPrefix("batch=").toLong }
+          .filter(_ < id).sorted
+        if (done.isEmpty) empty
+        else done.map(k => sb.read.parquet(s"$store/batch=$k"))
+          .reduce(_.unionByName(_))
+      }
     }
     val query = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
