@@ -514,6 +514,57 @@ object Snapshot {
       .orderBy(col("custkey"))
   }
 
+  /** q300: late-arriving dimension backfill — the "early fact" problem:
+    * fact rows land before their dimension row exists (CDC lag, upstream
+    * batch cadence), so the enrichment join CANNOT be inner (it would
+    * silently drop in-flight facts). The production pattern, executed
+    * here: phase 1 left-joins the on-time dimension snapshot and parks
+    * unmatched facts under a placeholder key; phase 2 re-joins ONLY the
+    * parked facts against the late-arriving dimension slice and
+    * backfills. The oracle is the naive join against the complete
+    * dimension — equality proves the two-phase flow loses nothing,
+    * duplicates nothing, and converges to the same enriched state, with
+    * the backfill volume surfaced per group (the reconciliation metric
+    * an operator actually watches).
+    *
+    * Scale shape: phase 2's join is |parked|-sized — late arrivals are
+    * the exception, so the rejoin is a broadcast against a sliver, not a
+    * second pass over the fact table; the placeholder parking keeps
+    * phase 1 a single streaming-friendly left join. Late slice =
+    * c_custkey % 4 == 3 (deterministic, both engines derive it). */
+  val q300LateDimBackfill: Q = Q(
+    "q300_late_dim_backfill",
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       CAST(count(*) FILTER (WHERE c.c_custkey % 4 = 3) AS BIGINT)
+      |         AS n_backfilled
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val cust = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nk"))
+    val onTime = cust.filter(col("ck") % 4 =!= 3)
+    val late = cust.filter(col("ck") % 4 === 3)
+    val facts = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val p1 = facts.join(onTime, Seq("ck"), "left_outer")
+    val resolved = p1.filter(col("nk").isNotNull)
+      .withColumn("backfilled", lit(false))
+    // Phase 2 re-joins ONLY the parked rows; still-unknown keys keep the
+    // placeholder (-1) rather than vanishing — visible, not dropped.
+    val parked = p1.filter(col("nk").isNull).drop("nk")
+      .join(late, Seq("ck"), "left_outer")
+      .withColumn("backfilled", col("nk").isNotNull)
+      .withColumn("nk", coalesce(col("nk"), lit(-1L)))
+    resolved.unionByName(parked)
+      .groupBy(col("nk").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        count_if(col("backfilled")).as("n_backfilled"))
+      .orderBy(col("nationkey"))
+  }
+
   /** q153: schema-evolution union — reading across generations where a
     * column was ADDED mid-history is the everyday lake problem: the old
     * generation simply lacks the column. `unionByName(…,
@@ -736,7 +787,7 @@ object Snapshot {
 
   val all: Seq[Q] = Seq(q79SnapshotDiff, q112TableChecksum, q118ShardRepair,
     q120CdcApply, q130FkAudit, q143BenfordAudit, q144IvmDeltaAgg,
-    q295IvmDeltaJoin,
+    q295IvmDeltaJoin, q300LateDimBackfill,
     q153SchemaEvolution, q175HeaderDetailRecon, q188DataContract,
     q190KAnonymity, q206FreshnessAudit, q207CentsPrecision)
 }

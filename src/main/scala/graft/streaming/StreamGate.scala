@@ -890,6 +890,39 @@ object StreamGate {
 
   /** The newest stored SCD2 generation strictly before `id` (replay-safe
     * base resolution: a redelivered batch never reads its own output). */
+  /** Union-read the committed `batch=K` subdirs of an accumulator store
+    * with K strictly below `id` — the replay-total read: a crashed
+    * trigger's own dir (k == id, possibly `_temporary`-only) is never
+    * enumerated, and no whole-directory schema inference runs (inference
+    * over a half-born store throws and would wedge the replay
+    * permanently — the q296 review lesson). Batches below `id` are
+    * committed by the stream's own ordering: the source never advances
+    * past an uncommitted trigger. */
+  private[graft] def committedBatchesBefore(
+      sb: org.apache.spark.sql.SparkSession, store: String, id: Long,
+      empty: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    val fs = p.getFileSystem(sb.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) empty
+    else {
+      // Stream ordering already guarantees k < id is committed; the
+      // data-file check additionally makes the read total against
+      // out-of-contract states (a `_temporary`-only dir from a manual
+      // copy or an interrupted cleanup reads as absent, not as a throw).
+      val done = fs.listStatus(p).toSeq
+        .filter(_.getPath.getName.startsWith("batch="))
+        .filter(st => fs.listStatus(st.getPath).exists { f =>
+          val n = f.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        .map(_.getPath.getName.stripPrefix("batch=").toLong)
+        .filter(_ < id).sorted
+      if (done.isEmpty) empty
+      else done.map(k => sb.read.parquet(s"$store/batch=$k"))
+        .reduce(_.unionByName(_))
+    }
+  }
+
   private[graft] def latestGenBefore(s: org.apache.spark.sql.SparkSession,
       store: String, id: Long): Option[org.apache.spark.sql.DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(store)
@@ -1505,30 +1538,11 @@ object StreamGate {
     val view = work.resolve("view").toString
     val ss = streamSession(s)
     val schema = topic.head.schema
-    // Read accumulated batches strictly BEFORE id by LISTING committed
-    // subdirs (latestGenBefore's discipline), never by whole-dir schema
-    // inference: a crash mid-first-write leaves `batch=K/_temporary`
-    // only, and inferring over that throws — permanently failing the
-    // replay the store exists to survive. Dirs with k < id are committed
-    // by the stream's own ordering (the source never advances past an
-    // uncommitted trigger); the crashed batch's own dir has k == id and
-    // is excluded. At production trigger counts the per-batch subdirs
-    // fold into generations (q247's compaction) before the union grows.
+    // At production trigger counts the per-batch subdirs fold into
+    // generations (q247's compaction) before the union grows.
     def accBefore(sb: SparkSession, store: String, id: Long,
-        empty: org.apache.spark.sql.DataFrame) = {
-      val p = new org.apache.hadoop.fs.Path(store)
-      val fs = p.getFileSystem(sb.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) empty
-      else {
-        val done = fs.listStatus(p).toSeq.map(_.getPath.getName)
-          .collect { case n if n.startsWith("batch=") =>
-            n.stripPrefix("batch=").toLong }
-          .filter(_ < id).sorted
-        if (done.isEmpty) empty
-        else done.map(k => sb.read.parquet(s"$store/batch=$k"))
-          .reduce(_.unionByName(_))
-      }
-    }
+        empty: org.apache.spark.sql.DataFrame) =
+      committedBatchesBefore(sb, store, id, empty)
     val query = ss.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(in)
       .writeStream
@@ -1573,6 +1587,101 @@ object StreamGate {
       .orderBy(col("custkey"))
   }
 
+  /** q301: STREAMING late-dimension backfill — q300's early-fact pattern
+    * in its day-2 position: facts and dimension rows arrive interleaved
+    * on one CDC topic (slotted independently, so a third of the facts
+    * genuinely precede their dimension row), and each trigger enriches
+    * what it can and PARKS the rest. Per trigger: probe = own facts ∪
+    * previously-parked facts; dims = accumulated ∪ own; matched rows
+    * publish to the enriched store under `batch=<id>`, the still-
+    * unmatched remainder snapshots to `parked/gen=<id>`, own dims append
+    * to the accumulator. A parked fact carries its ARRIVAL trigger, so
+    * `backfilled` (enriched later than it arrived) falls out of the
+    * join, and the oracle renders the same flag arithmetically
+    * (fact slot < dim slot). Replay safety: every read is strict <id —
+    * committed `batch=K` listings ([[committedBatchesBefore]]) and the
+    * newest parked generation before id — so a redelivered trigger
+    * recomputes identical outputs and overwrites idempotently, in any
+    * crash interleaving of the three writes.
+    *
+    * Per-trigger cost: |batch ∪ parked| ⋈ dims — the parked set is the
+    * exception sliver by construction, and at 100 TB the dim accumulator
+    * is the bucketed store the probe side co-partitions against. The
+    * oracle is the complete naive join: equality proves park-and-reprobe
+    * converges with nothing lost, duplicated, or double-flagged. */
+  val q301StreamLateDim: Q = Q(
+    "q301_stream_late_dim",
+    """SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+      |       CAST(count(*) AS BIGINT) AS n_orders,
+      |       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |         AS sum_cents,
+      |       CAST(count(*) FILTER (WHERE o.o_orderkey % 3 < c.c_custkey % 3)
+      |            AS BIGINT) AS n_backfilled
+      |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q301-")
+    val dims = Tables(s, dir, "customer").select(lit("d").as("kind"),
+      col("c_custkey").as("ck"), col("c_nationkey").cast("long").as("nk"),
+      lit(null).cast("long").as("cents"), col("c_custkey").as("slotkey"))
+    val facts = Tables(s, dir, "orders").select(lit("f").as("kind"),
+      col("o_custkey").as("ck"), lit(null).cast("long").as("nk"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"),
+      col("o_orderkey").as("slotkey"))
+    val topic = (0 to 2).map { slot =>
+      dims.filter(col("slotkey") % 3 === slot)
+        .unionByName(facts.filter(col("slotkey") % 3 === slot))
+        .drop("slotkey")
+    }
+    val in = stageOrderedBatches(work, topic)
+    val dimacc = work.resolve("dimacc").toString
+    val parked = work.resolve("parked").toString
+    val enr = work.resolve("enr").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(topic.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val dN = batch.filter(col("kind") === "d").select(col("ck"), col("nk"))
+          val fN = batch.filter(col("kind") === "f")
+            .select(col("ck"), col("cents"), lit(id).as("arr"))
+          val dimsKnown = committedBatchesBefore(sb, dimacc, id, dN.limit(0))
+            .unionByName(dN)
+          val probe = latestGenBefore(sb, parked, id).getOrElse(fN.limit(0))
+            .unionByName(fN)
+          val joined = probe.join(dimsKnown, Seq("ck"), "left_outer")
+            .localCheckpoint() // one materialization feeds both splits
+          joined.filter(col("nk").isNotNull)
+            .select(col("ck"), col("nk"), col("cents"),
+              (col("arr") < id).as("backfilled"))
+            .write.mode("overwrite").parquet(s"$enr/batch=$id")
+          joined.filter(col("nk").isNull)
+            .select(col("ck"), col("cents"), col("arr"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$parked/gen=$id")
+          dN.write.mode("overwrite").parquet(s"$dimacc/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val leftover = latestGenBefore(s, parked, Long.MaxValue)
+      .map(_.count()).getOrElse(0L)
+    require(leftover == 0L,
+      s"q301: $leftover facts never matched a dimension row (FK breach)")
+    committedBatchesBefore(s, enr, Long.MaxValue,
+        s.emptyDataFrame.select(lit(0L).as("ck"), lit(0L).as("nk"),
+          lit(0L).as("cents"), lit(false).as("backfilled")).limit(0))
+      .groupBy(col("nk").as("nationkey"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("sum_cents"),
+        count_if(col("backfilled")).as("n_backfilled"))
+      .orderBy(col("nationkey"))
+  }
+
   val all: Seq[Q] = Seq(
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
@@ -1581,5 +1690,5 @@ object StreamGate {
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
-    q296StreamIvmJoin)
+    q296StreamIvmJoin, q301StreamLateDim)
 }
