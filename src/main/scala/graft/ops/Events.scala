@@ -1074,6 +1074,48 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** q302: restatement audit — q298's disorder profile translated into
+    * the number a finance owner actually feels: for each business day,
+    * revenue as KNOWN at an arrival cutoff (here the first 80% of the
+    * arrival sequence, event_id order — the same proxy q298 uses) vs the
+    * final figure once stragglers landed, and the restated delta. A day
+    * with large restated_cents is a day whose early report was wrong —
+    * the business-visible cost of the lateness q298 measures in seconds.
+    *
+    * Scale shape: one metadata-cheap min/max broadcast derives the
+    * cutoff; the split is a per-row predicate inside one
+    * map-side-combined day rollup — both views of every day in a single
+    * pass, no second scan, no window. */
+  val q302RestatementAudit: Q = Q(
+    "q302_restatement_audit",
+    """WITH b AS (SELECT min(event_id) + (max(event_id) - min(event_id)) * 8 // 10
+      |             AS cut FROM events),
+      |e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |             CAST(round(value * 100) AS BIGINT) AS cents, event_id
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT day,
+      |       CAST(sum(CASE WHEN event_id <= b.cut THEN cents ELSE 0 END)
+      |            AS BIGINT) AS rev_at_cutoff_cents,
+      |       CAST(sum(cents) AS BIGINT) AS rev_final_cents,
+      |       CAST(sum(CASE WHEN event_id > b.cut THEN cents ELSE 0 END)
+      |            AS BIGINT) AS restated_cents
+      |FROM e, b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+    val cut = ev.agg((min(col("event_id"))
+      + expr("(max(event_id) - min(event_id)) * 8 div 10")).as("cut"))
+    ev.filter(col("event_type") === "purchase")
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        round(col("value") * 100).cast("long").as("cents"), col("event_id"))
+      .crossJoin(broadcast(cut))
+      .groupBy(col("day"))
+      .agg(sum(when(col("event_id") <= col("cut"), col("cents")).otherwise(0L))
+          .as("rev_at_cutoff_cents"),
+        sum(col("cents")).as("rev_final_cents"),
+        sum(when(col("event_id") > col("cut"), col("cents")).otherwise(0L))
+          .as("restated_cents"))
+      .orderBy(col("day"))
+  }
+
   /** q298: event-time DISORDER profile — the measurement that should
     * precede every watermark choice in the streaming tier (q92's 1-hour
     * watermark is an assumption; this derives it from data): per event in
@@ -2346,7 +2388,7 @@ object Events {
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
-      q298DisorderProfile,
+      q298DisorderProfile, q302RestatementAudit,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

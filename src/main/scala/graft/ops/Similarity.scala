@@ -2382,8 +2382,113 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** q303: MMR (maximal-marginal-relevance) diverse top-k — the serving-
+    * side answer to "my top 5 are five near-copies": after q263's rerank
+    * picks by relevance alone, MMR re-selects iteratively, each round
+    * taking argmax of λ·relevance − (1−λ)·max-similarity-to-already-
+    * selected (λ = 0.7, scaled ×10 to the integer pair 7/3). The
+    * redundancy the dedup tier removes from the CORPUS, MMR removes from
+    * the RESULT SET — same engine, opposite end.
+    *
+    * Determinism is q48's idiom end-to-end: every cosine is the exact
+    * decimal dot rounded to 6 BEFORE any comparison, the score
+    * expression is one shared text in both renderings, ties break on
+    * vec_id. Sequential selection follows q282's shape: the per-
+    * candidate running max-sim updates against the ONE newest pick per
+    * round (O(k·N) sims total, never k²·N), picks are driver scalars
+    * (selected sets ARE driver state in a serving head), and DuckDB
+    * renders the same recursion as an unrolled scalar-subquery chain. */
+  val q303MmrDiverse: Q = {
+    val K = 5
+    val score = "round(7 * rel - 3 * ms, 6)"
+    val chain = {
+      val sb = new StringBuilder
+      sb.append(
+        """rd AS (SELECT a.vec_id,
+          |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+          |       FROM el a JOIN el b ON b.vec_id = 0 AND b.i = a.i
+          |       WHERE a.vec_id > 0 GROUP BY 1),
+          |rel AS (SELECT rd.vec_id,
+          |              round(rd.dot / sqrt(n2.n2 *
+          |                (SELECT n2 FROM n2 WHERE vec_id = 0)), 6) AS rel
+          |        FROM rd JOIN n2 ON n2.vec_id = rd.vec_id),
+          |p1 AS (SELECT vec_id FROM rel ORDER BY rel DESC, vec_id LIMIT 1)""".stripMargin)
+      for (i <- 2 to K) {
+        val prev = if (i == 2) "rel" else s"ms${i - 2}"
+        val msExpr =
+          if (i == 2) s"round(sd${i - 1}.dot / sqrt(n2a.n2 * n2b.n2), 6)"
+          else s"greatest(r.ms, round(sd${i - 1}.dot / sqrt(n2a.n2 * n2b.n2), 6))"
+        sb.append(
+          s""",
+             |sd${i - 1} AS (SELECT a.vec_id,
+             |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+             |       FROM el a JOIN el b
+             |         ON b.vec_id = (SELECT vec_id FROM p${i - 1}) AND b.i = a.i
+             |       WHERE a.vec_id > 0 GROUP BY 1),
+             |ms${i - 1} AS (SELECT r.vec_id, r.rel, $msExpr AS ms
+             |       FROM $prev r JOIN sd${i - 1} ON sd${i - 1}.vec_id = r.vec_id
+             |            JOIN n2 n2a ON n2a.vec_id = r.vec_id
+             |            JOIN n2 n2b ON n2b.vec_id = (SELECT vec_id FROM p${i - 1})
+             |       WHERE r.vec_id <> (SELECT vec_id FROM p${i - 1})),
+             |p$i AS (SELECT vec_id FROM ms${i - 1}
+             |       ORDER BY $score DESC, vec_id LIMIT 1)""".stripMargin)
+      }
+      sb.toString
+    }
+    val pickRows = (1 to K)
+      .map(i => s"SELECT $i AS pick_no, (SELECT vec_id FROM p$i) AS vec_id")
+      .mkString("\n          UNION ALL ")
+    Q(
+      "q303_mmr_diverse",
+      s"""WITH $duckEl,
+         |$duckN2,
+         |$chain,
+         |picks AS ($pickRows)
+         |SELECT CAST(p.pick_no AS BIGINT) AS pick_no,
+         |       CAST(p.vec_id AS BIGINT) AS vec_id, rel.rel
+         |FROM picks p JOIN rel USING (vec_id)
+         |ORDER BY pick_no""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val MD = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val emb = embWithNorm(s, dir).persist(MD)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qemb"), col("n2").as("n2q"))
+      val rel = emb.filter(col("vec_id") > 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("embedding"), col("n2"),
+          round(expr(dDot("embedding", "qemb"))
+            / sqrt(col("n2") * col("n2q")), 6).as("rel"))
+        .persist(MD)
+      def selOf(id: Long) = emb.filter(col("vec_id") === id)
+        .select(col("embedding").as("semb"), col("n2").as("n2s"))
+      val picks = scala.collection.mutable.ArrayBuffer(
+        rel.orderBy(col("rel").desc, col("vec_id")).limit(1).head.getLong(0))
+      var st = rel
+      for (i <- 2 to K) {
+        val simToPick = round(expr(dDot("embedding", "semb"))
+          / sqrt(col("n2") * col("n2s")), 6)
+        val st2 = st.filter(col("vec_id") =!= picks.last)
+          .crossJoin(broadcast(selOf(picks.last)))
+          .select(col("vec_id"), col("embedding"), col("n2"), col("rel"),
+            (if (i == 2) simToPick else greatest(col("ms"), simToPick)).as("ms"))
+          .persist(MD)
+        st2.count() // materialize before freeing the parent round's cache
+        if (i > 2) st.unpersist()
+        st = st2
+        picks += st.orderBy(expr(score).desc, col("vec_id"))
+          .limit(1).head.getLong(0)
+      }
+      st.unpersist()
+      val pickDf = picks.toSeq.zipWithIndex
+        .map { case (v, i) => (i + 1L, v) }.toDF("pick_no", "vec_id")
+      pickDf.join(rel.select(col("vec_id"), col("rel")), "vec_id")
+        .select(col("pick_no"), col("vec_id"), col("rel"))
+        .orderBy(col("pick_no"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q297FilteredAnn,
+    q297FilteredAnn, q303MmrDiverse,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,
