@@ -888,8 +888,6 @@ object StreamGate {
     ()
   }
 
-  /** The newest stored SCD2 generation strictly before `id` (replay-safe
-    * base resolution: a redelivered batch never reads its own output). */
   /** Union-read the committed `batch=K` subdirs of an accumulator store
     * with K strictly below `id` — the replay-total read: a crashed
     * trigger's own dir (k == id, possibly `_temporary`-only) is never
@@ -923,14 +921,23 @@ object StreamGate {
     }
   }
 
+  /** The newest stored generation strictly before `id` (replay-safe base
+    * resolution: a redelivered batch never reads its own output). Like
+    * [[committedBatchesBefore]], only dirs containing committed data
+    * files count — a `_temporary`-only dir from an interrupted cleanup
+    * must neither throw nor shadow the older complete generation. */
   private[graft] def latestGenBefore(s: org.apache.spark.sql.SparkSession,
       store: String, id: Long): Option[org.apache.spark.sql.DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(store)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
     else fs.listStatus(p).toSeq
-      .map(_.getPath.getName)
-      .collect { case n if n.startsWith("gen=") => n.stripPrefix("gen=").toLong }
+      .filter(_.getPath.getName.startsWith("gen="))
+      .filter(st => fs.listStatus(st.getPath).exists { f =>
+        val n = f.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      })
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
       .filter(_ < id)
       .sorted.lastOption
       .map(g => s.read.parquet(s"$store/gen=$g"))

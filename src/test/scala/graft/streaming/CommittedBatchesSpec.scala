@@ -26,6 +26,18 @@ class CommittedBatchesSpec extends SparkSpec {
     assert(StreamGate.committedBatchesBefore(spark, store, 1L, empty).count() == 0)
   }
 
+  test("latestGenBefore skips half-born generations instead of throwing or shadowing") {
+    val work = Files.createTempDirectory("graft-lgb-")
+    val store = work.resolve("gens").toString
+    assert(StreamGate.latestGenBefore(spark, store, 5L).isEmpty)
+    spark.range(0, 3).select(col("id").as("k")).write.parquet(s"$store/gen=1")
+    // Interrupted cleanup: gen=2 exists but holds no committed data file.
+    // It must neither throw nor shadow the complete gen=1.
+    Files.createDirectories(work.resolve("gens").resolve("gen=2").resolve("_temporary"))
+    val got = StreamGate.latestGenBefore(spark, store, 5L)
+    assert(got.isDefined && got.get.count() == 3)
+  }
+
   test("reads the union of committed batches strictly below id") {
     val work = Files.createTempDirectory("graft-cbb2-")
     val store = work.resolve("acc").toString
