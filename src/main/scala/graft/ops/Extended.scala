@@ -1323,8 +1323,67 @@ object Extended {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** q304: sample-ratio-mismatch (SRM) check — the experimentation-
+    * hygiene gate that must pass BEFORE q166's A/B effect test means
+    * anything: if the 50/50 assignment didn't land 50/50, the effect
+    * estimate is confounded by whatever broke the split (bot filtering,
+    * logging loss, assignment bugs — the classic silent experiment
+    * killers). χ² against the expected split reduces, for two cells, to
+    * (n_a − n_b)²/n — held in HUGEINT/DECIMAL(38,0) (the difference
+    * squares to n² in the worst case, which wraps BIGINT beyond ~3M
+    * users — the q275 overflow lesson), surfaced in micro-units with the
+    * 95% χ²₁ critical value as an integer-compare flag. Assignment is
+    * the portable-hash bucket (q49's split discipline), so both engines
+    * derive the identical enrollment.
+    *
+    * Scale shape: one distinct-user aggregate, one 2-row rollup, one
+    * broadcast total — the check costs one pass at any population. */
+  val q304SrmCheck: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q304_srm_check",
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |m AS (SELECT user_id,
+         |             md5(CAST(user_id AS VARCHAR) || '-graft-ab') AS m
+         |      FROM u),
+         |a AS (SELECT user_id, ($h) % 2 AS variant FROM m),
+         |c AS (SELECT variant, CAST(count(*) AS BIGINT) AS n_users
+         |      FROM a GROUP BY 1),
+         |t AS (SELECT CAST(coalesce(sum(CASE WHEN variant = 0 THEN n_users END), 0)
+         |               AS HUGEINT) AS na,
+         |             CAST(coalesce(sum(CASE WHEN variant = 1 THEN n_users END), 0)
+         |               AS HUGEINT) AS nb
+         |      FROM c)
+         |SELECT CAST(c.variant AS BIGINT) AS variant, c.n_users,
+         |       CAST((t.na - t.nb) * (t.na - t.nb) * 1000000 // (t.na + t.nb)
+         |            AS BIGINT) AS chi2_micro,
+         |       (t.na - t.nb) * (t.na - t.nb) * 1000000
+         |         >= 3841459 * (t.na + t.nb) AS srm_flag
+         |FROM c, t ORDER BY 1""".stripMargin) { (s, dir) =>
+      val assign = Tables(s, dir, "events")
+        .select(col("user_id")).distinct()
+        .withColumn("m",
+          md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
+        .select((expr(PortableHash.hexHeadToLong("m", "instr")) % 2)
+          .as("variant"))
+      val c = assign.groupBy(col("variant")).agg(count(lit(1)).as("n_users"))
+      val t = c.agg(
+        coalesce(sum(when(col("variant") === 0, col("n_users"))), lit(0L))
+          .cast("decimal(38,0)").as("na"),
+        coalesce(sum(when(col("variant") === 1, col("n_users"))), lit(0L))
+          .cast("decimal(38,0)").as("nb"))
+      c.crossJoin(broadcast(t))
+        .select(col("variant"), col("n_users"),
+          expr("CAST((na - nb) * (na - nb) * 1000000 div (na + nb) AS LONG)")
+            .as("chi2_micro"),
+          expr("(na - nb) * (na - nb) * 1000000 >= 3841459 * (na + nb)")
+            .as("srm_flag"))
+        .orderBy(col("variant"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q299QuantileNormalize,
+    q299QuantileNormalize, q304SrmCheck,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
