@@ -1382,8 +1382,115 @@ object Extended {
     }
   }
 
+  /** q305: CUPED variance reduction — the third leg of the
+    * experimentation trio (q166 effect test, q304 SRM gate): adjust each
+    * user's in-experiment metric Y by their PRE-period covariate X,
+    * Y' = Y − θ(X − X̄), with θ = cov(X,Y)/var(X). The adjustment
+    * removes the between-user variance X explains (routinely 30–50% in
+    * practice), tightening the effect CI at zero cost to validity
+    * (θ uses pooled data only, so E[Y'_A − Y'_B] = E[Y_A − Y_B]).
+    *
+    * Exactness: moments ride ×n in HUGEINT/DECIMAL(38,0) (q276's
+    * discipline) — num = n·ΣXY − ΣX·ΣY, den = n·ΣX² − (ΣX)² — and θ
+    * surfaces as ONE floor division (θ_ppm), after which the adjusted
+    * means are a fixed chain of floor divisions both engines execute
+    * identically (truncation toward zero, the q194 equivalence; the ppm
+    * truncation is part of the operator's published contract). den = 0
+    * (constant covariate) yields NULL via nullif, not a crash.
+    *
+    * Scale shape: one user-grain map-side-combined rollup (pre/post
+    * split is a per-row predicate on a broadcast mid-day scalar), one
+    * 1-row pooled-moment aggregate broadcast back, one 2-row variant
+    * rollup. Nothing beyond user grain ever shuffles. */
+  val q305CupedAdjust: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q305_cuped_adjust",
+      s"""WITH b AS (SELECT (min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+         |                 + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 1) // 2
+         |             AS mid FROM events),
+         |u AS (SELECT user_id,
+         |             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+         |                            < b.mid
+         |                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |               AS BIGINT) AS x,
+         |             CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT) // 86400
+         |                            >= b.mid
+         |                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+         |               AS BIGINT) AS y
+         |      FROM events, b GROUP BY 1),
+         |um AS (SELECT user_id, x, y,
+         |              md5(CAST(user_id AS VARCHAR) || '-graft-ab') AS m
+         |       FROM u),
+         |a AS (SELECT user_id, x, y, ($h) % 2 AS variant FROM um),
+         |pool AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |                CAST(sum(x) AS HUGEINT) AS sx,
+         |                CAST(sum(y) AS HUGEINT) AS sy,
+         |                CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+         |                CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+         |         FROM a),
+         |th AS (SELECT n, sx,
+         |              (n * sxy - sx * sy) * 1000000
+         |                // nullif(n * sxx - sx * sx, 0) AS theta_ppm
+         |       FROM pool),
+         |v AS (SELECT variant, CAST(count(*) AS HUGEINT) AS nv,
+         |             CAST(sum(x) AS HUGEINT) AS sxv,
+         |             CAST(sum(y) AS HUGEINT) AS syv
+         |      FROM a GROUP BY 1)
+         |SELECT CAST(v.variant AS BIGINT) AS variant,
+         |       CAST(v.nv AS BIGINT) AS n_users,
+         |       CAST(v.syv * 1000000 // v.nv AS BIGINT) AS mean_y_micro,
+         |       CAST(v.sxv * 1000000 // v.nv AS BIGINT) AS mean_x_micro,
+         |       CAST(v.syv * 1000000 // v.nv
+         |            - th.theta_ppm * (v.sxv * 1000000 // v.nv
+         |                              - th.sx * 1000000 // th.n) // 1000000
+         |            AS BIGINT) AS adjusted_micro,
+         |       CAST(th.theta_ppm AS BIGINT) AS theta_ppm
+         |FROM v, th ORDER BY 1""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val b = ev.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(b))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L))
+            .as("x"),
+          sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L))
+            .as("y"))
+        .withColumn("m",
+          md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
+        .withColumn("variant",
+          expr(PortableHash.hexHeadToLong("m", "instr")) % 2)
+      val pool = u.agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("sx"),
+        sum(col("y")).cast(dec).as("sy"),
+        sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
+      val th = pool.select(col("n"), col("sx"),
+        expr("(n * sxy - sx * sy) * 1000000 div nullif(n * sxx - sx * sx, 0)")
+          .as("theta_ppm"))
+      u.groupBy(col("variant"))
+        .agg(count(lit(1)).cast(dec).as("nv"),
+          sum(col("x")).cast(dec).as("sxv"),
+          sum(col("y")).cast(dec).as("syv"))
+        .crossJoin(broadcast(th))
+        .select(col("variant").cast("long").as("variant"),
+          col("nv").cast("long").as("n_users"),
+          expr("CAST(syv * 1000000 div nv AS LONG)").as("mean_y_micro"),
+          expr("CAST(sxv * 1000000 div nv AS LONG)").as("mean_x_micro"),
+          expr("""CAST(syv * 1000000 div nv
+                 - theta_ppm * (sxv * 1000000 div nv
+                                - sx * 1000000 div n) div 1000000
+                 AS LONG)""").as("adjusted_micro"),
+          col("theta_ppm").cast("long").as("theta_ppm"))
+        .orderBy(col("variant"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q299QuantileNormalize, q304SrmCheck,
+    q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
