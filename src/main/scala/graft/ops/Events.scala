@@ -1074,6 +1074,84 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
+  /** q306: seasonal decomposition (classical additive, weekly period) —
+    * the model-selection companion that completes the time-series
+    * family: q165 assumes seasonality, q271 assumes trend, q276
+    * diagnoses which exists; this one SEPARATES them. value = trend
+    * (centered 7-day moving average) + seasonal (centered day-of-week
+    * index of the detrended series) + residual, all in exact milli-unit
+    * integers (milli, not micro: daily cents ≈ 10¹³ at the 100 TB
+    * grain, and ×10⁶ would overflow the BIGINT surface; every division
+    * is a floor div both engines truncate identically).
+    *
+    * Gap honesty: the moving average only exists where the 7-row frame
+    * is CALENDAR-contiguous (frame max−min = 6) — a gap row gets no
+    * trend and contributes nothing to the seasonal fit, rather than a
+    * frame silently spanning the hole (q289's calendar-distance
+    * lesson in window form).
+    *
+    * Scale shape: day-grain rollup (map-side), per-key ordered windows
+    * (partitioned by event_type — never global), one (type, dow)
+    * aggregate joined back at day grain, one 7-row-per-type centering
+    * broadcast. */
+  val q306SeasonalDecompose: Q = Q(
+    "q306_seasonal_decompose",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT event_type, day, v,
+      |             CASE WHEN count(*) OVER w = 7
+      |                   AND max(day) OVER w - min(day) OVER w = 6
+      |                  THEN sum(v) OVER w * 1000 // 7 END AS trend_milli
+      |      FROM d
+      |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+      |                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |dt AS (SELECT event_type, day, day % 7 AS dow, v,
+      |              trend_milli, v * 1000 - trend_milli AS det_milli
+      |       FROM t WHERE trend_milli IS NOT NULL),
+      |sraw AS (SELECT event_type, dow,
+      |                CAST(sum(det_milli) AS BIGINT)
+      |                  // count(*) AS s_milli
+      |         FROM dt GROUP BY 1, 2),
+      |sc AS (SELECT event_type, dow,
+      |              s_milli - CAST(sum(s_milli) OVER (PARTITION BY event_type)
+      |                             AS BIGINT) // 7 AS seasonal_milli
+      |       FROM sraw)
+      |SELECT dt.event_type, dt.day, dt.v AS v_cents, dt.trend_milli,
+      |       sc.seasonal_milli,
+      |       dt.det_milli - sc.seasonal_milli AS resid_milli
+      |FROM dt JOIN sc ON sc.event_type = dt.event_type AND sc.dow = dt.dow
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-3, 3)
+    val t = d.withColumn("t7", sum(col("v")).over(w) * 1000)
+      .withColumn("wn", count(lit(1)).over(w))
+      .withColumn("wspan", max(col("day")).over(w) - min(col("day")).over(w))
+      .withColumn("trend_milli",
+        when(col("wn") === 7 && col("wspan") === 6, expr("t7 div 7"))
+          .cast("long"))
+    val dt = t.filter(col("trend_milli").isNotNull)
+      .withColumn("dow", col("day") % 7)
+      .withColumn("det_milli", col("v") * 1000 - col("trend_milli"))
+    val sraw = dt.groupBy(col("event_type"), col("dow"))
+      .agg(expr("sum(det_milli) div count(*)").as("s_milli"))
+    val sc = sraw.withColumn("seasonal_milli",
+        col("s_milli") - expr(
+          "sum(s_milli) OVER (PARTITION BY event_type) div 7"))
+      .select(col("event_type"), col("dow"), col("seasonal_milli"))
+    dt.join(sc, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("v").as("v_cents"),
+        col("trend_milli"), col("seasonal_milli"),
+        (col("det_milli") - col("seasonal_milli")).as("resid_milli"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** q302: restatement audit — q298's disorder profile translated into
     * the number a finance owner actually feels: for each business day,
     * revenue as KNOWN at an arrival cutoff (here the first 80% of the
@@ -2388,7 +2466,7 @@ object Events {
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
-      q298DisorderProfile, q302RestatementAudit,
+      q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
