@@ -1103,7 +1103,8 @@ object Events {
       |t AS (SELECT event_type, day, v,
       |             CASE WHEN count(*) OVER w = 7
       |                   AND max(day) OVER w - min(day) OVER w = 6
-      |                  THEN sum(v) OVER w * 1000 // 7 END AS trend_milli
+      |                  THEN CAST(sum(v) OVER w * 1000 // 7 AS BIGINT)
+      |             END AS trend_milli
       |      FROM d
       |      WINDOW w AS (PARTITION BY event_type ORDER BY day
       |                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
@@ -1116,7 +1117,9 @@ object Events {
       |         FROM dt GROUP BY 1, 2),
       |sc AS (SELECT event_type, dow,
       |              s_milli - CAST(sum(s_milli) OVER (PARTITION BY event_type)
-      |                             AS BIGINT) // 7 AS seasonal_milli
+      |                             AS BIGINT)
+      |                        // CAST(count(*) OVER (PARTITION BY event_type)
+      |                                AS BIGINT) AS seasonal_milli
       |       FROM sraw)
       |SELECT dt.event_type, dt.day, dt.v AS v_cents, dt.trend_milli,
       |       sc.seasonal_milli,
@@ -1141,9 +1144,13 @@ object Events {
       .withColumn("det_milli", col("v") * 1000 - col("trend_milli"))
     val sraw = dt.groupBy(col("event_type"), col("dow"))
       .agg(expr("sum(det_milli) div count(*)").as("s_milli"))
+    // Center over the dows that EXIST for the type (a calendar that
+    // never trends on some weekday must not under-subtract via /7 —
+    // review-pass finding: the bias is invisible to the oracle).
     val sc = sraw.withColumn("seasonal_milli",
         col("s_milli") - expr(
-          "sum(s_milli) OVER (PARTITION BY event_type) div 7"))
+          "sum(s_milli) OVER (PARTITION BY event_type)" +
+            " div count(*) OVER (PARTITION BY event_type)"))
       .select(col("event_type"), col("dow"), col("seasonal_milli"))
     dt.join(sc, Seq("event_type", "dow"))
       .select(col("event_type"), col("day"), col("v").as("v_cents"),

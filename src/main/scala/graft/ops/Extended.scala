@@ -875,10 +875,16 @@ object Extended {
     * then to TWO rows. Everything after is scalar. */
   val q166AbTest: Q = Q(
     "q166_ab_test",
-    """WITH u AS (
-      |  SELECT user_id, user_id % 2 AS variant,
+    s"""WITH u0 AS (
+      |  SELECT user_id,
       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-      |  FROM events GROUP BY 1, 2),
+      |  FROM events GROUP BY 1),
+      |um AS (SELECT user_id, conv,
+      |              md5(CAST(user_id AS VARCHAR) || '-graft-ab') AS m
+      |       FROM u0),
+      |u AS (SELECT user_id, (${PortableHash.hexHeadToLong("m", "strpos")}) % 2
+      |               AS variant, conv
+      |      FROM um),
       |v AS (SELECT variant, count(*) AS n, sum(conv) AS x FROM u GROUP BY 1),
       |w AS (SELECT max(CASE WHEN variant = 0 THEN n END) AS n1,
       |             max(CASE WHEN variant = 0 THEN x END) AS x1,
@@ -897,9 +903,11 @@ object Extended {
     import org.apache.spark.sql.types.DecimalType
     val dec = DecimalType(38, 0)
     val v = Tables(s, dir, "events")
-      .groupBy(col("user_id"), (col("user_id") % 2).as("variant"))
+      .groupBy(col("user_id"))
       .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
-      .groupBy(col("variant"))
+      .withColumn("m",
+        md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
+      .groupBy((expr(PortableHash.hexHeadToLong("m", "instr")) % 2).as("variant"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("x"))
     val w = v.agg(
       max(when(col("variant") === 0, col("n"))).as("n1"),
@@ -1367,6 +1375,7 @@ object Extended {
         .select((expr(PortableHash.hexHeadToLong("m", "instr")) % 2)
           .as("variant"))
       val c = assign.groupBy(col("variant")).agg(count(lit(1)).as("n_users"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = c.agg(
         coalesce(sum(when(col("variant") === 0, col("n_users"))), lit(0L))
           .cast("decimal(38,0)").as("na"),
@@ -1462,6 +1471,7 @@ object Extended {
           md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
         .withColumn("variant",
           expr(PortableHash.hexHeadToLong("m", "instr")) % 2)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pool = u.agg(
         count(lit(1)).cast(dec).as("n"),
         sum(col("x")).cast(dec).as("sx"),
@@ -1480,9 +1490,14 @@ object Extended {
           col("nv").cast("long").as("n_users"),
           expr("CAST(syv * 1000000 div nv AS LONG)").as("mean_y_micro"),
           expr("CAST(sxv * 1000000 div nv AS LONG)").as("mean_x_micro"),
+          // theta_ppm is LONG (div's result type); lift it back to
+          // decimal BEFORE the multiply — theta·Δx̄ reaches ~10¹⁹ when the
+          // covariate is near-constant, which wraps a long*long product
+          // while DuckDB's HUGEINT carries it (review-pass finding).
           expr("""CAST(syv * 1000000 div nv
-                 - theta_ppm * (sxv * 1000000 div nv
-                                - sx * 1000000 div n) div 1000000
+                 - CAST(theta_ppm AS DECIMAL(38,0))
+                   * (sxv * 1000000 div nv
+                      - sx * 1000000 div n) div 1000000
                  AS LONG)""").as("adjusted_micro"),
           col("theta_ppm").cast("long").as("theta_ppm"))
         .orderBy(col("variant"))
