@@ -1074,29 +1074,11 @@ object Events {
       .orderBy(col("event_type"), col("lag"))
   }
 
-  /** q306: seasonal decomposition (classical additive, weekly period) —
-    * the model-selection companion that completes the time-series
-    * family: q165 assumes seasonality, q271 assumes trend, q276
-    * diagnoses which exists; this one SEPARATES them. value = trend
-    * (centered 7-day moving average) + seasonal (centered day-of-week
-    * index of the detrended series) + residual, all in exact milli-unit
-    * integers (milli, not micro: daily cents ≈ 10¹³ at the 100 TB
-    * grain, and ×10⁶ would overflow the BIGINT surface; every division
-    * is a floor div both engines truncate identically).
-    *
-    * Gap honesty: the moving average only exists where the 7-row frame
-    * is CALENDAR-contiguous (frame max−min = 6) — a gap row gets no
-    * trend and contributes nothing to the seasonal fit, rather than a
-    * frame silently spanning the hole (q289's calendar-distance
-    * lesson in window form).
-    *
-    * Scale shape: day-grain rollup (map-side), per-key ordered windows
-    * (partitioned by event_type — never global), one (type, dow)
-    * aggregate joined back at day grain, one 7-row-per-type centering
-    * broadcast. */
-  val q306SeasonalDecompose: Q = Q(
-    "q306_seasonal_decompose",
-    """WITH d AS (
+  /** Shared rendering of the q306 decomposition CTE chain (through
+    * `sc`); q306 surfaces it, q307 consumes its residuals. One string —
+    * the two oracles cannot drift. */
+  private val duckDecomposeCtes: String =
+    """d AS (
       |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
       |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
       |  FROM events GROUP BY 1, 2),
@@ -1120,12 +1102,16 @@ object Events {
       |                             AS BIGINT)
       |                        // CAST(count(*) OVER (PARTITION BY event_type)
       |                                AS BIGINT) AS seasonal_milli
-      |       FROM sraw)
-      |SELECT dt.event_type, dt.day, dt.v AS v_cents, dt.trend_milli,
-      |       sc.seasonal_milli,
-      |       dt.det_milli - sc.seasonal_milli AS resid_milli
-      |FROM dt JOIN sc ON sc.event_type = dt.event_type AND sc.dow = dt.dow
-      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      |       FROM sraw),
+      |dec AS (SELECT dt.event_type, dt.day, dt.v, dt.trend_milli,
+      |               sc.seasonal_milli,
+      |               dt.det_milli - sc.seasonal_milli AS resid_milli
+      |        FROM dt JOIN sc ON sc.event_type = dt.event_type
+      |                       AND sc.dow = dt.dow)""".stripMargin
+
+  /** Spark side of the same chain: (event_type, day, v, trend_milli,
+    * seasonal_milli, resid_milli) for every trend-bearing day. */
+  private def decompose(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val d = Tables(s, dir, "events")
       .withColumn("sec", unix_timestamp(col("ts")))
@@ -1153,10 +1139,104 @@ object Events {
             " div count(*) OVER (PARTITION BY event_type)"))
       .select(col("event_type"), col("dow"), col("seasonal_milli"))
     dt.join(sc, Seq("event_type", "dow"))
-      .select(col("event_type"), col("day"), col("v").as("v_cents"),
+      .select(col("event_type"), col("day"), col("v"),
         col("trend_milli"), col("seasonal_milli"),
         (col("det_milli") - col("seasonal_milli")).as("resid_milli"))
+  }
+
+  /** q306: seasonal decomposition (classical additive, weekly period) —
+    * the model-selection companion that completes the time-series
+    * family: q165 assumes seasonality, q271 assumes trend, q276
+    * diagnoses which exists; this one SEPARATES them. value = trend
+    * (centered 7-day moving average) + seasonal (centered day-of-week
+    * index of the detrended series) + residual, all in exact milli-unit
+    * integers (milli, not micro: daily cents ≈ 10¹³ at the 100 TB
+    * grain, and ×10⁶ would overflow the BIGINT surface; every division
+    * is a floor div both engines truncate identically).
+    *
+    * Gap honesty: the moving average only exists where the 7-row frame
+    * is CALENDAR-contiguous (frame max−min = 6) — a gap row gets no
+    * trend and contributes nothing to the seasonal fit, rather than a
+    * frame silently spanning the hole (q289's calendar-distance
+    * lesson in window form).
+    *
+    * Scale shape: day-grain rollup (map-side), per-key ordered windows
+    * (partitioned by event_type — never global), one (type, dow)
+    * aggregate joined back at day grain, one per-type centering. */
+  val q306SeasonalDecompose: Q = Q(
+    "q306_seasonal_decompose",
+    s"""WITH $duckDecomposeCtes
+      |SELECT event_type, day, v AS v_cents, trend_milli,
+      |       seasonal_milli, resid_milli
+      |FROM dec ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    decompose(s, dir)
+      .withColumnRenamed("v", "v_cents")
       .orderBy(col("event_type"), col("day"))
+  }
+
+  /** q307: seasonal-adjusted anomaly detection — the composition that
+    * makes q306 operational: raw-value outlier flags (q136/q156) fire
+    * on every weekly peak; flagging on the DECOMPOSITION's residuals
+    * alarms only on what trend+seasonality cannot explain. Center and
+    * scale are the rank-selected LOW median and MAD of the residuals
+    * (robust — one bad day cannot move its own threshold much), and the
+    * flag |resid − med| > 3·MAD is an exact integer comparison.
+    *
+    * Scale shape: everything beyond the shared decomposition lives at
+    * (type, day) grain — two partitioned rank windows and one per-type
+    * rollup. */
+  val q307SeasonalAnomaly: Q = Q(
+    "q307_seasonal_anomaly",
+    s"""WITH $duckDecomposeCtes,
+      |r1 AS (SELECT event_type, day, resid_milli,
+      |              row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY resid_milli, day) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM dec),
+      |med AS (SELECT event_type, resid_milli AS med_milli
+      |        FROM r1 WHERE rn = (n + 1) // 2),
+      |ad AS (SELECT r1.event_type, r1.day,
+      |              abs(r1.resid_milli - med.med_milli) AS adev
+      |       FROM r1 JOIN med USING (event_type)),
+      |r2 AS (SELECT event_type, day, adev,
+      |              row_number() OVER (PARTITION BY event_type
+      |                                 ORDER BY adev, day) AS rn,
+      |              count(*) OVER (PARTITION BY event_type) AS n
+      |       FROM ad),
+      |mad AS (SELECT event_type, adev AS mad_milli
+      |        FROM r2 WHERE rn = (n + 1) // 2)
+      |SELECT ad.event_type,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       med.med_milli, mad.mad_milli,
+      |       CAST(count(*) FILTER (WHERE ad.adev > 3 * mad.mad_milli)
+      |            AS BIGINT) AS n_anomalies
+      |FROM ad JOIN med USING (event_type) JOIN mad USING (event_type)
+      |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = decompose(s, dir)
+    val byType = Window.partitionBy(col("event_type"))
+    val r1 = dec.select(col("event_type"), col("day"), col("resid_milli"))
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("resid_milli"), col("day"))))
+      .withColumn("n", count(lit(1)).over(byType))
+    val med = r1.filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("resid_milli").as("med_milli"))
+    val ad = r1.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("day"),
+        abs(col("resid_milli") - col("med_milli")).as("adev"))
+    val mad = ad
+      .withColumn("rn", row_number().over(
+        byType.orderBy(col("adev"), col("day"))))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("adev").as("mad_milli"))
+    ad.join(broadcast(med), "event_type").join(broadcast(mad), "event_type")
+      .groupBy(col("event_type"), col("med_milli"), col("mad_milli"))
+      .agg(count(lit(1)).as("n_days"),
+        count_if(col("adev") > lit(3) * col("mad_milli")).as("n_anomalies"))
+      .select(col("event_type"), col("n_days"), col("med_milli"),
+        col("mad_milli"), col("n_anomalies"))
+      .orderBy(col("event_type"))
   }
 
   /** q302: restatement audit — q298's disorder profile translated into
@@ -2474,6 +2554,7 @@ object Events {
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
+      q307SeasonalAnomaly,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

@@ -551,6 +551,70 @@ object Graph {
       .orderBy(col("round"))
   }
 
+  /** q308: frequent TRIPLE mining — the Apriori step above q221's pair
+    * rules: candidate 3-itemsets are generated ONLY from frequent pairs
+    * sharing a smallest item (the classic join step) and pruned by the
+    * Apriori property (every 2-subset must itself be frequent) BEFORE
+    * any counting touches the baskets. The support count then joins the
+    * surviving candidates — a catalog-bounded broadcast — against the
+    * per-order pair stream, never a 3-way basket self-join over the
+    * corpus: candidate generation is frequent-pairs², counting is one
+    * equi-join at (order, pair) grain with the third item resolved per
+    * candidate.
+    *
+    * Scale shape: the pair stream (o, a, b) already exists at
+    * Σ|basket|² grain; the triple count joins it to lp once more keyed
+    * by (order, third-item) — both shuffles are key-grain. The
+    * min-support floor (≥ 2 orders) is the same noise cut as q290. */
+  val q308AprioriTriples: Q = Q(
+    "q308_apriori_triples",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |op AS (SELECT l1.l_orderkey AS o, l1.l_partkey AS a, l2.l_partkey AS b
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey),
+      |fp AS (SELECT a, b, CAST(count(*) AS BIGINT) AS supp
+      |       FROM op GROUP BY 1, 2 HAVING count(*) >= 2),
+      |cand AS (SELECT p1.a, p1.b, p2.b AS c
+      |         FROM fp p1 JOIN fp p2 ON p2.a = p1.a AND p2.b > p1.b
+      |         JOIN fp p3 ON p3.a = p1.b AND p3.b = p2.b),
+      |tc AS (SELECT cand.a, cand.b, cand.c,
+      |              CAST(count(*) AS BIGINT) AS supp
+      |       FROM cand JOIN op ON op.a = cand.a AND op.b = cand.b
+      |            JOIN lp l3 ON l3.l_orderkey = op.o
+      |                      AND l3.l_partkey = cand.c
+      |       GROUP BY 1, 2, 3 HAVING count(*) >= 2)
+      |SELECT a, b, c, supp FROM tc
+      |ORDER BY supp DESC, a, b, c""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val op = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .select(col("l1.l_orderkey").as("o"), col("l1.l_partkey").as("a"),
+        col("l2.l_partkey").as("b"))
+      .persist(MEMORY_AND_DISK)
+    val fp = op.groupBy(col("a"), col("b")).agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+      .select(col("a"), col("b"))
+      .persist(MEMORY_AND_DISK)
+    val cand = fp.as("p1")
+      .join(fp.as("p2"), col("p2.a") === col("p1.a") && col("p2.b") > col("p1.b"))
+      .select(col("p1.a").as("ca"), col("p1.b").as("cb"), col("p2.b").as("cc"))
+      .join(fp.withColumnsRenamed(Map("a" -> "cb", "b" -> "cc")),
+        Seq("cb", "cc"), "left_semi")
+      .withColumnsRenamed(Map("ca" -> "a", "cb" -> "b", "cc" -> "c"))
+    cand.join(op, Seq("a", "b"))
+      .join(lp.select(col("l_orderkey").as("o"), col("l_partkey").as("c")),
+        Seq("o", "c"), "left_semi")
+      .groupBy(col("a"), col("b"), col("c"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= 2)
+      .orderBy(col("supp").desc, col("a"), col("b"), col("c"))
+  }
+
   val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops,
-    q221AssociationRules, q277Hits, q290ItemCf, q292KCore)
+    q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples)
 }
