@@ -1504,8 +1504,277 @@ object Extended {
     }
   }
 
+  /** q309: Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC leg of
+    * the experimentation tier (q166 tests a proportion, q305 adjusts a
+    * mean; both assume the metric's scale matters). Here the metric is
+    * per-user event count — skewed, integer, tie-heavy — and the test
+    * asks only "does variant A stochastically dominate B", which is the
+    * robust question when revenue-like metrics have power-law tails.
+    *
+    * Exactness without per-row ranks: ranks are never materialized at
+    * row grain. The metric histogram (one row per distinct value v with
+    * total n_v and variant-A count a_v) yields the doubled tied-rank sum
+    * R2_A = Σ a_v·(2·c_v + n_v + 1) where c_v is the cumulative count
+    * below v — doubling keeps average ranks integral (tied group at
+    * min-rank r with size c averages r + (c−1)/2). U, the tie-corrected
+    * normal approximation z², and the rank-biserial effect size are then
+    * closed-form integer arithmetic in DECIMAL(38,0)/HUGEINT:
+    * z² = 3(U2−n1n2)²·n(n−1) / (n1n2·(n³−n−T)), T = Σ(n_v³−n_v), with
+    * the α=0.05 decision cross-multiplied (10⁴·num > 38416·den) so the
+    * verdict never hinges on a libm sqrt. Both engines truncate integer
+    * division toward zero (verified), so the signed rank-biserial ppm is
+    * safe. The 38-digit surface carries to ~10⁶ users; beyond that the
+    * decision margin dwarfs double rounding and a double path is fine.
+    *
+    * Scale shape: user-grain rollup (map-side combined), then a
+    * histogram whose size is bounded by distinct metric values (≪ rows
+    * for counts), then a global window over that bounded reduction
+    * (PlanAuditSpec-audited) and a 1-row rollup. */
+  val q309MannWhitney: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q309_mann_whitney",
+      s"""WITH u0 AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+         |            FROM events GROUP BY 1),
+         |um AS (SELECT v, md5(CAST(user_id AS VARCHAR) || '-graft-ab') AS m
+         |       FROM u0),
+         |u AS (SELECT v, ($h) % 2 AS variant FROM um),
+         |hist AS (SELECT v, CAST(count(*) AS HUGEINT) AS nv,
+         |                CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+         |                  AS HUGEINT) AS av
+         |         FROM u GROUP BY 1),
+         |cum AS (SELECT v, nv, av,
+         |               sum(nv) OVER (ORDER BY v) - nv AS c
+         |        FROM hist),
+         |t AS (SELECT CAST(sum(av) AS HUGEINT) AS n1,
+         |             CAST(sum(nv - av) AS HUGEINT) AS n2,
+         |             CAST(sum(nv) AS HUGEINT) AS n,
+         |             CAST(sum(av * (2 * c + nv + 1)) AS HUGEINT) AS r2,
+         |             CAST(sum(nv * nv * nv - nv) AS HUGEINT) AS tt
+         |      FROM cum),
+         |k AS (SELECT n1, n2, n, r2 - n1 * (n1 + 1) AS u2,
+         |             n1 * n2 * (n * n * n - n - tt) AS den
+         |      FROM t)
+         |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+         |       CAST(u2 AS BIGINT) AS u_a_x2,
+         |       CAST((n1 * n2 - u2) * 1000000 // nullif(n1 * n2, 0) AS BIGINT)
+         |         AS rank_biserial_ppm,
+         |       CAST(3 * (u2 - n1 * n2) * (u2 - n1 * n2) * n * (n - 1)
+         |              * 1000000 // nullif(den, 0) AS BIGINT) AS z2_micro,
+         |       10000 * 3 * (u2 - n1 * n2) * (u2 - n1 * n2) * n * (n - 1)
+         |         > 38416 * den AS significant
+         |FROM k""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val hist = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+        .withColumn("m",
+          md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
+        .withColumn("variant", expr(PortableHash.hexHeadToLong("m", "instr")) % 2)
+        .groupBy(col("v"))
+        .agg(count(lit(1)).cast(dec).as("nv"),
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).cast(dec).as("av"))
+      val cum = hist.withColumn("c",
+        sum(col("nv")).over(Window.orderBy(col("v"))) - col("nv"))
+      cum.agg(
+          sum(col("av")).cast(dec).as("n1"),
+          sum(col("nv") - col("av")).cast(dec).as("n2"),
+          sum(col("nv")).cast(dec).as("n"),
+          sum(col("av") * (lit(2).cast(dec) * col("c") + col("nv") + 1))
+            .cast(dec).as("r2"),
+          sum(col("nv") * col("nv") * col("nv") - col("nv")).cast(dec).as("tt"))
+        .select(col("n1"), col("n2"), col("n"),
+          (col("r2") - col("n1") * (col("n1") + 1)).as("u2"),
+          (col("n1") * col("n2") * (col("n") * col("n") * col("n") - col("n")
+            - col("tt"))).as("den"))
+        .select(col("n1").cast("long").as("n_a"),
+          col("n2").cast("long").as("n_b"),
+          col("u2").cast("long").as("u_a_x2"),
+          expr("CAST((n1 * n2 - u2) * 1000000 div nullif(n1 * n2, 0) AS LONG)")
+            .as("rank_biserial_ppm"),
+          expr("""CAST(3 * (u2 - n1 * n2) * (u2 - n1 * n2) * n * (n - 1)
+                 |     * 1000000 div nullif(den, 0) AS LONG)""".stripMargin)
+            .as("z2_micro"),
+          expr("""10000 * 3 * (u2 - n1 * n2) * (u2 - n1 * n2) * n * (n - 1)
+                 |  > 38416 * den""".stripMargin).as("significant"))
+    }
+  }
+
+  /** q310: bootstrap confidence interval for mean daily revenue — the
+    * resampling leg of the stats tier: no normality assumption, just the
+    * empirical distribution of the statistic under B=200 resamples of
+    * the n daily-revenue cells. The CI is the (5th, 195th) order
+    * statistic of the resample means (~2.5%/97.5%).
+    *
+    * Determinism: each draw (b, j) selects day index
+    * portable_hash(md5(b||'-'||j||'-graft-boot')) mod n — both engines
+    * derive the identical resample, so the CI hash-matches. A production
+    * run swaps the seeded hash for a PRNG; every other expression holds.
+    *
+    * Scale shape: the unit of resampling is the AGGREGATED cell (days),
+    * so the draw table is B×n_days, bounded and broadcast-joinable —
+    * this is the honest way to bootstrap at 100 TB (row-grain bootstrap
+    * would instead use per-partition Poisson(1) resampling; the cell
+    * grain needs no such approximation). Sums ride DECIMAL(38,0)/
+    * HUGEINT; the two global windows (day index, resample-mean rank) run
+    * over ≤ max(n_days, B) rows — bounded reductions, audited. */
+  val q310BootstrapCi: Q = {
+    val h = PortableHash.hexHeadToLong("m", "strpos")
+    Q(
+      "q310_bootstrap_ci",
+      s"""WITH d0 AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+         |               AS day,
+         |             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         |               AS HUGEINT) AS rev
+         |      FROM orders GROUP BY 1),
+         |d AS (SELECT day, rev,
+         |             row_number() OVER (ORDER BY day) - 1 AS idx
+         |      FROM d0),
+         |nd AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |              CAST(sum(rev) AS HUGEINT) AS tot FROM d),
+         |dm AS (SELECT d.idx AS j, b.b,
+         |              md5(CAST(b.b AS VARCHAR) || '-' ||
+         |                  CAST(d.idx AS VARCHAR) || '-graft-boot') AS m
+         |       FROM d, generate_series(0, 199) b(b)),
+         |draw AS (SELECT dm.b, ($h) % (SELECT n FROM nd) AS pick FROM dm),
+         |means AS (SELECT draw.b,
+         |                 CAST(sum(d.rev) AS HUGEINT)
+         |                   // (SELECT n FROM nd) AS mean_cents
+         |          FROM draw JOIN d ON d.idx = draw.pick
+         |          GROUP BY draw.b),
+         |ranked AS (SELECT mean_cents,
+         |                  row_number() OVER (ORDER BY mean_cents, b) AS rn
+         |           FROM means)
+         |SELECT CAST(nd.n AS BIGINT) AS n_days,
+         |       CAST(200 AS BIGINT) AS n_resamples,
+         |       CAST(nd.tot // nd.n AS BIGINT) AS mean_cents,
+         |       CAST(max(CASE WHEN rn = 5 THEN mean_cents END) AS BIGINT)
+         |         AS lo_cents,
+         |       CAST(max(CASE WHEN rn = 195 THEN mean_cents END) AS BIGINT)
+         |         AS hi_cents
+         |FROM ranked, nd GROUP BY nd.n, nd.tot""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val d = Tables(s, dir, "orders")
+        .groupBy(expr("unix_timestamp(o_orderdate) div 86400").as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast(dec)
+          .as("rev"))
+        .withColumn("idx",
+          row_number().over(Window.orderBy(col("day"))) - 1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nd = d.agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("rev")).cast(dec).as("tot"))
+      val draw = d.select(col("idx").as("j"),
+          explode(expr("sequence(0, 199)")).as("b"))
+        .withColumn("m",
+          md5(concat(col("b").cast("string"), lit("-"),
+            col("j").cast("string"), lit("-graft-boot"))))
+        .crossJoin(broadcast(nd))
+        .select(col("b"), col("n"), col("tot"),
+          (expr(PortableHash.hexHeadToLong("m", "instr")) % col("n").cast("long"))
+            .as("pick"))
+      val means = draw
+        .join(broadcast(d.select(col("idx"), col("rev"))),
+          col("pick") === col("idx"))
+        .groupBy(col("b"), col("n"), col("tot"))
+        .agg(expr("CAST(sum(rev) AS DECIMAL(38,0)) div n").as("mean_cents"))
+      means
+        .withColumn("rn",
+          row_number().over(Window.orderBy(col("mean_cents"), col("b"))))
+        .groupBy(col("n"), col("tot"))
+        .agg(max(when(col("rn") === 5, col("mean_cents"))).as("lo"),
+          max(when(col("rn") === 195, col("mean_cents"))).as("hi"))
+        .select(col("n").cast("long").as("n_days"),
+          lit(200L).as("n_resamples"),
+          expr("CAST(tot div n AS LONG)").as("mean_cents"),
+          col("lo").cast("long").as("lo_cents"),
+          col("hi").cast("long").as("hi_cents"))
+    }
+  }
+
+  /** q311: χ² test of independence (priority × status on orders) — the
+    * categorical-association audit the tier lacked: q304's SRM check is
+    * the one-dimensional χ² against a fixed split; this is the full
+    * R×C contingency test ("does order priority predict status").
+    *
+    * Exactness: χ² = Σ (O−E)²/E with E = r·c/N is a sum of rationals;
+    * each cell ships floor(10⁶·(O·N − r·c)²/(N·r·c)) — both engines
+    * execute the identical per-cell floor, so the statistic is exact by
+    * construction (the published contract is the micro-floored sum, a
+    * lower bound within R·C µ-units of the real value). The α=0.05
+    * decision compares against a literal χ²-critical lookup (df 1..12,
+    * milli-units) shared by both renderings; df outside the lookup
+    * yields NULL, not a wrong verdict.
+    *
+    * Scale shape: one map-side-combined cell rollup (R·C rows), then
+    * broadcast joins against the two marginal rollups and the 1-row
+    * total — nothing beyond cell grain shuffles, at any N. */
+  val q311Chi2Independence: Q = {
+    val crit = "CASE df WHEN 1 THEN 3841 WHEN 2 THEN 5991 WHEN 3 THEN 7815" +
+      " WHEN 4 THEN 9488 WHEN 5 THEN 11070 WHEN 6 THEN 12592" +
+      " WHEN 7 THEN 14067 WHEN 8 THEN 15507 WHEN 9 THEN 16919" +
+      " WHEN 10 THEN 18307 WHEN 11 THEN 19675 WHEN 12 THEN 21026 END"
+    Q(
+      "q311_chi2_independence",
+      s"""WITH cells AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         |                    CAST(count(*) AS HUGEINT) AS o
+         |             FROM orders GROUP BY 1, 2),
+         |rt AS (SELECT pri, CAST(sum(o) AS HUGEINT) AS r,
+         |              count(*) AS nc FROM cells GROUP BY 1),
+         |ct AS (SELECT st, CAST(sum(o) AS HUGEINT) AS c FROM cells GROUP BY 1),
+         |tot AS (SELECT CAST(sum(o) AS HUGEINT) AS n,
+         |               CAST((count(DISTINCT pri) - 1)
+         |                  * (count(DISTINCT st) - 1) AS BIGINT) AS df
+         |        FROM cells),
+         |terms AS (SELECT cells.pri, cells.st, cells.o, rt.r, ct.c, tot.n,
+         |                 tot.df,
+         |                 (cells.o * tot.n - rt.r * ct.c)
+         |                   * (cells.o * tot.n - rt.r * ct.c) * 1000000
+         |                   // (tot.n * rt.r * ct.c) AS term_micro
+         |          FROM cells JOIN rt USING (pri) JOIN ct USING (st), tot),
+         |s AS (SELECT CAST(sum(term_micro) AS HUGEINT) AS chi2_micro
+         |      FROM terms)
+         |SELECT terms.pri AS o_orderpriority, terms.st AS o_orderstatus,
+         |       CAST(terms.o AS BIGINT) AS n,
+         |       CAST(terms.r * terms.c * 1000 // terms.n AS BIGINT)
+         |         AS expected_milli,
+         |       CAST(terms.term_micro AS BIGINT) AS term_micro,
+         |       CAST(s.chi2_micro AS BIGINT) AS chi2_micro,
+         |       terms.df,
+         |       s.chi2_micro > 1000 * ($crit) AS significant
+         |FROM terms, s ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val cells = Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"), col("o_orderstatus").as("st"))
+        .agg(count(lit(1)).cast(dec).as("o"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rt = cells.groupBy(col("pri")).agg(sum(col("o")).cast(dec).as("r"))
+      val ct = cells.groupBy(col("st")).agg(sum(col("o")).cast(dec).as("c"))
+      val tot = cells.agg(sum(col("o")).cast(dec).as("n"),
+        ((countDistinct(col("pri")) - 1) * (countDistinct(col("st")) - 1))
+          .cast("long").as("df"))
+      val terms = cells
+        .join(broadcast(rt), "pri").join(broadcast(ct), "st")
+        .crossJoin(broadcast(tot))
+        .withColumn("term_micro",
+          expr("""(o * n - r * c) * (o * n - r * c) * 1000000
+                 |  div (n * r * c)""".stripMargin))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sm = terms.agg(sum(col("term_micro")).cast(dec).as("chi2_micro"))
+      terms.crossJoin(broadcast(sm))
+        .select(col("pri").as("o_orderpriority"), col("st").as("o_orderstatus"),
+          col("o").cast("long").as("n"),
+          expr("CAST(r * c * 1000 div n AS LONG)").as("expected_milli"),
+          col("term_micro").cast("long").as("term_micro"),
+          col("chi2_micro").cast("long").as("chi2_micro"),
+          col("df"),
+          (col("chi2_micro") > lit(1000).cast(dec) * expr(crit))
+            .as("significant"))
+        .orderBy(col("o_orderpriority"), col("o_orderstatus"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
+    q309MannWhitney, q310BootstrapCi, q311Chi2Independence,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

@@ -98,7 +98,9 @@ class PlanAuditSpec extends SparkSpec {
       "q283_skew_audit",        // count-level CDF + rank over the already-limited top-10
       "q291_textrank_keywords",// fixed-point rank over the word-vocabulary table (vocab-bounded)
       "q298_disorder_profile",  // bucket-summary stitch (≤ 4097 rows) + lateness levels
-      "q299_quantile_normalize")// pooled cum over cents-value levels
+      "q299_quantile_normalize",// pooled cum over cents-value levels
+      "q309_mann_whitney",      // cum over the metric-value histogram (distinct per-user counts)
+      "q310_bootstrap_ci")      // day-index + resample-mean rank (≤ max(n_days, B=200) rows)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
