@@ -1599,6 +1599,90 @@ object Extended {
     }
   }
 
+  /** q313: Spearman rank correlation — the rank-based association measure
+    * the stats tier lacked: q125 fits a LINE (Pearson-flavored OLS), q309
+    * compares two groups' ranks; Spearman asks "is the relationship
+    * MONOTONE" between two continuous columns (basket size vs basket
+    * value at order grain), robust to outliers and any monotone
+    * transform.
+    *
+    * Exactness without per-row rank windows: q309's doubled-tied-rank
+    * histogram kernel, applied per variable — the value histogram yields
+    * the centered doubled rank 2·c_v + n_v + 1 − (n+1) (ties averaged,
+    * doubling keeps it integral; Σ over rows is exactly 0), rows join
+    * their level's rank back by value, and ρ is Pearson on those integer
+    * ranks: ρ² in ppm = num²·10⁶/(dx·dy), sign carried separately, the
+    * α=0.05 decision as ρ²_ppm·(n−1) > 3841459 (z² = ρ²(n−1) vs χ²₁ —
+    * the published contract is the decision on the micro-floored ρ²,
+    * q311's discipline). DECIMAL(38,0)/HUGEINT carries num² ≤ n⁶·10⁶ to
+    * ~10⁵ orders; beyond that swap the surface to double — the decision
+    * margin dwarfs rounding long before 10³⁸ saturates.
+    *
+    * Scale shape: order-grain rollup (map-side combined), two value-level
+    * histograms (≪ rows), two bounded-reduction global windows
+    * (PlanAuditSpec-audited, q299's precedent), two level-grain joins
+    * back, one 1-row rollup. */
+  val q313Spearman: Q = Q(
+    "q313_spearman",
+    """WITH o AS (SELECT l_orderkey,
+      |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x,
+      |                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS y
+      |           FROM lineitem GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM o),
+      |hx AS (SELECT x, CAST(count(*) AS HUGEINT) AS c FROM o GROUP BY 1),
+      |cx AS (SELECT x, 2 * (sum(c) OVER (ORDER BY x) - c) + c + 1 - (n + 1)
+      |                 AS cxv
+      |       FROM hx, nn),
+      |hy AS (SELECT y, CAST(count(*) AS HUGEINT) AS c FROM o GROUP BY 1),
+      |cy AS (SELECT y, 2 * (sum(c) OVER (ORDER BY y) - c) + c + 1 - (n + 1)
+      |                 AS cyv
+      |       FROM hy, nn),
+      |s AS (SELECT CAST(sum(cxv * cyv) AS HUGEINT) AS num,
+      |             CAST(sum(cxv * cxv) AS HUGEINT) AS dx,
+      |             CAST(sum(cyv * cyv) AS HUGEINT) AS dy
+      |      FROM o JOIN cx USING (x) JOIN cy USING (y))
+      |SELECT CAST(nn.n AS BIGINT) AS n,
+      |       CAST(s.num AS BIGINT) AS num,
+      |       CAST(s.dx AS BIGINT) AS dx, CAST(s.dy AS BIGINT) AS dy,
+      |       CAST(CASE WHEN s.num < 0 THEN -1 WHEN s.num > 0 THEN 1 ELSE 0 END
+      |         AS BIGINT) AS direction,
+      |       CAST(s.num * s.num * 1000000 // nullif(s.dx * s.dy, 0) AS BIGINT)
+      |         AS rho2_ppm,
+      |       s.num * s.num * 1000000 // nullif(s.dx * s.dy, 0) * (nn.n - 1)
+      |         > 3841459 AS significant
+      |FROM s, nn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val o = Tables(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("x"),
+        sum(expr("CAST(round(l_extendedprice * 100) AS LONG)")).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nn = o.agg(count(lit(1)).cast(dec).as("n"))
+    def centered(vcol: String, out: String): org.apache.spark.sql.DataFrame =
+      o.groupBy(col(vcol)).agg(count(lit(1)).cast(dec).as("c"))
+        .crossJoin(broadcast(nn))
+        .withColumn(out,
+          lit(2).cast(dec)
+            * (sum(col("c")).over(Window.orderBy(col(vcol))) - col("c"))
+            + col("c") + 1 - (col("n") + 1))
+        .select(col(vcol), col(out))
+    val sdf = o.join(centered("x", "cxv"), "x").join(centered("y", "cyv"), "y")
+      .agg(sum(col("cxv") * col("cyv")).cast(dec).as("num"),
+        sum(col("cxv") * col("cxv")).cast(dec).as("dx"),
+        sum(col("cyv") * col("cyv")).cast(dec).as("dy"))
+    sdf.crossJoin(broadcast(nn))
+      .select(col("n").cast("long").as("n"),
+        col("num").cast("long").as("num"),
+        col("dx").cast("long").as("dx"), col("dy").cast("long").as("dy"),
+        signum(col("num")).cast("long").as("direction"),
+        expr("CAST(num * num * 1000000 div nullif(dx * dy, 0) AS LONG)")
+          .as("rho2_ppm"),
+        expr("num * num * 1000000 div nullif(dx * dy, 0) * (n - 1) > 3841459")
+          .as("significant"))
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -1774,7 +1858,7 @@ object Extended {
 
   val all: Seq[Q] = Seq(
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
-    q309MannWhitney, q310BootstrapCi, q311Chi2Independence,
+    q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

@@ -2487,8 +2487,85 @@ object Similarity {
     }
   }
 
+  /** q312: hybrid retrieval with reciprocal-rank fusion — the missing top
+    * of the search stack: q122 ranks by keywords (BM25), q39/q48 rank by
+    * embedding similarity; a production retriever runs BOTH and fuses the
+    * rank lists, because RRF needs no score calibration between legs
+    * whose scales are incomparable. Score = Σ_legs 1/(60+rank), the
+    * standard k=60 constant, carried as floor(10⁹/(60+rank)) so the
+    * fused ordering is pure integer arithmetic (monotone-identical to
+    * the real-valued RRF for any fixed leg count, up to ties the doc_id
+    * tie-break resolves identically in both engines).
+    *
+    * Legs: BM25 over the q122 terms (shared [[TextAnalysis.duckBm25Ctes]]
+    * rendering, so the keyword leg can never drift from q122) and the
+    * exact decimal cosine against vec_id 0's embedding (q39's brute-force
+    * baseline shape — the scale path would swap in q48's IVF probe, same
+    * fused contract).
+    *
+    * Scale shape: each leg ends in TakeOrdered(50) (two-phase heads,
+    * never a global sort); the rank window then runs over ≤50 rows per
+    * leg (bounded reduction, PlanAuditSpec-audited); fusion is a 50×50
+    * full-outer equi-join of two broadcastable lists. At 100 TB only the
+    * leg SCANS grow; everything after the per-leg heads is constant. */
+  val q312HybridRrf: Q = Q(
+    "q312_hybrid_rrf",
+    s"""WITH ${TextAnalysis.duckBm25Ctes("('join', 'vector', 'stream')")},
+       |ktop AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+       |krank AS (SELECT doc_id,
+       |                 CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+       |                   AS BIGINT) AS kw_rank
+       |          FROM ktop),
+       |$duckEl,
+       |$duckN2,
+       |qv AS (SELECT i, v FROM el WHERE vec_id = 0),
+       |vd AS (SELECT b.vec_id,
+       |              CAST(SUM(CAST(q.v * b.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM qv q JOIN el b ON b.i = q.i GROUP BY 1),
+       |vr AS (SELECT vd.vec_id,
+       |              round(vd.dot / sqrt(nq.n2 * nb.n2), 6) AS cs
+       |       FROM vd JOIN n2 nb ON nb.vec_id = vd.vec_id,
+       |            (SELECT n2 FROM n2 WHERE vec_id = 0) nq(n2)),
+       |vtop AS (SELECT vec_id, cs FROM vr ORDER BY cs DESC, vec_id LIMIT 50),
+       |vrank AS (SELECT vec_id,
+       |                 CAST(row_number() OVER (ORDER BY cs DESC, vec_id)
+       |                   AS BIGINT) AS vec_rank
+       |          FROM vtop),
+       |f AS (SELECT COALESCE(k.doc_id, v.vec_id) AS doc_id, k.kw_rank, v.vec_rank,
+       |             COALESCE(1000000000 // (60 + k.kw_rank), 0)
+       |               + COALESCE(1000000000 // (60 + v.vec_rank), 0) AS rrf_ppb
+       |      FROM krank k FULL OUTER JOIN vrank v ON v.vec_id = k.doc_id)
+       |SELECT doc_id, kw_rank, vec_rank, rrf_ppb
+       |FROM f ORDER BY rrf_ppb DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ktop = TextAnalysis
+      .bm25Scores(Tables(s, dir, "documents"), Seq("join", "vector", "stream"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    val krank = ktop.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+        .cast("long").as("kw_rank"))
+    val e = embWithNorm(s, dir)
+    val qv = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val vtop = e.crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(expr(dDot("embedding", "emb_q")) / sqrt(col("n2") * col("n2_q")), 6)
+          .as("cs"))
+      .orderBy(col("cs").desc, col("vec_id")).limit(50)
+    val vrank = vtop.select(col("vec_id"),
+      row_number().over(Window.orderBy(col("cs").desc, col("vec_id")))
+        .cast("long").as("vec_rank"))
+    krank.join(vrank, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+        col("kw_rank"), col("vec_rank"),
+        (coalesce(expr("1000000000L div (60 + kw_rank)"), lit(0L))
+          + coalesce(expr("1000000000L div (60 + vec_rank)"), lit(0L)))
+          .as("rrf_ppb"))
+      .orderBy(col("rrf_ppb").desc, col("doc_id")).limit(20)
+  }
+
   val all: Seq[Q] = Seq(
-    q297FilteredAnn, q303MmrDiverse,
+    q297FilteredAnn, q303MmrDiverse, q312HybridRrf,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
     q93NearDupMultiprobe, q100AnnIncremental, q178ArrayFunctions,

@@ -274,33 +274,40 @@ object TextAnalysis {
     * merge), never a global sort. BIGINT holds to ~10^18: beyond ~10^11
     * total tokens swap the products to DECIMAL(38,0), same plan. */
   val q122Bm25: Q = {
-    val terms = "('join', 'vector', 'stream')"
     Q("q122_bm25",
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
-         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
-         |               CAST(sum(dl) AS BIGINT) AS s FROM dl),
-         |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
-         |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
-         |       WHERE w IN $terms GROUP BY 1, 2),
-         |dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-         |          FROM tok WHERE w IN $terms GROUP BY 1),
-         |sc AS (SELECT f.doc_id,
-         |         CAST(round(
-         |           CAST(22 * f.tf * t.s * (2 * (t.n - d.df) + 1) AS DOUBLE)
-         |           / CAST((10 * f.tf * t.s + 3 * t.s + 9 * l.dl * t.n)
-         |                  * (2 * d.df + 1) AS DOUBLE), 6)
-         |           AS DECIMAL(18,6)) AS term_score
-         |       FROM tf f JOIN dfreq d USING (w)
-         |       JOIN dl l ON f.doc_id = l.doc_id, tot t)
-         |SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25
-         |FROM sc GROUP BY doc_id
+      s"""WITH ${duckBm25Ctes("('join', 'vector', 'stream')")}
+         |SELECT doc_id, bm25 FROM bm
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
       bm25Scores(Tables(s, dir, "documents"), Seq("join", "vector", "stream"))
         .orderBy(col("bm25").desc, col("doc_id"))
         .limit(20)
     }
   }
+
+  /** DuckDB CTE chain ending in `bm(doc_id, bm25)` — the oracle rendering
+    * of [[bm25Scores]] for the given literal term list (q122's body,
+    * extracted so the hybrid-fusion oracle q312 can never drift from the
+    * pure-BM25 one). */
+  private[ops] def duckBm25Ctes(terms: String): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(dl) AS BIGINT) AS s FROM dl),
+       |tok AS (SELECT doc_id, unnest(t) AS w FROM toks),
+       |tf AS (SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+       |       WHERE w IN $terms GROUP BY 1, 2),
+       |dfreq AS (SELECT w, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |          FROM tok WHERE w IN $terms GROUP BY 1),
+       |sc AS (SELECT f.doc_id,
+       |         CAST(round(
+       |           CAST(22 * f.tf * t.s * (2 * (t.n - d.df) + 1) AS DOUBLE)
+       |           / CAST((10 * f.tf * t.s + 3 * t.s + 9 * l.dl * t.n)
+       |                  * (2 * d.df + 1) AS DOUBLE), 6)
+       |           AS DECIMAL(18,6)) AS term_score
+       |       FROM tf f JOIN dfreq d USING (w)
+       |       JOIN dl l ON f.doc_id = l.doc_id, tot t),
+       |bm AS (SELECT doc_id, CAST(sum(term_score) AS DOUBLE) AS bm25
+       |       FROM sc GROUP BY doc_id)""".stripMargin
 
   /** The q122 core over any (doc_id, text) frame: per-doc BM25 totals for
     * the given query terms (unsorted, uncapped). */
