@@ -2546,8 +2546,87 @@ object Events {
       .limit(10)
   }
 
+  /** q315: Kaplan–Meier survival estimate — the time-to-event leg the
+    * lifecycle tier lacked: q181 flags churned customers as a POINT
+    * verdict, q171 measures time-to-convert for converters only; the KM
+    * estimator is how production answers "what fraction of customers
+    * survive past t" when many subjects are CENSORED (still active at
+    * the observation cutoff — dropping them biases survival down,
+    * counting them as churned biases it up; KM handles them exactly by
+    * shrinking the risk set).
+    *
+    * Subjects are customers; duration = weeks between first and last
+    * order; churned iff the last order predates the corpus max date by
+    * >90 days (else right-censored). Per death-week t: risk set n_t =
+    * Σ_{s≥t}(d_s+c_s) (one DESC-ordered cumulative over the week
+    * histogram), and the survival CURVE is carried in log space —
+    * step = round(ln((n−d)/n), 9) (the portable-libm idiom) in exact
+    * nano-units, cumulated by an integer window sum — because the
+    * engines' exp/product paths differ where their ln-rounded sums
+    * cannot. S(t) = exp(cum_log_nano·10⁻⁹) for human eyes. A terminal
+    * all-churned step (n=d, log −∞) would be dropped by the n>d guard —
+    * production surfaces it as a zero-survival flag; the censoring
+    * convention here (deaths before censors at equal t) makes it
+    * unreachable except at the maximum week.
+    *
+    * Scale shape: customer-grain rollup (map-side combined), a 1-row max
+    * broadcast, a week histogram bounded by the calendar span (~350
+    * rows), and two global windows over that bounded reduction
+    * (PlanAuditSpec-audited). Nothing row-grain crosses a window. */
+  val q315KaplanMeier: Q = Q(
+    "q315_kaplan_meier",
+    """WITH o AS (SELECT o_custkey AS cid,
+      |                  CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS d
+      |           FROM orders),
+      |cust AS (SELECT cid, min(d) AS f, max(d) AS l FROM o GROUP BY 1),
+      |mx AS (SELECT max(d) AS md FROM o),
+      |subj AS (SELECT cid, (l - f) // 7 AS t,
+      |                l <= md - 90 AS churned
+      |         FROM cust, mx),
+      |h AS (SELECT t,
+      |             CAST(sum(CASE WHEN churned THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |             CAST(sum(CASE WHEN churned THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |      FROM subj GROUP BY 1),
+      |steps AS (SELECT t, d, c,
+      |                 CAST(sum(d + c) OVER (ORDER BY t DESC) AS BIGINT) AS n
+      |          FROM h),
+      |km AS (SELECT t, n, d, c,
+      |              CAST(CAST(round(ln(CAST(n - d AS DOUBLE)
+      |                                 / CAST(n AS DOUBLE)), 9)
+      |                     AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+      |                AS step_log_nano
+      |       FROM steps WHERE d > 0 AND n > d)
+      |SELECT t AS t_weeks, n AS n_risk, d AS d_churn, c AS c_censored,
+      |       step_log_nano,
+      |       CAST(sum(step_log_nano) OVER (ORDER BY t) AS BIGINT)
+      |         AS cum_log_nano
+      |FROM km ORDER BY t_weeks""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey").as("cid"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("d"))
+    val cust = o.groupBy(col("cid")).agg(min(col("d")).as("f"), max(col("d")).as("l"))
+    val mx = o.agg(max(col("d")).as("md"))
+    val subj = cust.crossJoin(broadcast(mx))
+      .select(expr("(l - f) div 7").as("t"), (col("l") <= col("md") - 90).as("churned"))
+    val h = subj.groupBy(col("t"))
+      .agg(sum(when(col("churned"), 1L).otherwise(0L)).as("d"),
+        sum(when(col("churned"), 0L).otherwise(1L)).as("c"))
+    val steps = h.withColumn("n",
+      sum(col("d") + col("c")).over(Window.orderBy(col("t").desc)).cast("long"))
+    val km = steps.filter(col("d") > 0 && col("n") > col("d"))
+      .withColumn("step_log_nano",
+        expr("""CAST(CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+               |     AS DECIMAL(18,9)) * 1000000000 AS LONG)""".stripMargin))
+    km.select(col("t").as("t_weeks"), col("n").as("n_risk"),
+        col("d").as("d_churn"), col("c").as("c_censored"), col("step_log_nano"),
+        sum(col("step_log_nano")).over(Window.orderBy(col("t")))
+          .cast("long").as("cum_log_nano"))
+      .orderBy(col("t_weeks"))
+  }
+
   val all: Seq[Q] =
-    Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin,
+    Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,

@@ -1683,6 +1683,78 @@ object Extended {
           .as("significant"))
   }
 
+  /** q316: Benford first-digit audit — the fraud/data-integrity screen:
+    * organically-generated monetary amounts follow Benford's law
+    * (P[first digit d] = log₁₀(1+1/d)); fabricated or truncated feeds
+    * don't. The audit compares the observed first-significant-digit
+    * distribution of order totals against the Benford expectation with a
+    * χ² goodness-of-fit (df=8).
+    *
+    * Exactness: the first digit comes from the cents-integer's decimal
+    * string (no leading zeros, no float log); expected proportions are
+    * shared milli literals (log₁₀ values rounded once, stated in both
+    * renderings); each χ² term is floor((1000·O − e·N)²·10⁶ /
+    * (1000·e·N)) in DECIMAL(38,0)/HUGEINT — q311's micro-floored
+    * contract. A digit spine (1..9) left-joins the counts so a digit
+    * with ZERO observations still contributes its full expected-count
+    * term instead of silently vanishing.
+    *
+    * Scale shape: one map-side-combined 9-row rollup; everything after
+    * is constant-size. */
+  val q316BenfordAudit: Q = {
+    def expMilli(c: String) = s"CASE $c WHEN 1 THEN 301 WHEN 2 THEN 176" +
+      " WHEN 3 THEN 125 WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67" +
+      " WHEN 7 THEN 58 WHEN 8 THEN 51 WHEN 9 THEN 46 END"
+    Q(
+      "q316_benford_audit",
+      s"""WITH v AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100)
+         |                    AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS dg
+         |           FROM orders WHERE o_totalprice > 0),
+         |h AS (SELECT dg, CAST(count(*) AS HUGEINT) AS o FROM v GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM v),
+         |sp AS (SELECT CAST(d.d AS BIGINT) AS dg, COALESCE(h.o, 0) AS o,
+         |              CAST(${expMilli("d.d")} AS HUGEINT) AS e
+         |       FROM range(1, 10) d(d) LEFT JOIN h ON h.dg = d.d),
+         |terms AS (SELECT dg, o, e, nn.n,
+         |                 (1000 * o - e * nn.n) * (1000 * o - e * nn.n)
+         |                   * 1000000 // (1000 * e * nn.n) AS term_micro
+         |          FROM sp, nn),
+         |s AS (SELECT CAST(sum(term_micro) AS HUGEINT) AS chi2_micro FROM terms)
+         |SELECT terms.dg AS digit, CAST(terms.o AS BIGINT) AS n,
+         |       CAST(terms.o * 1000000 // terms.n AS BIGINT) AS obs_ppm,
+         |       CAST(terms.e AS BIGINT) AS exp_milli,
+         |       CAST(terms.term_micro AS BIGINT) AS term_micro,
+         |       CAST(s.chi2_micro AS BIGINT) AS chi2_micro,
+         |       s.chi2_micro > 15507000 AS significant
+         |FROM terms, s ORDER BY digit""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val v = Tables(s, dir, "orders").filter(col("o_totalprice") > 0)
+        .select(expr("CAST(substring(CAST(CAST(round(o_totalprice * 100) AS LONG)" +
+          " AS STRING), 1, 1) AS LONG)").as("dg"))
+      val h = v.groupBy(col("dg")).agg(count(lit(1)).cast(dec).as("o"))
+      val nn = v.agg(count(lit(1)).cast(dec).as("n"))
+      val spine = s.range(1, 10).select(col("id").cast("long").as("dgs"))
+      val sp = spine.join(h, col("dgs") === col("dg"), "left")
+        .select(col("dgs").as("dg"),
+          coalesce(col("o"), lit(0).cast(dec)).as("o"),
+          expr(s"CAST((${expMilli("dgs")}) AS $dec)").as("e"))
+      val terms = sp.crossJoin(broadcast(nn))
+        .withColumn("term_micro",
+          expr("""(1000 * o - e * n) * (1000 * o - e * n) * 1000000
+                 |  div (1000 * e * n)""".stripMargin))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sm = terms.agg(sum(col("term_micro")).cast(dec).as("chi2_micro"))
+      terms.crossJoin(broadcast(sm))
+        .select(col("dg").as("digit"), col("o").cast("long").as("n"),
+          expr("CAST(o * 1000000 div n AS LONG)").as("obs_ppm"),
+          col("e").cast("long").as("exp_milli"),
+          col("term_micro").cast("long").as("term_micro"),
+          col("chi2_micro").cast("long").as("chi2_micro"),
+          (col("chi2_micro") > lit(15507000L).cast(dec)).as("significant"))
+        .orderBy(col("digit"))
+    }
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -1859,6 +1931,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
+    q316BenfordAudit,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

@@ -421,6 +421,129 @@ object Fuzzy {
       .orderBy(col("name_a"), col("name_b"))
   }
 
-  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution,
+  /** q314: Fellegi–Sunter record-linkage scoring — the DECISION layer the
+    * ER family lacked: q105/q288 generate candidate pairs and q179 links
+    * on a hard distance cutoff, but production linkage weighs EACH
+    * compared field by how discriminating it is. The FS model scores a
+    * pair by Σ_f ln(m_f/u_f) over agreeing fields f plus
+    * Σ ln((1−m_f)/(1−u_f)) over disagreeing ones, then thresholds into
+    * link / possible / nonlink.
+    *
+    * Parameters: m (P[agree | same entity]) are stated literals per field
+    * (no labeled truth exists in synthetic data; production fits them by
+    * EM); u (P[agree | random pair]) is ESTIMATED FROM THE DATA as the
+    * collision mass Σc_v²/N² of each field's value histogram — exactly
+    * the estimator Fellegi–Sunter's original paper proposes when only
+    * the file itself is available. The size field's banded agreement
+    * (|Δ|≤2) uses the banded collision mass via a ±2-offset equi-join of
+    * the size histogram with itself.
+    *
+    * Exactness: every u is one IEEE division of exactly-computed BIGINTs;
+    * each weight is round(ln(·),9) (the repo's portable-libm idiom) cast
+    * DECIMAL(18,9); the pattern score is an exact decimal sum surfaced
+    * as nano-units. Output is at AGREEMENT-PATTERN grain (≤2³ rows) —
+    * the classic FS pattern table — so nothing row-grain ever leaves the
+    * executors.
+    *
+    * Scale shape: blocking on (noun, brand) bounds candidate volume by
+    * Σ_block |block|² with data-bounded blocks; the three u-scalars are
+    * 1-row broadcasts; histograms are map-side combined. At 100 TB the
+    * block key would widen (add a sorted-neighborhood window, q288) —
+    * the scoring layer is unchanged. */
+  val q314FsLinkage: Q = {
+    def wAgree(m: String, c2: String) =
+      s"CAST(round(ln($m / (CAST($c2 AS DOUBLE) / CAST(n * n AS DOUBLE))), 9) AS DECIMAL(18,9))"
+    def wDis(m1: String, c2: String) =
+      s"CAST(round(ln($m1 / (1.0 - CAST($c2 AS DOUBLE) / CAST(n * n AS DOUBLE))), 9) AS DECIMAL(18,9))"
+    // (alias, expression) pairs — ONE list renders both engines' weight
+    // columns, so the six ln terms can never drift apart.
+    val wExprs: Seq[(String, String)] = Seq(
+      "wa_adj" -> wAgree("0.95", "c2a"), "wd_adj" -> wDis("0.05", "c2a"),
+      "wa_typ" -> wAgree("0.90", "c2t"), "wd_typ" -> wDis("0.10", "c2t"),
+      "wa_sz" -> wAgree("0.80", "c2s"), "wd_sz" -> wDis("0.20", "c2s"))
+    val wCols = wExprs.map { case (a, e) => s"$e AS $a" }.mkString(",\n")
+    val scoreExpr =
+      """CASE WHEN adj_agree THEN wa_adj ELSE wd_adj END
+        | + CASE WHEN type_agree THEN wa_typ ELSE wd_typ END
+        | + CASE WHEN size_agree THEN wa_sz ELSE wd_sz END""".stripMargin
+    Q(
+      "q314_fs_linkage",
+      s"""WITH p AS (SELECT p_partkey AS id,
+         |                  string_split(p_name, ' ')[1] AS adj,
+         |                  string_split(p_name, ' ')[2] AS noun,
+         |                  p_brand AS brand, p_type AS typ,
+         |                  CAST(p_size AS BIGINT) AS sz
+         |           FROM part),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM p),
+         |ua AS (SELECT CAST(sum(c * c) AS BIGINT) AS c2a
+         |       FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM p GROUP BY adj) t),
+         |ut AS (SELECT CAST(sum(c * c) AS BIGINT) AS c2t
+         |       FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM p GROUP BY typ) t),
+         |sh AS (SELECT sz, CAST(count(*) AS BIGINT) AS c FROM p GROUP BY sz),
+         |us AS (SELECT CAST(sum(a.c * b.c) AS BIGINT) AS c2s
+         |       FROM sh a CROSS JOIN range(-2, 3) d(d)
+         |            JOIN sh b ON b.sz = a.sz + d.d),
+         |w AS (SELECT $wCols FROM nn, ua, ut, us),
+         |cand AS (SELECT a.id AS id_a, b.id AS id_b,
+         |                a.adj = b.adj AS adj_agree,
+         |                a.typ = b.typ AS type_agree,
+         |                abs(a.sz - b.sz) <= 2 AS size_agree
+         |         FROM p a JOIN p b
+         |           ON a.noun = b.noun AND a.brand = b.brand AND a.id < b.id),
+         |pat AS (SELECT adj_agree, type_agree, size_agree,
+         |               CAST(count(*) AS BIGINT) AS n_pairs
+         |        FROM cand GROUP BY 1, 2, 3)
+         |SELECT adj_agree, type_agree, size_agree, n_pairs,
+         |       CAST(CAST(($scoreExpr) AS DECIMAL(30,9)) * 1000000000 AS BIGINT) AS weight_nano,
+         |       CASE WHEN CAST(CAST(($scoreExpr) AS DECIMAL(30,9)) * 1000000000 AS BIGINT)
+         |                  >= 2000000000 THEN 'link'
+         |            WHEN CAST(CAST(($scoreExpr) AS DECIMAL(30,9)) * 1000000000 AS BIGINT)
+         |                  >= 0 THEN 'possible'
+         |            ELSE 'nonlink' END AS decision
+         |FROM pat, w
+         |ORDER BY weight_nano DESC, adj_agree, type_agree, size_agree""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "part").select(
+        col("p_partkey").as("id"),
+        element_at(split(col("p_name"), " "), 1).as("adj"),
+        element_at(split(col("p_name"), " "), 2).as("noun"),
+        col("p_brand").as("brand"), col("p_type").as("typ"),
+        col("p_size").cast("long").as("sz")).persist(MEMORY_AND_DISK)
+      val nn = p.agg(count(lit(1)).cast("long").as("n"))
+      def c2(cname: String, out: String): DataFrame =
+        p.groupBy(col(cname)).agg(count(lit(1)).cast("long").as("c"))
+          .agg(sum(col("c") * col("c")).cast("long").as(out))
+      val sh = p.groupBy(col("sz")).agg(count(lit(1)).cast("long").as("c"))
+      val us = sh.select(col("sz").as("sza"), col("c").as("ca"))
+        .withColumn("d", explode(expr("sequence(-2, 2)")))
+        .join(sh, col("sz") === col("sza") + col("d"))
+        .agg(sum(col("ca") * col("c")).cast("long").as("c2s"))
+      val w = nn.crossJoin(c2("adj", "c2a")).crossJoin(c2("typ", "c2t"))
+        .crossJoin(us)
+        .select(wExprs.map { case (a, e) => expr(e).as(a) }: _*)
+      val a = p.select(col("id").as("id_a"), col("noun"), col("brand"),
+        col("adj").as("adj_a"), col("typ").as("typ_a"), col("sz").as("sz_a"))
+      val b = p.select(col("id").as("id_b"), col("noun"), col("brand"),
+        col("adj").as("adj_b"), col("typ").as("typ_b"), col("sz").as("sz_b"))
+      val pat = a.join(b, Seq("noun", "brand"))
+        .filter(col("id_a") < col("id_b"))
+        .select((col("adj_a") === col("adj_b")).as("adj_agree"),
+          (col("typ_a") === col("typ_b")).as("type_agree"),
+          (abs(col("sz_a") - col("sz_b")) <= 2).as("size_agree"))
+        .groupBy(col("adj_agree"), col("type_agree"), col("size_agree"))
+        .agg(count(lit(1)).cast("long").as("n_pairs"))
+      pat.crossJoin(broadcast(w))
+        .withColumn("weight_nano",
+          expr(s"CAST(CAST(($scoreExpr) AS DECIMAL(30,9)) * 1000000000 AS LONG)"))
+        .select(col("adj_agree"), col("type_agree"), col("size_agree"),
+          col("n_pairs"), col("weight_nano"),
+          expr("""CASE WHEN weight_nano >= 2000000000 THEN 'link'
+                 |     WHEN weight_nano >= 0 THEN 'possible'
+                 |     ELSE 'nonlink' END""".stripMargin).as("decision"))
+        .orderBy(col("weight_nano").desc, col("adj_agree"),
+          col("type_agree"), col("size_agree"))
+    }
+  }
+
+  val all: Seq[Q] = Seq(q105FuzzyNameMatch, q110SetSimJoin, q179EntityResolution, q314FsLinkage,
     q189ContainmentJoin, q288SortedNeighborhood)
 }
