@@ -918,7 +918,78 @@ object Curation {
     }
   }
 
+  /** q318: benchmark decontamination — the eval-integrity gate every
+    * training-data pipeline runs before a model ships: any training
+    * document sharing an n-gram with a HELD-OUT benchmark document is
+    * purged, because a single memorized eval passage invalidates the
+    * benchmark. The benchmark here is the deterministic 5% hash sample
+    * (production substitutes the real eval sets); the collision grain is
+    * the dedup family's word 3-gram shingle (production uses 13-grams on
+    * longer documents — same plan, one constant). Note the ASYMMETRY vs
+    * near-dup dedup (q35): ONE shared shingle purges — contamination is
+    * a containment question, not a similarity one, so there is no
+    * Jaccard threshold to tune and no LSH recall to lose; the exact
+    * semi-join is the whole algorithm.
+    *
+    * Scale shape: the benchmark shingle set is ~5% of corpus shingles,
+    * distinct-reduced (map-side combined) and broadcastable at any
+    * corpus size where evals are eval-sized; the purge is then one
+    * broadcast LEFT SEMI join against the training shingle stream —
+    * no shuffle of the training corpus at all. Per-source rollup
+    * surfaces WHERE contamination concentrates (the actionable view:
+    * a crawl source that quotes benchmarks gets down-weighted at the
+    * mixture stage, q86). */
+  val q318Decontaminate: Q = Q(
+    "q318_decontaminate",
+    s"""WITH b0 AS (SELECT doc_id, text, source,
+       |                   md5(CAST(doc_id AS VARCHAR) || '-graft-bench') AS m
+       |            FROM documents),
+       |b AS (SELECT doc_id, text, source,
+       |             (${PortableHash.pctBucket("m", "strpos")}) < 5 AS is_bench
+       |      FROM b0),
+       |w AS (SELECT doc_id, is_bench, string_split(text, ' ') AS ws
+       |      FROM b WHERE text IS NOT NULL),
+       |shl AS (SELECT doc_id, is_bench, unnest(${Dedup.duckShingles}) AS sh
+       |        FROM w),
+       |bsh AS (SELECT DISTINCT sh FROM shl WHERE is_bench),
+       |cont AS (SELECT DISTINCT doc_id FROM shl
+       |         WHERE NOT is_bench AND sh IN (SELECT sh FROM bsh))
+       |SELECT b.source, CAST(count(*) AS BIGINT) AS n_train,
+       |       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+       |         AS n_contaminated,
+       |       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       CAST(sum(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END) * 1000000
+       |              // count(*) AS BIGINT) AS contaminated_ppm
+       |FROM b LEFT JOIN cont c ON c.doc_id = b.doc_id
+       |WHERE NOT b.is_bench
+       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val flags = Tables(s, dir, "documents")
+      .withColumn("m", md5(concat(col("doc_id").cast("string"), lit("-graft-bench"))))
+      .select(col("doc_id"), col("source"),
+        (expr(PortableHash.pctBucket("m", "instr")) < 5).as("is_bench"))
+      .persist(MEMORY_AND_DISK)
+    val sh = Dedup.shingleRows(s, dir).join(flags.select(col("doc_id"), col("is_bench")), "doc_id")
+    val bsh = sh.filter(col("is_bench")).select(col("sh")).distinct()
+    val cont = sh.filter(!col("is_bench"))
+      .join(broadcast(bsh), Seq("sh"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .withColumn("hit", lit(1L))
+    flags.filter(!col("is_bench"))
+      .join(cont, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("hit").isNull, 0L).otherwise(1L)).as("n_contaminated"),
+        sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("source"), col("n_train"), col("n_contaminated"), col("n_kept"),
+        expr("CAST(n_contaminated * 1000000 div n_train AS LONG)")
+          .as("contaminated_ppm"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[Q] = Seq(
+    q318Decontaminate,
     q69PiiRedact, q70TokenDiversity, q72ChunkDedup, q73PmiBigrams,
     q76TextClean, q77QualityGate, q78DomainCap, q83TrainingManifest,
     q98QualityDrift, q135KsDrift, q250LDiversity, q266DsirSelection,

@@ -780,8 +780,98 @@ object Training {
     }
   }
 
+  /** q317: near-dup-cluster-safe fold assignment — closes the leakage
+    * family's real gap: q134 audits user/temporal leakage and q187 folds
+    * by source, but the leak that actually poisons LLM evals is
+    * NEAR-DUPLICATE TEXT straddling train/test — a doc-hash split puts
+    * ~(1−1/k) of every near-dup pair's mass across the boundary. The fix
+    * is to key the fold on the document's dedup CLUSTER id (the LSH
+    * candidate graph's component min, q47's labels; singletons key on
+    * themselves), so every near-dup pair lands in one fold BY
+    * CONSTRUCTION. The query both assigns and PROVES: leaked_pairs
+    * (candidate pairs whose endpoints' folds differ) is 0 under
+    * cluster keying and >0 under the naive doc hash on the same corpus,
+    * with min/max fold sizes showing cluster keying costs no balance.
+    *
+    * Scale shape: the pair generator and labels are the dedup family's
+    * shared machinery (LSH-blocked, never all-pairs; labels via the
+    * guarded driver-union-find/distributed-CC tier). Fold assignment is
+    * a stateless hash — adding tomorrow's corpus re-keys nothing (the
+    * q49 property), EXCEPT docs whose cluster grows a new min member;
+    * production pins cluster reps in a store (q244's labels) to freeze
+    * that too. Leak counting is two hash-joins of the pair list against
+    * the broadcastable fold table. */
+  val q317ClusterSafeSplit: Q = {
+    def foldOf(tbl: String, keyExpr: String, posFn: String): String =
+      s"""(SELECT doc_id,
+         |        (${PortableHash.hexHeadToLong("m", posFn)}) % 5 AS fold
+         | FROM (SELECT doc_id,
+         |              md5(CAST($keyExpr AS VARCHAR) || '-graft-csplit') AS m
+         |       FROM $tbl))""".stripMargin
+    Q(
+      "q317_cluster_safe_split",
+      s"""WITH RECURSIVE ${Dedup.duckLshPairCtes},
+         |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach AS (SELECT u, v FROM edges
+         |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+         |lab AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |        FROM reach GROUP BY u),
+         |d AS (SELECT doc.doc_id, COALESCE(lab.cluster_id, doc.doc_id) AS cl
+         |      FROM documents doc LEFT JOIN lab ON lab.doc_id = doc.doc_id),
+         |fc AS ${foldOf("d", "cl", "strpos")},
+         |fd AS ${foldOf("d", "doc_id", "strpos")},
+         |szc AS (SELECT fold, CAST(count(*) AS BIGINT) AS n FROM fc GROUP BY 1),
+         |szd AS (SELECT fold, CAST(count(*) AS BIGINT) AS n FROM fd GROUP BY 1),
+         |lc AS (SELECT CAST(count(*) AS BIGINT) AS leaked FROM pairs p
+         |       JOIN fc a ON a.doc_id = p.doc_a
+         |       JOIN fc b ON b.doc_id = p.doc_b WHERE a.fold <> b.fold),
+         |ld AS (SELECT CAST(count(*) AS BIGINT) AS leaked FROM pairs p
+         |       JOIN fd a ON a.doc_id = p.doc_a
+         |       JOIN fd b ON b.doc_id = p.doc_b WHERE a.fold <> b.fold)
+         |SELECT 'cluster_keyed' AS method,
+         |       (SELECT min(n) FROM szc) AS fold_min_docs,
+         |       (SELECT max(n) FROM szc) AS fold_max_docs,
+         |       (SELECT leaked FROM lc) AS leaked_pairs
+         |UNION ALL
+         |SELECT 'doc_hash',
+         |       (SELECT min(n) FROM szd), (SELECT max(n) FROM szd),
+         |       (SELECT leaked FROM ld)
+         |ORDER BY method""".stripMargin) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = Dedup.lshCandidatePairs(s, dir)
+        .select(col("doc_a"), col("doc_b")).persist(MEMORY_AND_DISK)
+      val labels = Fuzzy.resolveClusters(s, pairs)
+      val d = Tables(s, dir, "documents").select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cl"))
+        .persist(MEMORY_AND_DISK)
+      def foldDf(keyCol: String): DataFrame = d
+        .withColumn("m",
+          md5(concat(col(keyCol).cast("string"), lit("-graft-csplit"))))
+        .select(col("doc_id"),
+          (expr(PortableHash.hexHeadToLong("m", "instr")) % 5).as("fold"))
+        .persist(MEMORY_AND_DISK)
+      def methodRow(name: String, f: DataFrame): DataFrame = {
+        val sz = f.groupBy(col("fold")).agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("fold_min_docs"), max(col("n")).as("fold_max_docs"))
+        val leaked = pairs
+          .join(f.select(col("doc_id").as("doc_a"), col("fold").as("fa")), "doc_a")
+          .join(f.select(col("doc_id").as("doc_b"), col("fold").as("fb")), "doc_b")
+          .filter(col("fa") =!= col("fb"))
+          .agg(count(lit(1)).as("leaked_pairs"))
+        sz.crossJoin(leaked).select(lit(name).as("method"),
+          col("fold_min_docs"), col("fold_max_docs"), col("leaked_pairs"))
+      }
+      methodRow("cluster_keyed", foldDf("cl"))
+        .unionAll(methodRow("doc_hash", foldDf("doc_id")))
+        .orderBy(col("method"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
-    q273WeightedSample,
+    q273WeightedSample, q317ClusterSafeSplit,
     q240BudgetAllocation, q245TemperatureMix, q251EpochExpansion,
     q49SplitAssign, q56StratifiedSample, q57ReservoirSample, q58VocabTopK,
     q59PackSequences, q75OovRate, q86MixWeights, q115TokenBudget,
