@@ -2593,7 +2593,7 @@ object Events {
       |km AS (SELECT t, n, d, c,
       |              CAST(CAST(round(ln(CAST(n - d AS DOUBLE)
       |                                 / CAST(n AS DOUBLE)), 9)
-      |                     AS DECIMAL(18,9)) * 1000000000 AS BIGINT)
+      |                     AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
       |                AS step_log_nano
       |       FROM steps WHERE d > 0 AND n > d)
       |SELECT t AS t_weeks, n AS n_risk, d AS d_churn, c AS c_censored,
@@ -2617,7 +2617,7 @@ object Events {
     val km = steps.filter(col("d") > 0 && col("n") > col("d"))
       .withColumn("step_log_nano",
         expr("""CAST(CAST(round(ln(CAST(n - d AS DOUBLE) / CAST(n AS DOUBLE)), 9)
-               |     AS DECIMAL(18,9)) * 1000000000 AS LONG)""".stripMargin))
+               |     AS DECIMAL(28,9)) * 1000000000 AS LONG)""".stripMargin))
     km.select(col("t").as("t_weeks"), col("n").as("n_risk"),
         col("d").as("d_churn"), col("c").as("c_censored"), col("step_log_nano"),
         sum(col("step_log_nano")).over(Window.orderBy(col("t")))

@@ -1755,6 +1755,185 @@ object Extended {
     }
   }
 
+  /** q319: SPRT sequential monitor — the SEQUENTIAL leg of the
+    * experimentation tier: q166/q304/q309 are fixed-horizon tests (peek
+    * early and the α inflates); Wald's sequential probability ratio test
+    * is the classic always-valid monitor — after each day, accumulate
+    * the log-likelihood ratio of H1 (purchase share p1=0.22) vs H0
+    * (p0=0.18) and stop the moment it crosses ln((1−β)/α) (accept H1) or
+    * ln(β/(1−α)) (accept H0), α=β=0.05.
+    *
+    * Exactness: the two per-observation LLR increments ln(p1/p0) and
+    * ln((1−p1)/(1−p0)) are constants — round(ln(·),9) literals in both
+    * renderings (the portable-libm idiom) carried as exact nano-units,
+    * so each day's LLR is x·L1 + (n−x)·L0 in pure BIGINT (promote to
+    * DECIMAL(38,0) beyond ~10⁹ daily events) and the running total is an
+    * integer window sum over the day table. The published decision per
+    * day is an integer compare against the nano-unit boundaries.
+    *
+    * Scale shape: one map-side-combined day rollup, then a global window
+    * over ≤ calendar-span rows (bounded reduction, audited). The
+    * streaming twin would fold the same day rollup per trigger. */
+  val q319SprtMonitor: Q = {
+    val l1 = "CAST(CAST(round(ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val l0 = "CAST(CAST(round(ln(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val up = "CAST(CAST(round(ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val lo = "CAST(CAST(round(ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    Q(
+      "q319_sprt_monitor",
+      s"""WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |                  CAST(count(*) AS BIGINT) AS n,
+         |                  CAST(sum(CASE WHEN event_type = 'purchase'
+         |                                THEN 1 ELSE 0 END) AS BIGINT) AS x
+         |           FROM events GROUP BY 1),
+         |l AS (SELECT day, n, x, x * ($l1) + (n - x) * ($l0) AS llr_day_nano
+         |      FROM d),
+         |c AS (SELECT day, n, x, llr_day_nano,
+         |             CAST(sum(llr_day_nano) OVER (ORDER BY day) AS BIGINT)
+         |               AS cum_llr_nano
+         |      FROM l)
+         |SELECT day, n, x, llr_day_nano, cum_llr_nano,
+         |       CASE WHEN cum_llr_nano >= ($up) THEN 'accept_h1'
+         |            WHEN cum_llr_nano <= ($lo) THEN 'accept_h0'
+         |            ELSE 'continue' END AS decision
+         |FROM c ORDER BY day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "events")
+        .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("x"))
+      d.withColumn("llr_day_nano", expr(s"x * ($l1) + (n - x) * ($l0)"))
+        .withColumn("cum_llr_nano",
+          sum(col("llr_day_nano")).over(Window.orderBy(col("day"))).cast("long"))
+        .withColumn("decision",
+          expr(s"""CASE WHEN cum_llr_nano >= ($up) THEN 'accept_h1'
+                  |     WHEN cum_llr_nano <= ($lo) THEN 'accept_h0'
+                  |     ELSE 'continue' END""".stripMargin))
+        .orderBy(col("day"))
+    }
+  }
+
+  /** q320: empirical-Bayes rate shrinkage — the small-sample estimation
+    * leg the segment-analytics tier lacked: a raw per-segment rate from
+    * 40 observations swings wildly; the production fix is to shrink every
+    * segment toward the global rate with a pseudo-count prior,
+    * shrunk = (x + K·m)/(n + K) (a Beta(K·m, K·(1−m)) posterior mean) —
+    * segments with little data ride the prior, big segments keep their
+    * own signal. K=100 is a stated literal; production fits it by
+    * method-of-moments on the segment-rate variance (same plan, two more
+    * moments).
+    *
+    * Exactness: m = X/N is a ratio of exact counts, so
+    * shrunk = (x·N + K·X)/(N·(n+K)) is ONE rational — published
+    * micro-floored (both engines floor identically on positive ints).
+    * Shrinkage magnitude (raw−shrunk) is surfaced so the mover segments
+    * are visible. Products stay ≤ N²·10⁶ — BIGINT to ~10⁶ rows per
+    * side, DECIMAL(38,0)/HUGEINT far beyond.
+    *
+    * Scale shape: one map-side-combined segment rollup + a 1-row global
+    * broadcast; nothing else moves. */
+  val q320EbShrinkage: Q = Q(
+    "q320_eb_shrinkage",
+    """WITH seg AS (SELECT c.c_mktsegment AS segment, c.c_nationkey AS nation,
+      |                    CAST(count(*) AS HUGEINT) AS n,
+      |                    CAST(sum(CASE WHEN o.o_orderstatus = 'F'
+      |                                  THEN 1 ELSE 0 END) AS HUGEINT) AS x
+      |             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |             GROUP BY 1, 2),
+      |g AS (SELECT CAST(sum(n) AS HUGEINT) AS nn,
+      |             CAST(sum(x) AS HUGEINT) AS xx FROM seg)
+      |SELECT segment, nation, CAST(n AS BIGINT) AS n, CAST(x AS BIGINT) AS x,
+      |       CAST(x * 1000000 // n AS BIGINT) AS raw_ppm,
+      |       CAST((x * nn + 100 * xx) * 1000000 // (nn * (n + 100)) AS BIGINT)
+      |         AS shrunk_ppm,
+      |       CAST(x * 1000000 // n
+      |            - (x * nn + 100 * xx) * 1000000 // (nn * (n + 100))
+      |         AS BIGINT) AS shift_ppm
+      |FROM seg, g
+      |ORDER BY segment, nation""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val seg = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"), col("c_nationkey").as("nation"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).cast(dec).as("x"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = seg.agg(sum(col("n")).cast(dec).as("nn"), sum(col("x")).cast(dec).as("xx"))
+    seg.crossJoin(broadcast(g))
+      .select(col("segment"), col("nation"),
+        col("n").cast("long").as("n"), col("x").cast("long").as("x"),
+        expr("CAST(x * 1000000 div n AS LONG)").as("raw_ppm"),
+        expr("CAST((x * nn + 100 * xx) * 1000000 div (nn * (n + 100)) AS LONG)")
+          .as("shrunk_ppm"),
+        expr("""CAST(x * 1000000 div n
+               |     - (x * nn + 100 * xx) * 1000000 div (nn * (n + 100))
+               |  AS LONG)""".stripMargin).as("shift_ppm"))
+      .orderBy(col("segment"), col("nation"))
+  }
+
+  /** q321: experiment design audit (power / sample size) — the PLANNING
+    * leg of the experimentation tier: q166/q304/q305/q309/q319 all
+    * ANALYZE a finished experiment; the question a team asks FIRST is
+    * "how long must we run to detect a 2-point lift at this traffic
+    * level". Two-proportion test at α=0.05 two-sided, power 0.8:
+    * n_per_arm = (z_{0.975}+z_{0.8})²·2p(1−p)/Δ² with
+    * (z₁+z₂)² = 7.848886 stated micro-literal, Δ=0.02 absolute.
+    *
+    * Exactness: p(1−p) = X(N−X)/N² from exact counts, so
+    * n_needed = ⌈7848886·2·2500·X(N−X)/(N²·10⁶)⌉ is one integer ceiling
+    * division ((num+den−1)//den, identical in both engines on positive
+    * ints); per-allocation daily arm volume and days-to-detect are the
+    * same construction. One row per candidate traffic allocation
+    * (10/50/100%, 50-50 split).
+    *
+    * Scale shape: a 1-row corpus rollup cross-joined with a 3-row
+    * literal spine — constant-size everywhere past the scan. */
+  val q321PowerDesign: Q = Q(
+    "q321_power_design",
+    """WITH g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |                  CAST(sum(CASE WHEN event_type = 'purchase'
+      |                                THEN 1 ELSE 0 END) AS HUGEINT) AS x,
+      |                  CAST(count(DISTINCT CAST(floor(epoch(ts)) AS BIGINT)
+      |                             // 86400) AS HUGEINT) AS d
+      |           FROM events),
+      |a AS (SELECT CAST(alloc AS BIGINT) AS alloc_pct
+      |      FROM (VALUES (10), (50), (100)) t(alloc)),
+      |k AS (SELECT a.alloc_pct, g.n, g.x, g.d,
+      |             39244430000 * g.x * (g.n - g.x) AS num,
+      |             g.n * g.n * 1000000 AS den
+      |      FROM a, g)
+      |SELECT alloc_pct,
+      |       CAST(n // d AS BIGINT) AS daily_events,
+      |       CAST(n * alloc_pct // (200 * d) AS BIGINT) AS daily_per_arm,
+      |       CAST(x * 1000000 // n AS BIGINT) AS p_ppm,
+      |       CAST((num + den - 1) // den AS BIGINT) AS n_needed_per_arm,
+      |       CAST(((num + den - 1) // den * 200 * d + n * alloc_pct - 1)
+      |              // (n * alloc_pct) AS BIGINT) AS days_to_detect
+      |FROM k ORDER BY alloc_pct""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val g = Tables(s, dir, "events")
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .cast(dec).as("x"),
+        countDistinct(expr("unix_timestamp(ts) div 86400")).cast(dec).as("d"))
+    val a = s.range(0, 3).select(
+      expr("CAST(element_at(array(10, 50, 100), CAST(id AS INT) + 1) AS LONG)")
+        .as("alloc_pct"))
+    a.crossJoin(broadcast(g))
+      .withColumn("num", expr(s"CAST(39244430000 AS $dec) * x * (n - x)"))
+      .withColumn("den", expr(s"n * n * CAST(1000000 AS $dec)"))
+      .select(col("alloc_pct"),
+        expr("CAST(n div d AS LONG)").as("daily_events"),
+        expr("CAST(n * alloc_pct div (200 * d) AS LONG)").as("daily_per_arm"),
+        expr("CAST(x * 1000000 div n AS LONG)").as("p_ppm"),
+        expr("CAST((num + den - 1) div den AS LONG)").as("n_needed_per_arm"),
+        expr("""CAST(((num + den - 1) div den * 200 * d + n * alloc_pct - 1)
+               |  div (n * alloc_pct) AS LONG)""".stripMargin)
+          .as("days_to_detect"))
+      .orderBy(col("alloc_pct"))
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -1931,7 +2110,7 @@ object Extended {
   val all: Seq[Q] = Seq(
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
-    q316BenfordAudit,
+    q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
