@@ -1773,12 +1773,28 @@ object Extended {
     *
     * Scale shape: one map-side-combined day rollup, then a global window
     * over ≤ calendar-span rows (bounded reduction, audited). The
-    * streaming twin would fold the same day rollup per trigger. */
+    * streaming twin is [[graft.streaming.StreamGate.q322StreamSprt]],
+    * folding the same totals per trigger from a replay-total store. */
+  /** SPRT nano-unit constants, shared by q319 and the streaming q322 so
+    * the two gates can never drift: per-observation LLR increments for
+    * H1 p1=0.22 vs H0 p0=0.18, and the α=β=0.05 Wald boundaries. The
+    * literals are CAST to DOUBLE before dividing — bare decimal literals
+    * divide under DECIMAL rules whose precision differs across engines. */
+  private[graft] val SprtL1 = "CAST(CAST(round(ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+  private[graft] val SprtL0 = "CAST(CAST(round(ln(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+  private[graft] val SprtUp = "CAST(CAST(round(ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+  private[graft] val SprtLo = "CAST(CAST(round(ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+  /** The SPRT decision CASE over a `cum_llr_nano` column (shared). */
+  private[graft] val SprtDecision =
+    s"""CASE WHEN cum_llr_nano >= ($SprtUp) THEN 'accept_h1'
+       |     WHEN cum_llr_nano <= ($SprtLo) THEN 'accept_h0'
+       |     ELSE 'continue' END""".stripMargin
+
   val q319SprtMonitor: Q = {
-    val l1 = "CAST(CAST(round(ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
-    val l0 = "CAST(CAST(round(ln(CAST(0.78 AS DOUBLE) / CAST(0.82 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
-    val up = "CAST(CAST(round(ln(CAST(0.95 AS DOUBLE) / CAST(0.05 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
-    val lo = "CAST(CAST(round(ln(CAST(0.05 AS DOUBLE) / CAST(0.95 AS DOUBLE)), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val l1 = SprtL1
+    val l0 = SprtL0
+    val up = SprtUp
+    val lo = SprtLo
     Q(
       "q319_sprt_monitor",
       s"""WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,

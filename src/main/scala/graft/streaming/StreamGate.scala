@@ -1689,7 +1689,92 @@ object StreamGate {
       .orderBy(col("nationkey"))
   }
 
+  /** q322: STREAMING SPRT — q319's sequential test in its native
+    * habitat: the monitor's whole point is deciding DURING the run, so
+    * the honest gate replays the corpus as five chronological 6-day
+    * slices through one foreachBatch and emits a (totals, cumulative
+    * LLR, decision) row PER TRIGGER. Cumulative LLR is additive
+    * (Σ_day x·L1+(n−x)·L0 = X·L1+(N−X)·L0), so per-trigger state is the
+    * batch's 1-row (n, x) rollup appended to a replay-total store
+    * ([[committedBatchesBefore]] — strict <id reads keep redelivery
+    * idempotent); no row-grain state exists anywhere. Constants are the
+    * SHARED [[graft.ops.Extended.SprtL1]] family, so the batch and
+    * streaming gates cannot drift. The oracle renders the same five
+    * slices arithmetically ((day − min)/6) and cumulates with a window —
+    * equality proves the trigger-time decisions match what a batch
+    * re-analysis would have said at each horizon.
+    *
+    * Per-trigger cost: one map-side-combined 1-row aggregate over the
+    * batch plus a ≤id-row store read — O(batch) at any scale. */
+  val q322StreamSprt: Q = Q(
+    "q322_stream_sprt",
+    s"""WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+       |                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+       |           FROM events),
+       |m AS (SELECT min(day) AS mind FROM d),
+       |h AS (SELECT least((day - mind) // 6, 4) AS step,
+       |             CAST(count(*) AS BIGINT) AS dn,
+       |             CAST(sum(p) AS BIGINT) AS dx
+       |      FROM d, m GROUP BY 1),
+       |c AS (SELECT step,
+       |             CAST(sum(dn) OVER (ORDER BY step) AS BIGINT) AS n,
+       |             CAST(sum(dx) OVER (ORDER BY step) AS BIGINT) AS x
+       |      FROM h),
+       |k AS (SELECT step, n, x,
+       |             x * (${graft.ops.Extended.SprtL1})
+       |               + (n - x) * (${graft.ops.Extended.SprtL0}) AS cum_llr_nano
+       |      FROM c)
+       |SELECT step, n, x, cum_llr_nano,
+       |       ${graft.ops.Extended.SprtDecision} AS decision
+       |FROM k ORDER BY step""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q322-")
+    val ev = Tables(s, dir, "events")
+      .select(expr("unix_timestamp(ts) div 86400").as("day"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"))
+    val minDay = ev.agg(min(col("day"))).collect()(0).getLong(0)
+    // Five 6-day slices; any trailing span beyond day 29 clamps into the
+    // last slice — the oracle applies the identical least(...) clamp.
+    val topic = (0 to 4).map { slice =>
+      ev.filter(expr(s"least((day - ${minDay}L) div 6, 4L)") === slice)
+    }
+    val in = stageOrderedBatches(work, topic)
+    val acc = work.resolve("acc").toString
+    val out = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(topic.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val d1 = batch.agg(count(lit(1)).as("dn"), sum(col("p")).as("dx"))
+          val prev = committedBatchesBefore(sb, acc, id, d1.limit(0))
+          prev.unionByName(d1)
+            .agg(sum(col("dn")).as("n"), sum(col("dx")).as("x"))
+            .select(lit(id).as("step"), col("n"), col("x"),
+              expr(s"x * (${graft.ops.Extended.SprtL1})"
+                + s" + (n - x) * (${graft.ops.Extended.SprtL0})")
+                .as("cum_llr_nano"))
+            .withColumn("decision", expr(graft.ops.Extended.SprtDecision))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=$id")
+          d1.coalesce(1).write.mode("overwrite").parquet(s"$acc/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    committedBatchesBefore(s, out, Long.MaxValue,
+        s.range(0).select(lit(0L).as("step"), lit(0L).as("n"), lit(0L).as("x"),
+          lit(0L).as("cum_llr_nano"), lit("").as("decision")))
+      .orderBy(col("step"))
+  }
+
   val all: Seq[Q] = Seq(
+    q322StreamSprt,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
