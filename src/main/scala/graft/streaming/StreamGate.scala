@@ -1747,7 +1747,12 @@ object StreamGate {
       .foreachBatch {
         (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           val sb = batch.sparkSession
-          val d1 = batch.agg(count(lit(1)).as("dn"), sum(col("p")).as("dx"))
+          // coalesce: an empty trigger's sum() is NULL and would poison
+          // every later cumulative total (the slices are non-empty by
+          // construction here, but a replay-total store must not depend
+          // on that).
+          val d1 = batch.agg(count(lit(1)).as("dn"),
+            coalesce(sum(col("p")), lit(0L)).as("dx"))
           val prev = committedBatchesBefore(sb, acc, id, d1.limit(0))
           prev.unionByName(d1)
             .agg(sum(col("dn")).as("n"), sum(col("dx")).as("x"))
