@@ -796,6 +796,92 @@ object Events {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** q325: position-based (U-shaped) multi-touch attribution — the model
+    * upgrade over q151's linear split: marketing attribution credits the
+    * FIRST touch (discovery) and the LAST touch (conversion) 40% each and
+    * splits the middle 20% — the industry's U-shaped model. Degenerate
+    * path lengths renormalize exactly: m=1 → 100%, m=2 → 50/50.
+    *
+    * Exactness: weights are ppm integers by CASE; each touch's credit is
+    * floor(v·w/10⁶) and the FLOOR RESIDUAL v − Σfloor(·) goes to the
+    * first touch (q151's remainder discipline generalized — credits sum
+    * to v exactly, so total credited cents ≡ total purchase cents, an
+    * invariant both engines enforce identically). Middle weight uses
+    * 200000/(m−2) integer division; the resulting sub-ppm loss lands in
+    * the residual, not in a drifting float.
+    *
+    * The lookback is 7 DAYS (q151 uses 30 minutes): the synthetic stream
+    * has no multi-click half-hours, and an attribution MODEL gate must
+    * actually execute its m>=3 branch — at 7 days paths reach length 10.
+    *
+    * Scale shape: q151's topology unchanged — the theta join blocks on
+    * user_id, windows partition by buy_id (path-bounded), the rollup is
+    * map-side combined. */
+  val q325PositionAttribution: Q = Q(
+    "q325_position_attribution",
+    """WITH p AS (
+      |  SELECT user_id, event_id AS buy_id, ts AS buy_ts,
+      |         CAST(round(value * 100) AS BIGINT) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.user_id, p.buy_id, p.v, c.click_id, c.click_ts
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |   AND p.buy_ts >= c.click_ts
+      |   AND p.buy_ts <= c.click_ts + INTERVAL 7 DAY),
+      |j2 AS (
+      |  SELECT *, count(*) OVER (PARTITION BY buy_id) AS m,
+      |         row_number() OVER (PARTITION BY buy_id
+      |                            ORDER BY click_ts, click_id) AS rn
+      |  FROM j),
+      |w AS (
+      |  SELECT *, CASE WHEN m = 1 THEN 1000000
+      |                 WHEN m = 2 THEN 500000
+      |                 WHEN rn = 1 OR rn = m THEN 400000
+      |                 ELSE 200000 // (m - 2) END AS w_ppm
+      |  FROM j2),
+      |f AS (
+      |  SELECT *, v * w_ppm // 1000000 AS c0,
+      |         v - sum(v * w_ppm // 1000000) OVER (PARTITION BY buy_id) AS resid
+      |  FROM w)
+      |SELECT user_id, click_id,
+      |       CAST(sum(c0 + CASE WHEN rn = 1 THEN resid ELSE 0 END) AS BIGINT)
+      |         AS credit_cents,
+      |       count(*) AS n_purchases
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(s, dir, "events")
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"),
+        col("ts").as("buy_ts"), round(col("value") * 100).cast("long").as("v"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val j = p.join(c, Seq("user_id"))
+      .filter(col("buy_ts") >= col("click_ts") &&
+        col("buy_ts") <= col("click_ts") + expr("INTERVAL 7 DAYS"))
+    val byBuy = Window.partitionBy(col("buy_id"))
+    val f = j
+      .withColumn("m", count(lit(1)).over(byBuy))
+      .withColumn("rn", row_number().over(
+        byBuy.orderBy(col("click_ts"), col("click_id"))))
+      .withColumn("w_ppm",
+        expr("""CASE WHEN m = 1 THEN 1000000
+               |     WHEN m = 2 THEN 500000
+               |     WHEN rn = 1 OR rn = m THEN 400000
+               |     ELSE 200000 div (m - 2) END""".stripMargin))
+      .withColumn("c0", expr("v * w_ppm div 1000000"))
+      .withColumn("resid", col("v") - sum(col("c0")).over(byBuy))
+    f.groupBy(col("user_id"), col("click_id"))
+      .agg(
+        sum(col("c0") + when(col("rn") === 1, col("resid")).otherwise(0L))
+          .cast("long").as("credit_cents"),
+        count(lit(1)).as("n_purchases"))
+      .orderBy(col("user_id"), col("click_id"))
+  }
+
   /** q155: Markov transition counts — the behavioral matrix behind
     * next-action prediction and anomaly scoring: within a session (same
     * 30-minute inactivity rule as q22), count (previous event_type →
@@ -2633,7 +2719,7 @@ object Events {
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
-      q307SeasonalAnomaly,
+      q307SeasonalAnomaly, q325PositionAttribution,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

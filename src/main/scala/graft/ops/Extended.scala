@@ -1950,6 +1950,168 @@ object Extended {
       .orderBy(col("alloc_pct"))
   }
 
+  /** q323: coarsened-exact-matching ATT — the OBSERVATIONAL leg of the
+    * experimentation tier: q166/q304/q305 analyze randomized assignment;
+    * when treatment is self-selected (here: "early adopter" = ordered in
+    * the first calendar year), a raw mean difference confounds treatment
+    * with who opts in. CEM coarsens covariates (market segment ×
+    * account-balance band), keeps only cells containing BOTH treated and
+    * control units, and estimates the average treatment effect on the
+    * treated as the treated-share-weighted per-cell mean difference —
+    * ATT = Σ_c (T_c/T)·(ȳᵀ_c − ȳᶜ_c).
+    *
+    * Exactness: outcome sums are exact cents; each cell's contribution
+    * ships floor((Yᵀ_c·C_c − T_c·Yᶜ_c)·10⁶ / (T·C_c)) — the per-cell
+    * micro-floor is the published contract (q311's discipline), so the
+    * ATT is reproducible to cell-count µ-units. Unmatched cells are
+    * SURFACED with matched=false and excluded from the estimate (the
+    * honesty column: how much support was pruned).
+    *
+    * Scale shape: one customer-grain rollup (map-side combined), one
+    * cell rollup, a 1-row treated-total broadcast. Nothing beyond cell
+    * grain shuffles. */
+  val q323CemAtt: Q = Q(
+    "q323_cem_att",
+    """WITH u AS (SELECT o_custkey AS cid,
+      |                  CAST(min(CAST(floor(epoch(o_orderdate)) AS BIGINT)
+      |                           // 86400) AS BIGINT) AS fday,
+      |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS y
+      |           FROM orders GROUP BY 1),
+      |m AS (SELECT min(fday) AS d0 FROM u),
+      |t AS (SELECT u.cid, u.y,
+      |             CASE WHEN u.fday < m.d0 + 365 THEN 1 ELSE 0 END AS treated
+      |      FROM u, m),
+      |cov AS (SELECT t.cid, t.y, t.treated, c.c_mktsegment AS seg,
+      |               CAST(round(c.c_acctbal) AS BIGINT) // 2000 AS bal_band
+      |        FROM t JOIN customer c ON c.c_custkey = t.cid),
+      |cells AS (SELECT seg, bal_band,
+      |                 CAST(sum(treated) AS HUGEINT) AS tc,
+      |                 CAST(sum(1 - treated) AS HUGEINT) AS cc,
+      |                 CAST(sum(CASE WHEN treated = 1 THEN y ELSE 0 END)
+      |                   AS HUGEINT) AS yt,
+      |                 CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END)
+      |                   AS HUGEINT) AS yc
+      |          FROM cov GROUP BY 1, 2),
+      |tt AS (SELECT CAST(sum(tc) AS HUGEINT) AS t_tot FROM cells
+      |       WHERE tc > 0 AND cc > 0),
+      |terms AS (SELECT seg, bal_band, tc, cc, yt, yc,
+      |                 tc > 0 AND cc > 0 AS matched,
+      |                 CASE WHEN tc > 0 AND cc > 0
+      |                      THEN (yt * cc - tc * yc) * 1000000
+      |                             // (tt.t_tot * cc)
+      |                      ELSE NULL END AS term_micro
+      |          FROM cells, tt),
+      |s AS (SELECT CAST(sum(term_micro) AS HUGEINT) AS att_micro FROM terms)
+      |SELECT terms.seg AS segment, terms.bal_band,
+      |       CAST(terms.tc AS BIGINT) AS n_treated,
+      |       CAST(terms.cc AS BIGINT) AS n_control,
+      |       terms.matched,
+      |       CAST(terms.term_micro AS BIGINT) AS term_micro,
+      |       CAST(s.att_micro AS BIGINT) AS att_micro
+      |FROM terms, s ORDER BY segment, bal_band""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val u = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cid"))
+      .agg(min(expr("unix_timestamp(o_orderdate) div 86400")).as("fday"),
+        sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("y"))
+    val m = u.agg(min(col("fday")).as("d0"))
+    val cov = u.crossJoin(broadcast(m))
+      .select(col("cid"), col("y"),
+        when(col("fday") < col("d0") + 365, 1L).otherwise(0L).as("treated"))
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("cid"))
+      .select(col("y"), col("treated"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal) AS LONG) div 2000").as("bal_band"))
+    val cells = cov.groupBy(col("seg"), col("bal_band"))
+      .agg(sum(col("treated")).cast(dec).as("tc"),
+        sum(lit(1L) - col("treated")).cast(dec).as("cc"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).cast(dec).as("yt"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).cast(dec).as("yc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tt = cells.filter(col("tc") > 0 && col("cc") > 0)
+      .agg(sum(col("tc")).cast(dec).as("t_tot"))
+    val terms = cells.crossJoin(broadcast(tt))
+      .withColumn("matched", col("tc") > 0 && col("cc") > 0)
+      .withColumn("term_micro",
+        when(col("matched"),
+          expr("(yt * cc - tc * yc) * 1000000 div (t_tot * cc)"))
+          .otherwise(lit(null)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sm = terms.agg(sum(col("term_micro")).cast(dec).as("att_micro"))
+    terms.crossJoin(broadcast(sm))
+      .select(col("seg").as("segment"), col("bal_band"),
+        col("tc").cast("long").as("n_treated"),
+        col("cc").cast("long").as("n_control"),
+        col("matched"),
+        col("term_micro").cast("long").as("term_micro"),
+        col("att_micro").cast("long").as("att_micro"))
+      .orderBy(col("segment"), col("bal_band"))
+  }
+
+  /** q324: difference-in-differences — the second causal leg: when a
+    * "treatment" turns on for one group at a known time (here the
+    * AUTOMOBILE segment after 1998-01-01, a stand-in for a mid-corpus
+    * policy change), the treated-vs-control post-period gap still
+    * contains the groups' PRE-EXISTING difference; DiD removes it:
+    * (ȳᵀ₁−ȳᵀ₀) − (ȳᶜ₁−ȳᶜ₀). The published contract is the micro-floored
+    * CELL MEANS (floor(10⁶·Σcents/n) per (group, period)) combined by
+    * exact integer arithmetic — both engines floor identically, and the
+    * 2×2 table itself is surfaced so the parallel-trends eyeball check
+    * (pre-period gap) rides along.
+    *
+    * Scale shape: one order-grain scan into a 4-cell rollup; everything
+    * after is constant-size. The BIGINT surface (Σcents·10⁶) holds to
+    * ~10¹² cents per cell; beyond that promote the sum to DECIMAL(38,0)
+    * — same plan. */
+  val q324Did: Q = Q(
+    "q324_did",
+    """WITH o AS (SELECT CASE WHEN c.c_mktsegment = 'AUTOMOBILE'
+      |                       THEN 'treat' ELSE 'control' END AS grp,
+      |                  CAST(CASE WHEN o.o_orderdate >= TIMESTAMP '1998-01-01'
+      |                       THEN 1 ELSE 0 END AS BIGINT) AS period,
+      |                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS v
+      |           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |cells AS (SELECT grp, period, CAST(count(*) AS BIGINT) AS n,
+      |                 CAST(sum(v) AS BIGINT) AS sum_cents,
+      |                 CAST(sum(v) * 1000000 // count(*) AS BIGINT) AS mean_micro
+      |          FROM o GROUP BY 1, 2),
+      |d AS (SELECT
+      |        (SELECT mean_micro FROM cells WHERE grp = 'treat' AND period = 1)
+      |      - (SELECT mean_micro FROM cells WHERE grp = 'treat' AND period = 0)
+      |      - (SELECT mean_micro FROM cells WHERE grp = 'control' AND period = 1)
+      |      + (SELECT mean_micro FROM cells WHERE grp = 'control' AND period = 0)
+      |        AS did_micro,
+      |        (SELECT mean_micro FROM cells WHERE grp = 'treat' AND period = 0)
+      |      - (SELECT mean_micro FROM cells WHERE grp = 'control' AND period = 0)
+      |        AS pre_gap_micro)
+      |SELECT cells.grp, cells.period, cells.n, cells.sum_cents,
+      |       cells.mean_micro, d.did_micro, d.pre_gap_micro
+      |FROM cells, d ORDER BY grp, period""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(
+        when(col("c_mktsegment") === "AUTOMOBILE", "treat").otherwise("control")
+          .as("grp"),
+        when(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"), 1L)
+          .otherwise(0L).as("period"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("v"))
+    val cells = o.groupBy(col("grp"), col("period"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_cents"))
+      .withColumn("mean_micro",
+        expr("CAST(sum_cents * 1000000 div n AS LONG)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cell(g: String, p: Int): org.apache.spark.sql.Column =
+      max(when(col("grp") === g && col("period") === p, col("mean_micro")))
+    val d = cells.agg(
+      (cell("treat", 1) - cell("treat", 0)
+        - cell("control", 1) + cell("control", 0)).as("did_micro"),
+      (cell("treat", 0) - cell("control", 0)).as("pre_gap_micro"))
+    cells.crossJoin(broadcast(d))
+      .select(col("grp"), col("period"), col("n"), col("sum_cents"),
+        col("mean_micro"), col("did_micro"), col("pre_gap_micro"))
+      .orderBy(col("grp"), col("period"))
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -2127,6 +2289,7 @@ object Extended {
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
+    q323CemAtt, q324Did,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
