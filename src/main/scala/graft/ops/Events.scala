@@ -882,6 +882,85 @@ object Events {
       .orderBy(col("user_id"), col("click_id"))
   }
 
+  /** q326: Holt–Winters additive forecast — the seasonal completion of
+    * the smoothing family: q271 (Holt) tracks level+trend but a weekly
+    * cycle bleeds into its trend; HW adds a 7-slot seasonal state
+    * s_t = γ(v_t − l_t) + (1−γ)s_{t−7}, carried as a ROTATING 7-QUEUE
+    * (head = the factor due now, each step pops the head and pushes the
+    * refreshed value), so the recursion is a single fold — Spark runs it
+    * as `aggregate` over each type's collected day array (bounded by the
+    * calendar, q271's device), DuckDB as a recursive CTE over the same
+    * ordered series.
+    *
+    * Determinism: α=β=γ=1/2 — but the REAL guarantee is that both
+    * engines execute the IDENTICAL IEEE operation sequence (same
+    * parenthesization, same fold order), so every intermediate double is
+    * bit-equal; round(,6) on the surface is belt-and-braces, not the
+    * mechanism. Init: l₁=v₁, b₁=0, s=0⁷ (the first week trains the
+    * seasonal slots from zero — a stated contract, as in q271's b₁=0).
+    *
+    * Scale shape: the fold state is 9 doubles per GROUP; collect_list
+    * holds one group's day series (≤ calendar span) in one buffer —
+    * exactly q271's footprint plus 7 doubles. Groups parallelize
+    * independently; nothing row-grain shuffles twice. */
+  val q326HoltWinters: Q = Q(
+    "q326_holt_winters",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM d),
+      |nmax AS (SELECT event_type, max(t) AS tn FROM ser GROUP BY 1),
+      |rec AS (
+      |  SELECT event_type, t, CAST(v AS DOUBLE) AS l, CAST(0 AS DOUBLE) AS b,
+      |         [0e0, 0e0, 0e0, 0e0, 0e0, 0e0, 0e0] AS s
+      |  FROM ser WHERE t = 1
+      |  UNION ALL
+      |  SELECT s2.event_type, s2.t,
+      |         0.5e0 * (s2.v - r.s[1]) + 0.5e0 * (r.l + r.b),
+      |         0.5e0 * ((0.5e0 * (s2.v - r.s[1]) + 0.5e0 * (r.l + r.b)) - r.l)
+      |           + 0.5e0 * r.b,
+      |         r.s[2:7] || [0.5e0 * (s2.v - (0.5e0 * (s2.v - r.s[1])
+      |                        + 0.5e0 * (r.l + r.b))) + 0.5e0 * r.s[1]]
+      |  FROM rec r JOIN ser s2 ON s2.event_type = r.event_type
+      |                        AND s2.t = r.t + 1)
+      |SELECT r.event_type, CAST(n.tn AS BIGINT) AS n_days,
+      |       round(r.l, 6) AS level_cents, round(r.b, 6) AS trend_cents,
+      |       round(r.l + r.b + r.s[1], 6) AS forecast_1,
+      |       round(r.l + 7 * r.b + r.s[7], 6) AS forecast_7
+      |FROM rec r JOIN nmax n USING (event_type) WHERE r.t = n.tn
+      |ORDER BY r.event_type""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+      .groupBy(col("event_type"))
+      .agg(expr("array_sort(collect_list(struct(day, v)))").as("arr"))
+      .withColumn("st", expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  named_struct('l', CAST(element_at(arr, 1).v AS DOUBLE),
+          |               'b', CAST(0.0 AS DOUBLE),
+          |               's', array(0D, 0D, 0D, 0D, 0D, 0D, 0D)),
+          |  (st, e) -> named_struct(
+          |    'l', 0.5D * (CAST(e.v AS DOUBLE) - element_at(st.s, 1))
+          |           + 0.5D * (st.l + st.b),
+          |    'b', 0.5D * ((0.5D * (CAST(e.v AS DOUBLE) - element_at(st.s, 1))
+          |           + 0.5D * (st.l + st.b)) - st.l) + 0.5D * st.b,
+          |    's', concat(slice(st.s, 2, 6),
+          |           array(0.5D * (CAST(e.v AS DOUBLE)
+          |                   - (0.5D * (CAST(e.v AS DOUBLE) - element_at(st.s, 1))
+          |                      + 0.5D * (st.l + st.b)))
+          |                 + 0.5D * element_at(st.s, 1)))))""".stripMargin))
+      .select(col("event_type"), size(col("arr")).cast("long").as("n_days"),
+        round(col("st.l"), 6).as("level_cents"),
+        round(col("st.b"), 6).as("trend_cents"),
+        expr("round(st.l + st.b + element_at(st.s, 1), 6)").as("forecast_1"),
+        expr("round(st.l + 7 * st.b + element_at(st.s, 7), 6)").as("forecast_7"))
+      .orderBy(col("event_type"))
+  }
+
   /** q155: Markov transition counts — the behavioral matrix behind
     * next-action prediction and anomaly scoring: within a session (same
     * 30-minute inactivity rule as q22), count (previous event_type →
@@ -2719,7 +2798,7 @@ object Events {
       q151Attribution, q155MarkovTransitions, q157CohortLtv, q165SeasonalNaive,
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
-      q307SeasonalAnomaly, q325PositionAttribution,
+      q307SeasonalAnomaly, q325PositionAttribution, q326HoltWinters,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
