@@ -961,6 +961,82 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q327: split-conformal prediction interval — the UNCERTAINTY leg of
+    * the forecasting family: q165/q271/q326 emit point forecasts;
+    * conformal prediction wraps ANY forecaster in a distribution-free
+    * interval with finite-sample coverage ≥ 1−α, by taking q̂ = the
+    * ⌈(1−α)(n+1)⌉-th smallest absolute residual on a held-out
+    * calibration window and shipping [pred−q̂, pred+q̂]. Here the wrapped
+    * model is the seasonal-naive predictor (q165's shape: day d's
+    * revenue = day d−7's), calibration = the first 24 days, test = the
+    * rest; α = 0.1.
+    *
+    * Exactness: residuals are cents integers; the order statistic comes
+    * from the rank-selection kernel (10·cum ≥ 9·(n+1) picks exactly
+    * ⌈0.9(n+1)⌉ because cum is integral); coverage is a micro-floored
+    * ratio. If k > n (calibration too small) q̂ is NULL and the interval
+    * honestly vanishes rather than under-covering.
+    *
+    * Scale shape: day-grain rollup, a self-join on day−7 (both sides the
+    * same bounded day table), a global window over the ≤|calibration|
+    * residual levels (audited), constant-size everything after. */
+  val q327ConformalInterval: Q = Q(
+    "q327_conformal_interval",
+    """WITH dd AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |                     AS v
+      |            FROM events WHERE event_type = 'purchase' GROUP BY 1),
+      |p AS (SELECT a.day, a.v AS actual, b.v AS pred
+      |      FROM dd a JOIN dd b ON b.day = a.day - 7),
+      |m AS (SELECT min(day) AS d0 FROM dd),
+      |cal AS (SELECT abs(actual - pred) AS sc FROM p, m WHERE day < d0 + 24),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM cal),
+      |lv AS (SELECT sc, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+      |cum AS (SELECT sc, CAST(sum(c) OVER (ORDER BY sc) AS BIGINT) AS cum
+      |        FROM lv),
+      |k AS (SELECT min(sc) AS qhat FROM cum, n WHERE 10 * cum >= 9 * (n + 1)),
+      |tst AS (SELECT day, actual, pred, pred - qhat AS lo, pred + qhat AS hi,
+      |               actual >= pred - qhat AND actual <= pred + qhat AS covered
+      |        FROM p, m, k WHERE day >= d0 + 24),
+      |cov AS (SELECT CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1000000
+      |                      // count(*) AS BIGINT) AS coverage_ppm FROM tst)
+      |SELECT tst.day, tst.actual, tst.pred, tst.lo, tst.hi, tst.covered,
+      |       cov.coverage_ppm
+      |FROM tst, cov ORDER BY day""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dd = Tables(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS LONG)")).as("v"))
+      .persist(MEMORY_AND_DISK)
+    val p = dd.select(col("day"), col("v").as("actual"))
+      .join(dd.select((col("day") + 7).as("day"), col("v").as("pred")), "day")
+      .persist(MEMORY_AND_DISK)
+    val m = dd.agg(min(col("day")).as("d0"))
+    val cal = p.crossJoin(broadcast(m)).filter(col("day") < col("d0") + 24)
+      .select(abs(col("actual") - col("pred")).as("sc"))
+    val n = cal.agg(count(lit(1)).as("n"))
+    val cum = cal.groupBy(col("sc")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(Window.orderBy(col("sc"))))
+    val k = cum.crossJoin(broadcast(n))
+      .filter(lit(10) * col("cum") >= lit(9) * (col("n") + 1))
+      .agg(min(col("sc")).as("qhat"))
+    val tst = p.crossJoin(broadcast(m)).filter(col("day") >= col("d0") + 24)
+      .crossJoin(broadcast(k))
+      .select(col("day"), col("actual"), col("pred"),
+        (col("pred") - col("qhat")).as("lo"), (col("pred") + col("qhat")).as("hi"),
+        (col("actual") >= col("pred") - col("qhat") &&
+          col("actual") <= col("pred") + col("qhat")).as("covered"))
+    // NOT persisted: p (the expensive part) already is, and a persist here
+    // would bury the rank-selection window inside an InMemoryRelation
+    // where PlanAuditSpec's traversal cannot audit it.
+    val cov = tst.agg(
+      expr("CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) * 1000000"
+        + " div count(1) AS LONG)").as("coverage_ppm"))
+    tst.crossJoin(broadcast(cov)).orderBy(col("day"))
+  }
+
   /** q155: Markov transition counts — the behavioral matrix behind
     * next-action prediction and anomaly scoring: within a session (same
     * 30-minute inactivity rule as q22), count (previous event_type →
@@ -2799,6 +2875,7 @@ object Events {
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
       q307SeasonalAnomaly, q325PositionAttribution, q326HoltWinters,
+      q327ConformalInterval,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,

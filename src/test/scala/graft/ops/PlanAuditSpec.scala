@@ -104,7 +104,8 @@ class PlanAuditSpec extends SparkSpec {
       "q312_hybrid_rrf",        // per-leg rank over the already-limited top-50 lists
       "q313_spearman",          // two cums over value-level histograms (q299's precedent)
       "q315_kaplan_meier",      // risk-set + log-survival cums over the week histogram (≤ calendar span / 7 rows)
-      "q319_sprt_monitor")      // running LLR over the day rollup (≤ calendar-span rows)
+      "q319_sprt_monitor",      // running LLR over the day rollup (≤ calendar-span rows)
+      "q327_conformal_interval")// residual-level cum (≤ |calibration days| rows)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
