@@ -1037,6 +1037,54 @@ object Events {
     tst.crossJoin(broadcast(cov)).orderBy(col("day"))
   }
 
+  /** q328: behavioral sequence-pattern match — the complex-event-
+    * processing leg (SQL-standard MATCH_RECOGNIZE territory): q23 counts
+    * funnel STAGES and q180 tallies fixed journey prefixes, but "did the
+    * user view, then click, then purchase WITH NO ERROR in between" is a
+    * pattern with an exclusion, which neither stage counting nor prefix
+    * tallies can express. Each user's event history becomes a character
+    * sequence (first letter of the event type — the five types are
+    * distinct on it) in deterministic (ts, event_id) order, and the
+    * pattern is one regex: `v[^e]*c[^e]*p`.
+    *
+    * Determinism: the sequence string is built with an ORDER BY inside
+    * the aggregation (DuckDB string_agg ORDER BY; Spark array_sort over
+    * (ts, event_id, ch) structs — struct order IS field order), so both
+    * engines agree byte-for-byte; the regex subset used (literals,
+    * negated char class, star) has identical semantics in RE2 (DuckDB)
+    * and java.util.regex (Spark), and both `regexp_matches`/`rlike` are
+    * find-anywhere.
+    *
+    * Scale shape: one user_id shuffle into a per-user buffer — the
+    * sessionize-class footprint (state = one user's history, bounded by
+    * per-user activity, NOT corpus size); the regex runs once per user.
+    * At 100 TB the same plan holds wherever per-user histories fit a
+    * buffer — the same envelope q22/q180 already assume — and the
+    * streaming twin would be flatMapGroupsWithState keeping the tail of
+    * the sequence. */
+  val q328SequenceMatch: Q = Q(
+    "q328_sequence_match",
+    """WITH s AS (
+      |  SELECT user_id,
+      |         CAST(count(*) AS BIGINT) AS n_events,
+      |         string_agg(substring(event_type, 1, 1), ''
+      |                    ORDER BY ts, event_id) AS seq
+      |  FROM events GROUP BY 1)
+      |SELECT user_id, n_events, seq,
+      |       regexp_matches(seq, 'v[^e]*c[^e]*p') AS clean_funnel
+      |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_events"),
+        expr("""array_join(transform(
+               |  array_sort(collect_list(struct(ts, event_id,
+               |    substring(event_type, 1, 1) AS ch))),
+               |  x -> x.ch), '')""".stripMargin).as("seq"))
+      .withColumn("clean_funnel", col("seq").rlike("v[^e]*c[^e]*p"))
+      .select(col("user_id"), col("n_events"), col("seq"), col("clean_funnel"))
+      .orderBy(col("user_id"))
+  }
+
   /** q155: Markov transition counts — the behavioral matrix behind
     * next-action prediction and anomaly scoring: within a session (same
     * 30-minute inactivity rule as q22), count (previous event_type →
@@ -2875,7 +2923,7 @@ object Events {
       q271HoltForecast, q276AcfDaily, q285DecayedEngagement, q289TheilSen,
       q298DisorderProfile, q302RestatementAudit, q306SeasonalDecompose,
       q307SeasonalAnomaly, q325PositionAttribution, q326HoltWinters,
-      q327ConformalInterval,
+      q327ConformalInterval, q328SequenceMatch,
       q169BotDetection, q170DoubleCharge, q171TimeToConvert, q177Conformance,
       q180JourneyPaths, q181ChurnDetection, q182PurchaseCadence, q185ReachCurve,
       q191PointInTime, q192IdGapDetection, q193WowChange, q194MaxDrawdown,
