@@ -1970,9 +1970,12 @@ object Extended {
     * Scale shape: one customer-grain rollup (map-side combined), one
     * cell rollup, a 1-row treated-total broadcast. Nothing beyond cell
     * grain shuffles. */
-  val q323CemAtt: Q = Q(
-    "q323_cem_att",
-    """WITH u AS (SELECT o_custkey AS cid,
+  /** Shared CEM cell table (q323 matching / q330 weighting): customers
+    * bucketed into (segment × balance-band) covariate cells with
+    * treated/control counts and outcome sums. One rendering per engine so
+    * the two causal estimators can never disagree about the design. */
+  private val duckCemCells: String =
+    """u AS (SELECT o_custkey AS cid,
       |                  CAST(min(CAST(floor(epoch(o_orderdate)) AS BIGINT)
       |                           // 86400) AS BIGINT) AS fday,
       |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
@@ -1992,7 +1995,33 @@ object Extended {
       |                   AS HUGEINT) AS yt,
       |                 CAST(sum(CASE WHEN treated = 0 THEN y ELSE 0 END)
       |                   AS HUGEINT) AS yc
-      |          FROM cov GROUP BY 1, 2),
+      |          FROM cov GROUP BY 1, 2)""".stripMargin
+
+  private def cemCells(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val dec = "decimal(38,0)"
+    val u = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey").as("cid"))
+      .agg(min(expr("unix_timestamp(o_orderdate) div 86400")).as("fday"),
+        sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("y"))
+    val m = u.agg(min(col("fday")).as("d0"))
+    val cov = u.crossJoin(broadcast(m))
+      .select(col("cid"), col("y"),
+        when(col("fday") < col("d0") + 365, 1L).otherwise(0L).as("treated"))
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("cid"))
+      .select(col("y"), col("treated"), col("c_mktsegment").as("seg"),
+        expr("CAST(round(c_acctbal) AS LONG) div 2000").as("bal_band"))
+    cov.groupBy(col("seg"), col("bal_band"))
+      .agg(sum(col("treated")).cast(dec).as("tc"),
+        sum(lit(1L) - col("treated")).cast(dec).as("cc"),
+        sum(when(col("treated") === 1, col("y")).otherwise(0L)).cast(dec).as("yt"),
+        sum(when(col("treated") === 0, col("y")).otherwise(0L)).cast(dec).as("yc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  val q323CemAtt: Q = Q(
+    "q323_cem_att",
+    s"""WITH $duckCemCells,
       |tt AS (SELECT CAST(sum(tc) AS HUGEINT) AS t_tot FROM cells
       |       WHERE tc > 0 AND cc > 0),
       |terms AS (SELECT seg, bal_band, tc, cc, yt, yc,
@@ -2011,23 +2040,7 @@ object Extended {
       |       CAST(s.att_micro AS BIGINT) AS att_micro
       |FROM terms, s ORDER BY segment, bal_band""".stripMargin) { (s, dir) =>
     val dec = "decimal(38,0)"
-    val u = Tables(s, dir, "orders")
-      .groupBy(col("o_custkey").as("cid"))
-      .agg(min(expr("unix_timestamp(o_orderdate) div 86400")).as("fday"),
-        sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("y"))
-    val m = u.agg(min(col("fday")).as("d0"))
-    val cov = u.crossJoin(broadcast(m))
-      .select(col("cid"), col("y"),
-        when(col("fday") < col("d0") + 365, 1L).otherwise(0L).as("treated"))
-      .join(Tables(s, dir, "customer"), col("c_custkey") === col("cid"))
-      .select(col("y"), col("treated"), col("c_mktsegment").as("seg"),
-        expr("CAST(round(c_acctbal) AS LONG) div 2000").as("bal_band"))
-    val cells = cov.groupBy(col("seg"), col("bal_band"))
-      .agg(sum(col("treated")).cast(dec).as("tc"),
-        sum(lit(1L) - col("treated")).cast(dec).as("cc"),
-        sum(when(col("treated") === 1, col("y")).otherwise(0L)).cast(dec).as("yt"),
-        sum(when(col("treated") === 0, col("y")).otherwise(0L)).cast(dec).as("yc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = cemCells(s, dir)
     val tt = cells.filter(col("tc") > 0 && col("cc") > 0)
       .agg(sum(col("tc")).cast(dec).as("t_tot"))
     val terms = cells.crossJoin(broadcast(tt))
@@ -2045,6 +2058,63 @@ object Extended {
         col("matched"),
         col("term_micro").cast("long").as("term_micro"),
         col("att_micro").cast("long").as("att_micro"))
+      .orderBy(col("segment"), col("bal_band"))
+  }
+
+  /** q330: inverse-propensity-weighted ATE — the WEIGHTING counterpart
+    * of q323's matching: instead of estimating the effect on the treated
+    * with treated-share weights, IPW reweights each cell by its
+    * propensity p_c = T_c/N_c to estimate the average effect over the
+    * WHOLE population — Horvitz–Thompson at covariate-cell grain, where
+    * the propensity is exact (cell frequencies), not a fitted model.
+    * ATE = Σ_c (N_c/N)(Yᵀ_c/T_c − Yᶜ_c/C_c), overlap-violating cells
+    * (T_c=0 or C_c=0) surfaced and excluded exactly as q323 does.
+    *
+    * Exactness: per-cell floor(N_c·(Yᵀ_c·C_c − Yᶜ_c·T_c)·10⁶ /
+    * (N·T_c·C_c)) — the micro-floor contract; the cell table is the
+    * SHARED [[duckCemCells]]/[[cemCells]] design, so the matching and
+    * weighting estimators read the identical experiment.
+    *
+    * Scale shape: q323's — nothing beyond cell grain shuffles. */
+  val q330IpwAte: Q = Q(
+    "q330_ipw_ate",
+    s"""WITH $duckCemCells,
+       |nn AS (SELECT CAST(sum(tc + cc) AS HUGEINT) AS n FROM cells
+       |       WHERE tc > 0 AND cc > 0),
+       |terms AS (SELECT seg, bal_band, tc, cc,
+       |                 tc > 0 AND cc > 0 AS overlap,
+       |                 CASE WHEN tc > 0 AND cc > 0
+       |                      THEN (tc + cc) * (yt * cc - yc * tc) * 1000000
+       |                             // (nn.n * tc * cc)
+       |                      ELSE NULL END AS term_micro
+       |          FROM cells, nn),
+       |s AS (SELECT CAST(sum(term_micro) AS HUGEINT) AS ate_micro FROM terms)
+       |SELECT terms.seg AS segment, terms.bal_band,
+       |       CAST(terms.tc AS BIGINT) AS n_treated,
+       |       CAST(terms.cc AS BIGINT) AS n_control,
+       |       terms.overlap,
+       |       CAST(terms.term_micro AS BIGINT) AS term_micro,
+       |       CAST(s.ate_micro AS BIGINT) AS ate_micro
+       |FROM terms, s ORDER BY segment, bal_band""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val cells = cemCells(s, dir)
+    val nn = cells.filter(col("tc") > 0 && col("cc") > 0)
+      .agg(sum(col("tc") + col("cc")).cast(dec).as("n"))
+    val terms = cells.crossJoin(broadcast(nn))
+      .withColumn("overlap", col("tc") > 0 && col("cc") > 0)
+      .withColumn("term_micro",
+        when(col("overlap"),
+          expr("(tc + cc) * (yt * cc - yc * tc) * 1000000 div (n * tc * cc)"))
+          .otherwise(lit(null)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sm = terms.agg(sum(col("term_micro")).cast(dec).as("ate_micro"))
+    terms.crossJoin(broadcast(sm))
+      .select(col("seg").as("segment"), col("bal_band"),
+        col("tc").cast("long").as("n_treated"),
+        col("cc").cast("long").as("n_control"),
+        col("overlap"),
+        col("term_micro").cast("long").as("term_micro"),
+        col("ate_micro").cast("long").as("ate_micro"))
       .orderBy(col("segment"), col("bal_band"))
   }
 
@@ -2289,7 +2359,7 @@ object Extended {
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
-    q323CemAtt, q324Did,
+    q323CemAtt, q324Did, q330IpwAte,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

@@ -1208,7 +1208,115 @@ object TextAnalysis {
     }
   }
 
+  /** q329: vocabulary coverage estimation (Good–Turing / Chao1) — the
+    * unseen-species question every corpus build asks: "how much
+    * vocabulary have we NOT crawled yet". Good–Turing's missing mass —
+    * the probability the next token is an unseen type — is exactly
+    * f₁/N (hapax share), and Chao1's bias-corrected richness estimate
+    * V + f₁(f₁−1)/(2(f₂+1)) lower-bounds the true vocabulary size; both
+    * are pure integer rationals of the frequency-of-frequencies table,
+    * micro/unit-floored (the f₂+1 form needs no zero guard).
+    *
+    * Scale shape: token rollup (map-side combined) → frequency histogram
+    * (≪ tokens) → frequency-of-frequencies rollup (a handful of rows) →
+    * one 1-row summary. The f-o-f reduction is what makes this O(types),
+    * not O(tokens), at any corpus size. */
+  val q329VocabCoverage: Q = Q(
+    "q329_vocab_coverage",
+    """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+      |           FROM documents WHERE text IS NOT NULL),
+      |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t GROUP BY 1),
+      |ff AS (SELECT c, CAST(count(*) AS BIGINT) AS fc FROM f GROUP BY 1),
+      |s AS (SELECT CAST(sum(c * fc) AS BIGINT) AS n,
+      |             CAST(sum(fc) AS BIGINT) AS v,
+      |             CAST(COALESCE(sum(fc) FILTER (WHERE c = 1), 0) AS BIGINT) AS f1,
+      |             CAST(COALESCE(sum(fc) FILTER (WHERE c = 2), 0) AS BIGINT) AS f2
+      |      FROM ff)
+      |SELECT n AS n_tokens, v AS v_observed, f1 AS hapax, f2 AS dis,
+      |       CAST(f1 * 1000000 // n AS BIGINT) AS missing_mass_ppm,
+      |       CAST(v + f1 * (f1 - 1) // (2 * (f2 + 1)) AS BIGINT) AS chao1_est
+      |FROM s""".stripMargin) { (s, dir) =>
+    val f = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val ff = f.groupBy(col("c")).agg(count(lit(1)).as("fc"))
+    ff.agg(
+        sum(col("c") * col("fc")).as("n"),
+        sum(col("fc")).as("v"),
+        coalesce(sum(when(col("c") === 1, col("fc"))), lit(0L)).as("f1"),
+        coalesce(sum(when(col("c") === 2, col("fc"))), lit(0L)).as("f2"))
+      .select(col("n").as("n_tokens"), col("v").as("v_observed"),
+        col("f1").as("hapax"), col("f2").as("dis"),
+        expr("CAST(f1 * 1000000 div n AS LONG)").as("missing_mass_ppm"),
+        expr("CAST(v + f1 * (f1 - 1) div (2 * (f2 + 1)) AS LONG)").as("chao1_est"))
+  }
+
+  /** q331: inter-rater agreement (Cohen's κ) — the eval-methodology gate:
+    * when two quality classifiers (here the length gate and the
+    * word-count gate — two cheap heuristics a pipeline actually runs)
+    * mostly agree, raw agreement overstates it because imbalanced
+    * classifiers agree by CHANCE; κ = (p_o − p_e)/(1 − p_e) corrects for
+    * that. Published as one exact rational of the 2×2 confusion counts:
+    * κ_micro = (n(a+d) − [(a+b)(a+c)+(c+d)(b+d)])·10⁶ //
+    * (n² − [...]), plus the Landis–Koch verdict by integer compare.
+    *
+    * Scale shape: one doc-grain scan into a 4-cell rollup; constant-size
+    * after. */
+  val q331CohensKappa: Q = Q(
+    "q331_cohens_kappa",
+    """WITH r AS (SELECT CASE WHEN n_chars >= 150 THEN 1 ELSE 0 END AS ra,
+      |                  CASE WHEN len(string_split(text, ' ')) >= 30
+      |                       THEN 1 ELSE 0 END AS rb
+      |           FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT CAST(sum(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+      |             CAST(sum(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS b,
+      |             CAST(sum(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS cc,
+      |             CAST(sum(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS d,
+      |             CAST(count(*) AS HUGEINT) AS n
+      |      FROM r),
+      |k AS (SELECT a, b, cc, d, n,
+      |             (a + b) * (a + cc) + (cc + d) * (b + d) AS pe_num
+      |      FROM c)
+      |SELECT CAST(a AS BIGINT) AS both_good, CAST(b AS BIGINT) AS only_len,
+      |       CAST(cc AS BIGINT) AS only_words, CAST(d AS BIGINT) AS both_bad,
+      |       CAST((n * (a + d) - pe_num) * 1000000
+      |              // nullif(n * n - pe_num, 0) AS BIGINT) AS kappa_micro,
+      |       CASE WHEN (n * (a + d) - pe_num) * 1000000
+      |                   // nullif(n * n - pe_num, 0) >= 800000 THEN 'almost_perfect'
+      |            WHEN (n * (a + d) - pe_num) * 1000000
+      |                   // nullif(n * n - pe_num, 0) >= 600000 THEN 'substantial'
+      |            WHEN (n * (a + d) - pe_num) * 1000000
+      |                   // nullif(n * n - pe_num, 0) >= 400000 THEN 'moderate'
+      |            ELSE 'weak' END AS verdict
+      |FROM k""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val r = Tables(s, dir, "documents").filter(col("text").isNotNull)
+      .select(when(col("n_chars") >= 150, 1L).otherwise(0L).as("ra"),
+        when(size(split(col("text"), " ")) >= 30, 1L).otherwise(0L).as("rb"))
+    r.agg(
+        sum(when(col("ra") === 1 && col("rb") === 1, 1L).otherwise(0L)).cast(dec).as("a"),
+        sum(when(col("ra") === 1 && col("rb") === 0, 1L).otherwise(0L)).cast(dec).as("b"),
+        sum(when(col("ra") === 0 && col("rb") === 1, 1L).otherwise(0L)).cast(dec).as("cc"),
+        sum(when(col("ra") === 0 && col("rb") === 0, 1L).otherwise(0L)).cast(dec).as("d"),
+        count(lit(1)).cast(dec).as("n"))
+      .withColumn("pe_num",
+        expr("(a + b) * (a + cc) + (cc + d) * (b + d)"))
+      .withColumn("kappa_micro",
+        expr("CAST((n * (a + d) - pe_num) * 1000000"
+          + " div nullif(n * n - pe_num, 0) AS LONG)"))
+      .select(col("a").cast("long").as("both_good"),
+        col("b").cast("long").as("only_len"),
+        col("cc").cast("long").as("only_words"),
+        col("d").cast("long").as("both_bad"),
+        col("kappa_micro"),
+        expr("""CASE WHEN kappa_micro >= 800000 THEN 'almost_perfect'
+               |     WHEN kappa_micro >= 600000 THEN 'substantial'
+               |     WHEN kappa_micro >= 400000 THEN 'moderate'
+               |     ELSE 'weak' END""".stripMargin).as("verdict"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
+    q329VocabCoverage, q331CohensKappa,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
     q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
