@@ -2182,6 +2182,166 @@ object Extended {
       .orderBy(col("grp"), col("period"))
   }
 
+  /** q332: Mann–Kendall trend test — the SIGNIFICANCE companion to
+    * q289's Theil–Sen slope: Theil–Sen says how steep, Mann–Kendall says
+    * whether a monotone trend exists at all, with no distributional
+    * assumption: S = Σ_{i<j} sign(v_j − v_i) over the daily-revenue
+    * series, Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 with the
+    * tie correction, and the continuity-corrected z² = (|S|−1)²/Var
+    * published micro-floored with the α=0.05 verdict as an integer
+    * compare.
+    *
+    * Exactness: S and 18·Var are exact integers (the tie rollup comes
+    * from the value histogram); z²_micro = (|S|−1)²·18·10⁶ // (18·Var).
+    *
+    * Scale shape: day-grain rollup, then an all-pairs self-join of the
+    * ≤calendar-span day table (bounded — ~400 rows → 80k comparisons,
+    * constant at any corpus size) and a value-histogram tie rollup. */
+  val q332MannKendall: Q = Q(
+    "q332_mann_kendall",
+    """WITH d AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+      |                    AS v
+      |           FROM events GROUP BY 1),
+      |s AS (SELECT CAST(sum(CASE WHEN b.v > a.v THEN 1
+      |                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS HUGEINT)
+      |               AS s_stat,
+      |             CAST(count(*) AS HUGEINT) AS n_pairs
+      |      FROM d a JOIN d b ON b.day > a.day),
+      |nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM d),
+      |ties AS (SELECT CAST(COALESCE(sum(t * (t - 1) * (2 * t + 5)), 0)
+      |                  AS HUGEINT) AS tt
+      |         FROM (SELECT CAST(count(*) AS HUGEINT) AS t FROM d GROUP BY v)
+      |         WHERE t > 1),
+      |k AS (SELECT s_stat, n,
+      |             n * (n - 1) * (2 * n + 5) - tt AS var18
+      |      FROM s, nn, ties)
+      |SELECT CAST(n AS BIGINT) AS n_days, CAST(s_stat AS BIGINT) AS s_stat,
+      |       CAST(var18 AS BIGINT) AS var18,
+      |       CAST(CASE WHEN s_stat > 0 THEN 1 WHEN s_stat < 0 THEN -1 ELSE 0 END
+      |         AS BIGINT) AS direction,
+      |       CAST(CASE WHEN abs(s_stat) > 1
+      |                 THEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000000
+      |                        // var18
+      |                 ELSE 0 END AS BIGINT) AS z2_micro,
+      |       CASE WHEN abs(s_stat) > 1
+      |            THEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000000
+      |                   // var18 > 3841459
+      |            ELSE FALSE END AS significant
+      |FROM k""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val d = Tables(s, dir, "events")
+      .groupBy(expr("unix_timestamp(ts) div 86400").as("day"))
+      .agg(sum(expr("CAST(round(value * 100) AS LONG)")).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sdf = d.select(col("day").as("da"), col("v").as("va"))
+      .join(d.select(col("day").as("db"), col("v").as("vb")),
+        col("db") > col("da"))
+      .agg(sum(when(col("vb") > col("va"), 1L)
+        .when(col("vb") < col("va"), -1L).otherwise(0L)).cast(dec).as("s_stat"))
+    val nn = d.agg(count(lit(1)).cast(dec).as("n"))
+    val ties = d.groupBy(col("v")).agg(count(lit(1)).cast(dec).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1) * (lit(2).cast(dec) * col("t") + 5)),
+        lit(0).cast(dec)).as("tt"))
+    sdf.crossJoin(broadcast(nn)).crossJoin(broadcast(ties))
+      .withColumn("var18", expr("n * (n - 1) * (2 * n + 5) - tt"))
+      .select(col("n").cast("long").as("n_days"),
+        col("s_stat").cast("long").as("s_stat"),
+        col("var18").cast("long").as("var18"),
+        signum(col("s_stat")).cast("long").as("direction"),
+        expr("""CAST(CASE WHEN abs(s_stat) > 1
+               |     THEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000000
+               |            div var18
+               |     ELSE 0 END AS LONG)""".stripMargin).as("z2_micro"),
+        expr("""CASE WHEN abs(s_stat) > 1
+               |     THEN (abs(s_stat) - 1) * (abs(s_stat) - 1) * 18000000
+               |            div var18 > 3841459
+               |     ELSE FALSE END""".stripMargin).as("significant"))
+  }
+
+  /** q333: Kruskal–Wallis rank test — q309's Mann–Whitney generalized to
+    * k groups: "do the five event types draw their per-event values from
+    * the same distribution", tested on ranks so power-law value tails
+    * don't dominate. Doubled tied ranks come from the SAME value-
+    * histogram kernel as q309/q313 (one global window over value levels,
+    * never row-grain ranks); with R2_g = Σ doubled ranks of group g,
+    * H = 3·Σ_g R2_g²/n_g / (n(n+1)) − 3(n+1), published as per-group
+    * micro-floored terms (q311's contract), tie-corrected by the exact
+    * integer ratio (n³−n)/(n³−n−T), decided against χ²₄ at α=0.05.
+    *
+    * Scale shape: value-histogram grain throughout — one bounded global
+    * window, one k-row group rollup, constant-size tail. */
+  val q333KruskalWallis: Q = Q(
+    "q333_kruskal_wallis",
+    """WITH r AS (SELECT event_type AS g,
+      |                  CAST(round(value * 100) AS BIGINT) AS v
+      |           FROM events),
+      |hist AS (SELECT v, CAST(count(*) AS HUGEINT) AS nv FROM r GROUP BY 1),
+      |cum AS (SELECT v, nv, sum(nv) OVER (ORDER BY v) - nv AS c FROM hist),
+      |rk AS (SELECT r.g, 2 * cum.c + cum.nv + 1 AS dr
+      |       FROM r JOIN cum ON cum.v = r.v),
+      |grp AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng,
+      |               CAST(sum(dr) AS HUGEINT) AS r2
+      |        FROM rk GROUP BY 1),
+      |nn AS (SELECT CAST(sum(ng) AS HUGEINT) AS n FROM grp),
+      |tie AS (SELECT CAST(COALESCE(sum(nv * nv * nv - nv), 0) AS HUGEINT) AS t
+      |        FROM hist WHERE nv > 1),
+      |terms AS (SELECT g, ng, r2,
+      |                 3 * r2 * r2 * 1000000 // (ng * nn.n * (nn.n + 1))
+      |                   AS term_micro
+      |          FROM grp, nn),
+      |h AS (SELECT CAST(sum(term_micro) AS HUGEINT)
+      |               - 3 * (nn.n + 1) * 1000000 AS h_micro
+      |      FROM terms, nn GROUP BY nn.n),
+      |hc AS (SELECT h.h_micro * (nn.n * nn.n * nn.n - nn.n)
+      |              // (nn.n * nn.n * nn.n - nn.n - tie.t) AS hc_micro
+      |       FROM h, nn, tie)
+      |SELECT terms.g AS event_type, CAST(terms.ng AS BIGINT) AS n,
+      |       CAST(terms.r2 AS BIGINT) AS rank2_sum,
+      |       CAST(terms.term_micro AS BIGINT) AS term_micro,
+      |       CAST(hc.hc_micro AS BIGINT) AS h_micro,
+      |       hc.hc_micro > 9487729 AS significant
+      |FROM terms, hc ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec = "decimal(38,0)"
+    val r = Tables(s, dir, "events")
+      .select(col("event_type").as("g"),
+        expr("CAST(round(value * 100) AS LONG)").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = r.groupBy(col("v")).agg(count(lit(1)).cast(dec).as("nv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cum = hist.withColumn("c",
+      sum(col("nv")).over(Window.orderBy(col("v"))) - col("nv"))
+    val grp = r.join(cum, "v")
+      .select(col("g"),
+        (lit(2).cast(dec) * col("c") + col("nv") + 1).as("dr"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).cast(dec).as("ng"), sum(col("dr")).cast(dec).as("r2"))
+    val nn = grp.agg(sum(col("ng")).cast(dec).as("n"))
+    val tie = hist.filter(col("nv") > 1)
+      .agg(coalesce(sum(col("nv") * col("nv") * col("nv") - col("nv")),
+        lit(0).cast(dec)).as("t"))
+    val terms = grp.crossJoin(broadcast(nn))
+      .withColumn("term_micro",
+        expr("3 * r2 * r2 * 1000000 div (ng * n * (n + 1))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h = terms.agg(sum(col("term_micro")).cast(dec).as("smt"))
+      .crossJoin(broadcast(nn))
+      .select((col("smt") - lit(3).cast(dec) * (col("n") + 1) * 1000000)
+        .as("h_micro"))
+    val hc = h.crossJoin(broadcast(nn)).crossJoin(broadcast(tie))
+      .select(expr("h_micro * (n * n * n - n) div (n * n * n - n - t)")
+        .as("hc_micro"))
+    terms.crossJoin(broadcast(hc))
+      .select(col("g").as("event_type"), col("ng").cast("long").as("n"),
+        col("r2").cast("long").as("rank2_sum"),
+        col("term_micro").cast("long").as("term_micro"),
+        col("hc_micro").cast("long").as("h_micro"),
+        (col("hc_micro") > lit(9487729L).cast(dec)).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -2359,7 +2519,7 @@ object Extended {
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
-    q323CemAtt, q324Did, q330IpwAte,
+    q323CemAtt, q324Did, q330IpwAte, q332MannKendall, q333KruskalWallis,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,

@@ -105,7 +105,8 @@ class PlanAuditSpec extends SparkSpec {
       "q313_spearman",          // two cums over value-level histograms (q299's precedent)
       "q315_kaplan_meier",      // risk-set + log-survival cums over the week histogram (≤ calendar span / 7 rows)
       "q319_sprt_monitor",      // running LLR over the day rollup (≤ calendar-span rows)
-      "q327_conformal_interval")// residual-level cum (≤ |calibration days| rows)
+      "q327_conformal_interval",// residual-level cum (≤ |calibration days| rows)
+      "q333_kruskal_wallis")    // cum over cents-value levels (q299/q313's precedent)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
