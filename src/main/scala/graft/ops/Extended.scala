@@ -2322,10 +2322,12 @@ object Extended {
     val tie = hist.filter(col("nv") > 1)
       .agg(coalesce(sum(col("nv") * col("nv") * col("nv") - col("nv")),
         lit(0).cast(dec)).as("t"))
+    // NOT persisted (r and hist below it are): a persist here would bury
+    // the level-kernel window inside an InMemoryRelation where
+    // PlanAuditSpec cannot audit it — q327's lesson.
     val terms = grp.crossJoin(broadcast(nn))
       .withColumn("term_micro",
         expr("3 * r2 * r2 * 1000000 div (ng * n * (n + 1))"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val h = terms.agg(sum(col("term_micro")).cast(dec).as("smt"))
       .crossJoin(broadcast(nn))
       .select((col("smt") - lit(3).cast(dec) * (col("n") + 1) * 1000000)
