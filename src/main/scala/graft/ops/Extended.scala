@@ -2344,6 +2344,110 @@ object Extended {
       .orderBy(col("event_type"))
   }
 
+  /** q334: permutation test — the resampling SIGNIFICANCE leg (q310
+    * bootstraps a CI; the permutation test asks "how often would a
+    * RANDOM split of these same users show a variant gap this large",
+    * which is exact under the null with no normality or variance
+    * assumptions). Metric = per-user event count, observed split =
+    * q309's portable-hash enrollment; B=200 permutations re-assign each
+    * user by hash(user, b).
+    *
+    * Exactness without floats: each split's mean gap is the rational
+    * (S_A·n_B − S_B·n_A) / (n_A·n_B); "permutation at least as extreme"
+    * is the cross-multiplied integer compare |num_b|·den_obs ≥
+    * |num_obs|·den_b, and the p-value ships as the standard
+    * add-one-protected (extreme+1)/(B+1) in exact milli units. The
+    * α=0.05 decision is (extreme+1)·20 ≤ B+1.
+    *
+    * Scale shape: user-grain rollup once, then a B-way map-side
+    * expansion of the user table (rows × 200 — embarrassingly parallel,
+    * no extra shuffle: the per-b rollup is one map-side-combined
+    * aggregation). At 100 TB swap the expansion to the day-cell grain
+    * exactly as q310 does. */
+  val q334PermutationTest: Q = {
+    val hObs = PortableHash.hexHeadToLong("mo", "strpos")
+    val hPerm = PortableHash.hexHeadToLong("mp", "strpos")
+    val hObsS = PortableHash.hexHeadToLong("mo", "instr")
+    val hPermS = PortableHash.hexHeadToLong("mp", "instr")
+    Q(
+      "q334_permutation_test",
+      s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS v
+         |           FROM events GROUP BY 1),
+         |um AS (SELECT v, md5(CAST(user_id AS VARCHAR) || '-graft-ab') AS mo,
+         |              user_id
+         |       FROM u),
+         |obs AS (SELECT CAST(sum(CASE WHEN ($hObs) % 2 = 0 THEN v ELSE 0 END)
+         |                 AS HUGEINT) AS sa,
+         |               CAST(sum(CASE WHEN ($hObs) % 2 = 1 THEN v ELSE 0 END)
+         |                 AS HUGEINT) AS sb,
+         |               CAST(sum(CASE WHEN ($hObs) % 2 = 0 THEN 1 ELSE 0 END)
+         |                 AS HUGEINT) AS na,
+         |               CAST(sum(CASE WHEN ($hObs) % 2 = 1 THEN 1 ELSE 0 END)
+         |                 AS HUGEINT) AS nb
+         |        FROM um),
+         |pm AS (SELECT t.b, u.v,
+         |              md5(CAST(u.user_id AS VARCHAR) || '-graft-perm-'
+         |                  || CAST(t.b AS VARCHAR)) AS mp
+         |       FROM u, range(1, 201) t(b)),
+         |perm AS (SELECT b,
+         |               CAST(sum(CASE WHEN ($hPerm) % 2 = 0 THEN v ELSE 0 END)
+         |                 AS HUGEINT) AS sa,
+         |               CAST(sum(CASE WHEN ($hPerm) % 2 = 1 THEN v ELSE 0 END)
+         |                 AS HUGEINT) AS sb,
+         |               CAST(sum(CASE WHEN ($hPerm) % 2 = 0 THEN 1 ELSE 0 END)
+         |                 AS HUGEINT) AS na,
+         |               CAST(sum(CASE WHEN ($hPerm) % 2 = 1 THEN 1 ELSE 0 END)
+         |                 AS HUGEINT) AS nb
+         |        FROM pm GROUP BY 1),
+         |x AS (SELECT CAST(count(*) AS BIGINT) AS extreme
+         |      FROM perm, obs
+         |      WHERE abs(perm.sa * perm.nb - perm.sb * perm.na)
+         |              * (obs.na * obs.nb)
+         |            >= abs(obs.sa * obs.nb - obs.sb * obs.na)
+         |              * (perm.na * perm.nb))
+         |SELECT CAST(obs.na AS BIGINT) AS n_a, CAST(obs.nb AS BIGINT) AS n_b,
+         |       CAST((obs.sa * obs.nb - obs.sb * obs.na) * 1000000
+         |              // nullif(obs.na * obs.nb, 0) AS BIGINT)
+         |         AS obs_diff_ppm,
+         |       x.extreme,
+         |       CAST((x.extreme + 1) * 1000 // 201 AS BIGINT) AS p_milli,
+         |       (x.extreme + 1) * 20 <= 201 AS significant
+         |FROM obs, x""".stripMargin) { (s, dir) =>
+      val dec = "decimal(38,0)"
+      val u = Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val obs = u
+        .withColumn("mo", md5(concat(col("user_id").cast("string"), lit("-graft-ab"))))
+        .agg(
+          sum(when(expr(s"($hObsS) % 2") === 0, col("v")).otherwise(0L)).cast(dec).as("sa"),
+          sum(when(expr(s"($hObsS) % 2") === 1, col("v")).otherwise(0L)).cast(dec).as("sb"),
+          sum(when(expr(s"($hObsS) % 2") === 0, 1L).otherwise(0L)).cast(dec).as("na"),
+          sum(when(expr(s"($hObsS) % 2") === 1, 1L).otherwise(0L)).cast(dec).as("nb"))
+      val perm = u
+        .withColumn("b", explode(expr("sequence(1, 200)")))
+        .withColumn("mp", md5(concat(col("user_id").cast("string"),
+          lit("-graft-perm-"), col("b").cast("string"))))
+        .groupBy(col("b"))
+        .agg(
+          sum(when(expr(s"($hPermS) % 2") === 0, col("v")).otherwise(0L)).cast(dec).as("psa"),
+          sum(when(expr(s"($hPermS) % 2") === 1, col("v")).otherwise(0L)).cast(dec).as("psb"),
+          sum(when(expr(s"($hPermS) % 2") === 0, 1L).otherwise(0L)).cast(dec).as("pna"),
+          sum(when(expr(s"($hPermS) % 2") === 1, 1L).otherwise(0L)).cast(dec).as("pnb"))
+      val x = perm.crossJoin(broadcast(obs))
+        .filter(expr("""abs(psa * pnb - psb * pna) * (na * nb)
+                       |  >= abs(sa * nb - sb * na) * (pna * pnb)""".stripMargin))
+        .agg(count(lit(1)).as("extreme"))
+      obs.crossJoin(broadcast(x))
+        .select(col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+          expr("CAST((sa * nb - sb * na) * 1000000 div nullif(na * nb, 0) AS LONG)")
+            .as("obs_diff_ppm"),
+          col("extreme"),
+          expr("CAST((extreme + 1) * 1000 div 201 AS LONG)").as("p_milli"),
+          expr("(extreme + 1) * 20 <= 201").as("significant"))
+    }
+  }
+
   /** q310: bootstrap confidence interval for mean daily revenue — the
     * resampling leg of the stats tier: no normality assumption, just the
     * empirical distribution of the statistic under B=200 resamples of
@@ -2522,6 +2626,7 @@ object Extended {
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
     q323CemAtt, q324Did, q330IpwAte, q332MannKendall, q333KruskalWallis,
+    q334PermutationTest,
     q25Percentiles, q26StringAgg, q27SetOps, q28Pivot, q29WindowFuncs,
     q42SaltedAgg, q43ApproxSketches, q44GroupingSets, q45CorrelatedSubquery,
     q88MomentStats, q89Winsorized, q91TopKAggregate, q125GroupRegression,
