@@ -92,6 +92,100 @@ class Round9Session5Spec extends SparkSpec {
     }
   }
 
+  test("q315 KM: exp(engine log-survival) == the classic product estimator") {
+    import spark.implicits._
+    for (seed <- Seq(3, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val base = 19000L * 86400L
+      // Customers with 1-6 orders spread over ~60 weeks; the late tail is
+      // censored by the 90-day rule.
+      val rows = (1L to 120L).flatMap { cid =>
+        val n = 1 + rnd.nextInt(6)
+        (1 to n).map(_ => (cid,
+          new Timestamp((base + rnd.nextInt(420) * 86400L) * 1000L)))
+      }
+      val dir = Files.createTempDirectory("graft-km-").toString
+      rows.toDF("o_custkey", "o_orderdate").write.parquet(s"$dir/orders.parquet")
+      val got = Events.q315KaplanMeier.fn(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(5)))
+      // Reference: risk sets and the product-form estimator in doubles.
+      val days = rows.map(r => (r._1, r._2.getTime / 1000L / 86400L))
+      val maxDay = days.map(_._2).max
+      // .toSeq BEFORE the map: mapping a Map to (t, churned) tuples would
+      // silently deduplicate equal subjects.
+      val subj = days.groupBy(_._1).toSeq.map { case (_, ds) =>
+        val (f, l) = (ds.map(_._2).min, ds.map(_._2).max)
+        ((l - f) / 7, l <= maxDay - 90)
+      }
+      val byT = subj.groupBy(_._1)
+      val deathWeeks = byT.filter(_._2.exists(_._2)).keys.toSeq.sorted
+      var surv = 1.0
+      val ref = deathWeeks.flatMap { t =>
+        val n = subj.count(_._1 >= t).toLong
+        val d = byT(t).count(_._2).toLong
+        val c = byT(t).count(!_._2).toLong
+        if (d > 0 && n > d) {
+          surv *= (n - d).toDouble / n
+          Some((t, n, d, c, surv))
+        } else None
+      }
+      assert(got.map(g => (g._1, g._2, g._3, g._4)).toSeq ==
+        ref.map(r => (r._1, r._2, r._3, r._4)), s"step table seed $seed")
+      got.zip(ref).foreach { case (g, r) =>
+        val engineSurv = math.exp(g._5 / 1e9)
+        assert(math.abs(engineSurv - r._5) < 1e-5,
+          s"survival at t=${g._1}: engine $engineSurv ref ${r._5} seed $seed")
+      }
+    }
+  }
+
+  test("q332 MK + q333 KW: micro-floored statistics match double references") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(59)
+    val rows = for { t <- Seq("a", "b", "c"); _ <- 1 to 100 } yield {
+      val day = 19000L + rnd.nextInt(35)
+      (new Timestamp((day * 86400L + rnd.nextInt(86400)) * 1000L), t,
+        (rnd.nextInt(400) + (day - 19000) * 3) / 100.0) // mild upward trend
+    }
+    val dir = Files.createTempDirectory("graft-mkkw-").toString
+    rows.toDF("ts", "event_type", "value").write.parquet(s"$dir/events.parquet")
+    // Mann-Kendall reference in doubles.
+    val daily = rows.groupBy(r => r._1.getTime / 1000L / 86400L)
+      .map { case (d, xs) => d -> xs.map(x => Math.round(x._3 * 100)).sum }
+      .toSeq.sortBy(_._1)
+    val s = (for {
+      i <- daily.indices; j <- i + 1 until daily.length
+    } yield (daily(j)._2 compare daily(i)._2).sign.toLong).sum
+    val n = daily.length.toLong
+    val ties = daily.groupBy(_._2).values.map(_.length.toLong).filter(_ > 1)
+      .map(t => t * (t - 1) * (2 * t + 5)).sum
+    val var18 = n * (n - 1) * (2 * n + 5) - ties
+    val z2Ref = if (math.abs(s) > 1)
+      (math.abs(s) - 1.0) * (math.abs(s) - 1) * 18.0 / var18 else 0.0
+    val mk = Extended.q332MannKendall.fn(spark, dir).collect()(0)
+    assert(mk.getLong(0) == n && mk.getLong(1) == s && mk.getLong(2) == var18)
+    assert(math.abs(mk.getLong(4) / 1e6 - z2Ref) < 1e-4, "MK z^2")
+    // Kruskal-Wallis reference: classic average-rank H in doubles.
+    val vals = rows.map(r => (r._2, Math.round(r._3 * 100)))
+    val sorted = vals.map(_._2).sorted
+    val avgRank = vals.map(_._2).distinct.map { v =>
+      val less = sorted.count(_ < v); val eq = sorted.count(_ == v)
+      v -> (less + (eq + 1) / 2.0)
+    }.toMap
+    val nn = vals.length.toDouble
+    val hRaw = 12.0 / (nn * (nn + 1)) * vals.groupBy(_._1).values.map { g =>
+      val rs = g.map(x => avgRank(x._2)).sum
+      rs * rs / g.length
+    }.sum - 3 * (nn + 1)
+    val tKw = vals.map(_._2).groupBy(identity).values.map(_.length.toDouble)
+      .filter(_ > 1).map(t => t * t * t - t).sum
+    val hRef = hRaw / (1 - tKw / (nn * nn * nn - nn))
+    val kw = Extended.q333KruskalWallis.fn(spark, dir).collect()(0)
+    // per-group floors lose <= k micro-units before the tie ratio.
+    assert(math.abs(kw.getLong(4) / 1e6 - hRef) < 1e-4, "KW H")
+  }
+
   test("q325 U-shape: engine == reference credits AND credits conserve purchase value") {
     import spark.implicits._
     for (seed <- Seq(17, 41)) {
