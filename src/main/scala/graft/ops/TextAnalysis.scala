@@ -1315,8 +1315,68 @@ object TextAnalysis {
                |     ELSE 'weak' END""".stripMargin).as("verdict"))
   }
 
+  /** q335: Heaps'-law vocabulary-growth fit — the companion to q329:
+    * Good–Turing asks "how much vocabulary is left", Heaps' law
+    * V ≈ K·N^β asks "how fast does it grow as the corpus scales" — the
+    * number a crawl-planning team extrapolates with. β is fit by OLS on
+    * the (ln N_s, ln V_s) points at DOCUMENT grain — each doc is
+    * one (size, types) sample, and the driver corpus's doc lengths span
+    * enough decades for a non-degenerate fit (the per-SOURCE grain is
+    * saturated here: every source exhausts the same closed vocabulary,
+    * which honestly fits beta = 0).
+    *
+    * Determinism: q294's rounded-term discipline —每 ln is round(·,9)
+    * and every OLS moment accumulates per-point ROUNDED products in
+    * exact decimals (order-free), so both engines reach identical sums;
+    * the final slope/intercept/r² are the same short IEEE sequence over
+    * those identical doubles, rounded to 6.
+    *
+    * Scale shape: token rollup per source (map-side combined; the
+    * count-distinct shuffles at (source, tok) grain), then a
+    * sources-count-bounded point table and a 1-row OLS. */
+  val q335HeapsLaw: Q = {
+    val terms =
+      """CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+        |CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy""".stripMargin
+    val out =
+      """n AS n_docs,
+        |round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS beta,
+        |round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |  AS ln_k,
+        |round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2""".stripMargin
+    Q(
+      "q335_heaps_law",
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |           FROM documents WHERE text IS NOT NULL),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ntok,
+         |             CAST(count(DISTINCT tok) AS BIGINT) AS vtok
+         |      FROM t GROUP BY 1),
+         |p AS (SELECT round(ln(CAST(ntok AS DOUBLE)), 9) AS x,
+         |             round(ln(CAST(vtok AS DOUBLE)), 9) AS y
+         |      FROM s),
+         |a AS (SELECT $terms FROM p)
+         |SELECT $out FROM a""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ntok"), countDistinct(col("tok")).as("vtok"))
+        .select(expr("round(ln(CAST(ntok AS DOUBLE)), 9)").as("x"),
+          expr("round(ln(CAST(vtok AS DOUBLE)), 9)").as("y"))
+      // The SAME term strings render both engines: split on top-level
+      // commas (a continuation line never starts at column 0).
+      val termCols = terms.split(",\n(?=\\S)").toIndexedSeq.map(e => expr(e))
+      val outCols = out.split(",\n(?=\\S)").toIndexedSeq
+      p.agg(termCols.head, termCols.tail: _*).selectExpr(outCols: _*)
+    }
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
-    q329VocabCoverage, q331CohensKappa,
+    q329VocabCoverage, q331CohensKappa, q335HeapsLaw,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
     q249GopherRepetition, q253VocabNovelty, q255CountMinAudit, q265LmQuality,
