@@ -1474,8 +1474,11 @@ object Extended {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pool = u.agg(
         count(lit(1)).cast(dec).as("n"),
-        sum(col("x")).cast(dec).as("sx"),
-        sum(col("y")).cast(dec).as("sy"),
+        // Cast BEFORE the sum: DuckDB sums BIGINT into HUGEINT, so in the
+        // overflow regime a Spark LongType sum would wrap silently while
+        // the oracle carries the true value (advice-pass finding).
+        sum(col("x").cast(dec)).cast(dec).as("sx"),
+        sum(col("y").cast(dec)).cast(dec).as("sy"),
         sum(col("x").cast(dec) * col("y")).cast(dec).as("sxy"),
         sum(col("x").cast(dec) * col("x")).cast(dec).as("sxx"))
       val th = pool.select(col("n"), col("sx"),
@@ -1483,8 +1486,8 @@ object Extended {
           .as("theta_ppm"))
       u.groupBy(col("variant"))
         .agg(count(lit(1)).cast(dec).as("nv"),
-          sum(col("x")).cast(dec).as("sxv"),
-          sum(col("y")).cast(dec).as("syv"))
+          sum(col("x").cast(dec)).cast(dec).as("sxv"),
+          sum(col("y").cast(dec)).cast(dec).as("syv"))
         .crossJoin(broadcast(th))
         .select(col("variant").cast("long").as("variant"),
           col("nv").cast("long").as("n_users"),

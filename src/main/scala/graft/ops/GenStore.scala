@@ -190,7 +190,16 @@ private[graft] object GenStore {
         s"maintenance lease at $lease vanished — this run exceeded the " +
           "TTL and was taken over (the takeover already completed); its " +
           "own writes may have interleaved with the takeover's")
-    val (heldBy, _) = readLease(fs, claim)
+    // Mirror checkOwned's transient-IO retry: a single hiccup reading the
+    // just-claimed lease must not restore it and abort a run that
+    // legitimately holds it (that leaves the store lease-blocked until
+    // TTL for no real takeover). The claim is OUR unique rename target,
+    // so re-reading it races nothing.
+    var (heldBy, _) = readLease(fs, claim)
+    if (heldBy == "<unreadable>") {
+      Thread.sleep(100)
+      heldBy = readLease(fs, claim)._1
+    }
     if (heldBy == owner) { fs.delete(claim, false); return }
     // We just claimed someone ELSE's fresh lease (takeover mid-run):
     // put it back before failing. If the restore rename loses (a third

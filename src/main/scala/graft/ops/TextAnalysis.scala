@@ -1325,7 +1325,7 @@ object TextAnalysis {
     * saturated here: every source exhausts the same closed vocabulary,
     * which honestly fits beta = 0).
     *
-    * Determinism: q294's rounded-term discipline —每 ln is round(·,9)
+    * Determinism: q294's rounded-term discipline — every ln is round(·,9)
     * and every OLS moment accumulates per-point ROUNDED products in
     * exact decimals (order-free), so both engines reach identical sums;
     * the final slope/intercept/r² are the same short IEEE sequence over
