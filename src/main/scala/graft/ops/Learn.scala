@@ -158,5 +158,192 @@ object Learn {
       .orderBy(col("event_type"))
   }
 
-  val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep)
+  /** Shared DuckDB CTE chain: order totals as cents with a binary target,
+    * 1-row global stats, and the 32-bin equi-width histogram — the base
+    * both split finding (q345) and isotonic calibration (q346) read.
+    * Binning is the exact integer map (c−mn)·32 // (mx−mn+1) ∈ [0,31]. */
+  private val duckPriceHist: String =
+    """c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c,
+      |             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      |      FROM orders),
+      |st AS (SELECT min(c) AS mn, max(c) AS mx, CAST(count(*) AS HUGEINT) AS nn,
+      |              CAST(sum(y) AS HUGEINT) AS xx FROM c),
+      |h AS (SELECT (c.c - st.mn) * 32 // (st.mx - st.mn + 1) AS bin,
+      |             CAST(count(*) AS HUGEINT) AS n, CAST(sum(c.y) AS HUGEINT) AS x
+      |      FROM c, st GROUP BY 1)""".stripMargin
+
+  /** Spark mirror of [[duckPriceHist]]: returns (hist(bin,n,x) with n,x
+    * DECIMAL(38,0), stats 1-row frame (mn,mx,nn,xx)). The row stream
+    * collapses map-side into ≤32 cells; stats broadcast. */
+  private def priceHist(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val c = Tables(s, dir, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val st = c.agg(min(col("c")).as("mn"), max(col("c")).as("mx"),
+      count(lit(1)).cast(dec).as("nn"), sum(col("y").cast(dec)).as("xx"))
+    val h = c.crossJoin(broadcast(st))
+      .groupBy(expr("(c - mn) * 32 div (mx - mn + 1)").as("bin"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("y").cast(dec)).as("x"))
+    (h, st)
+  }
+
+  /** q345: histogram-based best-split search — the inner loop of every
+    * gradient-boosted-tree trainer (XGBoost/LightGBM's "hist" mode): the
+    * row stream collapses ONCE into a 32-bin equi-width histogram of the
+    * feature (order total, cents) carrying per-bin positive counts of the
+    * target (orderstatus F), and the split search is then a window over
+    * the 32 cells — the map-side histogram + tiny reduce that makes tree
+    * training feasible at 100 TB (the alternative, sorting rows per
+    * feature, is a full shuffle per split). Split score is the binary
+    * variance-reduction surrogate x_L²/n_L + x_R²/n_R (parent term
+    * constant, shipped alongside); threshold_cents is the exact smallest
+    * cents value routed right.
+    *
+    * Determinism: binning, thresholds and gains are integer rationals
+    * (µ-floored per term, DECIMAL(38,0)/HUGEINT products); best split
+    * tie-breaks on bin asc.
+    *
+    * Scale shape: one map-side-combined 32-group aggregate over the fact
+    * scan; the spine, cumulative window, and argmax all run over ≤32
+    * rows (PlanAuditSpec-admitted bounded windows). */
+  val q345SplitGain: Q = Q(
+    "q345_split_gain",
+    s"""WITH $duckPriceHist,
+       |sp AS (SELECT t.i AS bin, coalesce(h.n, 0) AS n, coalesce(h.x, 0) AS x
+       |       FROM generate_series(0, 31) t(i) LEFT JOIN h ON h.bin = t.i),
+       |cum AS (SELECT bin, sum(n) OVER w AS nl, sum(x) OVER w AS xl
+       |        FROM sp WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+       |cand AS (SELECT cum.bin,
+       |                st.mn + ((cum.bin + 1) * (st.mx - st.mn + 1) + 31) // 32
+       |                  AS threshold_cents,
+       |                cum.nl, cum.xl, st.nn - cum.nl AS nr, st.xx - cum.xl AS xr,
+       |                cum.xl * cum.xl * 1000000 // cum.nl
+       |                  + (st.xx - cum.xl) * (st.xx - cum.xl) * 1000000
+       |                    // (st.nn - cum.nl) AS gain_micro,
+       |                st.xx * st.xx * 1000000 // st.nn AS parent_micro
+       |         FROM cum, st
+       |         WHERE cum.bin < 31 AND cum.nl > 0 AND st.nn - cum.nl > 0)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |       CAST(threshold_cents AS BIGINT) AS threshold_cents,
+       |       CAST(nl AS BIGINT) AS n_left, CAST(xl AS BIGINT) AS x_left,
+       |       CAST(nr AS BIGINT) AS n_right, CAST(xr AS BIGINT) AS x_right,
+       |       CAST(gain_micro AS BIGINT) AS gain_micro,
+       |       CAST(parent_micro AS BIGINT) AS parent_micro,
+       |       row_number() OVER (ORDER BY gain_micro DESC, bin) = 1 AS is_best
+       |FROM cand ORDER BY bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (h, st) = priceHist(s, dir)
+    val sp = s.range(0, 32).toDF("bin")
+      .join(broadcast(h), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0).cast(dec)).as("n"),
+        coalesce(col("x"), lit(0).cast(dec)).as("x"))
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val cand = sp
+      .select(col("bin"), sum(col("n")).over(cumW).as("nl"),
+        sum(col("x")).over(cumW).as("xl"))
+      .crossJoin(broadcast(st))
+      .filter(col("bin") < 31 && col("nl") > 0 && (col("nn") - col("nl")) > 0)
+      .select(col("bin"),
+        expr("CAST(mn + ((bin + 1) * (mx - mn + 1) + 31) div 32 AS LONG)")
+          .as("threshold_cents"),
+        col("nl").cast("long").as("n_left"), col("xl").cast("long").as("x_left"),
+        (col("nn") - col("nl")).cast("long").as("n_right"),
+        (col("xx") - col("xl")).cast("long").as("x_right"),
+        expr("""CAST(xl * xl * 1000000 div nl
+               |     + (xx - xl) * (xx - xl) * 1000000 div (nn - nl)
+               |  AS LONG)""".stripMargin).as("gain_micro"),
+        expr("CAST(xx * xx * 1000000 div nn AS LONG)").as("parent_micro"))
+    cand
+      .withColumn("is_best",
+        row_number().over(Window.orderBy(col("gain_micro").desc, col("bin"))) === 1)
+      .orderBy(col("bin"))
+  }
+
+  /** q346: isotonic (PAV) calibration of the histogram's target-rate
+    * curve — the monotone fit that turns q345's raw per-bin rates into a
+    * calibrated score→probability map (Zadrozny–Elkan isotonic
+    * calibration; also the standard monotone-constraint repair for any
+    * binned rate curve). Pool-adjacent-violators is inherently
+    * sequential, but over a BOUNDED bin table it has the closed minimax
+    * form ŷ_i = max_{j≤i} min_{k≥i} rate(j..k) — expressible as two
+    * grouped reductions over bin-index triples, all O(bins³) ≤ 32³ rows
+    * regardless of data scale.
+    *
+    * Determinism: pooled rates are ppm floors of integer cumulative-sum
+    * rationals BEFORE the minimax (documented µ-unit contract: a floor
+    * shifts a pooled rate by <1 ppm; the minimax over the floored
+    * integers is then exact and identical in both engines).
+    *
+    * Scale shape: everything below the 32-cell histogram is bin-grain;
+    * the candidate-range join is a broadcast over ≤528 pairs. The output
+    * ships the raw rate, the isotonic rate, and the count of adjacent
+    * inversions the fit repaired. */
+  val q346IsotonicCalibration: Q = Q(
+    "q346_isotonic_calibration",
+    s"""WITH $duckPriceHist,
+       |ord AS (SELECT bin, n, x,
+       |               row_number() OVER (ORDER BY bin) AS idx,
+       |               sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cn,
+       |               sum(x) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cx
+       |        FROM h),
+       |p AS (SELECT j.idx AS j, k.idx AS k,
+       |             (k.cx - j.cx + j.x) * 1000000 // (k.cn - j.cn + j.n)
+       |               AS rate_ppm
+       |      FROM ord j JOIN ord k ON k.idx >= j.idx),
+       |m AS (SELECT i.idx AS i, p.j, min(p.rate_ppm) AS mn_rate
+       |      FROM ord i JOIN p ON p.j <= i.idx AND p.k >= i.idx
+       |      GROUP BY 1, 2),
+       |fit AS (SELECT i, max(mn_rate) AS iso_ppm FROM m GROUP BY 1)
+       |SELECT CAST(o.bin AS BIGINT) AS bin, CAST(o.n AS BIGINT) AS n,
+       |       CAST(o.x AS BIGINT) AS x,
+       |       CAST(o.x * 1000000 // o.n AS BIGINT) AS raw_ppm,
+       |       CAST(f.iso_ppm AS BIGINT) AS iso_ppm,
+       |       CAST(o.x * 1000000 // o.n AS BIGINT) <> CAST(f.iso_ppm AS BIGINT)
+       |         AS pooled,
+       |       (SELECT count(*) FROM ord a JOIN ord b ON b.idx = a.idx + 1
+       |        WHERE b.x * a.n * 1000000 < a.x * b.n * 1000000)
+       |         AS inversions_repaired
+       |FROM ord o JOIN fit f ON f.i = o.idx
+       |ORDER BY bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // Persist the HISTOGRAM, not the windowed frame: caches live BELOW
+    // windows (q327's recorded gotcha — an InMemoryRelation above the
+    // window hides it from PlanAuditSpec's bounded-window audit). The
+    // windows themselves are ≤32-row recomputes.
+    val h = priceHist(s, dir)._1.persist(StorageLevel.MEMORY_AND_DISK)
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val ord = h
+      .select(col("bin"), col("n"), col("x"),
+        row_number().over(Window.orderBy(col("bin"))).as("idx"),
+        sum(col("n")).over(cumW).as("cn"), sum(col("x")).over(cumW).as("cx"))
+    val pj = ord.select(col("idx").as("j"), col("n").as("nj"), col("x").as("xj"),
+      col("cn").as("cnj"), col("cx").as("cxj"))
+    val pk = ord.select(col("idx").as("k"), col("cn").as("cnk"), col("cx").as("cxk"))
+    val p = pj.join(broadcast(pk), col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        expr("CAST((cxk - cxj + xj) * 1000000 div (cnk - cnj + nj) AS LONG)")
+          .as("rate_ppm"))
+    val m = ord.select(col("idx").as("i"))
+      .join(broadcast(p), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy(col("i"), col("j")).agg(min(col("rate_ppm")).as("mn_rate"))
+    val fit = m.groupBy(col("i")).agg(max(col("mn_rate")).as("iso_ppm"))
+    val inv = ord.as("a")
+      .join(ord.as("b"), col("b.idx") === col("a.idx") + 1)
+      .agg(count(when(
+        col("b.x") * col("a.n") * 1000000 < col("a.x") * col("b.n") * 1000000,
+        1)).as("inversions_repaired"))
+    ord.join(broadcast(fit), col("i") === col("idx"))
+      .crossJoin(broadcast(inv))
+      .select(col("bin").cast("long").as("bin"), col("n").cast("long").as("n"),
+        col("x").cast("long").as("x"),
+        expr("CAST(x * 1000000 div n AS LONG)").as("raw_ppm"),
+        col("iso_ppm"),
+        (expr("CAST(x * 1000000 div n AS LONG)") =!= col("iso_ppm")).as("pooled"),
+        col("inversions_repaired"))
+      .orderBy(col("bin"))
+  }
+
+  val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep, q345SplitGain,
+    q346IsotonicCalibration)
 }

@@ -106,7 +106,9 @@ class PlanAuditSpec extends SparkSpec {
       "q315_kaplan_meier",      // risk-set + log-survival cums over the week histogram (≤ calendar span / 7 rows)
       "q319_sprt_monitor",      // running LLR over the day rollup (≤ calendar-span rows)
       "q327_conformal_interval",// residual-level cum (≤ |calibration days| rows)
-      "q333_kruskal_wallis")    // cum over cents-value levels (q299/q313's precedent)
+      "q333_kruskal_wallis",    // cum over cents-value levels (q299/q313's precedent)
+      "q345_split_gain",        // cum + argmax over the 32-bin feature histogram
+      "q346_isotonic_calibration") // PAV minimax over the ≤32-bin histogram
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
