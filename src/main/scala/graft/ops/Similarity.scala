@@ -1018,7 +1018,7 @@ object Similarity {
        |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
        |       FROM ld$sfx JOIN n2 nq ON nq.vec_id = query_id
        |               JOIN n2 nc ON nc.vec_id = neighbor_id),
-       |l$sfx AS (SELECT query_id, neighbor_id FROM lr$sfx WHERE rank <= 5)""".stripMargin
+       |l$sfx AS (SELECT query_id, neighbor_id, rank FROM lr$sfx WHERE rank <= 5)""".stripMargin
 
   val q84AnnRecall: Q = Q(
     "q84_ann_recall",
@@ -2564,7 +2564,114 @@ object Similarity {
       .orderBy(col("rrf_ppb").desc, col("doc_id")).limit(20)
   }
 
+  /** q338: graded ranking-quality audit — NDCG@5, MRR, and AP@5 of the
+    * 8-bit sign-LSH top-5 list against the exact cosine top-5 as graded
+    * truth (relevance 5…1 by exact rank). q84 measures set-overlap
+    * RECALL; this is the ORDER-sensitive complement: an ANN list can hit
+    * 5/5 and still invert the ranking, and NDCG is what reads that.
+    *
+    * Determinism: the whole audit is integer arithmetic — the per-rank
+    * DCG discounts 1/log₂(r+1) are pre-rounded ppm LITERALS (1000000,
+    * 630930, 500000, 430677, 386853; ideal DCG = Σ(6−r)·w_r = 10271927),
+    * MRR is one integer division by the first-hit rank, and AP@5 sums
+    * µ-floored precision@r terms (documented µ-unit contract).
+    *
+    * Scale shape: both legs are q84's machinery (broadcast queries,
+    * bucket equi-join / bounded-heap shortlist); the metric computation
+    * is a per-query window over ≤5 rows. The audit cost is the exact
+    * baseline — shared shape with q84/q85, sample-bounded. */
+  val q338RankMetrics: Q = Q(
+    "q338_rank_metrics",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < $AuditSampleQueries
+       |         AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |xr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM xd JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc ON nc.vec_id = neighbor_id),
+       |tr AS (SELECT query_id, neighbor_id, 6 - rank AS rel FROM xr WHERE rank <= 5),
+       |${duckLshTopCtes(8, "8")},
+       |g AS (SELECT l.query_id, l.rank, coalesce(t.rel, 0) AS rel,
+       |             CASE l.rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930
+       |                  WHEN 3 THEN 500000 WHEN 4 THEN 430677
+       |                  ELSE 386853 END AS w
+       |      FROM l8 l LEFT JOIN tr t ON t.query_id = l.query_id
+       |        AND t.neighbor_id = l.neighbor_id),
+       |c AS (SELECT query_id, rank, rel, w,
+       |             sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)
+       |               OVER (PARTITION BY query_id ORDER BY rank) AS hits
+       |      FROM g),
+       |m AS (SELECT query_id,
+       |             CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       |             CAST(sum(rel * w) * 1000000 // 10271927 AS BIGINT) AS ndcg_ppm,
+       |             CAST(coalesce(1000000 // min(CASE WHEN rel > 0 THEN rank END), 0)
+       |               AS BIGINT) AS mrr_ppm,
+       |             CAST(sum(CASE WHEN rel > 0 THEN hits * 1000000 // rank
+       |                           ELSE 0 END) // 5 AS BIGINT) AS ap_ppm
+       |      FROM c GROUP BY 1),
+       |qs AS (SELECT DISTINCT query_id FROM tr)
+       |SELECT qs.query_id, coalesce(m.n_hits, 0) AS n_hits,
+       |       coalesce(m.ndcg_ppm, 0) AS ndcg_ppm,
+       |       coalesce(m.mrr_ppm, 0) AS mrr_ppm,
+       |       coalesce(m.ap_ppm, 0) AS ap_ppm
+       |FROM qs LEFT JOIN m USING (query_id) ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    // LSH top-5 WITH rank (q84's lshTop shape, rank retained).
+    val e = embWithNorm(s, dir).withColumn("bkt", expr(sparkBucket("embedding", 8)))
+    val q = e.filter(col("vec_id") < AuditSampleQueries).select(
+      col("vec_id").as("query_id"), col("bkt"),
+      col("embedding").as("emb_q"), col("n2").as("n2_q"))
+    val c = e.select(
+      col("vec_id").as("neighbor_id"), col("bkt"),
+      col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val lsh = c.join(broadcast(q), Seq("bkt"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos_sim",
+        round(expr(dDot("emb_q", "emb_c")) / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+    val truth = exactTopK(s, dir, AuditSampleQueries)
+      .select(col("query_id"), col("neighbor_id"), (lit(6L) - col("rank")).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = lsh.as("l")
+      .join(truth.as("t"),
+        col("l.query_id") === col("t.query_id") &&
+          col("l.neighbor_id") === col("t.neighbor_id"), "left")
+      .select(col("l.query_id").as("query_id"), col("rank"),
+        coalesce(col("rel"), lit(0L)).as("rel"),
+        expr("""CASE rank WHEN 1 THEN 1000000L WHEN 2 THEN 630930L
+               |     WHEN 3 THEN 500000L WHEN 4 THEN 430677L
+               |     ELSE 386853L END""".stripMargin).as("w"))
+    val hitsW = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    val m = g
+      .withColumn("hits", sum(when(col("rel") > 0, 1L).otherwise(0L)).over(hitsW))
+      .groupBy(col("query_id"))
+      .agg(sum(when(col("rel") > 0, 1L).otherwise(0L)).as("n_hits"),
+        expr("CAST(sum(rel * w) * 1000000 div 10271927 AS LONG)").as("ndcg_ppm"),
+        coalesce(expr("1000000 div min(CASE WHEN rel > 0 THEN rank END)"),
+          lit(0L)).as("mrr_ppm"),
+        expr("""CAST(sum(CASE WHEN rel > 0 THEN hits * 1000000 div rank
+               |         ELSE 0L END) div 5 AS LONG)""".stripMargin).as("ap_ppm"))
+    truth.select(col("query_id")).distinct()
+      .join(m, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("ndcg_ppm"), lit(0L)).as("ndcg_ppm"),
+        coalesce(col("mrr_ppm"), lit(0L)).as("mrr_ppm"),
+        coalesce(col("ap_ppm"), lit(0L)).as("ap_ppm"))
+      .orderBy(col("query_id"))
+  }
+
   val all: Seq[Q] = Seq(
+    q338RankMetrics,
     q297FilteredAnn, q303MmrDiverse, q312HybridRrf,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,
