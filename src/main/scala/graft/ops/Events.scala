@@ -2914,8 +2914,197 @@ object Events {
       .orderBy(col("t_weeks"))
   }
 
+  /** q339: Ljung–Box portmanteau whiteness test over q276's ACF — the
+    * decision rule on top of the diagnostic: Q = n(n+2)·Σ_{k=1..7}
+    * ρ̂_k²/(n−k), compared against the χ²₇ 0.95 critical value. q276
+    * ships the correlogram; this ships the yes/no ("is there ANY serial
+    * structure worth modeling?") that routes a series to q165/q271/q326
+    * versus a plain mean model.
+    *
+    * Determinism: ρ̂_k enters as q276's exact integer acf_ppm; each
+    * lag's term n(n+2)ρ̂²/((n−k)·10⁶) is µ-floored before the 7-term sum
+    * (documented µ-unit contract, ≤7 µ total); the critical value is the
+    * literal 14067140 µ (χ²₇ at 0.95 = 14.067140…), identical in both
+    * engines.
+    *
+    * Scale shape: q276's exactly — day-grain cells, broadcast per-type
+    * stats, the 7-lag self-join bounded by calendar × 7. The test adds
+    * one ≤7-row-per-type rollup. n is calendar-bounded, so
+    * n(n+2)·ρ_ppm² ≈ 10¹⁶·n stays inside DECIMAL(38,0)/HUGEINT. */
+  val q339LjungBox: Q = Q(
+    "q339_ljung_box",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM d),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |              CAST(sum(v) AS HUGEINT) AS sv
+      |       FROM ser GROUP BY 1),
+      |cen AS (SELECT s.event_type, s.t, st.n * s.v - st.sv AS c
+      |        FROM ser s JOIN st USING (event_type)),
+      |den AS (SELECT event_type, sum(c * c) AS den FROM cen GROUP BY 1),
+      |k AS (SELECT unnest(generate_series(1, 7)) AS lag),
+      |num AS (SELECT a.event_type, k.lag, sum(a.c * b.c) AS num
+      |        FROM cen a CROSS JOIN k
+      |             JOIN cen b ON b.event_type = a.event_type
+      |                       AND b.t = a.t - k.lag
+      |        GROUP BY 1, 2),
+      |rho AS (SELECT n.event_type, n.lag,
+      |               1000000 * n.num // d2.den AS rho_ppm
+      |        FROM num n JOIN den d2 USING (event_type)),
+      |lb AS (SELECT r.event_type,
+      |              sum(st.n * (st.n + 2) * r.rho_ppm * r.rho_ppm
+      |                  // ((st.n - r.lag) * 1000000)) AS q_micro
+      |       FROM rho r JOIN st USING (event_type) GROUP BY 1)
+      |SELECT lb.event_type, CAST(st.n AS BIGINT) AS n_days,
+      |       CAST(lb.q_micro AS BIGINT) AS q_micro,
+      |       CAST(7 AS BIGINT) AS df,
+      |       lb.q_micro > 14067140 AS reject_white
+      |FROM lb JOIN st USING (event_type) ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = "decimal(38,0)"
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val ser = d.withColumn("t",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val st = ser.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec38).as("n"), sum(col("v").cast(dec38)).as("sv"))
+    val cen = ser.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("t"),
+        (col("n") * col("v") - col("sv")).as("c"))
+    val den = cen.groupBy(col("event_type")).agg(sum(col("c") * col("c")).as("den"))
+    val lags = s.range(1, 8).select(col("id").as("lag"))
+    val num = cen.as("a").crossJoin(broadcast(lags))
+      .join(cen.as("b"),
+        col("b.event_type") === col("a.event_type") &&
+          col("b.t") === col("a.t") - col("lag"))
+      .groupBy(col("a.event_type").as("event_type"), col("lag"))
+      .agg(sum(col("a.c") * col("b.c")).as("num"))
+    val rho = num.join(broadcast(den), "event_type")
+      .select(col("event_type"), col("lag").cast(dec38).as("lag"),
+        expr("CAST((1000000 * num) div den AS decimal(38,0))").as("rho_ppm"))
+    rho.join(broadcast(st), "event_type")
+      .groupBy(col("event_type"))
+      .agg(first(col("n")).cast("long").as("n_days"),
+        sum(expr("n * (n + 2) * rho_ppm * rho_ppm div ((n - lag) * 1000000)"))
+          .cast("long").as("q_micro"))
+      .select(col("event_type"), col("n_days"), col("q_micro"),
+        lit(7L).as("df"), (col("q_micro") > 14067140L).as("reject_white"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q340: EWMA control chart (λ=0.2, L=3) over the daily revenue series
+    * per event_type — the small-shift monitor that complements q131's
+    * CUSUM: the EWMA statistic z_t = λy_t + (1−λ)z_{t−1} (z₀ = series
+    * mean) drifts out of ±L·σ_z(t) bands on sustained small shifts that
+    * per-point σ-rules never see. With λ=1/5 and L=3 the band constant
+    * L²·λ/(2−λ) is EXACTLY 1, so the out-of-control test collapses to
+    * (n·z_t − S)² > (n·Σy² − S²)·(1 − 0.8^{2t}) — integer series stats
+    * on the right, the recursion on the left.
+    *
+    * Determinism: the q326/q271 device — both engines execute the
+    * IDENTICAL IEEE sequence (Spark: ordered-array fold appending
+    * (z, w=0.8^{2t}) states; DuckDB: recursive CTE stepping the same two
+    * multiplies), and every other quantity is an exact integer cast once
+    * to double. +, ×, / and integer→double casts are all correctly
+    * rounded per IEEE 754, so equality is bit-level, not approximate;
+    * w advances by repeated ×0.64 (never libm pow). Literals are CAST to
+    * DOUBLE on the DuckDB side (bare 0.2 parses as DECIMAL — the q319
+    * gotcha).
+    *
+    * Scale shape: the row stream collapses map-side to day-grain cells
+    * (calendar-bounded); the per-type fold is a ≤n_days list op, the
+    * flags a day-grain select, the output a per-type rollup. */
+  val q340EwmaControl: Q = Q(
+    "q340_ewma_control",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM d),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |              CAST(sum(v) AS HUGEINT) AS sv,
+      |              CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv
+      |       FROM ser GROUP BY 1),
+      |r AS (
+      |  SELECT st.event_type, 0 AS t,
+      |         CAST(st.sv AS DOUBLE) / CAST(st.n AS DOUBLE) AS z,
+      |         CAST(1 AS DOUBLE) AS w
+      |  FROM st
+      |  UNION ALL
+      |  SELECT r.event_type, r.t + 1,
+      |         CAST(0.2 AS DOUBLE) * CAST(s.v AS DOUBLE)
+      |           + CAST(0.8 AS DOUBLE) * r.z,
+      |         r.w * CAST(0.64 AS DOUBLE)
+      |  FROM r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t + 1),
+      |fl AS (SELECT r.event_type, r.t, r.z,
+      |              (CAST(st.n AS DOUBLE) * r.z - CAST(st.sv AS DOUBLE))
+      |                * (CAST(st.n AS DOUBLE) * r.z - CAST(st.sv AS DOUBLE))
+      |                > CAST(st.n * st.svv - st.sv * st.sv AS DOUBLE)
+      |                  * (CAST(1 AS DOUBLE) - r.w) AS flag
+      |       FROM r JOIN st USING (event_type) WHERE r.t >= 1)
+      |SELECT fl.event_type, CAST(st.n AS BIGINT) AS n_days,
+      |       CAST(count(*) FILTER (WHERE fl.flag) AS BIGINT) AS n_flagged,
+      |       CAST(coalesce(min(fl.t) FILTER (WHERE fl.flag), 0) AS BIGINT)
+      |         AS first_flag_t,
+      |       arg_max(round(fl.z, 4), fl.t) AS z_final,
+      |       CAST(st.sv // st.n AS BIGINT) AS mean_cents
+      |FROM fl JOIN st USING (event_type)
+      |GROUP BY 1, st.n, st.sv
+      |ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = "decimal(38,0)"
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val ser = d.withColumn("t",
+      row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+    val st = ser.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec38).as("n"), sum(col("v").cast(dec38)).as("sv"),
+        sum(col("v").cast(dec38) * col("v")).as("svv"))
+    val arr = ser.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, v))), p -> p.v)")
+        .as("arr"))
+      .join(broadcast(st), "event_type")
+    // Fold appends one (z, w) state per day; index i in the exploded
+    // array is the day index t (position 0 = the z0/w0 seed, dropped).
+    val states = arr.withColumn("sts",
+      expr("""aggregate(arr,
+             |  array(named_struct(
+             |    'z', CAST(sv AS DOUBLE) / CAST(n AS DOUBLE),
+             |    'w', CAST(1 AS DOUBLE))),
+             |  (acc, e) -> array_append(acc, named_struct(
+             |    'z', 0.2D * CAST(e AS DOUBLE) + 0.8D * element_at(acc, -1).z,
+             |    'w', element_at(acc, -1).w * 0.64D)))""".stripMargin))
+      .select(col("event_type"), col("n"), col("sv"), col("svv"),
+        posexplode(col("sts")).as(Seq("t", "st")))
+      .filter(col("t") >= 1)
+    val fl = states.select(col("event_type"), col("n"), col("sv"),
+      col("t").cast("long").as("t"), col("st.z").as("z"),
+      ((expr("CAST(n AS DOUBLE)") * col("st.z") - expr("CAST(sv AS DOUBLE)"))
+        * (expr("CAST(n AS DOUBLE)") * col("st.z") - expr("CAST(sv AS DOUBLE)"))
+        > expr("CAST(n * svv - sv * sv AS DOUBLE)")
+          * (expr("CAST(1 AS DOUBLE)") - col("st.w"))).as("flag"))
+    fl.groupBy(col("event_type"))
+      .agg(first(col("n")).cast("long").as("n_days"),
+        count(when(col("flag"), 1)).as("n_flagged"),
+        coalesce(min(when(col("flag"), col("t"))), lit(0L)).as("first_flag_t"),
+        expr("max_by(round(z, 4), t)").as("z_final"),
+        expr("CAST(first(sv) div first(n) AS LONG)").as("mean_cents"))
+      .orderBy(col("event_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
+      q339LjungBox, q340EwmaControl,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
