@@ -615,6 +615,153 @@ object Graph {
       .orderBy(col("supp").desc, col("a"), col("b"), col("c"))
   }
 
-  val all: Seq[Q] = Seq(q106TriangleCount, q109PageRank, q128BfsHops,
+  /** q341: link prediction on the co-purchase graph — common-neighbor,
+    * Jaccard, and Adamic–Adar scores for the top candidate NON-edges
+    * (Liben-Nowell & Kleinberg's classic trio; AA is the one that
+    * discounts promiscuous hubs, Σ_z 1/ln(deg_z+1) over shared
+    * neighbors z — the +1 keeps degree-1 bridges finite). This is the
+    * "recommend an edge" / entity-suggestion kernel: candidates are
+    * exactly the 2-hop wedge pairs, scored and anti-joined against the
+    * existing edge set.
+    *
+    * Determinism: cn and Jaccard are integer rationals (ppm); each AA
+    * term rounds 1/ln(d+1) to 6 decimals BEFORE the DECIMAL(28,6) sum
+    * (q265's rounded-transcendental discipline), so both engines
+    * accumulate identical exact decimals. Output order (aa_ppm, cn desc,
+    * pair asc) is total.
+    *
+    * Scale shape: candidate volume is wedge volume — bounded by
+    * Σ deg² over the SUPPORT-THRESHOLDED edge set (q106's lesson: the
+    * threshold is what keeps this subquadratic; at larger graphs the
+    * same pipeline runs per degree-capped neighborhood). The degree
+    * table is node-grain and broadcast into the wedge join. */
+  val q341LinkPrediction: Q = Q(
+    "q341_link_prediction",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+      |cand AS (SELECT a.n AS u, b.n AS v, a.z,
+      |                round(1.0 / ln(CAST(dz.d + 1 AS DOUBLE)), 6) AS aa_term
+      |         FROM adj a JOIN adj b ON a.z = b.z AND a.n < b.n
+      |              JOIN deg dz ON dz.n = a.z
+      |         WHERE NOT EXISTS (SELECT 1 FROM e0
+      |                           WHERE e0.u = a.n AND e0.v = b.n)),
+      |sc AS (SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+      |              CAST(sum(CAST(aa_term AS DECIMAL(28,6))) * 1000000 AS BIGINT)
+      |                AS aa_ppm
+      |       FROM cand GROUP BY 1, 2)
+      |SELECT sc.u, sc.v, sc.cn,
+      |       CAST(sc.cn * 1000000 // (du.d + dv.d - sc.cn) AS BIGINT)
+      |         AS jaccard_ppm,
+      |       sc.aa_ppm
+      |FROM sc JOIN deg du ON du.n = sc.u JOIN deg dv ON dv.n = sc.v
+      |ORDER BY sc.aa_ppm DESC, sc.cn DESC, sc.u, sc.v
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val adj = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionAll(e0.select(col("v").as("n"), col("u").as("z")))
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val cand = adj.as("a")
+      .join(adj.as("b"), col("a.z") === col("b.z") && col("a.n") < col("b.n"))
+      .join(deg.select(col("n").as("z"), col("d").as("dz")), Seq("z"))
+      .join(e0.select(col("u").as("n_u"), col("v").as("n_v")),
+        col("a.n") === col("n_u") && col("b.n") === col("n_v"), "left_anti")
+      .select(col("a.n").as("u"), col("b.n").as("v"),
+        round(lit(1.0) / log(col("dz").cast("double") + 1), 6)
+          .cast("decimal(28,6)").as("aa_term"))
+    val sc = cand.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("cn"),
+        (sum(col("aa_term")) * 1000000).cast("long").as("aa_ppm"))
+    sc.join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        expr("CAST(cn * 1000000 div (du + dv - cn) AS LONG)").as("jaccard_ppm"),
+        col("aa_ppm"))
+      .orderBy(col("aa_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(20)
+  }
+
+  /** q342: local clustering coefficient — per-node cc(v) = 2·t(v) /
+    * (d(v)·(d(v)−1)), the node-grain refinement of q106's single global
+    * coefficient (Watts–Strogatz's measure; the profile separates
+    * clique-embedded products from bridge products at the same degree).
+    * Triangles come from the SAME oriented wedge-close as q106 — each
+    * triangle found once at its (deg,id)-minimal apex, then exploded to
+    * credit all three corners.
+    *
+    * Determinism: cc is one integer rational surfaced in ppm; output
+    * order (cc_ppm desc, t desc, node asc) is total.
+    *
+    * Scale shape: q106's exactly (orientation bounds wedge volume by
+    * E^1.5); the per-node credit is a 3-row explode of the triangle
+    * list, and the rollup is node-grain. */
+  val q342LocalClustering: Q = Q(
+    "q342_local_clustering",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+      |          SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      |ori AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.u ELSE e0.v END AS a,
+      |               CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN e0.v ELSE e0.u END AS b,
+      |               CASE WHEN (du.d, e0.u) < (dv.d, e0.v) THEN dv.d ELSE du.d END AS db
+      |        FROM e0 JOIN deg du ON du.n = e0.u JOIN deg dv ON dv.n = e0.v),
+      |tri AS (SELECT o1.a AS p, o1.b AS q, o2.b AS r
+      |        FROM ori o1 JOIN ori o2
+      |          ON o1.a = o2.a AND ((o1.db, o1.b) < (o2.db, o2.b))
+      |        JOIN ori o3 ON o3.a = o1.b AND o3.b = o2.b),
+      |tv AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+      |         SELECT p AS n FROM tri UNION ALL SELECT q FROM tri
+      |         UNION ALL SELECT r FROM tri) GROUP BY 1)
+      |SELECT deg.n AS node, deg.d, coalesce(tv.t, 0) AS t,
+      |       CAST(coalesce(tv.t, 0) * 2000000 // (deg.d * (deg.d - 1)) AS BIGINT)
+      |         AS cc_ppm
+      |FROM deg LEFT JOIN tv ON tv.n = deg.n
+      |WHERE deg.d >= 2
+      |ORDER BY cc_ppm DESC, t DESC, node
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist(MEMORY_AND_DISK)
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e0
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      .persist(MEMORY_AND_DISK)
+    val tri = ori.as("o1").join(ori.as("o2"),
+        col("o1.a") === col("o2.a") &&
+          (col("o1.db") < col("o2.db") ||
+            (col("o1.db") === col("o2.db") && col("o1.b") < col("o2.b"))))
+      .join(ori.as("o3"),
+        col("o3.a") === col("o1.b") && col("o3.b") === col("o2.b"))
+      .select(col("o1.a").as("p"), col("o1.b").as("q"), col("o2.b").as("r"))
+    val tv = tri.select(col("p").as("n"))
+      .unionAll(tri.select(col("q").as("n")))
+      .unionAll(tri.select(col("r").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    deg.filter(col("d") >= 2)
+      .join(tv, Seq("n"), "left")
+      .select(col("n").as("node"), col("d"),
+        coalesce(col("t"), lit(0L)).as("t"),
+        expr("CAST(coalesce(t, 0) * 2000000 div (d * (d - 1)) AS LONG)")
+          .as("cc_ppm"))
+      .orderBy(col("cc_ppm").desc, col("t").desc, col("node"))
+      .limit(20)
+  }
+
+  val all: Seq[Q] = Seq(q341LinkPrediction, q342LocalClustering,
+    q106TriangleCount, q109PageRank, q128BfsHops,
     q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples)
 }
