@@ -1375,7 +1375,143 @@ object TextAnalysis {
     }
   }
 
+  /** q343: Jensen–Shannon divergence of every source's unigram
+    * distribution against the corpus — the principled (symmetric,
+    * bounded, never-infinite) version of the distribution-drift checks
+    * q98/q135 run on numeric features, at the VOCABULARY level: a source
+    * whose word distribution diverges from the corpus is machine text,
+    * wrong-language, or template spam, and JSD ranks exactly that. Per
+    * source s: JSD(p_s‖p_corpus) = ½Σp·log₂(p/m) + ½Σq·log₂(q/m),
+    * m = (p+q)/2.
+    *
+    * Determinism: every log₂ argument is ONE division of exact
+    * integer-cast doubles (2·c_s·n_g / (c_s·n_g + c_g·n_s) — IEEE-
+    * deterministic); each term rounds to 9 decimals before the
+    * DECIMAL(28,9) accumulation (q265's discipline), and the two sums
+    * surface as nano integers (×10⁹ of a scale-9 decimal is exactly
+    * integral, so the BIGINT cast cannot hit the round-vs-truncate
+    * divergence between engines). jsd_nano is their floored half.
+    *
+    * Scale shape: token stream → (source, word) counts map-side; the
+    * term table is vocab×1 per source (the corpus side joins the
+    * vocab-grain count table, never re-reading rows); per-source rollup.
+    * The corpus distribution INCLUDES each source (reference = the whole
+    * corpus, the standard monitor convention). */
+  val q343JsDivergence: Q = Q(
+    "q343_js_divergence",
+    """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+      |           FROM documents),
+      |cs AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+      |cg AS (SELECT w, CAST(sum(c) AS BIGINT) AS cg FROM cs GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS ns FROM cs GROUP BY 1),
+      |ng AS (SELECT CAST(sum(cg) AS BIGINT) AS ng FROM cg),
+      |tp AS (SELECT cs.source,
+      |              CAST(round((CAST(cs.c AS DOUBLE) / CAST(ns.ns AS DOUBLE))
+      |                * log2(CAST(2 * cs.c * ng.ng AS DOUBLE)
+      |                       / CAST(cs.c * ng.ng + cg.cg * ns.ns AS DOUBLE)), 9)
+      |                AS DECIMAL(28,9)) AS t
+      |       FROM cs JOIN cg USING (w) JOIN ns USING (source), ng),
+      |tq AS (SELECT ns.source,
+      |              CAST(round((CAST(cg.cg AS DOUBLE) / CAST(ng.ng AS DOUBLE))
+      |                * log2(CAST(2 * cg.cg * ns.ns AS DOUBLE)
+      |                       / CAST(coalesce(cs.c, 0) * ng.ng + cg.cg * ns.ns
+      |                              AS DOUBLE)), 9)
+      |                AS DECIMAL(28,9)) AS t
+      |       FROM ns CROSS JOIN cg
+      |            LEFT JOIN cs ON cs.source = ns.source AND cs.w = cg.w, ng),
+      |sp AS (SELECT source, CAST(sum(t) * 1000000000 AS BIGINT) AS p_nano
+      |       FROM tp GROUP BY 1),
+      |sq AS (SELECT source, CAST(sum(t) * 1000000000 AS BIGINT) AS q_nano
+      |       FROM tq GROUP BY 1),
+      |vs AS (SELECT source, CAST(count(*) AS BIGINT) AS vocab_s FROM cs GROUP BY 1)
+      |SELECT sp.source, ns.ns AS n_tokens, vs.vocab_s,
+      |       sp.p_nano, sq.q_nano,
+      |       (sp.p_nano + sq.q_nano) // 2 AS jsd_nano
+      |FROM sp JOIN sq USING (source) JOIN ns USING (source) JOIN vs USING (source)
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    val w = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+    val cs = w.groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cg = cs.groupBy(col("w")).agg(sum(col("c")).as("cg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ns = cs.groupBy(col("source")).agg(sum(col("c")).as("ns"))
+    val ng = cg.agg(sum(col("cg")).as("ng"))
+    val tp = cs.join(cg, "w").join(broadcast(ns), "source").crossJoin(broadcast(ng))
+      .select(col("source"),
+        round((col("c").cast("double") / col("ns").cast("double"))
+          * log2((lit(2) * col("c") * col("ng")).cast("double")
+            / (col("c") * col("ng") + col("cg") * col("ns")).cast("double")), 9)
+          .cast("decimal(28,9)").as("t"))
+    val tq = ns.crossJoin(cg)
+      .join(cs, Seq("source", "w"), "left")
+      .crossJoin(broadcast(ng))
+      .select(col("source"),
+        round((col("cg").cast("double") / col("ng").cast("double"))
+          * log2((lit(2) * col("cg") * col("ns")).cast("double")
+            / (coalesce(col("c"), lit(0L)) * col("ng") + col("cg") * col("ns"))
+              .cast("double")), 9)
+          .cast("decimal(28,9)").as("t"))
+    val sp = tp.groupBy(col("source"))
+      .agg((sum(col("t")) * 1000000000L).cast("long").as("p_nano"))
+    val sq = tq.groupBy(col("source"))
+      .agg((sum(col("t")) * 1000000000L).cast("long").as("q_nano"))
+    val vs = cs.groupBy(col("source")).agg(count(lit(1)).as("vocab_s"))
+    sp.join(sq, "source").join(ns.withColumnRenamed("ns", "n_tokens"), "source")
+      .join(vs, "source")
+      .select(col("source"), col("n_tokens"), col("vocab_s"),
+        col("p_nano"), col("q_nano"),
+        expr("(p_nano + q_nano) div 2").as("jsd_nano"))
+      .orderBy(col("source"))
+  }
+
+  /** q344: feature hashing (the "hashing trick", Weinberger et al.) —
+    * token features of the whole corpus hashed into a FIXED 64-dim
+    * signed vector space, the constant-memory featurizer that replaces
+    * an unbounded vocabulary→index dictionary at training time. dim =
+    * H(w) mod 64; sign = parity of the next hash bit (signed hashing
+    * keeps collision noise zero-mean). Output is dimension-grain: total
+    * hits, the signed sum, and how many distinct words share the
+    * dimension — the collision audit that tells you whether 64 dims is
+    * enough.
+    *
+    * Determinism: H is the portable md5 integer (PortableHash — the one
+    * hash both engines compute identically); everything else is integer
+    * counts.
+    *
+    * Scale shape: one token explode with map-side partial aggregation
+    * into ≤64×vocab cells — but hashed at the WORD grain first (vocab
+    * rows, not token rows, pay the md5), then weighted by count; the
+    * final rollup is 64 rows at any corpus size. */
+  val q344FeatureHash: Q = Q(
+    "q344_feature_hash",
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |wc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+       |h AS (SELECT w, c, md5(concat(w, '-graft-fh')) AS m FROM wc),
+       |d AS (SELECT w, c,
+       |             (${PortableHash.hexHeadToLong("m", "strpos")}) % 64 AS dim,
+       |             CASE WHEN ((${PortableHash.hexHeadToLong("m", "strpos")}) // 64) % 2 = 0
+       |                  THEN 1 ELSE -1 END AS sign
+       |      FROM h)
+       |SELECT dim, CAST(sum(c) AS BIGINT) AS n_tokens,
+       |       CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(sign * c) AS BIGINT) AS signed_sum
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val wc = Tables(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    wc.withColumn("m", md5(concat(col("w"), lit("-graft-fh"))))
+      .withColumn("hh", expr(PortableHash.hexHeadToLong("m", "instr")))
+      .select(col("w"), col("c"), (col("hh") % 64).as("dim"),
+        when(expr("(hh div 64) % 2") === 0, 1L).otherwise(-1L).as("sign"))
+      .groupBy(col("dim"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_words"),
+        sum(col("sign") * col("c")).as("signed_sum"))
+      .orderBy(col("dim"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
+    q343JsDivergence, q344FeatureHash,
     q329VocabCoverage, q331CohensKappa, q335HeapsLaw,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
