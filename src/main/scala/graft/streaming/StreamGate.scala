@@ -1778,8 +1778,147 @@ object StreamGate {
       .orderBy(col("step"))
   }
 
+  /** q347: STREAMING EWMA control chart — q340's monitor in deployment
+    * shape: limits are estimated ONCE from the in-control baseline (the
+    * first 6-day slice) and then FROZEN, and every later trigger extends
+    * the EWMA recursion over the accumulated day series and re-emits the
+    * per-type monitor row (days seen, current z, flags so far) — the
+    * Phase-I/Phase-II split every real control chart runs with, which
+    * the batch q340 (whole-series limits) deliberately does not have.
+    *
+    * State is the replay-total DAY store (q322's device): each trigger
+    * appends its day-grain cents rollup; the fold re-runs over the
+    * calendar-bounded day table, so per-trigger cost is O(batch) +
+    * O(days) with NO row-grain state anywhere. Baseline stats are
+    * re-derived from the store's first 6 days — a fixed set once slice 0
+    * has arrived (chronological replay), so "recompute" and "freeze"
+    * coincide. The recursion is q340's exact IEEE sequence (fold vs
+    * recursive CTE; w by repeated ×0.64); the oracle renders each
+    * trigger horizon as slice ≤ step, so equality proves every
+    * trigger-time decision matches a batch re-analysis at that horizon. */
+  val q347StreamEwma: Q = Q(
+    "q347_stream_ewma",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT min(day) AS mind FROM d),
+      |sl AS (SELECT event_type, day, v, least((day - m.mind) // 6, 4) AS slice
+      |       FROM d, m),
+      |b AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n0,
+      |             CAST(sum(v) AS HUGEINT) AS sv0,
+      |             CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS svv0
+      |      FROM sl WHERE slice = 0 GROUP BY 1),
+      |ser AS (SELECT event_type, day, v, slice,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+      |        FROM sl),
+      |r AS (
+      |  SELECT b.event_type, 0 AS t,
+      |         CAST(b.sv0 AS DOUBLE) / CAST(b.n0 AS DOUBLE) AS z,
+      |         CAST(1 AS DOUBLE) AS w
+      |  FROM b
+      |  UNION ALL
+      |  SELECT r.event_type, r.t + 1,
+      |         CAST(0.2 AS DOUBLE) * CAST(s.v AS DOUBLE)
+      |           + CAST(0.8 AS DOUBLE) * r.z,
+      |         r.w * CAST(0.64 AS DOUBLE)
+      |  FROM r JOIN ser s ON s.event_type = r.event_type AND s.t = r.t + 1),
+      |fl AS (SELECT r.event_type, r.t, r.z, s.slice,
+      |              (CAST(b.n0 AS DOUBLE) * r.z - CAST(b.sv0 AS DOUBLE))
+      |                * (CAST(b.n0 AS DOUBLE) * r.z - CAST(b.sv0 AS DOUBLE))
+      |                > CAST(b.n0 * b.svv0 - b.sv0 * b.sv0 AS DOUBLE)
+      |                  * (CAST(1 AS DOUBLE) - r.w) AS flag
+      |       FROM r JOIN b USING (event_type)
+      |            JOIN ser s ON s.event_type = r.event_type AND s.t = r.t
+      |       WHERE r.t >= 1),
+      |steps AS (SELECT unnest(generate_series(0, 4)) AS step)
+      |SELECT st.step, f.event_type,
+      |       CAST(count(*) AS BIGINT) AS n_days,
+      |       arg_max(round(f.z, 4), f.t) AS z_last,
+      |       CAST(count(*) FILTER (WHERE f.flag) AS BIGINT) AS n_flagged
+      |FROM steps st JOIN fl f ON f.slice <= st.step
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val work = Files.createTempDirectory("graft-q347-")
+    val dec = "decimal(38,0)"
+    val ev = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("event_type"), expr("sec div 86400").as("day"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val minDay = ev.agg(min(col("day"))).collect()(0).getLong(0)
+    val topic = (0 to 4).map { slice =>
+      ev.filter(expr(s"least((day - ${minDay}L) div 6, 4L)") === slice)
+    }
+    val in = stageOrderedBatches(work, topic)
+    val dayacc = work.resolve("dayacc").toString
+    val out = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(topic.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val dB = batch.groupBy(col("event_type"), col("day"))
+            .agg(sum(col("cents")).as("v"))
+          val days = committedBatchesBefore(batch.sparkSession, dayacc, id,
+            dB.limit(0)).unionByName(dB)
+            .localCheckpoint() // feeds baseline, series, AND the day write
+          val mind = days.agg(min(col("day")).as("mind"))
+          val base = days.crossJoin(broadcast(mind))
+            .filter(col("day") < col("mind") + 6)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).cast(dec).as("n0"),
+              sum(col("v").cast(dec)).as("sv0"),
+              sum(col("v").cast(dec) * col("v")).as("svv0"))
+          val ser = days.withColumn("t", row_number().over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))))
+          val arr = ser.groupBy(col("event_type"))
+            .agg(expr("transform(array_sort(collect_list(struct(t, v))), p -> p.v)")
+              .as("arr"))
+            .join(broadcast(base), "event_type")
+          val states = arr.withColumn("sts",
+            expr("""aggregate(arr,
+                   |  array(named_struct(
+                   |    'z', CAST(sv0 AS DOUBLE) / CAST(n0 AS DOUBLE),
+                   |    'w', CAST(1 AS DOUBLE))),
+                   |  (acc, e) -> array_append(acc, named_struct(
+                   |    'z', 0.2D * CAST(e AS DOUBLE) + 0.8D * element_at(acc, -1).z,
+                   |    'w', element_at(acc, -1).w * 0.64D)))""".stripMargin))
+            .select(col("event_type"), col("n0"), col("sv0"), col("svv0"),
+              posexplode(col("sts")).as(Seq("t", "st")))
+            .filter(col("t") >= 1)
+          states.select(col("event_type"), col("t").cast("long").as("t"),
+              col("st.z").as("z"),
+              ((expr("CAST(n0 AS DOUBLE)") * col("st.z") - expr("CAST(sv0 AS DOUBLE)"))
+                * (expr("CAST(n0 AS DOUBLE)") * col("st.z") - expr("CAST(sv0 AS DOUBLE)"))
+                > expr("CAST(n0 * svv0 - sv0 * sv0 AS DOUBLE)")
+                  * (expr("CAST(1 AS DOUBLE)") - col("st.w"))).as("flag"))
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_days"),
+              expr("max_by(round(z, 4), t)").as("z_last"),
+              count(when(col("flag"), 1)).as("n_flagged"))
+            .select(lit(id).as("step"), col("event_type"), col("n_days"),
+              col("z_last"), col("n_flagged"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=$id")
+          dB.coalesce(1).write.mode("overwrite").parquet(s"$dayacc/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    committedBatchesBefore(s, out, Long.MaxValue,
+        s.range(0).select(lit(0L).as("step"), lit("").as("event_type"),
+          lit(0L).as("n_days"), lit(0.0).as("z_last"),
+          lit(0L).as("n_flagged")).limit(0))
+      .orderBy(col("step"), col("event_type"))
+  }
+
   val all: Seq[Q] = Seq(
-    q322StreamSprt,
+    q322StreamSprt, q347StreamEwma,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
