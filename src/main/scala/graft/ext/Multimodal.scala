@@ -607,6 +607,64 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** q351: video SCENE-CUT detection through the decoded frames — the
+    * shot-boundary step a video curation pipeline runs after q138's
+    * sampling: decode ALL frames, compute the per-frame intensity delta,
+    * and call a cut where |Δ| ≥ 64 (the classic frame-difference
+    * detector; a real pipeline swaps fill-byte intensity for a per-frame
+    * histogram distance at the same seam). The synthetic container
+    * carries a genuine two-segment signal — fill (doc·31) mod 256 for
+    * the first half, (doc·53+128) mod 256 for the second — so whether a
+    * cut EXISTS is data-dependent (|Δ| ≥ 64 holds for some docs, not
+    * others) and the gate verifies detection, not just parsing. Cut
+    * intensities are read from the DECODED bytes (uniformity asserted);
+    * the oracle states the closed forms.
+    *
+    * Scale shape: q138's — pure per-row flatMap/aggregate between scan
+    * and presentation sort, no shuffle beyond the final rollup; frames
+    * stream partition-batched through executors. */
+  val q351VideoSceneCuts: Q = Q(
+    "q351_video_scene_cuts",
+    """WITH d AS (
+      |  SELECT doc_id, 8 + (length(text) % 23) AS nf FROM documents),
+      |f AS (SELECT doc_id, nf, k,
+      |             CASE WHEN k < nf // 2 THEN (doc_id * 31) % 256
+      |                  ELSE (doc_id * 53 + 128) % 256 END AS fill
+      |      FROM (SELECT doc_id, nf, unnest(generate_series(0, nf - 1)) AS k
+      |            FROM d)),
+      |dl AS (SELECT a.doc_id, a.nf, a.k,
+      |              abs(a.fill - b.fill) AS delta
+      |       FROM f a JOIN f b ON b.doc_id = a.doc_id AND b.k = a.k - 1)
+      |SELECT doc_id, CAST(max(nf) AS BIGINT) AS n_frames,
+      |       CAST(count(*) FILTER (WHERE delta >= 64) AS BIGINT) AS n_cuts,
+      |       CAST(coalesce(min(k) FILTER (WHERE delta >= 64), 0) AS BIGINT)
+      |         AS first_cut
+      |FROM dl GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val prepped = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        (lit(8) + length(col("text")) % 23).cast("int").as("nf"))
+      .as[(Long, Int)]
+    prepped.mapPartitions(_.map { case (id, nf) =>
+      val bytes = FakeCodec.encodeVideo(nf, 16, k =>
+        (if (k < nf / 2) (id * 31) % 256 else (id * 53 + 128) % 256).toInt)
+      val (dnf, _, frames) = FakeCodec.parseVideo(bytes)
+        .getOrElse(sys.error(s"video container parse failed for doc $id"))
+      val fills = frames.map { fr =>
+        require(fr.nonEmpty && fr.forall(_ == fr(0)),
+          s"non-uniform frame for doc $id")
+        fr(0) & 0xff
+      }
+      val deltas = fills.sliding(2).zipWithIndex.collect {
+        case (Seq(p, c), i) if math.abs(c - p) >= 64 => i + 1
+      }.toSeq
+      (id, dnf.toLong, deltas.size.toLong,
+        deltas.headOption.map(_.toLong).getOrElse(0L))
+    }).toDF("doc_id", "n_frames", "n_cuts", "first_cut")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q41BinaryMeta, q101ImageRoundtrip, q102ImageAhash,
-    q132AudioRoundtrip, q138VideoFrames, q274ImageDedup, q284AudioFeatures)
+    q132AudioRoundtrip, q138VideoFrames, q274ImageDedup, q284AudioFeatures,
+    q351VideoSceneCuts)
 }

@@ -3102,9 +3102,120 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q349: seasonal/trend STRENGTH features (Wang–Hyndman's STL feature
+    * pair) over q306's decomposition — the two numbers that summarize a
+    * whole correlogram: F_seasonal = max(0, 1 − Var(R)/Var(S+R)) and
+    * F_trend = max(0, 1 − Var(R)/Var(T+R)). They are what a forecasting
+    * ROUTER thresholds on (q339 answers "any structure?"; this answers
+    * "which kind, how much") and what a feature store extracts per
+    * series at fleet scale.
+    *
+    * Determinism: every variance enters as the exact integer
+    * SS(s) = n·Σs² − (Σs)² over milli-unit components, so each strength
+    * is ONE integer rational surfaced in ppm (greatest(0,·) applied to
+    * the exact numerator, not a float).
+    *
+    * Scale shape: q306's — day-grain cells, 7-day windows per type, dow
+    * cells; the strengths are per-type rollups of the decomposed day
+    * table. Milli² sums reach ~10²⁴ — DECIMAL(38,0)/HUGEINT territory,
+    * far inside both engines' width. */
+  val q349SeasonalStrength: Q = Q(
+    "q349_seasonal_strength",
+    s"""WITH $duckDecomposeCtes,
+       |comp AS (SELECT event_type,
+       |                CAST(resid_milli AS HUGEINT) AS r,
+       |                CAST(seasonal_milli + resid_milli AS HUGEINT) AS dt,
+       |                CAST(v * 1000 - seasonal_milli AS HUGEINT) AS tr
+       |         FROM dec),
+       |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+       |             sum(r) AS sr, sum(r * r) AS srr,
+       |             sum(dt) AS sd, sum(dt * dt) AS sdd,
+       |             sum(tr) AS st, sum(tr * tr) AS stt
+       |      FROM comp GROUP BY 1)
+       |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       |       CAST(greatest(0, ((n * sdd - sd * sd) - (n * srr - sr * sr))
+       |            * 1000000 // nullif(n * sdd - sd * sd, 0)) AS BIGINT)
+       |         AS f_seasonal_ppm,
+       |       CAST(greatest(0, ((n * stt - st * st) - (n * srr - sr * sr))
+       |            * 1000000 // nullif(n * stt - st * st, 0)) AS BIGINT)
+       |         AS f_trend_ppm
+       |FROM g ORDER BY 1""".stripMargin) { (s, dir) =>
+    val dec38 = "decimal(38,0)"
+    val comp = decompose(s, dir)
+      .select(col("event_type"),
+        col("resid_milli").cast(dec38).as("r"),
+        (col("seasonal_milli") + col("resid_milli")).cast(dec38).as("dt"),
+        (col("v") * 1000 - col("seasonal_milli")).cast(dec38).as("tr"))
+    comp.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("r")).as("sr"), sum(col("r") * col("r")).as("srr"),
+        sum(col("dt")).as("sd"), sum(col("dt") * col("dt")).as("sdd"),
+        sum(col("tr")).as("st"), sum(col("tr") * col("tr")).as("stt"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        expr("""CAST(greatest(0, ((n * sdd - sd * sd) - (n * srr - sr * sr))
+               |     * 1000000 div nullif(n * sdd - sd * sd, 0)) AS LONG)"""
+          .stripMargin).as("f_seasonal_ppm"),
+        expr("""CAST(greatest(0, ((n * stt - st * st) - (n * srr - sr * sr))
+               |     * 1000000 div nullif(n * stt - st * st, 0)) AS LONG)"""
+          .stripMargin).as("f_trend_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q350: sequential-pattern support ("a then eventually b") — the
+    * PrefixSpan-style 2-sequence count that q155's Markov transitions
+    * cannot express: Markov counts ADJACENT steps; a sequence pattern
+    * holds if ANY a-event precedes ANY later b-event in the user's
+    * history, which is what "signup → eventually purchase" funnels mean.
+    * Support = users with min_ts(a) strictly before max_ts(b);
+    * confidence = support / users-with-a. The a=b diagonal reads as
+    * "user repeated the event at a later timestamp" (strictness means
+    * two events in the same second do NOT count — documented).
+    *
+    * Determinism: pure integer counts and one ppm rational; epoch-second
+    * grain in both engines.
+    *
+    * Scale shape: the row stream collapses map-side to the (user, type)
+    * profile (≤|types| rows per user); the pair expansion is a per-user
+    * self-join bounded by |types|² = 25, never row count; the rollup is
+    * pattern-grain. */
+  val q350SequentialPatterns: Q = Q(
+    "q350_sequential_patterns",
+    """WITH p AS (SELECT user_id, event_type,
+      |                  CAST(min(floor(epoch(ts))) AS BIGINT) AS mn,
+      |                  CAST(max(floor(epoch(ts))) AS BIGINT) AS mx
+      |           FROM events GROUP BY 1, 2),
+      |na AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_ante
+      |       FROM p GROUP BY 1),
+      |sup AS (SELECT a.event_type AS antecedent, b.event_type AS consequent,
+      |               CAST(count(*) AS BIGINT) AS support
+      |        FROM p a JOIN p b ON b.user_id = a.user_id AND a.mn < b.mx
+      |        GROUP BY 1, 2)
+      |SELECT s.antecedent, s.consequent, s.support, na.n_ante,
+      |       s.support * 1000000 // na.n_ante AS confidence_ppm
+      |FROM sup s JOIN na ON na.event_type = s.antecedent
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(unix_timestamp(col("ts"))).as("mn"),
+        max(unix_timestamp(col("ts"))).as("mx"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val na = p.groupBy(col("event_type")).agg(count(lit(1)).as("n_ante"))
+    p.as("a").join(p.as("b"),
+        col("b.user_id") === col("a.user_id") && col("a.mn") < col("b.mx"))
+      .groupBy(col("a.event_type").as("antecedent"),
+        col("b.event_type").as("consequent"))
+      .agg(count(lit(1)).as("support"))
+      .join(broadcast(na.withColumnRenamed("event_type", "antecedent")),
+        "antecedent")
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_ante"),
+        expr("support * 1000000 div n_ante").as("confidence_ppm"))
+      .orderBy(col("antecedent"), col("consequent"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
-      q339LjungBox, q340EwmaControl,
+      q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,

@@ -2624,7 +2624,87 @@ object Extended {
     }
   }
 
+  /** q348: mutual information I(nation; order status) with normalized MI
+    * — the feature-selection metric that RANKS what q311's χ² only
+    * tests: MI is the actual information (bits) a categorical feature
+    * carries about the target, the quantity a target-encoding pipeline
+    * (q336) should screen features by. NMI = I/min(H_X, H_Y) makes it
+    * comparable across features of different cardinality.
+    *
+    * Determinism: every log₂ argument is an exact integer rational cast
+    * once to double ((O·N)/(r·c), r/N — IEEE-deterministic); each term
+    * rounds to 9 decimals before the DECIMAL(28,9) accumulation and the
+    * sums surface as nano integers (q343's device — ×10⁹ of a scale-9
+    * decimal is exactly integral in both engines). NMI is one integer
+    * division of nanos.
+    *
+    * Scale shape: the fact-dim join collapses map-side to R×C cells;
+    * marginals and the total are cell-grain rollups; the output is one
+    * audit row at any N. */
+  val q348MutualInformation: Q = Q(
+    "q348_mutual_information",
+    """WITH cells AS (SELECT c.c_nationkey AS x, o.o_orderstatus AS y,
+      |                      CAST(count(*) AS BIGINT) AS o
+      |               FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |               GROUP BY 1, 2),
+      |rt AS (SELECT x, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+      |ct AS (SELECT y, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+      |mi AS (SELECT CAST(sum(CAST(round(
+      |                (CAST(cells.o AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |                  * log2(CAST(cells.o * tot.n AS DOUBLE)
+      |                         / CAST(rt.r * ct.c AS DOUBLE)), 9)
+      |                AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS mi_nano
+      |       FROM cells JOIN rt USING (x) JOIN ct USING (y), tot),
+      |hx AS (SELECT CAST(sum(CAST(round(
+      |                0 - (CAST(r AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |                  * log2(CAST(r AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+      |                AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS hx_nano
+      |       FROM rt, tot),
+      |hy AS (SELECT CAST(sum(CAST(round(
+      |                0 - (CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE))
+      |                  * log2(CAST(c AS DOUBLE) / CAST(tot.n AS DOUBLE)), 9)
+      |                AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS hy_nano
+      |       FROM ct, tot)
+      |SELECT tot.n, (SELECT count(*) FROM rt) AS x_levels,
+      |       (SELECT count(*) FROM ct) AS y_levels,
+      |       mi.mi_nano, hx.hx_nano, hy.hy_nano,
+      |       mi.mi_nano * 1000000 // least(hx.hx_nano, hy.hy_nano) AS nmi_ppm
+      |FROM tot, mi, hx, hy""".stripMargin) { (s, dir) =>
+    val cells = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_nationkey").as("x"), col("o_orderstatus").as("y"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = cells.groupBy(col("x")).agg(sum(col("o")).as("r"))
+    val ct = cells.groupBy(col("y")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    val mi = cells.join(broadcast(rt), "x").join(broadcast(ct), "y")
+      .crossJoin(broadcast(tot))
+      .agg((sum(round(
+        (col("o").cast("double") / col("n").cast("double"))
+          * log2((col("o") * col("n")).cast("double")
+            / (col("r") * col("c")).cast("double")), 9)
+        .cast("decimal(28,9)")) * 1000000000L).cast("long").as("mi_nano"))
+    def marg(m: org.apache.spark.sql.DataFrame, cn: String, out: String) =
+      m.crossJoin(broadcast(tot))
+        .agg((sum(round(
+          (lit(0) - (col(cn).cast("double") / col("n").cast("double")))
+            * log2(col(cn).cast("double") / col("n").cast("double")), 9)
+          .cast("decimal(28,9)")) * 1000000000L).cast("long").as(out))
+    val hx = marg(rt, "r", "hx_nano")
+    val hy = marg(ct, "c", "hy_nano")
+    val xl = rt.agg(count(lit(1)).as("x_levels"))
+    val yl = ct.agg(count(lit(1)).as("y_levels"))
+    tot.crossJoin(broadcast(xl)).crossJoin(broadcast(yl))
+      .crossJoin(broadcast(mi)).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .select(col("n"), col("x_levels"), col("y_levels"),
+        col("mi_nano"), col("hx_nano"), col("hy_nano"),
+        expr("mi_nano * 1000000 div least(hx_nano, hy_nano)").as("nmi_ppm"))
+  }
+
   val all: Seq[Q] = Seq(
+    q348MutualInformation,
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,

@@ -1443,7 +1443,9 @@ object TextAnalysis {
           * log2((lit(2) * col("c") * col("ng")).cast("double")
             / (col("c") * col("ng") + col("cg") * col("ns")).cast("double")), 9)
           .cast("decimal(28,9)").as("t"))
-    val tq = ns.crossJoin(cg)
+    // Source-grain ns is the tiny side: broadcast it so the vocab×source
+    // expansion plans as BroadcastNestedLoopJoin, never CartesianProduct.
+    val tq = cg.crossJoin(broadcast(ns))
       .join(cs, Seq("source", "w"), "left")
       .crossJoin(broadcast(ng))
       .select(col("source"),
