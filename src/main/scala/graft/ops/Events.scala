@@ -3161,6 +3161,126 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** Durbin–Levinson recursion, fully unrolled for lags 1..7 as ONE
+    * sequence of SQL expression strings shared verbatim by the Spark
+    * program and the DuckDB oracle (the q319 shared-literal device at
+    * expression scale): level k derives φ_kk from (num_k/den_k) and
+    * rewrites φ_k,j = φ_{k−1},j − φ_kk·φ_{k−1},k−j. Each level is two
+    * projection steps (pkk first, then the φ updates that reference it),
+    * so every +, ×, / executes in the identical left-associated order in
+    * both engines — IEEE-deterministic without any integerization.
+    * Returns (stepExprs, pacf column names). */
+  private def durbinLevinson: (Seq[Seq[String]], Seq[String]) = {
+    val steps = scala.collection.mutable.Buffer[Seq[String]]()
+    steps += Seq("r1 AS pacf1", "r1 AS p1x1")
+    for (k <- 2 to 7) {
+      val num = (1 until k).map(j => s"p${k - 1}x$j * r${k - j}").mkString(" + ")
+      val den = (1 until k).map(j => s"p${k - 1}x$j * r$j").mkString(" + ")
+      steps += Seq(
+        s"(r$k - ($num)) / (CAST(1 AS DOUBLE) - ($den)) AS pacf$k")
+      steps += (Seq(s"pacf$k AS p${k}x$k") ++ (1 until k).map(j =>
+        s"p${k - 1}x$j - pacf$k * p${k - 1}x${k - j} AS p${k}x$j"))
+    }
+    (steps.toSeq, (1 to 7).map(k => s"pacf$k"))
+  }
+
+  /** q352: partial autocorrelation function (PACF, lags 1–7) — the AR
+    * order-selection companion to q276's ACF and q339's portmanteau: the
+    * ACF of an AR(p) series decays forever, but its PACF CUTS OFF at lag
+    * p, so this is the diagnostic that picks the autoregressive order.
+    * Computed by the Durbin–Levinson recursion from the exact ACF.
+    *
+    * Determinism: ρ_k enters as one division of exact integer-cast
+    * doubles (q276's num/den pair — no ppm floor in between); the
+    * recursion is [[durbinLevinson]]'s unrolled expression sequence,
+    * shared verbatim by both engines, so every IEEE op executes in the
+    * same order; output rounds to 9 only at the surface.
+    *
+    * Scale shape: q276's day-grain/calendar-bounded machinery ends in a
+    * 7-row-per-type frame pivoted to ONE row per type; the recursion is
+    * 12 projection steps over that tiny frame — free at any scale. */
+  val q352Pacf: Q = {
+    val (dlSteps, pacfCols) = durbinLevinson
+    val duckChain = dlSteps.zipWithIndex.map { case (exprs, i) =>
+      val prev = if (i == 0) "base" else s"lvl${i - 1}"
+      s"lvl$i AS (SELECT *, ${exprs.mkString(", ")} FROM $prev)"
+    }.mkString(",\n")
+    Q(
+      "q352_pacf",
+      s"""WITH d AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+         |  FROM events GROUP BY 1, 2),
+         |ser AS (SELECT event_type, v,
+         |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t
+         |        FROM d),
+         |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |              CAST(sum(v) AS HUGEINT) AS sv
+         |       FROM ser GROUP BY 1),
+         |cen AS (SELECT s.event_type, s.t, st.n * s.v - st.sv AS c
+         |        FROM ser s JOIN st USING (event_type)),
+         |den AS (SELECT event_type, sum(c * c) AS den FROM cen GROUP BY 1),
+         |k AS (SELECT unnest(generate_series(1, 7)) AS lag),
+         |num AS (SELECT a.event_type, k.lag, sum(a.c * b.c) AS num
+         |        FROM cen a CROSS JOIN k
+         |             JOIN cen b ON b.event_type = a.event_type
+         |                       AND b.t = a.t - k.lag
+         |        GROUP BY 1, 2),
+         |rho AS (SELECT n.event_type, n.lag,
+         |               CAST(n.num AS DOUBLE) / CAST(d2.den AS DOUBLE) AS rho
+         |        FROM num n JOIN den d2 USING (event_type)),
+         |base AS (SELECT event_type,
+         |                ${(1 to 7).map(k =>
+                            s"max(CASE WHEN lag = $k THEN rho END) AS r$k")
+                            .mkString(", ")}
+         |         FROM rho GROUP BY 1),
+         |$duckChain,
+         |wide AS (SELECT event_type, ${pacfCols.mkString(", ")}
+         |         FROM lvl${dlSteps.size - 1})
+         |SELECT event_type, CAST(k.lag AS BIGINT) AS lag,
+         |       round(CASE k.lag ${(1 to 7).map(k =>
+                        s"WHEN $k THEN pacf$k").mkString(" ")} END, 9) AS pacf
+         |FROM wide, k ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec38 = "decimal(38,0)"
+      val d = Tables(s, dir, "events")
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+      val ser = d.withColumn("t",
+        row_number().over(Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      val st = ser.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec38).as("n"), sum(col("v").cast(dec38)).as("sv"))
+      val cen = ser.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("t"),
+          (col("n") * col("v") - col("sv")).as("c"))
+      val den = cen.groupBy(col("event_type")).agg(sum(col("c") * col("c")).as("den"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val num = cen.as("a").crossJoin(broadcast(lags))
+        .join(cen.as("b"),
+          col("b.event_type") === col("a.event_type") &&
+            col("b.t") === col("a.t") - col("lag"))
+        .groupBy(col("a.event_type").as("event_type"), col("lag"))
+        .agg(sum(col("a.c") * col("b.c")).as("num"))
+      val rho = num.join(broadcast(den), "event_type")
+        .select(col("event_type"), col("lag"),
+          (col("num").cast("double") / col("den").cast("double")).as("rho"))
+      val base = rho.groupBy(col("event_type"))
+        .agg((1 to 7).map(k =>
+          max(when(col("lag") === k, col("rho"))).as(s"r$k")).head,
+          (2 to 7).map(k =>
+            max(when(col("lag") === k, col("rho"))).as(s"r$k")): _*)
+      val wide = dlSteps.foldLeft(base)((df, exprs) =>
+        df.selectExpr(Seq("*") ++ exprs: _*))
+        .select((col("event_type") +: pacfCols.map(col)): _*)
+      wide.crossJoin(broadcast(lags))
+        .select(col("event_type"), col("lag"),
+          round(expr(s"CASE lag ${(1 to 7).map(k =>
+            s"WHEN $k THEN pacf$k").mkString(" ")} END"), 9).as("pacf"))
+        .orderBy(col("event_type"), col("lag"))
+    }
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3216,6 +3336,7 @@ object Events {
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
+      q352Pacf,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,

@@ -177,6 +177,53 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q352 PACF: unrolled Durbin-Levinson == imperative reference") {
+    import spark.implicits._
+    for (seed <- Seq(3, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // An AR(1)-ish series (value correlated with yesterday's) so the
+      // PACF has real structure to cut off.
+      var lvl = 3000.0
+      val rows = (0 until 40).map { d =>
+        lvl = 0.6 * lvl + rnd.nextInt(2000)
+        (new Timestamp((19200L + d) * 86400L * 1000L), "s",
+          math.max(1, lvl.toLong) / 100.0 * 100)
+      }
+      val dir = tmp("graft-r10-pacf-")
+      rows.toDF("ts", "event_type", "value").write.parquet(s"$dir/events.parquet")
+      val got = Events.q352Pacf.fn(spark, dir).collect()
+        .map(r => r.getLong(1) -> r.getDouble(2)).toMap
+
+      val daily = rows.map(r => Math.round(r._3 * 100))
+      val n = daily.size
+      val sv = daily.map(BigInt(_)).sum
+      val cen = daily.map(v => BigInt(n) * v - sv)
+      val den = cen.map(c => c * c).sum
+      val rho = (1 to 7).map { k =>
+        cen.drop(k).zip(cen.dropRight(k)).map { case (a, b) => a * b }
+          .sum.toDouble / den.toDouble
+      }
+      // Imperative DL with the SAME left-associated op order as the
+      // generated SQL (0.0 + first term is exact).
+      var phi = Array(rho(0))
+      val pacf = scala.collection.mutable.Buffer(rho(0))
+      for (k <- 2 to 7) {
+        var s1 = 0.0; var s2 = 0.0
+        for (j <- 1 until k) {
+          s1 += phi(j - 1) * rho(k - j - 1)
+          s2 += phi(j - 1) * rho(j - 1)
+        }
+        val pkk = (rho(k - 1) - s1) / (1.0 - s2)
+        phi = (1 until k).map(j => phi(j - 1) - pkk * phi(k - j - 1)).toArray :+ pkk
+        pacf += pkk
+      }
+      def r9(x: Double): Double =
+        BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (1 to 7).foreach(k =>
+        assert(got(k.toLong) == r9(pacf(k - 1)), s"seed $seed lag $k"))
+    }
+  }
+
   test("q350: sequence support == brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
