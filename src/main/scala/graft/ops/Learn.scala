@@ -187,6 +187,23 @@ object Learn {
     (h, st)
   }
 
+  /** Spark mirror of the q345 spine+cumulative chain: the 0..31 bin spine
+    * left-joined with the histogram, with running (nl, xl) — the frame
+    * both split rounds search over. Returns (cum(bin,nl,xl), st). */
+  private def histCum(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    import org.apache.spark.sql.expressions.Window
+    val (h, st) = priceHist(s, dir)
+    val sp = s.range(0, 32).toDF("bin")
+      .join(broadcast(h), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n"), lit(0).cast(dec)).as("n"),
+        coalesce(col("x"), lit(0).cast(dec)).as("x"))
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    val cum = sp.select(col("bin"), col("n"), col("x"),
+      sum(col("n")).over(cumW).as("nl"), sum(col("x")).over(cumW).as("xl"))
+    (cum, st)
+  }
+
   /** q345: histogram-based best-split search — the inner loop of every
     * gradient-boosted-tree trainer (XGBoost/LightGBM's "hist" mode): the
     * row stream collapses ONCE into a 32-bin equi-width histogram of the
@@ -232,16 +249,8 @@ object Learn {
        |       row_number() OVER (ORDER BY gain_micro DESC, bin) = 1 AS is_best
        |FROM cand ORDER BY bin""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val (h, st) = priceHist(s, dir)
-    val sp = s.range(0, 32).toDF("bin")
-      .join(broadcast(h), Seq("bin"), "left")
-      .select(col("bin"),
-        coalesce(col("n"), lit(0).cast(dec)).as("n"),
-        coalesce(col("x"), lit(0).cast(dec)).as("x"))
-    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
-    val cand = sp
-      .select(col("bin"), sum(col("n")).over(cumW).as("nl"),
-        sum(col("x")).over(cumW).as("xl"))
+    val (cum, st) = histCum(s, dir)
+    val cand = cum.select(col("bin"), col("nl"), col("xl"))
       .crossJoin(broadcast(st))
       .filter(col("bin") < 31 && col("nl") > 0 && (col("nn") - col("nl")) > 0)
       .select(col("bin"),
@@ -344,6 +353,106 @@ object Learn {
       .orderBy(col("bin"))
   }
 
+  /** q353: the SECOND boosting round — gradient boosting actually
+    * iterating: round 1 is q345's best split with mean-leaf values; this
+    * round searches the SAME 32-bin histogram for the best split of the
+    * round-1 RESIDUALS (squared loss ⇒ residual = y − leaf mean). The
+    * punchline ships as data: residuals sum to zero within each round-1
+    * leaf, so the round-1 split's own round-2 gain is EXACTLY 0 (and the
+    * total residual sum is 0, collapsing the right-side term to the same
+    * sl²) — the reason boosting must pick a different split each round,
+    * visible in the output.
+    *
+    * Exactness: residuals are carried in D = n_L·n_R units (leaf means
+    * x_L/n_L, x_R/n_R become the integers x_L·n_R, x_R·n_L), so the
+    * entire round — per-bin residual sums, cumulative sums, gains — is
+    * integer arithmetic derived from the ROUND-1 HISTOGRAM ALONE (no
+    * second data scan: S̃_b = x_b·D − n_b·m̃_leaf(b)). Gains are µ-floored
+    * per term. DECIMAL(38,0) bound: S̃²·10⁶ ≈ (N·D)²·10⁶ ≈ 10³⁶ at
+    * sf0.1 — inside width here; a warehouse-scale deployment rescales
+    * residual units per leaf before squaring (documented ceiling).
+    *
+    * Scale shape: identical to q345 — ONE fact scan builds the
+    * histogram; both rounds are windows over the 32-cell spine. */
+  val q353BoostRound: Q = Q(
+    "q353_boost_round",
+    s"""WITH $duckPriceHist,
+       |sp AS (SELECT t.i AS bin, coalesce(h.n, 0) AS n, coalesce(h.x, 0) AS x
+       |       FROM generate_series(0, 31) t(i) LEFT JOIN h ON h.bin = t.i),
+       |cum AS (SELECT bin, n, x, sum(n) OVER w AS nl, sum(x) OVER w AS xl
+       |        FROM sp WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+       |c1 AS (SELECT cum.bin, cum.nl, cum.xl,
+       |              st.nn - cum.nl AS nr, st.xx - cum.xl AS xr,
+       |              cum.xl * cum.xl * 1000000 // cum.nl
+       |                + (st.xx - cum.xl) * (st.xx - cum.xl) * 1000000
+       |                  // (st.nn - cum.nl) AS gain
+       |       FROM cum, st
+       |       WHERE cum.bin < 31 AND cum.nl > 0 AND st.nn - cum.nl > 0),
+       |b1 AS (SELECT bin AS bin1, nl AS nl1, xl AS xl1, nr AS nr1, xr AS xr1,
+       |              nl * nr AS d
+       |       FROM c1 ORDER BY gain DESC, bin LIMIT 1),
+       |res AS (SELECT cum.bin,
+       |               cum.x * b1.d - cum.n *
+       |                 (CASE WHEN cum.bin <= b1.bin1
+       |                       THEN b1.xl1 * b1.nr1 ELSE b1.xr1 * b1.nl1 END)
+       |                 AS sres
+       |        FROM cum, b1),
+       |cum2 AS (SELECT res.bin, sum(res.sres) OVER w AS sl
+       |         FROM res WINDOW w AS (ORDER BY bin ROWS UNBOUNDED PRECEDING)),
+       |c2 AS (SELECT cum2.bin,
+       |              st.mn + ((cum2.bin + 1) * (st.mx - st.mn + 1) + 31) // 32
+       |                AS threshold_cents,
+       |              cum.nl, cum2.sl, b1.bin1, b1.d,
+       |              cum2.sl * cum2.sl * 1000000 // (cum.nl * b1.d * b1.d)
+       |                + cum2.sl * cum2.sl * 1000000
+       |                  // ((st.nn - cum.nl) * b1.d * b1.d) AS gain2_micro
+       |       FROM cum2 JOIN cum USING (bin), st, b1
+       |       WHERE cum2.bin < 31 AND cum.nl > 0 AND st.nn - cum.nl > 0)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |       CAST(threshold_cents AS BIGINT) AS threshold_cents,
+       |       CAST(nl AS BIGINT) AS n_left,
+       |       CAST(sl * 1000 // d AS BIGINT) AS sum_resid_milli,
+       |       CAST(gain2_micro AS BIGINT) AS gain2_micro,
+       |       CAST(bin1 AS BIGINT) AS round1_bin,
+       |       row_number() OVER (ORDER BY gain2_micro DESC, bin) = 1 AS is_best
+       |FROM c2 ORDER BY bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val (cum, st) = histCum(s, dir)
+    val c1 = cum.crossJoin(broadcast(st))
+      .filter(col("bin") < 31 && col("nl") > 0 && (col("nn") - col("nl")) > 0)
+      .select(col("bin"), col("nl"), col("xl"),
+        (col("nn") - col("nl")).as("nr"), (col("xx") - col("xl")).as("xr"),
+        expr("""xl * xl * 1000000 div nl
+               |  + (xx - xl) * (xx - xl) * 1000000 div (nn - nl)"""
+          .stripMargin).as("gain"))
+    val b1 = c1.orderBy(col("gain").desc, col("bin")).limit(1)
+      .select(col("bin").as("bin1"), col("nl").as("nl1"), col("xl").as("xl1"),
+        col("nr").as("nr1"), col("xr").as("xr1"),
+        (col("nl") * col("nr")).as("d"))
+    val res = cum.crossJoin(broadcast(b1))
+      .select(col("bin"), col("nl"),
+        (col("x") * col("d") - col("n") *
+          when(col("bin") <= col("bin1"), col("xl1") * col("nr1"))
+            .otherwise(col("xr1") * col("nl1"))).as("sres"),
+        col("bin1"), col("d"))
+    val cumW = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    res.withColumn("sl", sum(col("sres")).over(cumW))
+      .crossJoin(broadcast(st))
+      .filter(col("bin") < 31 && col("nl") > 0 && (col("nn") - col("nl")) > 0)
+      .select(col("bin"),
+        expr("CAST(mn + ((bin + 1) * (mx - mn + 1) + 31) div 32 AS LONG)")
+          .as("threshold_cents"),
+        col("nl").cast("long").as("n_left"),
+        expr("CAST(sl * 1000 div d AS LONG)").as("sum_resid_milli"),
+        expr("""CAST(sl * sl * 1000000 div (nl * d * d)
+               |  + sl * sl * 1000000 div ((nn - nl) * d * d) AS LONG)"""
+          .stripMargin).as("gain2_micro"),
+        col("bin1").cast("long").as("round1_bin"))
+      .withColumn("is_best",
+        row_number().over(Window.orderBy(col("gain2_micro").desc, col("bin"))) === 1)
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep, q345SplitGain,
-    q346IsotonicCalibration)
+    q346IsotonicCalibration, q353BoostRound)
 }
