@@ -761,7 +761,77 @@ object Graph {
       .limit(20)
   }
 
+  /** q354: label-propagation communities (Raghavan et al.'s LPA) — the
+    * near-linear community detector the graph tier lacked: connected
+    * components (the dedup clusterer) find REACHABILITY, LPA finds
+    * DENSITY (a bridge edge keeps two cliques in one component but LPA
+    * splits them). Synchronous update — every node adopts its neighbors'
+    * most frequent label, ties to the SMALLEST label — run for four
+    * unrolled rounds (q109's device; fixed rounds make the output
+    * deterministic even where free-running LPA would oscillate, and the
+    * tie-break removes the algorithm's usual randomness entirely).
+    *
+    * Determinism: integer labels and counts end to end; per-node argmax
+    * tie-breaks (count desc, label asc); output order (size desc,
+    * community asc) is total.
+    *
+    * Scale shape: each round is ONE shuffle of the edge list joined to
+    * the node-grain label table plus a per-node windowed argmax
+    * (partitioned window — map-side group-limit applies); rounds are
+    * data-independent in count, so the plan is 4× one round. At
+    * real-graph scale the same loop runs with localCheckpoint per round
+    * (the CC lesson from NOTES). */
+  val q354LpaCommunities: Q = {
+    val duckRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl, count(*) AS c
+         |        FROM adj a JOIN l${i - 1} ON l${i - 1}.n = a.z
+         |        GROUP BY 1, 2),
+         |l$i AS (SELECT n, lbl FROM c$i
+         |        QUALIFY row_number() OVER (PARTITION BY n
+         |                  ORDER BY c DESC, lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    Q(
+      "q354_lpa_communities",
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+         |       FROM lp l1 JOIN lp l2
+         |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+         |       GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+         |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+         |$duckRounds,
+         |comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |         FROM l4 GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_communities FROM comm)
+         |SELECT c.community, c.n_members, t.n_communities
+         |FROM comm c, t
+         |ORDER BY c.n_members DESC, c.community LIMIT 20""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e0 = supportedEdges(s, dir)
+      val adj = e0.select(col("u").as("n"), col("v").as("z"))
+        .unionAll(e0.select(col("v").as("n"), col("u").as("z")))
+        .persist(MEMORY_AND_DISK) // probed every round
+      var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+      val rankW = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 4) {
+        l = adj.join(l.withColumnRenamed("n", "z"), "z")
+          .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") === 1).select(col("n"), col("lbl"))
+      }
+      val comm = l.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .persist(MEMORY_AND_DISK)
+      val t = comm.agg(count(lit(1)).as("n_communities"))
+      comm.crossJoin(broadcast(t))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(q341LinkPrediction, q342LocalClustering,
+    q354LpaCommunities,
     q106TriangleCount, q109PageRank, q128BfsHops,
     q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples)
 }
