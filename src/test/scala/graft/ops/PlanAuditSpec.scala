@@ -108,7 +108,8 @@ class PlanAuditSpec extends SparkSpec {
       "q327_conformal_interval",// residual-level cum (≤ |calibration days| rows)
       "q333_kruskal_wallis",    // cum over cents-value levels (q299/q313's precedent)
       "q345_split_gain",        // cum + argmax over the 32-bin feature histogram
-      "q346_isotonic_calibration") // PAV minimax over the ≤32-bin histogram
+      "q346_isotonic_calibration", // PAV minimax over the ≤32-bin histogram
+      "q353_boost_round")       // round-2 cum + argmax over the same 32-bin histogram
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
