@@ -2670,8 +2670,79 @@ object Similarity {
       .orderBy(col("query_id"))
   }
 
+  /** q356: k-NN leave-one-out classifier evaluation — the embeddings'
+    * `label` column turned into the standard "are these embeddings any
+    * good for classification?" audit: each of 50 sampled query vectors
+    * is classified by the MAJORITY label of its exact cosine top-5
+    * (self excluded — exactly leave-one-out), ties to the smallest
+    * label, and accuracy rolls up per true label. This is the
+    * evaluation companion to q195's label centroids and the ANN family:
+    * recall (q84) says the index finds neighbors; this says the
+    * neighbors MEAN something.
+    *
+    * Determinism: the vote is integer counting with a total tie-break
+    * (count desc, label asc) over the decimal-rescored exact top-5
+    * (q39's machinery); accuracy is one ppm rational per label.
+    *
+    * Scale shape: the expensive leg is the sampled exact top-k (bounded
+    * by the 50-query broadcast × one candidate stream, map-side
+    * bounded-heap shortlist); everything after is ≤250 rows. */
+  val q356KnnEval: Q = Q(
+    "q356_knn_eval",
+    s"""WITH $duckEl,
+       |$duckN2,
+       |xd AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |              CAST(SUM(CAST(q.v * c.v AS DECIMAL(38,12))) AS DOUBLE) AS dot
+       |       FROM el q JOIN el c ON q.i = c.i AND q.vec_id < 50
+       |         AND c.vec_id <> q.vec_id
+       |       GROUP BY 1, 2),
+       |xr AS (SELECT query_id, neighbor_id,
+       |              row_number() OVER (PARTITION BY query_id
+       |                ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC, neighbor_id) AS rank
+       |       FROM xd JOIN n2 nq ON nq.vec_id = query_id
+       |               JOIN n2 nc ON nc.vec_id = neighbor_id),
+       |top AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+       |votes AS (SELECT t.query_id, e.label, count(*) AS c
+       |          FROM top t JOIN embeddings e ON e.vec_id = t.neighbor_id
+       |          GROUP BY 1, 2),
+       |pred AS (SELECT query_id, label AS pred FROM votes
+       |         QUALIFY row_number() OVER (PARTITION BY query_id
+       |                   ORDER BY c DESC, label) = 1),
+       |ev AS (SELECT q.label AS true_label, p.pred
+       |       FROM pred p JOIN embeddings q ON q.vec_id = p.query_id)
+       |SELECT CAST(true_label AS BIGINT) AS true_label,
+       |       CAST(count(*) AS BIGINT) AS n,
+       |       CAST(count(*) FILTER (WHERE pred = true_label) AS BIGINT)
+       |         AS n_correct,
+       |       CAST(count(*) FILTER (WHERE pred = true_label) AS BIGINT)
+       |         * 1000000 // count(*) AS acc_ppm
+       |FROM ev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val top = exactTopK(s, dir, 50L)
+      .select(col("query_id"), col("neighbor_id"))
+    val votes = top
+      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
+        "neighbor_id")
+      .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("c"))
+    val pred = votes.withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("c").desc, col("label"))))
+      .filter(col("rk") === 1)
+      .select(col("query_id"), col("label").as("pred"))
+    pred.join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "tl")), "query_id")
+      .select(col("tl").cast("long").as("true_label"),
+        (col("pred") === col("tl")).as("ok"))
+      .groupBy(col("true_label"))
+      .agg(count(lit(1)).as("n"), count(when(col("ok"), 1)).as("n_correct"))
+      .select(col("true_label"), col("n"), col("n_correct"),
+        expr("n_correct * 1000000 div n").as("acc_ppm"))
+      .orderBy(col("true_label"))
+  }
+
   val all: Seq[Q] = Seq(
-    q338RankMetrics,
+    q338RankMetrics, q356KnnEval,
     q297FilteredAnn, q303MmrDiverse, q312HybridRrf,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
     q66KmeansIter, q74SemanticNearDup, q84AnnRecall, q85AnnMultiprobe,

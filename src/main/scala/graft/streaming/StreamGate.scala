@@ -1917,8 +1917,104 @@ object StreamGate {
       .orderBy(col("step"), col("event_type"))
   }
 
+  /** q355: STREAMING sequential-pattern support — q350's "a then
+    * eventually b" funnel maintained across triggers: each micro-batch
+    * folds into a per-(user, type) (min_ts, max_ts) PROFILE store (the
+    * replay-total device at the grain mapGroupsWithState would hold —
+    * two timestamps per key, the sessionless minimum), and every trigger
+    * re-emits the full pattern table at its horizon. The oracle renders
+    * each horizon as slice ≤ step, so equality proves the trigger-time
+    * support/confidence match a batch re-analysis at every point in the
+    * replay — including patterns flipping on as the consequent's later
+    * events arrive.
+    *
+    * Per-trigger cost: O(batch) to profile + a |users|·|types|-grain
+    * store merge + the 25-pattern rollup; no event-grain state. */
+  val q355StreamSequential: Q = Q(
+    "q355_stream_sequential",
+    """WITH d AS (SELECT user_id, event_type,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |           FROM events),
+      |m AS (SELECT min(day) AS mind FROM d),
+      |sl AS (SELECT user_id, event_type, sec,
+      |              least((day - m.mind) // 6, 4) AS slice FROM d, m),
+      |steps AS (SELECT unnest(generate_series(0, 4)) AS step),
+      |p AS (SELECT st.step, user_id, event_type,
+      |             min(sec) AS mn, max(sec) AS mx
+      |      FROM steps st JOIN sl ON sl.slice <= st.step
+      |      GROUP BY 1, 2, 3),
+      |na AS (SELECT step, event_type, CAST(count(*) AS BIGINT) AS n_ante
+      |       FROM p GROUP BY 1, 2),
+      |sup AS (SELECT a.step, a.event_type AS antecedent,
+      |               b.event_type AS consequent,
+      |               CAST(count(*) AS BIGINT) AS support
+      |        FROM p a JOIN p b ON b.step = a.step
+      |          AND b.user_id = a.user_id AND a.mn < b.mx
+      |        GROUP BY 1, 2, 3)
+      |SELECT CAST(s.step AS BIGINT) AS step, s.antecedent, s.consequent,
+      |       s.support, na.n_ante,
+      |       s.support * 1000000 // na.n_ante AS confidence_ppm
+      |FROM sup s JOIN na ON na.step = s.step AND na.event_type = s.antecedent
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q355-")
+    val ev = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .select(col("user_id"), col("event_type"), col("sec"),
+        expr("sec div 86400").as("day"))
+    val minDay = ev.agg(min(col("day"))).collect()(0).getLong(0)
+    val topic = (0 to 4).map { slice =>
+      ev.filter(expr(s"least((day - ${minDay}L) div 6, 4L)") === slice)
+        .select(col("user_id"), col("event_type"), col("sec"))
+    }
+    val in = stageOrderedBatches(work, topic)
+    val profacc = work.resolve("profacc").toString
+    val out = work.resolve("out").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(topic.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val pB = batch.groupBy(col("user_id"), col("event_type"))
+            .agg(min(col("sec")).as("mn"), max(col("sec")).as("mx"))
+          val p = committedBatchesBefore(batch.sparkSession, profacc, id,
+            pB.limit(0)).unionByName(pB)
+            .groupBy(col("user_id"), col("event_type"))
+            .agg(min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+            .localCheckpoint() // feeds both sides of the pair join + na
+          val na = p.groupBy(col("event_type")).agg(count(lit(1)).as("n_ante"))
+          p.as("a").join(p.as("b"),
+              col("b.user_id") === col("a.user_id") &&
+                col("a.mn") < col("b.mx"))
+            .groupBy(col("a.event_type").as("antecedent"),
+              col("b.event_type").as("consequent"))
+            .agg(count(lit(1)).as("support"))
+            .join(broadcast(na.withColumnRenamed("event_type", "antecedent")),
+              "antecedent")
+            .select(lit(id).as("step"), col("antecedent"), col("consequent"),
+              col("support"), col("n_ante"),
+              expr("support * 1000000 div n_ante").as("confidence_ppm"))
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=$id")
+          pB.coalesce(1).write.mode("overwrite").parquet(s"$profacc/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    committedBatchesBefore(s, out, Long.MaxValue,
+        s.range(0).select(lit(0L).as("step"), lit("").as("antecedent"),
+          lit("").as("consequent"), lit(0L).as("support"),
+          lit(0L).as("n_ante"), lit(0L).as("confidence_ppm")).limit(0))
+      .orderBy(col("step"), col("antecedent"), col("consequent"))
+  }
+
   val all: Seq[Q] = Seq(
-    q322StreamSprt, q347StreamEwma,
+    q322StreamSprt, q347StreamEwma, q355StreamSequential,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
     q108StreamDrift, q114StreamScd2, q116StreamClickOutcomes,
