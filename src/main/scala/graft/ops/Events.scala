@@ -3281,6 +3281,156 @@ object Events {
     }
   }
 
+  /** q357: binary-segmentation changepoint — the POINT-estimate
+    * companion to q131's CUSUM detector and q340's EWMA monitor: those
+    * say "a shift happened"; this says WHERE, by the classic first split
+    * of binary segmentation (the τ maximizing the between-segment sum of
+    * squares, equivalently minimizing within-segment SSE). gain(τ) =
+    * (S_L·n_R − S_R·n_L)² / (n_L·n_R·n) in cents² — one exact integer
+    * rational per candidate, µ-floored.
+    *
+    * Determinism: integer cents end to end; argmax tie-breaks (gain
+    * desc, τ asc); segment means floored to cents.
+    *
+    * Scale shape: day-grain cells (calendar-bounded) with PARTITIONED
+    * cumulative windows per type; the candidate table is ≤ n_days rows
+    * per type. Recursing into segments (full binary segmentation) reruns
+    * the same kernel on each side — same plan shape. */
+  val q357BinarySeg: Q = Q(
+    "q357_binary_seg",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, day, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |               sum(v) OVER (PARTITION BY event_type ORDER BY day
+      |                            ROWS UNBOUNDED PRECEDING) AS sl
+      |        FROM d),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |              CAST(sum(v) AS HUGEINT) AS s
+      |       FROM ser GROUP BY 1),
+      |cand AS (SELECT ser.event_type, ser.t, ser.day, ser.sl, st.n, st.s,
+      |                (ser.sl * (st.n - ser.t) - (st.s - ser.sl) * ser.t)
+      |                  * (ser.sl * (st.n - ser.t) - (st.s - ser.sl) * ser.t)
+      |                  * 1000000
+      |                  // (ser.t * (st.n - ser.t) * st.n) AS gain_micro
+      |         FROM ser JOIN st USING (event_type)
+      |         WHERE ser.t < st.n)
+      |SELECT event_type, CAST(t AS BIGINT) AS tau, CAST(day AS BIGINT)
+      |         AS split_day,
+      |       CAST(gain_micro AS BIGINT) AS gain_micro,
+      |       CAST(sl // t AS BIGINT) AS mean_left_cents,
+      |       CAST((s - sl) // (n - t) AS BIGINT) AS mean_right_cents
+      |FROM cand
+      |QUALIFY row_number() OVER (PARTITION BY event_type
+      |          ORDER BY gain_micro DESC, t) = 1
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dec38 = "decimal(38,0)"
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser = d
+      .withColumn("t", row_number().over(w).cast(dec38))
+      .withColumn("sl",
+        sum(col("v").cast(dec38)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val st = ser.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec38).as("n"), sum(col("v").cast(dec38)).as("s"))
+    val cand = ser.join(broadcast(st), "event_type")
+      .filter(col("t") < col("n"))
+      .select(col("event_type"), col("t"), col("day"),
+        expr("""CAST((sl * (n - t) - (s - sl) * t)
+               |     * (sl * (n - t) - (s - sl) * t) * 1000000
+               |     div (t * (n - t) * n) AS LONG)""".stripMargin)
+          .as("gain_micro"),
+        expr("CAST(sl div t AS LONG)").as("mean_left_cents"),
+        expr("CAST((s - sl) div (n - t) AS LONG)").as("mean_right_cents"))
+    cand.withColumn("rk", row_number().over(
+        Window.partitionBy(col("event_type"))
+          .orderBy(col("gain_micro").desc, col("t"))))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("t").cast("long").as("tau"),
+        col("day").cast("long").as("split_day"), col("gain_micro"),
+        col("mean_left_cents"), col("mean_right_cents"))
+      .orderBy(col("event_type"))
+  }
+
+  /** q358: rolling-origin forecast BACKTEST — the model-selection step
+    * the forecasting tier (q165 seasonal-naive, q271 Holt, q326 HW)
+    * never shipped: over the last 10 days of each series, score three
+    * zero-fit baselines — seasonal-naive (y_{t−7}), naive (y_{t−1}),
+    * and the expanding mean — by MAE in cents, and name the winner.
+    * This is how a fleet picks a forecaster per series without a
+    * modeling loop: baselines first, upgrade only where they lose.
+    *
+    * Determinism: predictions are exact integers (lags and a floored
+    * expanding mean); MAEs are floored integer cents; the winner
+    * tie-breaks seasonal-naive > naive > mean (the cheaper/simpler
+    * model wins ties).
+    *
+    * Scale shape: day-grain cells with partitioned lag/cumsum windows;
+    * the backtest is a ≤10-row-per-type rollup. */
+  val q358ForecastBacktest: Q = Q(
+    "q358_forecast_backtest",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT event_type, v,
+      |               row_number() OVER (PARTITION BY event_type ORDER BY day) AS t,
+      |               lag(v, 7) OVER (PARTITION BY event_type ORDER BY day) AS p_sn,
+      |               lag(v, 1) OVER (PARTITION BY event_type ORDER BY day) AS p_nv,
+      |               (sum(v) OVER (PARTITION BY event_type ORDER BY day
+      |                             ROWS UNBOUNDED PRECEDING) - v)
+      |                 // nullif(row_number() OVER (PARTITION BY event_type
+      |                             ORDER BY day) - 1, 0) AS p_mean
+      |        FROM d),
+      |nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ser GROUP BY 1),
+      |test AS (SELECT ser.* FROM ser JOIN nn USING (event_type)
+      |         WHERE ser.t > nn.n - 10 AND ser.t >= 8),
+      |mae AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_test,
+      |               CAST(sum(abs(v - p_sn)) // count(*) AS BIGINT) AS mae_snaive,
+      |               CAST(sum(abs(v - p_nv)) // count(*) AS BIGINT) AS mae_naive,
+      |               CAST(sum(abs(v - p_mean)) // count(*) AS BIGINT) AS mae_mean
+      |        FROM test GROUP BY 1)
+      |SELECT event_type, n_test, mae_snaive, mae_naive, mae_mean,
+      |       CASE WHEN mae_snaive <= mae_naive AND mae_snaive <= mae_mean
+      |            THEN 'snaive'
+      |            WHEN mae_naive <= mae_mean THEN 'naive' ELSE 'mean' END
+      |         AS winner
+      |FROM mae ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val ser2 = d
+      .withColumn("t", row_number().over(w).cast("long"))
+      .withColumn("sl",
+        sum(col("v")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("p_sn", lag(col("v"), 7).over(w))
+      .withColumn("p_nv", lag(col("v"), 1).over(w))
+      .withColumn("p_mean", expr("(sl - v) div nullif(t - 1, 0)"))
+    val nn = ser2.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ser2.join(broadcast(nn), "event_type")
+      .filter(col("t") > col("n") - 10 && col("t") >= 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_test"),
+        expr("CAST(sum(abs(v - p_sn)) div count(1) AS LONG)").as("mae_snaive"),
+        expr("CAST(sum(abs(v - p_nv)) div count(1) AS LONG)").as("mae_naive"),
+        expr("CAST(sum(abs(v - p_mean)) div count(1) AS LONG)").as("mae_mean"))
+      .withColumn("winner",
+        expr("""CASE WHEN mae_snaive <= mae_naive AND mae_snaive <= mae_mean
+               |     THEN 'snaive'
+               |     WHEN mae_naive <= mae_mean THEN 'naive' ELSE 'mean' END"""
+          .stripMargin))
+      .orderBy(col("event_type"))
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3336,7 +3486,7 @@ object Events {
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
-      q352Pacf,
+      q352Pacf, q357BinarySeg, q358ForecastBacktest,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
