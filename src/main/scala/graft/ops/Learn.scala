@@ -453,6 +453,90 @@ object Learn {
       .orderBy(col("bin"))
   }
 
+  /** q359: cumulative gains / lift chart of the q336 encoder — the
+    * standard "is this score worth anything" evaluation: rank the
+    * population by the OOF-encoded score (descending), and at every
+    * score level report the cumulative share of population taken vs the
+    * cumulative share of positives captured, plus their ratio (lift).
+    * A useless score tracks the diagonal (lift 10⁶); a useful one
+    * captures positives early. Together with q346 (calibration) and
+    * q348 (information), this completes the scoring-model audit tier.
+    *
+    * Determinism: the score is q336's exact oof_ppm integer; the chart
+    * is integer cumulative sums over SCORE LEVELS with lift one cross-
+    * multiplied rational (cum_x·N·10⁶ / (X·cum_n)) — no row-grain math
+    * anywhere.
+    *
+    * Scale shape: the population never materializes at row grain — the
+    * (nation, fold) cells CARRY their member counts, so the level table
+    * is ≤125 rows and the cumulative window is bounded by cell count
+    * (PlanAuditSpec-admitted). */
+  val q359GainsChart: Q = Q(
+    "q359_gains_chart",
+    s"""WITH j AS (
+       |  SELECT c.c_nationkey AS nation,
+       |         md5(concat(CAST(o.o_orderkey AS VARCHAR), '-graft-te')) AS m,
+       |         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+       |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+       |f AS (SELECT nation, (${PortableHash.hexHeadToLong("m", "strpos")}) % 5 AS fold, y
+       |      FROM j),
+       |cells AS (SELECT nation, fold, CAST(count(*) AS HUGEINT) AS n,
+       |                 CAST(sum(y) AS HUGEINT) AS x
+       |          FROM f GROUP BY 1, 2),
+       |tot AS (SELECT nation, sum(n) AS nt, sum(x) AS xt FROM cells GROUP BY 1),
+       |g AS (SELECT sum(n) AS ng, sum(x) AS xg FROM cells),
+       |enc AS (SELECT c.nation, c.fold, c.n, c.x,
+       |               ((t.xt - c.x) * g.ng + 20 * g.xg) * 1000000
+       |                 // ((t.nt - c.n + 20) * g.ng) AS score_ppm
+       |        FROM cells c JOIN tot t USING (nation), g),
+       |lvl AS (SELECT score_ppm, sum(n) AS n, sum(x) AS x
+       |        FROM enc GROUP BY 1),
+       |cum AS (SELECT score_ppm, n, x,
+       |               sum(n) OVER w AS cn, sum(x) OVER w AS cx
+       |        FROM lvl WINDOW w AS (ORDER BY score_ppm DESC
+       |                              ROWS UNBOUNDED PRECEDING))
+       |SELECT CAST(cum.score_ppm AS BIGINT) AS score_ppm,
+       |       CAST(cum.n AS BIGINT) AS n, CAST(cum.x AS BIGINT) AS x,
+       |       CAST(cum.cn * 1000000 // g.ng AS BIGINT) AS cum_share_ppm,
+       |       CAST(cum.cx * 1000000 // g.xg AS BIGINT) AS capture_ppm,
+       |       CAST(cum.cx * g.ng * 1000000 // (g.xg * cum.cn) AS BIGINT)
+       |         AS lift_ppm
+       |FROM cum, g ORDER BY score_ppm DESC""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val oc = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .withColumn("m",
+        md5(concat(col("o_orderkey").cast("string"), lit("-graft-te"))))
+      .select(col("c_nationkey").as("nation"),
+        (expr(PortableHash.hexHeadToLong("m", "instr")) % 5).as("fold"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"))
+    val cells = oc.groupBy(col("nation"), col("fold"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("y").cast(dec)).as("x"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = cells.groupBy(col("nation"))
+      .agg(sum(col("n")).as("nt"), sum(col("x")).as("xt"))
+    val g = cells.agg(sum(col("n")).as("ng"), sum(col("x")).as("xg"))
+    val lvl = cells.join(broadcast(tot), "nation").crossJoin(broadcast(g))
+      .select(
+        expr("""CAST(((xt - x) * ng + 20 * xg) * 1000000
+               |     div ((nt - n + 20) * ng) AS LONG)""".stripMargin)
+          .as("score_ppm"),
+        col("n"), col("x"))
+      .groupBy(col("score_ppm"))
+      .agg(sum(col("n")).as("n"), sum(col("x")).as("x"))
+    val cumW = Window.orderBy(col("score_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lvl.withColumn("cn", sum(col("n")).over(cumW))
+      .withColumn("cx", sum(col("x")).over(cumW))
+      .crossJoin(broadcast(g))
+      .select(col("score_ppm"),
+        col("n").cast("long").as("n"), col("x").cast("long").as("x"),
+        expr("CAST(cn * 1000000 div ng AS LONG)").as("cum_share_ppm"),
+        expr("CAST(cx * 1000000 div xg AS LONG)").as("capture_ppm"),
+        expr("CAST(cx * ng * 1000000 div (xg * cn) AS LONG)").as("lift_ppm"))
+      .orderBy(col("score_ppm").desc)
+  }
+
   val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep, q345SplitGain,
-    q346IsotonicCalibration, q353BoostRound)
+    q346IsotonicCalibration, q353BoostRound, q359GainsChart)
 }

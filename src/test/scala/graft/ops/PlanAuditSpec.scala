@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
       "q333_kruskal_wallis",    // cum over cents-value levels (q299/q313's precedent)
       "q345_split_gain",        // cum + argmax over the 32-bin feature histogram
       "q346_isotonic_calibration", // PAV minimax over the ≤32-bin histogram
-      "q353_boost_round")       // round-2 cum + argmax over the same 32-bin histogram
+      "q353_boost_round",       // round-2 cum + argmax over the same 32-bin histogram
+      "q359_gains_chart")       // cum over ≤125 score levels (cells carry member counts)
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +
