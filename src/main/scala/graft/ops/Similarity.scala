@@ -2721,17 +2721,20 @@ object Similarity {
     val labels = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
     val top = exactTopK(s, dir, 50L)
       .select(col("query_id"), col("neighbor_id"))
-    val votes = top
-      .join(broadcast(labels.withColumnRenamed("vec_id", "neighbor_id")),
-        "neighbor_id")
+    // Broadcast the ≤250-row SHORTLIST and stream the label table — at
+    // warehouse scale labels are N rows and must never be the build side
+    // (review-pass finding).
+    val votes = labels.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(top), "neighbor_id")
       .groupBy(col("query_id"), col("label")).agg(count(lit(1)).as("c"))
     val pred = votes.withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(col("c").desc, col("label"))))
       .filter(col("rk") === 1)
       .select(col("query_id"), col("label").as("pred"))
-    pred.join(broadcast(labels.withColumnRenamed("vec_id", "query_id")
-        .withColumnRenamed("label", "tl")), "query_id")
+    labels.withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("label", "tl")
+      .join(broadcast(pred), "query_id")
       .select(col("tl").cast("long").as("true_label"),
         (col("pred") === col("tl")).as("ok"))
       .groupBy(col("true_label"))
