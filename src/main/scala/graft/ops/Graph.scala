@@ -830,8 +830,139 @@ object Graph {
     }
   }
 
+  /** q360: Weisfeiler–Lehman color refinement (2 rounds) — the graph
+    * FINGERPRINT: each node's color becomes the hash of its own color
+    * plus its sorted multiset of neighbor colors, so after r rounds two
+    * nodes share a color iff their r-hop neighborhoods are structurally
+    * identical. The color-class histogram is the 1-WL graph signature —
+    * what graph dedup / drift monitoring compares across snapshots
+    * (changing an edge anywhere changes colors 2 hops around it).
+    *
+    * Determinism: colors are portable md5 strings; the neighbor multiset
+    * is a SORTED joined string, identical in both engines
+    * (array_sort(collect_list) ↔ list_sort(list)); outputs are counts.
+    *
+    * Scale shape: each round is one shuffle of the edge list joined to
+    * the node-color table plus a per-node sorted-list aggregate (degree-
+    * bounded lists on the support-thresholded graph); the signature
+    * rollup is color-grain. */
+  val q360WlRefinement: Q = Q(
+    "q360_wl_refinement",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+      |c0 AS (SELECT DISTINCT n, md5('wl0') AS c FROM adj),
+      |c1 AS (SELECT a.n,
+      |              md5(concat(c0.c, '|',
+      |                array_to_string(list_sort(list(cz.c)), ','))) AS c
+      |       FROM adj a JOIN c0 ON c0.n = a.n JOIN c0 cz ON cz.n = a.z
+      |       GROUP BY a.n, c0.c),
+      |c2 AS (SELECT a.n,
+      |              md5(concat(c1.c, '|',
+      |                array_to_string(list_sort(list(cz.c)), ','))) AS c
+      |       FROM adj a JOIN c1 ON c1.n = a.n JOIN c1 cz ON cz.n = a.z
+      |       GROUP BY a.n, c1.c),
+      |h AS (SELECT 0 AS round, CAST(count(DISTINCT c) AS BIGINT) AS n_colors,
+      |             CAST(count(*) AS BIGINT) AS n_nodes FROM c0
+      |      UNION ALL
+      |      SELECT 1, count(DISTINCT c), count(*) FROM c1
+      |      UNION ALL
+      |      SELECT 2, count(DISTINCT c), count(*) FROM c2),
+      |m AS (SELECT 2 AS round, CAST(max(s) AS BIGINT) AS max_class
+      |      FROM (SELECT count(*) AS s FROM c2 GROUP BY c))
+      |SELECT CAST(h.round AS BIGINT) AS round, h.n_nodes, h.n_colors,
+      |       CAST(CASE WHEN h.round = 2 THEN m.max_class END AS BIGINT)
+      |         AS max_class_r2
+      |FROM h, m ORDER BY round""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = supportedEdges(s, dir)
+    val adj = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionAll(e0.select(col("v").as("n"), col("u").as("v2"))
+        .withColumnRenamed("v2", "z"))
+      .persist(MEMORY_AND_DISK)
+    var c = adj.select(col("n")).distinct().withColumn("c", md5(lit("wl0")))
+      .persist(MEMORY_AND_DISK)
+    val rounds = scala.collection.mutable.Buffer[(Long, Long, Long)]()
+    rounds += ((0L, c.count(), c.select(col("c")).distinct().count()))
+    var last = c
+    for (r <- 1 to 2) {
+      val next = adj.join(c, "n")
+        .join(c.select(col("n").as("z"), col("c").as("cz")), "z")
+        .groupBy(col("n"), col("c"))
+        .agg(expr("array_join(array_sort(collect_list(cz)), ',')").as("ns"))
+        .select(col("n"), md5(concat(col("c"), lit("|"), col("ns"))).as("c"))
+        .persist(MEMORY_AND_DISK)
+      rounds += ((r.toLong, next.count(), next.select(col("c")).distinct().count()))
+      c = next
+      last = next
+    }
+    val maxClass = last.groupBy(col("c")).agg(count(lit(1)).as("s"))
+      .agg(max(col("s"))).collect()(0).getLong(0)
+    import s.implicits._
+    rounds.toSeq.toDF("round", "n_nodes", "n_colors")
+      .withColumn("max_class_r2",
+        when(col("round") === 2, lit(maxClass)).otherwise(lit(null).cast("long")))
+      .orderBy(col("round"))
+  }
+
+  /** q361: degree assortativity — Newman's r: the Pearson correlation of
+    * endpoint degrees over the (symmetrized) edge list. Positive r =
+    * hubs link to hubs (social shape); negative = hubs link to leaves
+    * (hub-and-spoke catalogs). One number that says which scaling
+    * regime the co-purchase graph is in — and therefore whether the
+    * q106/q342 orientation trick is merely useful or ESSENTIAL.
+    *
+    * Determinism: over the symmetrized list the two marginals coincide,
+    * so r² 's denominator is a PERFECT square and r is ONE integer
+    * rational: r_ppm = (M·Σxy − (Σx)²)·10⁶ // (M·Σx² − (Σx)²) — no
+    * sqrt, no float, exact.
+    *
+    * Scale shape: two broadcast joins of the node-grain degree table
+    * onto the edge list, one 1-row rollup. */
+  val q361Assortativity: Q = Q(
+    "q361_assortativity",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+      |ed AS (SELECT du.d AS x, dz.d AS y
+      |       FROM adj JOIN deg du ON du.n = adj.n JOIN deg dz ON dz.n = adj.z),
+      |g AS (SELECT CAST(count(*) AS HUGEINT) AS m,
+      |             CAST(sum(x) AS HUGEINT) AS sx,
+      |             CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+      |             CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+      |      FROM ed)
+      |SELECT CAST(m AS BIGINT) AS m_directed_edges,
+      |       CAST((m * sxy - sx * sx) * 1000000
+      |            // nullif(m * sxx - sx * sx, 0) AS BIGINT) AS r_ppm
+      |FROM g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec38 = "decimal(38,0)"
+    val e0 = supportedEdges(s, dir)
+    val adj = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionAll(e0.select(col("v").as("n"), col("u").as("z")))
+      .persist(MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    adj.join(deg.select(col("n"), col("d").as("x")), "n")
+      .join(deg.select(col("n").as("z"), col("d").as("y")), "z")
+      .agg(count(lit(1)).cast(dec38).as("m"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("x").cast(dec38) * col("x")).as("sxx"),
+        sum(col("x").cast(dec38) * col("y")).as("sxy"))
+      .select(col("m").cast("long").as("m_directed_edges"),
+        expr("""CAST((m * sxy - sx * sx) * 1000000
+               |     div nullif(m * sxx - sx * sx, 0) AS LONG)""".stripMargin)
+          .as("r_ppm"))
+  }
+
   val all: Seq[Q] = Seq(q341LinkPrediction, q342LocalClustering,
-    q354LpaCommunities,
+    q354LpaCommunities, q360WlRefinement, q361Assortativity,
     q106TriangleCount, q109PageRank, q128BfsHops,
     q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples)
 }
