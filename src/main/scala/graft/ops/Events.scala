@@ -3431,6 +3431,58 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q362: index of dispersion (variance-to-mean, Fano factor) of daily
+    * event COUNTS per type — the burstiness diagnostic: Poisson traffic
+    * has D = 1; D ≫ 1 is bursty (campaign spikes, bot storms — the
+    * volume-shape complement to q169's per-user bot heuristics), D ≪ 1
+    * is suspiciously regular (rate-limited or synthetic feeds). The
+    * number that decides whether a volume anomaly detector can assume
+    * Poisson noise.
+    *
+    * Determinism: D = Var/Mean over counts is ONE integer rational —
+    * (n·Σc² − (Σc)²)·10⁶ // (n·Σc) in ppm; verdict thresholds are
+    * integer ppm literals.
+    *
+    * Scale shape: rows collapse map-side to day-count cells
+    * (calendar-bounded); the statistic is a per-type rollup. */
+  val q362DispersionIndex: Q = Q(
+    "q362_dispersion_index",
+    """WITH d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |             CAST(sum(c) AS HUGEINT) AS s,
+      |             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS ss
+      |      FROM d GROUP BY 1)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+      |       CAST(s // n AS BIGINT) AS mean_per_day,
+      |       CAST((n * ss - s * s) * 1000000 // (n * s) AS BIGINT) AS d_ppm,
+      |       CASE WHEN (n * ss - s * s) * 1000000 // (n * s) > 1500000
+      |            THEN 'bursty'
+      |            WHEN (n * ss - s * s) * 1000000 // (n * s) < 500000
+      |            THEN 'regular' ELSE 'poisson-like' END AS verdict
+      |FROM g ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val dec38 = "decimal(38,0)"
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(count(lit(1)).as("c"))
+    d.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("c").cast(dec38)).as("s"),
+        sum(col("c").cast(dec38) * col("c")).as("ss"))
+      .select(col("event_type"), col("n").cast("long").as("n_days"),
+        expr("CAST(s div n AS LONG)").as("mean_per_day"),
+        expr("CAST((n * ss - s * s) * 1000000 div (n * s) AS LONG)").as("d_ppm"),
+        expr("""CASE WHEN CAST((n * ss - s * s) * 1000000 div (n * s) AS LONG)
+               |          > 1500000 THEN 'bursty'
+               |     WHEN CAST((n * ss - s * s) * 1000000 div (n * s) AS LONG)
+               |          < 500000 THEN 'regular'
+               |     ELSE 'poisson-like' END""".stripMargin).as("verdict"))
+      .orderBy(col("event_type"))
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3486,7 +3538,7 @@ object Events {
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
-      q352Pacf, q357BinarySeg, q358ForecastBacktest,
+      q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,

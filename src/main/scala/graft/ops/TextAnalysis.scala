@@ -1512,8 +1512,101 @@ object TextAnalysis {
       .orderBy(col("dim"))
   }
 
+  /** q363: Brier-score (Murphy) decomposition of the q280 calibration
+    * bins — the single proper-scoring-rule number split into WHY:
+    * BS = uncertainty − resolution + reliability, where reliability is
+    * the calibration gap q280's ECE eyeballs, resolution is how much
+    * the confidence bins actually separate outcomes, and uncertainty is
+    * the irreducible base-rate term. A model can improve ECE by
+    * becoming useless (predict the base rate everywhere — reliability
+    * 0, resolution 0); this decomposition is the audit that catches it.
+    *
+    * Determinism: computed over q280's already-floored integer bin
+    * stats (the published bin contract); each component is one exact
+    * integer sum with a single micro-unit floor; bs_micro is their
+    * integer recombination (the decomposition identity holds exactly at
+    * bin grain).
+    *
+    * Scale shape: q280's — map-side projection, ≤10-cell aggregate,
+    * 1-row rollup. */
+  val q363BrierDecomposition: Q = {
+    val tot = LangId.langs.map(l => s"s_$l").mkString(" + ")
+    Q(
+      "q363_brier_decomposition",
+      s"""WITH sc AS (SELECT lang, ${LangId.duckScores} FROM documents),
+         |p AS (SELECT *, ${LangId.m} AS m, $tot AS tot FROM sc),
+         |d AS (SELECT (${LangId.caseSql}) = lang AS correct,
+         |             1000000 * (m + 1) // (tot + ${LangId.langs.size})
+         |               AS conf_ppm
+         |      FROM p WHERE m > 0),
+         |b AS (SELECT least(conf_ppm // 100000, 9) AS bin,
+         |             CAST(count(*) AS HUGEINT) AS n,
+         |             1000000 * CAST(count(*) FILTER (WHERE correct)
+         |                            AS BIGINT) // count(*) AS acc_ppm,
+         |             CAST(sum(conf_ppm) AS BIGINT) // count(*)
+         |               AS mean_conf_ppm,
+         |             CAST(count(*) FILTER (WHERE correct) AS HUGEINT) AS x
+         |      FROM d GROUP BY 1),
+         |g AS (SELECT sum(n) AS nn, sum(x) AS xx,
+         |             1000000 * sum(x) // sum(n) AS ybar_ppm FROM b),
+         |c AS (SELECT
+         |        CAST(sum(b.n * (b.mean_conf_ppm - b.acc_ppm)
+         |                     * (b.mean_conf_ppm - b.acc_ppm))
+         |             // (g.nn * 1000000) AS BIGINT) AS rel_micro,
+         |        CAST(sum(b.n * (b.acc_ppm - g.ybar_ppm)
+         |                     * (b.acc_ppm - g.ybar_ppm))
+         |             // (g.nn * 1000000) AS BIGINT) AS res_micro
+         |      FROM b, g GROUP BY g.nn)
+         |SELECT CAST(g.nn AS BIGINT) AS n, CAST(g.ybar_ppm AS BIGINT)
+         |         AS ybar_ppm,
+         |       c.rel_micro, c.res_micro,
+         |       CAST(g.ybar_ppm * (1000000 - g.ybar_ppm) // 1000000 AS BIGINT)
+         |         AS unc_micro,
+         |       CAST(g.ybar_ppm * (1000000 - g.ybar_ppm) // 1000000
+         |            + c.rel_micro - c.res_micro AS BIGINT) AS bs_micro
+         |FROM g, c""".stripMargin) { (s, dir) =>
+      val dec38 = "decimal(38,0)"
+      val d = Tables(s, dir, "documents")
+        .selectExpr(Seq("lang") ++ LangId.sparkScores: _*)
+        .withColumn("m", expr(LangId.m))
+        .withColumn("tot", expr(tot))
+        .filter(col("m") > 0)
+        .select((expr(LangId.caseSql) === col("lang")).as("correct"),
+          expr(s"(CAST(1000000 AS BIGINT) * (m + 1)) div (tot + ${LangId.langs.size})")
+            .as("conf_ppm"))
+      val b = d
+        .groupBy(least(expr("conf_ppm div 100000"), lit(9L)).as("bin"))
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          expr("(1000000 * count_if(correct)) div count(1)").as("acc_ppm"),
+          expr("sum(conf_ppm) div count(1)").as("mean_conf_ppm"),
+          count_if(col("correct")).cast(dec38).as("x"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val g = b.agg(sum(col("n")).as("nn"), sum(col("x")).as("xx"))
+        .withColumn("ybar_ppm", expr("1000000 * xx div nn"))
+      b.crossJoin(broadcast(g))
+        .groupBy(col("nn"), col("ybar_ppm"))
+        .agg(
+          expr("""CAST(sum(n * (mean_conf_ppm - acc_ppm)
+                 |         * (mean_conf_ppm - acc_ppm))
+                 |  div (first(nn) * 1000000) AS LONG)""".stripMargin)
+            .as("rel_micro"),
+          expr("""CAST(sum(n * (acc_ppm - ybar_ppm)
+                 |         * (acc_ppm - ybar_ppm))
+                 |  div (first(nn) * 1000000) AS LONG)""".stripMargin)
+            .as("res_micro"))
+        .select(col("nn").cast("long").as("n"),
+          col("ybar_ppm").cast("long").as("ybar_ppm"),
+          col("rel_micro"), col("res_micro"),
+          expr("CAST(ybar_ppm * (1000000 - ybar_ppm) div 1000000 AS LONG)")
+            .as("unc_micro"),
+          expr("""CAST(ybar_ppm * (1000000 - ybar_ppm) div 1000000
+                 |     + rel_micro - res_micro AS LONG)""".stripMargin)
+            .as("bs_micro"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
-    q343JsDivergence, q344FeatureHash,
+    q343JsDivergence, q344FeatureHash, q363BrierDecomposition,
     q329VocabCoverage, q331CohensKappa, q335HeapsLaw,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
     q228SourceLengthProfile, q235HeavyHitters, q243Winnowing,
