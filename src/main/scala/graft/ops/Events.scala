@@ -3483,6 +3483,119 @@ object Events {
       .orderBy(col("event_type"))
   }
 
+  /** q364: dynamic time warping distance between the daily-revenue
+    * series of every event-type pair — the sequence-similarity measure
+    * that Euclidean day-by-day comparison cannot give (a one-day phase
+    * shift destroys pointwise distance but barely moves DTW). The
+    * pairwise DTW matrix is what series CLUSTERING consumes; at fleet
+    * scale the same kernel runs per (pair of series) with each DP
+    * strictly local.
+    *
+    * Exactness: costs are integer cents and the DP is min/+ arithmetic
+    * — exact in both engines with NO float anywhere. Both series are
+    * pinned to their first 28 days so every pair solves the same 28×28
+    * problem.
+    *
+    * Two genuinely independent implementations under one gate: Spark
+    * runs the classic O(n·m) DP imperatively per pair inside
+    * `mapPartitions` (bounded 28×28 work per row — the legitimate
+    * per-partition-imperative tier); the DuckDB oracle executes the
+    * SAME recurrence as an anti-diagonal recursion whose working row
+    * carries one diagonal as a LIST (plus each cell's left-neighbor
+    * cost, so the d−1 diagonal is never needed), with out-of-range
+    * list_extract → NULL → BIG handling the DP boundary for free.
+    *
+    * Scale shape: the row stream collapses to day-grain cells; pair
+    * construction is |types|²-bounded; each DP is O(28²) local work. */
+  val q364DtwDistance: Q = Q(
+    "q364_dtw_distance",
+    """WITH RECURSIVE d AS (
+      |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |ser AS (SELECT * FROM (
+      |          SELECT event_type, v,
+      |                 row_number() OVER (PARTITION BY event_type
+      |                                    ORDER BY day) AS t
+      |          FROM d) WHERE t <= 28),
+      |ok AS (SELECT event_type FROM ser GROUP BY 1 HAVING count(*) = 28),
+      |pairs AS (SELECT a.event_type AS ta, b.event_type AS tb
+      |          FROM ok a JOIN ok b ON a.event_type < b.event_type),
+      |rw AS (SELECT p.ta, p.tb, x.t AS i,
+      |              list(abs(x.v - y.v) ORDER BY y.t) AS rowc
+      |       FROM pairs p JOIN ser x ON x.event_type = p.ta
+      |            JOIN ser y ON y.event_type = p.tb
+      |       GROUP BY 1, 2, 3),
+      |pm AS (SELECT ta, tb, list(rowc ORDER BY i) AS cmat FROM rw GROUP BY 1, 2),
+      |r AS (
+      |  SELECT ta, tb, 2 AS dg,
+      |         [CAST(cmat[1][1] AS BIGINT)] AS costs,
+      |         [CAST(1000000000000000 AS BIGINT)] AS lcs
+      |  FROM pm
+      |  UNION ALL
+      |  SELECT r.ta, r.tb, r.dg + 1,
+      |         list_transform(range(1, least(28, r.dg) - greatest(1, r.dg + 1 - 28) + 2),
+      |           k -> pm.cmat[CAST(greatest(1, r.dg + 1 - 28) + k - 1 AS INT)]
+      |                       [CAST(r.dg + 1 - (greatest(1, r.dg + 1 - 28) + k - 1) AS INT)]
+      |                + least(
+      |                    coalesce(r.costs[CAST(greatest(1, r.dg + 1 - 28) + k - 1
+      |                                          - greatest(1, r.dg - 28) AS INT)],
+      |                             1000000000000000),
+      |                    coalesce(r.costs[CAST(greatest(1, r.dg + 1 - 28) + k
+      |                                          - greatest(1, r.dg - 28) AS INT)],
+      |                             1000000000000000),
+      |                    coalesce(r.lcs[CAST(greatest(1, r.dg + 1 - 28) + k - 1
+      |                                        - greatest(1, r.dg - 28) AS INT)],
+      |                             1000000000000000))),
+      |         list_transform(range(1, least(28, r.dg) - greatest(1, r.dg + 1 - 28) + 2),
+      |           k -> coalesce(r.costs[CAST(greatest(1, r.dg + 1 - 28) + k
+      |                                      - greatest(1, r.dg - 28) AS INT)],
+      |                         1000000000000000))
+      |  FROM r JOIN pm ON pm.ta = r.ta AND pm.tb = r.tb
+      |  WHERE r.dg < 56)
+      |SELECT ta AS type_a, tb AS type_b, costs[1] AS dtw_cents,
+      |       costs[1] // 55 AS per_step_cents
+      |FROM r WHERE dg = 56 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val d = Tables(s, dir, "events")
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .groupBy(col("event_type"), expr("sec div 86400").as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).cast("long").as("v"))
+    val ser = d.withColumn("t", row_number().over(
+        Window.partitionBy(col("event_type")).orderBy(col("day"))))
+      .filter(col("t") <= 28)
+    val arrs = ser.groupBy(col("event_type"))
+      .agg(expr("transform(array_sort(collect_list(struct(t, v))), p -> p.v)")
+        .as("arr"))
+      .filter(size(col("arr")) === 28)
+    val pairs = arrs.as("a")
+      .join(arrs.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
+        col("a.arr").as("av"), col("b.arr").as("bv"))
+      .as[(String, String, Seq[Long], Seq[Long])]
+    pairs.mapPartitions(_.map { case (ta, tb, av, bv) =>
+      val big = 1000000000000000L
+      val n = av.length; val m = bv.length
+      val a = av.toArray; val b = bv.toArray
+      var prev = Array.fill(m + 1)(big); prev(0) = 0L
+      var i = 1
+      while (i <= n) {
+        val cur = Array.fill(m + 1)(big)
+        var j = 1
+        while (j <= m) {
+          val c = math.abs(a(i - 1) - b(j - 1))
+          cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
+          j += 1
+        }
+        prev = cur
+        i += 1
+      }
+      (ta, tb, prev(m), prev(m) / 55)
+    }).toDF("type_a", "type_b", "dtw_cents", "per_step_cents")
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3539,6 +3652,7 @@ object Events {
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
+      q364DtwDistance,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
