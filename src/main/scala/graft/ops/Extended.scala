@@ -2703,8 +2703,157 @@ object Extended {
         expr("mi_nano * 1000000 div least(hx_nano, hy_nano)").as("nmi_ppm"))
   }
 
+  /** q365: mix-shift decomposition (Oaxaca–Blinder / BI "mix vs rate")
+    * of the change in revenue-per-order between the first and second
+    * half of the order history, by customer nation: Δ(overall rate) =
+    * Σ_i Δshare_i·rate1_i  (MIX — the portfolio moved)
+    * + Σ_i share1_i·Δrate_i (RATE — nations themselves changed)
+    * + Σ_i Δshare_i·Δrate_i (interaction). The question every metric
+    * review asks ("did revenue/order drop because customers shifted to
+    * cheap segments, or because segments got cheaper?") as one exact
+    * table.
+    *
+    * Determinism: every term is an integer rational of period cell
+    * stats (counts, cents), µ-floored per term; the per-nation total
+    * contribution ships alongside so the ≤3µ floor slack is visible.
+    * Periods split at the (min+max+1)/2 order-day midpoint (q305's
+    * device). Nations must appear in both periods (inner join; this
+    * corpus always has all 25).
+    *
+    * Scale shape: one fact-dim join collapses map-side to
+    * (nation, period) cells; totals broadcast back; ≤25 output rows. */
+  val q365MixShift: Q = Q(
+    "q365_mix_shift",
+    """WITH j AS (SELECT c.c_nationkey AS nation,
+      |                  CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400
+      |                    AS day,
+      |                  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM j),
+      |cell AS (SELECT nation, CASE WHEN day < b.mid THEN 1 ELSE 2 END AS p,
+      |                CAST(count(*) AS HUGEINT) AS n,
+      |                CAST(sum(cents) AS HUGEINT) AS c
+      |         FROM j, b GROUP BY 1, 2),
+      |w AS (SELECT a.nation, a.n AS n1, a.c AS c1, z.n AS n2, z.c AS c2
+      |      FROM cell a JOIN cell z ON z.nation = a.nation
+      |      WHERE a.p = 1 AND z.p = 2),
+      |t AS (SELECT sum(n1) AS nt1, sum(n2) AS nt2 FROM w)
+      |SELECT CAST(w.nation AS BIGINT) AS nation,
+      |       CAST(w.n1 AS BIGINT) AS n1, CAST(w.n2 AS BIGINT) AS n2,
+      |       CAST(w.c1 // w.n1 AS BIGINT) AS rate1_cents,
+      |       CAST(w.c2 // w.n2 AS BIGINT) AS rate2_cents,
+      |       CAST((w.n2 * t.nt1 - w.n1 * t.nt2) * w.c1 * 1000000
+      |            // (t.nt1 * t.nt2 * w.n1) AS BIGINT) AS mix_micro,
+      |       CAST((w.c2 * w.n1 - w.c1 * w.n2) * 1000000
+      |            // (t.nt1 * w.n2) AS BIGINT) AS rate_micro,
+      |       CAST((w.n2 * t.nt1 - w.n1 * t.nt2)
+      |            * (w.c2 * w.n1 - w.c1 * w.n2) * 1000000
+      |            // (t.nt1 * t.nt2 * w.n1 * w.n2) AS BIGINT) AS inter_micro,
+      |       CAST((w.c2 * t.nt1 - w.c1 * t.nt2) * 1000000
+      |            // (t.nt1 * t.nt2) AS BIGINT) AS total_micro
+      |FROM w, t ORDER BY 1""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val j = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(col("c_nationkey").as("nation"),
+        expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val b = j.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val cell = j.crossJoin(broadcast(b))
+      .groupBy(col("nation"),
+        when(col("day") < col("mid"), 1).otherwise(2).as("p"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("cents").cast(dec)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = cell.filter(col("p") === 1)
+      .select(col("nation"), col("n").as("n1"), col("c").as("c1"))
+      .join(cell.filter(col("p") === 2)
+        .select(col("nation"), col("n").as("n2"), col("c").as("c2")), "nation")
+    val t = w.agg(sum(col("n1")).as("nt1"), sum(col("n2")).as("nt2"))
+    w.crossJoin(broadcast(t))
+      .select(col("nation").cast("long").as("nation"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        expr("CAST(c1 div n1 AS LONG)").as("rate1_cents"),
+        expr("CAST(c2 div n2 AS LONG)").as("rate2_cents"),
+        expr("""CAST((n2 * nt1 - n1 * nt2) * c1 * 1000000
+               |     div (nt1 * nt2 * n1) AS LONG)""".stripMargin).as("mix_micro"),
+        expr("""CAST((c2 * n1 - c1 * n2) * 1000000
+               |     div (nt1 * n2) AS LONG)""".stripMargin).as("rate_micro"),
+        expr("""CAST((n2 * nt1 - n1 * nt2) * (c2 * n1 - c1 * n2) * 1000000
+               |     div (nt1 * nt2 * n1 * n2) AS LONG)""".stripMargin)
+          .as("inter_micro"),
+        expr("""CAST((c2 * nt1 - c1 * nt2) * 1000000
+               |     div (nt1 * nt2) AS LONG)""".stripMargin).as("total_micro"))
+      .orderBy(col("nation"))
+  }
+
+  /** q366: Laspeyres and Paasche price indices per order-year against
+    * the base (first) year — the canonical "did PRICES move or did the
+    * BASKET move" separation, over part-level unit prices from
+    * lineitem: L_t = Σp_t·q₀ / Σp₀·q₀ (base-year basket at current
+    * prices), P_t = Σp_t·q_t / Σp₀·q_t (current basket at base prices).
+    * L ≥ actual inflation ≥ P under substitution — reading both brackets
+    * the truth; Fisher's geometric mean needs a sqrt and is left to the
+    * consumer.
+    *
+    * Determinism: unit prices are milli-cent FLOORS of per-(year, part)
+    * revenue/quantity rationals (the documented precision contract);
+    * the indices are then single integer rationals in ppm. Quantities
+    * are integral in this corpus (cast asserted by equality with
+    * round()).
+    *
+    * Scale shape: lineitem collapses map-side to (year, part) cells
+    * (catalog × years bounded); the base-year cell table joins each
+    * year's cells by part; two cell-grain rollups per year. */
+  val q366PriceIndex: Q = Q(
+    "q366_price_index",
+    """WITH l AS (SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+      |                  l.l_partkey AS pk,
+      |                  CAST(round(l.l_quantity) AS BIGINT) AS q,
+      |                  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+      |           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      |cell AS (SELECT yr, pk, CAST(sum(q) AS HUGEINT) AS q,
+      |                CAST(sum(cents) AS HUGEINT) AS c
+      |         FROM l GROUP BY 1, 2),
+      |p AS (SELECT yr, pk, q, c * 1000 // q AS pm FROM cell),
+      |b AS (SELECT pk, q AS q0, pm AS p0 FROM p
+      |      WHERE yr = (SELECT min(yr) FROM p)),
+      |ix AS (SELECT p.yr,
+      |              CAST(count(*) AS BIGINT) AS n_parts,
+      |              sum(p.pm * b.q0) AS ptq0, sum(b.p0 * b.q0) AS p0q0,
+      |              sum(p.pm * p.q) AS ptqt, sum(b.p0 * p.q) AS p0qt
+      |       FROM p JOIN b USING (pk) GROUP BY 1)
+      |SELECT yr, n_parts,
+      |       CAST(ptq0 * 1000000 // p0q0 AS BIGINT) AS laspeyres_ppm,
+      |       CAST(ptqt * 1000000 // p0qt AS BIGINT) AS paasche_ppm
+      |FROM ix ORDER BY yr""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey").as("pk"),
+        round(col("l_quantity")).cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(Tables(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"),
+          expr("CAST(year(o_orderdate) AS LONG)").as("yr")), "l_orderkey")
+    val cell = l.groupBy(col("yr"), col("pk"))
+      .agg(sum(col("q").cast(dec)).as("q"), sum(col("cents").cast(dec)).as("c"))
+      .withColumn("pm", expr("CAST(c * 1000 div q AS decimal(38,0))"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val y0 = cell.agg(min(col("yr"))).collect()(0).getLong(0)
+    val b = cell.filter(col("yr") === y0)
+      .select(col("pk"), col("q").as("q0"), col("pm").as("p0"))
+    val ix = cell.join(b, "pk")
+      .groupBy(col("yr"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("pm") * col("q0")).as("ptq0"), sum(col("p0") * col("q0")).as("p0q0"),
+        sum(col("pm") * col("q")).as("ptqt"), sum(col("p0") * col("q")).as("p0qt"))
+    ix.select(col("yr"), col("n_parts"),
+        expr("CAST(ptq0 * 1000000 div p0q0 AS LONG)").as("laspeyres_ppm"),
+        expr("CAST(ptqt * 1000000 div p0qt AS LONG)").as("paasche_ppm"))
+      .orderBy(col("yr"))
+  }
+
   val all: Seq[Q] = Seq(
-    q348MutualInformation,
+    q348MutualInformation, q365MixShift, q366PriceIndex,
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
     q316BenfordAudit, q319SprtMonitor, q320EbShrinkage, q321PowerDesign,
