@@ -3596,6 +3596,63 @@ object Events {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** q367: capture–recapture (Lincoln–Petersen) audience estimation —
+    * treat each event type's user set as one "capture" and estimate the
+    * TOTAL population from every pair: N̂ = n_a·n_b / overlap. The
+    * estimator every overlap-based reach model is built on — and
+    * because the true distinct-user count is computable here, the
+    * output ships estimate AND truth side by side, so the estimator's
+    * bias under non-independent captures (the real-world failure mode)
+    * is measured, not assumed. Complements q167 (audience overlap) and
+    * q185 (reach curve).
+    *
+    * Determinism: integer counts, one floored rational per pair.
+    *
+    * Scale shape: rows collapse map-side to (user, type) presence; the
+    * pair table is the |types|²-bounded self-join of user-set rollups;
+    * truth is one distinct count. */
+  val q367CaptureRecapture: Q = Q(
+    "q367_capture_recapture",
+    """WITH p AS (SELECT DISTINCT user_id, event_type FROM events),
+      |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1),
+      |ov AS (SELECT a.event_type AS ta, b.event_type AS tb,
+      |              CAST(count(*) AS BIGINT) AS m
+      |       FROM p a JOIN p b ON b.user_id = a.user_id
+      |         AND a.event_type < b.event_type
+      |       GROUP BY 1, 2),
+      |t AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS truth FROM events)
+      |SELECT ov.ta, ov.tb, na.n AS n_a, nb.n AS n_b, ov.m AS overlap,
+      |       na.n * nb.n // ov.m AS lp_estimate, t.truth,
+      |       (na.n * nb.n // ov.m - t.truth) * 1000000 // t.truth
+      |         AS bias_ppm
+      |FROM ov JOIN n na ON na.event_type = ov.ta
+      |        JOIN n nb ON nb.event_type = ov.tb, t
+      |WHERE ov.m > 0
+      |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = p.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val ov = p.as("a").join(p.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("m"))
+    val t = Tables(s, dir, "events")
+      .agg(countDistinct(col("user_id")).as("truth"))
+    ov.join(broadcast(n.withColumnRenamed("event_type", "ta")
+        .withColumnRenamed("n", "n_a")), "ta")
+      .join(broadcast(n.withColumnRenamed("event_type", "tb")
+        .withColumnRenamed("n", "n_b")), "tb")
+      .crossJoin(broadcast(t))
+      .filter(col("m") > 0)
+      .select(col("ta"), col("tb"), col("n_a"), col("n_b"),
+        col("m").as("overlap"),
+        expr("n_a * n_b div m").as("lp_estimate"), col("truth"),
+        expr("(n_a * n_b div m - truth) * 1000000 div truth").as("bias_ppm"))
+      .orderBy(col("ta"), col("tb"))
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3652,7 +3709,7 @@ object Events {
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
-      q364DtwDistance,
+      q364DtwDistance, q367CaptureRecapture,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
