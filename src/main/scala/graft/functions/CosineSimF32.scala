@@ -93,6 +93,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "l2sq_f32", exprs => L2SqF32(exprs.head, exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "dtw_i64", exprs => DtwI64(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg",
       exprs => new org.apache.spark.sql.catalyst.expressions.aggregate
         .BloomFilterAggregate(exprs.head, exprs(1), exprs(2)),
@@ -147,6 +149,11 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         "bloom_might_contain"),
       (exprs: Seq[Expression]) => new org.apache.spark.sql.catalyst.expressions
         .BloomFilterMightContain(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("dtw_i64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DtwI64].getName, "dtw_i64"),
+      (exprs: Seq[Expression]) => DtwI64(exprs.head, exprs(1))))
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }

@@ -3497,13 +3497,15 @@ object Events {
     * problem.
     *
     * Two genuinely independent implementations under one gate: Spark
-    * runs the classic O(n·m) DP imperatively per pair inside
-    * `mapPartitions` (bounded 28×28 work per row — the legitimate
-    * per-partition-imperative tier); the DuckDB oracle executes the
-    * SAME recurrence as an anti-diagonal recursion whose working row
-    * carries one diagonal as a LIST (plus each cell's left-neighbor
-    * cost, so the d−1 diagonal is never needed), with out-of-range
-    * list_extract → NULL → BIG handling the DP boundary for free.
+    * evaluates the classic O(n·m) rolling-row DP through the custom
+    * codegen'd Catalyst expression [[graft.functions.DtwI64]]
+    * (`dtw_i64` — the (b) extension tier: the loop inlines into
+    * whole-stage codegen, no Row boxing, no closure serialization);
+    * the DuckDB oracle executes the SAME recurrence as an
+    * anti-diagonal recursion whose working row carries one diagonal as
+    * a LIST (plus each cell's left-neighbor cost, so the d−1 diagonal
+    * is never needed), with out-of-range list_extract → NULL → BIG
+    * handling the DP boundary for free.
     *
     * Scale shape: the row stream collapses to day-grain cells; pair
     * construction is |types|²-bounded; each DP is O(28²) local work. */
@@ -3569,30 +3571,12 @@ object Events {
       .agg(expr("transform(array_sort(collect_list(struct(t, v))), p -> p.v)")
         .as("arr"))
       .filter(size(col("arr")) === 28)
-    val pairs = arrs.as("a")
+    graft.functions.GraftFunctions.register(s)
+    arrs.as("a")
       .join(arrs.as("b"), col("a.event_type") < col("b.event_type"))
-      .select(col("a.event_type").as("ta"), col("b.event_type").as("tb"),
-        col("a.arr").as("av"), col("b.arr").as("bv"))
-      .as[(String, String, Seq[Long], Seq[Long])]
-    pairs.mapPartitions(_.map { case (ta, tb, av, bv) =>
-      val big = 1000000000000000L
-      val n = av.length; val m = bv.length
-      val a = av.toArray; val b = bv.toArray
-      var prev = Array.fill(m + 1)(big); prev(0) = 0L
-      var i = 1
-      while (i <= n) {
-        val cur = Array.fill(m + 1)(big)
-        var j = 1
-        while (j <= m) {
-          val c = math.abs(a(i - 1) - b(j - 1))
-          cur(j) = c + math.min(prev(j), math.min(cur(j - 1), prev(j - 1)))
-          j += 1
-        }
-        prev = cur
-        i += 1
-      }
-      (ta, tb, prev(m), prev(m) / 55)
-    }).toDF("type_a", "type_b", "dtw_cents", "per_step_cents")
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        expr("dtw_i64(a.arr, b.arr)").as("dtw_cents"))
+      .withColumn("per_step_cents", expr("dtw_cents div 55"))
       .orderBy(col("type_a"), col("type_b"))
   }
 
