@@ -3637,6 +3637,105 @@ object Events {
       .orderBy(col("ta"), col("tb"))
   }
 
+  /** q368: retention half-life — the exponential-decay FIT on top of the
+    * retention curve (q71 ships the curve; this ships the model): OLS of
+    * ln(retention at age a) on a over ages 1–14, with the at-risk
+    * denominator correctly censored (a user is observable at age a only
+    * if their first day is ≥ a days before the corpus end). Slope →
+    * half-life = ln2/(−slope), the single number a growth review quotes.
+    *
+    * Determinism: each age's ln argument is ONE division of exact
+    * integer-cast doubles (actives/at-risk); ln rounds to 9 decimals
+    * before the DECIMAL(28,9) moment sums (q335's discipline); the OLS
+    * slope surfaces via the ×10⁹-is-integral nano trick (q343's), and
+    * the half-life is an integer rational of the slope against the
+    * rounded ln2 literal 693147181 nano.
+    *
+    * Scale shape: rows collapse to (user, age) presence map-side; age
+    * cells are ≤14 rows; the fit is cell arithmetic. */
+  val q368RetentionHalflife: Q = Q(
+    "q368_retention_halflife",
+    """WITH e AS (SELECT user_id,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |           FROM events),
+      |f AS (SELECT user_id, min(day) AS f0 FROM e GROUP BY 1),
+      |mx AS (SELECT max(day) AS mxd FROM e),
+      |act AS (SELECT DISTINCT e.user_id, e.day - f.f0 AS age
+      |        FROM e JOIN f USING (user_id)),
+      |ages AS (SELECT unnest(generate_series(1, 14)) AS age),
+      |cell AS (SELECT a.age,
+      |                CAST((SELECT count(*) FROM act
+      |                      WHERE act.age = a.age) AS BIGINT) AS actives,
+      |                CAST((SELECT count(*) FROM f, mx
+      |                      WHERE f.f0 + a.age <= mx.mxd) AS BIGINT) AS at_risk
+      |         FROM ages a),
+      |pts AS (SELECT age, actives, at_risk,
+      |               actives * 1000000 // at_risk AS r_ppm,
+      |               CAST(round(ln(CAST(actives AS DOUBLE)
+      |                             / CAST(at_risk AS DOUBLE)), 9)
+      |                 AS DECIMAL(28,9)) AS y
+      |        FROM cell WHERE actives > 0 AND at_risk > 0),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(age) AS BIGINT) AS sx,
+      |             CAST(sum(CAST(age AS BIGINT) * age) AS BIGINT) AS sxx,
+      |             sum(y) AS sy, sum(age * y) AS sxy
+      |      FROM pts),
+      |sl AS (SELECT n,
+      |              CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
+      |                // (n * sxx - sx * sx) AS slope_nano
+      |       FROM m)
+      |SELECT sl.n AS n_ages, CAST(sl.slope_nano AS BIGINT) AS slope_nano,
+      |       CAST(CASE WHEN sl.slope_nano < 0
+      |                 THEN CAST(693147181 AS BIGINT) * 1000
+      |                      // (0 - sl.slope_nano) END
+      |         AS BIGINT) AS half_life_milli,
+      |       (SELECT r_ppm FROM pts WHERE age = 1) AS r1_ppm,
+      |       (SELECT r_ppm FROM pts WHERE age = 14) AS r14_ppm
+      |FROM sl""".stripMargin) { (s, dir) =>
+    val dec38 = "decimal(38,0)"
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val f = e.groupBy(col("user_id")).agg(min(col("day")).as("f0"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = e.agg(max(col("day")).as("mxd"))
+    val act = e.join(f, "user_id")
+      .select(col("user_id"), (col("day") - col("f0")).as("age")).distinct()
+    val ages = s.range(1, 15).select(col("id").as("age"))
+    val actives = act.filter(col("age").between(1, 14))
+      .groupBy(col("age")).agg(count(lit(1)).as("actives"))
+    val atRisk = f.crossJoin(broadcast(mx)).crossJoin(broadcast(ages))
+      .filter(col("f0") + col("age") <= col("mxd"))
+      .groupBy(col("age")).agg(count(lit(1)).as("at_risk"))
+    val pts = ages.join(actives, Seq("age")).join(atRisk, Seq("age"))
+      .filter(col("actives") > 0 && col("at_risk") > 0)
+      .select(col("age"),
+        expr("actives * 1000000 div at_risk").as("r_ppm"),
+        round(log(col("actives").cast("double") / col("at_risk").cast("double")),
+          9).cast("decimal(28,9)").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // age must enter the product as a NARROW decimal: LongType is
+    // decimal(20,0) to the multiply, and (20,0)×(28,9) exceeds precision
+    // 38, so Spark silently REDUCES THE SCALE of the product (a ~1e-6
+    // rounding the oracle's exact decimal never has). decimal(4,0) keeps
+    // the product at (33,9) — exact.
+    val m = pts.agg(count(lit(1)).as("n"), sum(col("age")).as("sx"),
+      sum(col("age") * col("age")).as("sxx"),
+      sum(col("y")).as("sy"),
+      sum(col("age").cast("decimal(4,0)") * col("y")).as("sxy"))
+    val r1 = pts.filter(col("age") === 1).select(col("r_ppm").as("r1_ppm"))
+    val r14 = pts.filter(col("age") === 14).select(col("r_ppm").as("r14_ppm"))
+    m.select(col("n").as("n_ages"),
+        expr(s"""CAST(CAST((n * sxy - sx * sy) * 1000000000 AS $dec38)
+                |     div (n * sxx - sx * sx) AS LONG)""".stripMargin)
+          .as("slope_nano"))
+      .select(col("n_ages"), col("slope_nano"),
+        expr("""CAST(CASE WHEN slope_nano < 0
+               |          THEN 693147181L * 1000 div (0 - slope_nano) END
+               |  AS LONG)""".stripMargin).as("half_life_milli"))
+      .crossJoin(broadcast(r1)).crossJoin(broadcast(r14))
+  }
+
   /** q350: sequential-pattern support ("a then eventually b") — the
     * PrefixSpan-style 2-sequence count that q155's Markov transitions
     * cannot express: Markov counts ADJACENT steps; a sequence pattern
@@ -3693,7 +3792,7 @@ object Events {
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
-      q364DtwDistance, q367CaptureRecapture,
+      q364DtwDistance, q367CaptureRecapture, q368RetentionHalflife,
       q46Sliding, q60AsofCustom, q71RetentionCohorts, q90RollingActive,
       q107Scd2History, q111ForwardFill, q113Scd2Incremental, q129RateLimit,
       q131CusumChangepoint, q137TimeWeighted, q145MissingDays, q146LiftAudit,
