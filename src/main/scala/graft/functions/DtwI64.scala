@@ -43,9 +43,26 @@ case class DtwI64(left: Expression, right: Expression)
     * Long.MaxValue so sentinel + cost cannot overflow. */
   val Big: Long = 1000000000000000L
 
+  /** Element-level null probe: `toLongArray()` throws on arrays that
+    * contain null elements, so both eval paths must check first — the
+    * doc contract is "inputs with nulls yield null", and the globally
+    * registered SQL function must not crash on `array(1, NULL)`. */
+  private def hasNullElement(a: ArrayData): Boolean = {
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData].toLongArray()
-    val y = b.asInstanceOf[ArrayData].toLongArray()
+    val xa = a.asInstanceOf[ArrayData]
+    val ya = b.asInstanceOf[ArrayData]
+    if (hasNullElement(xa) || hasNullElement(ya)) return null
+    val x = xa.toLongArray()
+    val y = ya.toLongArray()
     if (x.isEmpty || y.isEmpty) null
     else {
       val m = y.length
@@ -82,7 +99,21 @@ case class DtwI64(left: Expression, right: Expression)
       val qj = ctx.freshName("dj")
       val qb = ctx.freshName("dbest")
       val qd = ctx.freshName("dcost")
+      val qn = ctx.freshName("dhasnull")
+      val qk = ctx.freshName("dk")
       s"""
+         |boolean $qn = false;
+         |for (int $qk = 0; $qk < $a.numElements(); $qk++) {
+         |  if ($a.isNullAt($qk)) { $qn = true; break; }
+         |}
+         |if (!$qn) {
+         |  for (int $qk = 0; $qk < $b.numElements(); $qk++) {
+         |    if ($b.isNullAt($qk)) { $qn = true; break; }
+         |  }
+         |}
+         |if ($qn) {
+         |  ${ev.isNull} = true;
+         |} else {
          |long[] $qx = $a.toLongArray();
          |long[] $qy = $b.toLongArray();
          |if ($qx.length == 0 || $qy.length == 0) {
@@ -104,6 +135,7 @@ case class DtwI64(left: Expression, right: Expression)
          |    long[] $qt = $qp; $qp = $qc; $qc = $qt;
          |  }
          |  ${ev.value} = $qp[$qy.length];
+         |}
          |}
        """.stripMargin
     })

@@ -3682,7 +3682,7 @@ object Events {
       |      FROM pts),
       |sl AS (SELECT n,
       |              CAST((n * sxy - sx * sy) * 1000000000 AS HUGEINT)
-      |                // (n * sxx - sx * sx) AS slope_nano
+      |                // nullif(n * sxx - sx * sx, 0) AS slope_nano
       |       FROM m)
       |SELECT sl.n AS n_ages, CAST(sl.slope_nano AS BIGINT) AS slope_nano,
       |       CAST(CASE WHEN sl.slope_nano < 0
@@ -3714,26 +3714,39 @@ object Events {
         round(log(col("actives").cast("double") / col("at_risk").cast("double")),
           9).cast("decimal(28,9)").as("y"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // age must enter the product as a NARROW decimal: LongType is
-    // decimal(20,0) to the multiply, and (20,0)×(28,9) exceeds precision
-    // 38, so Spark silently REDUCES THE SCALE of the product (a ~1e-6
-    // rounding the oracle's exact decimal never has). decimal(4,0) keeps
-    // the product at (33,9) — exact.
+    // EVERY integral factor must enter a DECIMAL product NARROW: LongType
+    // is decimal(20,0) to the multiply, and (20,0)×(p,9) products exceed
+    // precision 38, so Spark silently REDUCES THE SCALE of the product
+    // (a ~1e-6 HALF_UP rounding the oracle's exact decimal never has).
+    // That applies to age×y here AND to n×sxy / sx×sy / diff×10⁹ in the
+    // slope below — the moment sums are therefore re-narrowed to
+    // decimal(24,9) (|sxy| ≤ 14·14·|ln ratio| ≪ 10¹⁵), n/sx to
+    // decimal(4,0)/decimal(6,0) (≤14 / ≤105), and the numerator to
+    // decimal(15,9) (|n·sxy − sx·sy| ≪ 10⁶) before the ×10⁹ shift, so
+    // every product stays under precision 38 at scale 9 exactly.
     val m = pts.agg(count(lit(1)).as("n"), sum(col("age")).as("sx"),
       sum(col("age") * col("age")).as("sxx"),
-      sum(col("y")).as("sy"),
-      sum(col("age").cast("decimal(4,0)") * col("y")).as("sxy"))
+      sum(col("y")).cast("decimal(24,9)").as("sy"),
+      sum(col("age").cast("decimal(4,0)") * col("y")).cast("decimal(24,9)")
+        .as("sxy"))
     val r1 = pts.filter(col("age") === 1).select(col("r_ppm").as("r1_ppm"))
     val r14 = pts.filter(col("age") === 14).select(col("r_ppm").as("r14_ppm"))
+    // r1/r14 join LEFT on a true condition (not crossJoin): an absent age
+    // cell (actives=0 at age 1 or 14) must surface as a NULL column on
+    // the one slope row — the oracle's scalar subqueries do — not erase
+    // the output row the way a crossJoin with an empty frame would.
     m.select(col("n").as("n_ages"),
-        expr(s"""CAST(CAST((n * sxy - sx * sy) * 1000000000 AS $dec38)
-                |     div (n * sxx - sx * sx) AS LONG)""".stripMargin)
+        expr(s"""CAST(CAST(CAST(CAST(n AS DECIMAL(4,0)) * sxy
+                |               - CAST(sx AS DECIMAL(6,0)) * sy
+                |            AS DECIMAL(15,9)) * 1000000000 AS $dec38)
+                |     div nullif(n * sxx - sx * sx, 0) AS LONG)""".stripMargin)
           .as("slope_nano"))
       .select(col("n_ages"), col("slope_nano"),
         expr("""CAST(CASE WHEN slope_nano < 0
                |          THEN 693147181L * 1000 div (0 - slope_nano) END
                |  AS LONG)""".stripMargin).as("half_life_milli"))
-      .crossJoin(broadcast(r1)).crossJoin(broadcast(r14))
+      .join(broadcast(r1), lit(true), "left")
+      .join(broadcast(r14), lit(true), "left")
   }
 
   /** q350: sequential-pattern support ("a then eventually b") — the

@@ -2669,7 +2669,8 @@ object Extended {
       |SELECT tot.n, (SELECT count(*) FROM rt) AS x_levels,
       |       (SELECT count(*) FROM ct) AS y_levels,
       |       mi.mi_nano, hx.hx_nano, hy.hy_nano,
-      |       mi.mi_nano * 1000000 // least(hx.hx_nano, hy.hy_nano) AS nmi_ppm
+      |       mi.mi_nano * 1000000
+      |         // nullif(least(hx.hx_nano, hy.hy_nano), 0) AS nmi_ppm
       |FROM tot, mi, hx, hy""".stripMargin) { (s, dir) =>
     val cells = Tables(s, dir, "orders")
       .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
@@ -2700,7 +2701,11 @@ object Extended {
       .crossJoin(broadcast(mi)).crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
       .select(col("n"), col("x_levels"), col("y_levels"),
         col("mi_nano"), col("hx_nano"), col("hy_nano"),
-        expr("mi_nano * 1000000 div least(hx_nano, hy_nano)").as("nmi_ppm"))
+        // nullif-guarded like q349/q361: a degenerate single-level marginal
+        // has entropy 0, and DuckDB errors on // 0 while Spark's div
+        // returns NULL — both engines must emit NULL instead.
+        expr("mi_nano * 1000000 div nullif(least(hx_nano, hy_nano), 0)")
+          .as("nmi_ppm"))
   }
 
   /** q365: mix-shift decomposition (Oaxaca–Blinder / BI "mix vs rate")

@@ -53,4 +53,29 @@ class DtwI64Spec extends SparkSpec {
     assert(rows(1L).contains(0L))
     assert(rows(2L).isEmpty)
   }
+
+  test("arrays containing null elements -> null, both eval paths") {
+    GraftFunctions.register(spark)
+    // Build containsNull=true arrays in SQL so the doc contract ("inputs
+    // with nulls yield null") is exercised through the registered
+    // function, not just the typed API.
+    val q = """SELECT id,
+              |       dtw_i64(a, b) AS d
+              |FROM VALUES
+              |  (1, array(1L, NULL, 3L), array(1L, 2L)),
+              |  (2, array(1L, 2L), array(CAST(NULL AS BIGINT))),
+              |  (3, array(1L, 2L), array(1L, 4L))
+              |  AS t(id, a, b)""".stripMargin
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val rows = spark.sql(q).collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None
+          else Some(r.getLong(1)))).toMap
+      assert(rows(1).isEmpty, s"null element left side, codegen=$cg")
+      assert(rows(2).isEmpty, s"all-null right side, codegen=$cg")
+      // dtw([1,2],[1,4]): |1-1| + |2-4| along the diagonal = 2
+      assert(rows(3).contains(2L), s"clean row unaffected, codegen=$cg")
+    }
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
 }
