@@ -105,14 +105,34 @@ object Pipeline {
     * of magnitude smaller than the fact tables.
     */
   def etlAppend(spark: SparkSession, repoPaths: Seq[String], outDir: String,
-      authorGate: Option[String] = None): Unit = {
+      authorGate: Option[String] = None): Unit =
+    etlAppendStaged(spark, repoPaths, outDir, authorGate, _ => ())
+
+  /** [[etlAppend]] with a step hook called at each named point of the
+    * publish sequence (`after:<table>` ×5, `before:flip`, `after:flip`) —
+    * the crash-injection / interleave seam the store-level atomicity tests
+    * drive (a hook that throws models a process kill at that instant; a
+    * hook that reads models a concurrent snapshot reader). Production
+    * callers go through [[etlAppend]]'s no-op hook. */
+  private[git] def etlAppendStaged(spark: SparkSession, repoPaths: Seq[String],
+      outDir: String, authorGate: Option[String],
+      step: String => Unit): Unit = {
     val r = build(spark, repoPaths, authorGate)
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pubs = scala.collection.mutable.ListBuffer[(String, Publish)]()
     def mergeWrite(table: String, incoming: DataFrame)(
-        merge: (DataFrame, DataFrame) => DataFrame): Unit =
-      publishWhole(spark, outDir, table, incoming)(merge)
+        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      pubs += table -> publishWhole(spark, outDir, table, incoming,
+        deferGc = true)(merge)
+      step(s"after:$table")
+    }
     def mergeWritePartitioned(table: String, partCol: String, incoming: DataFrame)(
-        merge: (DataFrame, DataFrame) => DataFrame): Unit =
-      publishPartitioned(spark, outDir, table, partCol, incoming)(merge)
+        merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      pubs += table -> publishPartitioned(spark, outDir, table, partCol,
+        incoming, deferGc = true)(merge)
+      step(s"after:$table")
+    }
 
     // ON CONFLICT(repo_name, sha) DO UPDATE (database.ts:21-36)
     mergeWritePartitioned("commits", "repo_name", r.commits)(
@@ -128,16 +148,46 @@ object Pipeline {
     // ON CONFLICT(name) DO UPDATE (:85-95)
     mergeWritePartitioned("repos", "name", r.repos)(
       GitAgg.upsertLatest(_, _, Seq("name")))
+
+    // U6 store-level atomicity (transactions.ts:43-56: ONE transaction per
+    // repo covers all five loads): the five per-table publishes above
+    // DEFERRED their generation GC, so every previous-generation data file
+    // and per-table manifest still exists. One atomic rename of the root
+    // store manifest — naming each table's newly committed per-table
+    // manifest — is the cross-table commit point: a [[readStoreSnapshot]]
+    // reader before the flip resolves ALL five tables at the previous
+    // generation (never commits without their file_changes), after it at
+    // the new one. Only then does the deferred GC drop what the previous
+    // store generation referenced; a crash anywhere before the flip leaves
+    // the previous store snapshot fully intact, and the next run converges
+    // (keyed upserts are idempotent) and re-flips.
+    step("before:flip")
+    val seq = latestStoreManifest(fs, base).map(p => storeManifestSeq(p.getName))
+      .getOrElse(-1L)
+    commitStoreManifest(fs, base, seq + 1, pubs.map { case (t, p) => t -> p.manifest }.toSeq)
+    step("after:flip")
+    pubs.foreach(_._2.gc())
+
     // rejects are per-run diagnostics (no reference counterpart): overwrite
     r.rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
     r.release()
   }
 
+  /** One per-table publish's outcome: the committed manifest's file name
+    * (what the store-level manifest records) and the deferred
+    * generation-GC thunk — pruning superseded per-table manifests and
+    * dropping the replaced generation's data files. Run immediately by
+    * standalone publishes; deferred until after the store-manifest flip by
+    * [[etlAppendStaged]], so the previous cross-table snapshot stays fully
+    * resolvable up to the flip. */
+  private[git] final case class Publish(manifest: String, gc: () => Unit)
+
   /** Whole-table keyed merge publish (dimension tables): merge → stage →
-    * move files in → manifest commit → drop the replaced generation. */
+    * move files in → manifest commit → drop the replaced generation
+    * (immediately, or deferred to the returned thunk when `deferGc`). */
   private[git] def publishWhole(spark: SparkSession, outDir: String,
-      table: String, incoming: DataFrame)(
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      table: String, incoming: DataFrame, deferGc: Boolean = false)(
+      merge: (DataFrame, DataFrame) => DataFrame): Publish = {
     val path = new Path(s"$outDir/$table")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverTable(fs, outDir, table)
@@ -154,8 +204,12 @@ object Pipeline {
     fs.mkdirs(path)
     val moved = moveDataFiles(fs, staged, path)
     fs.delete(staged, true)
-    commitManifest(fs, path, seq + 1, moved)
-    snap.foreach(f => fs.delete(new Path(path, f), false))
+    val name = commitManifest(fs, path, seq + 1, moved)
+    val gc = () => {
+      pruneManifests(fs, path, seq + 1)
+      snap.foreach(f => fs.delete(new Path(path, f), false))
+    }
+    if (deferGc) Publish(name, gc) else { gc(); Publish(name, () => ()) }
   }
 
   /** Partitioned keyed merge publish (fact tables): prune the store read to
@@ -163,8 +217,9 @@ object Pipeline {
     * partitioned, move the staged files in, commit the manifest, then drop
     * the replaced partitions' previous generation. */
   private[git] def publishPartitioned(spark: SparkSession, outDir: String,
-      table: String, partCol: String, incoming: DataFrame)(
-      merge: (DataFrame, DataFrame) => DataFrame): Unit = {
+      table: String, partCol: String, incoming: DataFrame,
+      deferGc: Boolean = false)(
+      merge: (DataFrame, DataFrame) => DataFrame): Publish = {
     val store = new Path(s"$outDir/$table")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverTable(fs, outDir, table)
@@ -230,9 +285,16 @@ object Pipeline {
         fs.delete(staged, true)
         merged.write.mode("overwrite").parquet(staged.toString)
         val moved = moveDataFiles(fs, staged, store)
-        commitManifest(fs, store, seq + 1, moved)
+        val name = commitManifest(fs, store, seq + 1, moved)
+        fs.delete(staged, true)
+        val gc = () => pruneManifests(fs, store, seq + 1)
+        if (deferGc) Publish(name, gc)
+        else { gc(); Publish(name, () => ()) }
+      } else {
+        // Nothing new and nothing merged: the committed snapshot stands.
+        fs.delete(staged, true)
+        Publish(manifestName(seq), () => ())
       }
-      fs.delete(staged, true)
     } else {
       // Move each staged partition's files into the live partition dir
       // (names are unique per write job — nothing is overwritten), then
@@ -250,8 +312,12 @@ object Pipeline {
         if (flatData) snap
         else snap.filter(f => replacedTop.contains(f.split('/').head))
       fs.delete(staged, true)
-      commitManifest(fs, store, seq + 1, snap.diff(dropped) ++ newEntries)
-      dropped.foreach(f => fs.delete(new Path(store, f), false))
+      val name = commitManifest(fs, store, seq + 1, snap.diff(dropped) ++ newEntries)
+      val gc = () => {
+        pruneManifests(fs, store, seq + 1)
+        dropped.foreach(f => fs.delete(new Path(store, f), false))
+      }
+      if (deferGc) Publish(name, gc) else { gc(); Publish(name, () => ()) }
     }
   }
 
@@ -296,26 +362,37 @@ object Pipeline {
     finally in.close()
   }
 
+  private def manifestName(seq: Long): String = f"$ManifestPrefix$seq%09d"
+
   /** Write the next manifest: staged under a dot-tmp name (invisible,
-    * junk if orphaned), promoted by one atomic rename, then superseded
-    * manifests are pruned. */
+    * junk if orphaned), promoted by one atomic rename. Returns the
+    * committed manifest's file name. Superseded manifests are NOT pruned
+    * here — that is generation GC ([[pruneManifests]]), which
+    * [[etlAppendStaged]] defers until after the store-manifest flip so a
+    * cross-table reader can keep resolving the previous generation. */
   private def commitManifest(fs: FileSystem, store: Path, seq: Long,
-      files: Seq[String]): Unit = {
+      files: Seq[String]): String = {
     val tmp = new Path(store, s".manifest-tmp-${java.util.UUID.randomUUID()}")
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    val dest = new Path(store, f"$ManifestPrefix$seq%09d")
+    val dest = new Path(store, manifestName(seq))
     // Single-writer check: a dest that already exists means another writer
     // committed this seq — fail rather than clobber (local-FS rename
     // overwrites silently; on HDFS/object stores the rename itself fails).
     require(!fs.exists(dest), s"concurrent publish detected: $dest exists")
     require(fs.rename(tmp, dest), s"manifest commit failed at $dest")
+    dest.getName
+  }
+
+  /** Drop per-table manifests superseded by `seq` — the manifest half of
+    * generation GC. Idempotent; a crash that skips it leaves only stale
+    * manifests the next successful publish's GC prunes. */
+  private def pruneManifests(fs: FileSystem, store: Path, seq: Long): Unit =
     fs.listStatus(store).map(_.getPath)
       .filter(p => p.getName.startsWith(ManifestPrefix) &&
         manifestSeq(p.getName) < seq)
       .foreach(fs.delete(_, false))
-  }
 
   /** Every data file under `store` (recursive), store-relative, skipping
     * dot-prefixed staging/tmp subtrees. */
@@ -464,7 +541,98 @@ object Pipeline {
     }
     if (dropped.nonEmpty) {
       commitManifest(fs, store, seq + 1, entries.toSeq)
+      pruneManifests(fs, store, seq + 1)
       dropped.foreach(f => fs.delete(new Path(store, f), false))
+    }
+  }
+
+  // -----------------------------------------------------------------------
+  // Store-level generation manifest — cross-table atomicity (U6 parity).
+  //
+  // The reference wraps all five table loads of a repo in ONE SQLite
+  // transaction (src/transactions.ts:43-56, main.ts:103-130), so a
+  // concurrent reader (Metabase over WAL, db/index.ts:23) never observes
+  // commits without their file_changes. The per-table manifest protocol
+  // above is atomic per table but publishes the five tables sequentially —
+  // a reader between two per-table commits would see a cross-table-
+  // inconsistent store. The root `_store-manifest-<seq>` closes that: one
+  // file naming each table's committed per-table manifest, flipped by one
+  // atomic rename after all five publishes, with each table's generation
+  // GC deferred past the flip. [[readStoreSnapshot]] resolves through it:
+  // before the flip every table reads at the previous generation, after it
+  // at the new one — the store-level analogue of the reference's
+  // transaction boundary. Single writer assumed (the per-table protocol's
+  // standing assumption); a reader overlapping the post-flip GC of a
+  // concurrent publish should re-resolve, exactly as for per-table reads.
+  // -----------------------------------------------------------------------
+
+  private val StoreManifestPrefix = "_store-manifest-"
+
+  private def storeManifestSeq(name: String): Long =
+    name.stripPrefix(StoreManifestPrefix).toLong
+
+  private def latestStoreManifest(fs: FileSystem, base: Path): Option[Path] =
+    if (!fs.exists(base)) None
+    else fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(StoreManifestPrefix))
+      .sortBy(p => storeManifestSeq(p.getName)).lastOption
+
+  /** `table<TAB>per-table-manifest-name` lines, committed by one atomic
+    * rename; superseded store manifests pruned after the flip. */
+  private def commitStoreManifest(fs: FileSystem, base: Path, seq: Long,
+      entries: Seq[(String, String)]): Unit = {
+    val tmp = new Path(base, s".store-manifest-tmp-${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(entries.sortBy(_._1).map { case (t, m) => s"$t\t$m" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new Path(base, f"$StoreManifestPrefix$seq%09d")
+    require(!fs.exists(dest), s"concurrent store publish detected: $dest exists")
+    require(fs.rename(tmp, dest), s"store manifest commit failed at $dest")
+    fs.listStatus(base).map(_.getPath)
+      .filter(p => p.getName.startsWith(StoreManifestPrefix) &&
+        storeManifestSeq(p.getName) < seq)
+      .foreach(fs.delete(_, false))
+    fs.listStatus(base).map(_.getPath)
+      .filter(_.getName.startsWith(".store-manifest-tmp-"))
+      .foreach(fs.delete(_, false))
+  }
+
+  private def readStoreManifest(fs: FileSystem, m: Path): Map[String, String] = {
+    val in = fs.open(m)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).map { line =>
+        val Array(t, name) = line.split('\t')
+        t -> name
+      }.toMap
+    finally in.close()
+  }
+
+  /** Read a table at the store's cross-table-consistent committed
+    * generation: resolve the root store manifest, then the table's NAMED
+    * per-table manifest — never "latest", so all five tables resolve at
+    * the SAME [[etlAppend]] run's output even while a later run is
+    * mid-publish (its per-table commits and file moves are invisible
+    * until its store-manifest flip). Falls back to [[readSnapshot]] when
+    * the store predates the store-manifest layout, the table is outside
+    * it (rejects), or the named manifest was GC'd by a completed later
+    * flip (re-resolving forward is then correct — the newer generation is
+    * the committed one). */
+  def readStoreSnapshot(spark: SparkSession, outDir: String, table: String): DataFrame = {
+    val base = new Path(outDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new Path(s"$outDir/$table")
+    latestStoreManifest(fs, base).map(readStoreManifest(fs, _)) match {
+      case Some(entries) if entries.contains(table) =>
+        val m = new Path(store, entries(table))
+        if (!fs.exists(m)) readSnapshot(spark, outDir, table)
+        else {
+          val files = readManifest(fs, m)
+          if (files.isEmpty) spark.emptyDataFrame
+          else spark.read.option("basePath", store.toString)
+            .parquet(files.map(f => new Path(store, f).toString): _*)
+        }
+      case _ => readSnapshot(spark, outDir, table)
     }
   }
 
