@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Top-k leaderboard WITHOUT a global window: `orderBy(score desc, key
+    * asc).limit(k)` plans as TakeOrderedAndProject — per-task top-k heaps,
+    * never a single-task sort of the whole node table — and the 1..k
+    * positions come from posexplode over the k-bounded array re-sorted
+    * with the same (score desc, key asc) discipline, not from a
+    * row_number window. Replaces the unpartitioned-window epilogue the
+    * round-10 plan audit allow-listed for q109/q277/q291: same rows, same
+    * tie ordering, but the sort is k-bounded instead of |node-table|-
+    * bounded, so the rank kernels need no bounded-input rationale at all.
+    * Works for numeric and string keys (array_sort's lambda compares with
+    * the same semantics the window's orderBy used). */
+  private[ops] def rankTopK(df: org.apache.spark.sql.DataFrame, score: String,
+      key: String, k: Int, keyOut: String, scoreOut: String): org.apache.spark.sql.DataFrame =
+    df.orderBy(col(score).desc, col(key))
+      .limit(k)
+      .agg(collect_list(struct(col(score).as("s"), col(key).as("k"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as(keyOut), col("r.s").as(scoreOut))
+      .orderBy(col("pos"))
+
   /** The co-purchase edge set both graph kernels run on: part pairs
     * co-occurring in ≥ 2 DISTINCT orders. The support threshold is what
     * keeps the graph analyzable at scale — raw single-order co-occurrence
@@ -196,12 +221,7 @@ object Graph {
           .select(col("v").as("n"),
             (lit(jump) + expr("(85 * c) div 100")).as("r"))
       }
-      import org.apache.spark.sql.expressions.Window
-      r.withColumn("pos",
-          row_number().over(Window.orderBy(col("r").desc, col("n"))).cast("long"))
-        .filter(col("pos") <= 100)
-        .select(col("pos"), col("n"), col("r"))
-        .orderBy(col("pos"))
+      rankTopK(r, "r", "n", 100, "n", "r")
     }
   }
 
@@ -393,11 +413,7 @@ object Graph {
       val a2 = normalize(
         e.join(h1, "c").groupBy(col("p")).agg(sum(col("h")).cast(dec).as("s")),
         "p", "a")
-      a2.withColumn("pos",
-          row_number().over(Window.orderBy(col("a").desc, col("p"))).cast("long"))
-        .filter(col("pos") <= 50)
-        .select(col("pos"), col("p").as("partkey"), col("a").as("authority"))
-        .orderBy(col("pos"))
+      rankTopK(a2, "a", "p", 50, "partkey", "authority")
     }
   }
 

@@ -1130,11 +1130,7 @@ object TextAnalysis {
       }
       // No unpersist: the returned plan still references the cached
       // tables; the harness clears the cache after each query.
-      r.withColumn("pos",
-          row_number().over(Window.orderBy(col("r").desc, col("n"))).cast("long"))
-        .filter(col("pos") <= 20)
-        .select(col("pos"), col("n").as("word"), col("r"))
-        .orderBy(col("pos"))
+      Graph.rankTopK(r, "r", "n", 20, "word", "r")
     }
   }
 

@@ -70,7 +70,6 @@ class PlanAuditSpec extends SparkSpec {
     // is added or re-planned, and re-verify the new entry's window input
     // is a bounded reduction before admitting it.
     val audited = Set(
-      "q109_pagerank",          // fixed-point rank over the node table (parts vocabulary)
       "q115_token_budget",      // level-boundary running sum (map-side above the boundary)
       "q119_token_deciles",     // decile cells
       "q127_skyline",           // frontier candidates after dominance pruning
@@ -94,9 +93,7 @@ class PlanAuditSpec extends SparkSpec {
       "q240_budget_allocation", // one row per language (quota ranking)
       "q258_bpe_token_budget",  // q115's level-boundary running sum at subword grain (≤ 10001 score levels)
       "q266_dsir_selection",    // rank over the already-limited top-100 selection (≤ 100 rows)
-      "q277_hits",              // fixed-point rank over the part-authority table (catalog-bounded)
       "q283_skew_audit",        // count-level CDF + rank over the already-limited top-10
-      "q291_textrank_keywords",// fixed-point rank over the word-vocabulary table (vocab-bounded)
       "q298_disorder_profile",  // bucket-summary stitch (≤ 4097 rows) + lateness levels
       "q299_quantile_normalize",// pooled cum over cents-value levels
       "q309_mann_whitney",      // cum over the metric-value histogram (distinct per-user counts)
