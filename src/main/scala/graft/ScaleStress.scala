@@ -1,0 +1,270 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-stress gate: every 100-TB claim in SCALE.md is a plan
+  * argument plus a plan-shape assertion; this main MEASURES the claims on
+  * synthesized corpora up to ~10× sf0.1 and records per-query scaling
+  * exponents, plus the three tier constants validated at their boundaries
+  * (BandBucketCap=100, Fuzzy.DriverClosureMaxEdges=2M, SemDeDup's
+  * 200-member scan cap).
+  *
+  * Usage: ScaleStress <sfDir> <workDir> [outJson]
+  *
+  * Corpus synthesis (testdata is read-only — generated under workDir):
+  * multiplier K unions K deterministic copies of sf0.1's documents and
+  * embeddings. Copy k ≥ 1 offsets ids by k·10⁷ (even, so q97's odd/even
+  * archive split is preserved) and MUTATES content — a copy-salt token
+  * spliced into the text every 5 words, a per-(id, k, slot) hash
+  * perturbation added to each embedding component — so cross-copy rows are
+  * NOT near-duplicates of each other: duplicate-pair density stays roughly
+  * constant with K, and measured growth reflects the ENGINE's scaling, not
+  * a deliberately K²-densified pair structure. (The planted-hot-key runs
+  * below probe the densified regime separately, where the caps must hold.)
+  * Copy 0 is byte-identical content re-written through the same writer, so
+  * every multiplier reads the same physical layout. All other tables are
+  * symlinked from sfDir so any registry query runs unchanged.
+  *
+  * Exponent: least-squares slope of ln(t) on ln(K) over the multiplier
+  * grid — ~1 linear, ~2 quadratic. Single-rep timings on a multi-tenant
+  * box are noisy (NOTES.md: 3× swings); the grid spread and the recorded
+  * loadavg make a spike visible rather than silently fit.
+  */
+object ScaleStress {
+
+  /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
+    * 100-TB story leans on; VERDICT r10's stress list). */
+  val Measured: Seq[String] = Seq(
+    "q34_dedup_exact", "q35_dedup_minhash_lsh", "q37_dedup_ngram_jaccard",
+    "q47_dedup_clusters", "q62_dedup_keep_best", "q65_simhash_hamming",
+    "q82_dedup_ensemble", "q97_dedup_incremental", "q74_semantic_neardup",
+    "q39_ann_topk", "q40_ann_lsh", "q48_ann_ivf", "q236_pq_ann",
+    "q239_ivfpq_ann", "q66_kmeans_iter")
+
+  private val IdOffset = 10000000L
+
+  private val LinkedTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events")
+
+  /** K mutated copies of documents: ids offset per copy, copy ≥ 1 texts
+    * salted every 5 words so cross-copy shingle sets diverge. */
+  private def scaledDocuments(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    docs.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
+      .select(
+        (col("doc_id") + col("copy").cast("long") * IdOffset).as("doc_id"),
+        when(col("copy") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("((\\S+\\s+){5})"),
+            concat(lit("$1zz"), col("copy"), lit("q "))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")))
+  }
+
+  /** K mutated copies of embeddings: per-(vec_id, copy, slot) hash
+    * perturbation (±5e-3 scale) keeps cross-copy vectors near but not
+    * AT each other — realistic density, no artificial K-fold clusters. */
+  private def scaledEmbeddings(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    emb.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
+      .select(
+        (col("vec_id") + col("copy").cast("long") * IdOffset).as("vec_id"),
+        when(col("copy") === 0, col("embedding"))
+          .otherwise(expr(
+            """transform(embedding, (x, i) ->
+              |  CAST(x + CAST(pmod(hash(vec_id, copy, i), 1000) - 500 AS FLOAT)
+              |           / 100000.0 AS FLOAT))""".stripMargin))
+          .as("embedding"),
+        col("label"))
+  }
+
+  private def linkTables(sfDir: String, dir: String): Unit =
+    LinkedTables.foreach { t =>
+      val link = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(sfDir, s"$t.parquet"))
+    }
+
+  private def buildCorpus(spark: SparkSession, sfDir: String, dir: String,
+      k: Int): Unit = {
+    if (Files.exists(Paths.get(dir, "_done"))) return
+    Files.createDirectories(Paths.get(dir))
+    scaledDocuments(spark, sfDir, k)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    scaledEmbeddings(spark, sfDir, k)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    linkTables(sfDir, dir)
+    Files.writeString(Paths.get(dir, "_done"), "ok")
+  }
+
+  /** Hot-key corpus: the 10× corpus plus ONE text planted 5000× and ONE
+    * embedding planted 2000× (tiny per-plant float jitter so vectors are
+    * near-identical, not bit-equal). This is the densified regime the
+    * caps exist for: without BandBucketCap the planted text alone yields
+    * ~12.5M candidate pairs; without SemDeDup's scan cap the planted
+    * cluster alone costs 2000²/2 comparisons. */
+  private def buildHotCorpus(spark: SparkSession, sfDir: String, dir: String,
+      baseK: Int): Unit = {
+    if (Files.exists(Paths.get(dir, "_done"))) return
+    Files.createDirectories(Paths.get(dir))
+    val hotDocs = spark.range(5000).select(
+      (col("id") + 100L * IdOffset).as("doc_id"),
+      lit("the same viral boilerplate paragraph repeated verbatim across " +
+        "the crawl is exactly the hot bucket the band cap bounds at read " +
+        "time so candidate volume stays linear in the bucket cap not " +
+        "quadratic in the bucket size").as("text"),
+      lit("en").as("lang"), lit("hot").as("source"))
+      .withColumn("n_chars", length(col("text")))
+    scaledDocuments(spark, sfDir, baseK).unionByName(hotDocs)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val hotEmb = spark.range(2000).select(
+      (col("id") + 100L * IdOffset).as("vec_id"),
+      expr(s"""transform(sequence(0, 63), i ->
+              |  CAST(CASE WHEN i = 0 THEN 1.0 ELSE 0.001 END
+              |       + CAST(pmod(hash(id + ${100L * IdOffset}, i), 100) AS FLOAT)
+              |         / 1000000.0 AS FLOAT))""".stripMargin).as("embedding"),
+      lit(0).as("label"))
+    scaledEmbeddings(spark, sfDir, baseK).unionByName(hotEmb)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    linkTables(sfDir, dir)
+    Files.writeString(Paths.get(dir, "_done"), "ok")
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime()
+    body
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def runNoop(spark: SparkSession, name: String, dir: String): Double = {
+    val fn = SparkEntry.queries(name)
+    val t = time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+    spark.catalog.clearCache()
+    t
+  }
+
+  private def loadAvg(): String =
+    try Files.readString(Paths.get("/proc/loadavg")).trim.split("\\s+")
+      .take(3).mkString("[", ",", "]")
+    catch { case _: Throwable => "null" }
+
+  /** ln-ln least-squares slope over (k, t) samples. */
+  def exponent(samples: Seq[(Int, Double)]): Double = {
+    val pts = samples.map { case (k, t) => (math.log(k.toDouble), math.log(t)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    (n * sxy - sx * sy) / (n * sxx - sx * sx)
+  }
+
+  private def f3(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleStress <sfDir> <workDir> [outJson]")
+    val sfDir = args(0)
+    val workDir = args(1)
+    val outJson = if (args.length > 2) args(2) else "BENCH_scale.json"
+    val mults = Seq(1, 3, 10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+
+    mults.foreach(k => buildCorpus(spark, sfDir, s"$workDir/corpus_${k}x", k))
+    buildHotCorpus(spark, sfDir, s"$workDir/corpus_hot", 10)
+    System.err.println(s"[scale] corpora ready under $workDir load=${loadAvg()}")
+
+    // Warmup: one pass of every measured query at 1× (codegen + scheduler
+    // + any lazy registration), not recorded.
+    Measured.foreach(n => runNoop(spark, n, s"$workDir/corpus_1x"))
+
+    val times = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    val loads = scala.collection.mutable.ArrayBuffer.empty[String]
+    mults.foreach { k =>
+      loads += loadAvg()
+      Measured.foreach { n =>
+        val t = runNoop(spark, n, s"$workDir/corpus_${k}x")
+        times.getOrElseUpdate(n, scala.collection.mutable.LinkedHashMap.empty) += k -> t
+        System.err.println(s"[scale] $n ${k}x ${f3(t)}s")
+      }
+    }
+
+    // ---- Boundary 1: BandBucketCap=100 (Dedup.scala). The hot corpus
+    // plants one 5000-strong exact-duplicate text: uncapped, its band
+    // buckets alone contribute ~5000²/2 ≈ 12.5M candidate pairs. The cap
+    // drops hot buckets at read, so q35 must return a SANE pair count and
+    // a runtime comparable to the clean 10× run.
+    val hotDir = s"$workDir/corpus_hot"
+    val tLsh10 = times("q35_dedup_minhash_lsh")(10)
+    val lshHotPairs = SparkEntry.queries("q35_dedup_minhash_lsh")(spark, hotDir)
+    val tLshHot = time { lshHotPairs.write.format("noop").mode("overwrite").save() }
+    val nLshHot = SparkEntry.queries("q35_dedup_minhash_lsh")(spark, hotDir).count()
+    spark.catalog.clearCache()
+
+    // ---- Boundary 2: SemDeDup 200-member scan cap (Similarity.scala).
+    // The hot corpus plants a 2000-member near-identical embedding
+    // cluster; the per-cluster scan cap bounds the intra-cluster
+    // comparison count, so q74 on the hot corpus must not go quadratic.
+    val tSem10 = times("q74_semantic_neardup")(10)
+    val tSemHot = runNoop(spark, "q74_semantic_neardup", hotDir)
+
+    // ---- Boundary 3: Fuzzy.DriverClosureMaxEdges=2M. The same 2M-edge
+    // graph (400k 5-node stars + one 10k chain threaded through) through
+    // BOTH tiers — driver union-find at its ceiling vs the distributed
+    // min-label CC — label-identical and both timed.
+    val edges2m = spark.range(2000000L).select(
+      when(col("id") < 10000L, col("id") * 5L)
+        .otherwise((col("id") - (col("id") % 5L)) + 5000000L).as("doc_a"),
+      when(col("id") < 10000L, (col("id") + 1L) * 5L)
+        .otherwise(col("id") + 5000000L).as("doc_b"))
+      .persist()
+    val nE = edges2m.count()
+    def ccHash(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(expr("hash(doc_id, cluster_id)")
+        .cast("long"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var driverRes: (Long, Long) = null
+    val tDriver = time {
+      driverRes = ccHash(graft.ops.Fuzzy.resolveClusters(spark, edges2m,
+        driverMaxEdges = graft.ops.Fuzzy.DriverClosureMaxEdges))
+    }
+    var distRes: (Long, Long) = null
+    val tDist = time {
+      distRes = ccHash(graft.ops.Fuzzy.resolveClusters(spark, edges2m,
+        driverMaxEdges = 0L))
+    }
+    edges2m.unpersist()
+    spark.catalog.clearCache()
+    require(driverRes == distRes,
+      s"CC tiers disagree at the 2M boundary: $driverRes vs $distRes")
+
+    val qJson = times.map { case (n, byK) =>
+      val exp = exponent(byK.toSeq)
+      val ks = byK.map { case (k, t) => s""""${k}x":${f3(t)}""" }.mkString(",")
+      s""""$n":{$ks,"exponent":${f3(exp)}}"""
+    }.mkString("{", ",", "}")
+    val bJson =
+      s"""{"band_bucket_cap":{"clean_10x_sec":${f3(tLsh10)},"hot_10x_sec":${f3(tLshHot)},"hot_pairs":$nLshHot,"planted_dup_docs":5000},
+         |"semdedup_scan_cap":{"clean_10x_sec":${f3(tSem10)},"hot_10x_sec":${f3(tSemHot)},"planted_cluster":2000},
+         |"driver_closure_2m_edges":{"edges":$nE,"driver_tier_sec":${f3(tDriver)},"distributed_tier_sec":${f3(tDist)},"labels_equal":true,"nodes_labeled":${driverRes._1}}}"""
+        .stripMargin.replace("\n", "")
+    val out =
+      s"""{"sf":"$sfDir","cpus":"$cpus","mults":${mults.mkString("[", ",", "]")},"load":${loads.mkString("[", ",", "]")},"queries":$qJson,"boundaries":$bJson}"""
+    Files.writeString(Paths.get(outJson), out)
+    println(out)
+    spark.stop()
+  }
+}

@@ -3801,8 +3801,98 @@ object Events {
       .orderBy(col("antecedent"), col("consequent"))
   }
 
+  /** q370: exact Shapley-value channel attribution — the principled
+    * upgrade over the rule-based models (q151 last-touch, q325
+    * U-shaped): credit each touchpoint channel by its average marginal
+    * contribution across ALL orderings of the channel set. With the
+    * coalition value v(S) = conversions among users whose touched-channel
+    * set ⊆ S (the standard data-driven characteristic function), the
+    * 3-channel game {click, view, signup} has 8 coalitions and exact
+    * factorial weights: 3!·φ_c = Σ_{S∌c} w(|S|)·(v(S∪{c}) − v(S)) with
+    * w(0)=2, w(1)=1, w(2)=2 — pure integers, so efficiency
+    * (Σφ = v(full) − v(∅)) holds EXACTLY and ships as an audit column.
+    *
+    * Determinism: user→mask collapse is a map-side bit-OR; v(S) is an
+    * 8×8 subset-sum of integer counts; φ·6 is integer arithmetic; the
+    * share divides only at the surface (ppm floor).
+    *
+    * Scale shape: rows collapse map-side to one (user, mask, conv) row,
+    * then to ≤8 mask-count rows; the coalition lattice is a constant
+    * 8-row broadcast self-join. Channel-set growth is the only cost
+    * driver (2^n coalitions) — n is a modeling choice, never row count. */
+  val q370ShapleyAttribution: Q = Q(
+    "q370_shapley_attribution",
+    """WITH u AS (
+      |  SELECT user_id,
+      |         max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |           + 2 * max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |           + 4 * max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |           AS mask,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY 1),
+      |mc AS (SELECT mask, CAST(sum(conv) AS BIGINT) AS conversions
+      |       FROM u GROUP BY 1),
+      |coal AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |v AS (SELECT coal.s,
+      |             coalesce(CAST(sum(mc.conversions) AS BIGINT), 0) AS v
+      |      FROM coal LEFT JOIN mc ON (mc.mask & ~coal.s) = 0
+      |      GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), ('signup', 4))
+      |       AS t(channel, bit)),
+      |phi AS (SELECT ch.channel,
+      |               CAST(sum((CASE bit_count(sv.s) WHEN 0 THEN 2
+      |                         WHEN 1 THEN 1 ELSE 2 END)
+      |                        * (vu.v - sv.v)) AS BIGINT) AS phi_x6
+      |        FROM ch
+      |        JOIN v sv ON (sv.s & ch.bit) = 0
+      |        JOIN v vu ON vu.s = (sv.s | ch.bit)
+      |        GROUP BY 1),
+      |tot AS (SELECT (SELECT v FROM v WHERE s = 7)
+      |                 - (SELECT v FROM v WHERE s = 0) AS span)
+      |SELECT phi.channel, phi.phi_x6,
+      |       CAST(phi.phi_x6 * 1000000 // nullif(6 * tot.span, 0) AS BIGINT)
+      |         AS share_ppm,
+      |       (SELECT sum(phi_x6) FROM phi) = 6 * tot.span AS efficiency_ok
+      |FROM phi, tot
+      |ORDER BY phi.channel""".stripMargin) { (s, dir) =>
+    val u = Tables(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg((max(when(col("event_type") === "click", 1).otherwise(0))
+        + max(when(col("event_type") === "view", 1).otherwise(0)) * 2
+        + max(when(col("event_type") === "signup", 1).otherwise(0)) * 4)
+        .as("mask"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val mc = u.groupBy(col("mask")).agg(sum(col("conv")).as("conversions"))
+    val coal = s.range(0, 8).select(col("id").cast("int").as("s"))
+    val v = coal.join(broadcast(mc), expr("(mask & ~s) = 0"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("conversions")), lit(0L)).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ch = s.createDataFrame(Seq(("click", 1), ("view", 2), ("signup", 4)))
+      .toDF("channel", "bit")
+    val phi = broadcast(ch)
+      .join(v.select(col("s"), col("v").as("vs")), expr("(s & bit) = 0"))
+      .join(broadcast(v.select(col("s").as("su"), col("v").as("vu"))),
+        expr("su = (s | bit)"))
+      .groupBy(col("channel"))
+      .agg(sum(expr("""(CASE bit_count(s) WHEN 0 THEN 2
+                      |WHEN 1 THEN 1 ELSE 2 END) * (vu - vs)""".stripMargin))
+        .as("phi_x6"))
+    val tot = v.filter(col("s") === 7).select(col("v").as("vfull"))
+      .crossJoin(broadcast(v.filter(col("s") === 0).select(col("v").as("vempty"))))
+      .select((col("vfull") - col("vempty")).as("span"))
+    val phiSum = phi.agg(sum(col("phi_x6")).as("phi_total"))
+    phi.crossJoin(broadcast(tot)).crossJoin(broadcast(phiSum))
+      .select(col("channel"), col("phi_x6"),
+        expr("CAST(phi_x6 * 1000000 div nullif(6 * span, 0) AS LONG)")
+          .as("share_ppm"),
+        (col("phi_total") === col("span") * 6).as("efficiency_ok"))
+      .orderBy(col("channel"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
+      q370ShapleyAttribution,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
       q364DtwDistance, q367CaptureRecapture, q368RetentionHalflife,

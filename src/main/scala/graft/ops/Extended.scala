@@ -2857,7 +2857,84 @@ object Extended {
       .orderBy(col("yr"))
   }
 
+  /** q371: delete-1 jackknife for a RATIO metric (revenue per order) —
+    * the resampling-free uncertainty estimate the bootstrap (q310) family
+    * was missing: leave each order-day out once, recompute the ratio,
+    * and combine. Ratios are where the naive per-cell variance is wrong
+    * (the denominator varies too), and the jackknife handles that with
+    * ZERO randomness — every replicate is determined by the data, so the
+    * cross-engine gate needs no seed discipline at all. Ships the
+    * bias-corrected point estimate d·θ̂ − (d−1)·θ̄ and the jackknife
+    * variance (d−1)/d · Σ(θ_i − θ̄)².
+    *
+    * Determinism: day cells are integer (count, cents) pairs; each
+    * replicate θ_i is one micro-floor division of exact complements; the
+    * squared deviations go through DECIMAL(38,0)/HUGEINT so no square
+    * ever truncates.
+    *
+    * Scale shape: rows collapse map-side to day cells (calendar-bounded);
+    * replicates are cell arithmetic against broadcast totals — the
+    * classic "jackknife over partitions" shape that needs no second pass
+    * over the data. */
+  val q371JackknifeRatio: Q = Q(
+    "q371_jackknife_ratio",
+    """WITH o AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+      |                    AS day,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |cell AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |                CAST(sum(cents) AS BIGINT) AS c
+      |         FROM o GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS d,
+      |             CAST(sum(n) AS BIGINT) AS nt,
+      |             CAST(sum(c) AS BIGINT) AS ct FROM cell),
+      |rep AS (SELECT (ct - c) * 1000000 // nullif(nt - n, 0) AS theta_i
+      |        FROM cell, t),
+      |m AS (SELECT CAST(sum(theta_i) // count(*) AS BIGINT) AS theta_bar
+      |      FROM rep),
+      |sq AS (SELECT CAST(sum(CAST((theta_i - theta_bar) AS HUGEINT)
+      |                        * (theta_i - theta_bar)) AS HUGEINT) AS ssq
+      |       FROM rep, m)
+      |SELECT t.d AS n_days, t.nt AS n_orders,
+      |       CAST(t.ct * 1000000 // t.nt AS BIGINT) AS theta_micro,
+      |       CAST(t.d * (t.ct * 1000000 // t.nt) - (t.d - 1) * m.theta_bar
+      |         AS BIGINT) AS theta_jack_micro,
+      |       CAST(CAST(sq.ssq // 1000000000000 AS BIGINT) * (t.d - 1) // t.d
+      |         AS BIGINT) AS jack_var_cents2
+      |FROM t, m, sq""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val cell = Tables(s, dir, "orders")
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = cell.agg(count(lit(1)).as("d"), sum(col("n")).as("nt"),
+      sum(col("c")).as("ct"))
+    val rep = cell.crossJoin(broadcast(t))
+      .select(expr("(ct - c) * 1000000 div nullif(nt - n, 0)").as("theta_i"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val m = rep.agg(expr("CAST(sum(theta_i) div count(*) AS LONG)")
+      .as("theta_bar"))
+    val sq = rep.crossJoin(broadcast(m))
+      .agg(sum((col("theta_i") - col("theta_bar")).cast("decimal(19,0)")
+        * (col("theta_i") - col("theta_bar")).cast("decimal(19,0)"))
+        .cast(dec).as("ssq"))
+    t.crossJoin(broadcast(m)).crossJoin(broadcast(sq))
+      .select(col("d").as("n_days"), col("nt").as("n_orders"),
+        expr("CAST(ct * 1000000 div nt AS LONG)").as("theta_micro"),
+        expr("CAST(d * (ct * 1000000 div nt) - (d - 1) * theta_bar AS LONG)")
+          .as("theta_jack_micro"),
+        // micro² deviations re-scale to cents² BEFORE the (d-1)/d factor
+        // (identical floor order in both engines; the raw micro² sum can
+        // exceed INT64 at small SF where single-day deletion moves the
+        // ratio a lot).
+        expr("CAST(CAST(ssq div 1000000000000 AS LONG) * (d - 1) div d AS LONG)")
+          .as("jack_var_cents2"))
+  }
+
   val all: Seq[Q] = Seq(
+    q371JackknifeRatio,
     q348MutualInformation, q365MixShift, q366PriceIndex,
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,

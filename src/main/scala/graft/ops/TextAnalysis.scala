@@ -1601,7 +1601,58 @@ object TextAnalysis {
     }
   }
 
+  /** q369: Flesch reading-ease readability profile — the classic
+    * prose-difficulty score the quality tier (q31 ratios, q265 LM bits)
+    * does not cover: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words), with syllables approximated by vowel-group
+    * count ('[aeiouy]+' runs — the standard cheap proxy) and sentences by
+    * terminal-punctuation runs ('[.!?]+', floored at 1 so fragment docs
+    * divide safely). A corpus-curation pipeline uses this as a
+    * keep/route signal (children's-grade vs academic text).
+    *
+    * Determinism: every count is a regexp match count (same regex, same
+    * non-overlapping-match semantics in both engines); the score is pure
+    * integer floor arithmetic in milli-points — no doubles anywhere.
+    *
+    * Scale shape: per-doc counts are map-side expressions over the text
+    * bytes; the rollup is (lang, source)-grain. */
+  val q369Readability: Q = Q(
+    "q369_readability",
+    """WITH d AS (
+      |  SELECT lang, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |         greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+      |                    AS BIGINT), 1) AS s,
+      |         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |           AS BIGINT) AS y
+      |  FROM documents),
+      |f AS (SELECT lang, source,
+      |             206835 - (1015 * w) // s - (84600 * y) // greatest(w, 1)
+      |               AS flesch_milli
+      |      FROM d)
+      |SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+      |       CAST(sum(flesch_milli) // count(*) AS BIGINT) AS avg_flesch_milli,
+      |       CAST(min(flesch_milli) AS BIGINT) AS min_flesch_milli,
+      |       CAST(max(flesch_milli) AS BIGINT) AS max_flesch_milli
+      |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir, "documents").select(col("lang"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("w"),
+      greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+        .as("s"),
+      regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long").as("y"))
+    d.select(col("lang"), col("source"),
+        (lit(206835L) - expr("(1015 * w) div s")
+          - expr("(84600 * y) div greatest(w, 1)")).as("flesch_milli"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(flesch_milli) div count(*)").as("avg_flesch_milli"),
+        min(col("flesch_milli")).as("min_flesch_milli"),
+        max(col("flesch_milli")).as("max_flesch_milli"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val all: Seq[Q] = Seq(q30TokenStats, q31Quality, q32LangId, q33Fingerprint,
+    q369Readability,
     q343JsDivergence, q344FeatureHash, q363BrierDecomposition,
     q329VocabCoverage, q331CohensKappa, q335HeapsLaw,
     q63TfIdf, q87BigramFluency, q122Bm25, q123PostingLists, q227LangSourceLift,
