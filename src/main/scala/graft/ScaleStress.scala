@@ -50,23 +50,28 @@ object ScaleStress {
     "part", "orders", "lineitem", "events")
 
   /** K mutated copies of documents: ids offset per copy, copy ≥ 1 texts
-    * salted every 5 words so cross-copy shingle sets diverge. */
+    * salted on EVERY token (a copy-specific prefix) so cross-copy shingle
+    * sets are disjoint — measured: a weaker every-5-words splice left
+    * 4-token runs intact and cross-copy candidate pairs grew 79× at 10×
+    * (pair DENSITY, not engine cost); per-token salting keeps pair counts
+    * linear in K so the exponents measure the engine. */
   private def scaledDocuments(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     docs.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
       .select(
         (col("doc_id") + col("copy").cast("long") * IdOffset).as("doc_id"),
         when(col("copy") === 0, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("((\\S+\\s+){5})"),
-            concat(lit("$1zz"), col("copy"), lit("q "))))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("z"), col("copy"), lit("q$1"))))
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")))
   }
 
   /** K mutated copies of embeddings: per-(vec_id, copy, slot) hash
-    * perturbation (±5e-3 scale) keeps cross-copy vectors near but not
-    * AT each other — realistic density, no artificial K-fold clusters. */
+    * perturbation (±0.25 scale — big enough that cross-copy cosines fall
+    * out of every near-dup threshold) — realistic density, no artificial
+    * K-fold clusters. */
   private def scaledEmbeddings(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     emb.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
@@ -76,7 +81,7 @@ object ScaleStress {
           .otherwise(expr(
             """transform(embedding, (x, i) ->
               |  CAST(x + CAST(pmod(hash(vec_id, copy, i), 1000) - 500 AS FLOAT)
-              |           / 100000.0 AS FLOAT))""".stripMargin))
+              |           / 2000.0 AS FLOAT))""".stripMargin))
           .as("embedding"),
         col("label"))
   }

@@ -2933,8 +2933,194 @@ object Extended {
           .as("jack_var_cents2"))
   }
 
+  /** q372: 1-D Wasserstein (earth-mover) drift between the order-value
+    * distributions of the first and second order-history halves — the
+    * magnitude-aware companion to KS (q135 reports the max CDF gap; W1
+    * reports the AREA between the CDFs, in cents, which is what a
+    * finance review can act on). W1 = Σ_levels |F1 − F2|·Δx, computed
+    * EXACTLY by cross-multiplying the CDFs over pooled value levels:
+    * |c1·N2 − c2·N1|·gap summed in HUGEINT, divided once at the surface.
+    *
+    * Determinism: counts, cross-products, and gaps are integers
+    * end-to-end; the only division is the final milli-cent floor.
+    *
+    * Scale shape: rows collapse map-side to (cents-level, period) cells;
+    * the cum runs over value LEVELS (the q299/q313 bounded-reduction
+    * precedent), never rows. */
+  val q372WassersteinDrift: Q = Q(
+    "q372_wasserstein_drift",
+    """WITH o AS (SELECT CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400
+      |                    AS day,
+      |                  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |           FROM orders),
+      |b AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM o),
+      |cell AS (SELECT cents,
+      |                CAST(sum(CASE WHEN day < b.mid THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS n1,
+      |                CAST(sum(CASE WHEN day >= b.mid THEN 1 ELSE 0 END)
+      |                  AS BIGINT) AS n2
+      |         FROM o, b GROUP BY 1),
+      |t AS (SELECT CAST(sum(n1) AS BIGINT) AS nt1,
+      |             CAST(sum(n2) AS BIGINT) AS nt2,
+      |             CAST(count(*) AS BIGINT) AS n_levels FROM cell),
+      |w AS (SELECT cents,
+      |             sum(n1) OVER (ORDER BY cents) AS c1,
+      |             sum(n2) OVER (ORDER BY cents) AS c2,
+      |             lead(cents) OVER (ORDER BY cents) AS nxt
+      |      FROM cell),
+      |s AS (SELECT CAST(sum(CAST(abs(c1 * t.nt2 - c2 * t.nt1) AS HUGEINT)
+      |                        * (coalesce(nxt, cents) - cents)) AS HUGEINT)
+      |               AS area
+      |      FROM w, t)
+      |SELECT t.nt1 AS n_first, t.nt2 AS n_second, t.n_levels,
+      |       CAST(s.area * 1000 // (t.nt1 * t.nt2) AS BIGINT)
+      |         AS w1_milli_cents
+      |FROM t, s""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables(s, dir, "orders")
+      .select(expr("unix_timestamp(o_orderdate) div 86400").as("day"),
+        expr("CAST(round(o_totalprice * 100) AS LONG)").as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = o.agg(expr("(min(day) + max(day) + 1) div 2").as("mid"))
+    val cell = o.crossJoin(broadcast(b))
+      .groupBy(col("cents"))
+      .agg(sum(when(col("day") < col("mid"), 1).otherwise(0)).as("n1"),
+        sum(when(col("day") >= col("mid"), 1).otherwise(0)).as("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = cell.agg(sum(col("n1")).as("nt1"), sum(col("n2")).as("nt2"),
+      count(lit(1)).as("n_levels"))
+    val win = Window.orderBy(col("cents"))
+    val w = cell.select(col("cents"),
+      sum(col("n1")).over(win).as("c1"),
+      sum(col("n2")).over(win).as("c2"),
+      lead(col("cents"), 1).over(win).as("nxt"))
+    val area = w.crossJoin(broadcast(t))
+      .agg(sum(expr("abs(c1 * nt2 - c2 * nt1)").cast("decimal(28,0)")
+        * expr("coalesce(nxt, cents) - cents").cast("decimal(10,0)"))
+        .cast("decimal(38,0)").as("area"))
+    t.crossJoin(broadcast(area))
+      .select(col("nt1").as("n_first"), col("nt2").as("n_second"),
+        col("n_levels"),
+        expr("CAST(area * 1000 div (nt1 * nt2) AS LONG)").as("w1_milli_cents"))
+  }
+
+  /** q374: Benjamini–Hochberg FDR control over the exposure-metric
+    * family — the MULTIPLICITY layer the per-test kernels (q166 z-test,
+    * q311 χ², q319 SPRT) stop short of: test every non-purchase event
+    * type for association with conversion and control the false-discovery
+    * rate at 5% across the m=4 family. Each statistic is q166's sqrt-free
+    * pooled z² as an exact rational, FLOORED once to milli-units; BH's
+    * step-up compares p_(i) ≤ α·i/m, rendered as z² ≥ χ²₁(1 − α·i/m)
+    * against the four precomputed critical constants (6238, 5023, 4327,
+    * 3841 milli — χ²₁ quantiles at .0125/.025/.0375/.05, fixed by the
+    * test DESIGN, not the data), and rejects every rank ≤ the largest
+    * passing rank. Rank comes from a 4-row self-join count, not a window.
+    *
+    * Determinism: integer counts, HUGEINT cross-multiplies, one milli
+    * floor per statistic; ties rank by event_type asc in both engines.
+    *
+    * Scale shape: users collapse map-side to (user, conv) + distinct
+    * (type, user); the family table is ≤ |event types| rows. */
+  val q374FdrBh: Q = Q(
+    "q374_fdr_bh",
+    """WITH u AS (SELECT user_id,
+      |                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+      |                      END) AS conv
+      |           FROM events GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nu,
+      |               CAST(sum(conv) AS BIGINT) AS xu FROM u),
+      |tu AS (SELECT DISTINCT e.event_type, e.user_id FROM events e
+      |       WHERE e.event_type <> 'purchase'),
+      |g AS (SELECT tu.event_type,
+      |             CAST(count(*) AS BIGINT) AS n1,
+      |             CAST(sum(u.conv) AS BIGINT) AS x1
+      |      FROM tu JOIN u ON u.user_id = tu.user_id GROUP BY 1),
+      |z AS (SELECT g.event_type, g.n1, g.x1,
+      |             tot.nu - g.n1 AS n2, tot.xu - g.x1 AS x2,
+      |             CAST(CAST(g.x1 * (tot.nu - g.n1)
+      |                       - (tot.xu - g.x1) * g.n1 AS HUGEINT)
+      |                  * (g.x1 * (tot.nu - g.n1)
+      |                     - (tot.xu - g.x1) * g.n1)
+      |                  * tot.nu * 1000
+      |                  // nullif(CAST(tot.xu AS HUGEINT)
+      |                           * (tot.nu - tot.xu)
+      |                           * g.n1 * (tot.nu - g.n1), 0)
+      |               AS BIGINT) AS z2_milli
+      |      FROM g, tot),
+      |r AS (SELECT a.*,
+      |             CAST(1 + (SELECT count(*) FROM z b
+      |                       WHERE coalesce(b.z2_milli, -1)
+      |                               > coalesce(a.z2_milli, -1)
+      |                          OR (coalesce(b.z2_milli, -1)
+      |                                = coalesce(a.z2_milli, -1)
+      |                              AND b.event_type < a.event_type))
+      |               AS BIGINT) AS rnk
+      |      FROM z a),
+      |crit AS (SELECT * FROM (VALUES (1, 6238), (2, 5023), (3, 4327),
+      |                               (4, 3841)) AS c(rnk, crit_milli)),
+      |p AS (SELECT r.*, crit.crit_milli,
+      |             coalesce(r.z2_milli >= crit.crit_milli, FALSE) AS passes
+      |      FROM r JOIN crit ON crit.rnk = r.rnk),
+      |kmax AS (SELECT coalesce(max(CASE WHEN passes THEN rnk END), 0) AS k
+      |         FROM p)
+      |SELECT p.event_type, p.n1 AS n_exposed, p.x1 AS conv_exposed,
+      |       p.n2 AS n_rest, p.x2 AS conv_rest, p.z2_milli, p.rnk,
+      |       p.rnk <= kmax.k AS bh_reject
+      |FROM p, kmax ORDER BY p.rnk""".stripMargin) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val ev = Tables(s, dir, "events")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val u = ev.groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = u.agg(count(lit(1)).as("nu"), sum(col("conv")).as("xu"))
+    val tu = ev.filter(col("event_type") =!= "purchase")
+      .select(col("event_type"), col("user_id")).distinct()
+    val g = tu.join(u, "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n1"), sum(col("conv")).as("x1"))
+    val z = g.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n1"), col("x1"),
+        (col("nu") - col("n1")).as("n2"), (col("xu") - col("x1")).as("x2"),
+        expr(s"""CAST(CAST(x1 * (nu - n1) - (xu - x1) * n1 AS $dec)
+                |     * (x1 * (nu - n1) - (xu - x1) * n1)
+                |     * nu * 1000
+                |     div nullif(CAST(xu AS $dec) * (nu - xu)
+                |                * n1 * (nu - n1), 0)
+                |  AS LONG)""".stripMargin).as("z2_milli"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Null-safe rank key: a degenerate family (everyone converts →
+    // denominator 0 → NULL statistic) must still produce a TOTAL order,
+    // or the two engines tie-break differently. z² ≥ 0, so −1 sorts
+    // every NULL stat last deterministically.
+    val zb = broadcast(z.select(coalesce(col("z2_milli"), lit(-1L)).as("bz"),
+      col("event_type").as("bt")))
+    val r = z.withColumn("rz", coalesce(col("z2_milli"), lit(-1L)))
+      .join(zb,
+        col("bz") > col("rz") ||
+          (col("bz") === col("rz") && col("bt") < col("event_type")),
+        "left")
+      .groupBy(col("event_type"), col("n1"), col("x1"), col("n2"),
+        col("x2"), col("z2_milli"))
+      .agg((count(col("bt")) + 1).as("rnk"))
+    val crit = s.createDataFrame(Seq((1L, 6238L), (2L, 5023L), (3L, 4327L),
+      (4L, 3841L))).toDF("rnk", "crit_milli")
+    val p = r.join(broadcast(crit), "rnk")
+      .withColumn("passes",
+        coalesce(col("z2_milli") >= col("crit_milli"), lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kmax = p.agg(coalesce(max(when(col("passes"), col("rnk"))), lit(0L))
+      .as("k"))
+    p.crossJoin(broadcast(kmax))
+      .select(col("event_type"), col("n1").as("n_exposed"),
+        col("x1").as("conv_exposed"), col("n2").as("n_rest"),
+        col("x2").as("conv_rest"), col("z2_milli"), col("rnk"),
+        (col("rnk") <= col("k")).as("bh_reject"))
+      .orderBy(col("rnk"))
+  }
+
   val all: Seq[Q] = Seq(
-    q371JackknifeRatio,
+    q371JackknifeRatio, q372WassersteinDrift, q374FdrBh,
     q348MutualInformation, q365MixShift, q366PriceIndex,
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,

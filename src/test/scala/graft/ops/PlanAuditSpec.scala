@@ -104,6 +104,7 @@ class PlanAuditSpec extends SparkSpec {
       "q319_sprt_monitor",      // running LLR over the day rollup (≤ calendar-span rows)
       "q327_conformal_interval",// residual-level cum (≤ |calibration days| rows)
       "q333_kruskal_wallis",    // cum over cents-value levels (q299/q313's precedent)
+      "q372_wasserstein_drift", // CDF cross-multiply cum over cents-value levels (q299/q313's precedent — bounded by the price domain, not rows)
       "q345_split_gain",        // cum + argmax over the 32-bin feature histogram
       "q346_isotonic_calibration", // PAV minimax over the ≤32-bin histogram
       "q353_boost_round",       // round-2 cum + argmax over the same 32-bin histogram
