@@ -537,6 +537,91 @@ object Learn {
       .orderBy(col("score_ppm").desc)
   }
 
+  /** q373: categorical feature-importance screen — q345 finds the best
+    * split WITHIN one numeric feature; this ranks features AGAINST each
+    * other by the gain a one-level categorical split would realize,
+    * the screen a tabular pipeline runs before building anything. For a
+    * binary target, the variance-reduction gain of splitting by feature
+    * F is Σ_levels x_l²/n_l − X²/N (the same x²/n sufficient statistic
+    * as q345's bins, summed over F's level cells). Four features over the
+    * order stream — customer nation (fact-dim join), order day-of-week
+    * (pure integer epoch//86400 % 7 — no calendar function drift),
+    * order month, and priority class — share one target (order status
+    * 'F', the fulfilled flag). Importance = each feature's share of the
+    * summed gains, in ppm.
+    *
+    * Determinism: per-level terms are µ-floored integer rationals
+    * (x²·10⁶//n, the q345 contract) so the cross-feature sums are exact
+    * integers in both engines.
+    *
+    * Scale shape: one fact-dim join; each feature's cells are a map-side
+    * collapse of the same persisted base (levels ≤ 25/7/12/5); the
+    * importance table is ≤ 4 rows at any scale. */
+  val q373FeatureImportance: Q = Q(
+    "q373_feature_importance",
+    """WITH base AS (
+      |  SELECT CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+      |         CAST(c.c_nationkey AS VARCHAR) AS f_nation,
+      |         CAST(CAST(floor(epoch(o.o_orderdate)) AS BIGINT) // 86400 % 7
+      |           AS VARCHAR) AS f_dow,
+      |         CAST(month(o.o_orderdate) AS VARCHAR) AS f_month,
+      |         o.o_orderpriority AS f_priority
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+      |long AS (SELECT 'nation' AS feature, f_nation AS level, y FROM base
+      |         UNION ALL SELECT 'dow', f_dow, y FROM base
+      |         UNION ALL SELECT 'month', f_month, y FROM base
+      |         UNION ALL SELECT 'priority', f_priority, y FROM base),
+      |cell AS (SELECT feature, level, CAST(count(*) AS BIGINT) AS n,
+      |                CAST(sum(y) AS BIGINT) AS x
+      |         FROM long GROUP BY 1, 2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn,
+      |               CAST(sum(y) AS BIGINT) AS xx FROM base),
+      |g AS (SELECT cell.feature,
+      |             CAST(count(*) AS BIGINT) AS n_levels,
+      |             CAST(sum(cell.x * cell.x * 1000000 // cell.n)
+      |                  - (SELECT xx * xx * 1000000 // nn FROM tot)
+      |               AS BIGINT) AS gain_micro
+      |      FROM cell GROUP BY 1),
+      |sg AS (SELECT CAST(sum(gain_micro) AS BIGINT) AS total FROM g)
+      |SELECT g.feature, g.n_levels, g.gain_micro,
+      |       CAST(g.gain_micro * 1000000 // nullif(sg.total, 0) AS BIGINT)
+      |         AS importance_ppm
+      |FROM g, sg ORDER BY g.gain_micro DESC, g.feature""".stripMargin) { (s, dir) =>
+    val base = Tables(s, dir, "orders")
+      .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+      .select(when(col("o_orderstatus") === "F", 1).otherwise(0).as("y"),
+        col("c_nationkey").cast("string").as("f_nation"),
+        expr("CAST(unix_timestamp(o_orderdate) div 86400 % 7 AS STRING)")
+          .as("f_dow"),
+        month(col("o_orderdate")).cast("string").as("f_month"),
+        col("o_orderpriority").as("f_priority"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def leg(name: String, c: String) =
+      base.select(lit(name).as("feature"), col(c).as("level"), col("y"))
+    val long = leg("nation", "f_nation")
+      .unionAll(leg("dow", "f_dow"))
+      .unionAll(leg("month", "f_month"))
+      .unionAll(leg("priority", "f_priority"))
+    val cell = long.groupBy(col("feature"), col("level"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("x"))
+    val tot = base.agg(count(lit(1)).as("nn"), sum(col("y")).as("xx"))
+      .select(expr("xx * xx * 1000000 div nn").as("parent_micro"))
+    val g = cell.groupBy(col("feature"))
+      .agg(count(lit(1)).as("n_levels"),
+        sum(expr("x * x * 1000000 div n")).as("lg"))
+      .crossJoin(broadcast(tot))
+      .select(col("feature"), col("n_levels"),
+        (col("lg") - col("parent_micro")).as("gain_micro"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sg = g.agg(sum(col("gain_micro")).as("total"))
+    g.crossJoin(broadcast(sg))
+      .select(col("feature"), col("n_levels"), col("gain_micro"),
+        expr("CAST(gain_micro * 1000000 div nullif(total, 0) AS LONG)")
+          .as("importance_ppm"))
+      .orderBy(col("gain_micro").desc, col("feature"))
+  }
+
   val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep, q345SplitGain,
-    q346IsotonicCalibration, q353BoostRound, q359GainsChart)
+    q346IsotonicCalibration, q353BoostRound, q359GainsChart,
+    q373FeatureImportance)
 }

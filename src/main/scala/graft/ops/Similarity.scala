@@ -2744,7 +2744,187 @@ object Similarity {
       .orderBy(col("true_label"))
   }
 
+  /** Shared kernel for the density/hierarchy clustering pair (q375/q376):
+    * exact cosine pairs WITHIN the label block at round-6 precision,
+    * carrying the cosine so one build serves every threshold. The label
+    * equi-join is the declared candidate semantics (mirrored verbatim in
+    * the oracle); at corpus scale the generator is pluggable — q38's
+    * (label, sign-bucket) join or the IVF inverted lists (q48/q297)
+    * produce the same (vec_a, vec_b, cos) schema with bounded candidate
+    * volume. The double prefilter on the codegen'd `cosine_f32` is the
+    * fast path; the DECIMAL(38,12) rescore is what the oracle compares
+    * (q38's discipline). */
+  private def labelCosPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val e = embWithNorm(s, dir)
+    val a = e.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("emb_a"), col("n2").as("n2_a"))
+    val b = e.select(col("vec_id").as("vec_b"), col("label"),
+      col("embedding").as("emb_b"), col("n2").as("n2_b"))
+    a.join(b, Seq("label"))
+      .filter(col("vec_a") < col("vec_b"))
+      .filter(expr("cosine_f32(emb_a, emb_b)") >= 0.29)
+      .withColumn("cos6",
+        round(expr(dDot("emb_a", "emb_b")) / sqrt(col("n2_a") * col("n2_b")), 6))
+      .filter(col("cos6") >= 0.30)
+      .select(col("vec_a"), col("vec_b"), col("cos6"))
+  }
+
+  /** DuckDB rendering of [[labelCosPairs]]: CTE chain ending in
+    * `c(va, vb, cos6)` at the shared 0.30 floor. `c` is MATERIALIZED —
+    * q375/q376 reference it from several recursive levels, and an
+    * inlined copy would re-run the exact-dot kernel per reference
+    * (measured ~6× oracle wall at sf0.1). */
+  private val duckLabelPairCtes: String =
+    s"""$duckEl,
+       |$duckN2,
+       |cand AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |         FROM embeddings a JOIN embeddings b
+       |           ON a.label = b.label AND a.vec_id < b.vec_id),
+       |dotp AS (SELECT va, vb,
+       |               CAST(SUM(CAST(x.v * y.v AS DECIMAL(38,12))) AS DOUBLE)
+       |                 AS dot
+       |        FROM cand JOIN el x ON x.vec_id = va
+       |                  JOIN el y ON y.vec_id = vb AND y.i = x.i
+       |        GROUP BY 1, 2),
+       |c AS MATERIALIZED (
+       |      SELECT va, vb, round(dot / sqrt(na.n2 * nb.n2), 6) AS cos6
+       |      FROM dotp JOIN n2 na ON na.vec_id = va
+       |                JOIN n2 nb ON nb.vec_id = vb
+       |      WHERE round(dot / sqrt(na.n2 * nb.n2), 6) >= 0.30)""".stripMargin
+
+  /** q375: DBSCAN density clustering over the exact label-blocked cosine
+    * graph — the clustering family's missing member (k-means q66 needs k;
+    * SemDeDup q74 scans within k-means cells; CC q47 merges on ANY edge):
+    * DBSCAN finds arbitrarily-shaped dense regions AND rejects noise. ε
+    * is cosine ≥ 0.30 (round-6 exact compare), core ⟺ ≥ 2 neighbors
+    * (minPts = 3 counting the point itself), clusters are connected
+    * components of the core-core subgraph (plus isolated cores as
+    * singleton clusters via self-edges), borders attach to the MIN
+    * cluster id among their core neighbors (the deterministic tie rule —
+    * textbook DBSCAN leaves border assignment order-dependent), noise is
+    * excluded. Labels are component-min ids ([[graft.ops.Fuzzy]] tiers).
+    *
+    * Determinism: the neighbor graph is exact (decimal dot, round-6
+    * threshold); degrees, component mins, and border mins are integers.
+    *
+    * Scale shape: candidates are the pluggable blocked generator (see
+    * [[labelCosPairs]]); degrees and roles are one shuffle on the pair
+    * table; CC runs on the (far smaller) core-core edge set with the
+    * driver/distributed tier split. */
+  val q375Dbscan: Q = Q(
+    "q375_dbscan",
+    s"""WITH RECURSIVE $duckLabelPairCtes,
+       |dirp AS (SELECT va AS u, vb AS v FROM c
+       |         UNION ALL SELECT vb, va FROM c),
+       |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS dg FROM dirp GROUP BY 1),
+       |core AS (SELECT u FROM deg WHERE dg >= 2),
+       |ce AS (SELECT d.u, d.v FROM dirp d
+       |       JOIN core cu ON cu.u = d.u JOIN core cv ON cv.u = d.v
+       |       UNION ALL SELECT u, u FROM core),
+       |reach AS (SELECT u, v FROM ce
+       |          UNION SELECT r.u, e.v FROM reach r JOIN ce e ON r.v = e.u),
+       |lab AS (SELECT u AS vec_id, least(u, min(v)) AS cluster_id
+       |        FROM reach GROUP BY u),
+       |border AS (SELECT d.u AS vec_id, min(l.cluster_id) AS cluster_id
+       |           FROM dirp d
+       |           JOIN core cv ON cv.u = d.v
+       |           JOIN lab l ON l.vec_id = d.v
+       |           WHERE d.u NOT IN (SELECT u FROM core)
+       |           GROUP BY 1)
+       |SELECT vec_id, 'core' AS role, cluster_id FROM lab
+       |UNION ALL SELECT vec_id, 'border' AS role, cluster_id FROM border
+       |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val pairs = labelCosPairs(s, dir).persist(MEMORY_AND_DISK)
+    val dirp = pairs.select(col("vec_a").as("u"), col("vec_b").as("v"))
+      .unionAll(pairs.select(col("vec_b").as("u"), col("vec_a").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val core = dirp.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .filter(col("dg") >= 2).select(col("u"))
+      .persist(MEMORY_AND_DISK)
+    val ce = dirp
+      .join(core.withColumnRenamed("u", "cu"), col("u") === col("cu")).drop("cu")
+      .join(core.withColumnRenamed("u", "cv"), col("v") === col("cv")).drop("cv")
+      .select(col("u").as("doc_a"), col("v").as("doc_b"))
+      .unionAll(core.select(col("u").as("doc_a"), col("u").as("doc_b")))
+    val lab = Fuzzy.resolveClusters(s, ce)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .persist(MEMORY_AND_DISK)
+    val border = dirp
+      .join(core.withColumnRenamed("u", "cv"), col("v") === col("cv")).drop("cv")
+      .join(lab.withColumnRenamed("vec_id", "lv"), col("v") === col("lv"))
+      .join(core.withColumnRenamed("u", "cu"), col("u") === col("cu"), "left_anti")
+      .groupBy(col("u"))
+      .agg(min(col("cluster_id")).as("cluster_id"))
+      .select(col("u").as("vec_id"), col("cluster_id"))
+    lab.select(col("vec_id"), lit("core").as("role"), col("cluster_id"))
+      .unionAll(border.select(col("vec_id"), lit("border").as("role"),
+        col("cluster_id")))
+      .orderBy(col("vec_id"))
+  }
+
+  /** q376: single-link dendrogram cuts — hierarchical agglomerative
+    * clustering, exactly (single-link clusters at threshold t ARE the
+    * connected components of the ≥ t edge set, so three CC passes over
+    * one shared pair table render three dendrogram levels with no
+    * approximation). Ships the level profile a curation review reads off
+    * a dendrogram: edge/node/cluster counts and the largest-cluster size
+    * per cut, where coarsening must be monotone (clusters can only merge
+    * as the threshold drops — visible across the three output rows).
+    *
+    * Determinism: same exact pair kernel as q375; per-level stats are
+    * integer aggregates of component-min labels.
+    *
+    * Scale shape: ONE pair build serves all levels (the cosine rides
+    * along); each level's CC runs on its own (shrinking) edge subset
+    * through the [[graft.ops.Fuzzy]] tier split. */
+  val q376SingleLink: Q = {
+    val levels = Seq(("0.30", 300000L), ("0.32", 320000L), ("0.35", 350000L))
+    def duckLevel(t: String, ppm: Long): String =
+      s"""e$ppm AS (SELECT va AS u, vb AS v FROM c WHERE cos6 >= $t
+         |          UNION ALL SELECT vb, va FROM c WHERE cos6 >= $t),
+         |reach$ppm AS (SELECT u, v FROM e$ppm
+         |              UNION SELECT r.u, e.v FROM reach$ppm r
+         |                    JOIN e$ppm e ON r.v = e.u),
+         |lab$ppm AS (SELECT u, least(u, min(v)) AS cid
+         |            FROM reach$ppm GROUP BY u),
+         |st$ppm AS (SELECT CAST($ppm AS BIGINT) AS level_ppm,
+         |                  (SELECT CAST(count(*) AS BIGINT) FROM c
+         |                   WHERE cos6 >= $t) AS n_edges,
+         |                  CAST(coalesce(sum(csz), 0) AS BIGINT) AS n_nodes,
+         |                  CAST(count(*) AS BIGINT) AS n_clusters,
+         |                  CAST(coalesce(max(csz), 0) AS BIGINT)
+         |                    AS largest_cluster
+         |           FROM (SELECT cid, count(*) AS csz FROM lab$ppm
+         |                 GROUP BY cid) g)""".stripMargin
+    Q(
+      "q376_single_link",
+      s"""WITH RECURSIVE $duckLabelPairCtes,
+         |${levels.map { case (t, p) => duckLevel(t, p) }.mkString(",\n")}
+         |${levels.map { case (_, p) => s"SELECT * FROM st$p" }
+          .mkString("\nUNION ALL ")}
+         |ORDER BY level_ppm""".stripMargin) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = labelCosPairs(s, dir).persist(MEMORY_AND_DISK)
+      levels.map { case (t, ppm) =>
+        val edges = pairs.filter(col("cos6") >= t.toDouble)
+          .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+        val ec = edges.agg(count(lit(1)).as("n_edges"))
+        Fuzzy.resolveClusters(s, edges)
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+          .agg(coalesce(sum(col("csz")), lit(0L)).cast("long").as("n_nodes"),
+            count(lit(1)).as("n_clusters"),
+            coalesce(max(col("csz")), lit(0L)).as("largest_cluster"))
+          .crossJoin(broadcast(ec))
+          .select(lit(ppm).as("level_ppm"), col("n_edges"), col("n_nodes"),
+            col("n_clusters"), col("largest_cluster"))
+      }.reduce(_ unionAll _).orderBy(col("level_ppm"))
+    }
+  }
+
   val all: Seq[Q] = Seq(
+    q375Dbscan, q376SingleLink,
     q338RankMetrics, q356KnnEval,
     q297FilteredAnn, q303MmrDiverse, q312HybridRrf,
     q38EmbedNearDup, q39AnnTopK, q40AnnLsh, q48AnnIvf, q64EmbedQuantize,
