@@ -435,7 +435,21 @@ object Graph {
     * ranked table. */
   val q290ItemCf: Q = Q(
     "q290_item_cf",
-    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH $duckItemCfCtes
+      |SELECT item, other, co, cos2_ppb, rk
+      |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin) { (s, dir) =>
+    val (_, _, ranked) = itemCf(s, dir)
+    ranked.filter(col("rk") <= 3)
+      .select(col("item"), col("other"), col("co"), col("cos2_ppb"), col("rk"))
+      .orderBy(col("item"), col("rk"))
+  }
+
+  /** q290/q378's shared CF kernel — the DuckDB CTE chain ending in the
+    * ranked similarity table `r`, verbatim q290's original rendering.
+    * A `def` (not a val): q290's eagerly-built SQL string references it
+    * from earlier in the object's initialization order. */
+  private def duckItemCfCtes: String =
+    """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |n AS (SELECT l_partkey AS item, count(*) AS nn FROM lp GROUP BY 1),
       |co AS (SELECT l1.l_partkey AS a, l2.l_partkey AS b,
       |              CAST(count(*) AS BIGINT) AS co
@@ -453,9 +467,14 @@ object Graph {
       |r AS (SELECT item, other, co, cos2_ppb,
       |             CAST(row_number() OVER (PARTITION BY item
       |               ORDER BY cos2_ppb DESC, co DESC, other) AS BIGINT) AS rk
-      |      FROM sc)
-      |SELECT item, other, co, cos2_ppb, rk
-      |FROM r WHERE rk <= 3 ORDER BY item, rk""".stripMargin) { (s, dir) =>
+      |      FROM sc)""".stripMargin
+
+  /** Spark side of the shared CF kernel: (item sizes n, similarity table
+    * sc, per-item ranked sc). `sc` is persisted — q378 consumes it both
+    * through the ranking and as the pair-similarity lookup. */
+  private def itemCf(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // Three consumers (item totals + both sides of the pair self-join):
@@ -479,11 +498,73 @@ object Graph {
       .select(col("item"), col("other"), col("co"),
         expr("CAST((CAST(co AS DECIMAL(38,0)) * co * 1000000000) div (CAST(na AS DECIMAL(38,0)) * nb) AS LONG)")
           .as("cos2_ppb"))
-    sc.withColumn("rk", row_number().over(Window.partitionBy(col("item"))
+      .persist(MEMORY_AND_DISK)
+    val ranked = sc.withColumn("rk",
+      row_number().over(Window.partitionBy(col("item"))
         .orderBy(col("cos2_ppb").desc, col("co").desc, col("other"))).cast("long"))
-      .filter(col("rk") <= 3)
-      .select(col("item"), col("other"), col("co"), col("cos2_ppb"), col("rk"))
-      .orderBy(col("item"), col("rk"))
+    (n, sc, ranked)
+  }
+
+  /** q378: recommendation-quality audit of the q290 recommender — the
+    * two list-level metrics an offline rec review reads BEYOND accuracy:
+    * catalog COVERAGE (share of items that ever appear in a top-3 list —
+    * low coverage means the recommender only ever surfaces head items)
+    * and intra-list similarity (ILS — mean pairwise similarity between
+    * co-recommended items; high ILS means redundant lists). Pairwise
+    * similarity reuses the CF cosine² table itself; a pair the co-
+    * occurrence support floor never scored reads as 0 (the standard
+    * sparse convention, mirrored in both engines).
+    *
+    * Determinism: list membership is q290's deterministic rank; both
+    * metrics are integer rationals floored once.
+    *
+    * Scale shape: lists are ≤3 rows per item, so the within-list pair
+    * expansion is ≤3 pairs per item; the similarity lookup is an
+    * equi-join against the already-persisted sc table. */
+  val q378RecDiversity: Q = Q(
+    "q378_rec_diversity",
+    s"""WITH $duckItemCfCtes,
+      |lists AS (SELECT item, other FROM r WHERE rk <= 3),
+      |cat AS (SELECT CAST(count(*) AS BIGINT) AS n_catalog FROM n),
+      |cov AS (SELECT CAST(count(DISTINCT item) AS BIGINT) AS n_items,
+      |               CAST(count(DISTINCT other) AS BIGINT) AS n_recommended
+      |        FROM lists),
+      |pr AS (SELECT a.item, a.other AS oa, b.other AS ob
+      |       FROM lists a JOIN lists b
+      |         ON b.item = a.item AND a.other < b.other),
+      |ps AS (SELECT coalesce(s.cos2_ppb, 0) AS sim
+      |       FROM pr LEFT JOIN sc s ON s.item = pr.oa AND s.other = pr.ob),
+      |ils AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+      |               CAST(coalesce(sum(sim) // nullif(count(*), 0), 0)
+      |                 AS BIGINT) AS mean_ils_ppb
+      |        FROM ps)
+      |SELECT cov.n_items, cat.n_catalog, cov.n_recommended,
+      |       CAST(cov.n_recommended * 1000000 // cat.n_catalog AS BIGINT)
+      |         AS coverage_ppm,
+      |       ils.n_pairs, ils.mean_ils_ppb
+      |FROM cov, cat, ils""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val (n, sc, ranked) = itemCf(s, dir)
+    val lists = ranked.filter(col("rk") <= 3)
+      .select(col("item"), col("other"))
+      .persist(MEMORY_AND_DISK)
+    val cat = n.agg(count(lit(1)).as("n_catalog"))
+    val cov = lists.agg(countDistinct(col("item")).as("n_items"),
+      countDistinct(col("other")).as("n_recommended"))
+    val pr = lists.as("a").join(lists.as("b"),
+        col("b.item") === col("a.item") && col("a.other") < col("b.other"))
+      .select(col("a.other").as("oa"), col("b.other").as("ob"))
+    val ps = pr.join(sc.select(col("item").as("oa"), col("other").as("ob"),
+        col("cos2_ppb")), Seq("oa", "ob"), "left")
+      .select(coalesce(col("cos2_ppb"), lit(0L)).as("sim"))
+    val ils = ps.agg(count(lit(1)).as("n_pairs"),
+      expr("CAST(coalesce(sum(sim) div nullif(count(*), 0), 0) AS LONG)")
+        .as("mean_ils_ppb"))
+    cov.crossJoin(broadcast(cat)).crossJoin(broadcast(ils))
+      .select(col("n_items"), col("n_catalog"), col("n_recommended"),
+        expr("CAST(n_recommended * 1000000 div n_catalog AS LONG)")
+          .as("coverage_ppm"),
+        col("n_pairs"), col("mean_ils_ppb"))
   }
 
   /** q292: k-core decomposition (3-core, three unrolled peels) — the
@@ -980,5 +1061,6 @@ object Graph {
   val all: Seq[Q] = Seq(q341LinkPrediction, q342LocalClustering,
     q354LpaCommunities, q360WlRefinement, q361Assortativity,
     q106TriangleCount, q109PageRank, q128BfsHops,
-    q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples)
+    q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples,
+    q378RecDiversity)
 }

@@ -621,7 +621,108 @@ object Learn {
       .orderBy(col("gain_micro").desc, col("feature"))
   }
 
+  /** q377: learning curve for the target encoder — "would more data
+    * help?" answered from inside the engine: train q336's smoothed
+    * nation-rate encoder on NESTED 25/50/100% fractions of a fixed 80%
+    * train pool (one portable hash bucket drives everything: bucket ≥ 80
+    * is the frozen holdout; buckets < 20/40/80 are the nested fractions,
+    * so each larger fraction strictly CONTAINS the smaller — the
+    * textbook learning-curve design) and score each on the SAME holdout
+    * by mean squared error against the 0/10⁶ outcome. A flattening SSE
+    * says the encoder is data-saturated; a falling one says collect
+    * more.
+    *
+    * Determinism: the split is the q187/q336 md5-bucket device; rates
+    * are the q336 EB-smoothed integer rationals (K=20); SSE terms are
+    * exact integer squares (≤10¹² each) summed as BIGINT.
+    *
+    * Scale shape: one fact-dim join builds the base once; each fraction
+    * is a filter + (nation)-cell collapse of it; holdout scoring is a
+    * broadcast of ≤|nations| rates against the holdout rows. */
+  val q377LearningCurve: Q = {
+    val legs = Seq((20, 25L), (40, 50L), (80, 100L))
+    def duckLeg(t: Int, pct: Long): String =
+      s"""SELECT CAST($pct AS BIGINT) AS frac_pct,
+         |       (SELECT CAST(sum(n) AS BIGINT) FROM cells$t) AS n_train,
+         |       CAST(count(*) AS BIGINT) AS n_holdout,
+         |       CAST(max(g.xg * 1000000 // g.ng) AS BIGINT)
+         |         AS global_rate_ppm,
+         |       CAST(sum((h.y * 1000000
+         |                 - coalesce(r.rate_ppm,
+         |                            CAST(g.xg * 1000000 // g.ng AS BIGINT)))
+         |                * (h.y * 1000000
+         |                   - coalesce(r.rate_ppm,
+         |                              CAST(g.xg * 1000000 // g.ng AS BIGINT))))
+         |            // count(*)
+         |         AS BIGINT) AS sse_mean_ppm2
+         |FROM hold h LEFT JOIN rate$t r ON r.nation = h.nation
+         |     CROSS JOIN g$t g""".stripMargin
+    def duckRate(t: Int): String =
+      s"""cells$t AS (SELECT nation, CAST(count(*) AS HUGEINT) AS n,
+         |                   CAST(sum(y) AS HUGEINT) AS x
+         |            FROM base WHERE b < $t GROUP BY 1),
+         |g$t AS (SELECT sum(n) AS ng, sum(x) AS xg FROM cells$t),
+         |rate$t AS (SELECT c.nation,
+         |                  CAST((c.x * g.ng + 20 * g.xg) * 1000000
+         |                       // ((c.n + 20) * g.ng) AS BIGINT) AS rate_ppm
+         |           FROM cells$t c, g$t g)""".stripMargin
+    Q(
+      "q377_learning_curve",
+      s"""WITH j AS (
+         |  SELECT c.c_nationkey AS nation,
+         |         md5(concat(CAST(o.o_orderkey AS VARCHAR), '-graft-lc')) AS m,
+         |         CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey),
+         |base AS (SELECT nation, y,
+         |                (${PortableHash.hexHeadToLong("m", "strpos")}) % 100
+         |                  AS b
+         |         FROM j),
+         |hold AS (SELECT nation, y FROM base WHERE b >= 80),
+         |${legs.map { case (t, _) => duckRate(t) }.mkString(",\n")}
+         |${legs.map { case (t, p) => duckLeg(t, p) }.mkString("\nUNION ALL ")}
+         |ORDER BY frac_pct""".stripMargin) { (s, dir) =>
+      val base = Tables(s, dir, "orders")
+        .join(Tables(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .withColumn("m",
+          md5(concat(col("o_orderkey").cast("string"), lit("-graft-lc"))))
+        .select(col("c_nationkey").as("nation"),
+          when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("y"),
+          (expr(PortableHash.hexHeadToLong("m", "instr")) % 100).as("b"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val hold = base.filter(col("b") >= 80).select(col("nation"), col("y"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      legs.map { case (t, pct) =>
+        val cells = base.filter(col("b") < t)
+          .groupBy(col("nation"))
+          .agg(count(lit(1)).cast(dec).as("n"), sum(col("y")).cast(dec).as("x"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val g = cells.agg(sum(col("n")).as("ng"), sum(col("x")).as("xg"))
+        val rate = cells.crossJoin(broadcast(g))
+          .select(col("nation"),
+            expr("""CAST((x * ng + 20 * xg) * 1000000
+                   |     div ((n + 20) * ng) AS LONG)""".stripMargin)
+              .as("rate_ppm"))
+        val nTrain = cells.agg(sum(col("n")).cast("long").as("n_train"))
+        // LEFT join + global-rate fallback: a nation the fraction never
+        // sampled must still score every holdout row (mirrored oracle).
+        hold.join(broadcast(rate), Seq("nation"), "left")
+          .crossJoin(broadcast(g))
+          .withColumn("rr", coalesce(col("rate_ppm"),
+            expr("CAST(xg * 1000000 div ng AS LONG)")))
+          .agg(count(lit(1)).as("n_holdout"),
+            expr("""CAST(sum((y * 1000000 - rr) * (y * 1000000 - rr))
+                   |     div count(*) AS LONG)""".stripMargin)
+              .as("sse_mean_ppm2"),
+            expr("CAST(max(xg * 1000000 div ng) AS LONG)")
+              .as("global_rate_ppm"))
+          .crossJoin(broadcast(nTrain))
+          .select(lit(pct).as("frac_pct"), col("n_train"), col("n_holdout"),
+            col("global_rate_ppm"), col("sse_mean_ppm2"))
+      }.reduce(_ unionAll _).orderBy(col("frac_pct"))
+    }
+  }
+
   val all: Seq[Q] = Seq(q336OofTargetEncode, q337AlsStep, q345SplitGain,
     q346IsotonicCalibration, q353BoostRound, q359GainsChart,
-    q373FeatureImportance)
+    q373FeatureImportance, q377LearningCurve)
 }
