@@ -3890,9 +3890,88 @@ object Events {
       .orderBy(col("channel"))
   }
 
+  /** q380: journey entropy rate — how PREDICTABLE is the next event
+    * given the current one: the conditional entropy H(next | current)
+    * per from-state over q155's session-aware transition table (30-min
+    * gaps re-anchor at '<start>', q155's device), plus the overall rate
+    * Σ_ij (n_ij/N)·ln(n_i/n_ij) as a '<overall>' row. Low state entropy
+    * means a deterministic flow (good for next-action prefetch, bad for
+    * exploration); the overall rate is the sequence-compressibility
+    * number a journey model's log-loss cannot beat.
+    *
+    * Determinism: every ln takes an exact integer-rational double; each
+    * term rounds to 9 decimals before the DECIMAL(28,9) sums (q348's
+    * discipline); entropies surface as nano integers.
+    *
+    * Scale shape: the transition table is |types+1|² cells built by one
+    * per-user ordered window (user-partitioned, q155's shape); both
+    * entropy rollups are cell arithmetic. */
+  val q380EntropyRate: Q = Q(
+    "q380_entropy_rate",
+    """WITH m AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         lag(event_type) OVER w AS prev_type,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS is_start
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |tr AS (SELECT CASE WHEN is_start = 1 THEN '<start>' ELSE prev_type END
+      |                AS from_type,
+      |              event_type AS to_type, CAST(count(*) AS BIGINT) AS n
+      |       FROM m GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS nf FROM tr GROUP BY 1),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM tr),
+      |hs AS (SELECT tr.from_type, f.nf,
+      |              CAST(sum(CAST(round(
+      |                  (CAST(tr.n AS DOUBLE) / CAST(f.nf AS DOUBLE))
+      |                    * ln(CAST(f.nf AS DOUBLE) / CAST(tr.n AS DOUBLE)),
+      |                  9) AS DECIMAL(28,9))) * 1000000000 AS BIGINT)
+      |                AS h_nano
+      |       FROM tr JOIN f USING (from_type) GROUP BY 1, 2),
+      |ov AS (SELECT CAST(sum(CAST(round(
+      |                 (CAST(tr.n AS DOUBLE) / CAST(t.nt AS DOUBLE))
+      |                   * ln(CAST(f.nf AS DOUBLE) / CAST(tr.n AS DOUBLE)),
+      |                 9) AS DECIMAL(28,9))) * 1000000000 AS BIGINT) AS h_nano,
+      |              (SELECT nt FROM t) AS nf
+      |       FROM tr JOIN f USING (from_type), t)
+      |SELECT from_type, nf AS n_trans, h_nano FROM hs
+      |UNION ALL SELECT '<overall>', nf, h_nano FROM ov
+      |ORDER BY from_type""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tr = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .select(
+        when(col("prev_ts").isNull ||
+          col("ts") >= col("prev_ts") + expr("INTERVAL 30 MINUTES"),
+          lit("<start>")).otherwise(col("prev_type")).as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .persist(MEMORY_AND_DISK)
+    val f = tr.groupBy(col("from_type")).agg(sum(col("n")).as("nf"))
+    val t = tr.agg(sum(col("n")).as("nt"))
+    val joined = tr.join(broadcast(f), "from_type").persist(MEMORY_AND_DISK)
+    def term(den: String): org.apache.spark.sql.Column =
+      (sum(round((col("n").cast("double") / col(den).cast("double"))
+        * log(col("nf").cast("double") / col("n").cast("double")), 9)
+        .cast("decimal(28,9)")) * 1000000000L).cast("long").as("h_nano")
+    val hs = joined.groupBy(col("from_type"), col("nf")).agg(term("nf"))
+      .select(col("from_type"), col("nf").as("n_trans"), col("h_nano"))
+    val ov = joined.crossJoin(broadcast(t)).agg(term("nt"))
+      .crossJoin(broadcast(t))
+      .select(lit("<overall>").as("from_type"), col("nt").as("n_trans"),
+        col("h_nano"))
+    hs.unionAll(ov).orderBy(col("from_type"))
+  }
+
   val all: Seq[Q] =
     Seq(q20Json, q21Tumbling, q22Sessionize, q23Funnel, q24AsofJoin, q315KaplanMeier,
-      q370ShapleyAttribution,
+      q370ShapleyAttribution, q380EntropyRate,
       q339LjungBox, q340EwmaControl, q349SeasonalStrength, q350SequentialPatterns,
       q352Pacf, q357BinarySeg, q358ForecastBacktest, q362DispersionIndex,
       q364DtwDistance, q367CaptureRecapture, q368RetentionHalflife,

@@ -3119,8 +3119,66 @@ object Extended {
       .orderBy(col("rnk"))
   }
 
+  /** q379: Atkinson inequality index (ε = 1) over per-customer spend —
+    * the WELFARE-weighted inequality measure the Gini/Lorenz pair (q164/
+    * q176) doesn't give: at ε=1, A = 1 − geomean/mean, so it answers
+    * "what fraction of total spend could be discarded if it were spread
+    * evenly, at log utility". Surfaced in LOG space (the gap
+    * ln(mean) − mean(ln) = −ln(1−A) ≥ 0, in nanos) because exp() is the
+    * one libm call the cross-engine discipline cannot make exact —
+    * the gap is the index in nats, 0 ⟺ perfect equality, monotone in A.
+    *
+    * Determinism: each ln takes an exact-integer-valued double (cents,
+    * and the mean as one exact rational division), rounds to 9 decimals
+    * before the DECIMAL(28,9) sum (q335's device); the mean-of-logs
+    * divides once in nano space.
+    *
+    * Scale shape: customer totals are one map-side-combined rollup; the
+    * log moments are a second map-side pass over customer grain. */
+  val q379Atkinson: Q = Q(
+    "q379_atkinson",
+    """WITH s AS (SELECT o_custkey,
+      |                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |                    AS BIGINT) AS cents
+      |           FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(cents) AS BIGINT) AS ct FROM s),
+      |l AS (SELECT CAST(sum(CAST(round(ln(CAST(cents AS DOUBLE)), 9)
+      |                          AS DECIMAL(28,9))) * 1000000000 AS HUGEINT)
+      |               AS sum_ln_nano
+      |      FROM s)
+      |SELECT t.n AS n_customers, CAST(t.ct // t.n AS BIGINT) AS mean_cents,
+      |       CAST(l.sum_ln_nano // t.n AS BIGINT) AS mean_ln_nano,
+      |       CAST(CAST(round(ln(CAST(t.ct AS DOUBLE) / CAST(t.n AS DOUBLE)),
+      |                       9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |         AS ln_mean_nano,
+      |       CAST(CAST(round(ln(CAST(t.ct AS DOUBLE) / CAST(t.n AS DOUBLE)),
+      |                       9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |         - CAST(l.sum_ln_nano // t.n AS BIGINT) AS atkinson_gap_nano
+      |FROM t, l""".stripMargin) { (s, dir) =>
+    val sp = Tables(s, dir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS LONG)")).as("cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = sp.agg(count(lit(1)).as("n"), sum(col("cents")).as("ct"))
+    val l = sp.agg((sum(round(log(col("cents").cast("double")), 9)
+        .cast("decimal(28,9)")) * 1000000000L).cast("decimal(38,0)")
+      .as("sum_ln_nano"))
+    t.crossJoin(broadcast(l))
+      .select(col("n").as("n_customers"),
+        expr("CAST(ct div n AS LONG)").as("mean_cents"),
+        expr("CAST(sum_ln_nano div n AS LONG)").as("mean_ln_nano"),
+        // DECIMAL route for the ×10⁹ shift (q343's nano trick): a raw
+        // double×1e9 cast truncates in Spark but rounds in DuckDB.
+        (round(log(col("ct").cast("double") / col("n").cast("double")), 9)
+          .cast("decimal(28,9)") * 1000000000L).cast("long")
+          .as("ln_mean_nano"))
+      .withColumn("atkinson_gap_nano",
+        col("ln_mean_nano") - col("mean_ln_nano"))
+  }
+
   val all: Seq[Q] = Seq(
-    q371JackknifeRatio, q372WassersteinDrift, q374FdrBh,
+    q371JackknifeRatio, q372WassersteinDrift, q374FdrBh, q379Atkinson,
     q348MutualInformation, q365MixShift, q366PriceIndex,
     q299QuantileNormalize, q304SrmCheck, q305CupedAdjust,
     q309MannWhitney, q310BootstrapCi, q311Chi2Independence, q313Spearman,
