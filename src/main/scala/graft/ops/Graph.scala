@@ -878,7 +878,30 @@ object Graph {
     * data-independent in count, so the plan is 4× one round. At
     * real-graph scale the same loop runs with localCheckpoint per round
     * (the CC lesson from NOTES). */
-  val q354LpaCommunities: Q = {
+  val q354LpaCommunities: Q =
+    Q(
+      "q354_lpa_communities",
+      s"""WITH $duckLpaCtes,
+         |comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
+         |         FROM l4 GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_communities FROM comm)
+         |SELECT c.community, c.n_members, t.n_communities
+         |FROM comm c, t
+         |ORDER BY c.n_members DESC, c.community LIMIT 20""".stripMargin) { (s, dir) =>
+      val (_, _, l) = lpaRun(s, dir)
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val comm = l.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .persist(MEMORY_AND_DISK)
+      val t = comm.agg(count(lit(1)).as("n_communities"))
+      comm.crossJoin(broadcast(t))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }
+
+  /** q354/q381's shared LPA machinery — the DuckDB CTE prefix (support-2
+    * edges, adjacency, l0 and 4 synchronous min-tie-break rounds ending
+    * in `l4`), byte-identical to q354's original rendering. */
+  private def duckLpaCtes: String = {
     val duckRounds = (1 to 4).map { i =>
       s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl, count(*) AS c
          |        FROM adj a JOIN l${i - 1} ON l${i - 1}.n = a.z
@@ -887,44 +910,97 @@ object Graph {
          |        QUALIFY row_number() OVER (PARTITION BY n
          |                  ORDER BY c DESC, lbl) = 1)""".stripMargin
     }.mkString(",\n")
-    Q(
-      "q354_lpa_communities",
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-         |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
-         |       FROM lp l1 JOIN lp l2
-         |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
-         |       GROUP BY 1, 2 HAVING count(*) >= 2),
-         |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
-         |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
-         |$duckRounds,
-         |comm AS (SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members
-         |         FROM l4 GROUP BY 1),
-         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_communities FROM comm)
-         |SELECT c.community, c.n_members, t.n_communities
-         |FROM comm c, t
-         |ORDER BY c.n_members DESC, c.community LIMIT 20""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val e0 = supportedEdges(s, dir)
-      val adj = e0.select(col("u").as("n"), col("v").as("z"))
-        .unionAll(e0.select(col("v").as("n"), col("u").as("z")))
-        .persist(MEMORY_AND_DISK) // probed every round
-      var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
-      val rankW = Window.partitionBy(col("n"))
-        .orderBy(col("c").desc, col("lbl"))
-      for (_ <- 1 to 4) {
-        l = adj.join(l.withColumnRenamed("n", "z"), "z")
-          .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
-          .withColumn("rk", row_number().over(rankW))
-          .filter(col("rk") === 1).select(col("n"), col("lbl"))
-      }
-      val comm = l.groupBy(col("lbl").as("community"))
-        .agg(count(lit(1)).as("n_members"))
-        .persist(MEMORY_AND_DISK)
-      val t = comm.agg(count(lit(1)).as("n_communities"))
-      comm.crossJoin(broadcast(t))
-        .orderBy(col("n_members").desc, col("community")).limit(20)
+    s"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+       |       FROM lp l1 JOIN lp l2
+       |         ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |adj AS (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+       |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+       |$duckRounds""".stripMargin
+  }
+
+  /** Spark side of the shared LPA machinery: (support-2 edges, persisted
+    * adjacency, round-4 labels). */
+  private def lpaRun(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e0 = supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val adj = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionAll(e0.select(col("v").as("n"), col("u").as("z")))
+      .persist(MEMORY_AND_DISK) // probed every round
+    var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+    val rankW = Window.partitionBy(col("n"))
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to 4) {
+      l = adj.join(l.withColumnRenamed("n", "z"), "z")
+        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") === 1).select(col("n"), col("lbl"))
     }
+    (e0, adj, l)
+  }
+
+  /** q381: Newman modularity of the LPA partition — the QUALITY audit
+    * q354's community sizes don't give: Q = Σ_c (e_c/m − (d_c/2m)²)
+    * measures how much denser the communities are than a degree-
+    * preserving random graph (Q ≈ 0: the "communities" are noise;
+    * Q ≳ 0.3: real structure). Computed EXACTLY by cross-multiplication:
+    * Q·4m² = Σ_c (4·m·e_c − d_c²), all integers, so the verdict never
+    * hinges on float summation order.
+    *
+    * Determinism: labels are q354's deterministic rounds; e_c, d_c, m
+    * are integer counts; one ppm floor at the surface.
+    *
+    * Scale shape: the label fixpoint is q354's (4× one edge shuffle);
+    * e_c is one edge⋈label⋈label join at edge grain; d_c a node-grain
+    * rollup; the modularity sum is community-grain. */
+  val q381Modularity: Q = Q(
+    "q381_modularity",
+    s"""WITH $duckLpaCtes,
+       |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1),
+       |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |dc AS (SELECT l.lbl, CAST(sum(deg.d) AS BIGINT) AS dsum
+       |       FROM l4 l JOIN deg ON deg.n = l.n GROUP BY 1),
+       |ec AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS ein
+       |       FROM e0 JOIN l4 la ON la.n = e0.u JOIN l4 lb ON lb.n = e0.v
+       |       WHERE la.lbl = lb.lbl GROUP BY 1),
+       |qn AS (SELECT CAST(sum(CAST(4 * mm.m * coalesce(ec.ein, 0) AS HUGEINT)
+       |                        - CAST(dc.dsum AS HUGEINT) * dc.dsum)
+       |         AS HUGEINT) AS q_num,
+       |              CAST(count(*) AS BIGINT) AS n_communities
+       |       FROM dc LEFT JOIN ec USING (lbl), mm)
+       |SELECT qn.n_communities, mm.m AS m_edges,
+       |       CAST(qn.q_num AS BIGINT) AS q_num,
+       |       CAST(4 * mm.m * mm.m AS BIGINT) AS q_den,
+       |       CAST(qn.q_num * 1000000 // (4 * mm.m * mm.m) AS BIGINT)
+       |         AS modularity_ppm
+       |FROM mm, qn""".stripMargin) { (s, dir) =>
+    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val dec = "decimal(38,0)"
+    val (e0, adj, l4) = lpaRun(s, dir)
+    val lp = l4.persist(MEMORY_AND_DISK)
+    val deg = adj.groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val mm = e0.agg(count(lit(1)).as("m"))
+    val dc = lp.join(deg, "n").groupBy(col("lbl"))
+      .agg(sum(col("d")).as("dsum"))
+    val ec = e0
+      .join(lp.select(col("n").as("u"), col("lbl").as("la")), "u")
+      .join(lp.select(col("n").as("v"), col("lbl").as("lb")), "v")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("ein"))
+    val qn = dc.join(ec, Seq("lbl"), "left").crossJoin(broadcast(mm))
+      .agg(sum(expr(s"CAST(4 * m * coalesce(ein, 0) AS $dec)")
+        - expr(s"CAST(dsum AS $dec) * dsum")).cast(dec).as("q_num"),
+        count(lit(1)).as("n_communities"))
+    mm.crossJoin(broadcast(qn))
+      .select(col("n_communities"), col("m").as("m_edges"),
+        col("q_num").cast("long").as("q_num"),
+        expr("CAST(4 * m * m AS LONG)").as("q_den"),
+        expr("CAST(q_num * 1000000 div (4 * m * m) AS LONG)")
+          .as("modularity_ppm"))
   }
 
   /** q360: Weisfeiler–Lehman color refinement (2 rounds) — the graph
@@ -1062,5 +1138,5 @@ object Graph {
     q354LpaCommunities, q360WlRefinement, q361Assortativity,
     q106TriangleCount, q109PageRank, q128BfsHops,
     q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples,
-    q378RecDiversity)
+    q378RecDiversity, q381Modularity)
 }
