@@ -943,6 +943,93 @@ object Graph {
     (e0, adj, l)
   }
 
+  /** q382: personalized (seed-teleport) PageRank — q109 ranks GLOBAL
+    * importance; this ranks importance RELATIVE TO a seed set (the
+    * topic-sensitive PageRank of Haveliwala, and the similarity kernel
+    * behind "related items" on co-purchase graphs): the 15% teleport
+    * mass returns only to the top-5 out-degree hub parts instead of
+    * spreading uniformly, so scores measure proximity to the seeds.
+    * Same integer fixpoint discipline as q109 (floor divisions per
+    * iteration, 3 unrolled rounds), seeds chosen deterministically
+    * (out-degree desc, part asc).
+    *
+    * Determinism: pure integer mass arithmetic; seeds are a
+    * deterministic top-5; the leaderboard is the k-bounded
+    * TakeOrderedAndProject + posexplode epilogue (no window).
+    *
+    * Scale shape: q109's — per-iteration one edge shuffle with map-side
+    * partial sums; the seed set is a 5-row broadcast; personalization
+    * changes WHERE mass teleports, not the plan. */
+  val q382PersonalizedPagerank: Q = {
+    val S = 1000000000000L
+    Q("q382_personalized_pagerank",
+      s"""WITH lp AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (
+        |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+        |  FROM lp l1 JOIN lp l2
+        |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+        |outd AS (SELECT u, count(*) AS od FROM sym GROUP BY u),
+        |seeds AS (SELECT u FROM outd ORDER BY od DESC, u LIMIT 5),
+        |consts AS (SELECT $S // count(*) AS base,
+        |                  (15 * ($S // 5)) // 100 AS sjump
+        |           FROM outd),
+        |r0 AS (SELECT u AS n, (SELECT base FROM consts) AS r FROM outd),
+        |r1 AS (SELECT sym.v AS n,
+        |              CASE WHEN sym.v IN (SELECT u FROM seeds)
+        |                   THEN (SELECT sjump FROM consts) ELSE 0 END
+        |                + (85 * sum(r0.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r0 ON r0.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v),
+        |r2 AS (SELECT sym.v AS n,
+        |              CASE WHEN sym.v IN (SELECT u FROM seeds)
+        |                   THEN (SELECT sjump FROM consts) ELSE 0 END
+        |                + (85 * sum(r1.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r1 ON r1.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v),
+        |r3 AS (SELECT sym.v AS n,
+        |              CASE WHEN sym.v IN (SELECT u FROM seeds)
+        |                   THEN (SELECT sjump FROM consts) ELSE 0 END
+        |                + (85 * sum(r2.r // outd.od)) // 100 AS r
+        |       FROM sym JOIN r2 ON r2.n = sym.u JOIN outd ON outd.u = sym.u
+        |       GROUP BY sym.v)
+        |SELECT CAST(row_number() OVER (ORDER BY r DESC, n) AS BIGINT) AS pos,
+        |       n, CAST(r AS BIGINT) AS r,
+        |       n IN (SELECT u FROM seeds) AS is_seed
+        |FROM r3 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val e0 = supportedEdges(s, dir)
+      val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      val outd = sym.groupBy(col("u")).agg(count(lit(1)).as("od"))
+        .persist(MEMORY_AND_DISK)
+      val seeds = outd.orderBy(col("od").desc, col("u")).limit(5)
+        .select(col("u").as("n")).withColumn("is_seed", lit(true))
+        .persist(MEMORY_AND_DISK)
+      val nn = outd.count()
+      val base = S / nn
+      val sjump = (15L * (S / 5L)) / 100L
+      val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
+      var r = outd.select(col("u").as("n"), lit(base).as("r"))
+      for (_ <- 1 to 3) {
+        r = edges.join(r, col("n") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("r div od")).as("c"))
+          .select(col("v").as("n"), expr("(85 * c) div 100").as("c"))
+          .join(broadcast(seeds), Seq("n"), "left")
+          .select(col("n"),
+            (when(col("is_seed"), lit(sjump)).otherwise(lit(0L))
+              + col("c")).as("r"))
+      }
+      rankTopK(r, "r", "n", 20, "n", "r")
+        .join(broadcast(seeds.select(col("n"), col("is_seed"))), Seq("n"), "left")
+        .select(col("pos"), col("n"), col("r"),
+          coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .orderBy(col("pos"))
+  }
+  }
+
   /** q381: Newman modularity of the LPA partition — the QUALITY audit
     * q354's community sizes don't give: Q = Σ_c (e_c/m − (d_c/2m)²)
     * measures how much denser the communities are than a degree-
@@ -1138,5 +1225,5 @@ object Graph {
     q354LpaCommunities, q360WlRefinement, q361Assortativity,
     q106TriangleCount, q109PageRank, q128BfsHops,
     q221AssociationRules, q277Hits, q290ItemCf, q292KCore, q308AprioriTriples,
-    q378RecDiversity, q381Modularity)
+    q378RecDiversity, q381Modularity, q382PersonalizedPagerank)
 }
