@@ -35,19 +35,35 @@ import org.apache.spark.sql.functions._
   */
 object ScaleStress {
 
+  /** Round-12 extension (VERDICT r11 #2): the graph kernels (wedge join,
+    * iterative rank/label joins, incremental CC), the PPJoin prefix join,
+    * and the heaviest streaming-maintenance fold — measured on corpora
+    * whose ORDERS+LINEITEM are now scaled too (K disjoint copies of the
+    * co-purchase graph: constant density, so exponents measure the
+    * engine, not a densified pair structure — same discipline as the
+    * per-token document salting). q128's BFS expands from one seed, so
+    * only one copy's component is ever touched: its near-flat exponent
+    * is the expected signature, recorded deliberately. */
+  val MeasuredR12: Seq[String] = Seq(
+    "q106_triangle_count", "q109_pagerank", "q110_setsim_join",
+    "q128_bfs_hops", "q277_hits", "q292_k_core", "q354_lpa_communities",
+    "q382_personalized_pagerank", "q383_cc_incremental",
+    "q259_stream_full_maintenance")
+
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
-    * 100-TB story leans on; VERDICT r10's stress list). */
+    * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
+    * graph/prefix-join/streaming extension. */
   val Measured: Seq[String] = Seq(
     "q34_dedup_exact", "q35_dedup_minhash_lsh", "q37_dedup_ngram_jaccard",
     "q47_dedup_clusters", "q62_dedup_keep_best", "q65_simhash_hamming",
     "q82_dedup_ensemble", "q97_dedup_incremental", "q74_semantic_neardup",
     "q39_ann_topk", "q40_ann_lsh", "q48_ann_ivf", "q236_pq_ann",
-    "q239_ivfpq_ann", "q66_kmeans_iter")
+    "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12
 
   private val IdOffset = 10000000L
 
   private val LinkedTables = Seq("region", "nation", "customer", "supplier",
-    "part", "orders", "lineitem", "events")
+    "part", "events")
 
   /** K mutated copies of documents: ids offset per copy, copy ≥ 1 texts
     * salted on EVERY token (a copy-specific prefix) so cross-copy shingle
@@ -86,6 +102,33 @@ object ScaleStress {
         col("label"))
   }
 
+  /** K disjoint copies of the order→part incidence (copy k offsets every
+    * key by k·10⁷): the co-purchase graph, the bipartite HITS graph, and
+    * the support-2 edge set all replicate at CONSTANT density — K× nodes,
+    * K× edges, identical degree distribution — so graph-kernel exponents
+    * measure per-edge engine cost, not graph densification. */
+  private def scaledOrders(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val o = spark.read.parquet(s"$sfDir/orders.parquet")
+    val off = col("copy").cast("long") * IdOffset
+    o.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
+      .select(o.columns.map {
+        case "o_orderkey" => (col("o_orderkey") + off).as("o_orderkey")
+        case "o_custkey" => (col("o_custkey") + off).as("o_custkey")
+        case c => col(c)
+      }: _*)
+  }
+
+  private def scaledLineitem(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val off = col("copy").cast("long") * IdOffset
+    l.crossJoin(spark.range(k).select(col("id").cast("int").as("copy")))
+      .select(l.columns.map {
+        case "l_orderkey" => (col("l_orderkey") + off).as("l_orderkey")
+        case "l_partkey" => (col("l_partkey") + off).as("l_partkey")
+        case c => col(c)
+      }: _*)
+  }
+
   private def linkTables(sfDir: String, dir: String): Unit =
     LinkedTables.foreach { t =>
       val link = Paths.get(dir, s"$t.parquet")
@@ -101,6 +144,91 @@ object ScaleStress {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     scaledEmbeddings(spark, sfDir, k)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    scaledOrders(spark, sfDir, k)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    scaledLineitem(spark, sfDir, k)
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    linkTables(sfDir, dir)
+    Files.writeString(Paths.get(dir, "_done"), "ok")
+  }
+
+  /** Wedge-skew corpus (Boundary 4): the 10× graph plus ONE planted hot
+    * part co-purchased with 2500 distinct partner parts, each pairing
+    * recurring in 2 orders (so every planted edge clears the support-2
+    * floor). The hot node's degree (2500) is ~180× the clean maximum; a
+    * u-centered wedge join would generate C(2500,2) ≈ 3.1M extra wedges
+    * through it, but the (deg,id) ORIENTATION sends every planted edge
+    * partner→hot (partners have degree 1), so the hot node's OUT-degree
+    * stays 0 and the planted star adds ~zero wedges — q106's runtime on
+    * this corpus must stay comparable to the clean 10× run. Documents,
+    * embeddings and orders reuse the 10× corpus (the probe's query reads
+    * lineitem only). */
+  private def buildHotGraphCorpus(spark: SparkSession, sfDir: String,
+      dir: String, tenXDir: String): Unit = {
+    if (Files.exists(Paths.get(dir, "_done"))) return
+    Files.createDirectories(Paths.get(dir))
+    val hotPart = 300L * IdOffset
+    val orderBase = 310L * IdOffset
+    val l = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    // Planted rows reuse one template row's non-key columns, so the
+    // written schema matches byte-for-byte.
+    val template = broadcast(l.limit(1).drop("l_orderkey", "l_partkey"))
+    val planted = spark.range(2500L)
+      .select(col("id").as("i"),
+        explode(expr("array(0L, 1L)")).as("rep"))
+      .select(explode(expr(
+        s"""array(
+           |  named_struct('l_orderkey', $orderBase + 2 * i + rep,
+           |               'l_partkey', CAST($hotPart AS LONG)),
+           |  named_struct('l_orderkey', $orderBase + 2 * i + rep,
+           |               'l_partkey', $hotPart + 1 + i))""".stripMargin))
+        .as("kv"))
+      .select(col("kv.l_orderkey"), col("kv.l_partkey"))
+      .crossJoin(template)
+    scaledLineitem(spark, sfDir, 10)
+      .unionByName(planted.select(l.columns.map(col): _*))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    for (t <- Seq("documents", "embeddings", "orders")) {
+      val link = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(tenXDir, s"$t.parquet"))
+    }
+    linkTables(sfDir, dir)
+    Files.writeString(Paths.get(dir, "_done"), "ok")
+  }
+
+  /** Prefix-bucket-density corpus (Boundary 5): the 10× documents plus
+    * 3000 docs sharing ONE hot 13-token phrase, each padded with 48
+    * doc-unique tokens — pairwise Jaccard ≈ 0.09, far below q110's 0.8,
+    * so the correct OUTPUT is zero planted pairs. A naive shared-shingle
+    * join would still generate ~3000²/2 candidate pairs through the hot
+    * phrase's shingles; PPJoin's rarest-first prefix keeps frequent
+    * shingles OUT of every prefix (each planted doc's prefix is its
+    * doc-unique rarest shingles), so candidate volume — and q110's
+    * runtime — must stay comparable to the clean 10× run. */
+  private def buildHotPhraseCorpus(spark: SparkSession, sfDir: String,
+      dir: String, tenXDir: String): Unit = {
+    if (Files.exists(Paths.get(dir, "_done"))) return
+    Files.createDirectories(Paths.get(dir))
+    val phrase = "the exact boilerplate license header every crawler " +
+      "keeps refinding in forked repositories verbatim"
+    val planted = spark.range(3000L).select(
+      (col("id") + 320L * IdOffset).as("doc_id"),
+      expr(s"""concat_ws(' ',
+              |  concat_ws(' ', transform(sequence(0, 23),
+              |    j -> concat('hp', id, 'a', j))),
+              |  '$phrase',
+              |  concat_ws(' ', transform(sequence(0, 23),
+              |    j -> concat('hp', id, 'b', j))))""".stripMargin).as("text"),
+      lit("en").as("lang"), lit("hotphrase").as("source"))
+      .withColumn("n_chars", length(col("text")))
+    spark.read.parquet(s"$tenXDir/documents.parquet").unionByName(planted)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    for (t <- Seq("embeddings", "orders", "lineitem")) {
+      val link = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(tenXDir, s"$t.parquet"))
+    }
     linkTables(sfDir, dir)
     Files.writeString(Paths.get(dir, "_done"), "ok")
   }
@@ -188,6 +316,10 @@ object ScaleStress {
 
     mults.foreach(k => buildCorpus(spark, sfDir, s"$workDir/corpus_${k}x", k))
     buildHotCorpus(spark, sfDir, s"$workDir/corpus_hot", 10)
+    buildHotGraphCorpus(spark, sfDir, s"$workDir/corpus_hotgraph",
+      s"$workDir/corpus_10x")
+    buildHotPhraseCorpus(spark, sfDir, s"$workDir/corpus_hotphrase",
+      s"$workDir/corpus_10x")
     System.err.println(s"[scale] corpora ready under $workDir load=${loadAvg()}")
 
     // Warmup: one pass of every measured query at 1× (codegen + scheduler
@@ -256,6 +388,28 @@ object ScaleStress {
     require(driverRes == distRes,
       s"CC tiers disagree at the 2M boundary: $driverRes vs $distRes")
 
+    // ---- Boundary 4: wedge skew (q106). One planted degree-2500 hub
+    // (~180× the clean max degree): the (deg,id) orientation must keep
+    // the wedge join linear — runtime comparable to the clean 10× run,
+    // where a u-centered wedge join would pay ~3.1M extra wedges.
+    val tTri10 = times("q106_triangle_count")(10)
+    val tTriHot = runNoop(spark, "q106_triangle_count",
+      s"$workDir/corpus_hotgraph")
+
+    // ---- Boundary 5: prefix-bucket density (q110). One hot 13-token
+    // phrase shared by 3000 otherwise-distinct (J≈0.09) docs: the
+    // rarest-first prefix must keep the hot shingles out of every
+    // prefix — candidate volume and runtime comparable to clean 10×,
+    // and the planted pairs must NOT appear in the output (J < 0.8).
+    val tSet10 = times("q110_setsim_join")(10)
+    val hotPhraseDir = s"$workDir/corpus_hotphrase"
+    val tSetHot = runNoop(spark, "q110_setsim_join", hotPhraseDir)
+    val plantedPairs = SparkEntry.queries("q110_setsim_join")(spark, hotPhraseDir)
+      .filter(col("doc_a") >= 320L * IdOffset).count()
+    spark.catalog.clearCache()
+    require(plantedPairs == 0L,
+      s"hot-phrase plant unexpectedly produced $plantedPairs J>=0.8 pairs")
+
     val qJson = times.map { case (n, byK) =>
       val exp = exponent(byK.toSeq)
       val ks = byK.map { case (k, t) => s""""${k}x":${f3(t)}""" }.mkString(",")
@@ -264,7 +418,9 @@ object ScaleStress {
     val bJson =
       s"""{"band_bucket_cap":{"clean_10x_sec":${f3(tLsh10)},"hot_10x_sec":${f3(tLshHot)},"hot_pairs":$nLshHot,"planted_dup_docs":5000},
          |"semdedup_scan_cap":{"clean_10x_sec":${f3(tSem10)},"hot_10x_sec":${f3(tSemHot)},"planted_cluster":2000},
-         |"driver_closure_2m_edges":{"edges":$nE,"driver_tier_sec":${f3(tDriver)},"distributed_tier_sec":${f3(tDist)},"labels_equal":true,"nodes_labeled":${driverRes._1}}}"""
+         |"driver_closure_2m_edges":{"edges":$nE,"driver_tier_sec":${f3(tDriver)},"distributed_tier_sec":${f3(tDist)},"labels_equal":true,"nodes_labeled":${driverRes._1}},
+         |"wedge_skew_orientation":{"clean_10x_sec":${f3(tTri10)},"hot_10x_sec":${f3(tTriHot)},"planted_hub_degree":2500},
+         |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs}}"""
         .stripMargin.replace("\n", "")
     val out =
       s"""{"sf":"$sfDir","cpus":"$cpus","mults":${mults.mkString("[", ",", "]")},"load":${loads.mkString("[", ",", "]")},"queries":$qJson,"boundaries":$bJson}"""

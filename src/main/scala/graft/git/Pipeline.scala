@@ -117,9 +117,29 @@ object Pipeline {
   private[git] def etlAppendStaged(spark: SparkSession, repoPaths: Seq[String],
       outDir: String, authorGate: Option[String],
       step: String => Unit): Unit = {
-    val r = build(spark, repoPaths, authorGate)
     val base = new Path(outDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Writer lease on the store ROOT (the same `_maintenance.lease`
+    // protocol the index-maintenance tiers use): a second concurrent
+    // writer is rejected AT ACQUIRE, before it can touch any state — in
+    // particular before its entry rollback could delete this run's
+    // still-uncommitted per-table manifests, which would leave this run's
+    // store-manifest flip naming manifests that no longer exist. A killed
+    // writer's lease is taken over after the TTL; the flip below re-checks
+    // ownership (and CASes on the captured store seq) so a stalled
+    // original can never commit over the takeover's generation.
+    graft.ops.GenStore.withLease(fs, base) { lease =>
+    val r = build(spark, repoPaths, authorGate)
+    // U6 crash rollback: the window between a per-table manifest commit
+    // and the store-manifest flip is NOT idempotent for every table —
+    // authors' counts ADD on merge, so a rerun that merged on top of a
+    // crashed run's committed-but-never-store-visible authors manifest
+    // would double-count the aborted run (the reference's single SQLite
+    // transaction rolls that increment back, transactions.ts:43-56).
+    // Re-anchor every table to the generation the latest store manifest
+    // names before merging anything.
+    val baseSeq = rollbackToStoreGeneration(fs, base, outDir)
+    step("after:rollback")
     val pubs = scala.collection.mutable.ListBuffer[(String, Publish)]()
     def mergeWrite(table: String, incoming: DataFrame)(
         merge: (DataFrame, DataFrame) => DataFrame): Unit = {
@@ -159,19 +179,84 @@ object Pipeline {
     // generation (never commits without their file_changes), after it at
     // the new one. Only then does the deferred GC drop what the previous
     // store generation referenced; a crash anywhere before the flip leaves
-    // the previous store snapshot fully intact, and the next run converges
-    // (keyed upserts are idempotent) and re-flips.
+    // the previous store snapshot fully intact, and the next run's entry
+    // rollback discards the aborted per-table publishes before merging —
+    // so even the NON-idempotent authors merge (counts ADD) converges to
+    // exactly the committed runs' totals, matching the reference's
+    // transaction rollback.
     step("before:flip")
-    val seq = latestStoreManifest(fs, base).map(p => storeManifestSeq(p.getName))
-      .getOrElse(-1L)
-    commitStoreManifest(fs, base, seq + 1, pubs.map { case (t, p) => t -> p.manifest }.toSeq)
+    // Flip guards, in order: (1) ownership re-check — a run that stalled
+    // past the lease TTL and was taken over must refuse to flip over the
+    // takeover's generation; (2) optimistic CAS — the flip commits at
+    // exactly entry-seq+1, so even with a broken lease a generation
+    // committed underneath makes this rename fail loudly instead of
+    // silently superseding it.
+    lease.checkOwned("store-manifest flip")
+    commitStoreManifest(fs, base, baseSeq + 1,
+      pubs.map { case (t, p) => t -> p.manifest }.toSeq)
     step("after:flip")
     pubs.foreach(_._2.gc())
 
     // rejects are per-run diagnostics (no reference counterpart): overwrite
     r.rejects.write.mode("overwrite").parquet(s"$outDir/rejects")
     r.release()
+    }
   }
+
+  /** The five store-committed tables, in publish order. */
+  private[git] val StoreTables =
+    Seq("commits", "authors", "file_changes", "tags", "repos")
+
+  /** Re-anchor every table to the committed store generation at run entry
+    * (crash recovery for the per-table-commit → store-flip window): per-
+    * table manifests NEWER than the one the latest store manifest names
+    * are a crashed (or concurrently-raced) run's uncommitted publishes —
+    * delete them and the data files only they reference, so the coming
+    * merges baseline on store-COMMITTED state (additive merges like
+    * authors' counts would otherwise double-count the aborted run). A
+    * store with no root manifest yet gets generation 0 committed first,
+    * pinning each table at its current baseline (an empty per-table
+    * manifest for fresh tables) — so even a crash mid-FIRST-run has a
+    * defined rollback point. A named manifest that no longer exists
+    * (pre-pinning compact, legacy store) rolls back nothing for that
+    * table — matching [[readStoreSnapshot]]'s documented fallback.
+    * Returns the committed store generation's seq; the flip commits at
+    * exactly seq+1. */
+  private def rollbackToStoreGeneration(fs: FileSystem, base: Path,
+      outDir: String): Long =
+    latestStoreManifest(fs, base) match {
+      case Some(sm) =>
+        readStoreManifest(fs, sm).foreach { case (t, mname) =>
+          val store = new Path(s"$outDir/$t")
+          val named = new Path(store, mname)
+          if (fs.exists(store) && fs.exists(named)) {
+            val keep = readManifest(fs, named).toSet
+            fs.listStatus(store).map(_.getPath)
+              .filter(p => p.getName.startsWith(ManifestPrefix) &&
+                manifestSeq(p.getName) > manifestSeq(mname))
+              .foreach { m =>
+                readManifest(fs, m).filterNot(keep).foreach { f =>
+                  val df = new Path(store, f)
+                  if (fs.exists(df)) fs.delete(df, false)
+                }
+                fs.delete(m, false)
+              }
+          }
+        }
+        storeManifestSeq(sm.getName)
+      case None =>
+        val entries = StoreTables.map { t =>
+          val store = new Path(s"$outDir/$t")
+          val (seq, _) = baselinedSnapshot(fs, store)
+          if (seq >= 0) t -> manifestName(seq)
+          else {
+            fs.mkdirs(store)
+            t -> commitManifest(fs, store, 0L, Nil)
+          }
+        }
+        commitStoreManifest(fs, base, 0L, entries)
+        0L
+    }
 
   /** One per-table publish's outcome: the committed manifest's file name
     * (what the store-level manifest records) and the deferred
@@ -292,8 +377,13 @@ object Pipeline {
         else { gc(); Publish(name, () => ()) }
       } else {
         // Nothing new and nothing merged: the committed snapshot stands.
+        // Guard the fresh-store degenerate (seq would be -1): every
+        // Publish must name a REAL manifest — a store-manifest entry that
+        // dangles would silently drop this table out of the cross-table
+        // generation pinning.
         fs.delete(staged, true)
-        Publish(manifestName(seq), () => ())
+        if (seq < 0) Publish(commitManifest(fs, store, 0L, Nil), () => ())
+        else Publish(manifestName(seq), () => ())
       }
     } else {
       // Move each staged partition's files into the live partition dir
@@ -540,7 +630,20 @@ object Pipeline {
       }
     }
     if (dropped.nonEmpty) {
-      commitManifest(fs, store, seq + 1, entries.toSeq)
+      val name = commitManifest(fs, store, seq + 1, entries.toSeq)
+      // Keep the cross-table generation pinned through compaction: if the
+      // root store manifest names this table, re-commit it pointing at the
+      // compacted manifest BEFORE the superseded one is pruned — a
+      // readStoreSnapshot reader re-resolves to the compacted (content-
+      // identical) snapshot instead of dangling onto the fallback path,
+      // and the next run's entry rollback keeps its anchor.
+      val baseDir = new Path(outDir)
+      latestStoreManifest(fs, baseDir).foreach { sm =>
+        val es = readStoreManifest(fs, sm)
+        if (es.contains(table))
+          commitStoreManifest(fs, baseDir, storeManifestSeq(sm.getName) + 1,
+            (es + (table -> name)).toSeq)
+      }
       pruneManifests(fs, store, seq + 1)
       dropped.foreach(f => fs.delete(new Path(store, f), false))
     }

@@ -2994,14 +2994,20 @@ object Extended {
       sum(col("n1")).over(win).as("c1"),
       sum(col("n2")).over(win).as("c2"),
       lead(col("cents"), 1).over(win).as("nxt"))
+    // Widen BEFORE the cross-multiply: the oracle's window sums are
+    // HUGEINT, so its products never wrap — a LongType c1*nt2 here would
+    // silently wrap (non-ANSI) once a half exceeds ~3e9 rows. Same for
+    // the nt1*nt2 normalizer below.
     val area = w.crossJoin(broadcast(t))
-      .agg(sum(expr("abs(c1 * nt2 - c2 * nt1)").cast("decimal(28,0)")
+      .agg(sum(expr(
+        "abs(CAST(c1 AS DECIMAL(20,0)) * nt2 - CAST(c2 AS DECIMAL(20,0)) * nt1)")
         * expr("coalesce(nxt, cents) - cents").cast("decimal(10,0)"))
         .cast("decimal(38,0)").as("area"))
     t.crossJoin(broadcast(area))
       .select(col("nt1").as("n_first"), col("nt2").as("n_second"),
         col("n_levels"),
-        expr("CAST(area * 1000 div (nt1 * nt2) AS LONG)").as("w1_milli_cents"))
+        expr("CAST(area * 1000 div (CAST(nt1 AS DECIMAL(20,0)) * nt2) AS LONG)")
+          .as("w1_milli_cents"))
   }
 
   /** q374: Benjamini–Hochberg FDR control over the exposure-metric
@@ -3103,6 +3109,18 @@ object Extended {
       .groupBy(col("event_type"), col("n1"), col("x1"), col("n2"),
         col("x2"), col("z2_milli"))
       .agg((count(col("bt")) + 1).as("rnk"))
+    // The critical table IS the test design: χ²₁ quantiles at 1 − α·i/m
+    // for m = 4. A 5th event type would both silently vanish through the
+    // rnk inner join AND invalidate every α·i/m threshold — the result
+    // would quietly stop being BH at 5%. Fail loudly instead (driver-side
+    // scalar over the ≤|event types|-row family frame, not a data-volume
+    // collect); the paired oracle SQL hardcodes the same design, so a
+    // family change surfaces as this error, never as a green-but-wrong
+    // gate.
+    val m = z.count()
+    require(m == 4, s"q374: BH critical table is designed for a family of " +
+      s"4 non-purchase event types; data has $m — regenerate crit " +
+      "(chi-sq_1 quantiles at 1 - 0.05*i/m) before trusting the thresholds")
     val crit = s.createDataFrame(Seq((1L, 6238L), (2L, 5023L), (3L, 4327L),
       (4L, 3841L))).toDF("rnk", "crit_milli")
     val p = r.join(broadcast(crit), "rnk")
