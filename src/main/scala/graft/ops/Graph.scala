@@ -58,7 +58,7 @@ object Graph {
     * "bought together more than once" affinity signal the kernels are
     * meant to run on. One groupBy builds it; map-side partial counts
     * bound the shuffle by distinct pairs, not co-occurrence rows. */
-  private def supportedEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  private[graft] def supportedEdges(s: org.apache.spark.sql.SparkSession, dir: String) = {
     // Distinct (order, part) FIRST: pair rows are then unique per order by
     // construction, so support is a plain count — no count-distinct
     // expand over the (much larger) co-occurrence rows.

@@ -1,0 +1,368 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+import graft.{Q, Tables}
+
+/** Round-12 additions: a cross-engine-IDENTICAL distinct sketch (the
+  * register contents gate, not just an accuracy audit), three graph
+  * kernels the co-purchase tier lacked (hop-capped harmonic centrality,
+  * double-sweep diameter, per-edge triangle support), and weighted
+  * reservoir sampling (A-ES) for weight-proportional training-data
+  * selection.
+  */
+object Round12 {
+
+  /** The support-2 co-purchase edge CTEs every graph oracle shares
+    * (q106/q382/q383's rendering verbatim). */
+  private val duckEdges: String =
+    """lp AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |  FROM lp l1 JOIN lp l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** q385: HyperLogLog REGISTERS, bit-identical across engines — where
+    * q252 audits Spark's native `hll_sketch_agg` against the exact
+    * distinct count, this builds the sketch from engine-NEUTRAL
+    * primitives (md5 → hex-nibble arithmetic) so the 64 register values
+    * themselves hash-match DuckDB: bucket = first byte mod 64, rank =
+    * leading-zeros+1 of the next 16 hash bits (via floor(log2) — exact
+    * at every power-of-two boundary, and interior values have ≥ 1/2 ulp
+    * of slack), estimate = the raw HLL formula α·m²/Σ2^(−M_j) carried in
+    * pure integers (Σ scaled by 2^17, α = 709/1000, floor division).
+    *
+    * Scale shape: ONE map-side-combinable max per bucket after the
+    * distinct — 64 registers regardless of key count; the sketch is the
+    * canonical mergeable distinct-count state for 100 TB (registers from
+    * disjoint shards combine by per-bucket max — associative, so
+    * partial-aggregated exactly like a sum). */
+  val q385HllRegisters: Q = Q(
+    "q385_hll_registers",
+    """WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |h AS (SELECT md5(CAST(k AS VARCHAR)) AS d FROM v),
+      |x AS (SELECT
+      |        (16 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+      |           + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)) % 64
+      |          AS bucket,
+      |        4096 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
+      |          + 256 * (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)
+      |          + 16 * (strpos('0123456789abcdef', substr(d, 5, 1)) - 1)
+      |          + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) AS n16
+      |      FROM h),
+      |r AS (SELECT bucket,
+      |             CASE WHEN n16 = 0 THEN 17
+      |                  ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END AS rnk
+      |      FROM x),
+      |reg AS (SELECT bucket, max(rnk) AS mr FROM r GROUP BY 1),
+      |regs AS (SELECT CAST(gs.b AS BIGINT) AS bucket,
+      |                CAST(coalesce(reg.mr, 0) AS BIGINT) AS max_rank
+      |         FROM (SELECT unnest(range(0, 64)) AS b) gs
+      |         LEFT JOIN reg ON reg.bucket = gs.b),
+      |s AS (SELECT CAST(sum(CAST(1 AS BIGINT)
+      |                       << CAST(17 - max_rank AS INTEGER)) AS BIGINT)
+      |               AS ssum FROM regs),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM v),
+      |e AS (SELECT CAST(CAST(709 AS BIGINT) * 4096 * 131072
+      |                  // (1000 * ssum) AS BIGINT) AS estimate FROM s)
+      |SELECT regs.bucket, regs.max_rank, t.n_exact, e.estimate,
+      |       CAST(abs(e.estimate - t.n_exact) * 1000000 // t.n_exact
+      |         AS BIGINT) AS err_ppm
+      |FROM regs, t, e ORDER BY regs.bucket""".stripMargin) { (s, dir) =>
+    def hv(i: Int) = s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+    val v = Tables(s, dir, "orders").select(col("o_custkey").as("k"))
+      .distinct().persist(MEMORY_AND_DISK) // registers + the exact count
+    val x = v.select(md5(col("k").cast("string")).as("d"))
+      .select(
+        expr(s"CAST((16 * ${hv(1)} + ${hv(2)}) % 64 AS BIGINT)").as("bucket"),
+        expr(s"4096 * ${hv(3)} + 256 * ${hv(4)} + 16 * ${hv(5)} + ${hv(6)}")
+          .as("n16"))
+    val reg = x.select(col("bucket"),
+      expr("""CASE WHEN n16 = 0 THEN CAST(17 AS BIGINT)
+             |     ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END""".stripMargin)
+        .as("rnk"))
+      .groupBy(col("bucket")).agg(max(col("rnk")).as("mr"))
+    val regs = s.range(64).select(col("id").as("bucket"))
+      .join(reg, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("max_rank"))
+      .persist(MEMORY_AND_DISK) // output rows + the Σ2^(17−M) fold
+    val ssum = regs.agg(
+      sum(expr("CAST(shiftleft(1, CAST(17 - max_rank AS INT)) AS BIGINT)"))
+        .as("ssum"))
+    val est = ssum.select(expr(
+      "CAST(CAST(709 AS BIGINT) * 4096 * 131072 div (1000 * ssum) AS BIGINT)")
+      .as("estimate"))
+    val t = v.agg(count(lit(1)).as("n_exact"))
+    regs.crossJoin(broadcast(t)).crossJoin(broadcast(est))
+      .select(col("bucket"), col("max_rank"), col("n_exact"), col("estimate"),
+        expr("CAST(abs(estimate - n_exact) * 1000000 div n_exact AS BIGINT)")
+          .as("err_ppm"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Multi-source hop-capped BFS over the symmetrized co-purchase graph:
+    * min distance from each seed to every node within `cap` hops. One
+    * frontier-expand join + one known-set anti-join per level; lineage
+    * cut every level (the frontier is the small derived table). */
+  private def bfsFrom(seeds: org.apache.spark.sql.DataFrame,
+      sym: org.apache.spark.sql.DataFrame, cap: Int)
+      : org.apache.spark.sql.DataFrame = {
+    var dist = seeds.select(col("seed"), col("seed").as("node"),
+      lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var h = 0L
+    var more = true
+    while (more && h < cap) {
+      h += 1
+      val nxt = frontier.join(sym, frontier("node") === sym("u"))
+        .select(col("seed"), col("v").as("node")).distinct()
+        .join(dist.select(col("seed"), col("node")), Seq("seed", "node"),
+          "left_anti")
+        .select(col("seed"), col("node"), lit(h).as("dist"))
+        .localCheckpoint()
+      more = nxt.limit(1).count() > 0
+      if (more) dist = dist.unionByName(nxt).localCheckpoint()
+      frontier = nxt
+    }
+    dist
+  }
+
+  /** q386: harmonic centrality (12-hop-capped) of the five highest-degree
+    * hubs — the "how reachable is the catalog from its hubs" audit
+    * PageRank's stationary view doesn't give: H(s) = Σ_{v≠s} 1/d(s,v),
+    * in exact nano fixed point (10⁹ // d — floor division, no float).
+    * The hop cap is part of the metric's DEFINITION (both engines stop
+    * at 12), which also bounds the oracle's recursive closure.
+    *
+    * Scale shape: one multi-source BFS — per level ONE frontier⋈edges
+    * join and one anti-join against the known set, frontier bounded by
+    * |seeds|·V; no per-pair work, no windows. */
+  val q386HarmonicCentrality: Q = Q(
+    "q386_harmonic_centrality",
+    s"""WITH RECURSIVE $duckEdges,
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u, count(*) AS dg FROM sym GROUP BY 1),
+      |seeds AS (SELECT u FROM deg ORDER BY dg DESC, u LIMIT 5),
+      |walk AS (
+      |  SELECT u AS seed, u AS node, 0 AS dist FROM seeds
+      |  UNION
+      |  SELECT w.seed, sym.v AS node, w.dist + 1
+      |  FROM walk w JOIN sym ON sym.u = w.node
+      |  WHERE w.dist < 12),
+      |md AS (SELECT seed, node, min(dist) AS d FROM walk GROUP BY 1, 2)
+      |SELECT seed, CAST(count(*) FILTER (WHERE d > 0) AS BIGINT) AS n_reached,
+      |       CAST(sum(CASE WHEN d > 0 THEN 1000000000 // d ELSE 0 END)
+      |         AS BIGINT) AS harmonic_nano
+      |FROM md GROUP BY seed ORDER BY seed""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val seeds = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(5)
+      .select(col("u").as("seed"))
+    bfsFrom(seeds, sym, 12)
+      .groupBy(col("seed"))
+      .agg(count_if(col("dist") > 0).as("n_reached"),
+        sum(when(col("dist") > 0, expr("CAST(1000000000 div dist AS BIGINT)"))
+          .otherwise(0L)).as("harmonic_nano"))
+      .orderBy(col("seed"))
+  }
+
+  /** q387: double-sweep diameter bound (30-hop-capped) — the standard
+    * two-BFS estimator: sweep 1 from the smallest node id finds its
+    * eccentricity and farthest node; sweep 2 from that node's
+    * eccentricity is the classic diameter lower bound (exact on trees,
+    * ≥ half the true diameter in general). Caps and min-id/min-node tie
+    * breaks are part of the definition, shared by both engines; the
+    * bound covers the seed's component (the graph's main body — the
+    * co-purchase graph's smaller components only shrink the sweep).
+    *
+    * Scale shape: exactly two single-source BFS passes (the q386 loop
+    * with one seed), each level one join — the textbook distributed
+    * diameter estimator at any graph size. */
+  val q387GraphDiameter: Q = Q(
+    "q387_graph_diameter",
+    s"""WITH RECURSIVE $duckEdges,
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |s1 AS (SELECT min(u) AS seed FROM sym),
+      |w1 AS (
+      |  SELECT seed AS node, 0 AS dist FROM s1
+      |  UNION
+      |  SELECT sym.v AS node, w.dist + 1
+      |  FROM w1 w JOIN sym ON sym.u = w.node
+      |  WHERE w.dist < 30),
+      |m1 AS (SELECT node, min(dist) AS d FROM w1 GROUP BY 1),
+      |f1 AS (SELECT node, d FROM m1 ORDER BY d DESC, node LIMIT 1),
+      |w2 AS (
+      |  SELECT node, 0 AS dist FROM f1
+      |  UNION
+      |  SELECT sym.v AS node, w.dist + 1
+      |  FROM w2 w JOIN sym ON sym.u = w.node
+      |  WHERE w.dist < 30),
+      |m2 AS (SELECT node, min(dist) AS d FROM w2 GROUP BY 1),
+      |f2 AS (SELECT node, d FROM m2 ORDER BY d DESC, node LIMIT 1)
+      |SELECT s1.seed, CAST(f1.d AS BIGINT) AS ecc_seed,
+      |       f1.node AS far_node, CAST(f2.d AS BIGINT) AS diameter_bound,
+      |       f2.node AS antipode,
+      |       (SELECT CAST(count(*) AS BIGINT) FROM m2) AS component_size
+      |FROM s1, f1, f2""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val seed = sym.agg(min(col("u"))).head.getLong(0)
+    def sweep(from: Long) = bfsFrom(
+      s.range(1).select(lit(from).as("seed")), sym, 30)
+      .select(col("node"), col("dist")).persist(MEMORY_AND_DISK)
+    val m1 = sweep(seed)
+    val Array(far1, ecc1) = m1.orderBy(col("dist").desc, col("node")).limit(1)
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val m2 = sweep(far1)
+    val Array(far2, ecc2) = m2.orderBy(col("dist").desc, col("node")).limit(1)
+      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+    val compSize = m2.count()
+    m1.unpersist(); m2.unpersist(); sym.unpersist()
+    s.range(1).select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
+      lit(far1).as("far_node"), lit(ecc2).as("diameter_bound"),
+      lit(far2).as("antipode"), lit(compSize).as("component_size"))
+  }
+
+  /** q388: per-EDGE triangle support — the k-truss building block (an
+    * edge in a k-truss sits in ≥ k−2 triangles): q106 counts the graph's
+    * triangles and q342 each NODE's closure; this names each EDGE's
+    * embedded triangle count, the cohesion signal community trimming
+    * thresholds on. Triangles are enumerated ONCE via q106's
+    * (deg,id)-oriented wedge join (out-degrees O(√E) after orientation —
+    * skew-immune, measured by the round-12 wedge boundary probe), then
+    * each triangle credits its three edges.
+    *
+    * Scale shape: the wedge join is the only super-linear step and is
+    * orientation-bounded; the explode is 3 rows per triangle; support
+    * aggregates map-side at edge grain. */
+  val q388TriSupport: Q = Q(
+    "q388_tri_support",
+    s"""WITH $duckEdges,
+      |adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |supp AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS tri
+      |         FROM e0 e
+      |         JOIN adj a1 ON a1.u = e.u
+      |         JOIN adj a2 ON a2.u = e.v AND a2.v = a1.v
+      |         GROUP BY 1, 2)
+      |SELECT e0.u, e0.v, CAST(coalesce(supp.tri, 0) AS BIGINT) AS tri_support
+      |FROM e0 LEFT JOIN supp ON supp.u = e0.u AND supp.v = e0.v
+      |ORDER BY e0.u, e0.v""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e0
+      .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
+      .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      .persist(MEMORY_AND_DISK) // wedge sides + the close probe
+    val wedge = ori.as("o1").join(ori.as("o2"),
+        col("o1.a") === col("o2.a") &&
+          (col("o1.db") < col("o2.db") ||
+            (col("o1.db") === col("o2.db") && col("o1.b") < col("o2.b"))))
+      .select(col("o1.a").as("ta"), col("o1.b").as("x"), col("o2.b").as("y"))
+    // Each closed wedge IS a triangle on nodes (ta, x, y); credit its
+    // three edges in canonical (min, max) form and fold at edge grain.
+    val tri = wedge.join(ori, col("x") === col("a") && col("y") === col("b"))
+      .select(explode(array(
+        struct(least(col("ta"), col("x")).as("u"),
+          greatest(col("ta"), col("x")).as("v")),
+        struct(least(col("ta"), col("y")).as("u"),
+          greatest(col("ta"), col("y")).as("v")),
+        struct(least(col("x"), col("y")).as("u"),
+          greatest(col("x"), col("y")).as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("tri"))
+    e0.join(tri, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("tri"), lit(0L)).as("tri_support"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  /** q389: weighted reservoir sampling (A-ES, Efraimidis–Spirakis) — the
+    * weight-PROPORTIONAL selection q57's uniform reservoir can't do:
+    * each document draws priority u^(1/w) (u from its id's md5, w =
+    * n_chars), and the top-k priorities are the sample — inclusion
+    * probability ∝ weight, deterministic given ids. Ranked in LOG space
+    * (ln u = ln(v+1) − 28·ln 2 over the 28-bit hash integer v —
+    * monotone, so the top-k is identical), with every ln taken on an
+    * exact-integer-valued double, rounded to 9 decimals, ×10⁹ routed
+    * through DECIMAL(28,9) (the established nano discipline), then ONE
+    * floor division by the weight — both engines produce bit-equal
+    * priorities.
+    *
+    * Scale shape: priorities are map-side scalar math; top-32 is one
+    * TakeOrderedAndProject (k-bounded, no global window) + posexplode —
+    * q109's rank device. A-ES is THE distributed weighted sampler: no
+    * global pass, mergeable by keeping each partition's top-k. */
+  val q389WeightedSample: Q = Q(
+    "q389_weighted_sample",
+    """WITH h AS (SELECT doc_id, n_chars,
+      |                  md5(CAST(doc_id AS VARCHAR)) AS d
+      |           FROM documents WHERE n_chars > 0),
+      |v AS (SELECT doc_id, n_chars,
+      |        16777216 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+      |        + 1048576 * (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)
+      |        + 65536 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
+      |        + 4096 * (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)
+      |        + 256 * (strpos('0123456789abcdef', substr(d, 5, 1)) - 1)
+      |        + 16 * (strpos('0123456789abcdef', substr(d, 6, 1)) - 1)
+      |        + (strpos('0123456789abcdef', substr(d, 7, 1)) - 1) AS hv
+      |      FROM h),
+      |p AS (SELECT doc_id, n_chars,
+      |        (CAST(CAST(round(ln(hv + 1), 9) AS DECIMAL(28,9))
+      |              * 1000000000 AS BIGINT)
+      |         - 28 * CAST(CAST(round(ln(2), 9) AS DECIMAL(28,9))
+      |                     * 1000000000 AS BIGINT)) // n_chars
+      |          AS prio_nano
+      |      FROM v),
+      |r AS (SELECT doc_id, n_chars, prio_nano,
+      |             CAST(row_number() OVER (ORDER BY prio_nano DESC, doc_id)
+      |               AS BIGINT) AS pos
+      |      FROM p)
+      |SELECT pos, doc_id, n_chars, prio_nano
+      |FROM r WHERE pos <= 32 ORDER BY pos""".stripMargin) { (s, dir) =>
+    def hv(i: Int) = s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+    val p = Tables(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("d"))
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"""16777216 * ${hv(1)} + 1048576 * ${hv(2)} + 65536 * ${hv(3)}
+                |+ 4096 * ${hv(4)} + 256 * ${hv(5)} + 16 * ${hv(6)}
+                |+ ${hv(7)}""".stripMargin).as("hv"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("""(CAST(CAST(round(ln(hv + 1), 9) AS DECIMAL(28,9))
+               |      * 1000000000 AS BIGINT)
+               | - 28 * CAST(CAST(round(ln(2), 9) AS DECIMAL(28,9))
+               |             * 1000000000 AS BIGINT)) div n_chars"""
+          .stripMargin).as("prio_nano"))
+    // q109's k-bounded rank device: TakeOrderedAndProject + posexplode
+    // re-sorted with the same tie discipline — no global WindowExec.
+    p.orderBy(col("prio_nano").desc, col("doc_id"))
+      .limit(32)
+      .agg(collect_list(struct(col("prio_nano").as("s"),
+        col("doc_id").as("k"), col("n_chars").as("w"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.w").as("n_chars"),
+        col("r.s").as("prio_nano"))
+      .orderBy(col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(q385HllRegisters, q386HarmonicCentrality,
+    q387GraphDiameter, q388TriSupport, q389WeightedSample)
+}

@@ -2013,6 +2013,53 @@ object StreamGate {
       .orderBy(col("step"), col("antecedent"), col("consequent"))
   }
 
+  /** q384: INCREMENTAL CC maintained BY THE STREAM — q383's
+    * [[graft.ops.Graph.ccFold]] as the per-trigger maintenance op, closing
+    * the graph tier's operational loop the way q103/q234 closed it for the
+    * IVF index and q99/q247 for the band index. Co-purchase edges arrive
+    * in three micro-batches ((u+v) mod 3, file source, mtime order); each
+    * trigger folds its delta into the PERSISTED label store (contract
+    * endpoints to stored labels → CC on the ≤2·|Δ|-node meta-graph →
+    * broadcast relabel) and publishes the updated table as `gen=<id>` —
+    * replay-stable because a redelivered batch re-reads gen=<id−1> and
+    * overwrites its own gen=<id> (and edge re-folding is a CC no-op). The
+    * final store answers q383's FROM-SCRATCH full-graph oracle: labels
+    * are min-ids at every generation, so folds chain regardless of how
+    * the edges arrived. */
+  val q384StreamCcIngest: Q = Q(
+    "q384_stream_cc_ingest",
+    graft.ops.Graph.q383CcIncremental.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q384-")
+    val e0 = graft.ops.Graph.supportedEdges(s, dir)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e0.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("cclabels").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("n"), col("id").as("lab")))
+          graft.ops.Graph.ccFold(prev, batch.toDF())
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(s.range(0).select(col("id").as("n"), col("id").as("lab")))
+      .select(col("n").as("node_id"), col("lab").as("component_id"))
+      .orderBy(col("node_id"))
+  }
+
   val all: Seq[Q] = Seq(
     q322StreamSprt, q347StreamEwma, q355StreamSequential,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
@@ -2022,5 +2069,5 @@ object StreamGate {
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
-    q296StreamIvmJoin, q301StreamLateDim)
+    q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest)
 }
