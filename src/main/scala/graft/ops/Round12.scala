@@ -363,6 +363,232 @@ object Round12 {
       .orderBy(col("pos"))
   }
 
+  /** q390: TextRank keyword extraction — q109's exact integer PageRank
+    * fixpoint run on the WORD CO-OCCURRENCE graph (adjacent-token pairs,
+    * support ≥ 3, symmetrized): the unsupervised keyword ranker. Tokens
+    * that sit in many well-connected contexts rank above merely-frequent
+    * ones — the signal TF (q30) and TF-IDF (q63) don't carry. Same
+    * determinism devices as q109: BIGINT micro-mass 10¹²//n, floor
+    * divisions, damping 85/100, 3 unrolled iterations, k-bounded
+    * leaderboard (no window).
+    *
+    * Scale shape: the pair build is one map-side explode + one count at
+    * pair grain (support-3 floor bounds the graph exactly like q106's
+    * support-2); each PR iteration is one equi-join + map-side-combined
+    * sum — word-graph size is vocabulary-bounded, not corpus-bounded. */
+  val q390Textrank: Q = Q(
+    "q390_textrank",
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |           WHERE text IS NOT NULL),
+      |adjp AS (SELECT least(ws[i], ws[i+1]) AS a,
+      |                greatest(ws[i], ws[i+1]) AS b
+      |         FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+      |               WHERE len(ws) >= 2)
+      |         WHERE ws[i] <> ws[i+1]),
+      |e0 AS (SELECT a, b FROM adjp GROUP BY 1, 2 HAVING count(*) >= 3),
+      |sym AS (SELECT a AS u, b AS v FROM e0
+      |        UNION ALL SELECT b, a FROM e0),
+      |outd AS (SELECT u, count(*) AS od FROM sym GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM outd),
+      |r0 AS (SELECT u AS w, 1000000000000 // (SELECT nn FROM n) AS r
+      |       FROM outd),
+      |r1 AS (SELECT sym.v AS w,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum(r0.r // outd.od)) // 100 AS r
+      |       FROM sym JOIN r0 ON r0.w = sym.u JOIN outd ON outd.u = sym.u
+      |       GROUP BY sym.v),
+      |r2 AS (SELECT sym.v AS w,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum(r1.r // outd.od)) // 100 AS r
+      |       FROM sym JOIN r1 ON r1.w = sym.u JOIN outd ON outd.u = sym.u
+      |       GROUP BY sym.v),
+      |r3 AS (SELECT sym.v AS w,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum(r2.r // outd.od)) // 100 AS r
+      |       FROM sym JOIN r2 ON r2.w = sym.u JOIN outd ON outd.u = sym.u
+      |       GROUP BY sym.v)
+      |SELECT CAST(row_number() OVER (ORDER BY r DESC, w) AS BIGINT) AS pos,
+      |       w AS word, CAST(r AS BIGINT) AS rank_micro
+      |FROM r3 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val adjp = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(ws) - 1),
+          |  i -> struct(ws[i-1] AS x, ws[i] AS y)), p -> p.x != p.y)"""
+          .stripMargin)).as("p"))
+      .select(least(col("p.x"), col("p.y")).as("a"),
+        greatest(col("p.x"), col("p.y")).as("b"))
+    val e0 = adjp.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3).select(col("a"), col("b"))
+    val sym = e0.unionAll(e0.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("u"), col("b").as("v"))
+    val outd = sym.groupBy(col("u")).agg(count(lit(1)).as("od"))
+      .persist(MEMORY_AND_DISK)
+    val nn = outd.count()
+    val base = 1000000000000L / nn
+    val jump = (15L * base) / 100L
+    val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
+    var r = outd.select(col("u").as("w"), lit(base).as("r"))
+    for (_ <- 1 to 3) {
+      r = edges.join(r, col("w") === col("u"))
+        .groupBy(col("v"))
+        .agg(sum(expr("r div od")).as("c"))
+        .select(col("v").as("w"),
+          (lit(jump) + expr("(85 * c) div 100")).as("r"))
+    }
+    Graph.rankTopK(r, "r", "w", 20, "word", "rank_micro")
+  }
+
+  /** q391: bigram language-model perplexity filter — the CCNet/Gopher
+    * quality signal the length/punct heuristics (q31) don't give: train
+    * an add-one-smoothed word-bigram LM on the even-id half, score the
+    * odd-id half, surface the 15 WORST (highest average negative
+    * log-likelihood) documents — exactly what a perplexity-threshold
+    * cleaner would drop. Each NLL term is ln(c₁+V) − ln(c₂+1): both ln
+    * args are exact-integer-valued doubles, rounded to 9 decimals and
+    * ×10⁹ through DECIMAL(28,9) (the nano discipline), summed as BIGINT,
+    * one floor division by the doc's bigram count.
+    *
+    * Scale shape: counts are map-side-combined pair/word-grain
+    * aggregates; scoring is two pair-grain equi-joins (bigram, then
+    * head-word) against the count tables; the leaderboard is k-bounded.
+    * At 100 TB the count tables ARE the LM — shuffles at n-gram grain,
+    * never at corpus-text grain. */
+  val q391BigramLm: Q = Q(
+    "q391_bigram_lm",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |             FROM tok WHERE len(ws) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+      |voc AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      |        FROM (SELECT unnest(ws) AS w FROM tok WHERE doc_id % 2 = 0)),
+      |sc AS (SELECT bg.doc_id,
+      |              CAST(CAST(round(ln(coalesce(c1.c1, 0) + voc.v), 9)
+      |                        AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |              - CAST(CAST(round(ln(coalesce(c2.c2, 0) + 1), 9)
+      |                          AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |                AS nll_nano
+      |       FROM bg
+      |       LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |       LEFT JOIN c1 ON c1.w1 = bg.w1
+      |       CROSS JOIN voc
+      |       WHERE bg.doc_id % 2 = 1),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(nll_nano) // count(*) AS BIGINT) AS avg_nll_nano
+      |      FROM sc GROUP BY 1),
+      |r AS (SELECT d.*, CAST(row_number() OVER
+      |               (ORDER BY avg_nll_nano DESC, doc_id) AS BIGINT) AS pos
+      |      FROM d)
+      |SELECT pos, doc_id, n_bigrams, avg_nll_nano
+      |FROM r WHERE pos <= 15 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .persist(MEMORY_AND_DISK) // bigrams (train + heldout) and the vocab
+    val bg = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i]))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(MEMORY_AND_DISK) // probed by sc, folded by c1
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val voc = tok.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val nano = (e: String) =>
+      s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val sc = bg.filter(col("doc_id") % 2 === 1)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(voc))
+      .select(col("doc_id"),
+        (expr(nano("coalesce(c1, 0) + v")) -
+          expr(nano("coalesce(c2, 0) + 1"))).as("nll_nano"))
+    val d = sc.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(nll_nano) div count(*) AS BIGINT)").as("avg_nll_nano"))
+    // k-bounded worst-docs leaderboard (desc by NLL, tie doc_id asc).
+    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
+      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
+        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
+        col("r.s").as("avg_nll_nano"))
+      .orderBy(col("pos"))
+  }
+
+  /** q392: Katz centrality — attenuated PATH counting, the centrality
+    * between degree (local) and PageRank (degree-normalized): x =
+    * Σ_k α^k·A^k·1 rewards being reachable by many short paths without
+    * dividing out the neighbor's own connectivity. Exact integers:
+    * scale S = 10⁹ per unit, α = 1/8 as a floor division per hop, 3
+    * unrolled iterations x' = S·1 + (A·x) // 8 — α·λ_max < 1 holds on
+    * the support-2 graph (checked by the series' values staying well
+    * under 64-bit range; divergence would overflow the gate loudly).
+    *
+    * Scale shape: q109's iteration economics — one equi-join + map-side
+    * sum per hop on the shared edge list. */
+  val q392KatzCentrality: Q = Q(
+    "q392_katz_centrality",
+    s"""WITH $duckEdges,
+      |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |nodes AS (SELECT DISTINCT u FROM sym),
+      |x0 AS (SELECT u AS n, CAST(1000000000 AS HUGEINT) AS x FROM nodes),
+      |x1 AS (SELECT nodes.u AS n,
+      |              1000000000 + coalesce(s.a, 0) AS x
+      |       FROM nodes LEFT JOIN (
+      |         SELECT sym.v AS n, sum(x0.x) // 8 AS a
+      |         FROM sym JOIN x0 ON x0.n = sym.u GROUP BY 1) s
+      |         ON s.n = nodes.u),
+      |x2 AS (SELECT nodes.u AS n,
+      |              1000000000 + coalesce(s.a, 0) AS x
+      |       FROM nodes LEFT JOIN (
+      |         SELECT sym.v AS n, sum(x1.x) // 8 AS a
+      |         FROM sym JOIN x1 ON x1.n = sym.u GROUP BY 1) s
+      |         ON s.n = nodes.u),
+      |x3 AS (SELECT nodes.u AS n,
+      |              1000000000 + coalesce(s.a, 0) AS x
+      |       FROM nodes LEFT JOIN (
+      |         SELECT sym.v AS n, sum(x2.x) // 8 AS a
+      |         FROM sym JOIN x2 ON x2.n = sym.u GROUP BY 1) s
+      |         ON s.n = nodes.u)
+      |SELECT CAST(row_number() OVER (ORDER BY x DESC, n) AS BIGINT) AS pos,
+      |       n, CAST(x AS BIGINT) AS katz_nano
+      |FROM x3 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("n")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val dec = "decimal(38,0)"
+    var x = nodes.select(col("n"), lit(1000000000L).cast(dec).as("x"))
+    for (_ <- 1 to 3) {
+      val a = sym.join(x, col("n") === col("u"))
+        .groupBy(col("v"))
+        .agg(expr(s"CAST(sum(x) AS $dec) div 8").as("a"))
+      x = nodes.join(a.select(col("v").as("n"), col("a")), Seq("n"), "left")
+        .select(col("n"),
+          (lit(1000000000L).cast(dec) + coalesce(col("a"), lit(0L).cast(dec)))
+            .as("x"))
+    }
+    Graph.rankTopK(x.select(col("n"), col("x").cast("long").as("x")),
+      "x", "n", 20, "n", "katz_nano")
+  }
+
   val all: Seq[Q] = Seq(q385HllRegisters, q386HarmonicCentrality,
-    q387GraphDiameter, q388TriSupport, q389WeightedSample)
+    q387GraphDiameter, q388TriSupport, q389WeightedSample, q390Textrank,
+    q391BigramLm, q392KatzCentrality)
 }
