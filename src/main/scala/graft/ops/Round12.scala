@@ -304,6 +304,45 @@ object Round12 {
     * TakeOrderedAndProject (k-bounded, no global window) + posexplode —
     * q109's rank device. A-ES is THE distributed weighted sampler: no
     * global pass, mergeable by keeping each partition's top-k. */
+  /** A-ES priorities (prio_nano per doc) — q389's kernel, shared with the
+    * streaming twin (q393): map-side md5-nibble hash → rounded-ln nano
+    * fixed point → one floor division by the weight. */
+  private[graft] def aesPriorities(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def hv(i: Int) = s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+    docs.filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        md5(col("doc_id").cast("string")).as("d"))
+      .select(col("doc_id"), col("n_chars"),
+        expr(s"""16777216 * ${hv(1)} + 1048576 * ${hv(2)} + 65536 * ${hv(3)}
+                |+ 4096 * ${hv(4)} + 256 * ${hv(5)} + 16 * ${hv(6)}
+                |+ ${hv(7)}""".stripMargin).as("hv"))
+      .select(col("doc_id"), col("n_chars"),
+        expr("""(CAST(CAST(round(ln(hv + 1), 9) AS DECIMAL(28,9))
+               |      * 1000000000 AS BIGINT)
+               | - 28 * CAST(CAST(round(ln(2), 9) AS DECIMAL(28,9))
+               |             * 1000000000 AS BIGINT)) div n_chars"""
+          .stripMargin).as("prio_nano"))
+  }
+
+  /** Top-32 by (prio_nano desc, doc_id) via the k-bounded posexplode
+    * device — q389's epilogue, shared with the streaming twin. */
+  private[graft] def aesTop32(p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    p.orderBy(col("prio_nano").desc, col("doc_id"))
+      .limit(32)
+      .agg(collect_list(struct(col("prio_nano").as("s"),
+        col("doc_id").as("k"), col("n_chars").as("w"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.w").as("n_chars"),
+        col("r.s").as("prio_nano"))
+      .orderBy(col("pos"))
+
   val q389WeightedSample: Q = Q(
     "q389_weighted_sample",
     """WITH h AS (SELECT doc_id, n_chars,
@@ -331,36 +370,9 @@ object Round12 {
       |      FROM p)
       |SELECT pos, doc_id, n_chars, prio_nano
       |FROM r WHERE pos <= 32 ORDER BY pos""".stripMargin) { (s, dir) =>
-    def hv(i: Int) = s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
-    val p = Tables(s, dir, "documents")
-      .filter(col("n_chars") > 0)
-      .select(col("doc_id"), col("n_chars"),
-        md5(col("doc_id").cast("string")).as("d"))
-      .select(col("doc_id"), col("n_chars"),
-        expr(s"""16777216 * ${hv(1)} + 1048576 * ${hv(2)} + 65536 * ${hv(3)}
-                |+ 4096 * ${hv(4)} + 256 * ${hv(5)} + 16 * ${hv(6)}
-                |+ ${hv(7)}""".stripMargin).as("hv"))
-      .select(col("doc_id"), col("n_chars"),
-        expr("""(CAST(CAST(round(ln(hv + 1), 9) AS DECIMAL(28,9))
-               |      * 1000000000 AS BIGINT)
-               | - 28 * CAST(CAST(round(ln(2), 9) AS DECIMAL(28,9))
-               |             * 1000000000 AS BIGINT)) div n_chars"""
-          .stripMargin).as("prio_nano"))
     // q109's k-bounded rank device: TakeOrderedAndProject + posexplode
     // re-sorted with the same tie discipline — no global WindowExec.
-    p.orderBy(col("prio_nano").desc, col("doc_id"))
-      .limit(32)
-      .agg(collect_list(struct(col("prio_nano").as("s"),
-        col("doc_id").as("k"), col("n_chars").as("w"))).as("rows"))
-      .select(posexplode(expr(
-        """array_sort(rows, (l, r) ->
-          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
-          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
-          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
-      .select((col("i") + 1).cast("long").as("pos"),
-        col("r.k").as("doc_id"), col("r.w").as("n_chars"),
-        col("r.s").as("prio_nano"))
-      .orderBy(col("pos"))
+    aesTop32(aesPriorities(Tables(s, dir, "documents")))
   }
 
   /** q390: TextRank keyword extraction — q109's exact integer PageRank
@@ -588,7 +600,78 @@ object Round12 {
       "x", "n", 20, "n", "katz_nano")
   }
 
+  /** q394: HLL register MERGE identity — the property the 100-TB story
+    * actually leans on, gated explicitly: registers built PER SHARD
+    * (o_orderpriority as the shard key — shards overlap in customers, the
+    * harder case) and merged by per-bucket max equal the registers built
+    * over the global distinct key set in one pass. The oracle computes
+    * the GLOBAL sketch only; Spark computes the MERGED one — any merge
+    * defect (double-count sensitivity, lost shard, wrong combine op)
+    * hash-mismatches. Output also carries the shard count per bucket's
+    * contributing max for audit.
+    *
+    * Scale shape: per-shard distinct + 64-cell max per shard, then one
+    * 64·|shards|→64 max — the exact map-side-combine shape a
+    * 1000-executor distinct-count rollup uses. */
+  val q394HllMerge: Q = Q(
+    "q394_hll_merge",
+    """WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      |h AS (SELECT md5(CAST(k AS VARCHAR)) AS d FROM v),
+      |x AS (SELECT
+      |        (16 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
+      |           + (strpos('0123456789abcdef', substr(d, 2, 1)) - 1)) % 64
+      |          AS bucket,
+      |        4096 * (strpos('0123456789abcdef', substr(d, 3, 1)) - 1)
+      |          + 256 * (strpos('0123456789abcdef', substr(d, 4, 1)) - 1)
+      |          + 16 * (strpos('0123456789abcdef', substr(d, 5, 1)) - 1)
+      |          + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) AS n16
+      |      FROM h),
+      |r AS (SELECT bucket,
+      |             CASE WHEN n16 = 0 THEN 17
+      |                  ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END AS rnk
+      |      FROM x),
+      |reg AS (SELECT bucket, max(rnk) AS mr FROM r GROUP BY 1),
+      |sh AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+      |         AS n_shards FROM orders)
+      |SELECT CAST(gs.b AS BIGINT) AS bucket,
+      |       CAST(coalesce(reg.mr, 0) AS BIGINT) AS max_rank,
+      |       sh.n_shards
+      |FROM (SELECT unnest(range(0, 64)) AS b) gs
+      |LEFT JOIN reg ON reg.bucket = gs.b
+      |CROSS JOIN sh
+      |ORDER BY bucket""".stripMargin) { (s, dir) =>
+    def hv(i: Int) = s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+    val o = Tables(s, dir, "orders")
+      .select(col("o_orderpriority").as("shard"), col("o_custkey").as("k"))
+    // Per-shard sketches: distinct within shard (shards OVERLAP in
+    // customers — the dedup is per shard, as real per-partition partials
+    // would be), 64-cell max per shard…
+    val perShard = o.distinct()
+      .select(col("shard"), md5(col("k").cast("string")).as("d"))
+      .select(col("shard"),
+        expr(s"CAST((16 * ${hv(1)} + ${hv(2)}) % 64 AS BIGINT)").as("bucket"),
+        expr(s"""CASE WHEN 4096 * ${hv(3)} + 256 * ${hv(4)}
+                |          + 16 * ${hv(5)} + ${hv(6)} = 0
+                |     THEN CAST(17 AS BIGINT)
+                |     ELSE 16 - CAST(floor(log2(4096 * ${hv(3)}
+                |            + 256 * ${hv(4)} + 16 * ${hv(5)} + ${hv(6)}))
+                |          AS BIGINT) END""".stripMargin).as("rnk"))
+      .groupBy(col("shard"), col("bucket")).agg(max(col("rnk")).as("mr"))
+    // …then the MERGE: per-bucket max across shards — if this combine
+    // were anything weaker than the sketch's true union, the gate's
+    // global-sketch oracle would mismatch.
+    val merged = perShard.groupBy(col("bucket")).agg(max(col("mr")).as("mr"))
+    val nShards = o.select(col("shard")).distinct()
+      .agg(count(lit(1)).as("n_shards"))
+    s.range(64).select(col("id").as("bucket"))
+      .join(merged, Seq("bucket"), "left")
+      .crossJoin(broadcast(nShards))
+      .select(col("bucket"), coalesce(col("mr"), lit(0L)).as("max_rank"),
+        col("n_shards"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q385HllRegisters, q386HarmonicCentrality,
     q387GraphDiameter, q388TriSupport, q389WeightedSample, q390Textrank,
-    q391BigramLm, q392KatzCentrality)
+    q391BigramLm, q392KatzCentrality, q394HllMerge)
 }

@@ -2060,7 +2060,49 @@ object StreamGate {
       .orderBy(col("node_id"))
   }
 
+  /** q393: STREAMING weighted sampling — A-ES's defining property (the
+    * global top-k is contained in the union of per-shard top-k's, because
+    * priorities are per-item and rank-stable) exercised as an operational
+    * loop: documents arrive in two micro-batches, each trigger keeps ITS
+    * batch's top-32 priorities (`batch=<id>`, replay-idempotent
+    * overwrite), and the final answer re-ranks the ≤64 stored survivors —
+    * byte-equal to q389's one-pass batch top-32 over the whole corpus.
+    * This is exactly how a 1000-executor weighted sampler folds: bounded
+    * per-shard state, one tiny final merge. */
+  val q393StreamWeightedSample: Q = Q(
+    "q393_stream_weighted_sample",
+    graft.ops.Round12.q389WeightedSample.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q393-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageParityBatches(work, docs, "doc_id")
+    val store = work.resolve("aes").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          graft.ops.Round12.aesTop32(
+            graft.ops.Round12.aesPriorities(batch.toDF()))
+            .write.mode("overwrite").parquet(s"$store/batch=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Round12.aesTop32(
+      committedBatchesBefore(s, store, Long.MaxValue,
+        s.range(0).select(col("id").as("pos"), col("id").as("doc_id"),
+          col("id").as("n_chars"), col("id").as("prio_nano")))
+        .select(col("doc_id"), col("n_chars"), col("prio_nano")))
+  }
+
   val all: Seq[Q] = Seq(
+    q393StreamWeightedSample,
     q322StreamSprt, q347StreamEwma, q355StreamSequential,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,
