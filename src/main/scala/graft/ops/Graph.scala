@@ -1072,8 +1072,11 @@ object Graph {
     val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
     val delta = e0.filter((col("u") + col("v")) % 5 === 0)
       .persist(MEMORY_AND_DISK)
-    // The persisted index: day-1 labels (component id = min part id).
-    val lbl = Dedup.connectedComponents(
+    // The persisted index: day-1 labels (component id = min part id),
+    // through the TIERED closure (driver union-find below the 2M-edge
+    // boundary — one collect, no per-round jobs; distributed min-label
+    // above it — label-equal, proven at the boundary in BENCH_scale).
+    val lbl = Fuzzy.resolveClusters(s,
       day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
       .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
       .persist(MEMORY_AND_DISK)
@@ -1111,7 +1114,11 @@ object Graph {
         coalesce(col("lb"), col("v")).as("doc_b"))
       .filter(col("doc_a") =!= col("doc_b"))
       .localCheckpoint()
-    val mapping = Dedup.connectedComponents(meta)
+    // Tiered closure (Fuzzy.resolveClusters): ≤2·|Δ| meta-nodes usually
+    // sit far below the 2M-edge driver-tier boundary (one collect, no
+    // per-round jobs); past it the distributed min-label loop takes over
+    // with identical component-min labels.
+    val mapping = Fuzzy.resolveClusters(labels.sparkSession, meta)
       .select(col("doc_id").as("lab"), col("cluster_id").as("newlab"))
     // Nodes the delta INTRODUCES enter the table labeled by their own id;
     // then one broadcast (delta-sized) join re-resolves every label. The

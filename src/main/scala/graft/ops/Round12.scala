@@ -453,15 +453,18 @@ object Round12 {
     Graph.rankTopK(r, "r", "w", 20, "word", "rank_micro")
   }
 
-  /** q391: bigram language-model perplexity filter — the CCNet/Gopher
-    * quality signal the length/punct heuristics (q31) don't give: train
-    * an add-one-smoothed word-bigram LM on the even-id half, score the
-    * odd-id half, surface the 15 WORST (highest average negative
-    * log-likelihood) documents — exactly what a perplexity-threshold
-    * cleaner would drop. Each NLL term is ln(c₁+V) − ln(c₂+1): both ln
-    * args are exact-integer-valued doubles, rounded to 9 decimals and
-    * ×10⁹ through DECIMAL(28,9) (the nano discipline), summed as BIGINT,
-    * one floor division by the doc's bigram count.
+  /** q391: HELD-OUT bigram-LM perplexity ranking — q265 trains the
+    * add-one LM on the whole corpus and thresholds per-language flagged
+    * mass (self-scoring: every doc contributes to the model that judges
+    * it); this is the eval-proper construction a filter TUNES on: train
+    * on the even-id half only, score the UNSEEN odd-id half (unseen
+    * bigrams and head words hit the smoothing floor — impossible in
+    * q265's self-trained setup), and surface the 15 WORST documents a
+    * perplexity threshold would drop. Also exactness-stronger: each NLL
+    * term is ln(c₁+V) − ln(c₂+1) with both ln args exact-integer-valued
+    * doubles, rounded to 9 decimals and ×10⁹ through DECIMAL(28,9) (the
+    * nano discipline — no float division anywhere, where q265 rounds a
+    * float ratio), summed as BIGINT, one floor division per doc.
     *
     * Scale shape: counts are map-side-combined pair/word-grain
     * aggregates; scoring is two pair-grain equi-joins (bigram, then
