@@ -604,6 +604,23 @@ object Pipeline {
     val store = new Path(s"$outDir/$table")
     val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(store)) return
+    // Store-root writer lease (the same `_maintenance.lease` protocol
+    // etlAppendStaged holds): compaction re-commits the ROOT store
+    // manifest below, and without the lease a compact racing a live ETL
+    // writer makes one side fail loudly at the store-manifest CAS — no
+    // corruption, but an avoidable aborted run whose half-published
+    // generation the next run must reap. Serializing here turns that
+    // race into a loud refuse-at-acquire, like every other store writer.
+    graft.ops.GenStore.withLease(fs, new Path(outDir)) { _ =>
+      compactLeased(spark, outDir, table, filesPerPartition)
+    }
+  }
+
+  /** [[compact]]'s body, already under the store-root writer lease. */
+  private def compactLeased(spark: SparkSession, outDir: String, table: String,
+      filesPerPartition: Int): Unit = {
+    val store = new Path(s"$outDir/$table")
+    val fs = store.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverPartitions(fs, store)
     val (seq, snap) = baselinedSnapshot(fs, store)
     // Compaction is the full-GC pass: it scans every partition (it lists

@@ -207,21 +207,28 @@ object Graph {
       // both materializes the persisted out-degree table and removes a
       // per-iteration 1-row cross join from the plan.
       val nn = outd.count()
-      val base = S / nn
-      val jump = (15L * base) / 100L
-      // (u, v, od) built once, persisted: every iteration probes it —
-      // unpersisted, iteration i re-runs the whole edge build (audited:
-      // 88 parquet scans in the unpersisted 3-iteration plan).
-      val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
-      var r = outd.select(col("u").as("n"), lit(base).as("r"))
-      for (_ <- 1 to 3) {
-        r = edges.join(r, col("n") === col("u"))
-          .groupBy(col("v"))
-          .agg(sum(expr("r div od")).as("c"))
-          .select(col("v").as("n"),
-            (lit(jump) + expr("(85 * c) div 100")).as("r"))
+      // Empty support-2 graph (degenerate input): the oracle's r3 is
+      // empty — surface the empty leaderboard, don't divide by zero.
+      if (nn == 0)
+        s.range(0).select(col("id").as("pos"), col("id").as("n"),
+          col("id").as("r"))
+      else {
+        val base = S / nn
+        val jump = (15L * base) / 100L
+        // (u, v, od) built once, persisted: every iteration probes it —
+        // unpersisted, iteration i re-runs the whole edge build (audited:
+        // 88 parquet scans in the unpersisted 3-iteration plan).
+        val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
+        var r = outd.select(col("u").as("n"), lit(base).as("r"))
+        for (_ <- 1 to 3) {
+          r = edges.join(r, col("n") === col("u"))
+            .groupBy(col("v"))
+            .agg(sum(expr("r div od")).as("c"))
+            .select(col("v").as("n"),
+              (lit(jump) + expr("(85 * c) div 100")).as("r"))
+        }
+        rankTopK(r, "r", "n", 100, "n", "r")
       }
-      rankTopK(r, "r", "n", 100, "n", "r")
     }
   }
 
@@ -1008,25 +1015,32 @@ object Graph {
         .select(col("u").as("n")).withColumn("is_seed", lit(true))
         .persist(MEMORY_AND_DISK)
       val nn = outd.count()
-      val base = S / nn
-      val sjump = (15L * (S / 5L)) / 100L
-      val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
-      var r = outd.select(col("u").as("n"), lit(base).as("r"))
-      for (_ <- 1 to 3) {
-        r = edges.join(r, col("n") === col("u"))
-          .groupBy(col("v"))
-          .agg(sum(expr("r div od")).as("c"))
-          .select(col("v").as("n"), expr("(85 * c) div 100").as("c"))
-          .join(broadcast(seeds), Seq("n"), "left")
-          .select(col("n"),
-            (when(col("is_seed"), lit(sjump)).otherwise(lit(0L))
-              + col("c")).as("r"))
+      // Empty support-2 graph: empty leaderboard, no driver-side div-0.
+      if (nn == 0)
+        s.range(0).select(col("id").as("pos"), col("id").as("n"),
+          col("id").as("r"), lit(false).as("is_seed"))
+      else {
+        val base = S / nn
+        val sjump = (15L * (S / 5L)) / 100L
+        val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
+        var r = outd.select(col("u").as("n"), lit(base).as("r"))
+        for (_ <- 1 to 3) {
+          r = edges.join(r, col("n") === col("u"))
+            .groupBy(col("v"))
+            .agg(sum(expr("r div od")).as("c"))
+            .select(col("v").as("n"), expr("(85 * c) div 100").as("c"))
+            .join(broadcast(seeds), Seq("n"), "left")
+            .select(col("n"),
+              (when(col("is_seed"), lit(sjump)).otherwise(lit(0L))
+                + col("c")).as("r"))
+        }
+        rankTopK(r, "r", "n", 20, "n", "r")
+          .join(broadcast(seeds.select(col("n"), col("is_seed"))), Seq("n"),
+            "left")
+          .select(col("pos"), col("n"), col("r"),
+            coalesce(col("is_seed"), lit(false)).as("is_seed"))
+          .orderBy(col("pos"))
       }
-      rankTopK(r, "r", "n", 20, "n", "r")
-        .join(broadcast(seeds.select(col("n"), col("is_seed"))), Seq("n"), "left")
-        .select(col("pos"), col("n"), col("r"),
-          coalesce(col("is_seed"), lit(false)).as("is_seed"))
-        .orderBy(col("pos"))
   }
   }
 

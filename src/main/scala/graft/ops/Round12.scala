@@ -25,14 +25,25 @@ object Round12 {
       |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
       |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
 
+  /** Pure-integer MSB position: bit length of a 16-bit value (0 for 0),
+    * as a 16-branch CASE cascade whose text runs identically in both
+    * engines. Replaces `floor(log2(n16))` in the HLL rank — empirically
+    * the float was green at all three SFs, but libm vs JVM log
+    * implementations may differ by 1 ulp at power-of-two arguments, and
+    * a bit-identical register gate should carry no float dependency at
+    * all (HLL rank = 17 − bitlen). */
+  private def bitlen16(e: String): String =
+    (16 to 1 by -1).map(i => s"WHEN ($e) >= ${1L << (i - 1)} THEN $i")
+      .mkString("(CASE ", " ", " ELSE 0 END)")
+
   /** q385: HyperLogLog REGISTERS, bit-identical across engines — where
     * q252 audits Spark's native `hll_sketch_agg` against the exact
     * distinct count, this builds the sketch from engine-NEUTRAL
     * primitives (md5 → hex-nibble arithmetic) so the 64 register values
     * themselves hash-match DuckDB: bucket = first byte mod 64, rank =
-    * leading-zeros+1 of the next 16 hash bits (via floor(log2) — exact
-    * at every power-of-two boundary, and interior values have ≥ 1/2 ulp
-    * of slack), estimate = the raw HLL formula α·m²/Σ2^(−M_j) carried in
+    * leading-zeros+1 of the next 16 hash bits = 17 − bitlen (a pure-
+    * integer 16-branch MSB cascade — [[bitlen16]]; no float anywhere),
+    * estimate = the raw HLL formula α·m²/Σ2^(−M_j) carried in
     * pure integers (Σ scaled by 2^17, α = 709/1000, floor division).
     *
     * Scale shape: ONE map-side-combinable max per bucket after the
@@ -42,7 +53,7 @@ object Round12 {
     * partial-aggregated exactly like a sum). */
   val q385HllRegisters: Q = Q(
     "q385_hll_registers",
-    """WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    s"""WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
       |h AS (SELECT md5(CAST(k AS VARCHAR)) AS d FROM v),
       |x AS (SELECT
       |        (16 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
@@ -54,8 +65,7 @@ object Round12 {
       |          + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) AS n16
       |      FROM h),
       |r AS (SELECT bucket,
-      |             CASE WHEN n16 = 0 THEN 17
-      |                  ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END AS rnk
+      |             CAST(17 - ${bitlen16("n16")} AS BIGINT) AS rnk
       |      FROM x),
       |reg AS (SELECT bucket, max(rnk) AS mr FROM r GROUP BY 1),
       |regs AS (SELECT CAST(gs.b AS BIGINT) AS bucket,
@@ -81,9 +91,7 @@ object Round12 {
         expr(s"4096 * ${hv(3)} + 256 * ${hv(4)} + 16 * ${hv(5)} + ${hv(6)}")
           .as("n16"))
     val reg = x.select(col("bucket"),
-      expr("""CASE WHEN n16 = 0 THEN CAST(17 AS BIGINT)
-             |     ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END""".stripMargin)
-        .as("rnk"))
+      expr(s"CAST(17 - ${bitlen16("n16")} AS BIGINT)").as("rnk"))
       .groupBy(col("bucket")).agg(max(col("rnk")).as("mr"))
     val regs = s.range(64).select(col("id").as("bucket"))
       .join(reg, Seq("bucket"), "left")
@@ -187,7 +195,7 @@ object Round12 {
     "q387_graph_diameter",
     s"""WITH RECURSIVE $duckEdges,
       |sym AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-      |s1 AS (SELECT min(u) AS seed FROM sym),
+      |s1 AS (SELECT min(u) AS seed FROM sym HAVING count(*) > 0),
       |w1 AS (
       |  SELECT seed AS node, 0 AS dist FROM s1
       |  UNION
@@ -212,21 +220,30 @@ object Round12 {
     val e0 = Graph.supportedEdges(s, dir)
     val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .persist(MEMORY_AND_DISK)
-    val seed = sym.agg(min(col("u"))).head.getLong(0)
-    def sweep(from: Long) = bfsFrom(
-      s.range(1).select(lit(from).as("seed")), sym, 30)
-      .select(col("node"), col("dist")).persist(MEMORY_AND_DISK)
-    val m1 = sweep(seed)
-    val Array(far1, ecc1) = m1.orderBy(col("dist").desc, col("node")).limit(1)
-      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-    val m2 = sweep(far1)
-    val Array(far2, ecc2) = m2.orderBy(col("dist").desc, col("node")).limit(1)
-      .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
-    val compSize = m2.count()
-    m1.unpersist(); m2.unpersist(); sym.unpersist()
-    s.range(1).select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
-      lit(far1).as("far_node"), lit(ecc2).as("diameter_bound"),
-      lit(far2).as("antipode"), lit(compSize).as("component_size"))
+    // Empty graph: the oracle's s1 HAVING-gates to zero rows — mirror
+    // that (the previous getLong(0) NPE'd on the NULL min).
+    val seedRow = sym.agg(min(col("u"))).head
+    if (seedRow.isNullAt(0))
+      s.range(0).select(col("id").as("seed"), col("id").as("ecc_seed"),
+        col("id").as("far_node"), col("id").as("diameter_bound"),
+        col("id").as("antipode"), col("id").as("component_size"))
+    else {
+      val seed = seedRow.getLong(0)
+      def sweep(from: Long) = bfsFrom(
+        s.range(1).select(lit(from).as("seed")), sym, 30)
+        .select(col("node"), col("dist")).persist(MEMORY_AND_DISK)
+      val m1 = sweep(seed)
+      val Array(far1, ecc1) = m1.orderBy(col("dist").desc, col("node")).limit(1)
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      val m2 = sweep(far1)
+      val Array(far2, ecc2) = m2.orderBy(col("dist").desc, col("node")).limit(1)
+        .collect().map(r => Array(r.getLong(0), r.getLong(1))).head
+      val compSize = m2.count()
+      m1.unpersist(); m2.unpersist(); sym.unpersist()
+      s.range(1).select(lit(seed).as("seed"), lit(ecc1).as("ecc_seed"),
+        lit(far1).as("far_node"), lit(ecc2).as("diameter_bound"),
+        lit(far2).as("antipode"), lit(compSize).as("component_size"))
+    }
   }
 
   /** q388: per-EDGE triangle support — the k-truss building block (an
@@ -439,18 +456,27 @@ object Round12 {
     val outd = sym.groupBy(col("u")).agg(count(lit(1)).as("od"))
       .persist(MEMORY_AND_DISK)
     val nn = outd.count()
-    val base = 1000000000000L / nn
-    val jump = (15L * base) / 100L
-    val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
-    var r = outd.select(col("u").as("w"), lit(base).as("r"))
-    for (_ <- 1 to 3) {
-      r = edges.join(r, col("w") === col("u"))
-        .groupBy(col("v"))
-        .agg(sum(expr("r div od")).as("c"))
-        .select(col("v").as("w"),
-          (lit(jump) + expr("(85 * c) div 100")).as("r"))
+    // Degenerate corpus (no support-3 co-occurrence edge at all): the
+    // oracle's r3 is empty, so surface the empty leaderboard instead of
+    // dividing by zero on the driver. (An if/else EXPRESSION — a `return`
+    // inside this lambda would be a non-local return.)
+    if (nn == 0)
+      s.range(0).select(col("id").as("pos"),
+        col("id").cast("string").as("word"), col("id").as("rank_micro"))
+    else {
+      val base = 1000000000000L / nn
+      val jump = (15L * base) / 100L
+      val edges = sym.join(outd, "u").persist(MEMORY_AND_DISK)
+      var r = outd.select(col("u").as("w"), lit(base).as("r"))
+      for (_ <- 1 to 3) {
+        r = edges.join(r, col("w") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("r div od")).as("c"))
+          .select(col("v").as("w"),
+            (lit(jump) + expr("(85 * c) div 100")).as("r"))
+      }
+      Graph.rankTopK(r, "r", "w", 20, "word", "rank_micro")
     }
-    Graph.rankTopK(r, "r", "w", 20, "word", "rank_micro")
   }
 
   /** q391: HELD-OUT bigram-LM perplexity ranking — q265 trains the
@@ -618,7 +644,7 @@ object Round12 {
     * 1000-executor distinct-count rollup uses. */
   val q394HllMerge: Q = Q(
     "q394_hll_merge",
-    """WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    s"""WITH v AS (SELECT DISTINCT o_custkey AS k FROM orders),
       |h AS (SELECT md5(CAST(k AS VARCHAR)) AS d FROM v),
       |x AS (SELECT
       |        (16 * (strpos('0123456789abcdef', substr(d, 1, 1)) - 1)
@@ -630,8 +656,7 @@ object Round12 {
       |          + (strpos('0123456789abcdef', substr(d, 6, 1)) - 1) AS n16
       |      FROM h),
       |r AS (SELECT bucket,
-      |             CASE WHEN n16 = 0 THEN 17
-      |                  ELSE 16 - CAST(floor(log2(n16)) AS BIGINT) END AS rnk
+      |             CAST(17 - ${bitlen16("n16")} AS BIGINT) AS rnk
       |      FROM x),
       |reg AS (SELECT bucket, max(rnk) AS mr FROM r GROUP BY 1),
       |sh AS (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT)
@@ -653,12 +678,10 @@ object Round12 {
       .select(col("shard"), md5(col("k").cast("string")).as("d"))
       .select(col("shard"),
         expr(s"CAST((16 * ${hv(1)} + ${hv(2)}) % 64 AS BIGINT)").as("bucket"),
-        expr(s"""CASE WHEN 4096 * ${hv(3)} + 256 * ${hv(4)}
-                |          + 16 * ${hv(5)} + ${hv(6)} = 0
-                |     THEN CAST(17 AS BIGINT)
-                |     ELSE 16 - CAST(floor(log2(4096 * ${hv(3)}
-                |            + 256 * ${hv(4)} + 16 * ${hv(5)} + ${hv(6)}))
-                |          AS BIGINT) END""".stripMargin).as("rnk"))
+        expr(s"4096 * ${hv(3)} + 256 * ${hv(4)} + 16 * ${hv(5)} + ${hv(6)}")
+          .as("n16"))
+      .select(col("shard"), col("bucket"),
+        expr(s"CAST(17 - ${bitlen16("n16")} AS BIGINT)").as("rnk"))
       .groupBy(col("shard"), col("bucket")).agg(max(col("rnk")).as("mr"))
     // …then the MERGE: per-bucket max across shards — if this combine
     // were anything weaker than the sketch's true union, the gate's
