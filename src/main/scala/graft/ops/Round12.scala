@@ -258,30 +258,36 @@ object Round12 {
     * Scale shape: the wedge join is the only super-linear step and is
     * orientation-bounded; the explode is 3 rows per triangle; support
     * aggregates map-side at edge grain. */
-  val q388TriSupport: Q = Q(
-    "q388_tri_support",
-    s"""WITH $duckEdges,
-      |adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
-      |supp AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS tri
-      |         FROM e0 e
-      |         JOIN adj a1 ON a1.u = e.u
-      |         JOIN adj a2 ON a2.u = e.v AND a2.v = a1.v
-      |         GROUP BY 1, 2)
-      |SELECT e0.u, e0.v, CAST(coalesce(supp.tri, 0) AS BIGINT) AS tri_support
-      |FROM e0 LEFT JOIN supp ON supp.u = e0.u AND supp.v = e0.v
-      |ORDER BY e0.u, e0.v""".stripMargin) { (s, dir) =>
-    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+  /** The from-scratch per-edge triangle support of an (u < v) edge set —
+    * q388's kernel, exposed for the k-truss peel (q396, which recomputes
+    * it on the shrinking graph) and as the incremental fold's batch
+    * reference (q395). Triangles are enumerated ONCE via the
+    * (deg,id)-oriented wedge join (out-degrees O(√E) after orientation —
+    * skew-immune, measured by the round-12 wedge boundary probe), then
+    * each triangle credits its three edges. Returns (u, v, tri) covering
+    * every input edge, zeros included, unordered.
+    *
+    * `checkpointOri`: the oriented edge list is referenced three times;
+    * one-shot callers persist it (cache registry, dropped by Verify's
+    * per-query clearCache), but the k-truss peel calls this 40+ times
+    * in a loop — there localCheckpoint materializes it without pinning
+    * 40 entries in the cache registry (the ContextCleaner reclaims the
+    * blocks when the round's frame goes unreachable). */
+  private[graft] def triSupportOf(e0: org.apache.spark.sql.DataFrame,
+      checkpointOri: Boolean = false): org.apache.spark.sql.DataFrame = {
     val deg = e0.select(col("u").as("n")).unionAll(e0.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     val fwd = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val ori = e0
+    val oriPlan = e0
       .join(deg.withColumnRenamed("n", "u").withColumnRenamed("d", "du"), "u")
       .join(deg.withColumnRenamed("n", "v").withColumnRenamed("d", "dv"), "v")
       .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
         when(fwd, col("v")).otherwise(col("u")).as("b"),
         when(fwd, col("dv")).otherwise(col("du")).as("db"))
-      .persist(MEMORY_AND_DISK) // wedge sides + the close probe
+    val ori = // wedge sides + the close probe: materialize once
+      if (checkpointOri) oriPlan.localCheckpoint()
+      else oriPlan.persist(MEMORY_AND_DISK)
     val wedge = ori.as("o1").join(ori.as("o2"),
         col("o1.a") === col("o2.a") &&
           (col("o1.db") < col("o2.db") ||
@@ -300,8 +306,24 @@ object Round12 {
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("tri"))
     e0.join(tri, Seq("u", "v"), "left")
-      .select(col("u"), col("v"),
-        coalesce(col("tri"), lit(0L)).as("tri_support"))
+      .select(col("u"), col("v"), coalesce(col("tri"), lit(0L)).as("tri"))
+  }
+
+  val q388TriSupport: Q = Q(
+    "q388_tri_support",
+    s"""WITH $duckEdges,
+      |adj AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |supp AS (SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS tri
+      |         FROM e0 e
+      |         JOIN adj a1 ON a1.u = e.u
+      |         JOIN adj a2 ON a2.u = e.v AND a2.v = a1.v
+      |         GROUP BY 1, 2)
+      |SELECT e0.u, e0.v, CAST(coalesce(supp.tri, 0) AS BIGINT) AS tri_support
+      |FROM e0 LEFT JOIN supp ON supp.u = e0.u AND supp.v = e0.v
+      |ORDER BY e0.u, e0.v""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    triSupportOf(e0)
+      .select(col("u"), col("v"), col("tri").as("tri_support"))
       .orderBy(col("u"), col("v"))
   }
 

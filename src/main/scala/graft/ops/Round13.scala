@@ -1,0 +1,481 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+import graft.{Q, Tables}
+
+/** Round-13 additions: the incremental-maintenance discipline extended to
+  * triangle support (the delta-local fold q388's metric admits — a new
+  * edge only perturbs supports inside its endpoints' neighborhoods),
+  * k-truss decomposition (the peel loop q388 is the precursor of), a
+  * non-whitespace-script tokenizer fallback closing the text tier's
+  * space-delimited boundary, and Count-Min Sketch registers — the
+  * SUM-mergeable heavy-hitter state complementing q385/q394's
+  * max-mergeable HLL (cross-engine bit-identical registers, per-shard
+  * merge identity, and the min-read estimate path).
+  */
+object Round13 {
+
+  /** The support-2 co-purchase edge CTEs the graph oracles share
+    * (q106/q383/q388's rendering verbatim). */
+  private val duckEdges: String =
+    """lp AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (
+      |  SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |  FROM lp l1 JOIN lp l2
+      |    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q395 — incremental triangle support
+  // -------------------------------------------------------------------
+
+  /** Fold a batch of delta edges into a persisted per-edge triangle
+    * support index without re-running the archive's wedge join — the
+    * [[graft.ops.Graph.ccFold]] discipline applied to q388's metric,
+    * which is DELTA-LOCAL by nature: a triangle is new iff it contains
+    * ≥ 1 delta edge, and every such triangle surfaces as a common
+    * neighbor w of some delta edge's endpoints. So the fold is two
+    * |Δ|-grain adjacency probes (never an archive-grain wedge join),
+    * one distinct at new-triangle grain (canonical sorted triples — a
+    * triangle holding 2 or 3 delta edges is found through each of them
+    * and collapses to one count), a 3-row explode per new triangle, and
+    * one edge-grain merge into the stored counts.
+    *
+    * `prev`: (u, v, tri) with u < v — the stored index (supports of all
+    * triangles wholly inside the archive; the invariant this fold
+    * preserves, so folds CHAIN batch over batch). `delta`: (u, v) new
+    * edges, u < v. Returns the updated (u, v, tri) covering prev's
+    * edges ∪ delta's — equal to [[Round12.triSupportOf]] over the union,
+    * because every triangle is counted exactly once, at the fold where
+    * its LAST edge arrives. Redelivered edges are filtered at entry
+    * (anti-join against the index), so replay cannot double-count.
+    *
+    * Scale shape: at 100 TB the stored index is the big side and is
+    * touched exactly twice at |Δ|-grain (the adjacency probe and the
+    * final merge — and the merge would publish only dsupp's changed
+    * keys through the manifest store's partitioned upsert, never
+    * rewrite untouched edges). */
+  private[graft] def triSupportFold(prev: DataFrame, delta: DataFrame)
+      : DataFrame = {
+    val prevEdges = prev.select(col("u"), col("v"))
+    val deltaEff = delta.select(col("u"), col("v")).distinct()
+      .join(prevEdges, Seq("u", "v"), "left_anti")
+    val allEdges = prevEdges.unionByName(deltaEff)
+      .persist(MEMORY_AND_DISK) // probed twice (adjacency) + final merge
+    val adj = allEdges.unionAll(
+      allEdges.select(col("v").as("u"), col("u").as("v")))
+    val tris = deltaEff.select(col("u").as("du"), col("v").as("dv"))
+      .join(adj.select(col("u").as("du"), col("v").as("w")), "du")
+      .join(adj.select(col("u").as("dv"), col("v").as("w")), Seq("dv", "w"))
+      .select(expr("array_sort(array(du, dv, w))").as("t"))
+      .distinct()
+    val dsupp = tris.select(explode(expr(
+        """array(named_struct('u', t[0], 'v', t[1]),
+          |      named_struct('u', t[0], 'v', t[2]),
+          |      named_struct('u', t[1], 'v', t[2]))""".stripMargin)).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("dtri"))
+    allEdges
+      .join(prev, Seq("u", "v"), "left")
+      .join(dsupp, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (coalesce(col("tri"), lit(0L)) + coalesce(col("dtri"), lit(0L)))
+          .as("tri"))
+  }
+
+  /** q395: INCREMENTAL per-edge triangle support — q388's metric under
+    * the q383 index-maintenance discipline: the co-purchase edge stream
+    * splits into a day-1 archive ((u+v) % 5 ≠ 0) whose supports are the
+    * PERSISTED index (one wedge join, run once), and a day-2 delta
+    * ((u+v) % 5 = 0) folded in by [[triSupportFold]] — |Δ|-grain
+    * adjacency probes only, the archive's wedge join never re-runs.
+    * Oracle: the FROM-SCRATCH full-graph support (q388's oracle
+    * verbatim), so the gate is "fold ≡ rebuild". */
+  val q395TriSupportIncremental: Q = Q(
+    "q395_tri_support_incremental",
+    Round12.q388TriSupport.oracle.get) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+    // The persisted index: day-1 supports (triangles wholly in the
+    // archive), built once — in production this is yesterday's table.
+    val index = Round12.triSupportOf(day1)
+    triSupportFold(index, delta)
+      .select(col("u"), col("v"), col("tri").as("tri_support"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  // -------------------------------------------------------------------
+  // q396 — k-truss decomposition
+  // -------------------------------------------------------------------
+
+  /** Peel-round caps per k, shared by all three implementations (the
+    * unrolled oracle runs EXACTLY cap rounds per k — idempotent after
+    * convergence; both Spark tiers peel to convergence and loudly
+    * require rounds ≤ cap, so an input needing more rounds fails the
+    * run rather than silently gating an unconverged answer). Measured
+    * convergence on the three driver SFs: k=3 takes 2 rounds, k=4
+    * takes 6, k=5 takes 32 (sf0.001's dense core peels in long
+    * cascades), k=6 takes 6, k=7 starts empty — caps carry ~1.4×
+    * headroom. k stops at 7: max truss observed is 5, and higher
+    * levels of an unrolled oracle would only peel empty sets. */
+  private[graft] val trussSchedule: Seq[(Int, Int)] =
+    Seq(3 -> 8, 4 -> 14, 5 -> 44, 6 -> 14, 7 -> 8)
+
+  /** The unrolled k-truss oracle: for each k in the schedule, `cap`
+    * peel rounds (recompute support on the survivors, drop edges with
+    * support < k−2), all CTEs MATERIALIZED — each round references its
+    * predecessor four times, and without materialization the inlined
+    * plan tree grows 4^rounds. Truss number = max k whose peel the
+    * edge survives (2 if it survives none). */
+  private def ktrussOracle: String = {
+    val b = new scala.collection.mutable.StringBuilder
+    b ++= "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey " +
+      "FROM lineitem),\ne0 AS MATERIALIZED (SELECT l1.l_partkey AS u, " +
+      "l2.l_partkey AS v FROM lp l1 JOIN lp l2 ON l1.l_orderkey = " +
+      "l2.l_orderkey AND l1.l_partkey < l2.l_partkey GROUP BY 1, 2 " +
+      "HAVING count(*) >= 2)"
+    var prev = "e0"
+    val finals = scala.collection.mutable.ListBuffer[String]()
+    for ((k, cap) <- trussSchedule) {
+      for (r <- 1 to cap) {
+        val a = s"a_${k}_$r"
+        val t = s"t_${k}_$r"
+        b ++= s",\n$a AS MATERIALIZED (SELECT u, v FROM $prev " +
+          s"UNION ALL SELECT v, u FROM $prev)"
+        b ++= s",\n$t AS MATERIALIZED (SELECT e.u, e.v FROM $prev e " +
+          s"LEFT JOIN (SELECT e2.u, e2.v, count(*) AS tri FROM $prev e2 " +
+          s"JOIN $a a1 ON a1.u = e2.u JOIN $a a2 ON a2.u = e2.v AND " +
+          s"a2.v = a1.v GROUP BY 1, 2) s ON s.u = e.u AND s.v = e.v " +
+          s"WHERE coalesce(s.tri, 0) >= ${k - 2})"
+        prev = t
+      }
+      finals += s"SELECT u, v, $k AS k FROM $prev"
+    }
+    b ++= s",\nsurv AS (${finals.mkString(" UNION ALL ")}),"
+    b ++= "\ntn AS (SELECT u, v, max(k) AS truss FROM surv GROUP BY 1, 2)"
+    b ++= "\nSELECT e0.u, e0.v, CAST(coalesce(tn.truss, 2) AS BIGINT) " +
+      "AS truss FROM e0 LEFT JOIN tn ON tn.u = e0.u AND tn.v = e0.v " +
+      "ORDER BY e0.u, e0.v"
+    b.toString
+  }
+
+  /** Driver-tier truss peel (mirrors [[Fuzzy.resolveClusters]]'s
+    * ≤2M-edge tier: one collect, in-heap adjacency sets, no per-round
+    * jobs — the peel's 40-plus tiny rounds are exactly the fixed-job-
+    * overhead shape the driver tier exists for). */
+  private[graft] def trussDriver(edges: Array[(Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val truss = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    edges.foreach(e => truss(e) = 2L)
+    var cur: Set[(Long, Long)] = edges.toSet
+    for ((k, cap) <- trussSchedule if cur.nonEmpty) {
+      var rounds = 0
+      var changed = true
+      while (changed && cur.nonEmpty) {
+        rounds += 1
+        require(rounds <= cap,
+          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap rounds) — re-measure convergence and raise the " +
+            "schedule rather than gating an unconverged answer")
+        val adj = scala.collection.mutable
+          .Map.empty[Long, scala.collection.mutable.Set[Long]]
+        cur.foreach { case (u, v) =>
+          adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+          adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+        }
+        val keep = cur.filter { case (u, v) =>
+          val (a, bb) = if (adj(u).size <= adj(v).size) (u, v) else (v, u)
+          adj(a).count(adj(bb).contains) >= k - 2
+        }
+        changed = keep.size != cur.size
+        cur = keep
+      }
+      cur.foreach(e => truss(e) = k.toLong)
+    }
+    edges.toSeq.map { case (u, v) => (u, v, truss((u, v))) }
+  }
+
+  /** Distributed truss peel: per round ONE oriented wedge join on the
+    * CURRENT survivor set ([[Round12.triSupportOf]] — orientation keeps
+    * it skew-immune on every round's residual graph) + the k−2 filter,
+    * lineage cut per round (localCheckpoint — 40+ rounds would
+    * otherwise stack plans). This is the 100-TB path; the survivor set
+    * only shrinks, so per-round cost is bounded by the first round's. */
+  private[graft] def trussDistributed(e0: DataFrame): DataFrame = {
+    var cur = e0.select(col("u"), col("v")).localCheckpoint()
+    var n = cur.count()
+    val surv = scala.collection.mutable.ListBuffer[DataFrame]()
+    for ((k, cap) <- trussSchedule if n > 0) {
+      var rounds = 0
+      var stable = false
+      while (!stable && n > 0) {
+        rounds += 1
+        require(rounds <= cap,
+          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap rounds)")
+        val next = Round12.triSupportOf(cur, checkpointOri = true)
+          .filter(col("tri") >= k - 2)
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val m = next.count()
+        stable = m == n
+        cur = next
+        n = m
+      }
+      if (n > 0) surv += cur.select(col("u"), col("v"), lit(k.toLong).as("k"))
+    }
+    val tn =
+      if (surv.isEmpty)
+        e0.sparkSession.range(0).select(col("id").as("u"),
+          col("id").as("v"), col("id").as("truss"))
+      else
+        surv.reduce(_ unionByName _)
+          .groupBy(col("u"), col("v")).agg(max(col("k")).as("truss"))
+    e0.join(tn, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        coalesce(col("truss"), lit(2L)).as("truss"))
+  }
+
+  /** Tier choice, CHECKED not assumed (the [[Fuzzy.resolveClusters]]
+    * contract): count the edges first; at or below `driverMaxEdges` run
+    * the in-heap peel, above it the distributed wedge-join peel. Both
+    * tiers produce identical truss numbers (Round13Spec races them on
+    * the same graphs). */
+  private[graft] def trussTiered(s: SparkSession, e0: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    if (e0.count() <= driverMaxEdges) {
+      val rows = trussDriver(
+        e0.collect().map(r => (r.getLong(0), r.getLong(1))))
+      s.createDataFrame(rows).toDF("u", "v", "truss")
+    } else trussDistributed(e0)
+  }
+
+  /** q396: k-TRUSS DECOMPOSITION — the cohesion decomposition q388's
+    * per-edge support is the precursor of: repeatedly drop edges in
+    * fewer than k−2 triangles (support recomputed on the shrinking
+    * graph — removals cascade), and an edge's truss number is the
+    * largest k it survives. The standard community-trimming call: a
+    * k-truss edge sits in a group where every tie is reinforced by
+    * k−2 mutual neighbors, far stronger than degree (k-core) screening.
+    * Peel-round caps per k are part of the metric's shared definition
+    * (see [[trussSchedule]]); both engines peel the same schedule.
+    *
+    * Scale shape: tiered exactly like the CC closure — below 2M edges
+    * one collect + in-heap peel (40+ residual-graph rounds cost driver
+    * microseconds, not 3 jobs each); above it the distributed peel's
+    * per-round oriented wedge join on the shrinking survivor set. */
+  val q396Ktruss: Q = Q("q396_ktruss", ktrussOracle) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    trussTiered(s, e0).orderBy(col("u"), col("v"))
+  }
+
+  // -------------------------------------------------------------------
+  // q398 — non-whitespace-script tokenizer fallback
+  // -------------------------------------------------------------------
+
+  /** q398: SCRIPT-AWARE tokenizer fallback — every text op in the tier
+    * tokenizes on single spaces, which is the synthetic corpus's
+    * contract but NOT a property of real multilingual data (CJK-like
+    * scripts arrive unsegmented). This query gates the standard
+    * fallback: documents planted as unsegmented (doc_id % 7 = 0 —
+    * spaces stripped in-query, since the stored corpus is read-only)
+    * route through CHARACTER-BIGRAM tokenization while segmented text
+    * keeps the whitespace path, and the top-10 tokens per mode are the
+    * gate. The mode test is the presence of any space — exactly the
+    * dispatch a lang-id-gated production tokenizer makes first.
+    *
+    * Scale shape: both paths are map-side explodes; counts partial-
+    * aggregate at token grain; leaderboards are k-bounded (no global
+    * window). */
+  val q398ScriptFallbackTokens: Q = Q(
+    "q398_script_fallback_tokens",
+    """WITH base AS (
+      |  SELECT doc_id,
+      |         CASE WHEN doc_id % 7 = 0 THEN replace(text, ' ', '')
+      |              ELSE text END AS s
+      |  FROM documents WHERE text IS NOT NULL),
+      |tok AS (
+      |  SELECT 'space' AS mode, unnest(string_split(s, ' ')) AS token
+      |  FROM base WHERE contains(s, ' ')
+      |  UNION ALL
+      |  SELECT 'bigram' AS mode, substr(s, i, 2) AS token
+      |  FROM (SELECT s, unnest(range(1, length(s))) AS i
+      |        FROM base WHERE NOT contains(s, ' '))),
+      |c AS (SELECT mode, token, CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tok WHERE token <> '' GROUP BY 1, 2),
+      |r AS (SELECT mode, token, cnt,
+      |             CAST(row_number() OVER (PARTITION BY mode
+      |               ORDER BY cnt DESC, token) AS BIGINT) AS pos
+      |      FROM c)
+      |SELECT mode, pos, token, cnt
+      |FROM r WHERE pos <= 10 ORDER BY mode, pos""".stripMargin) { (s, dir) =>
+    val base = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, regexp_replace(col("text"), " ", ""))
+          .otherwise(col("text")).as("s"))
+    val ws = base.filter(col("s").contains(" "))
+      .select(explode(split(col("s"), " ")).as("token"))
+    // sequence(1, len-1) needs len >= 2 (Spark sequence DESCENDS when
+    // start > stop); a 1-char unsegmented doc has no bigram in either
+    // engine (the oracle's range(1, 1) is empty), so the filter is
+    // parity, not a divergence.
+    val bg = base.filter(!col("s").contains(" ") && length(col("s")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(s) - 1), i -> substring(s, i, 2))"))
+        .as("token"))
+    def top10(df: DataFrame, mode: String) =
+      Graph.rankTopK(
+        df.filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt")),
+        "cnt", "token", 10, "token", "cnt")
+        .select(lit(mode).as("mode"), col("pos"), col("token"), col("cnt"))
+    top10(bg, "bigram").unionByName(top10(ws, "space"))
+      .orderBy(col("mode"), col("pos"))
+  }
+
+  // -------------------------------------------------------------------
+  // q399 / q400 — Count-Min Sketch registers + estimate read path
+  // -------------------------------------------------------------------
+
+  /** Hex-nibble value of digest char i (1-based) — the engine-neutral
+    * md5 arithmetic q385/q389 established. */
+  private def hv(i: Int): String =
+    s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+  private def ohv(i: Int): String =
+    s"(strpos('0123456789abcdef', substr(d, $i, 1)) - 1)"
+
+  /** The shared oracle CTE chain: token instances → 4 hash rows →
+    * 32-column cells → register counts. */
+  private val duckCms: String =
+    s"""tok AS (SELECT unnest(string_split(text, ' ')) AS t
+      |       FROM documents WHERE text IS NOT NULL),
+      |tk AS (SELECT t FROM tok WHERE t <> ''),
+      |cj AS (SELECT t, unnest([0, 1, 2, 3]) AS j FROM tk),
+      |hx AS (SELECT j, t,
+      |              md5(concat(CAST(j AS VARCHAR), '#', t)) AS d FROM cj),
+      |cc AS (SELECT j, (4096 * ${ohv(1)} + 256 * ${ohv(2)}
+      |                  + 16 * ${ohv(3)} + ${ohv(4)}) % 32 AS c FROM hx),
+      |reg AS (SELECT j, c, CAST(count(*) AS BIGINT) AS r
+      |        FROM cc GROUP BY 1, 2)""".stripMargin
+
+  /** Spark-side register build, shared by q399/q400: token instances
+    * over `shard = doc_id % 4`, per-shard register counts, then the
+    * MERGE — per-cell SUM across shards (CMS is a linear sketch: shard
+    * registers add, exactly like map-side partial counts). Returns the
+    * sparse merged (j, c, r). */
+  private[graft] def cmsMerged(s: SparkSession, dir: String): DataFrame = {
+    val inst = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select((col("doc_id") % 4).as("shard"),
+        explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val cells = inst
+      .select(col("shard"), col("t"),
+        explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
+      .select(col("shard"), col("j"),
+        md5(concat(col("j").cast("string"), lit("#"), col("t"))).as("d"))
+      .select(col("shard"), col("j"),
+        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
+          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+    // Per-shard sketches first, then the merge: if the combine were
+    // anything weaker than per-cell addition, the global-count oracle
+    // would mismatch.
+    cells.groupBy(col("shard"), col("j"), col("c"))
+      .agg(count(lit(1)).as("r"))
+      .groupBy(col("j"), col("c")).agg(sum(col("r")).as("r"))
+  }
+
+  /** q399: Count-Min Sketch REGISTERS, bit-identical across engines and
+    * gated through the per-shard MERGE identity — the SUM-mergeable
+    * heavy-hitter state for 100 TB (q385/q394 gated the max-mergeable
+    * distinct state; CMS is its counting dual: d=4 hash rows × w=32
+    * counters, every token instance increments one cell per row, and
+    * registers from disjoint shards combine by per-cell addition —
+    * linear, so partial-aggregated exactly like any sum). Hashes are
+    * the engine-neutral md5-nibble arithmetic (row key '<j>#<token>');
+    * the oracle computes the GLOBAL sketch in one pass, Spark builds
+    * per-shard (doc_id % 4) sketches and merges — any merge defect
+    * hash-mismatches.
+    *
+    * Scale shape: one map-side 4-row explode per token instance, then
+    * a 128-cell aggregate — register count is constant regardless of
+    * corpus size. */
+  val q399CmsRegisters: Q = Q(
+    "q399_cms_registers",
+    s"""WITH $duckCms,
+      |cells AS (SELECT jj.j, cc2.c
+      |          FROM (SELECT unnest(range(0, 4)) AS j) jj,
+      |               (SELECT unnest(range(0, 32)) AS c) cc2)
+      |SELECT CAST(cells.j AS BIGINT) AS j, CAST(cells.c AS BIGINT) AS c,
+      |       CAST(coalesce(reg.r, 0) AS BIGINT) AS register
+      |FROM cells LEFT JOIN reg ON reg.j = cells.j AND reg.c = cells.c
+      |ORDER BY j, c""".stripMargin) { (s, dir) =>
+    val merged = cmsMerged(s, dir)
+    s.range(4).select(col("id").as("j"))
+      .select(col("j"), explode(expr("sequence(0L, 31L)")).as("c"))
+      .join(merged, Seq("j", "c"), "left")
+      .select(col("j"), col("c"), coalesce(col("r"), lit(0L)).as("register"))
+      .orderBy(col("j"), col("c"))
+  }
+
+  /** q400: the CMS READ path — point-frequency estimates for the three
+    * most frequent tokens: est(t) = min over the 4 rows of the cell t
+    * hashes to, always ≥ the true count (one-sided error — the
+    * `overcount` column surfaces the collision slack the 32-column
+    * width buys at this corpus size). The estimate is read from the
+    * MERGED registers (q399's per-shard sum), so the gate covers
+    * sketch-build, merge, and read end-to-end against the oracle's
+    * global one-pass sketch. */
+  val q400CmsEstimate: Q = Q(
+    "q400_cms_estimate",
+    s"""WITH $duckCms,
+      |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS cnt FROM tk GROUP BY 1),
+      |top3 AS (SELECT t, cnt,
+      |                CAST(row_number() OVER (ORDER BY cnt DESC, t)
+      |                  AS BIGINT) AS pos
+      |         FROM tc QUALIFY pos <= 3),
+      |tj AS (SELECT pos, t, cnt, unnest([0, 1, 2, 3]) AS j FROM top3),
+      |th AS (SELECT pos, t, cnt, j,
+      |              md5(concat(CAST(j AS VARCHAR), '#', t)) AS d FROM tj),
+      |tcell AS (SELECT pos, t, cnt, j,
+      |                 (4096 * ${ohv(1)} + 256 * ${ohv(2)}
+      |                  + 16 * ${ohv(3)} + ${ohv(4)}) % 32 AS c FROM th),
+      |e AS (SELECT pos, t AS token, cnt AS true_cnt,
+      |             CAST(min(reg.r) AS BIGINT) AS cms_est
+      |      FROM tcell JOIN reg ON reg.j = tcell.j AND reg.c = tcell.c
+      |      GROUP BY 1, 2, 3)
+      |SELECT pos, token, true_cnt, cms_est,
+      |       cms_est - true_cnt AS overcount
+      |FROM e ORDER BY pos""".stripMargin) { (s, dir) =>
+    val merged = cmsMerged(s, dir).persist(MEMORY_AND_DISK)
+    val tokcnt = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    val top3 = Graph.rankTopK(tokcnt, "cnt", "t", 3, "token", "true_cnt")
+    top3
+      .select(col("pos"), col("token"), col("true_cnt"),
+        explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
+      .select(col("pos"), col("token"), col("true_cnt"), col("j"),
+        md5(concat(col("j").cast("string"), lit("#"), col("token"))).as("d"))
+      .select(col("pos"), col("token"), col("true_cnt"), col("j"),
+        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
+          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+      .join(merged, Seq("j", "c"))
+      .groupBy(col("pos"), col("token"), col("true_cnt"))
+      .agg(min(col("r")).as("cms_est"))
+      .select(col("pos"), col("token"), col("true_cnt"), col("cms_est"),
+        (col("cms_est") - col("true_cnt")).as("overcount"))
+      .orderBy(col("pos"))
+  }
+
+  val all: Seq[Q] = Seq(q395TriSupportIncremental, q396Ktruss,
+    q398ScriptFallbackTokens, q399CmsRegisters, q400CmsEstimate)
+}

@@ -2060,6 +2060,54 @@ object StreamGate {
       .orderBy(col("node_id"))
   }
 
+  /** q397: INCREMENTAL tri-support maintained BY THE STREAM — q395's
+    * [[graft.ops.Round13.triSupportFold]] as the per-trigger maintenance
+    * op, the q384 pattern applied to the triangle-support index:
+    * co-purchase edges arrive in three micro-batches ((u+v) mod 3, file
+    * source, mtime order); each trigger folds its delta into the
+    * PERSISTED (u, v, tri) store (|Δ|-grain adjacency probes, distinct
+    * at new-triangle grain — the archive's wedge join never re-runs)
+    * and publishes `gen=<id>` — replay-stable because a redelivered
+    * batch re-reads gen=<id−1>, and the fold anti-joins already-indexed
+    * edges so re-folding is a no-op. A triangle spanning batches is
+    * counted exactly once, at the trigger where its LAST edge lands, so
+    * the final store answers q388's FROM-SCRATCH full-graph oracle. */
+  val q397StreamTriSupport: Q = Q(
+    "q397_stream_tri_support",
+    graft.ops.Round12.q388TriSupport.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q397-")
+    val e0 = graft.ops.Graph.supportedEdges(s, dir)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e0.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("trisupp").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v"),
+              col("id").as("tri")))
+          graft.ops.Round13.triSupportFold(prev, batch.toDF())
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, store, Long.MaxValue)
+      .getOrElse(s.range(0).select(col("id").as("u"), col("id").as("v"),
+        col("id").as("tri")))
+      .select(col("u"), col("v"), col("tri").as("tri_support"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2102,7 +2150,7 @@ object StreamGate {
   }
 
   val all: Seq[Q] = Seq(
-    q393StreamWeightedSample,
+    q393StreamWeightedSample, q397StreamTriSupport,
     q322StreamSprt, q347StreamEwma, q355StreamSequential,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,

@@ -1,0 +1,257 @@
+package graft.ops
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-13 kernels vs independent Scala references (the per-round
+  * discipline of Round10Spec/Round11Spec/Round12Spec). Centerpieces:
+  * [[Round13.triSupportFold]] (q395/q397's kernel — incremental triangle
+  * support must equal from-scratch counting, checked against a plain
+  * common-neighbor brute force on planted topologies, random graphs, and
+  * CHAINED through a parquet-persisted index), and the k-truss tier race
+  * ([[Round13.trussDriver]] vs [[Round13.trussDistributed]] vs an
+  * independent peel — the [[Fuzzy.resolveClusters]] boundary discipline
+  * applied to q396).
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = Paths.get("target", "tmp",
+    s"r13fix-${java.util.UUID.randomUUID().toString.take(8)}").toAbsolutePath
+
+  // -------------------------------------------------------------------
+  // triangle support: independent reference
+  // -------------------------------------------------------------------
+
+  /** Brute-force per-edge triangle support: |N(u) ∩ N(v)| over adjacency
+    * sets — no wedge orientation, no joins; the textbook definition. */
+  private def refSupport(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    val adj = scala.collection.mutable
+      .Map.empty[Long, scala.collection.mutable.Set[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.Set.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.Set.empty) += u
+    }
+    edges.map { case (u, v) =>
+      (u, v) -> adj(u).toSet.intersect(adj(v).toSet).size.toLong
+    }.toMap
+  }
+
+  private def toSupportMap(df: DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** Seeded random (u < v) edge set over node ids 1..n. */
+  private def randomEdges(seed: Long, n: Int, m: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(seed)
+    val picked = scala.collection.mutable.LinkedHashSet.empty[(Long, Long)]
+    while (picked.size < m) {
+      val a = rnd.nextInt(n).toLong + 1
+      val b = rnd.nextInt(n).toLong + 1
+      if (a != b) picked += ((math.min(a, b), math.max(a, b)))
+    }
+    picked.toSeq
+  }
+
+  test("triSupportFold: planted topologies equal brute force") {
+    // Archive: a triangle (1,2,3), a path 4-5-6, an isolated edge (7,8).
+    val day1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (5L, 6L),
+      (7L, 8L))
+    // Delta plants every fold shape:
+    //  - closes an archive wedge into a triangle:       (4, 6)
+    //  - stacks a second triangle on an archive edge:   (2, 9) + (3, 9)
+    //    (both delta edges in ONE triangle — the sorted-triple distinct
+    //    must collapse the double discovery)
+    //  - an all-delta triangle on new nodes:            (10,11),(10,12),(11,12)
+    //  - a no-triangle delta edge:                      (7, 13)
+    val delta = Seq((4L, 6L), (2L, 9L), (3L, 9L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (7L, 13L))
+    val prev = Round12.triSupportOf(day1.toDF("u", "v"))
+    val got = toSupportMap(Round13.triSupportFold(prev, delta.toDF("u", "v")))
+    assert(got === refSupport(day1 ++ delta))
+  }
+
+  test("triSupportFold: random graphs equal from-scratch, any split") {
+    for (seed <- 1 to 4) {
+      val edges = randomEdges(seed, 18, 60)
+      val ref = refSupport(edges)
+      // Three different archive/delta splits of the same graph must all
+      // fold to the same from-scratch answer.
+      for (mod <- Seq(2, 3, 5)) {
+        val day1 = edges.filter { case (u, v) => (u + v) % mod != 0 }
+        val delta = edges.filter { case (u, v) => (u + v) % mod == 0 }
+        val got = toSupportMap(Round13.triSupportFold(
+          Round12.triSupportOf(day1.toDF("u", "v")), delta.toDF("u", "v")))
+        assert(got === ref, s"seed=$seed mod=$mod")
+      }
+    }
+  }
+
+  test("triSupportFold: chains through a parquet-persisted index and " +
+    "ignores redelivered edges") {
+    val edges = randomEdges(99, 15, 45)
+    val store = root.resolve("supp").toString
+    val batches = Seq(0, 1, 2).map(r =>
+      edges.filter { case (u, v) => (u + v) % 3 == r })
+    var gen = 0
+    spark.range(0).select(col("id").as("u"), col("id").as("v"),
+      col("id").as("tri")).write.parquet(s"$store/gen=0")
+    for (b <- batches) {
+      val prev = spark.read.parquet(s"$store/gen=$gen")
+      gen += 1
+      Round13.triSupportFold(prev, b.toDF("u", "v"))
+        .write.parquet(s"$store/gen=$gen")
+    }
+    assert(toSupportMap(spark.read.parquet(s"$store/gen=$gen"))
+      === refSupport(edges))
+    // Replay: folding batch 2 AGAIN onto the final index is a no-op
+    // (the anti-join drops already-indexed edges).
+    val replayed = Round13.triSupportFold(
+      spark.read.parquet(s"$store/gen=$gen"), batches(2).toDF("u", "v"))
+    assert(toSupportMap(replayed) === refSupport(edges))
+  }
+
+  // -------------------------------------------------------------------
+  // k-truss: independent reference + tier race
+  // -------------------------------------------------------------------
+
+  /** Independent truss peel: per k, recompute |N(u) ∩ N(v)| on the
+    * survivor set and drop < k−2 until stable — immutable-set style, no
+    * shared code with either tier. Stops at the schedule's max k (the
+    * metric's shared definition). */
+  private def refTruss(edges: Seq[(Long, Long)]): Map[(Long, Long), Long] = {
+    val kMax = Round13.trussSchedule.map(_._1).max
+    val out = scala.collection.mutable.Map[(Long, Long), Long](
+      edges.map(_ -> 2L): _*)
+    var cur = edges.toSet
+    var k = 3
+    while (cur.nonEmpty && k <= kMax) {
+      var stable = false
+      while (!stable) {
+        val adj = cur.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+        val keep = cur.filter { case (u, v) =>
+          adj(u).intersect(adj(v)).size >= k - 2
+        }
+        stable = keep == cur
+        cur = keep
+      }
+      cur.foreach(e => out(e) = k.toLong)
+      k += 1
+    }
+    out.toMap
+  }
+
+  private def toTrussMap(df: DataFrame): Map[(Long, Long), Long] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+  /** A planted K6 (truss 6, exercises deep peel levels) bridged to a
+    * random sparse graph (peel cascades through the bridge). */
+  private def plantedGraph(seed: Long): Seq[(Long, Long)] = {
+    val clique = for {
+      a <- 101L to 106L; b <- (a + 1) to 106L
+    } yield (a, b)
+    val bridge = Seq((1L, 101L), (2L, 102L))
+    (randomEdges(seed, 20, 50) ++ clique ++ bridge).distinct
+  }
+
+  test("k-truss: driver tier equals the independent reference") {
+    for (seed <- Seq(7L, 8L)) {
+      val edges = plantedGraph(seed)
+      val got = Round13.trussDriver(edges.toArray)
+        .map { case (u, v, t) => (u, v) -> t }.toMap
+      assert(got === refTruss(edges), s"seed=$seed")
+      assert(got.values.max === 6L, "the planted K6 must surface")
+    }
+  }
+
+  test("k-truss: distributed tier equals the driver tier on the same " +
+    "graph (forced past the boundary)") {
+    val edges = plantedGraph(11L)
+    val df = edges.toDF("u", "v")
+    val driver = toTrussMap(
+      Round13.trussTiered(spark, df, driverMaxEdges = Long.MaxValue))
+    val dist = toTrussMap(
+      Round13.trussTiered(spark, df, driverMaxEdges = 0L))
+    assert(driver === dist)
+    assert(driver === refTruss(edges))
+  }
+
+  // -------------------------------------------------------------------
+  // CMS registers: independent JVM-md5 reference
+  // -------------------------------------------------------------------
+
+  /** Independent CMS: java.security MessageDigest md5 (not Spark's md5
+    * expression), same '<j>#<token>' row key, first-4-nibble % 32. */
+  private def refCms(docs: Seq[String]): Map[(Long, Long), Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cells = for {
+      text <- docs
+      t <- text.split(" ").filter(_.nonEmpty)
+      j <- 0L to 3L
+    } yield {
+      val d = md.digest(s"$j#$t".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      def nib(i: Int) = "0123456789abcdef".indexOf(d.charAt(i)).toLong
+      (j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 32)
+    }
+    cells.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
+  }
+
+  test("CMS: merged registers equal an independent JVM-md5 sketch and " +
+    "dominate true counts") {
+    val docs = Seq("the cat sat on the mat", "the dog sat", "cat cat dog",
+      "on on on the mat", "unique tokens here too")
+    val dir = root.resolve("cmsdocs").toString
+    docs.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, "en", "fix", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Round13.cmsMerged(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === refCms(docs))
+    // Read path: min-over-rows estimate >= true count for every token.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val trueCnt = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    trueCnt.foreach { case (t, cnt) =>
+      val est = (0L to 3L).map { j =>
+        val d = md.digest(s"$j#$t".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString
+        def nib(i: Int) = "0123456789abcdef".indexOf(d.charAt(i)).toLong
+        got((j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 32))
+      }.min
+      assert(est >= cnt, s"token $t: est $est < true $cnt")
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // script-fallback tokenizer: fixture gate
+  // -------------------------------------------------------------------
+
+  test("script fallback: unsegmented docs route to character bigrams, " +
+    "segmented docs keep the whitespace path") {
+    // doc_id 0 and 7 are planted unsegmented (id % 7 == 0).
+    val docs = Seq(
+      (0L, "ab abc ab"), (7L, "xy xyz"), (1L, "ab abc ab"), (2L, "xy xyz"))
+    val dir = root.resolve("tokdocs").toString
+    docs.map { case (i, t) => (i, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = Round13.q398ScriptFallbackTokens.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    // Bigram side: "ababcab" -> ab,ba,ab,bc,ca,ab ; "xyxyz" -> xy,yx,xy,yz
+    val bigram = got.filter(_._1 == "bigram").map(t => (t._3, t._4)).toMap
+    assert(bigram === Map("ab" -> 3L, "xy" -> 2L, "ba" -> 1L, "bc" -> 1L,
+      "ca" -> 1L, "yx" -> 1L, "yz" -> 1L))
+    // Space side: docs 1 and 2 tokenize on spaces.
+    val space = got.filter(_._1 == "space").map(t => (t._3, t._4)).toMap
+    assert(space === Map("ab" -> 2L, "abc" -> 1L, "xy" -> 1L, "xyz" -> 1L))
+    // Rank order within each mode: count desc, token asc.
+    val bigramOrder = got.filter(_._1 == "bigram").sortBy(_._2).map(_._3)
+    assert(bigramOrder === Seq("ab", "xy", "ba", "bc", "ca", "yx", "yz"))
+  }
+}
