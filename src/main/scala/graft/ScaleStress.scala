@@ -50,6 +50,13 @@ object ScaleStress {
     "q382_personalized_pagerank", "q383_cc_incremental",
     "q259_stream_full_maintenance")
 
+  /** Round-13 graph kernels: the incremental tri-support fold (q395 —
+    * delta-grain probes must scale with |Δ|, not archive size) and the
+    * k-truss peel (q396 — K disjoint graph copies peel in the same
+    * number of rounds as one, so growth measures per-round cost). */
+  val MeasuredR13: Seq[String] = Seq(
+    "q395_tri_support_incremental", "q396_ktruss")
+
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
     * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
     * graph/prefix-join/streaming extension. */
@@ -58,7 +65,16 @@ object ScaleStress {
     "q47_dedup_clusters", "q62_dedup_keep_best", "q65_simhash_hamming",
     "q82_dedup_ensemble", "q97_dedup_incremental", "q74_semantic_neardup",
     "q39_ann_topk", "q40_ann_lsh", "q48_ann_ivf", "q236_pq_ann",
-    "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12
+    "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12 ++ MeasuredR13
+
+  /** Round-13 extension (VERDICT r12 #2): the two near-linear pair
+    * emitters — q82 (0.90 on the 1×/3×/10× fit) and q65 (0.83) — get a
+    * 30× point: both are output-growing (they EMIT the duplicate pairs,
+    * and pair count grows with the corpus even at constant density), so
+    * a short ln-ln fit can hide a super-linear bend that only shows past
+    * 10×. The 30× row either confirms the sub-linear trend holds or
+    * forces an emission cap. */
+  val LongTail: Seq[String] = Seq("q65_simhash_hamming", "q82_dedup_ensemble")
 
   private val IdOffset = 10000000L
 
@@ -314,7 +330,8 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
 
-    mults.foreach(k => buildCorpus(spark, sfDir, s"$workDir/corpus_${k}x", k))
+    (mults :+ 30).foreach(k =>
+      buildCorpus(spark, sfDir, s"$workDir/corpus_${k}x", k))
     buildHotCorpus(spark, sfDir, s"$workDir/corpus_hot", 10)
     buildHotGraphCorpus(spark, sfDir, s"$workDir/corpus_hotgraph",
       s"$workDir/corpus_10x")
@@ -336,6 +353,14 @@ object ScaleStress {
         times.getOrElseUpdate(n, scala.collection.mutable.LinkedHashMap.empty) += k -> t
         System.err.println(s"[scale] $n ${k}x ${f3(t)}s")
       }
+    }
+
+    // Long-tail grid: the two pair emitters at 30× (their exponents are
+    // then a 4-point fit — 1/3/10/30).
+    LongTail.foreach { n =>
+      val t = runNoop(spark, n, s"$workDir/corpus_30x")
+      times(n) += 30 -> t
+      System.err.println(s"[scale] $n 30x ${f3(t)}s")
     }
 
     // ---- Boundary 1: BandBucketCap=100 (Dedup.scala). The hot corpus
