@@ -364,29 +364,49 @@ object Round13 {
       |reg AS (SELECT j, c, CAST(count(*) AS BIGINT) AS r
       |        FROM cc GROUP BY 1, 2)""".stripMargin
 
+  /** Token instances of a documents frame → their 4 CMS cells (j, c),
+    * one row per (instance, hash row) — the md5-nibble hash kernel
+    * shared by the batch gates (q399/q400) and the streaming fold
+    * (q402). Extra columns on `docs` pass through. */
+  private[graft] def cmsCells(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .select(docs.columns.map(col) :+
+        explode(split(col("text"), " ")).as("t"): _*)
+      .filter(col("t") =!= "")
+      .select(col("*"), explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
+      .select(col("*"),
+        md5(concat(col("j").cast("string"), lit("#"), col("t"))).as("d"))
+      .select(col("*"),
+        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
+          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+
+  /** Sparse CMS register counts (j, c, r) of one documents frame — the
+    * per-shard/per-trigger partial the linear sketch folds by per-cell
+    * addition. */
+  private[graft] def cmsCounts(docs: DataFrame): DataFrame =
+    cmsCells(docs).groupBy(col("j"), col("c")).agg(count(lit(1)).as("r"))
+
+  /** Dense 4×32 register surface from a sparse (j, c, r) — q399/q402's
+    * output epilogue (missing cells are zero registers). */
+  private[graft] def cmsDense(s: SparkSession, sparse: DataFrame): DataFrame =
+    s.range(4).select(col("id").as("j"))
+      .select(col("j"), explode(expr("sequence(0L, 31L)")).as("c"))
+      .join(sparse, Seq("j", "c"), "left")
+      .select(col("j"), col("c"), coalesce(col("r"), lit(0L)).as("register"))
+      .orderBy(col("j"), col("c"))
+
   /** Spark-side register build, shared by q399/q400: token instances
     * over `shard = doc_id % 4`, per-shard register counts, then the
     * MERGE — per-cell SUM across shards (CMS is a linear sketch: shard
     * registers add, exactly like map-side partial counts). Returns the
     * sparse merged (j, c, r). */
   private[graft] def cmsMerged(s: SparkSession, dir: String): DataFrame = {
-    val inst = Tables(s, dir, "documents")
-      .filter(col("text").isNotNull)
-      .select((col("doc_id") % 4).as("shard"),
-        explode(split(col("text"), " ")).as("t"))
-      .filter(col("t") =!= "")
-    val cells = inst
-      .select(col("shard"), col("t"),
-        explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
-      .select(col("shard"), col("j"),
-        md5(concat(col("j").cast("string"), lit("#"), col("t"))).as("d"))
-      .select(col("shard"), col("j"),
-        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
-          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+    val docs = Tables(s, dir, "documents")
+      .select((col("doc_id") % 4).as("shard"), col("text"))
     // Per-shard sketches first, then the merge: if the combine were
     // anything weaker than per-cell addition, the global-count oracle
     // would mismatch.
-    cells.groupBy(col("shard"), col("j"), col("c"))
+    cmsCells(docs).groupBy(col("shard"), col("j"), col("c"))
       .agg(count(lit(1)).as("r"))
       .groupBy(col("j"), col("c")).agg(sum(col("r")).as("r"))
   }
@@ -416,12 +436,7 @@ object Round13 {
       |       CAST(coalesce(reg.r, 0) AS BIGINT) AS register
       |FROM cells LEFT JOIN reg ON reg.j = cells.j AND reg.c = cells.c
       |ORDER BY j, c""".stripMargin) { (s, dir) =>
-    val merged = cmsMerged(s, dir)
-    s.range(4).select(col("id").as("j"))
-      .select(col("j"), explode(expr("sequence(0L, 31L)")).as("c"))
-      .join(merged, Seq("j", "c"), "left")
-      .select(col("j"), col("c"), coalesce(col("r"), lit(0L)).as("register"))
-      .orderBy(col("j"), col("c"))
+    cmsDense(s, cmsMerged(s, dir))
   }
 
   /** q400: the CMS READ path — point-frequency estimates for the three
@@ -476,6 +491,214 @@ object Round13 {
       .orderBy(col("pos"))
   }
 
+  // -------------------------------------------------------------------
+  // q401 — approximate betweenness centrality (Brandes from pivots)
+  // -------------------------------------------------------------------
+
+  /** The unrolled Brandes oracle: 12 forward levels (σ path counts — a
+    * node's σ is the sum of its level-(h−1) predecessors' σ, dedup via
+    * the known set), then 12 backward dependency levels δ(v) =
+    * Σ_{w ∈ succ(v)} σ_v·(10⁹ + δ(w)) // σ_w — per-edge floor, HUGEINT
+    * carriers (σ can exceed 64 bits on dense cores). MATERIALIZED
+    * throughout (each level is referenced by the next, the known-set
+    * union, AND the backward pass). */
+  private def betweennessOracle: String = {
+    val cap = 12
+    val ctes = scala.collection.mutable.ListBuffer[String](
+      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM " +
+        "lineitem)",
+      "e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v " +
+        "FROM lp l1 JOIN lp l2 ON l1.l_orderkey = l2.l_orderkey AND " +
+        "l1.l_partkey < l2.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+      "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u " +
+        "FROM e0)",
+      "deg AS MATERIALIZED (SELECT u, count(*) AS dg FROM sym GROUP BY 1)",
+      "seeds AS MATERIALIZED (SELECT u FROM deg ORDER BY dg DESC, u " +
+        "LIMIT 5)",
+      "l0 AS MATERIALIZED (SELECT u AS seed, u AS node, " +
+        "CAST(1 AS HUGEINT) AS sigma FROM seeds)",
+      "k0 AS MATERIALIZED (SELECT seed, node FROM l0)")
+    for (h <- 1 to cap) {
+      ctes += s"l$h AS MATERIALIZED (SELECT p.seed, sym.v AS node, " +
+        s"CAST(sum(p.sigma) AS HUGEINT) AS sigma FROM l${h - 1} p " +
+        s"JOIN sym ON sym.u = p.node LEFT JOIN k${h - 1} k ON " +
+        "k.seed = p.seed AND k.node = sym.v WHERE k.node IS NULL " +
+        "GROUP BY 1, 2)"
+      ctes += s"k$h AS MATERIALIZED (SELECT seed, node FROM k${h - 1} " +
+        s"UNION ALL SELECT seed, node FROM l$h)"
+    }
+    ctes += s"d$cap AS MATERIALIZED (SELECT seed, node, " +
+      s"CAST(0 AS HUGEINT) AS delta FROM l$cap)"
+    for (h <- cap - 1 to 0 by -1) {
+      ctes += s"s$h AS MATERIALIZED (SELECT lh.seed, lh.node, " +
+        "CAST(sum((lh.sigma * (1000000000 + d.delta)) // wn.sigma) " +
+        s"AS HUGEINT) AS s FROM l$h lh JOIN sym ON sym.u = lh.node " +
+        s"JOIN l${h + 1} wn ON wn.seed = lh.seed AND wn.node = sym.v " +
+        s"JOIN d${h + 1} d ON d.seed = lh.seed AND d.node = sym.v " +
+        "GROUP BY 1, 2)"
+      ctes += s"d$h AS MATERIALIZED (SELECT lh.seed, lh.node, " +
+        s"CAST(coalesce(s.s, 0) AS HUGEINT) AS delta FROM l$h lh " +
+        s"LEFT JOIN s$h s ON s.seed = lh.seed AND s.node = lh.node)"
+    }
+    val uni = (1 to cap).map(h => s"SELECT node, delta FROM d$h")
+      .mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s",\nbc AS (SELECT node, CAST(sum(delta) AS HUGEINT) AS b FROM " +
+      s"($uni) GROUP BY 1),\n" +
+      "r AS (SELECT node, b, CAST(row_number() OVER (ORDER BY b DESC, " +
+      "node) AS BIGINT) AS pos FROM bc)\n" +
+      "SELECT pos, node, CAST(b AS BIGINT) AS betweenness_nano " +
+      "FROM r WHERE pos <= 20 ORDER BY pos"
+  }
+
+  /** q401: approximate BETWEENNESS centrality — Brandes' algorithm from
+    * the five highest-degree pivots (the standard pivot-sampling
+    * approximation for large graphs), 12-hop-capped like q386: forward
+    * BFS accumulates exact σ path COUNTS per level (integer sums — no
+    * float), the backward pass accumulates dependencies δ(v) =
+    * Σ_{w ∈ succ(v)} (σ_v/σ_w)·(1 + δ(w)) in nano fixed point with the
+    * division floored PER EDGE TERM (both engines sum identical floored
+    * integers). The one centrality family the tier lacked: degree
+    * (local), PageRank/Katz (flow), harmonic (reachability) — this is
+    * the broker/bottleneck signal.
+    *
+    * Scale shape: q386's BFS economics forward (one frontier join + one
+    * known-set anti-join per level) plus one successor equi-join per
+    * level backward — every join at frontier grain, lineage cut per
+    * level; σ carried in DECIMAL(38,0) (path counts overflow 64 bits on
+    * dense cores long before memory matters). */
+  val q401Betweenness: Q = Q(
+    "q401_betweenness", betweennessOracle) { (s, dir) =>
+    val dec = "decimal(38,0)"
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val seeds = sym.groupBy(col("u")).agg(count(lit(1)).as("dg"))
+      .orderBy(col("dg").desc, col("u")).limit(5).select(col("u").as("seed"))
+    var lvl = seeds.select(col("seed"), col("seed").as("node"),
+      lit(1L).cast(dec).as("sigma")).localCheckpoint()
+    var known = lvl.select(col("seed"), col("node")).localCheckpoint()
+    val levels = scala.collection.mutable.ArrayBuffer[DataFrame](lvl)
+    for (_ <- 1 to 12) {
+      val nxt = lvl.join(sym, lvl("node") === sym("u"))
+        .select(col("seed"), col("v").as("node"), col("sigma"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("sigma")).cast(dec).as("sigma"))
+        .join(known, Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      levels += nxt
+      known = known
+        .unionByName(nxt.select(col("seed"), col("node")))
+        .localCheckpoint()
+      lvl = nxt
+    }
+    var delta = levels(12).select(col("seed"), col("node"),
+      lit(0L).as("delta")).localCheckpoint()
+    val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](delta)
+    for (h <- 11 to 0 by -1) {
+      val wn = levels(h + 1).select(col("seed"), col("node").as("w"),
+        col("sigma").as("sw"))
+      val dn = delta.select(col("seed"), col("node").as("w"),
+        col("delta").as("dw"))
+      val terms = levels(h).join(sym, col("node") === col("u"))
+        .select(col("seed"), col("node"), col("sigma"), col("v").as("w"))
+        .join(wn, Seq("seed", "w"))
+        .join(dn, Seq("seed", "w"))
+        .select(col("seed"), col("node"),
+          expr("(sigma * (1000000000 + dw)) div sw").as("t"))
+        .groupBy(col("seed"), col("node")).agg(sum(col("t")).as("sd"))
+      delta = levels(h).select(col("seed"), col("node"))
+        .join(terms, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("sd"), lit(0L)).as("delta"))
+        .localCheckpoint()
+      if (h >= 1) deltas += delta
+    }
+    val bc = deltas.reduce(_ unionByName _)
+      .groupBy(col("node")).agg(sum(col("delta")).as("b"))
+    Graph.rankTopK(bc, "b", "node", 20, "node", "betweenness_nano")
+  }
+
+  // -------------------------------------------------------------------
+  // q403 — weighted PageRank
+  // -------------------------------------------------------------------
+
+  /** q403: WEIGHTED PageRank — every graph kernel so far treats the
+    * support-2 edge set as unweighted; this keeps the co-purchase
+    * support as the edge WEIGHT and splits each node's rank mass
+    * proportionally: r'(v) = jump + 85·Σ_u (r(u)·w_uv // sw_u) // 100,
+    * sw_u = Σ w over u's incident edges — q109's exact integer fixpoint
+    * generalized to weighted mass splitting (per-edge floor, identical
+    * in both engines). The affinity-weighted variant is what a
+    * recommender actually ranks with.
+    *
+    * Scale shape: q109's iteration economics — one equi-join +
+    * map-side-combined sum per hop; the weight rides the edge list. */
+  val q403WeightedPagerank: Q = Q(
+    "q403_weighted_pagerank",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ew AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+      |              CAST(count(*) AS BIGINT) AS w
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+      |swt AS (SELECT u, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY 1),
+      |n AS (SELECT count(*) AS nn FROM swt),
+      |r0 AS (SELECT u AS nd, 1000000000000 // (SELECT nn FROM n) AS r
+      |       FROM swt),
+      |r1 AS (SELECT sym.v AS nd,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum((r0.r * sym.w) // swt.sw)) // 100 AS r
+      |       FROM sym JOIN r0 ON r0.nd = sym.u JOIN swt ON swt.u = sym.u
+      |       GROUP BY 1),
+      |r2 AS (SELECT sym.v AS nd,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum((r1.r * sym.w) // swt.sw)) // 100 AS r
+      |       FROM sym JOIN r1 ON r1.nd = sym.u JOIN swt ON swt.u = sym.u
+      |       GROUP BY 1),
+      |r3 AS (SELECT sym.v AS nd,
+      |              (15 * (1000000000000 // (SELECT nn FROM n))) // 100
+      |                + (85 * sum((r2.r * sym.w) // swt.sw)) // 100 AS r
+      |       FROM sym JOIN r2 ON r2.nd = sym.u JOIN swt ON swt.u = sym.u
+      |       GROUP BY 1)
+      |SELECT CAST(row_number() OVER (ORDER BY r DESC, nd) AS BIGINT) AS pos,
+      |       nd AS n, CAST(r AS BIGINT) AS r
+      |FROM r3 QUALIFY pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ew = l.as("l1").join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val sym = ew.unionAll(
+      ew.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val swt = sym.groupBy(col("u")).agg(sum(col("w")).as("sw"))
+      .persist(MEMORY_AND_DISK)
+    val nn = swt.count()
+    if (nn == 0)
+      s.range(0).select(col("id").as("pos"), col("id").as("n"),
+        col("id").as("r"))
+    else {
+      val base = 1000000000000L / nn
+      val jump = (15L * base) / 100L
+      val edges = sym.join(swt, "u").persist(MEMORY_AND_DISK)
+      var r = swt.select(col("u").as("n"), lit(base).as("r"))
+      for (_ <- 1 to 3) {
+        r = edges.join(r, col("n") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("(r * w) div sw")).as("c"))
+          .select(col("v").as("n"),
+            (lit(jump) + expr("(85 * c) div 100")).as("r"))
+      }
+      Graph.rankTopK(r, "r", "n", 20, "n", "r")
+    }
+  }
+
   val all: Seq[Q] = Seq(q395TriSupportIncremental, q396Ktruss,
-    q398ScriptFallbackTokens, q399CmsRegisters, q400CmsEstimate)
+    q398ScriptFallbackTokens, q399CmsRegisters, q400CmsEstimate,
+    q401Betweenness, q403WeightedPagerank)
 }

@@ -2108,6 +2108,54 @@ object StreamGate {
       .orderBy(col("u"), col("v"))
   }
 
+  /** q402: STREAMING CMS maintenance — the Count-Min registers
+    * (q399's sum-mergeable linear sketch) maintained as an operational
+    * loop: documents arrive in three micro-batches (doc_id mod 3), each
+    * trigger computes ITS batch's sparse register counts and folds them
+    * into the persisted store by per-cell ADDITION (`gen=<id>`,
+    * replay-stable: a redelivered batch re-reads gen=<id−1> and
+    * overwrites its own generation, so its counts land exactly once).
+    * The final dense 4×32 surface answers q399's GLOBAL one-pass
+    * oracle — sketch linearity as the maintenance contract, the
+    * constant-size distinct-store dual of the q252 HLL vocabulary
+    * fold. */
+  val q402StreamCmsMaintain: Q = Q(
+    "q402_stream_cms_maintain",
+    graft.ops.Round13.q399CmsRegisters.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q402-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => docs.filter(col("doc_id") % 3 === r)))
+    val store = work.resolve("cms").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("j"), col("id").as("c"),
+              col("id").as("r")))
+          graft.ops.Round13.cmsCounts(batch.toDF())
+            .unionByName(prev)
+            .groupBy(col("j"), col("c")).agg(sum(col("r")).as("r"))
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Round13.cmsDense(s,
+      latestGenBefore(s, store, Long.MaxValue).getOrElse(
+        s.range(0).select(col("id").as("j"), col("id").as("c"),
+          col("id").as("r"))))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2150,7 +2198,7 @@ object StreamGate {
   }
 
   val all: Seq[Q] = Seq(
-    q393StreamWeightedSample, q397StreamTriSupport,
+    q393StreamWeightedSample, q397StreamTriSupport, q402StreamCmsMaintain,
     q322StreamSprt, q347StreamEwma, q355StreamSequential,
     q92StreamTumbling, q94StreamAttribution, q95StreamSessions,
     q96StreamDedup, q99StreamDedupIncremental, q103StreamAnnIngest,

@@ -229,6 +229,142 @@ class Round13Spec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // betweenness / weighted PageRank: fixture lineitem + references
+  // -------------------------------------------------------------------
+
+  /** A lineitem fixture whose support-2 co-purchase graph is EXACTLY the
+    * given weighted edge set: edge (u, v, w) ⇒ w orders each holding
+    * parts u and v (w ≥ 2 clears the support floor and becomes the
+    * edge weight). */
+  private def lineitemFor(edges: Seq[(Long, Long, Long)], dir: String): Unit = {
+    var nextOrder = 0L
+    edges.flatMap { case (u, v, w) =>
+      (1L to w).flatMap { _ =>
+        nextOrder += 1
+        Seq((nextOrder, u), (nextOrder, v))
+      }
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Textbook Brandes from the top-5-degree pivots, 12-hop-capped,
+    * BigInt σ, per-edge floored nano δ — no shared code with q401. */
+  private def refBetweenness(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val seeds = adj.toSeq.sortBy { case (n, ns) => (-ns.size, n) }
+      .take(5).map(_._1)
+    val acc = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    for (s0 <- seeds) {
+      val level = scala.collection.mutable.Map(s0 -> 0)
+      val sigma = scala.collection.mutable.Map(s0 -> BigInt(1))
+      var frontier = Seq(s0)
+      var h = 0
+      while (frontier.nonEmpty && h < 12) {
+        h += 1
+        val cand = frontier.flatMap(adj(_)).distinct
+          .filterNot(level.contains)
+        cand.foreach { v =>
+          sigma(v) = adj(v).filter(p => level.get(p).contains(h - 1))
+            .map(sigma).sum
+          level(v) = h
+        }
+        frontier = cand
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (h2 <- 11 to 0 by -1; v <- level.keys if level(v) == h2) {
+        var d = 0L
+        for (w <- adj(v) if level.get(w).contains(h2 + 1))
+          d += ((sigma(v) * (BigInt(1000000000) + delta(w))) / sigma(w))
+            .toLong
+        delta(v) = d
+        if (v != s0) acc(v) = acc(v) + d
+      }
+    }
+    acc.toMap
+  }
+
+  /** Independent weighted PageRank: 3 iterations of the exact integer
+    * fixpoint with per-edge floored mass splits. */
+  private def refWeightedPr(edges: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+    val sym = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+    val sw = sym.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._3).sum }
+    val n = sw.size
+    val base = 1000000000000L / n
+    val jump = (15L * base) / 100L
+    var r: Map[Long, Long] = sw.keys.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val in = sym.groupBy(_._2).map { case (v, xs) =>
+        v -> xs.map { case (u, _, w) => (r(u) * w) / sw(u) }.sum
+      }
+      r = in.map { case (v, c) => v -> (jump + (85L * c) / 100L) }
+    }
+    r
+  }
+
+  /** The fixture graph both kernels run on: a hub star, a long path
+    * hanging off it (brokers with high betweenness), a triangle, and a
+    * heavy-weight edge pair. */
+  private val fixtureEdges: Seq[(Long, Long, Long)] = Seq(
+    // hub 1 star
+    (1L, 2L, 2L), (1L, 3L, 2L), (1L, 4L, 3L), (1L, 5L, 2L),
+    // path 5-6-7-8-9 (6,7,8 are brokers)
+    (5L, 6L, 2L), (6L, 7L, 4L), (7L, 8L, 2L), (8L, 9L, 2L),
+    // triangle 2-3-10
+    (2L, 10L, 2L), (3L, 10L, 3L),
+    // second component pair
+    (20L, 21L, 5L))
+
+  test("q401 betweenness equals a textbook Brandes reference on a " +
+    "fixture co-purchase graph") {
+    val dir = root.resolve("bwfix").toString
+    lineitemFor(fixtureEdges, dir)
+    val got = Round13.q401Betweenness.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = refBetweenness(fixtureEdges.map(e => (e._1, e._2)))
+    val expected = ref.toSeq.sortBy { case (n, b) => (-b, n) }.take(20)
+      .zipWithIndex.map { case ((n, b), i) => (i + 1L, n, b) }
+    assert(got.toSeq === expected)
+    // Sanity: the path brokers must outrank the leaf nodes.
+    val rank = got.map(t => t._2 -> t._1).toMap
+    assert(rank(6L) < rank(9L) && rank(7L) < rank(9L))
+  }
+
+  test("q403 weighted PageRank equals an independent integer fixpoint " +
+    "and weights actually matter") {
+    val dir = root.resolve("wprfix").toString
+    lineitemFor(fixtureEdges, dir)
+    val got = Round13.q403WeightedPagerank.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ref = refWeightedPr(fixtureEdges)
+    val expected = ref.toSeq.sortBy { case (n, r0) => (-r0, n) }.take(20)
+      .zipWithIndex.map { case ((n, r0), i) => (i + 1L, n, r0) }
+    assert(got.toSeq === expected)
+    // Weights matter: the unweighted fixpoint on the same graph ranks
+    // differently (otherwise q403 is q109 with extra columns).
+    val unw = refWeightedPr(fixtureEdges.map(e => (e._1, e._2, 1L)))
+    assert(ref.toSeq.sortBy(t => (-t._2, t._1)).map(_._1)
+      !== unw.toSeq.sortBy(t => (-t._2, t._1)).map(_._1))
+  }
+
+  test("CMS linearity: per-split counts folded by addition equal the " +
+    "one-pass counts") {
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a c c d"),
+      (3L, "d d d"), (4L, "e"))
+      .toDF("doc_id", "text")
+    val whole = Round13.cmsCounts(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val folded = (0 to 2).map(i =>
+        Round13.cmsCounts(docs.filter(col("doc_id") % 3 === i)))
+      .reduce(_ unionByName _)
+      .groupBy(col("j"), col("c")).agg(sum(col("r")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(folded === whole)
+  }
+
+  // -------------------------------------------------------------------
   // script-fallback tokenizer: fixture gate
   // -------------------------------------------------------------------
 
