@@ -502,7 +502,13 @@ object Round13 {
     * carriers (σ can exceed 64 bits on dense cores). MATERIALIZED
     * throughout (each level is referenced by the next, the known-set
     * union, AND the backward pass). */
-  private def betweennessOracle: String = {
+  /** The shared Brandes CTE chain (q401 node / q404 edge epilogues):
+    * forward σ levels with the known-set dedup, then per-DAG-EDGE
+    * dependency terms f{h} (seed, node, w, t) — t = σ_v·(10⁹+δ_w)//σ_w,
+    * floored per edge — from which the node dependencies d{h} aggregate.
+    * Keeping the edge-grain terms named is exactly what edge betweenness
+    * needs: the flow THROUGH each shortest-path DAG edge. */
+  private def brandesCtes: String = {
     val cap = 12
     val ctes = scala.collection.mutable.ListBuffer[String](
       "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM " +
@@ -530,24 +536,42 @@ object Round13 {
     ctes += s"d$cap AS MATERIALIZED (SELECT seed, node, " +
       s"CAST(0 AS HUGEINT) AS delta FROM l$cap)"
     for (h <- cap - 1 to 0 by -1) {
-      ctes += s"s$h AS MATERIALIZED (SELECT lh.seed, lh.node, " +
-        "CAST(sum((lh.sigma * (1000000000 + d.delta)) // wn.sigma) " +
-        s"AS HUGEINT) AS s FROM l$h lh JOIN sym ON sym.u = lh.node " +
+      ctes += s"f$h AS MATERIALIZED (SELECT lh.seed, lh.node, " +
+        "sym.v AS w, CAST((lh.sigma * (1000000000 + d.delta)) " +
+        s"// wn.sigma AS HUGEINT) AS t FROM l$h lh " +
+        "JOIN sym ON sym.u = lh.node " +
         s"JOIN l${h + 1} wn ON wn.seed = lh.seed AND wn.node = sym.v " +
-        s"JOIN d${h + 1} d ON d.seed = lh.seed AND d.node = sym.v " +
-        "GROUP BY 1, 2)"
+        s"JOIN d${h + 1} d ON d.seed = lh.seed AND d.node = sym.v)"
+      ctes += s"s$h AS MATERIALIZED (SELECT seed, node, " +
+        s"CAST(sum(t) AS HUGEINT) AS s FROM f$h GROUP BY 1, 2)"
       ctes += s"d$h AS MATERIALIZED (SELECT lh.seed, lh.node, " +
         s"CAST(coalesce(s.s, 0) AS HUGEINT) AS delta FROM l$h lh " +
         s"LEFT JOIN s$h s ON s.seed = lh.seed AND s.node = lh.node)"
     }
-    val uni = (1 to cap).map(h => s"SELECT node, delta FROM d$h")
+    "WITH " + ctes.mkString(",\n")
+  }
+
+  private def betweennessOracle: String = {
+    val uni = (1 to 12).map(h => s"SELECT node, delta FROM d$h")
       .mkString(" UNION ALL ")
-    "WITH " + ctes.mkString(",\n") +
+    brandesCtes +
       s",\nbc AS (SELECT node, CAST(sum(delta) AS HUGEINT) AS b FROM " +
       s"($uni) GROUP BY 1),\n" +
       "r AS (SELECT node, b, CAST(row_number() OVER (ORDER BY b DESC, " +
       "node) AS BIGINT) AS pos FROM bc)\n" +
       "SELECT pos, node, CAST(b AS BIGINT) AS betweenness_nano " +
+      "FROM r WHERE pos <= 20 ORDER BY pos"
+  }
+
+  private def edgeBetweennessOracle: String = {
+    val uni = (0 to 11).map(h => s"SELECT node, w, t FROM f$h")
+      .mkString(" UNION ALL ")
+    brandesCtes +
+      s",\nef AS (SELECT least(node, w) AS a, greatest(node, w) AS b, " +
+      s"CAST(sum(t) AS HUGEINT) AS flow FROM ($uni) GROUP BY 1, 2),\n" +
+      "r AS (SELECT a, b, flow, CAST(row_number() OVER (ORDER BY " +
+      "flow DESC, a, b) AS BIGINT) AS pos FROM ef)\n" +
+      "SELECT pos, a, b, CAST(flow AS BIGINT) AS flow_nano " +
       "FROM r WHERE pos <= 20 ORDER BY pos"
   }
 
@@ -567,8 +591,13 @@ object Round13 {
     * level backward — every join at frontier grain, lineage cut per
     * level; σ carried in DECIMAL(38,0) (path counts overflow 64 bits on
     * dense cores long before memory matters). */
-  val q401Betweenness: Q = Q(
-    "q401_betweenness", betweennessOracle) { (s, dir) =>
+  /** One Brandes pass (forward σ levels + backward dependency terms)
+    * over the support-2 graph from the top-5-degree pivots, 12-hop
+    * cap. Returns (node betweenness (node, b), DAG-edge flows
+    * (node, w, t) at term grain) — q401 ranks the first, q404 folds the
+    * second to undirected edge grain. */
+  private def brandesPass(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val dec = "decimal(38,0)"
     val e0 = Graph.supportedEdges(s, dir)
     val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
@@ -595,20 +624,25 @@ object Round13 {
     var delta = levels(12).select(col("seed"), col("node"),
       lit(0L).as("delta")).localCheckpoint()
     val deltas = scala.collection.mutable.ArrayBuffer[DataFrame](delta)
+    val flows = scala.collection.mutable.ArrayBuffer[DataFrame]()
     for (h <- 11 to 0 by -1) {
       val wn = levels(h + 1).select(col("seed"), col("node").as("w"),
         col("sigma").as("sw"))
       val dn = delta.select(col("seed"), col("node").as("w"),
         col("delta").as("dw"))
+      // Per-DAG-edge dependency terms, materialized once: both the node
+      // fold (q401) and the edge fold (q404) read them.
       val terms = levels(h).join(sym, col("node") === col("u"))
         .select(col("seed"), col("node"), col("sigma"), col("v").as("w"))
         .join(wn, Seq("seed", "w"))
         .join(dn, Seq("seed", "w"))
-        .select(col("seed"), col("node"),
+        .select(col("seed"), col("node"), col("w"),
           expr("(sigma * (1000000000 + dw)) div sw").as("t"))
-        .groupBy(col("seed"), col("node")).agg(sum(col("t")).as("sd"))
+        .localCheckpoint()
+      flows += terms.select(col("node"), col("w"), col("t"))
       delta = levels(h).select(col("seed"), col("node"))
-        .join(terms, Seq("seed", "node"), "left")
+        .join(terms.groupBy(col("seed"), col("node"))
+          .agg(sum(col("t")).as("sd")), Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           coalesce(col("sd"), lit(0L)).as("delta"))
         .localCheckpoint()
@@ -616,7 +650,47 @@ object Round13 {
     }
     val bc = deltas.reduce(_ unionByName _)
       .groupBy(col("node")).agg(sum(col("delta")).as("b"))
-    Graph.rankTopK(bc, "b", "node", 20, "node", "betweenness_nano")
+    (bc, flows.reduce(_ unionByName _))
+  }
+
+  val q401Betweenness: Q = Q(
+    "q401_betweenness", betweennessOracle) { (s, dir) =>
+    Graph.rankTopK(brandesPass(s, dir)._1, "b", "node", 20,
+      "node", "betweenness_nano")
+  }
+
+  /** q404: EDGE betweenness — the Girvan–Newman splitting signal, dual
+    * to q396's k-truss cohesion: the shortest-path flow THROUGH each
+    * edge (Brandes' per-DAG-edge dependency terms σ_v·(10⁹+δ_w)//σ_w,
+    * summed over pivots, folded to undirected edge grain). High-flow
+    * edges are the bridges a community decomposition cuts first; the
+    * top-20 with the flow in nano fixed point.
+    *
+    * Scale shape: q401's pass (the terms are materialized per level
+    * anyway — the edge fold adds one edge-grain aggregate, no new
+    * joins). */
+  val q404EdgeBetweenness: Q = Q(
+    "q404_edge_betweenness", edgeBetweennessOracle) { (s, dir) =>
+    val ef = brandesPass(s, dir)._2
+      .select(least(col("node"), col("w")).as("a"),
+        greatest(col("node"), col("w")).as("b"), col("t"))
+      .groupBy(col("a"), col("b")).agg(sum(col("t")).as("flow"))
+    // Composite-key top-20 (flow desc, a, b) via the k-bounded
+    // posexplode device (rankTopK's single-key variant can't carry the
+    // two endpoints).
+    ef.orderBy(col("flow").desc, col("a"), col("b")).limit(20)
+      .agg(collect_list(struct(col("flow").as("s"), col("a"),
+        col("b"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.a < r.a THEN -1 WHEN l.a > r.a THEN 1
+          |       WHEN l.b < r.b THEN -1 WHEN l.b > r.b THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.a").as("a"), col("r.b").as("b"),
+        col("r.s").as("flow_nano"))
+      .orderBy(col("pos"))
   }
 
   // -------------------------------------------------------------------
@@ -698,7 +772,111 @@ object Round13 {
     }
   }
 
+  // -------------------------------------------------------------------
+  // q405 — Luby maximal independent set
+  // -------------------------------------------------------------------
+
+  /** Unrolled Luby oracle: 8 rounds of "join the MIS iff your (p, n)
+    * beats every UNDECIDED neighbor's", then remove winners and their
+    * neighbors. Measured convergence on the three SFs is 2–4 rounds;
+    * 8 carries 2× headroom and is part of the metric's shared
+    * definition (Spark requires convergence within it, loudly). */
+  private def lubyOracle: String = {
+    val rounds = 8
+    val pSql = s"16777216 * ${ohv(1)} + 1048576 * ${ohv(2)} + " +
+      s"65536 * ${ohv(3)} + 4096 * ${ohv(4)} + 256 * ${ohv(5)} + " +
+      s"16 * ${ohv(6)} + ${ohv(7)}"
+    val ctes = scala.collection.mutable.ListBuffer[String](
+      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM " +
+        "lineitem)",
+      "e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v " +
+        "FROM lp l1 JOIN lp l2 ON l1.l_orderkey = l2.l_orderkey AND " +
+        "l1.l_partkey < l2.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+      "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u " +
+        "FROM e0)",
+      "n0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM sym)",
+      "nh AS (SELECT n, md5(CAST(n AS VARCHAR)) AS d FROM n0)",
+      s"u0 AS MATERIALIZED (SELECT n, CAST($pSql AS BIGINT) AS p FROM nh)")
+    for (r <- 1 to rounds) {
+      ctes += s"m$r AS MATERIALIZED (SELECT un.n, un.p FROM u${r - 1} un " +
+        s"LEFT JOIN (SELECT DISTINCT uu.n FROM sym " +
+        s"JOIN u${r - 1} uu ON uu.n = sym.u " +
+        s"JOIN u${r - 1} um ON um.n = sym.v " +
+        "WHERE um.p > uu.p OR (um.p = uu.p AND um.n > uu.n)) b " +
+        "ON b.n = un.n WHERE b.n IS NULL)"
+      ctes += s"u$r AS MATERIALIZED (SELECT un.n, un.p FROM u${r - 1} un " +
+        s"LEFT JOIN m$r m ON m.n = un.n " +
+        s"LEFT JOIN (SELECT DISTINCT sym.v AS n FROM sym " +
+        s"JOIN m$r mm ON mm.n = sym.u) nb ON nb.n = un.n " +
+        "WHERE m.n IS NULL AND nb.n IS NULL)"
+    }
+    val uni = (1 to rounds)
+      .map(r => s"SELECT n, $r AS rnd FROM m$r").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s",\nmis AS (SELECT n, rnd FROM ($uni))\n" +
+      "SELECT n0.n, mis.n IS NOT NULL AS in_mis, " +
+      "CAST(mis.rnd AS BIGINT) AS mis_round " +
+      "FROM n0 LEFT JOIN mis ON mis.n = n0.n ORDER BY n0.n"
+  }
+
+  /** q405: Luby's MAXIMAL INDEPENDENT SET — the classic distributed
+    * symmetry-breaking kernel (conflict-free scheduling, coloring
+    * seeds, anchor-set selection for blocked comparisons), made
+    * deterministic: node priority = its id's md5 28-bit integer
+    * (q389's hash device), a node joins the MIS when its (priority, id)
+    * beats every still-UNDECIDED neighbor's, winners + their neighbors
+    * leave the game, repeat. Expected O(log n) rounds with hash
+    * priorities (measured 2–4 here; cap 8 is the shared definition,
+    * loudly required). Output: every node with its MIS membership and
+    * joining round — independence and maximality hold by construction
+    * in BOTH engines, so the gate is the full decision table.
+    *
+    * Scale shape: per round one edge-grain join against the undecided
+    * set (shrinking fast — winners remove their whole neighborhoods)
+    * + two anti-joins; lineage cut per round. */
+  val q405LubyMis: Q = Q("q405_luby_mis", lubyOracle) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("n")).distinct()
+      .persist(MEMORY_AND_DISK)
+    val pSql = s"16777216 * ${hv(1)} + 1048576 * ${hv(2)} + " +
+      s"65536 * ${hv(3)} + 4096 * ${hv(4)} + 256 * ${hv(5)} + " +
+      s"16 * ${hv(6)} + ${hv(7)}"
+    var und = nodes.select(col("n"), md5(col("n").cast("string")).as("d"))
+      .select(col("n"), expr(s"CAST($pSql AS BIGINT)").as("p"))
+      .localCheckpoint()
+    val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var rnd = 0
+    var remaining = und.count()
+    while (remaining > 0) {
+      rnd += 1
+      require(rnd <= 8,
+        s"Luby MIS exceeded the unrolled oracle bound (8 rounds) — " +
+          "re-measure convergence and raise the schedule")
+      val uu = und.select(col("n").as("u"), col("p").as("pu"))
+      val um = und.select(col("n").as("v"), col("p").as("pv"))
+      val beaten = sym.join(uu, "u").join(um, "v")
+        .filter(col("pv") > col("pu") ||
+          (col("pv") === col("pu") && col("v") > col("u")))
+        .select(col("u").as("n")).distinct()
+      val m = und.join(beaten, Seq("n"), "left_anti").localCheckpoint()
+      misParts += m.select(col("n"), lit(rnd.toLong).as("mis_round"))
+      val nb = sym.join(m.select(col("n").as("u")), "u")
+        .select(col("v").as("n")).distinct()
+      und = und.join(m.select(col("n")), Seq("n"), "left_anti")
+        .join(nb, Seq("n"), "left_anti")
+        .localCheckpoint()
+      remaining = und.count()
+    }
+    nodes.join(misParts.reduce(_ unionByName _), Seq("n"), "left")
+      .select(col("n"), col("mis_round").isNotNull.as("in_mis"),
+        col("mis_round"))
+      .orderBy(col("n"))
+  }
+
   val all: Seq[Q] = Seq(q395TriSupportIncremental, q396Ktruss,
     q398ScriptFallbackTokens, q399CmsRegisters, q400CmsEstimate,
-    q401Betweenness, q403WeightedPagerank)
+    q401Betweenness, q403WeightedPagerank, q404EdgeBetweenness,
+    q405LubyMis)
 }

@@ -349,6 +349,103 @@ class Round13Spec extends SparkSpec {
       !== unw.toSeq.sortBy(t => (-t._2, t._1)).map(_._1))
   }
 
+  /** Textbook edge betweenness on the same capped-Brandes definition:
+    * per-source, each shortest-path DAG edge (v, w) carries
+    * σ_v·(10⁹+δ_w)//σ_w; summed over sources at undirected edge grain. */
+  private def refEdgeBetweenness(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), Long] = {
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2) }
+    val seeds = adj.toSeq.sortBy { case (n, ns) => (-ns.size, n) }
+      .take(5).map(_._1)
+    val acc = scala.collection.mutable.Map.empty[(Long, Long), Long]
+      .withDefaultValue(0L)
+    for (s0 <- seeds) {
+      val level = scala.collection.mutable.Map(s0 -> 0)
+      val sigma = scala.collection.mutable.Map(s0 -> BigInt(1))
+      var frontier = Seq(s0)
+      var h = 0
+      while (frontier.nonEmpty && h < 12) {
+        h += 1
+        val cand = frontier.flatMap(adj(_)).distinct
+          .filterNot(level.contains)
+        cand.foreach { v =>
+          sigma(v) = adj(v).filter(p => level.get(p).contains(h - 1))
+            .map(sigma).sum
+          level(v) = h
+        }
+        frontier = cand
+      }
+      val delta = scala.collection.mutable.Map.empty[Long, Long]
+        .withDefaultValue(0L)
+      for (h2 <- 11 to 0 by -1; v <- level.keys if level(v) == h2) {
+        var d = 0L
+        for (w <- adj(v) if level.get(w).contains(h2 + 1)) {
+          val t = ((sigma(v) * (BigInt(1000000000) + delta(w))) / sigma(w))
+            .toLong
+          d += t
+          val e = (math.min(v, w), math.max(v, w))
+          acc(e) = acc(e) + t
+        }
+        delta(v) = d
+      }
+    }
+    acc.toMap
+  }
+
+  test("q404 edge betweenness equals the textbook per-DAG-edge flow " +
+    "fold on the fixture graph") {
+    val dir = root.resolve("ebfix").toString
+    lineitemFor(fixtureEdges, dir)
+    val got = Round13.q404EdgeBetweenness.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ref = refEdgeBetweenness(fixtureEdges.map(e => (e._1, e._2)))
+    val expected = ref.toSeq
+      .sortBy { case ((a, b), f) => (-f, a, b) }.take(20)
+      .zipWithIndex.map { case (((a, b), f), i) => (i + 1L, a, b, f) }
+    assert(got.toSeq === expected)
+    // The path's middle edge is the unique bridge between the star side
+    // and the tail — it must outrank every star edge.
+    val flows = got.map(t => (t._2, t._3) -> t._1).toMap
+    assert(flows((6L, 7L)) < flows.getOrElse((1L, 2L), 99L))
+  }
+
+  test("q405 Luby MIS: independence, maximality, and the exact decision " +
+    "table vs an independent reference") {
+    val dir = root.resolve("misfix").toString
+    lineitemFor(fixtureEdges, dir)
+    val got = Round13.q405LubyMis.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val edges = fixtureEdges.map(e => (e._1, e._2))
+    val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).toSet }
+    // Independence: no edge inside the MIS; maximality: every non-MIS
+    // node has a MIS neighbor.
+    edges.foreach { case (u, v) =>
+      assert(!(got(u) && got(v)), s"edge ($u,$v) inside the MIS") }
+    got.foreach { case (n, in) =>
+      if (!in) assert(adj(n).exists(got), s"$n has no MIS neighbor") }
+    // Exact decision table vs an independent Luby with the same
+    // MessageDigest priorities.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prio(n: Long): Long = {
+      val d = md.digest(n.toString.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      def nib(i: Int) = "0123456789abcdef".indexOf(d.charAt(i)).toLong
+      (0 to 6).map(i => nib(i) << (4 * (6 - i))).sum
+    }
+    var undec = adj.keySet
+    val mis = scala.collection.mutable.Set.empty[Long]
+    while (undec.nonEmpty) {
+      val ord = Ordering.Tuple2[Long, Long]
+      val win = undec.filter(n => adj(n).filter(undec.contains)
+        .forall(m => ord.gt((prio(n), n), (prio(m), m))))
+      mis ++= win
+      undec = undec -- win -- win.flatMap(adj)
+    }
+    assert(got === adj.keySet.map(n => n -> mis.contains(n)).toMap)
+  }
+
   test("CMS linearity: per-split counts folded by addition equal the " +
     "one-pass counts") {
     val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a c c d"),
