@@ -875,8 +875,141 @@ object Round13 {
       .orderBy(col("n"))
   }
 
+  // -------------------------------------------------------------------
+  // q406 — Kneser–Ney bigram LM (held-out)
+  // -------------------------------------------------------------------
+
+  /** q406: KNESER–NEY smoothed bigram LM, held-out — q391 gates the
+    * add-one baseline; this is the smoother production LM filters
+    * actually use, in the same eval-proper construction (train on
+    * even-id docs, score the unseen odd half). Absolute discount
+    * D = 3/4 in pure integers: P(w₂|w₁) = max(4c₂−3, 0)·10⁹ // 4c₁ +
+    * (λ·P_cont) // 10⁹ with λ = 3·N₁₊(w₁•)·10⁹ // 4c₁, and the
+    * CONTINUATION probability P_cont(w₂) = (N₁₊(•w₂)+1)·10⁹ //
+    * (N₁₊(••)+V) — the "how many contexts does w₂ complete" signal
+    * that distinguishes KN from plain backoff (a word frequent in ONE
+    * context scores low). Unseen head words back off to P_cont
+    * entirely; a 1-nano probability floor keeps ln defined (both
+    * engines share every floor). NLL per bigram = ln(10⁹) − ln(P_nano),
+    * both ln args integer-valued → the rounded-ln nano discipline; the
+    * 15 worst held-out documents surface, directly comparable to
+    * q391's add-one ranking.
+    *
+    * Scale shape: q391's economics — all model tables are n-gram-grain
+    * map-side-combined aggregates; scoring is three equi-joins at
+    * bigram/word grain; the leaderboard is k-bounded. */
+  val q406KneserNey: Q = Q(
+    "q406_kneser_ney",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |             FROM tok WHERE len(ws) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |              CAST(count(*) AS BIGINT) AS n1f
+      |       FROM c2 GROUP BY 1),
+      |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM c2 GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n1all,
+      |                (SELECT CAST(count(DISTINCT w) AS BIGINT)
+      |                 FROM (SELECT unnest(ws) AS w FROM tok
+      |                       WHERE doc_id % 2 = 0)) AS v),
+      |sc AS (SELECT bg.doc_id,
+      |         CASE WHEN coalesce(c1.c1, 0) > 0 THEN
+      |           greatest(
+      |             (greatest(4 * coalesce(c2.c2, 0) - 3, 0)
+      |                * 1000000000) // (4 * c1.c1)
+      |             + ((3 * c1.n1f * 1000000000) // (4 * c1.c1)
+      |                  * ((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                     // (tots.n1all + tots.v))) // 1000000000,
+      |             1)
+      |         ELSE greatest((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                         // (tots.n1all + tots.v), 1)
+      |         END AS p_nano
+      |       FROM bg
+      |       LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |       LEFT JOIN c1 ON c1.w1 = bg.w1
+      |       LEFT JOIN nb ON nb.w2 = bg.w2
+      |       CROSS JOIN tots
+      |       WHERE bg.doc_id % 2 = 1),
+      |nl AS (SELECT doc_id,
+      |         CAST(CAST(round(ln(1000000000), 9) AS DECIMAL(28,9))
+      |              * 1000000000 AS BIGINT)
+      |         - CAST(CAST(round(ln(p_nano), 9) AS DECIMAL(28,9))
+      |                * 1000000000 AS BIGINT) AS nll_nano
+      |       FROM sc),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      |             CAST(sum(nll_nano) // count(*) AS BIGINT) AS avg_nll_nano
+      |      FROM nl GROUP BY 1),
+      |r AS (SELECT d.*, CAST(row_number() OVER
+      |               (ORDER BY avg_nll_nano DESC, doc_id) AS BIGINT) AS pos
+      |      FROM d)
+      |SELECT pos, doc_id, n_bigrams, avg_nll_nano
+      |FROM r WHERE pos <= 15 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .persist(MEMORY_AND_DISK) // bigrams (train + heldout) and the vocab
+    val bg = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i]))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(MEMORY_AND_DISK) // probed by sc, folded by c1 and nb
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val nb = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val n1all = c2.agg(count(lit(1)).as("n1all"))
+    val v = tok.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val tots = n1all.crossJoin(broadcast(v))
+    val sc = bg.filter(col("doc_id") % 2 === 1)
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(nb, Seq("w2"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"), expr(
+        """CASE WHEN coalesce(c1, 0) > 0 THEN
+          |  greatest(
+          |    (greatest(4 * coalesce(c2, 0) - 3, 0)
+          |       * 1000000000) div (4 * c1)
+          |    + ((3 * n1f * 1000000000) div (4 * c1)
+          |         * ((coalesce(n1b, 0) + 1) * 1000000000
+          |            div (n1all + v))) div 1000000000,
+          |    1)
+          |ELSE greatest((coalesce(n1b, 0) + 1) * 1000000000
+          |                div (n1all + v), 1)
+          |END""".stripMargin).as("p_nano"))
+    val nano = (e: String) =>
+      s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val d = sc
+      .select(col("doc_id"),
+        (expr(nano("1000000000")) - expr(nano("p_nano"))).as("nll_nano"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(nll_nano) div count(*) AS BIGINT)").as("avg_nll_nano"))
+    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
+      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
+        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
+        col("r.s").as("avg_nll_nano"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[Q] = Seq(q395TriSupportIncremental, q396Ktruss,
     q398ScriptFallbackTokens, q399CmsRegisters, q400CmsEstimate,
     q401Betweenness, q403WeightedPagerank, q404EdgeBetweenness,
-    q405LubyMis)
+    q405LubyMis, q406KneserNey)
 }

@@ -446,6 +446,61 @@ class Round13Spec extends SparkSpec {
     assert(got === adj.keySet.map(n => n -> mis.contains(n)).toMap)
   }
 
+  test("q406 Kneser-Ney equals an independent integer KN scorer on a " +
+    "fixture corpus") {
+    // Train (even ids) makes "the cat" frequent but "cat" appear in ONE
+    // context only, while "dog" completes many contexts — the KN
+    // continuation signal. Held-out (odd ids) hits seen bigrams, unseen
+    // bigrams with seen heads, and an unseen head word.
+    val docs = Seq(
+      (0L, "the cat sat on the mat"), (2L, "the cat ate the dog"),
+      (4L, "a dog b dog c dog"), (6L, "the cat sat"),
+      (1L, "the cat sat"), (3L, "the dog mat zz"), (5L, "qq the cat"),
+      (7L, "dog dog"))
+    val dir = root.resolve("knfix").toString
+    docs.map { case (i, t) => (i, t, "en", "fix", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Independent KN: plain Scala maps, same integer formula.
+    val train = docs.filter(_._1 % 2 == 0)
+    val bgs = (d: Seq[(Long, String)]) => d.flatMap { case (id, t) =>
+      val w = t.split(" "); w.zip(w.tail).map(p => (id, p._1, p._2))
+    }
+    val c2 = bgs(train).groupBy(b => (b._2, b._3))
+      .map { case (k, xs) => k -> xs.size.toLong }
+    val c1 = c2.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> (m.values.sum, m.size.toLong)
+    }
+    val nb = c2.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toLong }
+    val n1all = c2.size.toLong
+    val vocab = train.flatMap(_._2.split(" ")).distinct.size.toLong
+    def pNano(w1: String, w2: String): Long = {
+      val pc = (nb.getOrElse(w2, 0L) + 1L) * 1000000000L / (n1all + vocab)
+      c1.get(w1) match {
+        case Some((cc1, n1f)) =>
+          val t1 = math.max(4L * c2.getOrElse((w1, w2), 0L) - 3L, 0L) *
+            1000000000L / (4L * cc1)
+          val lam = 3L * n1f * 1000000000L / (4L * cc1)
+          math.max(t1 + lam * pc / 1000000000L, 1L)
+        case None => math.max(pc, 1L)
+      }
+    }
+    def lnNano(x: Long): Long =
+      (BigDecimal(math.log(x.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) * 1000000000L).toLong
+    val ref = bgs(docs.filter(_._1 % 2 == 1))
+      .groupBy(_._1).map { case (id, xs) =>
+        val nll = xs.map { case (_, w1, w2) =>
+          lnNano(1000000000L) - lnNano(pNano(w1, w2)) }
+        (id, xs.size.toLong, nll.sum / nll.size)
+      }.toSeq
+    val expected = ref.sortBy { case (id, _, a) => (-a, id) }.take(15)
+      .zipWithIndex.map { case ((id, n, a), i) => (i + 1L, id, n, a) }
+    val got = Round13.q406KneserNey.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+  }
+
   test("CMS linearity: per-split counts folded by addition equal the " +
     "one-pass counts") {
     val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a c c d"),
