@@ -51,11 +51,18 @@ object ScaleStress {
     "q259_stream_full_maintenance")
 
   /** Round-13 graph kernels: the incremental tri-support fold (q395 —
-    * delta-grain probes must scale with |Δ|, not archive size) and the
+    * delta-grain probes must scale with |Δ|, not archive size), the
     * k-truss peel (q396 — K disjoint graph copies peel in the same
-    * number of rounds as one, so growth measures per-round cost). */
+    * number of rounds as one, so growth measures per-round cost), Luby
+    * MIS (q405 — whole-graph symmetry breaking, round count is a local
+    * property so K copies converge together), and pivot betweenness
+    * (q401 — the top-5 GLOBAL pivots all land in one copy under
+    * tie-by-id, so only that copy's component is walked: the q128
+    * single-seed signature, expected near-flat and recorded
+    * deliberately). */
   val MeasuredR13: Seq[String] = Seq(
-    "q395_tri_support_incremental", "q396_ktruss")
+    "q395_tri_support_incremental", "q396_ktruss", "q405_luby_mis",
+    "q401_betweenness")
 
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
     * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
@@ -421,6 +428,15 @@ object ScaleStress {
     val tTriHot = runNoop(spark, "q106_triangle_count",
       s"$workDir/corpus_hotgraph")
 
+    // ---- Boundary 6 (round 13): MIS under skew (q405). The planted
+    // degree-2500 hub sits in every undecided neighborhood at round 1:
+    // either it wins immediately (its 2500 neighbors all retire with it)
+    // or one neighbor beats it (and the hub retires next round) — Luby's
+    // round count is a LOCAL property, so the hub cannot stretch the
+    // schedule. Runtime must stay comparable to the clean 10× run.
+    val tMis10 = times("q405_luby_mis")(10)
+    val tMisHot = runNoop(spark, "q405_luby_mis", s"$workDir/corpus_hotgraph")
+
     // ---- Boundary 5: prefix-bucket density (q110). One hot 13-token
     // phrase shared by 3000 otherwise-distinct (J≈0.09) docs: the
     // rarest-first prefix must keep the hot shingles out of every
@@ -445,7 +461,8 @@ object ScaleStress {
          |"semdedup_scan_cap":{"clean_10x_sec":${f3(tSem10)},"hot_10x_sec":${f3(tSemHot)},"planted_cluster":2000},
          |"driver_closure_2m_edges":{"edges":$nE,"driver_tier_sec":${f3(tDriver)},"distributed_tier_sec":${f3(tDist)},"labels_equal":true,"nodes_labeled":${driverRes._1}},
          |"wedge_skew_orientation":{"clean_10x_sec":${f3(tTri10)},"hot_10x_sec":${f3(tTriHot)},"planted_hub_degree":2500},
-         |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs}}"""
+         |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs},
+         |"mis_skew":{"clean_10x_sec":${f3(tMis10)},"hot_10x_sec":${f3(tMisHot)},"planted_hub_degree":2500}}"""
         .stripMargin.replace("\n", "")
     val out =
       s"""{"sf":"$sfDir","cpus":"$cpus","mults":${mults.mkString("[", ",", "]")},"load":${loads.mkString("[", ",", "]")},"queries":$qJson,"boundaries":$bJson}"""
