@@ -31,6 +31,20 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** PINNED cross-round VM-calibration set (round-14 VERDICT item: the
+    * r13 "this VM is 1.5–1.9× slower on identical code" diagnosis had
+    * to be re-derived by hand — make it mechanical). Five queries whose
+    * CODE is frozen from r14 on (two relational, three graph/join
+    * heavies); their best-of-run total is reported as a `calibration`
+    * block next to the suite total, so a round-over-round comparison
+    * divides out machine speed: normalized suite total = total_best ×
+    * (prior calibration_total / this calibration_total). Any edit to
+    * one of these five queries must retire and re-pin the set — note it
+    * in NOTES.md. */
+  val CalibrationSet: Seq[String] = Seq(
+    "q1_authors_leaderboard", "q7_star_join_revenue",
+    "q106_triangle_count", "q109_pagerank", "q110_setsim_join")
+
   /** Pure compare for the regression gate (unit-tested in BenchDiffSpec):
     * flags queries whose new best is > `ratio`× the prior best and above
     * `floor` seconds — the floor absorbs scheduler jitter on sub-second
@@ -103,6 +117,14 @@ object Bench {
     val rerunThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_THRESHOLD", "5.0").toDouble
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    // A renamed/retired calibration query must fail LOUDLY: a silently
+    // 4/5-query calibration total would poison every future cross-round
+    // normalization that divides by it.
+    val missingCal = CalibrationSet.filterNot(SparkEntry.queries.contains)
+    require(missingCal.isEmpty,
+      s"calibration queries missing from the registry: " +
+        s"${missingCal.mkString(", ")} — re-pin Bench.CalibrationSet " +
+        "and record the retirement in NOTES.md")
     val best = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errored = scala.collection.mutable.LinkedHashSet.empty[String]
     val rerunCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -158,6 +180,15 @@ object Bench {
         }
       }
     val regr = prior.map(p => regressions(p._2, best.toMap)).getOrElse(Map.empty)
+    // Calibration block: the pinned set's per-query bests + total, from
+    // the same best-of-passes record (no extra runs — the set is a fixed
+    // SLICE of the suite, which is exactly what makes it comparable).
+    val calQ = CalibrationSet
+    val calTotal = calQ.map(best).sum
+    val calPerQ = calQ.map(n => s"\"$n\":${f3(best(n))}")
+      .mkString("{", ",", "}")
+    val calibration =
+      s"""{"queries":$calPerQ,"total":${f3(calTotal)}}"""
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -170,11 +201,11 @@ object Bench {
       s"""\"$n\":{\"prev\":$p,\"now\":$t,\"ratio\":${t / p}}"""
     }.mkString("{", ",", "}")
     val prevTotalJson = priorTotal.map(f3).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"calibration":$calibration}""")
     // The driver's one-line record truncates past ~100 queries, losing the
     // per-query tail; persist the full distribution as a repo artifact so
     // the whole record stays auditable after every bench run.
-    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"queries":$qs}"""
+    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"calibration":$calibration,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // an unwritable CWD must not fail the bench

@@ -64,6 +64,20 @@ object ScaleStress {
     "q395_tri_support_incremental", "q396_ktruss", "q405_luby_mis",
     "q401_betweenness")
 
+  /** Round-14 grid rows (VERDICT r13 #3): weighted PageRank (q403 —
+    * q109's iteration economics with the weight riding the edge list),
+    * edge betweenness (q404 — q401's pass + one edge-grain fold; shares
+    * q401's single-copy pivot signature: the top-5 GLOBAL pivots land in
+    * one copy, expected near-flat, recorded deliberately), the
+    * component-grain incremental 3-core (q407 — the (u+v)%5 delta
+    * touches components in EVERY copy, so touched work grows with K;
+    * the gate is that growth stays ~linear, the pass-through is free),
+    * and iterated-Luby coloring (q410 — K disjoint copies converge
+    * together per q405's argument, iterated). */
+  val MeasuredR14: Seq[String] = Seq(
+    "q403_weighted_pagerank", "q404_edge_betweenness",
+    "q407_core3_incremental", "q410_luby_coloring")
+
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
     * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
     * graph/prefix-join/streaming extension. */
@@ -72,7 +86,8 @@ object ScaleStress {
     "q47_dedup_clusters", "q62_dedup_keep_best", "q65_simhash_hamming",
     "q82_dedup_ensemble", "q97_dedup_incremental", "q74_semantic_neardup",
     "q39_ann_topk", "q40_ann_lsh", "q48_ann_ivf", "q236_pq_ann",
-    "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12 ++ MeasuredR13
+    "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12 ++ MeasuredR13 ++
+    MeasuredR14
 
   /** Round-13 extension (VERDICT r12 #2): the two near-linear pair
     * emitters — q82 (0.90 on the 1×/3×/10× fit) and q65 (0.83) — get a
@@ -81,7 +96,13 @@ object ScaleStress {
     * a short ln-ln fit can hide a super-linear bend that only shows past
     * 10×. The 30× row either confirms the sub-linear trend holds or
     * forces an emission cap. */
-  val LongTail: Seq[String] = Seq("q65_simhash_hamming", "q82_dedup_ensemble")
+  /** Round-14 (VERDICT r13 #3): q48_ann_ivf joins the 30× tail — it
+    * measured 0.91 on the 1/3/10 fit in r13, the new near-linear top,
+    * and like the pair emitters its candidate volume grows with the
+    * corpus (per-probe posting lists lengthen with K at a fixed nlist),
+    * so the short fit could hide a bend past 10×. */
+  val LongTail: Seq[String] = Seq("q65_simhash_hamming",
+    "q82_dedup_ensemble", "q48_ann_ivf")
 
   private val IdOffset = 10000000L
 

@@ -550,6 +550,29 @@ object Round12 {
       |      FROM d)
       |SELECT pos, doc_id, n_bigrams, avg_nll_nano
       |FROM r WHERE pos <= 15 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val d = addOneBigramNllPerDoc(s, dir)
+    // k-bounded worst-docs leaderboard (desc by NLL, tie doc_id asc).
+    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
+      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
+        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
+        col("r.s").as("avg_nll_nano"))
+      .orderBy(col("pos"))
+  }
+
+  /** Per-document held-out ADD-ONE bigram NLL (doc_id, n_bigrams,
+    * avg_nll_nano) — q391's scoring surface without the leaderboard
+    * epilogue, exposed for the round-14 smoother-disagreement audit
+    * (q409 ranks this against the Kneser-Ney surface). */
+  private[graft] def addOneBigramNllPerDoc(
+      s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     val tok = Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -575,22 +598,9 @@ object Round12 {
       .select(col("doc_id"),
         (expr(nano("coalesce(c1, 0) + v")) -
           expr(nano("coalesce(c2, 0) + 1"))).as("nll_nano"))
-    val d = sc.groupBy(col("doc_id"))
+    sc.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("CAST(sum(nll_nano) div count(*) AS BIGINT)").as("avg_nll_nano"))
-    // k-bounded worst-docs leaderboard (desc by NLL, tie doc_id asc).
-    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
-      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
-        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
-      .select(posexplode(expr(
-        """array_sort(rows, (l, r) ->
-          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
-          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
-          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
-      .select((col("i") + 1).cast("long").as("pos"),
-        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
-        col("r.s").as("avg_nll_nano"))
-      .orderBy(col("pos"))
   }
 
   /** q392: Katz centrality — attenuated PATH counting, the centrality

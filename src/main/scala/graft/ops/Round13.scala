@@ -178,10 +178,6 @@ object Round13 {
       var changed = true
       while (changed && cur.nonEmpty) {
         rounds += 1
-        require(rounds <= cap,
-          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
-            s"($cap rounds) — re-measure convergence and raise the " +
-            "schedule rather than gating an unconverged answer")
         val adj = scala.collection.mutable
           .Map.empty[Long, scala.collection.mutable.Set[Long]]
         cur.foreach { case (u, v) =>
@@ -193,6 +189,15 @@ object Round13 {
           adj(a).count(adj(bb).contains) >= k - 2
         }
         changed = keep.size != cur.size
+        // Only CHANGING rounds count against the cap: the oracle runs
+        // exactly `cap` rounds and is idempotent once converged, so an
+        // input needing exactly `cap` drops still matches it — the
+        // convergence-DETECTION round (no drop) at cap+1 must not trip
+        // the loud-failure contract (round-13 ADVICE off-by-one).
+        require(!changed || rounds <= cap,
+          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap changing rounds) — re-measure convergence and raise " +
+            "the schedule rather than gating an unconverged answer")
         cur = keep
       }
       cur.foreach(e => truss(e) = k.toLong)
@@ -215,15 +220,17 @@ object Round13 {
       var stable = false
       while (!stable && n > 0) {
         rounds += 1
-        require(rounds <= cap,
-          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
-            s"($cap rounds)")
         val next = Round12.triSupportOf(cur, checkpointOri = true)
           .filter(col("tri") >= k - 2)
           .select(col("u"), col("v"))
           .localCheckpoint()
         val m = next.count()
         stable = m == n
+        // Changing rounds only — the detect round (no drop) at cap+1 is
+        // allowed; see the driver tier's comment (ADVICE off-by-one).
+        require(stable || rounds <= cap,
+          s"k-truss peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap changing rounds)")
         cur = next
         n = m
       }
@@ -359,8 +366,9 @@ object Round13 {
       |cj AS (SELECT t, unnest([0, 1, 2, 3]) AS j FROM tk),
       |hx AS (SELECT j, t,
       |              md5(concat(CAST(j AS VARCHAR), '#', t)) AS d FROM cj),
-      |cc AS (SELECT j, (4096 * ${ohv(1)} + 256 * ${ohv(2)}
-      |                  + 16 * ${ohv(3)} + ${ohv(4)}) % 32 AS c FROM hx),
+      |cc AS (SELECT j, ((4096 * ${ohv(1)} + 256 * ${ohv(2)}
+      |                   + 16 * ${ohv(3)} + ${ohv(4)}) % 4093) % 32 AS c
+      |       FROM hx),
       |reg AS (SELECT j, c, CAST(count(*) AS BIGINT) AS r
       |        FROM cc GROUP BY 1, 2)""".stripMargin
 
@@ -376,9 +384,15 @@ object Round13 {
       .select(col("*"), explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
       .select(col("*"),
         md5(concat(col("j").cast("string"), lit("#"), col("t"))).as("d"))
+      // Cell = 16-bit nibble fold mod the PRIME 4093, then mod 32. The
+      // prime step is load-bearing: 4096 and 256 are both ≡ 0 (mod 32),
+      // so a direct % 32 would discard the first two nibbles — 5
+      // effective hash bits instead of 16, quietly inflating collision
+      // overcount (round-13 ADVICE). 4093 is coprime to 32 and > the
+      // 16-bit input range, so all four nibbles reach the cell index.
       .select(col("*"),
-        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
-          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+        expr(s"CAST(((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
+          + s" + ${hv(4)}) % 4093) % 32 AS BIGINT)").as("c"))
 
   /** Sparse CMS register counts (j, c, r) of one documents frame — the
     * per-shard/per-trigger partial the linear sketch folds by per-cell
@@ -459,8 +473,9 @@ object Round13 {
       |th AS (SELECT pos, t, cnt, j,
       |              md5(concat(CAST(j AS VARCHAR), '#', t)) AS d FROM tj),
       |tcell AS (SELECT pos, t, cnt, j,
-      |                 (4096 * ${ohv(1)} + 256 * ${ohv(2)}
-      |                  + 16 * ${ohv(3)} + ${ohv(4)}) % 32 AS c FROM th),
+      |                 ((4096 * ${ohv(1)} + 256 * ${ohv(2)}
+      |                   + 16 * ${ohv(3)} + ${ohv(4)}) % 4093) % 32 AS c
+      |          FROM th),
       |e AS (SELECT pos, t AS token, cnt AS true_cnt,
       |             CAST(min(reg.r) AS BIGINT) AS cms_est
       |      FROM tcell JOIN reg ON reg.j = tcell.j AND reg.c = tcell.c
@@ -481,8 +496,8 @@ object Round13 {
       .select(col("pos"), col("token"), col("true_cnt"), col("j"),
         md5(concat(col("j").cast("string"), lit("#"), col("token"))).as("d"))
       .select(col("pos"), col("token"), col("true_cnt"), col("j"),
-        expr(s"CAST((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
-          + s" + ${hv(4)}) % 32 AS BIGINT)").as("c"))
+        expr(s"CAST(((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
+          + s" + ${hv(4)}) % 4093) % 32 AS BIGINT)").as("c"))
       .join(merged, Seq("j", "c"))
       .groupBy(col("pos"), col("token"), col("true_cnt"))
       .agg(min(col("r")).as("cms_est"))
@@ -612,7 +627,17 @@ object Round13 {
       val nxt = lvl.join(sym, lvl("node") === sym("u"))
         .select(col("seed"), col("v").as("node"), col("sigma"))
         .groupBy(col("seed"), col("node"))
-        .agg(sum(col("sigma")).cast(dec).as("sigma"))
+        .agg(sum(col("sigma")).cast(dec).as("sraw"))
+        // Overflow loudness: under non-ANSI semantics a DECIMAL(38,0)
+        // sum that overflows becomes NULL and would propagate silently;
+        // the oracle's HUGEINT errors loudly instead. σ is never NULL
+        // by construction (every input row carries one), so NULL here
+        // IS the overflow signal — fail the run like the truss/Luby
+        // caps do rather than diverge quietly.
+        .select(col("seed"), col("node"),
+          coalesce(col("sraw"), expr("raise_error('brandes sigma sum " +
+            "overflowed DECIMAL(38,0) — lower the hop cap or widen the " +
+            "carrier')")).as("sigma"))
         .join(known, Seq("seed", "node"), "left_anti")
         .localCheckpoint()
       levels += nxt
@@ -636,8 +661,16 @@ object Round13 {
         .select(col("seed"), col("node"), col("sigma"), col("v").as("w"))
         .join(wn, Seq("seed", "w"))
         .join(dn, Seq("seed", "w"))
+        // σ·(10⁹+δ) can overflow DECIMAL(38,0) on dense cores (the
+        // comment above anticipates σ > 64 bits); non-ANSI overflow is
+        // a quiet NULL that sum() would DROP, silently diverging from
+        // the oracle's loud HUGEINT error. Every operand is non-null
+        // (inner joins, coalesced δ), so NULL ⇔ overflow — raise.
         .select(col("seed"), col("node"), col("w"),
-          expr("(sigma * (1000000000 + dw)) div sw").as("t"))
+          coalesce(expr("(sigma * (1000000000 + dw)) div sw"),
+            expr("raise_error('brandes dependency term sigma*(1e9+delta)" +
+              " overflowed DECIMAL(38,0) — lower the hop cap or widen " +
+              "the carrier')")).as("t"))
         .localCheckpoint()
       flows += terms.select(col("node"), col("w"), col("t"))
       delta = levels(h).select(col("seed"), col("node"))
@@ -851,6 +884,11 @@ object Round13 {
     var remaining = und.count()
     while (remaining > 0) {
       rnd += 1
+      // Unlike the truss peel, Luby has NO convergence-detection round:
+      // the loop runs only while undecided nodes remain, and every round
+      // retires at least one (the globally max-(p,id) undecided node
+      // always wins) — so rnd counts changing rounds by construction and
+      // the cap comparison carries no off-by-one.
       require(rnd <= 8,
         s"Luby MIS exceeded the unrolled oracle bound (8 rounds) — " +
           "re-measure convergence and raise the schedule")
@@ -869,7 +907,15 @@ object Round13 {
         .localCheckpoint()
       remaining = und.count()
     }
-    nodes.join(misParts.reduce(_ unionByName _), Seq("n"), "left")
+    // Empty-graph guard (the q387/q390 family fix): a support-2 graph
+    // with no edges never enters the loop, so misParts is empty and
+    // reduce would throw — the oracle returns zero rows on the same
+    // input. As everywhere else this is an if/else EXPRESSION.
+    val mis =
+      if (misParts.isEmpty)
+        s.range(0).select(col("id").as("n"), col("id").as("mis_round"))
+      else misParts.reduce(_ unionByName _)
+    nodes.join(mis, Seq("n"), "left")
       .select(col("n"), col("mis_round").isNotNull.as("in_mis"),
         col("mis_round"))
       .orderBy(col("n"))
@@ -948,6 +994,35 @@ object Round13 {
       |      FROM d)
       |SELECT pos, doc_id, n_bigrams, avg_nll_nano
       |FROM r WHERE pos <= 15 ORDER BY pos""".stripMargin) { (s, dir) =>
+    knBigramRanked(s, dir)
+  }
+
+  /** q406's body up to the k-bounded leaderboard, exposed so the
+    * round-14 smoother-disagreement audit (q409) can rank the same KN
+    * NLL surface against q391's add-one surface. Returns the ranked
+    * top-15 frame (pos, doc_id, n_bigrams, avg_nll_nano). */
+  private[graft] def knBigramRanked(s: SparkSession, dir: String)
+      : DataFrame = {
+    val d = knBigramNllPerDoc(s, dir)
+    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
+      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
+        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
+        col("r.s").as("avg_nll_nano"))
+      .orderBy(col("pos"))
+  }
+
+  /** Per-document held-out Kneser–Ney NLL (doc_id, n_bigrams,
+    * avg_nll_nano) — q406's scoring surface without the leaderboard
+    * epilogue (reused by q409's disagreement audit). */
+  private[graft] def knBigramNllPerDoc(s: SparkSession, dir: String)
+      : DataFrame = {
     val tok = Tables(s, dir, "documents")
       .filter(col("text").isNotNull)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -988,24 +1063,12 @@ object Round13 {
           |END""".stripMargin).as("p_nano"))
     val nano = (e: String) =>
       s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
-    val d = sc
+    sc
       .select(col("doc_id"),
         (expr(nano("1000000000")) - expr(nano("p_nano"))).as("nll_nano"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         expr("CAST(sum(nll_nano) div count(*) AS BIGINT)").as("avg_nll_nano"))
-    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
-      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
-        col("doc_id").as("k"), col("n_bigrams").as("nb"))).as("rows"))
-      .select(posexplode(expr(
-        """array_sort(rows, (l, r) ->
-          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
-          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
-          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
-      .select((col("i") + 1).cast("long").as("pos"),
-        col("r.k").as("doc_id"), col("r.nb").as("n_bigrams"),
-        col("r.s").as("avg_nll_nano"))
-      .orderBy(col("pos"))
   }
 
   val all: Seq[Q] = Seq(q395TriSupportIncremental, q396Ktruss,

@@ -1,0 +1,739 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+import graft.{Q, Tables}
+
+/** Round-14 additions: COMPONENT-GRAIN incremental discipline for the
+  * graph kernels that are not delta-local (q407 — re-run 3-core only
+  * inside components the delta touched, stored results pass through
+  * untouched ones), the trigram Kneser–Ney LM with full backoff chain
+  * (q408), the smoother-disagreement audit that surfaces the documents
+  * the two smoothers rank differently (q409 — the filter-tuning
+  * signal), and Luby-iterated greedy coloring (q410 — repeated MIS on
+  * the residual graph, color = iteration index).
+  */
+object Round14 {
+
+  // -------------------------------------------------------------------
+  // q407 — component-grain incremental 3-core
+  // -------------------------------------------------------------------
+
+  /** Shared peel-round cap for every 3-core fixpoint in this tier (the
+    * unrolled oracle runs EXACTLY this many rounds — idempotent after
+    * convergence; both Spark tiers peel to convergence and loudly
+    * require CHANGING rounds ≤ cap, detect rounds exempt per the
+    * round-13 ADVICE off-by-one fix). Measured changing-rounds to
+    * fixpoint: full graph 0/10/2 at sf0.001/0.01/0.1; the WORST peel in
+    * the incremental pipeline is the day-1 archive at sf0.01 (13 — the
+    * delta's absence leaves longer cascade chains), so 18 carries ~1.4×
+    * headroom over the true worst. */
+  private[graft] val Core3RoundCap = 18
+
+  /** Driver-tier 3-core peel (the [[Fuzzy.resolveClusters]] /
+    * [[Round13.trussDriver]] shape: one collect, in-heap degree maps,
+    * no per-round jobs — a 13-round peel costs driver microseconds
+    * instead of 26 tiny semi-join jobs). `edges` oriented u < v;
+    * returns the surviving node set. */
+  private[graft] def core3Driver(edges: Array[(Long, Long)],
+      cap: Int = Core3RoundCap): Set[Long] = {
+    var cur: Set[(Long, Long)] = edges.toSet
+    var changed = true
+    var rounds = 0
+    while (changed && cur.nonEmpty) {
+      rounds += 1
+      val deg = scala.collection.mutable.Map.empty[Long, Int]
+      cur.foreach { case (u, v) =>
+        deg(u) = deg.getOrElse(u, 0) + 1
+        deg(v) = deg.getOrElse(v, 0) + 1
+      }
+      val surv = deg.filter(_._2 >= 3).keySet
+      val keep = cur.filter { case (u, v) => surv(u) && surv(v) }
+      changed = keep.size != cur.size
+      // Changing rounds only (the detect round is exempt — the oracle's
+      // fixed unroll is idempotent once converged).
+      require(!changed || rounds <= cap,
+        s"3-core peel exceeded the unrolled oracle bound ($cap changing " +
+          "rounds) — re-measure convergence and raise the cap rather " +
+          "than gating an unconverged answer")
+      cur = keep
+    }
+    cur.flatMap { case (u, v) => Seq(u, v) }
+  }
+
+  /** Distributed 3-core peel: per round one map-side-combined degree
+    * count + two semi-joins on the shrinking survivor edge set, lineage
+    * cut per round. The 100-TB path; per-round cost is bounded by the
+    * first round's because the survivor set only shrinks. */
+  private[graft] def core3Distributed(e: DataFrame,
+      cap: Int = Core3RoundCap): DataFrame = {
+    var cur = e.select(col("u"), col("v")).localCheckpoint()
+    var n = cur.count()
+    var stable = n == 0
+    var rounds = 0
+    while (!stable && n > 0) {
+      rounds += 1
+      val sym = cur.unionAll(cur.select(col("v").as("u"), col("u").as("v")))
+      val surv = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= 3).select(col("u").as("n"))
+      val next = cur
+        .join(surv.withColumnsRenamed(Map("n" -> "u")), Seq("u"), "left_semi")
+        .join(surv.withColumnsRenamed(Map("n" -> "v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      val m = next.count()
+      stable = m == n
+      require(stable || rounds <= cap,
+        s"3-core peel exceeded the unrolled oracle bound ($cap changing " +
+          "rounds)")
+      cur = next
+      n = m
+    }
+    cur.select(col("u").as("n"))
+      .unionByName(cur.select(col("v").as("n"))).distinct()
+  }
+
+  /** Tier choice, CHECKED not assumed (the shared 2M-edge boundary):
+    * count first, in-heap below, distributed above. Both tiers produce
+    * identical survivor sets (Round14Spec races them). Returns (n,
+    * in_core3) over every endpoint of `edges`. */
+  private[graft] def core3Members(s: SparkSession, edges: DataFrame,
+      cap: Int = Core3RoundCap,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    // The edge list is re-read every peel round; sever whatever lineage
+    // produced it (q383's meta-graph lesson — an upstream CC loop in the
+    // lineage makes the per-round plan string grow exponentially).
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val nodes = e.select(col("u").as("n"))
+      .unionByName(e.select(col("v").as("n"))).distinct()
+    val surv: DataFrame =
+      if (e.count() <= driverMaxEdges) {
+        val core = core3Driver(
+          e.collect().map(r => (r.getLong(0), r.getLong(1))), cap)
+        if (core.isEmpty) s.range(0).select(col("id").as("n"))
+        else s.createDataFrame(core.toSeq.map(Tuple1(_))).toDF("n")
+      } else core3Distributed(e, cap)
+    nodes.join(surv.select(col("n"), lit(true).as("c")), Seq("n"), "left")
+      .select(col("n"), coalesce(col("c"), lit(false)).as("in_core3"))
+  }
+
+  /** Fold a batch of delta edges into a persisted per-node 3-core
+    * membership table by COMPONENT-GRAIN recomputation — the honest
+    * incremental discipline for kernels that are NOT delta-local (one
+    * new edge can cascade a peel through its whole component, so no
+    * |Δ|-grain fold can be oracle-equal; but a component the delta
+    * never touches has an IDENTICAL edge set before and after, and
+    * 3-core is component-local, so its stored result passes through
+    * unchanged — equality with from-scratch holds by construction).
+    *
+    * Inputs: `labels` (n, lab) — the persisted day-1 CC label index
+    * (q383's store); `storedCore` (n, in_core3) — the persisted day-1
+    * kernel result; `day1`/`delta` (u, v) edge sets. Steps:
+    *   1. [[Graph.ccFold]] merges the delta into the labels (|Δ|-grain
+    *      meta-CC, one broadcast relabel — never an archive rescan);
+    *   2. the TOUCHED component set = labels of delta endpoints in the
+    *      merged labeling (|Δ|-grain, broadcast);
+    *   3. the kernel re-runs ONLY on edges inside touched components
+    *      (edges never cross components, so a semi-join on u suffices);
+    *   4. stored rows for untouched nodes pass through via one
+    *      node-grain anti-join (at 100 TB: publish only the touched
+    *      components' rows through the manifest store's partitioned
+    *      upsert — the untouched partitions are never rewritten).
+    *
+    * Returns (updated (n, in_core3) covering day1's ∪ delta's nodes,
+    * the MERGED (n, lab) label table — so a chained/streaming caller
+    * can persist both indexes forward, q383-style, and the recomputed-
+    * region edge set — surfaced so the touched-only-scan claim is
+    * ASSERTABLE, not asserted: Round14Spec counts it against a planted
+    * untouched component). */
+  private[graft] def core3ComponentFold(
+      s: SparkSession,
+      labels: DataFrame,
+      storedCore: DataFrame,
+      day1: DataFrame,
+      delta: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val newLabels = Graph.ccFold(labels, delta)
+    val deltaNodes = delta.select(col("u").as("n"))
+      .unionByName(delta.select(col("v").as("n"))).distinct()
+    val touchedLabs = newLabels.join(deltaNodes, Seq("n"), "left_semi")
+      .select(col("lab")).distinct()
+    val touchedNodes = newLabels
+      .join(broadcast(touchedLabs), Seq("lab"), "left_semi")
+      .select(col("n"))
+      .persist(MEMORY_AND_DISK) // edge filter + pass-through anti-join
+    val touchedEdges = day1.unionByName(delta)
+      .join(touchedNodes.withColumnsRenamed(Map("n" -> "u")),
+        Seq("u"), "left_semi")
+    val recomputed = core3Members(s, touchedEdges)
+    val passThrough = storedCore.join(touchedNodes, Seq("n"), "left_anti")
+    (passThrough.unionByName(recomputed), newLabels, touchedEdges)
+  }
+
+  /** The unrolled from-scratch 3-core oracle: [[Core3RoundCap]] peel
+    * rounds (survivors = nodes with degree ≥ 3 among current edges;
+    * edges keep both-endpoint survivors), all MATERIALIZED — each round
+    * references its predecessor twice and the final epilogue reads the
+    * last round. Idempotent once converged (measured fixpoint at ≤ 10
+    * changing rounds on the full graph), so the fixed unroll equals the
+    * Spark side's peel-to-convergence. */
+  private def core3Oracle: String = {
+    val b = new scala.collection.mutable.StringBuilder
+    b ++= "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, " +
+      "l_partkey FROM lineitem),\ne0 AS MATERIALIZED (SELECT " +
+      "l1.l_partkey AS u, l2.l_partkey AS v FROM lp l1 JOIN lp l2 ON " +
+      "l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2),\n" +
+      "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u " +
+      "FROM e0),\nn0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM sym),\n" +
+      "g0 AS MATERIALIZED (SELECT u, v FROM sym)"
+    for (r <- 1 to Core3RoundCap) {
+      b ++= s",\ns$r AS MATERIALIZED (SELECT u AS n FROM g${r - 1} " +
+        "GROUP BY 1 HAVING count(*) >= 3)"
+      b ++= s",\ng$r AS MATERIALIZED (SELECT g.u, g.v FROM g${r - 1} g " +
+        s"JOIN s$r a ON a.n = g.u JOIN s$r b ON b.n = g.v)"
+    }
+    b ++= s"\nSELECT n0.n, s$Core3RoundCap.n IS NOT NULL AS in_core3 " +
+      s"FROM n0 LEFT JOIN s$Core3RoundCap ON s$Core3RoundCap.n = n0.n " +
+      "ORDER BY n0.n"
+    b.toString
+  }
+
+  /** q407: COMPONENT-GRAIN incremental 3-core — the index-maintenance
+    * discipline extended to a kernel that is NOT delta-local (q383's CC
+    * fold and q395's tri-support fold exploit delta-locality; a peel
+    * does not have it — one edge can cascade removals through its whole
+    * component). The honest grain is the COMPONENT: the co-purchase
+    * edge stream splits into a day-1 archive ((u+v) % 5 ≠ 0) whose CC
+    * labels AND per-node 3-core membership are the PERSISTED index, and
+    * a day-2 delta ((u+v) % 5 = 0); the fold re-peels only components
+    * the delta touched and passes every untouched component's stored
+    * membership through untouched (at sf0.1 that is 4053 of ~5900 nodes
+    * — the pass-through carries most of the answer). Oracle: the
+    * from-scratch full-graph 3-core, so the gate is "fold ≡ rebuild".
+    *
+    * Scale shape: delta work is the |Δ|-grain ccFold + a peel bounded
+    * by the touched components' size — cost tracks HOW MUCH the delta
+    * touches, never archive size; the stored tables are read once
+    * map-side each. */
+  val q407Core3Incremental: Q = Q(
+    "q407_core3_incremental", core3Oracle) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+      .persist(MEMORY_AND_DISK)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+      .persist(MEMORY_AND_DISK)
+    // The persisted index: day-1 labels + day-1 core membership, built
+    // once — in production these are yesterday's stored tables.
+    val labels = Fuzzy.resolveClusters(s,
+      day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    val stored = core3Members(s, day1)
+    val (updated, _, _) = core3ComponentFold(s, labels, stored, day1, delta)
+    updated.select(col("n"), col("in_core3")).orderBy(col("n"))
+  }
+
+  // -------------------------------------------------------------------
+  // q408 — trigram Kneser–Ney LM (held-out, full backoff chain)
+  // -------------------------------------------------------------------
+
+  /** q408: TRIGRAM Kneser–Ney, held-out — q406's bigram KN extended to
+    * the order production LM filters actually interpolate: P(w₃|w₁w₂) =
+    * max(4c₃−3, 0)·10⁹ // 4c₁₂ + λ₃·P₂ // 10⁹ with λ₃ = 3·N₁₊(w₁w₂•)·
+    * 10⁹ // 4c₁₂, where the LOWER order P₂(w₃|w₂) is itself KN over
+    * CONTINUATION counts (the defining trait of the interpolated chain:
+    * the bigram level counts distinct-context types N₁₊(•w₂w₃), not raw
+    * bigrams): P₂ = max(4·N₁₊(•w₂w₃)−3, 0)·10⁹ // 4·N₁₊(•w₂•) +
+    * λ₂·P_cont // 10⁹, λ₂ = 3·N₁₊(w₂•)·10⁹ // 4·N₁₊(•w₂•), and P_cont
+    * is q406's unigram continuation verbatim ((N₁₊(•w₃)+1)·10⁹ //
+    * (N₁₊(••)+V)). Unseen (w₁w₂) heads back off to P₂ entirely; unseen
+    * w₂ middles back off to P_cont; 1-nano floor at each level keeps ln
+    * defined; D = 3/4 absolute discount in pure integers throughout —
+    * every floor division shared by both engines. Same rounded-ln NLL
+    * surface as q391/q406, so all three smoothers' worst-document
+    * rankings compare directly.
+    *
+    * Scale shape: q391's economics one order up — all model tables are
+    * n-gram-grain map-side-combined aggregates; scoring is four
+    * equi-joins at trigram/bigram/word grain; the leaderboard is
+    * k-bounded. */
+  val q408KneserNeyTrigram: Q = Q(
+    "q408_kneser_ney_trigram",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents WHERE text IS NOT NULL),
+      |tg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, ws[i+2] AS w3
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS i
+      |             FROM tok WHERE len(ws) >= 3)),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |             FROM tok WHERE len(ws) >= 2)),
+      |c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      |       FROM tg WHERE doc_id % 2 = 0 GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c12,
+      |               CAST(count(*) AS BIGINT) AS n3f
+      |        FROM c3 GROUP BY 1, 2),
+      |cont23 AS (SELECT w2, w3, CAST(count(*) AS BIGINT) AS n1c
+      |           FROM c3 GROUP BY 1, 2),
+      |mid2 AS (SELECT w2, CAST(sum(n1c) AS BIGINT) AS m2,
+      |                CAST(count(*) AS BIGINT) AS n2f
+      |         FROM cont23 GROUP BY 1),
+      |c2b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |        FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM c2b GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2b) AS n1all,
+      |                (SELECT CAST(count(DISTINCT w) AS BIGINT)
+      |                 FROM (SELECT unnest(ws) AS w FROM tok
+      |                       WHERE doc_id % 2 = 0)) AS v),
+      |s0 AS (SELECT tg.doc_id,
+      |              coalesce(c3.c3, 0) AS c3v,
+      |              coalesce(c12.c12, 0) AS c12v,
+      |              coalesce(c12.n3f, 0) AS n3fv,
+      |              coalesce(cont23.n1c, 0) AS n1cv,
+      |              coalesce(mid2.m2, 0) AS m2v,
+      |              coalesce(mid2.n2f, 0) AS n2fv,
+      |              coalesce(nb.n1b, 0) AS n1bv,
+      |              tots.n1all AS n1all, tots.v AS v
+      |       FROM tg
+      |       LEFT JOIN c3 ON c3.w1 = tg.w1 AND c3.w2 = tg.w2
+      |                   AND c3.w3 = tg.w3
+      |       LEFT JOIN c12 ON c12.w1 = tg.w1 AND c12.w2 = tg.w2
+      |       LEFT JOIN cont23 ON cont23.w2 = tg.w2 AND cont23.w3 = tg.w3
+      |       LEFT JOIN mid2 ON mid2.w2 = tg.w2
+      |       LEFT JOIN nb ON nb.w2 = tg.w3
+      |       CROSS JOIN tots
+      |       WHERE tg.doc_id % 2 = 1),
+      |s1 AS (SELECT *, (n1bv + 1) * 1000000000 // (n1all + v) AS pc
+      |       FROM s0),
+      |s2 AS (SELECT *, CASE WHEN m2v > 0 THEN greatest(
+      |           (greatest(4 * n1cv - 3, 0) * 1000000000) // (4 * m2v)
+      |           + ((3 * n2fv * 1000000000) // (4 * m2v) * pc)
+      |               // 1000000000,
+      |           1)
+      |         ELSE greatest(pc, 1) END AS p2 FROM s1),
+      |s3 AS (SELECT doc_id, CASE WHEN c12v > 0 THEN greatest(
+      |           (greatest(4 * c3v - 3, 0) * 1000000000) // (4 * c12v)
+      |           + ((3 * n3fv * 1000000000) // (4 * c12v) * p2)
+      |               // 1000000000,
+      |           1)
+      |         ELSE p2 END AS p_nano FROM s2),
+      |nl AS (SELECT doc_id,
+      |         CAST(CAST(round(ln(1000000000), 9) AS DECIMAL(28,9))
+      |              * 1000000000 AS BIGINT)
+      |         - CAST(CAST(round(ln(p_nano), 9) AS DECIMAL(28,9))
+      |                * 1000000000 AS BIGINT) AS nll_nano
+      |       FROM s3),
+      |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      |             CAST(sum(nll_nano) // count(*) AS BIGINT)
+      |               AS avg_nll_nano
+      |      FROM nl GROUP BY 1),
+      |r AS (SELECT d.*, CAST(row_number() OVER
+      |               (ORDER BY avg_nll_nano DESC, doc_id) AS BIGINT) AS pos
+      |      FROM d)
+      |SELECT pos, doc_id, n_trigrams, avg_nll_nano
+      |FROM r WHERE pos <= 15 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .persist(MEMORY_AND_DISK) // trigrams + bigrams (train/heldout) + vocab
+    val tg = tok.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i],
+          |                    'w3', ws[i+1]))""".stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"),
+        col("p.w3").as("w3"))
+    val bgTrain = tok.filter(size(col("ws")) >= 2 && col("doc_id") % 2 === 0)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i]))"""
+          .stripMargin)).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c3 = tg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+      .persist(MEMORY_AND_DISK) // probed by s0, folded by c12/cont23
+    val c12 = c3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c12"), count(lit(1)).as("n3f"))
+    val cont23 = c3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("n1c"))
+      .persist(MEMORY_AND_DISK) // probed by s0, folded by mid2
+    val mid2 = cont23.groupBy(col("w2"))
+      .agg(sum(col("n1c")).as("m2"), count(lit(1)).as("n2f"))
+    val c2b = bgTrain.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c2"))
+      .persist(MEMORY_AND_DISK) // folded by nb and n1all
+    val nbT = c2b.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val n1all = c2b.agg(count(lit(1)).as("n1all"))
+    val v = tok.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val tots = n1all.crossJoin(broadcast(v))
+    val s0 = tg.filter(col("doc_id") % 2 === 1)
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(cont23, Seq("w2", "w3"), "left")
+      .join(mid2, Seq("w2"), "left")
+      .join(nbT.select(col("w2").as("w3"), col("n1b")), Seq("w3"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("doc_id"),
+        coalesce(col("c3"), lit(0L)).as("c3v"),
+        coalesce(col("c12"), lit(0L)).as("c12v"),
+        coalesce(col("n3f"), lit(0L)).as("n3fv"),
+        coalesce(col("n1c"), lit(0L)).as("n1cv"),
+        coalesce(col("m2"), lit(0L)).as("m2v"),
+        coalesce(col("n2f"), lit(0L)).as("n2fv"),
+        coalesce(col("n1b"), lit(0L)).as("n1bv"),
+        col("n1all"), col("v"))
+    val sc = s0
+      .select(col("doc_id"),
+        expr("(n1bv + 1) * 1000000000 div (n1all + v)").as("pc"),
+        col("c3v"), col("c12v"), col("n3fv"), col("n1cv"), col("m2v"),
+        col("n2fv"))
+      .select(col("doc_id"), col("c3v"), col("c12v"), col("n3fv"),
+        expr(
+          """CASE WHEN m2v > 0 THEN greatest(
+            |  (greatest(4 * n1cv - 3, 0) * 1000000000) div (4 * m2v)
+            |  + ((3 * n2fv * 1000000000) div (4 * m2v) * pc)
+            |      div 1000000000,
+            |  1)
+            |ELSE greatest(pc, 1) END""".stripMargin).as("p2"))
+      .select(col("doc_id"), expr(
+        """CASE WHEN c12v > 0 THEN greatest(
+          |  (greatest(4 * c3v - 3, 0) * 1000000000) div (4 * c12v)
+          |  + ((3 * n3fv * 1000000000) div (4 * c12v) * p2)
+          |      div 1000000000,
+          |  1)
+          |ELSE p2 END""".stripMargin).as("p_nano"))
+    val nano = (e: String) =>
+      s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val d = sc
+      .select(col("doc_id"),
+        (expr(nano("1000000000")) - expr(nano("p_nano"))).as("nll_nano"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        expr("CAST(sum(nll_nano) div count(*) AS BIGINT)")
+          .as("avg_nll_nano"))
+    d.orderBy(col("avg_nll_nano").desc, col("doc_id")).limit(15)
+      .agg(collect_list(struct(col("avg_nll_nano").as("s"),
+        col("doc_id").as("k"), col("n_trigrams").as("nt"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k").as("doc_id"), col("r.nt").as("n_trigrams"),
+        col("r.s").as("avg_nll_nano"))
+      .orderBy(col("pos"))
+  }
+
+  // -------------------------------------------------------------------
+  // q409 — smoother-disagreement audit (KN vs add-one)
+  // -------------------------------------------------------------------
+
+  /** The worst-K cut both smoothers are audited at. 60 (vs the
+    * leaderboards' 15): measured symmetric differences are 2/8/2 rows
+    * at sf0.001/0.01/0.1 — the smallest K giving a NON-EMPTY audit at
+    * every driver SF is 40 (at 25 the two worst lists coincide exactly
+    * at sf0.1, which would gate nothing). */
+  private[graft] val DisagreeK = 60
+
+  /** q409: SMOOTHER-DISAGREEMENT audit — the filter-tuning signal q406
+    * motivates: a document ranked worst-K by Kneser–Ney but NOT by
+    * add-one (or vice versa) is exactly where the smoothing choice
+    * changes what a perplexity threshold drops. Both NLL surfaces are
+    * the tier's existing ones (q391's add-one, q406's KN — same
+    * held-out construction, same rounded-ln nano discipline), ranked to
+    * their worst-25, and the SYMMETRIC DIFFERENCE surfaces with each
+    * doc's position in the list that kept it plus both raw scores, so
+    * the audit is actionable (how far outside the other list? how big
+    * is the score gap?).
+    *
+    * Scale shape: two doc-grain score tables (each built with q391/
+    * q406's n-gram-grain economics), two k-bounded leaderboards, one
+    * 25-vs-25 full-outer join and two doc-grain score joins — nothing
+    * beyond the underlying scorers' cost. */
+  val q409SmootherDisagreement: Q = Q(
+    "q409_smoother_disagreement",
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |             FROM tok WHERE len(ws) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |              CAST(count(*) AS BIGINT) AS n1f
+      |       FROM c2 GROUP BY 1),
+      |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM c2 GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n1all,
+      |                (SELECT CAST(count(DISTINCT w) AS BIGINT)
+      |                 FROM (SELECT unnest(ws) AS w FROM tok
+      |                       WHERE doc_id % 2 = 0)) AS v),
+      |asc0 AS (SELECT bg.doc_id,
+      |              CAST(CAST(round(ln(coalesce(c1.c1, 0) + tots.v), 9)
+      |                        AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |              - CAST(CAST(round(ln(coalesce(c2.c2, 0) + 1), 9)
+      |                          AS DECIMAL(28,9)) * 1000000000 AS BIGINT)
+      |                AS nll_nano
+      |       FROM bg
+      |       LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |       LEFT JOIN c1 ON c1.w1 = bg.w1
+      |       CROSS JOIN tots
+      |       WHERE bg.doc_id % 2 = 1),
+      |ad AS (SELECT doc_id,
+      |              CAST(sum(nll_nano) // count(*) AS BIGINT)
+      |                AS addone_avg_nll_nano
+      |       FROM asc0 GROUP BY 1),
+      |ksc AS (SELECT bg.doc_id,
+      |         CASE WHEN coalesce(c1.c1, 0) > 0 THEN
+      |           greatest(
+      |             (greatest(4 * coalesce(c2.c2, 0) - 3, 0)
+      |                * 1000000000) // (4 * c1.c1)
+      |             + ((3 * c1.n1f * 1000000000) // (4 * c1.c1)
+      |                  * ((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                     // (tots.n1all + tots.v))) // 1000000000,
+      |             1)
+      |         ELSE greatest((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                         // (tots.n1all + tots.v), 1)
+      |         END AS p_nano
+      |       FROM bg
+      |       LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |       LEFT JOIN c1 ON c1.w1 = bg.w1
+      |       LEFT JOIN nb ON nb.w2 = bg.w2
+      |       CROSS JOIN tots
+      |       WHERE bg.doc_id % 2 = 1),
+      |knl AS (SELECT doc_id,
+      |         CAST(CAST(round(ln(1000000000), 9) AS DECIMAL(28,9))
+      |              * 1000000000 AS BIGINT)
+      |         - CAST(CAST(round(ln(p_nano), 9) AS DECIMAL(28,9))
+      |                * 1000000000 AS BIGINT) AS nll_nano
+      |       FROM ksc),
+      |kd AS (SELECT doc_id,
+      |              CAST(sum(nll_nano) // count(*) AS BIGINT)
+      |                AS kn_avg_nll_nano
+      |       FROM knl GROUP BY 1),
+      |ar AS (SELECT doc_id, CAST(row_number() OVER
+      |               (ORDER BY addone_avg_nll_nano DESC, doc_id)
+      |               AS BIGINT) AS addone_pos
+      |       FROM ad QUALIFY addone_pos <= $DisagreeK),
+      |kr AS (SELECT doc_id, CAST(row_number() OVER
+      |               (ORDER BY kn_avg_nll_nano DESC, doc_id)
+      |               AS BIGINT) AS kn_pos
+      |       FROM kd QUALIFY kn_pos <= $DisagreeK),
+      |j AS (SELECT coalesce(kr.doc_id, ar.doc_id) AS doc_id,
+      |             kr.kn_pos, ar.addone_pos
+      |      FROM kr FULL OUTER JOIN ar ON ar.doc_id = kr.doc_id
+      |      WHERE kr.doc_id IS NULL OR ar.doc_id IS NULL)
+      |SELECT CASE WHEN j.kn_pos IS NOT NULL THEN 'kn_only'
+      |            ELSE 'addone_only' END AS flag,
+      |       j.doc_id, j.kn_pos, j.addone_pos,
+      |       kd.kn_avg_nll_nano, ad.addone_avg_nll_nano
+      |FROM j JOIN kd ON kd.doc_id = j.doc_id
+      |       JOIN ad ON ad.doc_id = j.doc_id
+      |ORDER BY flag, j.doc_id""".stripMargin) { (s, dir) =>
+    val kd = Round13.knBigramNllPerDoc(s, dir)
+      .select(col("doc_id"), col("avg_nll_nano").as("kn_avg_nll_nano"))
+      .persist(MEMORY_AND_DISK) // ranked + score-join
+    val ad = Round12.addOneBigramNllPerDoc(s, dir)
+      .select(col("doc_id"), col("avg_nll_nano").as("addone_avg_nll_nano"))
+      .persist(MEMORY_AND_DISK)
+    // k-bounded worst-K rank per smoother (the q406 posexplode device —
+    // no global window).
+    def worstK(df: DataFrame, score: String, posName: String): DataFrame =
+      df.orderBy(col(score).desc, col("doc_id")).limit(DisagreeK)
+        .agg(collect_list(struct(col(score).as("s"),
+          col("doc_id").as("k"))).as("rows"))
+        .select(posexplode(expr(
+          """array_sort(rows, (l, r) ->
+            |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+            |       WHEN l.k < r.k THEN -1 WHEN l.k > r.k THEN 1
+            |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+        .select((col("i") + 1).cast("long").as(posName),
+          col("r.k").as("doc_id"))
+    val kr = worstK(kd, "kn_avg_nll_nano", "kn_pos")
+    val ar = worstK(ad, "addone_avg_nll_nano", "addone_pos")
+    kr.join(ar, Seq("doc_id"), "full_outer")
+      .filter(col("kn_pos").isNull || col("addone_pos").isNull)
+      .join(kd, Seq("doc_id"))
+      .join(ad, Seq("doc_id"))
+      .select(
+        when(col("kn_pos").isNotNull, lit("kn_only"))
+          .otherwise(lit("addone_only")).as("flag"),
+        col("doc_id"), col("kn_pos"), col("addone_pos"),
+        col("kn_avg_nll_nano"), col("addone_avg_nll_nano"))
+      .orderBy(col("flag"), col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // q410 — Luby-iterated greedy coloring
+  // -------------------------------------------------------------------
+
+  /** Per-outer-iteration inner-round caps (the [[Round13.trussSchedule]]
+    * device: caps are part of the metric's shared definition — the
+    * unrolled oracle runs EXACTLY schedule(o) inner rounds in iteration
+    * o+1, idempotent once the iteration's MIS is settled; Spark runs to
+    * convergence and loudly requires rounds ≤ cap). Measured inner
+    * rounds by position across the three SFs (worst): 5,4,4,4,3,3,3,3,
+    * 3,2,2,1,1 over at most 13 outer iterations (sf0.001's dense core
+    * needs the most colors); caps carry ~1.5× headroom plus four spare
+    * outer iterations. */
+  private[graft] val ColorSchedule: Seq[Int] =
+    Seq(8, 6, 6, 6, 5, 5, 5, 5, 5, 4, 4, 3, 3, 3, 3, 3, 3)
+
+  /** The hex-nibble priority integer (28 bits of md5, q405's device)
+    * over digest column d. */
+  private def pSqlSpark: String = {
+    def hv(i: Int) =
+      s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+    s"16777216 * ${hv(1)} + 1048576 * ${hv(2)} + 65536 * ${hv(3)} + " +
+      s"4096 * ${hv(4)} + 256 * ${hv(5)} + 16 * ${hv(6)} + ${hv(7)}"
+  }
+  private def pSqlDuck: String = {
+    def ohv(i: Int) =
+      s"(strpos('0123456789abcdef', substr(d, $i, 1)) - 1)"
+    s"16777216 * ${ohv(1)} + 1048576 * ${ohv(2)} + 65536 * ${ohv(3)} + " +
+      s"4096 * ${ohv(4)} + 256 * ${ohv(5)} + 16 * ${ohv(6)} + ${ohv(7)}"
+  }
+
+  /** Unrolled coloring oracle: per outer iteration o, priorities
+    * re-salted as md5('o#n') over the residual node set, ColorSchedule
+    * (o−1) unrolled Luby rounds (q405's m/u CTE pair verbatim), the
+    * iteration's MIS colored o, residual shrinks. All MATERIALIZED. */
+  private def coloringOracle: String = {
+    val ctes = scala.collection.mutable.ListBuffer[String](
+      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM " +
+        "lineitem)",
+      "e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v " +
+        "FROM lp l1 JOIN lp l2 ON l1.l_orderkey = l2.l_orderkey AND " +
+        "l1.l_partkey < l2.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2)",
+      "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u " +
+        "FROM e0)",
+      "r0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM sym)")
+    for ((cap, idx) <- ColorSchedule.zipWithIndex) {
+      val o = idx + 1
+      ctes += s"u_${o}_0 AS MATERIALIZED (SELECT n, " +
+        s"CAST($pSqlDuck AS BIGINT) AS p FROM (SELECT n, " +
+        s"md5(concat('$o#', CAST(n AS VARCHAR))) AS d FROM r${o - 1}))"
+      for (r <- 1 to cap) {
+        ctes += s"m_${o}_$r AS MATERIALIZED (SELECT un.n, un.p " +
+          s"FROM u_${o}_${r - 1} un " +
+          s"LEFT JOIN (SELECT DISTINCT uu.n FROM sym " +
+          s"JOIN u_${o}_${r - 1} uu ON uu.n = sym.u " +
+          s"JOIN u_${o}_${r - 1} um ON um.n = sym.v " +
+          "WHERE um.p > uu.p OR (um.p = uu.p AND um.n > uu.n)) b " +
+          "ON b.n = un.n WHERE b.n IS NULL)"
+        ctes += s"u_${o}_$r AS MATERIALIZED (SELECT un.n, un.p " +
+          s"FROM u_${o}_${r - 1} un " +
+          s"LEFT JOIN m_${o}_$r m ON m.n = un.n " +
+          s"LEFT JOIN (SELECT DISTINCT sym.v AS n FROM sym " +
+          s"JOIN m_${o}_$r mm ON mm.n = sym.u) nb ON nb.n = un.n " +
+          "WHERE m.n IS NULL AND nb.n IS NULL)"
+      }
+      val uni = (1 to cap).map(r => s"SELECT n FROM m_${o}_$r")
+        .mkString(" UNION ALL ")
+      ctes += s"mis$o AS MATERIALIZED (SELECT n FROM ($uni))"
+      ctes += s"r$o AS MATERIALIZED (SELECT r.n FROM r${o - 1} r " +
+        s"LEFT JOIN mis$o m ON m.n = r.n WHERE m.n IS NULL)"
+    }
+    val colors = (1 to ColorSchedule.length)
+      .map(o => s"SELECT n, $o AS color FROM mis$o").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s",\ncol0 AS (SELECT n, color FROM ($colors))\n" +
+      "SELECT r0.n, CAST(col0.color AS BIGINT) AS color FROM r0 " +
+      "LEFT JOIN col0 ON col0.n = r0.n ORDER BY r0.n"
+  }
+
+  /** q410: LUBY-ITERATED GREEDY COLORING — the classic reduction from
+    * symmetry breaking to coloring: repeatedly take a deterministic
+    * Luby MIS of the still-uncolored residual graph and assign it the
+    * next color. Every color class is independent by construction in
+    * BOTH engines, every node is colored (each iteration's MIS is
+    * maximal on its residual), and the color count is the greedy
+    * chromatic bound (measured 13/5/3 at sf0.001/0.01/0.1 — the dense
+    * sf0.001 core needs the most). Priorities are RE-SALTED per
+    * iteration (md5('iter#n')) so each round breaks symmetry afresh;
+    * per-iteration round caps are the metric's shared definition
+    * ([[ColorSchedule]], loudly required — q405's contract). The
+    * conflict-free-scheduling call: color = the batch a node's job can
+    * run in with no neighbor conflicts.
+    *
+    * Scale shape: q405's per-round economics, iterated — each outer
+    * iteration's edge-grain joins run on the RESIDUAL graph, which
+    * loses every MIS node and its incident edges per iteration, so
+    * total work is a few multiples of one MIS run; lineage cut per
+    * round and per iteration. */
+  val q410LubyColoring: Q = Q(
+    "q410_luby_coloring", coloringOracle) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("n")).distinct()
+      .persist(MEMORY_AND_DISK)
+    var resid = nodes.localCheckpoint()
+    var remaining = resid.count()
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var iter = 0
+    while (remaining > 0) {
+      iter += 1
+      // Every outer iteration colors ≥ 1 node (a maximal independent
+      // set of a non-empty graph is non-empty), so iter counts changing
+      // rounds by construction — no detect-round off-by-one.
+      require(iter <= ColorSchedule.length,
+        s"coloring exceeded the unrolled oracle bound " +
+          s"(${ColorSchedule.length} iterations) — re-measure and " +
+          "extend the schedule")
+      val innerCap = ColorSchedule(iter - 1)
+      var und = resid
+        .select(col("n"),
+          md5(concat(lit(s"$iter#"), col("n").cast("string"))).as("d"))
+        .select(col("n"), expr(s"CAST($pSqlSpark AS BIGINT)").as("p"))
+        .localCheckpoint()
+      var undCount = remaining
+      val misParts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var r = 0
+      while (undCount > 0) {
+        r += 1
+        // Inner Luby rounds each retire ≥ 1 node (q405's argument).
+        require(r <= innerCap,
+          s"coloring iteration $iter exceeded its unrolled inner bound " +
+            s"($innerCap Luby rounds) — re-measure and raise the " +
+            "schedule entry")
+        val uu = und.select(col("n").as("u"), col("p").as("pu"))
+        val um = und.select(col("n").as("v"), col("p").as("pv"))
+        val beaten = sym.join(uu, "u").join(um, "v")
+          .filter(col("pv") > col("pu") ||
+            (col("pv") === col("pu") && col("v") > col("u")))
+          .select(col("u").as("n")).distinct()
+        val m = und.join(beaten, Seq("n"), "left_anti").localCheckpoint()
+        misParts += m.select(col("n"))
+        val nbh = sym.join(m.select(col("n").as("u")), "u")
+          .select(col("v").as("n")).distinct()
+        und = und.join(m.select(col("n")), Seq("n"), "left_anti")
+          .join(nbh, Seq("n"), "left_anti")
+          .localCheckpoint()
+        undCount = und.count()
+      }
+      val mis = misParts.reduce(_ unionByName _).localCheckpoint()
+      parts += mis.select(col("n"), lit(iter.toLong).as("color"))
+      resid = resid.join(mis, Seq("n"), "left_anti").localCheckpoint()
+      remaining = resid.count()
+    }
+    // Empty-graph guard (the q405 fix's sibling): no edges → no outer
+    // iteration → parts empty; the oracle returns zero rows too.
+    val colors =
+      if (parts.isEmpty)
+        s.range(0).select(col("id").as("n"), col("id").as("color"))
+      else parts.reduce(_ unionByName _)
+    nodes.join(colors, Seq("n"), "left")
+      .select(col("n"), col("color"))
+      .orderBy(col("n"))
+  }
+
+  val all: Seq[Q] = Seq(q407Core3Incremental, q408KneserNeyTrigram,
+    q409SmootherDisagreement, q410LubyColoring)
+}

@@ -2156,6 +2156,69 @@ object StreamGate {
           col("id").as("r"))))
   }
 
+  /** q411: COMPONENT-GRAIN 3-core maintained BY THE STREAM — q407's
+    * [[graft.ops.Round14.core3ComponentFold]] as the per-trigger
+    * maintenance op (the q384 pattern carrying THREE chained indexes:
+    * the edge archive, the CC labels, and the per-node core
+    * membership). Co-purchase edges arrive in three micro-batches
+    * ((u+v) mod 3, file source, mtime order); each trigger anti-joins
+    * its batch against the archived edges (replay-stable: a redelivered
+    * batch folds an EMPTY delta, touching nothing), ccFolds the labels,
+    * re-peels ONLY the components its delta touched, passes every
+    * untouched component's stored membership through, and publishes all
+    * three tables under `gen=<id>`. A peel cascade that CROSSES batches
+    * (an edge arriving in trigger 3 evicting nodes settled in trigger
+    * 1) is exactly what the component-grain recompute handles — the
+    * final store answers the FROM-SCRATCH full-graph 3-core oracle. */
+  val q411StreamCore3Maintain: Q = Q(
+    "q411_stream_core3_maintain",
+    graft.ops.Round14.q407Core3Incremental.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q411-")
+    val e0 = graft.ops.Graph.supportedEdges(s, dir)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e0.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("core3").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val archive = latestGenBefore(sb, s"$store/edges", id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v")))
+          val labels = latestGenBefore(sb, s"$store/labels", id).getOrElse(
+            sb.range(0).select(col("id").as("n"), col("id").as("lab")))
+          val core = latestGenBefore(sb, s"$store/core", id).getOrElse(
+            sb.range(0).select(col("id").as("n"),
+              (col("id") =!= col("id")).as("in_core3")))
+          // Replay guard: only never-archived edges form the delta.
+          val delta = batch.toDF().select(col("u"), col("v"))
+            .join(archive, Seq("u", "v"), "left_anti")
+          val (updated, newLabels, _) =
+            graft.ops.Round14.core3ComponentFold(
+              sb, labels, core, archive, delta)
+          updated.write.mode("overwrite").parquet(s"$store/core/gen=$id")
+          newLabels.select(col("n"), col("lab"))
+            .write.mode("overwrite").parquet(s"$store/labels/gen=$id")
+          archive.unionByName(delta)
+            .write.mode("overwrite").parquet(s"$store/edges/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, s"$store/core", Long.MaxValue)
+      .getOrElse(s.range(0).select(col("id").as("n"),
+        (col("id") =!= col("id")).as("in_core3")))
+      .select(col("n"), col("in_core3"))
+      .orderBy(col("n"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2207,5 +2270,6 @@ object StreamGate {
     q184StreamRecent, q234StreamAnnMaintain, q238StreamHeavyNgrams,
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
-    q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest)
+    q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
+    q411StreamCore3Maintain)
 }

@@ -48,4 +48,10 @@ class BenchDiffSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(p, "{not json")
     assert(Bench.readPrior(p).isEmpty)
   }
+
+  test("calibration set: every pinned query exists in the registry " +
+    "(a rename must re-pin the set, not silently shrink its total)") {
+    val missing = Bench.CalibrationSet.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"re-pin Bench.CalibrationSet: $missing")
+  }
 }

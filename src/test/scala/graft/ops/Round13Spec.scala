@@ -185,7 +185,8 @@ class Round13Spec extends SparkSpec {
   // -------------------------------------------------------------------
 
   /** Independent CMS: java.security MessageDigest md5 (not Spark's md5
-    * expression), same '<j>#<token>' row key, first-4-nibble % 32. */
+    * expression), same '<j>#<token>' row key, 4-nibble fold mod the prime 4093
+    * then mod 32 (all four nibbles mix — the round-13 ADVICE fix). */
   private def refCms(docs: Seq[String]): Map[(Long, Long), Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     val cells = for {
@@ -196,7 +197,7 @@ class Round13Spec extends SparkSpec {
       val d = md.digest(s"$j#$t".getBytes("UTF-8"))
         .map(b => f"$b%02x").mkString
       def nib(i: Int) = "0123456789abcdef".indexOf(d.charAt(i)).toLong
-      (j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 32)
+      (j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 4093 % 32)
     }
     cells.groupBy(identity).map { case (k, xs) => k -> xs.size.toLong }
   }
@@ -222,7 +223,7 @@ class Round13Spec extends SparkSpec {
         val d = md.digest(s"$j#$t".getBytes("UTF-8"))
           .map(b => f"$b%02x").mkString
         def nib(i: Int) = "0123456789abcdef".indexOf(d.charAt(i)).toLong
-        got((j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 32))
+        got((j, (4096 * nib(0) + 256 * nib(1) + 16 * nib(2) + nib(3)) % 4093 % 32))
       }.min
       assert(est >= cnt, s"token $t: est $est < true $cnt")
     }
