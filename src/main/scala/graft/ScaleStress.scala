@@ -76,7 +76,7 @@ object ScaleStress {
     * together per q405's argument, iterated). */
   val MeasuredR14: Seq[String] = Seq(
     "q403_weighted_pagerank", "q404_edge_betweenness",
-    "q407_core3_incremental", "q410_luby_coloring")
+    "q407_core3_incremental", "q410_luby_coloring", "q414_ann_ivf_hier")
 
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
     * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
@@ -310,6 +310,25 @@ object ScaleStress {
     Files.writeString(Paths.get(dir, "_done"), "ok")
   }
 
+  /** Embedding-only corpus for the IVF cap-regime probe (Boundary 7):
+    * embeddings scaled K×, every other table symlinked from the 10×
+    * corpus — q48 reads ONLY embeddings, so this isolates the index
+    * regimes without paying a 100× document/lineitem build. */
+  private def buildEmbCorpus(spark: SparkSession, sfDir: String,
+      dir: String, tenXDir: String, k: Int): Unit = {
+    if (Files.exists(Paths.get(dir, "_done"))) return
+    Files.createDirectories(Paths.get(dir))
+    scaledEmbeddings(spark, sfDir, k)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    for (t <- Seq("documents", "orders", "lineitem")) {
+      val link = Paths.get(dir, s"$t.parquet")
+      if (!Files.exists(link))
+        Files.createSymbolicLink(link, Paths.get(tenXDir, s"$t.parquet"))
+    }
+    linkTables(sfDir, dir)
+    Files.writeString(Paths.get(dir, "_done"), "ok")
+  }
+
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime()
     body
@@ -458,6 +477,26 @@ object ScaleStress {
     val tMis10 = times("q405_luby_mis")(10)
     val tMisHot = runNoop(spark, "q405_luby_mis", s"$workDir/corpus_hotgraph")
 
+    // ---- Boundary 7 (round 14): the IVF assignment regime. Flat q48
+    // assigns every vector against ALL k = min(N/64, 4096) centroids —
+    // N·k work, quadratic while k grows (the 30× grid row's 1.25 local
+    // slope measures exactly this window; k = 937 there) and linear
+    // with a 4096× constant once the cap engages at N = 262k vectors.
+    // The production path is q414's TWO-LEVEL assignment (N×~2√k): it
+    // must stay near-linear ACROSS the same window where flat bends.
+    // Measured on embedding-only corpora (100×/200× of sf0.1's 2k
+    // vectors — 200k/400k, k = 3125/4096, so the pair straddles the
+    // cap) — flat q48 is deliberately NOT run here: at 400k×4096
+    // centroid dots it would cost ~15 min to demonstrate a constant the
+    // analysis already pins; its bend is on record in the 30× grid row.
+    val emb100 = s"$workDir/corpus_emb100"
+    val emb200 = s"$workDir/corpus_emb200"
+    buildEmbCorpus(spark, sfDir, emb100, s"$workDir/corpus_10x", 100)
+    buildEmbCorpus(spark, sfDir, emb200, s"$workDir/corpus_10x", 200)
+    val tHier100 = runNoop(spark, "q414_ann_ivf_hier", emb100)
+    val tHier200 = runNoop(spark, "q414_ann_ivf_hier", emb200)
+    val hierSlope = math.log(tHier200 / tHier100) / math.log(2.0)
+
     // ---- Boundary 5: prefix-bucket density (q110). One hot 13-token
     // phrase shared by 3000 otherwise-distinct (J≈0.09) docs: the
     // rarest-first prefix must keep the hot shingles out of every
@@ -483,7 +522,8 @@ object ScaleStress {
          |"driver_closure_2m_edges":{"edges":$nE,"driver_tier_sec":${f3(tDriver)},"distributed_tier_sec":${f3(tDist)},"labels_equal":true,"nodes_labeled":${driverRes._1}},
          |"wedge_skew_orientation":{"clean_10x_sec":${f3(tTri10)},"hot_10x_sec":${f3(tTriHot)},"planted_hub_degree":2500},
          |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs},
-         |"mis_skew":{"clean_10x_sec":${f3(tMis10)},"hot_10x_sec":${f3(tMisHot)},"planted_hub_degree":2500}}"""
+         |"mis_skew":{"clean_10x_sec":${f3(tMis10)},"hot_10x_sec":${f3(tMisHot)},"planted_hub_degree":2500},
+         |"ivf_assignment_regime":{"hier_emb_100x_sec":${f3(tHier100)},"hier_emb_200x_sec":${f3(tHier200)},"hier_local_slope":${f3(hierSlope)},"flat_cap_nlist":4096,"flat_cap_engages_at_vectors":262144,"flat_bend_on_record":"q48 30x grid row"}}"""
         .stripMargin.replace("\n", "")
     val out =
       s"""{"sf":"$sfDir","cpus":"$cpus","mults":${mults.mkString("[", ",", "]")},"load":${loads.mkString("[", ",", "]")},"queries":$qJson,"boundaries":$bJson}"""

@@ -908,7 +908,7 @@ object Graph {
   /** q354/q381's shared LPA machinery — the DuckDB CTE prefix (support-2
     * edges, adjacency, l0 and 4 synchronous min-tie-break rounds ending
     * in `l4`), byte-identical to q354's original rendering. */
-  private def duckLpaCtes: String = {
+  private[ops] def duckLpaCtes: String = {
     val duckRounds = (1 to 4).map { i =>
       s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl, count(*) AS c
          |        FROM adj a JOIN l${i - 1} ON l${i - 1}.n = a.z

@@ -153,7 +153,23 @@ object Round14 {
       labels: DataFrame,
       storedCore: DataFrame,
       day1: DataFrame,
-      delta: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+      delta: DataFrame): (DataFrame, DataFrame, DataFrame) =
+    componentFold(labels, storedCore, day1, delta)(core3Members(s, _))
+
+  /** The GENERIC component-grain fold [[core3ComponentFold]] documents —
+    * any component-local kernel (its per-node result depends only on
+    * its component's edge set, with no global constants: 3-core
+    * membership, deterministic LPA labels, triangle support... but NOT
+    * q109-style PageRank, whose jump mass divides by the GLOBAL node
+    * count, so adding a node anywhere moves every component's ranks —
+    * see NOTES) plugs in as `kernel`: edge set → per-node frame keyed
+    * by `n`, schema matching `stored`. */
+  private[graft] def componentFold(
+      labels: DataFrame,
+      stored: DataFrame,
+      day1: DataFrame,
+      delta: DataFrame)(
+      kernel: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val newLabels = Graph.ccFold(labels, delta)
     val deltaNodes = delta.select(col("u").as("n"))
       .unionByName(delta.select(col("v").as("n"))).distinct()
@@ -166,8 +182,8 @@ object Round14 {
     val touchedEdges = day1.unionByName(delta)
       .join(touchedNodes.withColumnsRenamed(Map("n" -> "u")),
         Seq("u"), "left_semi")
-    val recomputed = core3Members(s, touchedEdges)
-    val passThrough = storedCore.join(touchedNodes, Seq("n"), "left_anti")
+    val recomputed = kernel(touchedEdges)
+    val passThrough = stored.join(touchedNodes, Seq("n"), "left_anti")
     (passThrough.unionByName(recomputed), newLabels, touchedEdges)
   }
 
@@ -233,6 +249,446 @@ object Round14 {
     val stored = core3Members(s, day1)
     val (updated, _, _) = core3ComponentFold(s, labels, stored, day1, delta)
     updated.select(col("n"), col("in_core3")).orderBy(col("n"))
+  }
+
+  // -------------------------------------------------------------------
+  // q414 — hierarchical (two-level) IVF ANN
+  // -------------------------------------------------------------------
+
+  /** The two-level assignment oracle: coarse centroids = the first
+    * ceil(√k) fine centroids; fine centroids assign to their nearest
+    * coarse (each coarse IS a fine centroid and assigns to itself at
+    * cosine 1, so no bucket is empty); vectors assign to their nearest
+    * coarse, then to the nearest FINE centroid within that coarse
+    * bucket. Queries MULTI-PROBE their top-4 coarse buckets (coarse routing
+    * is lossier than fine routing, so the coarse fan-out is wider —
+    * measured +0.2 recall@3 over 2 buckets on the spec fixture), take
+    * the top-2 fine centroids inside them, and rescore candidates
+    * exactly — q48's epilogue verbatim. */
+  private def hierIvfOracle: String = {
+    val kkRef = "(SELECT k FROM kk)"
+    val kcRef = "(SELECT c FROM kc)"
+    s"""WITH ${Similarity.duckEl},
+      |${Similarity.duckN2},
+      |${Similarity.duckKk},
+      |kc AS (SELECT greatest(4, CAST(ceil(sqrt(k)) AS BIGINT)) AS c
+      |       FROM kk),
+      |fd AS (SELECT a.vec_id, b.vec_id AS coarse_id,
+      |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12)))
+      |                AS DOUBLE) AS dot
+      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < $kcRef
+      |       WHERE a.vec_id < $kkRef
+      |       GROUP BY 1, 2),
+      |fr AS (SELECT fd.vec_id AS fine_id, coarse_id,
+      |              row_number() OVER (PARTITION BY fd.vec_id
+      |                ORDER BY dot / sqrt(nv.n2 * nc2.n2) DESC,
+      |                         coarse_id) AS r
+      |       FROM fd JOIN n2 nv ON nv.vec_id = fd.vec_id
+      |               JOIN n2 nc2 ON nc2.vec_id = coarse_id),
+      |fassign AS (SELECT fine_id, coarse_id FROM fr WHERE r = 1),
+      |vd AS (SELECT a.vec_id, b.vec_id AS coarse_id,
+      |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12)))
+      |                AS DOUBLE) AS dot
+      |       FROM el a JOIN el b ON b.i = a.i AND b.vec_id < $kcRef
+      |       GROUP BY 1, 2),
+      |vr AS (SELECT vd.vec_id, coarse_id,
+      |              row_number() OVER (PARTITION BY vd.vec_id
+      |                ORDER BY dot / sqrt(nv.n2 * nc2.n2) DESC,
+      |                         coarse_id) AS crank
+      |       FROM vd JOIN n2 nv ON nv.vec_id = vd.vec_id
+      |               JOIN n2 nc2 ON nc2.vec_id = coarse_id),
+      |vcoarse AS (SELECT vec_id, coarse_id FROM vr WHERE crank = 1),
+      |wd AS (SELECT vb.vec_id, f.fine_id,
+      |              CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12)))
+      |                AS DOUBLE) AS dot
+      |       FROM vcoarse vb JOIN fassign f ON f.coarse_id = vb.coarse_id
+      |            JOIN el a ON a.vec_id = vb.vec_id
+      |            JOIN el b ON b.vec_id = f.fine_id AND b.i = a.i
+      |       GROUP BY 1, 2),
+      |wr AS (SELECT wd.vec_id, fine_id,
+      |              row_number() OVER (PARTITION BY wd.vec_id
+      |                ORDER BY dot / sqrt(nv.n2 * nf.n2) DESC,
+      |                         fine_id) AS r
+      |       FROM wd JOIN n2 nv ON nv.vec_id = wd.vec_id
+      |               JOIN n2 nf ON nf.vec_id = fine_id),
+      |assign AS (SELECT vec_id, fine_id AS centroid_id FROM wr
+      |           WHERE r = 1),
+      |qc AS (SELECT vec_id AS query_id, coarse_id FROM vr
+      |       WHERE crank <= 4 AND vec_id < 10),
+      |qfd AS (SELECT qc.query_id, f.fine_id,
+      |               CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12)))
+      |                 AS DOUBLE) AS dot
+      |        FROM qc JOIN fassign f ON f.coarse_id = qc.coarse_id
+      |             JOIN el a ON a.vec_id = qc.query_id
+      |             JOIN el b ON b.vec_id = f.fine_id AND b.i = a.i
+      |        GROUP BY 1, 2),
+      |qfr AS (SELECT query_id, fine_id,
+      |               row_number() OVER (PARTITION BY query_id
+      |                 ORDER BY dot / sqrt(nq.n2 * nf.n2) DESC,
+      |                          fine_id) AS r
+      |        FROM qfd JOIN n2 nq ON nq.vec_id = query_id
+      |                JOIN n2 nf ON nf.vec_id = fine_id),
+      |probe AS (SELECT query_id, fine_id AS centroid_id FROM qfr
+      |          WHERE r <= 2),
+      |cand AS (SELECT p.query_id, a.vec_id AS neighbor_id
+      |         FROM probe p JOIN assign a ON a.centroid_id = p.centroid_id
+      |         WHERE a.vec_id <> p.query_id),
+      |d AS (SELECT query_id, neighbor_id,
+      |             CAST(SUM(CAST(a.v * b.v AS DECIMAL(38,12)))
+      |               AS DOUBLE) AS dot
+      |      FROM cand JOIN el a ON a.vec_id = query_id
+      |                JOIN el b ON b.vec_id = neighbor_id AND b.i = a.i
+      |      GROUP BY 1, 2),
+      |r AS (SELECT query_id, neighbor_id,
+      |             round(dot / sqrt(nq.n2 * nc.n2), 6) AS cos_sim,
+      |             row_number() OVER (PARTITION BY query_id
+      |               ORDER BY round(dot / sqrt(nq.n2 * nc.n2), 6) DESC,
+      |                        neighbor_id) AS rank
+      |      FROM d JOIN n2 nq ON nq.vec_id = query_id
+      |              JOIN n2 nc ON nc.vec_id = neighbor_id)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q414: HIERARCHICAL (two-level) IVF — the 100-TB fix for q48's one
+    * measured super-linear window: flat IVF assigns every vector
+    * against ALL k centroids, and with k = N/64 (capped 4096) that is
+    * N·k work — quadratic until the cap engages at 262k vectors, then
+    * linear with a 4096× constant. The standard fix is a coarse level:
+    * ceil(√k) coarse centroids route each vector to one bucket
+    * (N×√k dots), and the fine argmax runs only against that bucket's
+    * fine centroids (~√k on average) — N×2√k total, a ~32× constant
+    * reduction at the cap and sub-quadratic everywhere. Every coarse
+    * centroid is itself a fine centroid (assigns to itself at cosine
+    * 1), so no bucket is empty and no vector drops out of the index.
+    * Queries probe their top-2 coarse buckets → top-2 fine lists →
+    * exact rescore — q48's probe economics with the assignment
+    * bottleneck removed. Approximation is explicit: the oracle computes
+    * the SAME two-level topology, and the recall trade vs flat q48 is
+    * measured in Round14Spec, not assumed.
+    *
+    * Scale shape: two broadcast-argmax passes (coarse table ≤ 64 rows,
+    * fine table ≤ 4096 rows but bucket-restricted via the equi-join on
+    * coarse_id) + q48's k-bounded probe/rescore epilogue. */
+  val q414AnnIvfHier: Q = Q(
+    "q414_ann_ivf_hier", hierIvfOracle) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val k = Similarity.semK(Tables(s, dir, "embeddings").count())
+    val kc = math.max(4L, math.ceil(math.sqrt(k.toDouble)).toLong)
+    val e = Similarity.embWithNorm(s, dir).persist(MEMORY_AND_DISK)
+    val coarse = e.filter(col("vec_id") < kc).select(
+      col("vec_id").as("centroid_id"), col("embedding").as("emb_cent"),
+      col("n2").as("n2_cent"))
+    // Level 1: fine→coarse and vector→coarse, both via the shared
+    // two-stage argmax against the ≤64-row broadcast coarse table.
+    val fassign = Similarity.assignTo(e.filter(col("vec_id") < k), coarse)
+      .select(col("vec_id").as("fine_id"), col("centroid_id").as("coarse_id"))
+    val vcoarse = Similarity.assignTo(e, coarse)
+      .select(col("vec_id"), col("centroid_id").as("coarse_id"))
+    // Fine-centroid payloads keyed by their coarse bucket (≤4096 rows —
+    // broadcast; the equi-join on coarse_id restricts each vector's
+    // fine argmax to its own bucket).
+    val finePayload = fassign
+      .join(e.select(col("vec_id").as("fine_id"),
+        col("embedding").as("emb_f"), col("n2").as("n2_f")), Seq("fine_id"))
+    // Level 2: bucket-restricted fine argmax — double-cosine heap top-4
+    // then the decimal-exact rescore (assignTo's two-stage, with the
+    // broadcast cross replaced by the bucket equi-join).
+    val stage1 = e.select(col("vec_id"), col("embedding"), col("n2"))
+      .join(vcoarse, Seq("vec_id"))
+      .join(broadcast(finePayload), Seq("coarse_id"))
+      .withColumn("dcos",
+        coalesce(expr("cosine_f32(embedding, emb_f)"), lit(Double.NaN)))
+      .groupBy(col("vec_id"))
+      .agg(expr("topk_by_score(dcos, fine_id, 4)").as("t"))
+      .select(col("vec_id"), explode(col("t.id")).as("fine_id"))
+    val assign = stage1
+      .join(broadcast(finePayload.select(col("fine_id"), col("emb_f"),
+        col("n2_f"))), Seq("fine_id"))
+      .join(e.select(col("vec_id"), col("embedding"), col("n2")),
+        Seq("vec_id"))
+      .withColumn("ccos", expr(Similarity.dDot("embedding", "emb_f"))
+        / sqrt(col("n2") * col("n2_f")))
+      .groupBy(col("vec_id"))
+      .agg(max_by(col("fine_id"),
+        struct(col("ccos"), -col("fine_id"))).as("centroid_id"))
+    // Probing: the 10 queries' top-2 coarse buckets (window over the
+    // ≤64-row coarse score table per query — tiny), then top-2 fine by
+    // decimal cosine inside those buckets.
+    val qSide = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("emb_q"),
+        col("n2").as("n2_q"))
+    val qcW = Window.partitionBy(col("query_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    val qc = qSide.crossJoin(broadcast(coarse))
+      .withColumn("ccos", expr(Similarity.dDot("emb_q", "emb_cent"))
+        / sqrt(col("n2_q") * col("n2_cent")))
+      .withColumn("r", row_number().over(qcW))
+      .filter(col("r") <= 4)
+      .select(col("query_id"), col("centroid_id").as("coarse_id"))
+    val qfW = Window.partitionBy(col("query_id"))
+      .orderBy(col("fcos").desc, col("fine_id"))
+    val probe = qc.join(broadcast(finePayload), Seq("coarse_id"))
+      .join(broadcast(qSide), Seq("query_id"))
+      .withColumn("fcos", expr(Similarity.dDot("emb_q", "emb_f"))
+        / sqrt(col("n2_q") * col("n2_f")))
+      .withColumn("r", row_number().over(qfW))
+      .filter(col("r") <= 2)
+      .select(col("query_id"), col("fine_id").as("centroid_id"))
+    val cand = assign.join(broadcast(probe), Seq("centroid_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
+    // Exact rescore epilogue — q48's verbatim.
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("emb_c"), col("n2").as("n2_c"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(qSide), Seq("query_id"))
+      .withColumn("cos_sim", round(expr(Similarity.dDot("emb_q", "emb_c"))
+        / sqrt(col("n2_q") * col("n2_c")), 6))
+      .withColumn("rank", row_number().over(rankW).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"),
+        col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  // -------------------------------------------------------------------
+  // q413 — k-core decomposition (core number per node)
+  // -------------------------------------------------------------------
+
+  /** Peel-round caps per k for the full core decomposition (the
+    * [[Round13.trussSchedule]] device at node grain). Measured changing
+    * rounds: sf0.01 peaks early (k=2:3, k=3:10, k=4:5 — then empty);
+    * sf0.001's dense core survives to k=16 with a long erosion tail
+    * (k=16 alone takes 19 rounds to empty); sf0.1 collapses at k=3.
+    * Caps carry ~1.4× headroom; the schedule ends at k=16 because the
+    * max observed core number is 15 — and the decomposition loudly
+    * requires the survivor set to be EMPTY after the last entry, so a
+    * corpus with higher coreness fails instead of silently truncating
+    * core numbers at 16. */
+  private[graft] val CoreSchedule: Seq[(Int, Int)] =
+    Seq(2 -> 8, 3 -> 14, 4 -> 8, 5 -> 3, 6 -> 3, 7 -> 3, 8 -> 3, 9 -> 3,
+      10 -> 3, 11 -> 4, 12 -> 3, 13 -> 5, 14 -> 5, 15 -> 5, 16 -> 26)
+
+  /** Driver-tier full decomposition: chained per-k node peels over
+    * in-heap sets (the k-core is a subgraph of the (k−1)-core, so each
+    * k starts from the previous fixpoint). Returns (n, core_number),
+    * core ≥ 1 for every edge endpoint. */
+  private[graft] def coreDriver(edges: Array[(Long, Long)])
+      : Seq[(Long, Long)] = {
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v) => core(u) = 1L; core(v) = 1L }
+    var cur: Set[(Long, Long)] = edges.toSet
+    for ((k, cap) <- CoreSchedule if cur.nonEmpty) {
+      var changed = true
+      var rounds = 0
+      while (changed && cur.nonEmpty) {
+        rounds += 1
+        val deg = scala.collection.mutable.Map.empty[Long, Int]
+        cur.foreach { case (u, v) =>
+          deg(u) = deg.getOrElse(u, 0) + 1
+          deg(v) = deg.getOrElse(v, 0) + 1
+        }
+        val surv = deg.filter(_._2 >= k).keySet
+        val keep = cur.filter { case (u, v) => surv(u) && surv(v) }
+        changed = keep.size != cur.size
+        require(!changed || rounds <= cap,
+          s"k-core peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap changing rounds) — re-measure and raise the schedule")
+        cur = keep
+      }
+      cur.foreach { case (u, v) => core(u) = k.toLong; core(v) = k.toLong }
+    }
+    require(cur.isEmpty,
+      s"core decomposition left ${cur.size} edges after k=" +
+        s"${CoreSchedule.last._1} — the max core number exceeds the " +
+        "schedule; extend CoreSchedule (and the oracle) rather than " +
+        "truncating")
+    core.toSeq
+  }
+
+  /** Distributed full decomposition: per k the [[core3Distributed]]
+    * round body (degree filter + two semi-joins + lineage cut) on the
+    * CHAINED survivor set; per-k survivors recorded at node grain.
+    * The survivor set shrinks monotonically across k, so total work is
+    * bounded by a small multiple of the k=2 peel. */
+  private[graft] def coreDistributed(e0: DataFrame): DataFrame = {
+    var cur = e0.select(col("u"), col("v")).localCheckpoint()
+    var n = cur.count()
+    val nodes = cur.select(col("u").as("n"))
+      .unionByName(cur.select(col("v").as("n"))).distinct()
+      .persist(MEMORY_AND_DISK)
+    val perK = scala.collection.mutable.ListBuffer[DataFrame]()
+    for ((k, cap) <- CoreSchedule if n > 0) {
+      var stable = false
+      var rounds = 0
+      while (!stable && n > 0) {
+        rounds += 1
+        val sym = cur.unionAll(
+          cur.select(col("v").as("u"), col("u").as("v")))
+        val surv = sym.groupBy(col("u")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("u").as("n"))
+        val next = cur
+          .join(surv.withColumnsRenamed(Map("n" -> "u")), Seq("u"),
+            "left_semi")
+          .join(surv.withColumnsRenamed(Map("n" -> "v")), Seq("v"),
+            "left_semi")
+          .select(col("u"), col("v"))
+          .localCheckpoint()
+        val m = next.count()
+        stable = m == n
+        require(stable || rounds <= cap,
+          s"k-core peel at k=$k exceeded the unrolled oracle bound " +
+            s"($cap changing rounds)")
+        cur = next
+        n = m
+      }
+      if (n > 0) perK += cur.select(col("u").as("n"))
+        .unionByName(cur.select(col("v").as("n"))).distinct()
+        .select(col("n"), lit(k.toLong).as("k"))
+    }
+    require(n == 0,
+      s"core decomposition left $n edges after k=${CoreSchedule.last._1}" +
+        " — extend CoreSchedule rather than truncating")
+    val mx =
+      if (perK.isEmpty)
+        e0.sparkSession.range(0).select(col("id").as("n"),
+          col("id").as("mx"))
+      else perK.reduce(_ unionByName _)
+        .groupBy(col("n")).agg(max(col("k")).as("mx"))
+    nodes.join(mx, Seq("n"), "left")
+      .select(col("n"), coalesce(col("mx"), lit(1L)).as("core_number"))
+  }
+
+  /** Tier choice, CHECKED not assumed (the shared 2M-edge boundary). */
+  private[graft] def coreTiered(s: SparkSession, e0: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    if (e0.count() <= driverMaxEdges)
+      s.createDataFrame(coreDriver(
+        e0.collect().map(r => (r.getLong(0), r.getLong(1)))))
+        .toDF("n", "core_number")
+    else coreDistributed(e0)
+  }
+
+  /** The unrolled decomposition oracle: for each k in [[CoreSchedule]],
+    * `cap` node-peel rounds chained from the previous k's fixpoint, all
+    * MATERIALIZED; core number = max k whose fixpoint contains the
+    * node (1 if none). */
+  private def coreDecompOracle: String = {
+    val b = new scala.collection.mutable.StringBuilder
+    b ++= "WITH lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, " +
+      "l_partkey FROM lineitem),\ne0 AS MATERIALIZED (SELECT " +
+      "l1.l_partkey AS u, l2.l_partkey AS v FROM lp l1 JOIN lp l2 ON " +
+      "l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+      "GROUP BY 1, 2 HAVING count(*) >= 2),\n" +
+      "sym AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u " +
+      "FROM e0),\nn0 AS MATERIALIZED (SELECT DISTINCT u AS n FROM sym)"
+    var prev = "sym"
+    val finals = scala.collection.mutable.ListBuffer[String]()
+    for ((k, cap) <- CoreSchedule) {
+      for (r <- 1 to cap) {
+        val sNm = s"s_${k}_$r"
+        val gNm = s"g_${k}_$r"
+        b ++= s",\n$sNm AS MATERIALIZED (SELECT u AS n FROM $prev " +
+          s"GROUP BY 1 HAVING count(*) >= $k)"
+        b ++= s",\n$gNm AS MATERIALIZED (SELECT g.u, g.v FROM $prev g " +
+          s"JOIN $sNm a ON a.n = g.u JOIN $sNm b ON b.n = g.v)"
+        prev = gNm
+      }
+      finals += s"SELECT DISTINCT u AS n, $k AS k FROM $prev"
+    }
+    b ++= s",\nsurv AS (${finals.mkString(" UNION ALL ")}),"
+    b ++= "\nmx AS (SELECT n, max(k) AS mx FROM surv GROUP BY 1)"
+    b ++= "\nSELECT n0.n, CAST(coalesce(mx.mx, 1) AS BIGINT) AS " +
+      "core_number FROM n0 LEFT JOIN mx ON mx.n = n0.n ORDER BY n0.n"
+    b.toString
+  }
+
+  /** q413: k-CORE DECOMPOSITION — the node-grain dual of q396's k-truss
+    * (truss = cohesion per EDGE via triangle support; core = coarser
+    * cohesion per NODE via degree), completing the decomposition family
+    * above q292's fixed 3-core counts and q407's 3-core membership: the
+    * full coreness profile is the standard curation/influence signal
+    * (a degree-15-core node at sf0.001 sits in the dense co-purchase
+    * nucleus; core 1 is tendril periphery). Per-k peels chain from the
+    * previous k's fixpoint (the k-core nests inside the (k−1)-core);
+    * round caps per k are the metric's shared definition, changing
+    * rounds only; the schedule's END is loudly required to leave an
+    * empty survivor set, so core numbers are never silently truncated.
+    *
+    * Scale shape: tiered like the CC closure and q396; the distributed
+    * tier's per-round cost is one map-side-combined degree count + two
+    * semi-joins on a monotonically shrinking edge set. */
+  val q413CoreDecomposition: Q = Q(
+    "q413_core_decomposition", coreDecompOracle) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    coreTiered(s, e0).orderBy(col("n"))
+  }
+
+  // -------------------------------------------------------------------
+  // q412 — component-grain incremental LPA
+  // -------------------------------------------------------------------
+
+  /** q354's deterministic 4-round LPA from the canonical init (label =
+    * own id; per round take the (max count, min label) neighbor label),
+    * over an arbitrary edge set — the kernel is COMPONENT-LOCAL (a
+    * node's round-i label depends only on its component's round-(i−1)
+    * labels; no global constants), which is exactly what qualifies it
+    * for [[componentFold]]. Returns (n, lbl). */
+  private[graft] def lpa4(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u"), col("v")).localCheckpoint()
+    val adj = e.select(col("u").as("n"), col("v").as("z"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("z")))
+      .persist(MEMORY_AND_DISK) // probed every round
+    var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+    val rankW = Window.partitionBy(col("n"))
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to 4) {
+      l = adj.join(l.withColumnRenamed("n", "z"), "z")
+        .groupBy(col("n"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") === 1).select(col("n"), col("lbl"))
+    }
+    l
+  }
+
+  /** q412: COMPONENT-GRAIN incremental LPA — the second kernel through
+    * [[componentFold]], proving the discipline is generic and not a
+    * 3-core special case: q354's deterministic 4-round label
+    * propagation re-runs only inside delta-touched components (LPA is
+    * defined BY its synchronous rounds from the canonical init, so
+    * within a component "recompute from scratch" IS the metric — the
+    * r13 finding that a warm START changes the dynamics stands; the
+    * component grain sidesteps it because untouched components' rounds
+    * replay identically). Per-node round-4 labels gated against the
+    * from-scratch full-graph oracle (q354's CTE chain verbatim, at node
+    * grain). Contrast deliberately recorded: q109-style PageRank does
+    * NOT qualify — its teleport mass divides by the GLOBAL node count,
+    * so a delta anywhere moves every component's ranks.
+    *
+    * Scale shape: ccFold's |Δ|-grain merge + 4 LPA rounds on the
+    * touched components only (edge-grain joins + per-node bounded
+    * windows); untouched label rows pass through via one anti-join. */
+  val q412LpaIncremental: Q = Q(
+    "q412_lpa_incremental",
+    s"""WITH ${Graph.duckLpaCtes}
+      |SELECT n, lbl FROM l4 ORDER BY n""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+      .persist(MEMORY_AND_DISK)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+      .persist(MEMORY_AND_DISK)
+    val labels = Fuzzy.resolveClusters(s,
+      day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    val stored = lpa4(day1)
+    val (updated, _, _) = componentFold(labels, stored, day1, delta)(lpa4)
+    updated.select(col("n"), col("lbl")).orderBy(col("n"))
   }
 
   // -------------------------------------------------------------------
@@ -735,5 +1191,6 @@ object Round14 {
   }
 
   val all: Seq[Q] = Seq(q407Core3Incremental, q408KneserNeyTrigram,
-    q409SmootherDisagreement, q410LubyColoring)
+    q409SmootherDisagreement, q410LubyColoring, q412LpaIncremental,
+    q413CoreDecomposition, q414AnnIvfHier)
 }

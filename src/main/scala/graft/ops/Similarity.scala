@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Exact decimal dot product of two float-array columns (Spark SQL expr). */
-  private def dDot(a: String, b: String): String =
+  private[ops] def dDot(a: String, b: String): String =
     s"""CAST(aggregate(
        |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,12))),
        |  CAST(0 AS DECIMAL(38,12)),
@@ -41,10 +41,10 @@ object Similarity {
        |  CAST(0 AS DOUBLE), (acc, v) -> acc + v)""".stripMargin
 
   /** DuckDB: one row per (vec_id, element index) — the oracle's explode. */
-  private val duckEl =
+  private[ops] val duckEl =
     """el AS (SELECT vec_id, label, i, CAST(embedding[i] AS DOUBLE) AS v
       |       FROM embeddings, range(1, 65) t(i))""".stripMargin
-  private val duckN2 =
+  private[ops] val duckN2 =
     """n2 AS (SELECT vec_id, CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS n2
       |       FROM el GROUP BY vec_id)""".stripMargin
 
@@ -256,7 +256,7 @@ object Similarity {
 
   /** The oracle's rendering of semK: a 1-row CTE `kk(k)` computed from the
     * same count(*) the Spark side uses. */
-  private def duckKk: String =
+  private[ops] def duckKk: String =
     s"""kk AS (SELECT greatest(16, least(4096, count(*) // $TargetClusterSize)) AS k
        |       FROM embeddings)""".stripMargin
 
