@@ -252,6 +252,201 @@ object Round14 {
   }
 
   // -------------------------------------------------------------------
+  // q415 — component-grain incremental k-truss
+  // -------------------------------------------------------------------
+
+  /** [[componentFold]]'s EDGE-grain sibling for kernels whose result
+    * lives on edges (truss numbers, edge flows): same |Δ|-grain touch
+    * detection, the kernel re-runs on the touched components' edge set,
+    * and stored EDGE rows pass through when their component is
+    * untouched (an edge's endpoints share a component, so the u-side
+    * anti-join decides for the whole edge). */
+  private[graft] def componentFoldEdges(
+      labels: DataFrame,
+      stored: DataFrame,
+      day1: DataFrame,
+      delta: DataFrame)(
+      kernel: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val newLabels = Graph.ccFold(labels, delta)
+    val deltaNodes = delta.select(col("u").as("n"))
+      .unionByName(delta.select(col("v").as("n"))).distinct()
+    val touchedLabs = newLabels.join(deltaNodes, Seq("n"), "left_semi")
+      .select(col("lab")).distinct()
+    val touchedU = newLabels
+      .join(broadcast(touchedLabs), Seq("lab"), "left_semi")
+      .select(col("n").as("u"))
+      .persist(MEMORY_AND_DISK) // edge filter + edge pass-through
+    val touchedEdges = day1.unionByName(delta)
+      .join(touchedU, Seq("u"), "left_semi")
+      // The kernel loops over this frame; its lineage embeds the day-1
+      // CC iteration — sever it (the q383 plan-growth lesson).
+      .localCheckpoint()
+    val recomputed = kernel(touchedEdges)
+    val passThrough = stored.join(touchedU, Seq("u"), "left_anti")
+    (passThrough.unionByName(recomputed), newLabels, touchedEdges)
+  }
+
+  /** q415: COMPONENT-GRAIN incremental k-TRUSS — the discipline reaches
+    * the kernel round 13 proved is NOT delta-local (one edge can
+    * cascade peels through its whole component): triangles never cross
+    * components, so truss numbers are component-local, and the honest
+    * fold re-peels ONLY delta-touched components while untouched
+    * components' stored truss numbers pass through (2,311 of ~3,500
+    * edges at sf0.1). Same (u+v) % 5 archive/delta split as
+    * q383/q395/q407; the peel reuses q396's tiered machinery and its
+    * shared round caps (measured: the day-1 archive's worst peel is 11
+    * rounds at k=4, inside the schedule's 14). Oracle: q396's
+    * from-scratch unrolled peel verbatim — the gate is fold ≡ rebuild.
+    *
+    * Scale shape: ccFold's |Δ|-grain merge + one edge semi-join + the
+    * q396 peel bounded by touched-component volume; the stored edge
+    * table is read once (anti-join) and never re-peeled where
+    * untouched. */
+  val q415KtrussIncremental: Q = Q(
+    "q415_ktruss_incremental",
+    Round13.q396Ktruss.oracle.get) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+      .persist(MEMORY_AND_DISK)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+      .persist(MEMORY_AND_DISK)
+    val labels = Fuzzy.resolveClusters(s,
+      day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    val stored = Round13.trussTiered(s, day1.localCheckpoint())
+    val (updated, _, _) = componentFoldEdges(labels, stored, day1, delta)(
+      te => Round13.trussTiered(s, te))
+    updated.select(col("u"), col("v"), col("truss"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  // -------------------------------------------------------------------
+  // q416 — Kneser–Ney discount sweep (held-out hyperparameter selection)
+  // -------------------------------------------------------------------
+
+  /** q416: the KN DISCOUNT SWEEP — hyperparameter selection as a
+    * first-class pipeline op: q406 fixes the absolute discount at
+    * D = 3/4; a production filter TUNES D on held-out NLL. The sweep
+    * scores the held-out half under D = 1/4, 2/4, 3/4 in one pass
+    * (max(4c₂−d, 0)·10⁹ // 4c₁ + (d·N₁₊(w₁•)·10⁹ // 4c₁ · P_cont) //
+    * 10⁹ — one 3-row broadcast of d, everything else shared), reports
+    * each discount's corpus-total NLL, and flags the argmin — the value
+    * a tuned filter would deploy. Pure integers throughout; d = D·4 so
+    * every division stays a floor division both engines share.
+    *
+    * Scale shape: q406's count tables built once; scoring explodes 3×
+    * on the broadcast discount row — still n-gram-grain map-side work;
+    * the output is 3 rows. */
+  val q416KnDiscountSweep: Q = Q(
+    "q416_kn_discount_sweep",
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |            FROM documents WHERE text IS NOT NULL),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |       FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+      |             FROM tok WHERE len(ws) >= 2)),
+      |c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+      |       FROM bg WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1,
+      |              CAST(count(*) AS BIGINT) AS n1f
+      |       FROM c2 GROUP BY 1),
+      |nb AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |       FROM c2 GROUP BY 1),
+      |tots AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM c2) AS n1all,
+      |                (SELECT CAST(count(DISTINCT w) AS BIGINT)
+      |                 FROM (SELECT unnest(ws) AS w FROM tok
+      |                       WHERE doc_id % 2 = 0)) AS v),
+      |ds AS (SELECT unnest([1, 2, 3]) AS d),
+      |sc AS (SELECT ds.d, bg.doc_id,
+      |         CASE WHEN coalesce(c1.c1, 0) > 0 THEN
+      |           greatest(
+      |             (greatest(4 * coalesce(c2.c2, 0) - ds.d, 0)
+      |                * 1000000000) // (4 * c1.c1)
+      |             + ((ds.d * c1.n1f * 1000000000) // (4 * c1.c1)
+      |                  * ((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                     // (tots.n1all + tots.v))) // 1000000000,
+      |             1)
+      |         ELSE greatest((coalesce(nb.n1b, 0) + 1) * 1000000000
+      |                         // (tots.n1all + tots.v), 1)
+      |         END AS p_nano
+      |       FROM bg
+      |       CROSS JOIN ds
+      |       LEFT JOIN c2 ON c2.w1 = bg.w1 AND c2.w2 = bg.w2
+      |       LEFT JOIN c1 ON c1.w1 = bg.w1
+      |       LEFT JOIN nb ON nb.w2 = bg.w2
+      |       CROSS JOIN tots
+      |       WHERE bg.doc_id % 2 = 1),
+      |nl AS (SELECT d,
+      |         CAST(CAST(round(ln(1000000000), 9) AS DECIMAL(28,9))
+      |              * 1000000000 AS BIGINT)
+      |         - CAST(CAST(round(ln(p_nano), 9) AS DECIMAL(28,9))
+      |                * 1000000000 AS BIGINT) AS nll_nano
+      |       FROM sc),
+      |agg AS (SELECT CAST(d AS BIGINT) AS d_quarters,
+      |               CAST(count(*) AS BIGINT) AS n_bigrams,
+      |               CAST(sum(nll_nano) AS BIGINT) AS total_nll_nano
+      |        FROM nl GROUP BY 1),
+      |mn AS (SELECT min(total_nll_nano) AS m FROM agg)
+      |SELECT d_quarters, n_bigrams, total_nll_nano,
+      |       total_nll_nano = (SELECT m FROM mn) AS is_argmin
+      |FROM agg ORDER BY d_quarters""".stripMargin) { (s, dir) =>
+    val tok = Tables(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .persist(MEMORY_AND_DISK)
+    val bg = tok.filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1),
+          |  i -> named_struct('w1', ws[i-1], 'w2', ws[i]))"""
+          .stripMargin)).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.filter(col("doc_id") % 2 === 0)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(MEMORY_AND_DISK)
+    val c1 = c2.groupBy(col("w1"))
+      .agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val nbT = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val n1all = c2.agg(count(lit(1)).as("n1all"))
+    val v = tok.filter(col("doc_id") % 2 === 0)
+      .select(explode(col("ws")).as("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val tots = n1all.crossJoin(broadcast(v))
+    val ds = s.range(1, 4).select(col("id").as("d"))
+    val sc = bg.filter(col("doc_id") % 2 === 1)
+      .crossJoin(broadcast(ds))
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .join(nbT, Seq("w2"), "left")
+      .crossJoin(broadcast(tots))
+      .select(col("d"), expr(
+        """CASE WHEN coalesce(c1, 0) > 0 THEN
+          |  greatest(
+          |    (greatest(4 * coalesce(c2, 0) - d, 0)
+          |       * 1000000000) div (4 * c1)
+          |    + ((d * n1f * 1000000000) div (4 * c1)
+          |         * ((coalesce(n1b, 0) + 1) * 1000000000
+          |            div (n1all + v))) div 1000000000,
+          |    1)
+          |ELSE greatest((coalesce(n1b, 0) + 1) * 1000000000
+          |                div (n1all + v), 1)
+          |END""".stripMargin).as("p_nano"))
+    val nano = (e: String) =>
+      s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    val agg = sc
+      .select(col("d"),
+        (expr(nano("1000000000")) - expr(nano("p_nano"))).as("nll_nano"))
+      .groupBy(col("d"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("nll_nano")).as("total_nll_nano"))
+    val mn = agg.agg(min(col("total_nll_nano")).as("m"))
+    agg.crossJoin(broadcast(mn))
+      .select(col("d").as("d_quarters"), col("n_bigrams"),
+        col("total_nll_nano"),
+        (col("total_nll_nano") === col("m")).as("is_argmin"))
+      .orderBy(col("d_quarters"))
+  }
+
+  // -------------------------------------------------------------------
   // q414 — hierarchical (two-level) IVF ANN
   // -------------------------------------------------------------------
 
@@ -1192,5 +1387,6 @@ object Round14 {
 
   val all: Seq[Q] = Seq(q407Core3Incremental, q408KneserNeyTrigram,
     q409SmootherDisagreement, q410LubyColoring, q412LpaIncremental,
-    q413CoreDecomposition, q414AnnIvfHier)
+    q413CoreDecomposition, q414AnnIvfHier, q415KtrussIncremental,
+    q416KnDiscountSweep)
 }

@@ -246,6 +246,119 @@ class Round14Spec extends SparkSpec {
   }
 
   // -------------------------------------------------------------------
+  // q415: component-grain incremental truss
+  // -------------------------------------------------------------------
+
+  /** Independent truss numbers over immutable sets (the textbook peel —
+    * structurally unlike both production tiers). */
+  private def refTrussNumbers(edges: Seq[(Long, Long)])
+      : Map[(Long, Long), Long] = {
+    var cur = edges.toSet
+    val tn = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    edges.foreach(e => tn(e) = 2L)
+    for (k <- 3 to 7) {
+      var done = false
+      while (!done && cur.nonEmpty) {
+        val adj = cur.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val keep = cur.filter { case (u, v) =>
+          (adj(u) & adj(v)).size >= k - 2 }
+        done = keep == cur
+        cur = keep
+      }
+      cur.foreach(e => tn(e) = k.toLong)
+    }
+    tn.toMap
+  }
+
+  test("q415 incremental truss: fold equals from-scratch truss numbers, " +
+    "a delta RAISING archive edges' truss is seen, and the untouched " +
+    "component's edges pass through unscanned") {
+    // Component A: K4 on {1,2,3,4} MISSING edge (1,4) on day 1 (truss 3
+    // for the remaining edges), plus the delta edge (1,4) with u+v=5 —
+    // completing the K4 raises EVERY A edge to truss 4, so the stored
+    // day-1 numbers must all flip. Component B: a separate K4 {20..23},
+    // untouched.
+    val day1 = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (20L, 21L), (20L, 22L), (20L, 23L), (21L, 22L), (21L, 23L),
+      (22L, 23L))
+    val delta = Seq((1L, 4L))
+    assert(delta.forall { case (u, v) => (u + v) % 5 == 0 })
+    val day1Df = day1.toDF("u", "v")
+    val deltaDf = delta.toDF("u", "v")
+    val labels = Fuzzy.resolveClusters(spark,
+      day1Df.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+    val stored = Round13.trussTiered(spark, day1Df.localCheckpoint())
+    val (updated, _, scanned) = Round14.componentFoldEdges(
+      labels, stored, day1Df, deltaDf)(
+      te => Round13.trussTiered(spark, te))
+    val got = updated.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got === refTrussNumbers(day1 ++ delta))
+    assert(got((1L, 2L)) === 4L && got((1L, 4L)) === 4L)
+    // Touched-only scan: B's edges never reach the kernel.
+    val scannedSet = scanned.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scannedSet === (day1.filter(_._1 < 20L) ++ delta).toSet)
+  }
+
+  // -------------------------------------------------------------------
+  // q416: KN discount sweep — independent integer sweep
+  // -------------------------------------------------------------------
+
+  /** Independent discount sweep: total held-out NLL for d ∈ {1,2,3}
+    * quarters, plain maps and Long floor divisions. */
+  private def refDiscountSweep(docs: Seq[(Long, String)])
+      : Seq[(Long, Long, Long)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }
+    val train = toks.filter(_._1 % 2 == 0)
+    val c2 = train.flatMap(d =>
+      if (d._2.length < 2) Seq.empty else d._2.zip(d._2.tail))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = c2.groupBy(_._1._1)
+      .view.mapValues(m => (m.values.sum, m.size.toLong)).toMap
+    val nb = c2.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val n1all = c2.size.toLong
+    val v = train.flatMap(_._2).toSet.size.toLong
+    (1L to 3L).map { d =>
+      val nlls = for {
+        (id, ws) <- toks if id % 2 == 1 && ws.length >= 2
+        (w1, w2) <- ws.zip(ws.tail)
+      } yield {
+        val pcont = (nb.getOrElse(w2, 0L) + 1) * 1000000000L / (n1all + v)
+        val p = c1.get(w1) match {
+          case Some((cc, n1f)) =>
+            val cv = c2.getOrElse((w1, w2), 0L)
+            math.max(
+              math.max(4 * cv - d, 0L) * 1000000000L / (4 * cc)
+                + (d * n1f * 1000000000L / (4 * cc) * pcont) / 1000000000L,
+              1L)
+          case None => math.max(pcont, 1L)
+        }
+        lnNano(1000000000L) - lnNano(p)
+      }
+      (d, nlls.size.toLong, nlls.sum)
+    }
+  }
+
+  test("q416 discount sweep: per-discount totals and the argmin flag " +
+    "equal the independent integer sweep") {
+    val docs = lmDocs(416, 80)
+    val dir = dirFor("sweepfix")
+    docsFor(docs, dir)
+    val ref = refDiscountSweep(docs)
+    val minTotal = ref.map(_._3).min
+    val want = ref.map { case (d, n, t) => (d, n, t, t == minTotal) }
+    val got = Round14.q416KnDiscountSweep.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3))).toSeq
+    assert(got === want)
+    // The sweep must actually discriminate: totals differ across d.
+    assert(ref.map(_._3).distinct.size === 3)
+  }
+
+  // -------------------------------------------------------------------
   // q414: hierarchical IVF — recall vs exact, measured not assumed
   // -------------------------------------------------------------------
 
