@@ -46,27 +46,41 @@ object Bench {
     "q106_triangle_count", "q109_pagerank", "q110_setsim_join")
 
   /** Pure compare for the regression gate (unit-tested in BenchDiffSpec):
-    * flags queries whose new best is > `ratio`× the prior best and above
-    * `floor` seconds — the floor absorbs scheduler jitter on sub-second
-    * queries, the ratio absorbs multi-tenant noise (NOTES.md records 3×
-    * machine-load swings on this box; a real plan regression is bigger). */
+    * flags queries whose new best — NORMALIZED by the cross-round
+    * calibration ratio `calRatio` = prior_calibration_total /
+    * this_calibration_total, so a uniformly slower (or faster) VM can
+    * neither manufacture fake regressions nor mask real ones — exceeds
+    * `ratio`× the prior best and the `floor`. The floor absorbs
+    * scheduler jitter on sub-second queries; the ratio absorbs
+    * multi-tenant noise beyond what calibration divides out (NOTES.md
+    * records 3× machine-load swings on this box; a real plan regression
+    * is bigger). calRatio = 1.0 (raw compare) when either record lacks a
+    * usable calibration block. Returns name → (prior, now_raw,
+    * now_normalized). */
   def regressions(
       prior: Map[String, Double],
       now: Map[String, Double],
       ratio: Double = 3.0,
-      floor: Double = 0.5): Map[String, (Double, Double)] =
+      floor: Double = 0.5,
+      calRatio: Double = 1.0): Map[String, (Double, Double, Double)] =
     now.flatMap { case (name, t) =>
+      val tn = t * calRatio
       prior.get(name) match {
-        case Some(p) if t > floor && t > p * ratio => Some(name -> (p, t))
+        case Some(p) if tn > floor && tn > p * ratio =>
+          Some(name -> (p, t, tn))
         case _ => None
       }
     }
 
-  /** Read the prior record's (sf, per-query best) from bench_full.json.
-    * Jackson (on Spark's classpath) so the parse is robust to formatting;
-    * any failure — absent file, corrupt JSON — degrades to None (a bench
-    * run must never fail because the previous artifact is unreadable). */
-  def readPrior(path: java.nio.file.Path): Option[(String, Map[String, Double])] =
+  /** Read the prior record's (sf, per-query best, calibration total) from
+    * bench_full.json. Jackson (on Spark's classpath) so the parse is
+    * robust to formatting; any failure — absent file, corrupt JSON —
+    * degrades to None (a bench run must never fail because the previous
+    * artifact is unreadable). The calibration total is None where the
+    * record predates the block or recorded it null (errored calibration
+    * run) — the gate then falls back to the raw compare. */
+  def readPrior(path: java.nio.file.Path)
+      : Option[(String, Map[String, Double], Option[Double])] =
     try {
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readAllBytes(path))
@@ -75,7 +89,10 @@ object Bench {
       val it = qs.fields()
       val m = scala.collection.mutable.Map.empty[String, Double]
       while (it.hasNext) { val e = it.next(); m(e.getKey) = e.getValue.asDouble() }
-      Some((sf, m.toMap))
+      val cal = Option(root.get("calibration"))
+        .filterNot(_.isNull).flatMap(c => Option(c.get("total")))
+        .filterNot(_.isNull).map(_.asDouble()).filter(_ > 0.0)
+      Some((sf, m.toMap, cal))
     } catch { case _: Throwable => None }
 
   /** Locale-pinned 3-decimal format: the artifact is load-bearing INPUT
@@ -162,12 +179,40 @@ object Bench {
     // at a different scale factor is not a baseline for this run).
     val artifact = java.nio.file.Paths.get("bench_full.json")
     val prior = readPrior(artifact).filter(_._1 == sfDir)
+    // Calibration block: the pinned set's per-query bests + total, from
+    // the same best-of-passes record (no extra runs — the set is a fixed
+    // SLICE of the suite, which is exactly what makes it comparable).
+    // An ERRORED calibration run must not poison the total (its recorded
+    // time is time-to-throw, not a timing — round-14 ADVICE): the block
+    // degrades to null with a reason, and normalization below falls back
+    // to the raw compare for this round.
+    val calQ = CalibrationSet
+    val calErrored = calQ.filter(errored)
+    val calTotal: Option[Double] =
+      if (calErrored.isEmpty) Some(calQ.map(best).sum) else None
+    val calibration = calTotal match {
+      case Some(t) =>
+        val calPerQ = calQ.map(n => s"\"$n\":${f3(best(n))}")
+          .mkString("{", ",", "}")
+        s"""{"queries":$calPerQ,"total":${f3(t)}}"""
+      case None =>
+        System.err.println("[bench] calibration unusable: errored " +
+          s"calibration queries: ${calErrored.mkString(", ")}")
+        s"""{"total":null,"reason":"errored: ${calErrored.mkString(",")}"}"""
+    }
+    // Cross-round VM normalization for the per-query gate (VERDICT r14
+    // #5): normalized now = now × (prior_cal / this_cal). 1.0 — the raw
+    // compare — when either side's calibration block is unusable.
+    val calRatio: Double = (for {
+      p <- prior; pc <- p._3; tc <- calTotal
+    } yield pc / tc).getOrElse(1.0)
     // Confirmation pass: a flagged query whose best is a SINGLE sample
     // (sub-threshold, so the later passes never re-timed it) may be one
     // unlucky scheduling window, not a regression — re-time each flagged
     // query once and keep the min, so only reproducible slowdowns reach
     // the report (the gate's job is separating code from machine noise).
-    prior.map(p => regressions(p._2, best.toMap)).getOrElse(Map.empty)
+    prior.map(p => regressions(p._2, best.toMap, calRatio = calRatio))
+      .getOrElse(Map.empty)
       .keys.toSeq.sorted.foreach { name =>
         SparkEntry.queries.get(name).foreach { fn =>
           val t0 = System.nanoTime()
@@ -179,16 +224,9 @@ object Bench {
           spark.catalog.clearCache()
         }
       }
-    val regr = prior.map(p => regressions(p._2, best.toMap)).getOrElse(Map.empty)
-    // Calibration block: the pinned set's per-query bests + total, from
-    // the same best-of-passes record (no extra runs — the set is a fixed
-    // SLICE of the suite, which is exactly what makes it comparable).
-    val calQ = CalibrationSet
-    val calTotal = calQ.map(best).sum
-    val calPerQ = calQ.map(n => s"\"$n\":${f3(best(n))}")
-      .mkString("{", ",", "}")
-    val calibration =
-      s"""{"queries":$calPerQ,"total":${f3(calTotal)}}"""
+    val regr = prior
+      .map(p => regressions(p._2, best.toMap, calRatio = calRatio))
+      .getOrElse(Map.empty)
     val qs = best.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (best.nonEmpty) best.values.sum else 0.0
@@ -197,15 +235,18 @@ object Bench {
     val reruns = rerunCounts.mkString("[", ",", "]")
     val errs = errored.map("\"" + _ + "\"").mkString("[", ",", "]")
     val priorTotal = prior.map(_._2.values.sum)
-    val regrJson = regr.toSeq.sortBy(-_._2._2).map { case (n, (p, t)) =>
-      s"""\"$n\":{\"prev\":$p,\"now\":$t,\"ratio\":${t / p}}"""
+    // Each flagged entry carries the raw AND calibration-normalized now,
+    // and the ratio the gate actually fired on (now_norm / prev).
+    val regrJson = regr.toSeq.sortBy(-_._2._3).map { case (n, (p, t, tn)) =>
+      s"""\"$n\":{\"prev\":$p,\"now\":$t,\"now_norm\":${f3(tn)},\"ratio\":${tn / p}}"""
     }.mkString("{", ",", "}")
     val prevTotalJson = priorTotal.map(f3).getOrElse("null")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"calibration":$calibration}""")
+    val calRatioJson = f3(calRatio)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"cal_ratio":$calRatioJson,"regressions":$regrJson,"calibration":$calibration}""")
     // The driver's one-line record truncates past ~100 queries, losing the
     // per-query tail; persist the full distribution as a repo artifact so
     // the whole record stays auditable after every bench run.
-    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"regressions":$regrJson,"calibration":$calibration,"queries":$qs}"""
+    val full = s"""{"sf":"$sfDir","cpus":"$cpus","reps":$reps,"total_best":$total,"pass_totals":$passes,"load":$loads,"pass_reruns":$reruns,"errors":$errs,"prev_total":$prevTotalJson,"cal_ratio":$calRatioJson,"regressions":$regrJson,"calibration":$calibration,"queries":$qs}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_full.json"), full.getBytes("UTF-8"))
     catch { case _: Throwable => () } // an unwritable CWD must not fail the bench

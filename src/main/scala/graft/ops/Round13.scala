@@ -388,8 +388,9 @@ object Round13 {
       // prime step is load-bearing: 4096 and 256 are both ≡ 0 (mod 32),
       // so a direct % 32 would discard the first two nibbles — 5
       // effective hash bits instead of 16, quietly inflating collision
-      // overcount (round-13 ADVICE). 4093 is coprime to 32 and > the
-      // 16-bit input range, so all four nibbles reach the cell index.
+      // overcount (round-13 ADVICE). 4093 is coprime to 32 and not ≡ 0
+      // mod any nibble weight (4096 ≡ 3, 256 ≡ 256, 16 ≡ 16 mod 4093),
+      // so all four nibbles influence the cell index.
       .select(col("*"),
         expr(s"CAST(((4096 * ${hv(1)} + 256 * ${hv(2)} + 16 * ${hv(3)}"
           + s" + ${hv(4)}) % 4093) % 32 AS BIGINT)").as("c"))

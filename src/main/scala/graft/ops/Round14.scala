@@ -175,10 +175,16 @@ object Round14 {
       .unionByName(delta.select(col("v").as("n"))).distinct()
     val touchedLabs = newLabels.join(deltaNodes, Seq("n"), "left_semi")
       .select(col("lab")).distinct()
+    // localCheckpoint, not persist: the fold runs once per streaming
+    // trigger (q411/q419) and per bench query — persisted frames would
+    // accumulate in the cache manager until the pass-level clearCache
+    // (round-14 ADVICE); a checkpointed RDD is GC-reclaimed as soon as
+    // the frame is unreferenced, and the eager materialization is also
+    // what the twice-probed frame wants (edge filter + anti-join).
     val touchedNodes = newLabels
       .join(broadcast(touchedLabs), Seq("lab"), "left_semi")
       .select(col("n"))
-      .persist(MEMORY_AND_DISK) // edge filter + pass-through anti-join
+      .localCheckpoint()
     val touchedEdges = day1.unionByName(delta)
       .join(touchedNodes.withColumnsRenamed(Map("n" -> "u")),
         Seq("u"), "left_semi")
@@ -272,10 +278,12 @@ object Round14 {
       .unionByName(delta.select(col("v").as("n"))).distinct()
     val touchedLabs = newLabels.join(deltaNodes, Seq("n"), "left_semi")
       .select(col("lab")).distinct()
+    // localCheckpoint, not persist — same cache-accumulation rationale
+    // as [[componentFold]]'s touchedNodes (round-14 ADVICE).
     val touchedU = newLabels
       .join(broadcast(touchedLabs), Seq("lab"), "left_semi")
       .select(col("n").as("u"))
-      .persist(MEMORY_AND_DISK) // edge filter + edge pass-through
+      .localCheckpoint()
     val touchedEdges = day1.unionByName(delta)
       .join(touchedU, Seq("u"), "left_semi")
       // The kernel loops over this frame; its lineage embeds the day-1
@@ -1098,14 +1106,15 @@ object Round14 {
     * changes what a perplexity threshold drops. Both NLL surfaces are
     * the tier's existing ones (q391's add-one, q406's KN — same
     * held-out construction, same rounded-ln nano discipline), ranked to
-    * their worst-25, and the SYMMETRIC DIFFERENCE surfaces with each
+    * their worst-K (K = [[DisagreeK]] = 60 — see its comment for why 25
+    * was rejected), and the SYMMETRIC DIFFERENCE surfaces with each
     * doc's position in the list that kept it plus both raw scores, so
     * the audit is actionable (how far outside the other list? how big
     * is the score gap?).
     *
     * Scale shape: two doc-grain score tables (each built with q391/
     * q406's n-gram-grain economics), two k-bounded leaderboards, one
-    * 25-vs-25 full-outer join and two doc-grain score joins — nothing
+    * K-vs-K full-outer join and two doc-grain score joins — nothing
     * beyond the underlying scorers' cost. */
   val q409SmootherDisagreement: Q = Q(
     "q409_smoother_disagreement",
