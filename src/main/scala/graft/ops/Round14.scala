@@ -664,17 +664,19 @@ object Round14 {
 
   /** Peel-round caps per k for the full core decomposition (the
     * [[Round13.trussSchedule]] device at node grain). Measured changing
-    * rounds: sf0.01 peaks early (k=2:3, k=3:10, k=4:5 — then empty);
-    * sf0.001's dense core survives to k=16 with a long erosion tail
-    * (k=16 alone takes 19 rounds to empty); sf0.1 collapses at k=3.
-    * Caps carry ~1.4× headroom; the schedule ends at k=16 because the
-    * max observed core number is 15 — and the decomposition loudly
-    * requires the survivor set to be EMPTY after the last entry, so a
-    * corpus with higher coreness fails instead of silently truncating
-    * core numbers at 16. */
+    * rounds (worst over full graph, day-1 archive, AND the incremental
+    * fold's touched subgraph, all three SFs — the archive is the worst
+    * peel, the q407 lesson: the delta's absence leaves longer cascade
+    * chains; sf0.001's day-1 graph erodes for 11 rounds at k=13):
+    * k=2:5, k=3:12, k=4:4, k=5..11: ≤2, k=12:4, k=13:11, k=14/15:3,
+    * k=16:18. Caps carry ~1.4× headroom; the schedule ends at k=16
+    * because the max observed core number is 15 — and the decomposition
+    * loudly requires the survivor set to be EMPTY after the last entry,
+    * so a corpus with higher coreness fails instead of silently
+    * truncating core numbers at 16. */
   private[graft] val CoreSchedule: Seq[(Int, Int)] =
     Seq(2 -> 8, 3 -> 14, 4 -> 8, 5 -> 3, 6 -> 3, 7 -> 3, 8 -> 3, 9 -> 3,
-      10 -> 3, 11 -> 4, 12 -> 3, 13 -> 5, 14 -> 5, 15 -> 5, 16 -> 26)
+      10 -> 3, 11 -> 4, 12 -> 6, 13 -> 16, 14 -> 5, 15 -> 5, 16 -> 26)
 
   /** Driver-tier full decomposition: chained per-k node peels over
     * in-heap sets (the k-core is a subgraph of the (k−1)-core, so each

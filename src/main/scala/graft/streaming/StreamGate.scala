@@ -2219,6 +2219,69 @@ object StreamGate {
       .orderBy(col("n"))
   }
 
+  /** q419: COMPONENT-GRAIN LPA maintained BY THE STREAM — the second
+    * kernel through the q411 three-chained-store pattern, proving the
+    * streaming fold is kernel-generic exactly as q412 proved the batch
+    * fold is (COVERAGE's twin policy routes component-grain kernels
+    * here): co-purchase edges arrive in three micro-batches ((u+v) mod
+    * 3, file source, mtime order); each trigger anti-joins its batch
+    * against the archived edges (replay-stable: a redelivered batch
+    * folds an EMPTY delta — [[Round14.componentFold]] then touches no
+    * component and every stored label passes through byte-identical),
+    * ccFolds the labels, re-runs q354's deterministic 4-round LPA ONLY
+    * inside the components its delta touched, and publishes all three
+    * tables (edges / CC labels / LPA labels) under `gen=<id>`. Within a
+    * component the 4 synchronous rounds ARE the metric, so the
+    * component grain is what makes the stream maintainable at all (the
+    * r13 warm-start finding: resuming rounds from stored labels changes
+    * the dynamics; untouched components instead REPLAY identically).
+    * The final store answers q412's from-scratch full-graph oracle. */
+  val q419StreamLpaMaintain: Q = Q(
+    "q419_stream_lpa_maintain",
+    graft.ops.Round14.q412LpaIncremental.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q419-")
+    val e0 = graft.ops.Graph.supportedEdges(s, dir)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e0.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("lpa").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val archive = latestGenBefore(sb, s"$store/edges", id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v")))
+          val labels = latestGenBefore(sb, s"$store/labels", id).getOrElse(
+            sb.range(0).select(col("id").as("n"), col("id").as("lab")))
+          val lpa = latestGenBefore(sb, s"$store/lpalbl", id).getOrElse(
+            sb.range(0).select(col("id").as("n"), col("id").as("lbl")))
+          // Replay guard: only never-archived edges form the delta.
+          val delta = batch.toDF().select(col("u"), col("v"))
+            .join(archive, Seq("u", "v"), "left_anti")
+          val (updated, newLabels, _) = graft.ops.Round14.componentFold(
+            labels, lpa, archive, delta)(graft.ops.Round14.lpa4)
+          updated.write.mode("overwrite").parquet(s"$store/lpalbl/gen=$id")
+          newLabels.select(col("n"), col("lab"))
+            .write.mode("overwrite").parquet(s"$store/labels/gen=$id")
+          archive.unionByName(delta)
+            .write.mode("overwrite").parquet(s"$store/edges/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, s"$store/lpalbl", Long.MaxValue)
+      .getOrElse(s.range(0).select(col("id").as("n"), col("id").as("lbl")))
+      .select(col("n"), col("lbl"))
+      .orderBy(col("n"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2271,5 +2334,5 @@ object StreamGate {
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
-    q411StreamCore3Maintain)
+    q411StreamCore3Maintain, q419StreamLpaMaintain)
 }
