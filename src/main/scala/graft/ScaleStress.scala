@@ -78,6 +78,16 @@ object ScaleStress {
     "q403_weighted_pagerank", "q404_edge_betweenness",
     "q407_core3_incremental", "q410_luby_coloring", "q414_ann_ivf_hier")
 
+  /** Round-15 grid rows: the chained-schedule component fold (q417 —
+    * same touched-growth signature as q407), the Lloyd-trained
+    * hierarchical IVF (q418 — q414's economics plus one broadcast-argmax
+    * training pass, expected ~q414's exponent), and Borůvka (q420 — K
+    * disjoint graph copies run the same round count as one, so growth
+    * measures per-round edge-join cost). */
+  val MeasuredR15: Seq[String] = Seq(
+    "q417_core_incremental", "q418_ann_ivf_lloyd", "q420_boruvka_msf",
+    "q421_msf_incremental")
+
   /** The 15 heaviest data-plane pipelines (the dedup and ANN families the
     * 100-TB story leans on; VERDICT r10's stress list) plus the round-12
     * graph/prefix-join/streaming extension. */
@@ -87,7 +97,7 @@ object ScaleStress {
     "q82_dedup_ensemble", "q97_dedup_incremental", "q74_semantic_neardup",
     "q39_ann_topk", "q40_ann_lsh", "q48_ann_ivf", "q236_pq_ann",
     "q239_ivfpq_ann", "q66_kmeans_iter") ++ MeasuredR12 ++ MeasuredR13 ++
-    MeasuredR14
+    MeasuredR14 ++ MeasuredR15
 
   /** Round-13 extension (VERDICT r12 #2): the two near-linear pair
     * emitters — q82 (0.90 on the 1×/3×/10× fit) and q65 (0.83) — get a
@@ -497,6 +507,57 @@ object ScaleStress {
     val tHier200 = runNoop(spark, "q414_ann_ivf_hier", emb200)
     val hierSlope = math.log(tHier200 / tHier100) / math.log(2.0)
 
+    // ---- Boundary 8 (round 15): TOUCHED-FRACTION sweep of the
+    // component-grain fold. The touched-only-scan claim is row-count
+    // asserted in Round14Spec/Round15Spec; this sweeps it in TIME on the
+    // 10× graph: deltas built from whole components covering ~1%/10%/50%
+    // of the graph (selected by a deterministic label hash), stored
+    // index built UNTIMED, then the fold timed — fold cost must TRACK
+    // the touched fraction while the from-scratch rebuild pays the full
+    // graph every time.
+    val tfDir = s"$workDir/corpus_10x"
+    val tfE0 = graft.ops.Graph.supportedEdges(spark, tfDir).localCheckpoint()
+    val tfLabsFull = graft.ops.Fuzzy.resolveClusters(spark,
+      tfE0.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist()
+    val tfEdgeLab = tfE0.join(
+      tfLabsFull.select(col("n").as("u"), col("lab")), Seq("u"))
+      .persist()
+    tfEdgeLab.count()
+    val tfTotalEdges = tfE0.count()
+    val touchedSweep = Seq(1, 10, 50).map { p =>
+      val delta = tfEdgeLab.filter(pmod(hash(col("lab")), lit(100)) < p)
+        .select(col("u"), col("v")).localCheckpoint()
+      val day1 = tfEdgeLab.filter(pmod(hash(col("lab")), lit(100)) >= p)
+        .select(col("u"), col("v")).localCheckpoint()
+      val deltaEdges = delta.count()
+      // The persisted index (yesterday's tables) — built untimed.
+      val labels = graft.ops.Fuzzy.resolveClusters(spark,
+        day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+        .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+        .localCheckpoint()
+      val stored = graft.ops.Round14.core3Members(spark, day1)
+        .localCheckpoint()
+      val tFold = time {
+        graft.ops.Round14.core3ComponentFold(spark, labels, stored,
+          day1, delta)._1
+          .write.format("noop").mode("overwrite").save()
+      }
+      spark.catalog.clearCache()
+      System.err.println(s"[scale] fold touched=$p% " +
+        s"(${deltaEdges}/$tfTotalEdges edges) ${f3(tFold)}s")
+      (p, deltaEdges, tFold)
+    }
+    val tScratch = time {
+      graft.ops.Round14.core3Members(spark, tfE0)
+        .write.format("noop").mode("overwrite").save()
+    }
+    spark.catalog.clearCache()
+    tfEdgeLab.unpersist()
+    tfLabsFull.unpersist()
+    System.err.println(s"[scale] from-scratch 3-core ${f3(tScratch)}s")
+
     // ---- Boundary 5: prefix-bucket density (q110). One hot 13-token
     // phrase shared by 3000 otherwise-distinct (J≈0.09) docs: the
     // rarest-first prefix must keep the hot shingles out of every
@@ -523,7 +584,8 @@ object ScaleStress {
          |"wedge_skew_orientation":{"clean_10x_sec":${f3(tTri10)},"hot_10x_sec":${f3(tTriHot)},"planted_hub_degree":2500},
          |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs},
          |"mis_skew":{"clean_10x_sec":${f3(tMis10)},"hot_10x_sec":${f3(tMisHot)},"planted_hub_degree":2500},
-         |"ivf_assignment_regime":{"hier_emb_100x_sec":${f3(tHier100)},"hier_emb_200x_sec":${f3(tHier200)},"hier_local_slope":${f3(hierSlope)},"flat_cap_nlist":4096,"flat_cap_engages_at_vectors":262144,"flat_bend_on_record":"q48 30x grid row"}}"""
+         |"ivf_assignment_regime":{"hier_emb_100x_sec":${f3(tHier100)},"hier_emb_200x_sec":${f3(tHier200)},"hier_local_slope":${f3(hierSlope)},"flat_cap_nlist":4096,"flat_cap_engages_at_vectors":262144,"flat_bend_on_record":"q48 30x grid row"},
+         |"component_fold_touched_fraction":{${touchedSweep.map { case (p, de, t) => s""""p${p}_sec":${f3(t)},"p${p}_delta_edges":$de""" }.mkString(",")},"total_edges":$tfTotalEdges,"scratch_sec":${f3(tScratch)}}}"""
         .stripMargin.replace("\n", "")
     val out =
       s"""{"sf":"$sfDir","cpus":"$cpus","mults":${mults.mkString("[", ",", "]")},"load":${loads.mkString("[", ",", "]")},"queries":$qJson,"boundaries":$bJson}"""

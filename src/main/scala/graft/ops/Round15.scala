@@ -322,5 +322,319 @@ object Round15 {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd)
+  // -------------------------------------------------------------------
+  // q420 — Borůvka maximum-affinity spanning forest
+  // -------------------------------------------------------------------
+
+  /** Per-round pointer-doubling jump caps for the Borůvka contraction
+    * (the [[Round14.ColorSchedule]] device): round r's pointer chains
+    * (component → best-edge neighbor, 2-cycles broken to roots) have
+    * measured max root-distance 8 (sf0.01 round 1; 4/4/1, 5, 4, 2, 1
+    * elsewhere), so 5 doubling jumps (2⁵ = 32 ≥ 8) carry 4× headroom;
+    * rounds to no-cross-edges measured 3/5/2 at sf0.001/0.01/0.1 — the
+    * schedule carries two spare rounds, and the kernel loudly requires
+    * BOTH the round count within schedule AND pointer idempotence after
+    * the round's jumps (an unconverged contraction would silently merge
+    * wrong components). The unrolled oracle runs EXACTLY this schedule;
+    * extra rounds and extra jumps are idempotent once converged. */
+  private[graft] val MstSchedule: Seq[Int] = Seq(5, 5, 5, 5, 5, 5, 5)
+
+  /** The (weight, u, v) total order, affinity-first: an edge beats
+    * another when its support is HIGHER, ties to the smaller (u, v).
+    * Totality (no two edges compare equal) is what makes the spanning
+    * forest unique — Borůvka and Kruskal under the same total order
+    * return the identical edge set, which is how the spec cross-checks
+    * the rounds machinery against a one-line reference. */
+  private[graft] def mstKey(e: (Long, Long, Long)): (Long, Long, Long) =
+    (-e._3, e._1, e._2)
+
+  /** Driver-tier Borůvka (the [[Round14.coreDriver]] shape: one collect,
+    * in-heap rounds): per round every component selects its best
+    * incident cross edge under [[mstKey]], selected edges join the
+    * forest, components contract by min-label union. Membership after a
+    * round is the connected components of the forest so far — identical
+    * to the distributed tier's pointer-doubled contraction, so the two
+    * tiers select identical edges every round. Edges (u, v, w). */
+  private[graft] def boruvkaDriver(edges: Array[(Long, Long, Long)])
+      : Seq[(Long, Long, Long)] = {
+    val lab = scala.collection.mutable.Map.empty[Long, Long]
+    edges.foreach { case (u, v, _) => lab(u) = u; lab(v) = v }
+    val mst = scala.collection.mutable.LinkedHashSet.empty[(Long, Long, Long)]
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= MstSchedule.length,
+        s"Borůvka exceeded the unrolled oracle bound " +
+          s"(${MstSchedule.length} rounds) — re-measure and extend " +
+          "MstSchedule")
+      val best = scala.collection.mutable.Map
+        .empty[Long, (Long, Long, Long)]
+      var anyCross = false
+      edges.foreach { case e @ (u, v, _) =>
+        val a = lab(u); val b = lab(v)
+        if (a != b) {
+          anyCross = true
+          Seq(a, b).foreach { c =>
+            if (!best.contains(c) ||
+                Ordering[(Long, Long, Long)].lt(mstKey(e), mstKey(best(c))))
+              best(c) = e
+          }
+        }
+      }
+      if (!anyCross) done = true
+      else {
+        best.values.foreach(mst += _)
+        // Min-label union over the selected edges at LABEL grain.
+        val par = scala.collection.mutable.Map.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (par.getOrElse(r, r) != r) r = par(r)
+          var c = x
+          while (par.getOrElse(c, c) != c) { val nx = par(c); par(c) = r; c = nx }
+          r
+        }
+        best.values.foreach { case (u, v, _) =>
+          val a = find(lab(u)); val b = find(lab(v))
+          if (a != b) par(math.max(a, b)) = math.min(a, b)
+        }
+        lab.keys.toSeq.foreach(n => lab(n) = find(lab(n)))
+      }
+    }
+    mst.toSeq
+  }
+
+  /** Distributed Borůvka: the 100-TB path. Per round: one edge⋈label
+    * join pair (cross-edge detection), a per-component min-struct
+    * aggregate (map-side combined — the shuffle carries one candidate
+    * per component per partition), then contraction on the
+    * COMPONENT-grain pointer table (≤ #components rows, shrinking
+    * geometrically): 2-cycle break + [[MstSchedule]](r−1) pointer-
+    * doubling self-joins, idempotence loudly required, labels relabeled
+    * through the converged pointers in one join. Lineage cut per round
+    * (the q383 lesson — the label table re-enters every round). */
+  private[graft] def boruvkaDistributed(e0: DataFrame): DataFrame = {
+    val s = e0.sparkSession
+    val edges = e0.select(col("u"), col("v"), col("w")).localCheckpoint()
+    var labels = edges.select(col("u").as("n"))
+      .unionByName(edges.select(col("v").as("n"))).distinct()
+      .withColumn("lab", col("n")).localCheckpoint()
+    val selected = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var round = 0
+    var crossLeft = 1L
+    while (crossLeft > 0) {
+      round += 1
+      require(round <= MstSchedule.length,
+        s"Borůvka exceeded the unrolled oracle bound " +
+          s"(${MstSchedule.length} rounds) — re-measure and extend " +
+          "MstSchedule")
+      val cross = edges
+        .join(labels.select(col("n").as("u"), col("lab").as("la")), Seq("u"))
+        .join(labels.select(col("n").as("v"), col("lab").as("lb")), Seq("v"))
+        .filter(col("la") =!= col("lb"))
+        .localCheckpoint()
+      crossLeft = cross.count()
+      if (crossLeft > 0) {
+        val cand = cross.select(col("la").as("c"), col("w"), col("u"),
+          col("v"), col("lb").as("other"))
+          .unionByName(cross.select(col("lb").as("c"), col("w"), col("u"),
+            col("v"), col("la").as("other")))
+        // Best cross edge per component under (w DESC, u, v): min of the
+        // (-w, u, v, other) struct — map-side combined.
+        val minE = cand.groupBy(col("c"))
+          .agg(min(struct((-col("w")).as("nw"), col("u"), col("v"),
+            col("other"))).as("m"))
+          .select(col("c"), (-col("m.nw")).as("w"), col("m.u").as("u"),
+            col("m.v").as("v"), col("m.other").as("other"))
+          .localCheckpoint()
+        selected += minE.select(col("u"), col("v"), col("w")).distinct()
+        // Pointer table over ALL current components; no-cross components
+        // self-point. 2-cycle break: the smaller member of a mutual pair
+        // becomes the root (with the total order, every pointer cycle is
+        // a 2-cycle: a longer cycle needs e1 > e2 > ... > ek > e1).
+        val p0 = labels.select(col("lab").as("c")).distinct()
+          .join(minE.select(col("c"), col("other")), Seq("c"), "left")
+          .select(col("c"), coalesce(col("other"), col("c")).as("p"))
+        var p = p0.as("a")
+          .join(p0.select(col("c").as("pc"), col("p").as("pp")).as("b"),
+            col("a.p") === col("b.pc"))
+          .select(col("a.c"),
+            when(col("b.pp") === col("a.c") && col("a.c") < col("a.p"),
+              col("a.c")).otherwise(col("a.p")).as("p"))
+          .localCheckpoint()
+        for (_ <- 1 to MstSchedule(round - 1)) {
+          p = p.as("a")
+            .join(p.select(col("c").as("pc"), col("p").as("pp")).as("b"),
+              col("a.p") === col("b.pc"))
+            .select(col("a.c"), col("b.pp").as("p"))
+            .localCheckpoint()
+        }
+        // Idempotence: p(p(c)) = p(c) everywhere, or the contraction is
+        // unconverged and the relabel below would be silently wrong.
+        val unconverged = p.as("a")
+          .join(p.select(col("c").as("pc"), col("p").as("pp")).as("b"),
+            col("a.p") === col("b.pc"))
+          .filter(col("b.pp") =!= col("a.p")).limit(1).count()
+        require(unconverged == 0L,
+          s"Borůvka round $round pointer chains did not converge in " +
+            s"${MstSchedule(round - 1)} jumps — re-measure and raise " +
+            "the schedule entry")
+        labels = labels
+          .join(p.select(col("c").as("lab"), col("p")), Seq("lab"))
+          .select(col("n"), col("p").as("lab"))
+          .localCheckpoint()
+      }
+    }
+    if (selected.isEmpty)
+      s.range(0).select(col("id").as("u"), col("id").as("v"),
+        col("id").as("w"))
+    else selected.reduce(_ unionByName _).distinct()
+  }
+
+  /** Tier choice, CHECKED not assumed (the shared 2M-edge boundary). */
+  private[graft] def boruvkaTiered(s: SparkSession, e0: DataFrame,
+      driverMaxEdges: Long = 2000000L): DataFrame = {
+    import s.implicits._
+    val e = e0.select(col("u"), col("v"), col("w")).localCheckpoint()
+    if (e.count() <= driverMaxEdges) {
+      val rows = boruvkaDriver(
+        e.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))))
+      if (rows.isEmpty)
+        s.range(0).select(col("id").as("u"), col("id").as("v"),
+          col("id").as("w"))
+      else rows.toDF("u", "v", "w")
+    } else boruvkaDistributed(e)
+  }
+
+  /** The unrolled Borůvka oracle: [[MstSchedule]].length rounds, each
+    * with per-component best-edge selection (row_number over the
+    * (w DESC, u, v) total order), the 2-cycle-broken pointer graph, and
+    * MstSchedule(r−1) pointer-doubling CTEs, all MATERIALIZED. Extra
+    * rounds/jumps are idempotent once converged — the same fixed-unroll
+    * contract as every schedule oracle in the repo. */
+  private def boruvkaOracle: String = {
+    val ctes = scala.collection.mutable.ListBuffer[String](
+      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM " +
+        "lineitem)",
+      "e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v, " +
+        "CAST(count(*) AS BIGINT) AS w FROM lp l1 JOIN lp l2 ON " +
+        "l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey " +
+        "GROUP BY 1, 2 HAVING count(*) >= 2)",
+      "lab0 AS MATERIALIZED (SELECT n, n AS lab FROM (SELECT DISTINCT u " +
+        "AS n FROM e0 UNION SELECT DISTINCT v FROM e0))")
+    for ((jumps, idx) <- MstSchedule.zipWithIndex) {
+      val r = idx + 1
+      ctes += s"cross$r AS MATERIALIZED (SELECT e.u, e.v, e.w, lu.lab " +
+        s"AS la, lv.lab AS lb FROM e0 e JOIN lab${r - 1} lu ON lu.n = " +
+        s"e.u JOIN lab${r - 1} lv ON lv.n = e.v WHERE lu.lab <> lv.lab)"
+      ctes += s"cand$r AS MATERIALIZED (SELECT la AS c, w, u, v, lb AS " +
+        s"other FROM cross$r UNION ALL SELECT lb, w, u, v, la FROM cross$r)"
+      ctes += s"sel$r AS MATERIALIZED (SELECT c, w, u, v, other FROM " +
+        s"cand$r QUALIFY row_number() OVER (PARTITION BY c ORDER BY w " +
+        "DESC, u, v) = 1)"
+      ctes += s"p${r}_0 AS MATERIALIZED (SELECT l.lab AS c, " +
+        s"coalesce(s.other, l.lab) AS p FROM (SELECT DISTINCT lab FROM " +
+        s"lab${r - 1}) l LEFT JOIN sel$r s ON s.c = l.lab)"
+      ctes += s"p${r}_b AS MATERIALIZED (SELECT a.c, CASE WHEN b.p = " +
+        s"a.c AND a.c < a.p THEN a.c ELSE a.p END AS p FROM p${r}_0 a " +
+        s"JOIN p${r}_0 b ON b.c = a.p)"
+      for (j <- 1 to jumps) {
+        val prev = if (j == 1) s"p${r}_b" else s"p${r}_${j - 1}"
+        ctes += s"p${r}_$j AS MATERIALIZED (SELECT a.c, b.p FROM $prev " +
+          s"a JOIN $prev b ON b.c = a.p)"
+      }
+      ctes += s"lab$r AS MATERIALIZED (SELECT l.n, p.p AS lab FROM " +
+        s"lab${r - 1} l JOIN p${r}_$jumps p ON p.c = l.lab)"
+    }
+    val uni = (1 to MstSchedule.length)
+      .map(r => s"SELECT u, v, w FROM sel$r").mkString(" UNION ALL ")
+    "WITH " + ctes.mkString(",\n") +
+      s",\nmst AS (SELECT DISTINCT u, v, w FROM ($uni))\n" +
+      "SELECT u, v, w FROM mst ORDER BY u, v"
+  }
+
+  /** q420: BORŮVKA SPANNING FOREST over the weighted co-purchase graph —
+    * the maximum-AFFINITY forest (weight = co-purchase support, the
+    * (w DESC, u, v) total order making it unique): the backbone
+    * single-link clustering walks (q376) and the classic O(log n)-round
+    * distributed-MST shape (per round every component grabs its best
+    * incident cross edge, components contract, rounds halve the
+    * component count — measured 3/5/2 rounds at the three SFs). The
+    * kernel is component-local with no global constants, so it
+    * qualifies verbatim for [[Round14.componentFold]] in a later round.
+    * Tiered like every graph kernel: in-heap union-find rounds under
+    * 2M edges, edge-grain joins + pointer-doubled contraction above —
+    * and the spec races both tiers against one-line Kruskal (same total
+    * order ⇒ the identical unique forest).
+    *
+    * Scale shape (distributed tier): per round one edge⋈label join pair
+    * + a map-side-combined per-component min-struct + contraction on
+    * the component-grain pointer table (≤ #components rows, shrinking
+    * geometrically) with schedule-capped pointer doubling; lineage cut
+    * per round. */
+  val q420BoruvkaMsf: Q = Q(
+    "q420_boruvka_msf", boruvkaOracle) { (s, dir) =>
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    boruvkaTiered(s, e0).orderBy(col("u"), col("v"))
+  }
+
+  // -------------------------------------------------------------------
+  // q421 — component-grain incremental spanning forest
+  // -------------------------------------------------------------------
+
+  /** q421: COMPONENT-GRAIN incremental SPANNING FOREST — [[q420BoruvkaMsf]]
+    * through [[Round14.componentFoldEdges]] (the q415 shape at forest
+    * grain): the maximum-affinity forest is component-local (a
+    * component's forest depends only on its own edge set under the total
+    * order) and NOT delta-local (one new heavy edge can evict an
+    * arbitrary archived forest edge — the cycle it closes drops its
+    * worst-affinity edge, which may sit anywhere in the component), so
+    * the component grain is the honest increment: same (u+v) % 5
+    * archive/delta split, the persisted index is day-1 CC labels + the
+    * day-1 forest (u, v, w), the fold re-runs Borůvka ONLY on
+    * delta-touched components and untouched components' stored forest
+    * edges pass through via one u-side anti-join. Oracle: q420's
+    * from-scratch unrolled rounds verbatim — the gate is fold ≡ rebuild.
+    *
+    * Scale shape: ccFold's |Δ|-grain merge + q420's rounds bounded by
+    * touched-component volume; the stored forest is scanned once
+    * (anti-join). At 100 TB this is nightly single-link-backbone
+    * maintenance: publish only the touched components' forest
+    * partitions. */
+  val q421MsfIncremental: Q = Q(
+    "q421_msf_incremental",
+    q420BoruvkaMsf.oracle.get) { (s, dir) =>
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+      .persist(MEMORY_AND_DISK)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+      .persist(MEMORY_AND_DISK)
+    val labels = Fuzzy.resolveClusters(s,
+      day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    val stored = boruvkaTiered(s, day1)
+    val (updated, _, _) = Round14.componentFoldEdges(
+      labels, stored, day1, delta)(te => boruvkaTiered(s, te))
+    updated.select(col("u"), col("v"), col("w"))
+      .orderBy(col("u"), col("v"))
+  }
+
+  val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
+    q420BoruvkaMsf, q421MsfIncremental)
 }

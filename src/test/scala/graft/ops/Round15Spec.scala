@@ -240,4 +240,105 @@ class Round15Spec extends SparkSpec {
     // Determinism: a second run is byte-identical.
     assert(recallAt3(cdir, Round15.q418AnnIvfLloyd.fn(spark, cdir)) === rTrainC)
   }
+
+  // -------------------------------------------------------------------
+  // q420: Borůvka spanning forest vs one-line Kruskal
+  // -------------------------------------------------------------------
+
+  /** Kruskal under the same (w DESC, u, v) total order — the one-line
+    * greedy-matroid reference: both algorithms return THE unique
+    * maximum-affinity spanning forest of totally-ordered edges, so any
+    * divergence is a rounds-machinery bug. */
+  private def refKruskal(edges: Seq[(Long, Long, Long)])
+      : Set[(Long, Long, Long)] = {
+    val par = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (par.getOrElse(r, r) != r) r = par(r)
+      r
+    }
+    edges.sortBy(Round15.mstKey).flatMap { case e @ (u, v, _) =>
+      val a = find(u); val b = find(v)
+      if (a == b) None
+      else { par(math.max(a, b)) = math.min(a, b); Some(e) }
+    }.toSet
+  }
+
+  test("q420 planted: a two-component weighted graph yields the exact " +
+    "forest (n − c edges, per-cycle heaviest-affinity kept), ties broken " +
+    "by (u, v) totally") {
+    // Component 1: a 4-cycle with one heavy chord — the forest keeps the
+    // three best-affinity edges.
+    val c1 = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 5L), (1L, 4L, 2L))
+    // Component 2: a triangle with ALL-EQUAL weights — selection must
+    // fall back to the (u, v) tie-break: (10,11) and (10,12) survive,
+    // (11,12) is the cycle's loser under the total order.
+    val c2 = Seq((10L, 11L, 3L), (10L, 12L, 3L), (11L, 12L, 3L))
+    val edges = c1 ++ c2
+    val ref = refKruskal(edges)
+    assert(ref === Set((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 5L),
+      (10L, 11L, 3L), (10L, 12L, 3L)))
+    assert(Round15.boruvkaDriver(edges.toArray).toSet === ref)
+    val dist = Round15.boruvkaDistributed(edges.toDF("u", "v", "w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(dist === ref)
+    // Forest size: n − components = 7 − 2 = 5.
+    assert(ref.size === 5)
+  }
+
+  test("q420 tiers race Kruskal-equal on random weighted graphs " +
+    "(duplicate weights everywhere — the tie-break carries the order)") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val picked = scala.collection.mutable.LinkedHashMap
+        .empty[(Long, Long), Long]
+      while (picked.size < 40) {
+        val a = rnd.nextInt(20).toLong + 1
+        val b = rnd.nextInt(20).toLong + 1
+        // weights drawn from {2,3,4}: heavy duplication stresses ties.
+        if (a != b) picked.getOrElseUpdate(
+          (math.min(a, b), math.max(a, b)), rnd.nextInt(3).toLong + 2)
+      }
+      val edges = picked.toSeq.map { case ((u, v), w) => (u, v, w) }
+      val ref = refKruskal(edges)
+      assert(Round15.boruvkaDriver(edges.toArray).toSet === ref,
+        s"driver seed $seed")
+      val dist = Round15.boruvkaDistributed(edges.toDF("u", "v", "w"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(dist === ref, s"distributed seed $seed")
+    }
+  }
+
+  test("q421 fold: a delta edge closing an archived cycle EVICTS the " +
+    "stored forest edge pass-through would keep, and only touched " +
+    "components' edges are re-scanned") {
+    // Component A (touched): day-1 path 1-2(w5)-3(w4); the delta edge
+    // (1,3,w9) closes a cycle whose worst-affinity edge is (2,3,4) —
+    // the rebuilt forest keeps (1,2,5) and (1,3,9), so the STORED row
+    // (2,3,4) must disappear (pass-through alone would keep it).
+    val compA = Seq((1L, 2L, 5L), (2L, 3L, 4L))
+    // Component B (untouched): all-equal triangle — stored forest
+    // (10,11),(10,12) must pass through unscanned.
+    val compB = Seq((10L, 11L, 3L), (10L, 12L, 3L), (11L, 12L, 3L))
+    val delta = Seq((1L, 3L, 9L))
+    val day1Df = (compA ++ compB).toDF("u", "v", "w")
+    val deltaDf = delta.toDF("u", "v", "w")
+    val labels = Fuzzy.resolveClusters(spark,
+      day1Df.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+    val stored = Round15.boruvkaTiered(spark, day1Df)
+    val (updated, _, scanned) = Round14.componentFoldEdges(
+      labels, stored, day1Df, deltaDf)(
+      te => Round15.boruvkaTiered(spark, te))
+    val got = updated.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ref = refKruskal(compA ++ compB ++ delta)
+    assert(got === ref)
+    assert(!got.contains((2L, 3L, 4L)) && got.contains((1L, 3L, 9L)),
+      "the cycle's worst-affinity archived edge must be evicted")
+    // Touched-only scan: component B's edges never reach the kernel.
+    val scannedSet = scanned.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(scannedSet === Set((1L, 2L), (2L, 3L), (1L, 3L)))
+  }
 }
