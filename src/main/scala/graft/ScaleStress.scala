@@ -506,6 +506,11 @@ object ScaleStress {
     val tHier100 = runNoop(spark, "q414_ann_ivf_hier", emb100)
     val tHier200 = runNoop(spark, "q414_ann_ivf_hier", emb200)
     val hierSlope = math.log(tHier200 / tHier100) / math.log(2.0)
+    // The Lloyd-TRAINED variant must keep the same cost law (training
+    // adds one broadcast argmax + a (centroid, dim) mean — both linear).
+    val tLloyd100 = runNoop(spark, "q418_ann_ivf_lloyd", emb100)
+    val tLloyd200 = runNoop(spark, "q418_ann_ivf_lloyd", emb200)
+    val lloydSlope = math.log(tLloyd200 / tLloyd100) / math.log(2.0)
 
     // ---- Boundary 8 (round 15): TOUCHED-FRACTION sweep of the
     // component-grain fold. The touched-only-scan claim is row-count
@@ -584,7 +589,7 @@ object ScaleStress {
          |"wedge_skew_orientation":{"clean_10x_sec":${f3(tTri10)},"hot_10x_sec":${f3(tTriHot)},"planted_hub_degree":2500},
          |"prefix_bucket_density":{"clean_10x_sec":${f3(tSet10)},"hot_10x_sec":${f3(tSetHot)},"planted_phrase_docs":3000,"planted_pairs_emitted":$plantedPairs},
          |"mis_skew":{"clean_10x_sec":${f3(tMis10)},"hot_10x_sec":${f3(tMisHot)},"planted_hub_degree":2500},
-         |"ivf_assignment_regime":{"hier_emb_100x_sec":${f3(tHier100)},"hier_emb_200x_sec":${f3(tHier200)},"hier_local_slope":${f3(hierSlope)},"flat_cap_nlist":4096,"flat_cap_engages_at_vectors":262144,"flat_bend_on_record":"q48 30x grid row"},
+         |"ivf_assignment_regime":{"hier_emb_100x_sec":${f3(tHier100)},"hier_emb_200x_sec":${f3(tHier200)},"hier_local_slope":${f3(hierSlope)},"lloyd_emb_100x_sec":${f3(tLloyd100)},"lloyd_emb_200x_sec":${f3(tLloyd200)},"lloyd_local_slope":${f3(lloydSlope)},"flat_cap_nlist":4096,"flat_cap_engages_at_vectors":262144,"flat_bend_on_record":"q48 30x grid row"},
          |"component_fold_touched_fraction":{${touchedSweep.map { case (p, de, t) => s""""p${p}_sec":${f3(t)},"p${p}_delta_edges":$de""" }.mkString(",")},"total_edges":$tfTotalEdges,"scratch_sec":${f3(tScratch)}}}"""
         .stripMargin.replace("\n", "")
     val out =

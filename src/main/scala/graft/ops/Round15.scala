@@ -635,6 +635,146 @@ object Round15 {
       .orderBy(col("u"), col("v"))
   }
 
+  // -------------------------------------------------------------------
+  // q422 — single-link dendrogram levels from the spanning forest
+  // -------------------------------------------------------------------
+
+  /** q422: DENDROGRAM LEVELS — the payoff of [[q420BoruvkaMsf]] being the
+    * single-link backbone: cutting the maximum-affinity forest at
+    * affinity threshold T yields EXACTLY the single-link clustering at
+    * level T, and because a forest has #components = #nodes − #edges,
+    * the whole dendrogram's cluster counts come from ONE forest with no
+    * per-level CC at all: clusters(T) = n_nodes − |{forest edges with
+    * w ≥ T}|. One row per distinct forest affinity level: threshold,
+    * edges kept, clusters, total kept affinity — the
+    * cut-selection table a curation pipeline reads to pick its
+    * clustering granularity (the q376 connection made O(1) per level).
+    *
+    * Scale shape: q420's forest build + a distinct-levels broadcast
+    * cross join against the (tiny) forest — the epilogue is
+    * forest-grain, never graph-grain. */
+  val q422DendrogramLevels: Q = Q(
+    "q422_dendrogram_levels",
+    {
+      val base = q420BoruvkaMsf.oracle.get
+      // Reuse the unrolled Borůvka CTE chain, swap the epilogue (the
+      // leading comma continues the WITH list after the mst CTE).
+      base.substring(0, base.indexOf("SELECT u, v, w FROM mst")) +
+        """,nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM
+          |  (SELECT DISTINCT u AS x FROM e0 UNION SELECT DISTINCT v FROM e0)),
+          |th AS (SELECT DISTINCT w AS t FROM mst),
+          |lv AS (SELECT th.t, CAST(count(m.u) AS BIGINT) AS kept,
+          |              CAST(coalesce(sum(m.w), 0) AS BIGINT) AS affinity
+          |       FROM th LEFT JOIN mst m ON m.w >= th.t GROUP BY th.t)
+          |SELECT lv.t AS threshold, lv.kept AS edges_kept,
+          |       nn.n - lv.kept AS n_clusters, lv.affinity AS total_affinity
+          |FROM lv, nn ORDER BY threshold""".stripMargin
+    }) { (s, dir) =>
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .persist(MEMORY_AND_DISK)
+    val forest = boruvkaTiered(s, e0).localCheckpoint()
+    val nn = e0.select(col("u").as("x"))
+      .unionByName(e0.select(col("v").as("x"))).distinct()
+      .agg(count(lit(1)).as("n"))
+    val th = forest.select(col("w").as("t")).distinct()
+    // Levels × forest is a broadcast nested-loop over two forest-grain
+    // frames (≤ |forest| rows each side) — never graph-grain.
+    th.join(broadcast(forest), col("w") >= col("t"), "left")
+      .groupBy(col("t"))
+      .agg(count(col("u")).as("kept"),
+        coalesce(sum(col("w")), lit(0L)).as("affinity"))
+      .crossJoin(broadcast(nn))
+      .select(col("t").as("threshold"), col("kept").as("edges_kept"),
+        (col("n") - col("kept")).as("n_clusters"),
+        col("affinity").as("total_affinity"))
+      .orderBy(col("threshold"))
+  }
+
+  // -------------------------------------------------------------------
+  // q423 — weighted label propagation
+  // -------------------------------------------------------------------
+
+  /** q423: WEIGHTED LPA — q354's deterministic 4-round label propagation
+    * with the co-purchase SUPPORT as the vote weight: per round a node
+    * takes the label with the largest incident-support SUM (ties to the
+    * smaller label) instead of the largest neighbor COUNT — communities
+    * then follow affinity mass, not raw degree (a node bridging two
+    * communities lands with the one it co-purchases with MORE, the
+    * standard weighted-LPA refinement). Pure integer weights, so the
+    * argmax is exact in both engines; same synchronous-rounds metric as
+    * q354 (4 rounds from the canonical own-id init).
+    *
+    * Scale shape: q354's exactly — per round one edge-grain shuffle of
+    * the adjacency (now carrying w) joined to the label table + a
+    * per-node bounded windowed argmax; rounds are data-independent. */
+  val q423WeightedLpa: Q = {
+    val duckRounds = (1 to 4).map { i =>
+      s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl,
+         |        CAST(sum(a.w) AS BIGINT) AS c
+         |        FROM adj a JOIN l${i - 1} ON l${i - 1}.n = a.z
+         |        GROUP BY 1, 2),
+         |l$i AS (SELECT n, lbl FROM c$i
+         |        QUALIFY row_number() OVER (PARTITION BY n
+         |                  ORDER BY c DESC, lbl) = 1)""".stripMargin
+    }.mkString(",\n")
+    Q("q423_weighted_lpa",
+      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+        |              CAST(count(*) AS BIGINT) AS w
+        |       FROM lp l1 JOIN lp l2
+        |         ON l1.l_orderkey = l2.l_orderkey
+        |        AND l1.l_partkey < l2.l_partkey
+        |       GROUP BY 1, 2 HAVING count(*) >= 2),
+        |adj AS (SELECT u AS n, v AS z, w FROM e0
+        |        UNION ALL SELECT v, u, w FROM e0),
+        |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+        |$duckRounds,
+        |comm AS (SELECT lbl AS community,
+        |                CAST(count(*) AS BIGINT) AS n_members
+        |         FROM l4 GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_communities FROM comm)
+        |SELECT c.community, c.n_members, t.n_communities
+        |FROM comm c, t
+        |ORDER BY c.n_members DESC, c.community LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val lp = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val e0 = lp.as("l1").join(lp.as("l2"),
+          col("l1.l_orderkey") === col("l2.l_orderkey") &&
+            col("l1.l_partkey") < col("l2.l_partkey"))
+        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+      val adj = e0.select(col("u").as("n"), col("v").as("z"), col("w"))
+        .unionAll(e0.select(col("v").as("n"), col("u").as("z"), col("w")))
+        .persist(MEMORY_AND_DISK) // probed every round
+      var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+      val rankW = Window.partitionBy(col("n"))
+        .orderBy(col("c").desc, col("lbl"))
+      for (_ <- 1 to 4) {
+        l = adj.join(l.withColumnRenamed("n", "z"), "z")
+          .groupBy(col("n"), col("lbl")).agg(sum(col("w")).as("c"))
+          .withColumn("rk", row_number().over(rankW))
+          .filter(col("rk") === 1).select(col("n"), col("lbl"))
+      }
+      val comm = l.groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+        .persist(MEMORY_AND_DISK)
+      val t = comm.agg(count(lit(1)).as("n_communities"))
+      comm.crossJoin(broadcast(t))
+        .orderBy(col("n_members").desc, col("community")).limit(20)
+    }
+  }
+
   val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
-    q420BoruvkaMsf, q421MsfIncremental)
+    q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
+    q423WeightedLpa)
 }

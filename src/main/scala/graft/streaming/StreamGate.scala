@@ -2282,6 +2282,77 @@ object StreamGate {
       .orderBy(col("n"))
   }
 
+  /** q424: SPANNING FOREST maintained BY THE STREAM — the EDGE-grain
+    * fold ([[graft.ops.Round14.componentFoldEdges]]) proven
+    * stream-maintainable, completing the twin symmetry (q411/q419 carry
+    * the NODE-grain fold; the forest result lives on edges): weighted
+    * co-purchase edges arrive in three micro-batches ((u+v) mod 3);
+    * each trigger anti-joins its batch against the archived edges
+    * (replay-stable — a redelivered batch folds an EMPTY delta), ccFolds
+    * the labels, re-runs Borůvka ONLY inside delta-touched components
+    * (a cross-batch cycle EVICTING an archived forest edge is exactly
+    * what the component recompute handles — q421's planted failure, at
+    * trigger grain), passes untouched components' forest rows through,
+    * and publishes edges / CC labels / forest under `gen=<id>`. The
+    * final store answers q420's from-scratch full-graph oracle. */
+  val q424StreamMsfMaintain: Q = Q(
+    "q424_stream_msf_maintain",
+    graft.ops.Round15.q420BoruvkaMsf.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q424-")
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val e0 = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e0.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("msf").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e0.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val archive = latestGenBefore(sb, s"$store/edges", id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v"),
+              col("id").as("w")))
+          val labels = latestGenBefore(sb, s"$store/labels", id).getOrElse(
+            sb.range(0).select(col("id").as("n"), col("id").as("lab")))
+          val forest = latestGenBefore(sb, s"$store/forest", id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v"),
+              col("id").as("w")))
+          // Replay guard: only never-archived edges form the delta.
+          val delta = batch.toDF().select(col("u"), col("v"), col("w"))
+            .join(archive, Seq("u", "v"), "left_anti")
+          val (updated, newLabels, _) =
+            graft.ops.Round14.componentFoldEdges(
+              labels, forest, archive, delta)(
+              te => graft.ops.Round15.boruvkaTiered(sb, te))
+          updated.write.mode("overwrite").parquet(s"$store/forest/gen=$id")
+          newLabels.select(col("n"), col("lab"))
+            .write.mode("overwrite").parquet(s"$store/labels/gen=$id")
+          archive.unionByName(delta)
+            .write.mode("overwrite").parquet(s"$store/edges/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    latestGenBefore(s, s"$store/forest", Long.MaxValue)
+      .getOrElse(s.range(0).select(col("id").as("u"), col("id").as("v"),
+        col("id").as("w")))
+      .select(col("u"), col("v"), col("w"))
+      .orderBy(col("u"), col("v"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2334,5 +2405,5 @@ object StreamGate {
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
-    q411StreamCore3Maintain, q419StreamLpaMaintain)
+    q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain)
 }

@@ -341,4 +341,80 @@ class Round15Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(scannedSet === Set((1L, 2L), (2L, 3L), (1L, 3L)))
   }
+
+  // -------------------------------------------------------------------
+  // q422: dendrogram levels — forest arithmetic, no per-level CC
+  // -------------------------------------------------------------------
+
+  test("q422 levels equal the forest arithmetic n_clusters(T) = " +
+    "n_nodes − |{forest edges with w ≥ T}| against Kruskal on a " +
+    "planted weighted graph") {
+    val dir = dirFor("dendro")
+    // Two components: a w-heterogeneous 5-cycle + chord, and a w=2
+    // triangle. Forest = Kruskal's.
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 3L),
+      (4L, 5L, 2L), (1L, 5L, 2L), (1L, 3L, 2L),
+      (10L, 11L, 2L), (10L, 12L, 2L), (11L, 12L, 2L))
+    lineitemFor(edges, dir)
+    val forest = refKruskal(edges)
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+    val got = Round15.q422DendrogramLevels.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = forest.toSeq.map(_._3).distinct.sorted.map { t =>
+      val kept = forest.toSeq.filter(_._3 >= t)
+      (t, kept.size.toLong, (nodes - kept.size).toLong,
+        kept.map(_._3).sum)
+    }
+    assert(got.toSeq === expected)
+    // The lowest level's cluster count IS the component count (2).
+    assert(got.head._3 === 2L)
+  }
+
+  // -------------------------------------------------------------------
+  // q423: weighted LPA vs an independent in-heap reference
+  // -------------------------------------------------------------------
+
+  /** Independent weighted LPA: 4 synchronous rounds from own-id init,
+    * argmax by (incident-support sum, min label) — immutable maps,
+    * structurally unlike the DataFrame loop. */
+  private def refWeightedLpa(edges: Seq[(Long, Long, Long)])
+      : Map[Long, Long] = {
+    val adj = edges.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+    var lbl = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to 4) {
+      lbl = adj.map { case (n, zs) =>
+        val votes = zs.groupBy { case (z, _) => lbl(z) }
+          .view.mapValues(_.map(_._2).sum).toMap
+        n -> votes.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lbl
+  }
+
+  test("q423 weighted LPA: weights decide where a bridge lands (one " +
+    "heavy edge beats two light ones — count-LPA would flip it), and " +
+    "the registry query matches the in-heap reference") {
+    val dir = dirFor("wlpa")
+    // Node 5 bridges: ONE heavy edge (w=6) to the {1,2,3} community,
+    // TWO light edges (w=2 each) to {10,11,12}. Weighted vote: 6 > 2+2
+    // — node 5 joins community 1; an unweighted count (1 vs 2
+    // neighbors) sends it to community 10. The bridge weight (6) sits
+    // BELOW the triangle's internal weight (9) so node 3 stays anchored
+    // — a synchronous-LPA mutual-strongest pair (3 ↔ 5) would
+    // oscillate, the classic 2-cycle, and never settle.
+    val edges = Seq((1L, 2L, 9L), (1L, 3L, 9L), (2L, 3L, 9L),
+      (3L, 5L, 6L),
+      (5L, 10L, 2L), (5L, 11L, 2L),
+      (10L, 11L, 4L), (10L, 12L, 4L), (11L, 12L, 4L))
+    lineitemFor(edges, dir)
+    val ref = refWeightedLpa(edges)
+    assert(ref(5L) === ref(1L) && ref(5L) != ref(10L),
+      "fixture must make the weighted vote decisive for the bridge")
+    val comm = ref.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val got = Round15.q423WeightedLpa.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap === comm)
+    assert(got.forall(_._3 === comm.size.toLong))
+  }
 }
