@@ -774,7 +774,217 @@ object Round15 {
     }
   }
 
+  // -------------------------------------------------------------------
+  // q425/q426 — Bloom filter: registers + the membership read path
+  // -------------------------------------------------------------------
+
+  /** Hex-nibble value of digest char i (1-based) — the engine-neutral
+    * md5 arithmetic q385/q399 established (Spark `instr` rendering). */
+  private def bhv(i: Int): String =
+    s"(instr('0123456789abcdef', substring(d, $i, 1)) - 1)"
+  private def bohv(i: Int): String =
+    s"(strpos('0123456789abcdef', substr(d, $i, 1)) - 1)"
+
+  /** m = 2^16 bits packed as 2048 32-bit words, k = 4 hash rows. The
+    * 16-bit md5-nibble fold maps onto the bit space EXACTLY (no prime
+    * fold needed — unlike CMS's % 32, the modulus here is the full
+    * 16-bit nibble range, so every nibble is injective by
+    * construction). m is sized so the filter is load-bearing at every
+    * driver SF: at sf0.1's ~10k present keys, kn/m ≈ 0.61 → predicted
+    * FPR ≈ (1−e^(−kn/m))^4 ≈ 4%, far from saturation. */
+  private[graft] val BloomWords = 2048L
+
+  /** Distinct Bloom bit indexes (0..65535) of a key frame (one string
+    * column `k`): 4 hash rows j ∈ 0..3, bit_j(k) = 16-bit nibble fold
+    * of md5('<j>#<k>') — the CMS row-key device, so the k hash
+    * functions are independent md5 draws in both engines. */
+  private[graft] def bloomBits(keys: DataFrame): DataFrame =
+    keys.select(col("k"), explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
+      .select(md5(concat(col("j").cast("string"), lit("#"), col("k")))
+        .as("d"))
+      .select(expr(s"CAST(4096 * ${bhv(1)} + 256 * ${bhv(2)} + " +
+        s"16 * ${bhv(3)} + ${bhv(4)} AS BIGINT)").as("bit"))
+      .distinct()
+
+  /** Dense packed-word surface of a distinct bit-set frame: 2048 rows
+    * (word, bits) with bits = Σ 2^(bit mod 32) over the word's set
+    * bits — exact because the input is DISTINCT at bit grain, so every
+    * power of two appears at most once (integer sum ≡ bitwise OR). */
+  private[graft] def bloomWords(s: SparkSession, bits: DataFrame): DataFrame =
+    s.range(BloomWords).select(col("id").as("word"))
+      .join(bits.groupBy(expr("bit div 32").as("word"))
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 32 AS INT))"))
+          .as("b")),
+        Seq("word"), "left")
+      .select(col("word"), coalesce(col("b"), lit(0L)).as("bits"))
+      .orderBy(col("word"))
+
+  /** The shared oracle CTE chain: present keys (the 1995 buyers — a
+    * date-partition's key set, so the probe universe genuinely contains
+    * ABSENT keys: in this synthetic data every customer has SOME order,
+    * but only ~78% bought in 1995) → 4 hash rows → distinct bit set
+    * (global one-pass — Spark builds per-shard and OR-merges; any merge
+    * defect hash-mismatches the packed words). */
+  private def duckBloom: String =
+    s"""v AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS k FROM orders
+      |       WHERE year(o_orderdate) = 1995),
+      |cj AS (SELECT k, unnest([0, 1, 2, 3]) AS j FROM v),
+      |hx AS (SELECT md5(concat(CAST(j AS VARCHAR), '#', k)) AS d FROM cj),
+      |fb AS (SELECT DISTINCT 4096 * ${bohv(1)} + 256 * ${bohv(2)}
+      |                       + 16 * ${bohv(3)} + ${bohv(4)} AS bit
+      |       FROM hx)""".stripMargin
+
+  /** q425: BLOOM FILTER REGISTERS, bit-identical across engines and
+    * gated through the per-shard MERGE — the third and final member of
+    * the sketch-merge family the repo gates as cross-engine state: HLL
+    * registers combine by MAX (q385/q394), CMS registers by SUM
+    * (q399/q402), and the Bloom bit set by OR — the IDEMPOTENT monoid,
+    * which is why Bloom is the one sketch whose maintenance needs no
+    * replay guard at all (re-inserting a key is a no-op by algebra, not
+    * by anti-join — q427 leans on exactly this). Present set = the
+    * distinct 1995 buyers (a date-partition's key set — the thing a
+    * partition-pruned existence gate indexes); Spark builds FOUR shard
+    * filters (o_custkey mod 4) and OR-merges (distinct union); the
+    * oracle computes the global one-pass filter; the gate compares the
+    * 2048-row packed-word surface.
+    *
+    * Scale shape: 4 rows per distinct key map-side, then a ≤65536-row
+    * distinct and a 2048-row pack — sketch size is constant regardless
+    * of key count, the membership dual of q385's 64 registers. */
+  val q425BloomRegisters: Q = Q(
+    "q425_bloom_registers",
+    s"""WITH $duckBloom,
+      |wrd AS (SELECT bit // 32 AS word,
+      |               CAST(sum(CAST(1 AS BIGINT)
+      |                 << CAST(bit % 32 AS INTEGER)) AS BIGINT) AS bits
+      |        FROM fb GROUP BY 1),
+      |gs AS (SELECT unnest(range(0, $BloomWords)) AS w)
+      |SELECT CAST(gs.w AS BIGINT) AS word,
+      |       CAST(coalesce(wrd.bits, 0) AS BIGINT) AS bits
+      |FROM gs LEFT JOIN wrd ON wrd.word = gs.w ORDER BY word""".stripMargin) {
+    (s, dir) =>
+    val keys = Tables(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").cast("long").as("ck")).distinct()
+      .persist(MEMORY_AND_DISK) // four shard scans
+    // Per-shard filters first, then the OR-merge: bit-set union. If the
+    // combine were anything weaker the packed-word gate would mismatch.
+    val merged = (0L to 3L).map { sh =>
+      bloomBits(keys.filter(col("ck") % 4 === sh)
+        .select(col("ck").cast("string").as("k")))
+    }.reduce(_ unionByName _).distinct()
+    bloomWords(s, merged)
+  }
+
+  /** Membership decision table: every probe key joined against the
+    * filter's bit set — bloom_pos(k) ⇔ all 4 of k's bits are set.
+    * Returns (ck, bloom_pos, present). The filter side is ≤ 65536 rows
+    * — broadcast; the probe side streams map-side. */
+  private[graft] def bloomMembership(present: DataFrame, probe: DataFrame)
+      : DataFrame = {
+    val fbits = bloomBits(present.select(col("ck").cast("string").as("k")))
+    val pb = probe
+      .select(col("ck"), col("ck").cast("string").as("k"),
+        explode(expr("array(0L, 1L, 2L, 3L)")).as("j"))
+      .select(col("ck"),
+        md5(concat(col("j").cast("string"), lit("#"), col("k"))).as("d"))
+      .select(col("ck"), expr(s"CAST(4096 * ${bhv(1)} + 256 * ${bhv(2)} + " +
+        s"16 * ${bhv(3)} + ${bhv(4)} AS BIGINT)").as("bit"))
+    pb.join(broadcast(fbits.withColumn("hit", lit(1L))), Seq("bit"), "left")
+      .groupBy(col("ck"))
+      .agg((sum(coalesce(col("hit"), lit(0L))) === 4L).as("bloom_pos"))
+      .join(present.select(col("ck"), lit(true).as("p")), Seq("ck"), "left")
+      .select(col("ck"), col("bloom_pos"),
+        coalesce(col("p"), lit(false)).as("present"))
+  }
+
+  /** q426: the BLOOM READ PATH — the filter built from the 1995
+    * buyers probed by EVERY customer (~22% of probes are genuinely
+    * absent), the pre-join existence gate a 100-TB pipeline runs
+    * before shuffling the big side against one partition: per probe
+    * bucket (ck mod 8) and overall, probed / actually-present /
+    * bloom-positive / FALSE-POSITIVE counts with the measured FPR in
+    * ppm — and n_false_neg, which the one-sided guarantee forces to 0
+    * (an output column, so the gate proves no-false-negatives rather
+    * than asserting it). Probes that pass the filter are the only rows
+    * a downstream semi-join would shuffle; fpr_ppm is the wasted-probe
+    * rate the 2048-word budget buys at this key count.
+    *
+    * Scale shape: the filter is a broadcast bit set (≤65536 rows); the
+    * probe side is one map-side 4-row explode + a per-key 4-row
+    * aggregate — no shuffle touches the big side beyond key grain. */
+  val q426BloomMembership: Q = Q(
+    "q426_bloom_membership",
+    s"""WITH $duckBloom,
+      |p AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS ck FROM orders
+      |      WHERE year(o_orderdate) = 1995),
+      |c AS (SELECT DISTINCT CAST(c_custkey AS BIGINT) AS ck FROM customer),
+      |q1 AS (SELECT ck, CAST(ck AS VARCHAR) AS k FROM c),
+      |qcj AS (SELECT ck, k, unnest([0, 1, 2, 3]) AS j FROM q1),
+      |qhx AS (SELECT ck, md5(concat(CAST(j AS VARCHAR), '#', k)) AS d
+      |        FROM qcj),
+      |qb AS (SELECT ck, 4096 * ${bohv(1)} + 256 * ${bohv(2)}
+      |                  + 16 * ${bohv(3)} + ${bohv(4)} AS bit FROM qhx),
+      |hit AS (SELECT qb.ck,
+      |               CAST(sum(CASE WHEN fb.bit IS NOT NULL THEN 1 ELSE 0
+      |                        END) AS BIGINT) AS hits
+      |        FROM qb LEFT JOIN fb ON fb.bit = qb.bit GROUP BY 1),
+      |fl AS (SELECT h.ck, h.hits = 4 AS bloom_pos, p.ck IS NOT NULL
+      |              AS present
+      |       FROM hit h LEFT JOIN p ON p.ck = h.ck),
+      |per AS (SELECT CAST(ck % 8 AS BIGINT) AS bucket,
+      |               CAST(count(*) AS BIGINT) AS n_probed,
+      |               CAST(sum(CASE WHEN present THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_present,
+      |               CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_bloom_pos,
+      |               CAST(sum(CASE WHEN bloom_pos AND NOT present THEN 1
+      |                        ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |               CAST(sum(CASE WHEN present AND NOT bloom_pos THEN 1
+      |                        ELSE 0 END) AS BIGINT) AS n_false_neg
+      |        FROM fl GROUP BY 1),
+      |tot AS (SELECT CAST(-1 AS BIGINT) AS bucket,
+      |               CAST(count(*) AS BIGINT) AS n_probed,
+      |               CAST(sum(CASE WHEN present THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_present,
+      |               CAST(sum(CASE WHEN bloom_pos THEN 1 ELSE 0 END)
+      |                 AS BIGINT) AS n_bloom_pos,
+      |               CAST(sum(CASE WHEN bloom_pos AND NOT present THEN 1
+      |                        ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |               CAST(sum(CASE WHEN present AND NOT bloom_pos THEN 1
+      |                        ELSE 0 END) AS BIGINT) AS n_false_neg
+      |        FROM fl),
+      |u AS (SELECT * FROM per UNION ALL SELECT * FROM tot)
+      |SELECT bucket, n_probed, n_present, n_bloom_pos, n_false_pos,
+      |       n_false_neg,
+      |       CAST(n_false_pos * 1000000
+      |         // NULLIF(n_probed - n_present, 0) AS BIGINT) AS fpr_ppm
+      |FROM u ORDER BY bucket""".stripMargin) { (s, dir) =>
+    val present = Tables(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+      .select(col("o_custkey").cast("long").as("ck")).distinct()
+    val probe = Tables(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("ck")).distinct()
+    val fl = bloomMembership(present, probe)
+    def counts(g: org.apache.spark.sql.RelationalGroupedDataset) = g.agg(
+      count(lit(1)).as("n_probed"),
+      sum(when(col("present"), 1L).otherwise(0L)).as("n_present"),
+      sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+      sum(when(col("bloom_pos") && !col("present"), 1L).otherwise(0L))
+        .as("n_false_pos"),
+      sum(when(col("present") && !col("bloom_pos"), 1L).otherwise(0L))
+        .as("n_false_neg"))
+    val flP = fl.persist(MEMORY_AND_DISK) // two aggregate scans
+    val per = counts(flP.groupBy((col("ck") % 8).as("bucket")))
+    val tot = counts(flP.groupBy(lit(-1L).as("bucket")))
+    per.unionByName(tot)
+      .withColumn("fpr_ppm", expr(
+        "CAST(n_false_pos * 1000000 div " +
+          "nullif(n_probed - n_present, 0) AS BIGINT)"))
+      .orderBy(col("bucket"))
+  }
+
   val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
     q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
-    q423WeightedLpa)
+    q423WeightedLpa, q425BloomRegisters, q426BloomMembership)
 }

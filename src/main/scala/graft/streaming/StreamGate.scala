@@ -2353,6 +2353,56 @@ object StreamGate {
       .orderBy(col("u"), col("v"))
   }
 
+  /** q427: STREAMING BLOOM maintenance — the membership bit set
+    * (q425's OR-mergeable sketch) maintained as an operational loop,
+    * completing the streaming sketch-fold family along its THIRD merge
+    * monoid: q252 folds HLL by MAX, q402 folds CMS by ADDITION, and
+    * this folds Bloom by OR (distinct union of bit sets) — the
+    * IDEMPOTENT one, so unlike q402 (where a replayed batch would
+    * double-count and the gen=<id> overwrite is load-bearing) and
+    * q411/q419/q424 (where the archived-edge anti-join is), a
+    * redelivered batch here is a no-op BY ALGEBRA: re-inserting a key
+    * sets bits that are already set. The 1995 orders arrive in three
+    * micro-batches (o_orderkey mod 3 — the same customer recurs across
+    * batches, exercising exactly that idempotence); each trigger ORs
+    * its batch's key bits into the store; the final packed-word
+    * surface answers q425's global one-pass oracle. */
+  val q427StreamBloomMaintain: Q = Q(
+    "q427_stream_bloom_maintain",
+    graft.ops.Round15.q425BloomRegisters.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q427-")
+    val orders = Tables(s, dir, "orders")
+      .filter(year(col("o_orderdate")) === 1995)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => orders.filter(col("o_orderkey") % 3 === r)))
+    val store = work.resolve("bloom").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("bit")))
+          graft.ops.Round15.bloomBits(batch.toDF()
+            .select(col("o_custkey").cast("string").as("k")).distinct())
+            .unionByName(prev).distinct()
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    graft.ops.Round15.bloomWords(s,
+      latestGenBefore(s, store, Long.MaxValue).getOrElse(
+        s.range(0).select(col("id").as("bit"))))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2405,5 +2455,6 @@ object StreamGate {
     q244StreamClusterMaintain, q247StreamBandCompact, q252StreamHllVocab,
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
-    q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain)
+    q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain,
+    q427StreamBloomMaintain)
 }

@@ -417,4 +417,63 @@ class Round15Spec extends SparkSpec {
     assert(got.map(g => g._1 -> g._2).toMap === comm)
     assert(got.forall(_._3 === comm.size.toLong))
   }
+
+  /** Independent Bloom bit computation: MessageDigest md5 over
+    * '<j>#<k>', first four hex nibbles positionally folded to 16 bits —
+    * the reference never touches Spark or the shared hex arithmetic. */
+  private def refBloomBits(keys: Seq[String]): Set[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (for (k <- keys; j <- 0 to 3) yield {
+      val hex = md.digest(s"$j#$k".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      hex.take(4).foldLeft(0L)((acc, c) =>
+        acc * 16 + "0123456789abcdef".indexOf(c))
+    }).toSet
+  }
+
+  test("q425 bloom bits match an independent MessageDigest reference, " +
+    "the shard OR-merge equals the global build, and the packed words " +
+    "reconstruct the exact bit set") {
+    val keys = (1L to 500L).map(i => (i * 7 + 3).toString)
+    val ref = refBloomBits(keys)
+    val got = Round15.bloomBits(keys.toDF("k"))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === ref)
+    // OR-merge: four shard filters distinct-unioned == one global pass
+    // (set union — and folding any shard in TWICE is a no-op, the
+    // idempotence q427 leans on instead of a replay guard).
+    val shards = (0 until 4).map(sh =>
+      Round15.bloomBits(keys.filter(_.toLong % 4 == sh).toDF("k")))
+    val merged = (shards :+ shards.head).reduce(_ unionByName _)
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(merged === ref)
+    // Packing: every (word, bits) row decodes back to exactly the set.
+    val words = Round15.bloomWords(spark, Round15.bloomBits(keys.toDF("k")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(words.length.toLong === Round15.BloomWords)
+    val decoded = words.flatMap { case (w, b) =>
+      (0 until 32).filter(o => (b & (1L << o)) != 0).map(o => w * 32 + o)
+    }.toSet
+    assert(decoded === ref)
+  }
+
+  test("q426 membership: zero false negatives by construction, and the " +
+    "measured FPR on a loaded filter sits in the analytic band") {
+    // 20k present keys load the 65536-bit filter to kn/m ≈ 1.22 —
+    // predicted FPR (1−e^(−kn/m))^4 ≈ 0.25; the band is generous
+    // because the fixture is one draw, but a broken hash (saturated or
+    // constant bits) lands far outside it in either direction.
+    val present = (1L to 20000L).map(i => i * 3).toDF("ck")
+    val absent = (1L to 5000L).map(i => i * 3 + 1)
+    val probe = ((1L to 20000L).map(_ * 3) ++ absent).toDF("ck")
+    val fl = Round15.bloomMembership(present, probe).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(fl.count(_._3) === 20000)
+    assert(fl.forall { case (_, pos, pres) => !pres || pos },
+      "a present key MUST be bloom-positive (one-sided guarantee)")
+    val fp = fl.count { case (_, pos, pres) => pos && !pres }
+    val fpr = fp.toDouble / absent.size
+    assert(fpr > 0.10 && fpr < 0.45,
+      s"measured FPR $fpr outside the analytic band around 0.25")
+  }
 }
