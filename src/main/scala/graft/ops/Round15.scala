@@ -984,7 +984,164 @@ object Round15 {
       .orderBy(col("bucket"))
   }
 
+  // -------------------------------------------------------------------
+  // q428/q429 — deterministic random walks + skip-gram training pairs
+  // -------------------------------------------------------------------
+
+  /** Walk-corpus shape: 16 hub seeds × 4 walks × 8 nodes. Seeds are the
+    * top-degree nodes ((deg DESC, n) total order); the walk count and
+    * length are part of the metric's definition, shared by the unrolled
+    * oracle. */
+  private[graft] val WalkSeeds = 16
+  private[graft] val WalksPerSeed = 4
+  private[graft] val WalkLen = 8
+
+  /** DeepWalk-style DETERMINISTIC random walks over the symmetrized
+    * co-purchase graph — the corpus-prep op for skip-gram graph
+    * embeddings (walks are the "sentences" a word2vec trainer consumes):
+    * each node's neighbors are totally ordered (rank by neighbor id),
+    * and step s of walk (seed, t) moves to the neighbor at index
+    * md5('<seed>#<t>#<s>#<cur>') mod degree(cur) — the
+    * Efraimidis-style trick of replacing RNG state with a portable hash
+    * of the walk coordinate, so both engines draw the SAME "random"
+    * walk. Returns (seed, walk, step, node), steps 0..WalkLen−1.
+    *
+    * Scale shape: the adjacency (with per-node neighbor ranks) builds
+    * once and persists; each step is one hash at WALK grain + one
+    * (node, rank) equi-join into the adjacency — frontier rows =
+    * #walks, so the per-step cost is the adjacency probe, exactly how
+    * a 1000-executor DeepWalk generates (walks-per-node × length) in
+    * L rounds with no RNG coordination. */
+  private[graft] def deepWalks(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionByName(e0.select(col("v").as("n"), col("u").as("z")))
+      .persist(MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      .persist(MEMORY_AND_DISK) // probed every step
+    val adj = sym.withColumn("r", row_number()
+        .over(Window.partitionBy(col("n")).orderBy(col("z"))).cast("long"))
+      .persist(MEMORY_AND_DISK) // probed every step
+    val seeds = deg.orderBy(col("dg").desc, col("n")).limit(WalkSeeds)
+      .select(col("n").as("seed"))
+    var cur = seeds
+      .select(col("seed"),
+        explode(expr(s"sequence(0L, ${WalksPerSeed - 1}L)")).as("walk"))
+      .withColumn("node", col("seed"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer(
+      cur.withColumn("step", lit(0L)))
+    for (st <- 1 until WalkLen) {
+      val h = cur.join(deg, col("node") === col("n"))
+        .withColumn("d", md5(concat(col("seed").cast("string"), lit("#"),
+          col("walk").cast("string"), lit("#"), lit(st.toString), lit("#"),
+          col("node").cast("string"))))
+        .withColumn("ix",
+          expr(s"(${PortableHash.hexHeadToLong("d", "instr")}) % dg"))
+      // Frontier is #walks rows — checkpoint per step keeps the 7-step
+      // lineage from nesting joins (the q386 per-level BFS discipline).
+      cur = h.join(adj.select(col("n").as("an"), col("z"), col("r")),
+          col("an") === col("node") && col("r") === col("ix") + 1)
+        .select(col("seed"), col("walk"), col("z").as("node"))
+        .localCheckpoint()
+      acc += cur.withColumn("step", lit(st.toLong))
+    }
+    acc.reduce(_ unionByName _)
+  }
+
+  /** The shared oracle CTE chain for the walk corpus: per-node ranked
+    * adjacency, hub seeds, and one (hash, index, move) CTE triple per
+    * step — the fixed unroll IS the metric (WalkLen − 1 steps). */
+  private def duckWalks: String = {
+    val fold = PortableHash.hexHeadToLong("d", "strpos")
+    val b = new scala.collection.mutable.StringBuilder
+    b ++= s"""lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS MATERIALIZED (SELECT u AS n, v AS z FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM sym GROUP BY 1),
+      |adj AS MATERIALIZED (SELECT n, z, CAST(row_number() OVER (PARTITION BY n
+      |          ORDER BY z) AS BIGINT) AS r FROM sym),
+      |seeds AS MATERIALIZED (SELECT n AS seed FROM deg
+      |          ORDER BY dg DESC, n LIMIT $WalkSeeds),
+      |w0 AS MATERIALIZED (SELECT seed, CAST(tt.t AS BIGINT) AS walk, seed AS node
+      |       FROM seeds, (SELECT unnest(range(0, $WalksPerSeed)) AS t) tt)"""
+      .stripMargin
+    for (st <- 1 until WalkLen) {
+      b ++= s""",
+        |h$st AS MATERIALIZED (SELECT seed, walk, node,
+        |         md5(concat(CAST(seed AS VARCHAR), '#',
+        |             CAST(walk AS VARCHAR), '#', '$st', '#',
+        |             CAST(node AS VARCHAR))) AS d FROM w${st - 1}),
+        |i$st AS MATERIALIZED (SELECT seed, walk, node, (($fold) % deg.dg) AS ix
+        |         FROM h$st JOIN deg ON deg.n = h$st.node),
+        |w$st AS MATERIALIZED (SELECT i.seed, i.walk, adj.z AS node FROM i$st i
+        |         JOIN adj ON adj.n = i.node AND adj.r = i.ix + 1)"""
+        .stripMargin
+    }
+    val uni = (0 until WalkLen).map(st =>
+      s"SELECT seed, walk, CAST($st AS BIGINT) AS step, node FROM w$st")
+      .mkString(" UNION ALL ")
+    b ++= s",\nwalks AS MATERIALIZED ($uni)"
+    b.toString
+  }
+
+  /** q428: DETERMINISTIC RANDOM WALKS ([[deepWalks]]) surfaced as the
+    * gated corpus — the full (seed, walk, step, node) table, the
+    * sentences a skip-gram embedding trainer reads. Both engines run
+    * the identical hash-indexed walk, so the gate is exact equality of
+    * every visited node — any divergence in adjacency ranking, degree,
+    * or hash arithmetic shows up as a different step somewhere. */
+  val q428GraphWalks: Q = Q(
+    "q428_graph_walks",
+    s"""WITH $duckWalks
+      |SELECT seed, walk, step, node FROM walks
+      |ORDER BY seed, walk, step""".stripMargin) { (s, dir) =>
+    deepWalks(s, dir)
+      .select(col("seed"), col("walk"), col("step"), col("node"))
+      .orderBy(col("seed"), col("walk"), col("step"))
+  }
+
+  /** q429: SKIP-GRAM TRAINING PAIRS from the walk corpus — the
+    * (center, context) co-occurrence table word2vec-style embedding
+    * training actually consumes: within each walk, every node pairs
+    * with the nodes at distance ≤ 2 (the window), directionally (both
+    * (a,b) and (b,a), as the trainer sees them). Counts aggregate over
+    * all 64 walks; the surface is the full pair table, exact in both
+    * engines because the walks are.
+    *
+    * Scale shape: one self-join at WALK grain (walk_id equi-key, step
+    * band predicate on ≤8-row groups) + a pair-grain count — corpus
+    * work, never graph-grain. */
+  val q429SkipGrams: Q = Q(
+    "q429_skip_grams",
+    s"""WITH $duckWalks,
+      |pr AS (SELECT a.node AS center, b.node AS context
+      |       FROM walks a JOIN walks b
+      |         ON a.seed = b.seed AND a.walk = b.walk
+      |        AND b.step <> a.step AND abs(b.step - a.step) <= 2)
+      |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+      |FROM pr GROUP BY 1, 2 ORDER BY center, context""".stripMargin) {
+    (s, dir) =>
+    val w = deepWalks(s, dir).persist(MEMORY_AND_DISK) // both join sides
+    val a = w.select(col("seed"), col("walk"), col("step").as("sa"),
+      col("node").as("center"))
+    val b = w.select(col("seed"), col("walk"), col("step").as("sb"),
+      col("node").as("context"))
+    a.join(b, Seq("seed", "walk"))
+      .filter(col("sb") =!= col("sa") &&
+        abs(col("sb") - col("sa")) <= 2)
+      .groupBy(col("center"), col("context"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("center"), col("context"))
+  }
+
   val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
     q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
-    q423WeightedLpa, q425BloomRegisters, q426BloomMembership)
+    q423WeightedLpa, q425BloomRegisters, q426BloomMembership,
+    q428GraphWalks, q429SkipGrams)
 }

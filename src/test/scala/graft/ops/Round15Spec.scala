@@ -476,4 +476,59 @@ class Round15Spec extends SparkSpec {
     assert(fpr > 0.10 && fpr < 0.45,
       s"measured FPR $fpr outside the analytic band around 0.25")
   }
+
+  /** Independent walk generator: adjacency sorted per node, step index
+    * from MessageDigest md5 of '<seed>#<walk>#<step>#<cur>' folded by
+    * the first-12-hex-digit rule ([[graft.ops.PortableHash]]'s contract
+    * re-implemented from scratch), mod degree. */
+  private def refWalks(edges: Seq[(Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    def hash12(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      hex.take(12).foldLeft(BigInt(0))((a, c) =>
+        a * 16 + "0123456789abcdef".indexOf(c)).mod(BigInt(4294967291L))
+        .toLong
+    }
+    val seeds = adj.toSeq.map { case (n, zs) => (n, zs.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(Round15.WalkSeeds).map(_._1)
+    for {
+      seed <- seeds
+      t <- 0L until Round15.WalksPerSeed.toLong
+      (node, step) <- Iterator.iterate((seed, 0L)) { case (cur, st) =>
+        val zs = adj(cur)
+        (zs((hash12(s"$seed#$t#${st + 1}#$cur") % zs.size).toInt), st + 1)
+      }.take(Round15.WalkLen).toSeq
+    } yield (seed, t, step, node)
+  }
+
+  test("q428 walks equal an independent MessageDigest walk generator " +
+    "on a planted graph, and q429's pairs are exactly the window-2 " +
+    "co-occurrences of those walks") {
+    val dir = dirFor("walks")
+    // ≥ 16 nodes so the seed cut is full; mixed degrees so the hub
+    // ranking and the mod-degree indexing both do real work.
+    val edges = (1L to 17L).map(i => (i, i % 17 + 1, 2L)) ++
+      Seq((1L, 5L, 2L), (1L, 9L, 2L), (2L, 10L, 2L), (3L, 12L, 2L),
+        (5L, 14L, 2L), (7L, 15L, 2L), (2L, 13L, 3L), (4L, 11L, 2L))
+    lineitemFor(edges, dir)
+    val ref = refWalks(edges.map(e => (e._1, e._2)).distinct)
+    val got = Round15.q428GraphWalks.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2, g._3) -> g._4).toMap ===
+      ref.map(g => (g._1, g._2, g._3) -> g._4).toMap)
+    val refPairs = ref.groupBy(w => (w._1, w._2)).values.flatMap { walk =>
+      val byStep = walk.map(w => w._3 -> w._4).toMap
+      for {
+        (sa, a) <- byStep.toSeq; (sb, b) <- byStep.toSeq
+        if sa != sb && math.abs(sa - sb) <= 2
+      } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotPairs = Round15.q429SkipGrams.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(gotPairs === refPairs)
+  }
 }
