@@ -574,14 +574,7 @@ object Round15 {
     * per round. */
   val q420BoruvkaMsf: Q = Q(
     "q420_boruvka_msf", boruvkaOracle) { (s, dir) =>
-    val lp = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e0 = lp.as("l1").join(lp.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val e0 = weightedEdges(s, dir)
     boruvkaTiered(s, e0).orderBy(col("u"), col("v"))
   }
 
@@ -611,14 +604,7 @@ object Round15 {
   val q421MsfIncremental: Q = Q(
     "q421_msf_incremental",
     q420BoruvkaMsf.oracle.get) { (s, dir) =>
-    val lp = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e0 = lp.as("l1").join(lp.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val e0 = weightedEdges(s, dir)
       .persist(MEMORY_AND_DISK)
     val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
       .persist(MEMORY_AND_DISK)
@@ -670,14 +656,7 @@ object Round15 {
           |       nn.n - lv.kept AS n_clusters, lv.affinity AS total_affinity
           |FROM lv, nn ORDER BY threshold""".stripMargin
     }) { (s, dir) =>
-    val lp = Tables(s, dir, "lineitem")
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val e0 = lp.as("l1").join(lp.as("l2"),
-        col("l1.l_orderkey") === col("l2.l_orderkey") &&
-          col("l1.l_partkey") < col("l2.l_partkey"))
-      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
+    val e0 = weightedEdges(s, dir)
       .persist(MEMORY_AND_DISK)
     val forest = boruvkaTiered(s, e0).localCheckpoint()
     val nn = e0.select(col("u").as("x"))
@@ -714,7 +693,34 @@ object Round15 {
     * Scale shape: q354's exactly — per round one edge-grain shuffle of
     * the adjacency (now carrying w) joined to the label table + a
     * per-node bounded windowed argmax; rounds are data-independent. */
-  val q423WeightedLpa: Q = {
+  /** The 4-round WEIGHTED LPA kernel: q354's synchronous rounds with the
+    * edge weight as the vote mass (argmax by incident-support SUM, ties
+    * to the smaller label), from the canonical own-id init. Edges
+    * (u, v, w); returns (n, lbl) after round 4. Component-local with no
+    * global constants — weights ride the edges — so it qualifies for
+    * [[Round14.componentFold]] exactly like count-LPA (q412). */
+  private[graft] def wlpa4(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges.select(col("u"), col("v"), col("w")).localCheckpoint()
+    val adj = e.select(col("u").as("n"), col("v").as("z"), col("w"))
+      .unionAll(e.select(col("v").as("n"), col("u").as("z"), col("w")))
+      .persist(MEMORY_AND_DISK) // probed every round
+    var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
+    val rankW = Window.partitionBy(col("n"))
+      .orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to 4) {
+      l = adj.join(l.withColumnRenamed("n", "z"), "z")
+        .groupBy(col("n"), col("lbl")).agg(sum(col("w")).as("c"))
+        .withColumn("rk", row_number().over(rankW))
+        .filter(col("rk") === 1).select(col("n"), col("lbl"))
+    }
+    l
+  }
+
+  /** The weighted-LPA oracle CTE chain (lp → weighted e0 → adj → l0..l4)
+    * shared by q423's community epilogue and q431's node-grain fold
+    * gate. */
+  private def duckWlpa: String = {
     val duckRounds = (1 to 4).map { i =>
       s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl,
          |        CAST(sum(a.w) AS BIGINT) AS c
@@ -724,18 +730,35 @@ object Round15 {
          |        QUALIFY row_number() OVER (PARTITION BY n
          |                  ORDER BY c DESC, lbl) = 1)""".stripMargin
     }.mkString(",\n")
+    s"""lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+      |              CAST(count(*) AS BIGINT) AS w
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |adj AS (SELECT u AS n, v AS z, w FROM e0
+      |        UNION ALL SELECT v, u, w FROM e0),
+      |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
+      |$duckRounds""".stripMargin
+  }
+
+  /** The weighted support-2 co-purchase edge build shared by
+    * q420/q421/q422/q423/q431 (the oracle's e0 verbatim). */
+  private def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+  }
+
+  val q423WeightedLpa: Q =
     Q("q423_weighted_lpa",
-      s"""WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
-        |              CAST(count(*) AS BIGINT) AS w
-        |       FROM lp l1 JOIN lp l2
-        |         ON l1.l_orderkey = l2.l_orderkey
-        |        AND l1.l_partkey < l2.l_partkey
-        |       GROUP BY 1, 2 HAVING count(*) >= 2),
-        |adj AS (SELECT u AS n, v AS z, w FROM e0
-        |        UNION ALL SELECT v, u, w FROM e0),
-        |l0 AS (SELECT DISTINCT n, n AS lbl FROM adj),
-        |$duckRounds,
+      s"""WITH $duckWlpa,
         |comm AS (SELECT lbl AS community,
         |                CAST(count(*) AS BIGINT) AS n_members
         |         FROM l4 GROUP BY 1),
@@ -744,27 +767,7 @@ object Round15 {
         |FROM comm c, t
         |ORDER BY c.n_members DESC, c.community LIMIT 20""".stripMargin) {
       (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val lp = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val e0 = lp.as("l1").join(lp.as("l2"),
-          col("l1.l_orderkey") === col("l2.l_orderkey") &&
-            col("l1.l_partkey") < col("l2.l_partkey"))
-        .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
-        .agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-      val adj = e0.select(col("u").as("n"), col("v").as("z"), col("w"))
-        .unionAll(e0.select(col("v").as("n"), col("u").as("z"), col("w")))
-        .persist(MEMORY_AND_DISK) // probed every round
-      var l = adj.select(col("n")).distinct().withColumn("lbl", col("n"))
-      val rankW = Window.partitionBy(col("n"))
-        .orderBy(col("c").desc, col("lbl"))
-      for (_ <- 1 to 4) {
-        l = adj.join(l.withColumnRenamed("n", "z"), "z")
-          .groupBy(col("n"), col("lbl")).agg(sum(col("w")).as("c"))
-          .withColumn("rk", row_number().over(rankW))
-          .filter(col("rk") === 1).select(col("n"), col("lbl"))
-      }
+      val l = wlpa4(weightedEdges(s, dir))
       val comm = l.groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_members"))
         .persist(MEMORY_AND_DISK)
@@ -772,7 +775,6 @@ object Round15 {
       comm.crossJoin(broadcast(t))
         .orderBy(col("n_members").desc, col("community")).limit(20)
     }
-  }
 
   // -------------------------------------------------------------------
   // q425/q426 — Bloom filter: registers + the membership read path
@@ -1140,8 +1142,159 @@ object Round15 {
       .orderBy(col("center"), col("context"))
   }
 
+  // -------------------------------------------------------------------
+  // q430 — content-defined chunking + cross-document chunk dedup
+  // -------------------------------------------------------------------
+
+  /** Chunk boundaries are STATELESS content-defined cuts: position i
+    * (1-based, 2 ≤ i ≤ len−3) starts a new chunk iff the 16-bit
+    * md5-nibble fold of the 4-gram at i is ≡ 0 (mod 64) — a Rabin-style
+    * rule whose per-position decision depends only on a fixed window,
+    * so it parallelizes embarrassingly AND survives insertions (the
+    * property that makes CDC the storage-dedup standard: an edit moves
+    * at most the two chunks it touches, never re-aligns the document).
+    * Expected chunk length = 64 chars at this corpus's alphabet. */
+  private[graft] def cdcChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d0 = docs.filter(col("text").isNotNull && length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+    // sequence(2, len−3) needs len ≥ 5 (Spark sequence DESCENDS when
+    // start > stop); shorter docs simply have no candidate cut in
+    // either engine.
+    val b = d0.filter(length(col("text")) >= 5)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(2L, CAST(length(text) - 3 AS BIGINT))"))
+          .as("i"))
+      .withColumn("d", md5(expr("substring(text, CAST(i AS INT), 4)")))
+      .filter(expr(s"(4096 * ${bhv(1)} + 256 * ${bhv(2)} + " +
+        s"16 * ${bhv(3)} + ${bhv(4)}) % 64 = 0"))
+      .select(col("doc_id"), col("i").as("start"))
+    val starts = d0.select(col("doc_id"), lit(1L).as("start"))
+      .unionByName(b)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    starts.join(d0, Seq("doc_id"))
+      .withColumn("nxt", lead(col("start"), 1).over(w))
+      .select(col("doc_id"), col("start"),
+        expr("substring(text, CAST(start AS INT), " +
+          "CAST(coalesce(nxt, CAST(length(text) AS BIGINT) + 1) - start " +
+          "AS INT))").as("chunk"))
+  }
+
+  /** q430: CDC CHUNK DEDUP — [[cdcChunks]] over the documents corpus,
+    * then chunk-grain dedup statistics: the top-10 most-SHARED chunks
+    * (by distinct docs, then occurrences, then hash — a total order)
+    * with the corpus totals alongside. This is the storage/curation
+    * dedup grain BELOW the document: exact-duplicate docs share every
+    * chunk, near-duplicates share most, and boilerplate (headers,
+    * license blocks) surfaces as high-n_docs chunks even when no two
+    * docs match whole — the signal document-level MinHash (q30-family)
+    * structurally cannot see. The shared-chunk table keeps chunks ≥ 16
+    * chars (stateless cuts occasionally land adjacent, producing 1–5
+    * char fragments whose "sharing" is alphabet noise — a stateful
+    * min-length would serialize the cut decision, so the floor is
+    * applied at the stats layer instead); the corpus totals count
+    * every chunk.
+    *
+    * Scale shape: one per-position map-side explode (|text| rows per
+    * doc, all codegen'd builtins), a per-doc bounded window for chunk
+    * extents, then chunk-hash-grain aggregates; the top-10 is
+    * TakeOrderedAndProject, never a global window. The full text rides
+    * the boundary explode only at 4-gram width — the chunk substring
+    * re-reads the doc row, not the explode. */
+  val q430CdcChunks: Q = Q(
+    "q430_cdc_chunks",
+    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |      WHERE text IS NOT NULL AND length(text) >= 1),
+      |pos AS MATERIALIZED (SELECT doc_id, text,
+      |        unnest(range(2, length(text) - 2)) AS i
+      |      FROM d0 WHERE length(text) >= 5),
+      |hx AS MATERIALIZED (SELECT doc_id, i,
+      |        md5(substr(text, CAST(i AS INTEGER), 4)) AS d FROM pos),
+      |bd AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS start
+      |      FROM hx
+      |      WHERE (4096 * ${bohv(1)} + 256 * ${bohv(2)}
+      |             + 16 * ${bohv(3)} + ${bohv(4)}) % 64 = 0),
+      |st AS MATERIALIZED (SELECT doc_id, CAST(1 AS BIGINT) AS start
+      |      FROM d0
+      |      UNION ALL SELECT doc_id, start FROM bd),
+      |ck AS MATERIALIZED (SELECT s.doc_id,
+      |        substr(d0.text, CAST(s.start AS INTEGER),
+      |          CAST(coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+      |                 ORDER BY s.start),
+      |               length(d0.text) + 1) - s.start AS INTEGER)) AS chunk
+      |      FROM st s JOIN d0 ON d0.doc_id = s.doc_id),
+      |ch AS MATERIALIZED (SELECT doc_id, md5(chunk) AS h,
+      |        CAST(length(chunk) AS BIGINT) AS clen FROM ck),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_chunks,
+      |               CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks
+      |        FROM ch),
+      |bc AS (SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |              CAST(count(*) AS BIGINT) AS n_occ,
+      |              CAST(max(clen) AS BIGINT) AS chunk_len
+      |       FROM ch WHERE clen >= 16 GROUP BY 1),
+      |t10 AS (SELECT * FROM bc
+      |        ORDER BY n_docs DESC, n_occ DESC, h LIMIT 10)
+      |SELECT t10.h AS chunk_md5, t10.n_docs, t10.n_occ, t10.chunk_len,
+      |       tot.total_chunks, tot.distinct_chunks
+      |FROM t10, tot
+      |ORDER BY n_docs DESC, n_occ DESC, chunk_md5""".stripMargin) {
+    (s, dir) =>
+    val ch = cdcChunks(Tables(s, dir, "documents"))
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .persist(MEMORY_AND_DISK) // totals + per-chunk aggregate
+    val tot = ch.agg(count(lit(1)).as("total_chunks"),
+      countDistinct(col("h")).as("distinct_chunks"))
+    ch.filter(col("clen") >= 16)
+      .groupBy(col("h").as("chunk_md5"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), max(col("clen")).as("chunk_len"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
+      .limit(10)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
+  }
+
+  // -------------------------------------------------------------------
+  // q431 — component-grain incremental WEIGHTED LPA
+  // -------------------------------------------------------------------
+
+  /** q431: COMPONENT-GRAIN incremental WEIGHTED LPA — [[wlpa4]] through
+    * the generic [[Round14.componentFold]]: the first WEIGHTED kernel
+    * through the fold, proving the discipline indifferent to edge
+    * payloads (the touched-edge semi-join and the day1 ∪ delta union
+    * carry w through untouched; the kernel's vote mass is edge-local,
+    * so component-locality holds exactly as for count-LPA). Same
+    * (u+v) % 5 archive/delta split over the WEIGHTED support-2 graph;
+    * the persisted index is day-1 CC labels + day-1 round-4 weighted
+    * labels; untouched components' stored labels pass through via one
+    * node-grain anti-join. Oracle: the from-scratch full-graph weighted
+    * chain at node grain (q423's CTEs verbatim) — fold ≡ rebuild.
+    *
+    * Scale shape: ccFold's |Δ|-grain merge + 4 weighted rounds bounded
+    * by touched-component volume; identical economics to q412 with w
+    * riding the adjacency shuffle. */
+  val q431WlpaIncremental: Q = Q(
+    "q431_wlpa_incremental",
+    s"""WITH $duckWlpa
+      |SELECT n, lbl FROM l4 ORDER BY n""".stripMargin) { (s, dir) =>
+    val e0 = weightedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val day1 = e0.filter((col("u") + col("v")) % 5 =!= 0)
+      .persist(MEMORY_AND_DISK)
+    val delta = e0.filter((col("u") + col("v")) % 5 === 0)
+      .persist(MEMORY_AND_DISK)
+    val labels = Fuzzy.resolveClusters(s,
+      day1.select(col("u").as("doc_a"), col("v").as("doc_b")))
+      .select(col("doc_id").as("n"), col("cluster_id").as("lab"))
+      .persist(MEMORY_AND_DISK)
+    val stored = wlpa4(day1)
+    val (updated, _, _) = Round14.componentFold(labels, stored, day1, delta)(
+      wlpa4)
+    updated.select(col("n"), col("lbl")).orderBy(col("n"))
+  }
+
   val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
     q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
     q423WeightedLpa, q425BloomRegisters, q426BloomMembership,
-    q428GraphWalks, q429SkipGrams)
+    q428GraphWalks, q429SkipGrams, q430CdcChunks, q431WlpaIncremental)
 }

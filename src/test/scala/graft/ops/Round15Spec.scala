@@ -531,4 +531,79 @@ class Round15Spec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(gotPairs === refPairs)
   }
+
+  /** Independent CDC chunker: boundary at 1-based i ∈ [2, len−3] iff
+    * the first four hex nibbles of md5(4-gram at i) fold to ≡ 0 mod
+    * 64 — re-derived from MessageDigest, never the shared SQL. */
+  private def refCdc(text: String): Seq[(Long, String)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def fold16(s: String): Long = md.digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(4)
+      .foldLeft(0L)((a, c) => a * 16 + "0123456789abcdef".indexOf(c))
+    val cuts = (2 to text.length - 3).filter(i =>
+      fold16(text.substring(i - 1, i + 3)) % 64 == 0)
+    val starts = (1 +: cuts).distinct.sorted
+    starts.zip(starts.drop(1) :+ (text.length + 1)).map { case (s, e) =>
+      (s.toLong, text.substring(s - 1, e - 1))
+    }
+  }
+
+  test("q430 chunks equal an independent MessageDigest CDC reference, " +
+    "reconstruct every document, and an insertion moves only the " +
+    "chunks it touches") {
+    val rnd = new scala.util.Random(42)
+    def randText(n: Int): String =
+      (1 to n).map(_ => "abcdefgh ijklmnop"(rnd.nextInt(17))).mkString
+    val base = randText(400)
+    val docs = Seq(
+      (1L, base),
+      // An insertion mid-document: CDC's defining promise is that the
+      // chunk sets differ only near the edit.
+      (2L, base.substring(0, 200) + "XXINSERTXX" + base.substring(200)),
+      (3L, "abc"), // shorter than the 4-gram window: one whole chunk
+      (4L, randText(150))) ++
+      (5L to 12L).map(i => (i, randText(120 + 13 * i.toInt)))
+    val got = Round15.cdcChunks(docs.toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val ref = docs.flatMap { case (id, t) =>
+      refCdc(t).map { case (s, c) => (id, s, c) } }
+    assert(got.sortBy(t => (t._1, t._2)) === ref.sortBy(t => (t._1, t._2)))
+    // Reconstruction: chunks concatenated in start order = the text.
+    for ((id, t) <- docs)
+      assert(got.filter(_._1 == id).sortBy(_._2).map(_._3).mkString === t)
+    // Edit locality: doc 1 and doc 2 share most chunks away from the
+    // insertion point (at least the majority of doc 1's chunks recur).
+    val c1 = got.filter(_._1 == 1L).map(_._3).toSet
+    val c2 = got.filter(_._1 == 2L).map(_._3).toSet
+    assert((c1 & c2).size * 2 > c1.size,
+      "an insertion must not re-align the whole document's chunks")
+  }
+
+  test("q431 fold: weighted labels equal from-scratch on merge + " +
+    "intra-component deltas, and only touched components' edges are " +
+    "re-scanned") {
+    // A: untouched triangle (w=5). B: path 10–11–12 (w=2) whose delta
+    // (10,12,w=9) rewires the weighted vote inside the component.
+    // C {20,21} and D {22,23}: the delta bridge (21,22,w=8) MERGES
+    // them — pass-through of stored C/D labels alone would be wrong.
+    val day1 = Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 2L), (11L, 12L, 2L),
+      (20L, 21L, 3L), (22L, 23L, 3L))
+    val delta = Seq((10L, 12L, 9L), (21L, 22L, 8L))
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 22L), (23L, 22L))
+    val day1Df = day1.toDF("u", "v", "w")
+    val stored = Round15.wlpa4(day1Df)
+    val (updated, _, touched) = Round14.componentFold(
+      labels.toDF("n", "lab"), stored, day1Df,
+      delta.toDF("u", "v", "w"))(Round15.wlpa4)
+    val ref = refWeightedLpa(day1 ++ delta)
+    assert(updated.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      === ref)
+    // Touched components: B's 2 day-1 edges + C/D's 1 each + the 2
+    // delta edges = 6 scanned; untouched A's 3 edges never reach the
+    // kernel.
+    assert(touched.count() === 6L)
+  }
 }
