@@ -1129,6 +1129,13 @@ object Round15 {
       |SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
       |FROM pr GROUP BY 1, 2 ORDER BY center, context""".stripMargin) {
     (s, dir) =>
+    skipGramPairs(s, dir).orderBy(col("center"), col("context"))
+  }
+
+  /** (center, context, cnt) window-2 co-occurrence counts of the walk
+    * corpus — q429's surface, shared with q433's PPMI epilogue. */
+  private[graft] def skipGramPairs(s: SparkSession, dir: String)
+      : DataFrame = {
     val w = deepWalks(s, dir).persist(MEMORY_AND_DISK) // both join sides
     val a = w.select(col("seed"), col("walk"), col("step").as("sa"),
       col("node").as("center"))
@@ -1139,7 +1146,257 @@ object Round15 {
         abs(col("sb") - col("sa")) <= 2)
       .groupBy(col("center"), col("context"))
       .agg(count(lit(1)).as("cnt"))
-      .orderBy(col("center"), col("context"))
+  }
+
+  // -------------------------------------------------------------------
+  // q432 — node2vec second-order biased walks
+  // -------------------------------------------------------------------
+
+  /** node2vec bias weights as integers (so the cumulative-sum draw is
+    * exact in both engines): a candidate next-hop z from cur with
+    * previous node prev weighs RETURN (z = prev) 2, COMMON (z adjacent
+    * to prev — triangle-closing, the BFS-ish "stay local" move) 4,
+    * EXPLORE (everything else) 1 — the p = 1/2, q = 1 parameterization
+    * scaled to integers ×2 with the common-neighbor bump. */
+  private[graft] val N2vReturn = 2L
+  private[graft] val N2vCommon = 4L
+  private[graft] val N2vExplore = 1L
+
+  /** SECOND-ORDER deterministic walks (node2vec): step 1 is q428's
+    * uniform hash-indexed move; steps ≥ 2 draw from the biased
+    * distribution over cur's neighbors via an exact integer
+    * cumulative-sum inversion — r = H('<seed>#<walk>#<st>#<cur>') mod
+    * Σwt, next = the neighbor (in id order) whose [cum−wt, cum) bucket
+    * contains r. Returns (seed, walk, step, node), steps 0..WalkLen−1.
+    *
+    * Scale shape: per step one frontier⋈adjacency join (candidates at
+    * degree grain), one LEFT semi-probe of the symmetric edge set for
+    * the prev-adjacency test, and a per-(walk)-partition bounded window
+    * for the cumulative sum — all at candidate grain (#walks × degree),
+    * never graph-grain. */
+  private[graft] def node2vecWalks(s: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Graph.supportedEdges(s, dir)
+    val sym = e0.select(col("u").as("n"), col("v").as("z"))
+      .unionByName(e0.select(col("v").as("n"), col("u").as("z")))
+      .persist(MEMORY_AND_DISK) // candidates + prev-adjacency probes
+    val deg = sym.groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val adjR = sym.withColumn("r", row_number()
+        .over(Window.partitionBy(col("n")).orderBy(col("z"))).cast("long"))
+    val seeds = deg.orderBy(col("dg").desc, col("n")).limit(WalkSeeds)
+      .select(col("n").as("seed"))
+    val w0 = seeds
+      .select(col("seed"),
+        explode(expr(s"sequence(0L, ${WalksPerSeed - 1}L)")).as("walk"))
+      .withColumn("node", col("seed"))
+      .localCheckpoint()
+    // Step 1: uniform (no prev yet) — q428's indexing rule verbatim.
+    val h1 = w0.join(deg, col("node") === col("n"))
+      .withColumn("d", md5(concat(col("seed").cast("string"), lit("#"),
+        col("walk").cast("string"), lit("#1#"),
+        col("node").cast("string"))))
+      .withColumn("ix",
+        expr(s"(${PortableHash.hexHeadToLong("d", "instr")}) % dg"))
+    var cur = h1.join(adjR.select(col("n").as("an"), col("z"), col("r")),
+        col("an") === col("node") && col("r") === col("ix") + 1)
+      .select(col("seed"), col("walk"), col("node").as("prev"),
+        col("z").as("node"))
+      .localCheckpoint()
+    val acc = scala.collection.mutable.ArrayBuffer(
+      w0.withColumn("step", lit(0L)).select(col("seed"), col("walk"),
+        col("step"), col("node")),
+      cur.withColumn("step", lit(1L)).select(col("seed"), col("walk"),
+        col("step"), col("node")))
+    val cumW = Window.partitionBy(col("seed"), col("walk"))
+      .orderBy(col("z"))
+    val totW = Window.partitionBy(col("seed"), col("walk"))
+    for (st <- 2 until WalkLen) {
+      val cand = cur.join(sym.select(col("n").as("cn"), col("z")),
+        col("cn") === col("node"))
+      val wts = cand.join(
+          sym.select(col("n").as("ez"), col("z").as("ep"),
+            lit(1L).as("isadj")),
+          col("ez") === col("z") && col("ep") === col("prev"), "left")
+        .withColumn("wt",
+          when(col("z") === col("prev"), lit(N2vReturn))
+            .when(col("isadj") === 1L, lit(N2vCommon))
+            .otherwise(lit(N2vExplore)))
+      cur = wts
+        .withColumn("cum", sum(col("wt")).over(cumW))
+        .withColumn("tot", sum(col("wt")).over(totW))
+        .withColumn("d", md5(concat(col("seed").cast("string"), lit("#"),
+          col("walk").cast("string"), lit(s"#$st#"),
+          col("node").cast("string"))))
+        .withColumn("rr",
+          expr(s"(${PortableHash.hexHeadToLong("d", "instr")}) % tot"))
+        .filter(col("cum") - col("wt") <= col("rr") &&
+          col("rr") < col("cum"))
+        .select(col("seed"), col("walk"), col("node").as("prev"),
+          col("z").as("node"))
+        .localCheckpoint()
+      acc += cur.withColumn("step", lit(st.toLong)).select(col("seed"),
+        col("walk"), col("step"), col("node"))
+    }
+    acc.reduce(_ unionByName _)
+  }
+
+  /** The node2vec oracle: q428's base CTEs + per biased step a
+    * (candidates, weights, cumsum, hash-pick) CTE quad, all
+    * MATERIALIZED. */
+  private def duckNode2vec: String = {
+    val fold = PortableHash.hexHeadToLong("d", "strpos")
+    val b = new scala.collection.mutable.StringBuilder
+    b ++= s"""lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+      |      FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS MATERIALIZED (SELECT u AS n, v AS z FROM e0
+      |       UNION ALL SELECT v, u FROM e0),
+      |deg AS MATERIALIZED (SELECT n, CAST(count(*) AS BIGINT) AS dg
+      |       FROM sym GROUP BY 1),
+      |adj AS MATERIALIZED (SELECT n, z, CAST(row_number() OVER
+      |        (PARTITION BY n ORDER BY z) AS BIGINT) AS r FROM sym),
+      |seeds AS MATERIALIZED (SELECT n AS seed FROM deg
+      |          ORDER BY dg DESC, n LIMIT $WalkSeeds),
+      |w0 AS MATERIALIZED (SELECT seed, CAST(tt.t AS BIGINT) AS walk,
+      |         CAST(NULL AS BIGINT) AS prev, seed AS node
+      |       FROM seeds, (SELECT unnest(range(0, $WalksPerSeed)) AS t) tt),
+      |h1 AS MATERIALIZED (SELECT seed, walk, node,
+      |         md5(concat(CAST(seed AS VARCHAR), '#',
+      |             CAST(walk AS VARCHAR), '#1#',
+      |             CAST(node AS VARCHAR))) AS d FROM w0),
+      |i1 AS MATERIALIZED (SELECT seed, walk, node, (($fold) % deg.dg)
+      |         AS ix FROM h1 JOIN deg ON deg.n = h1.node),
+      |w1 AS MATERIALIZED (SELECT i.seed, i.walk, i.node AS prev,
+      |         adj.z AS node FROM i1 i
+      |       JOIN adj ON adj.n = i.node AND adj.r = i.ix + 1)"""
+      .stripMargin
+    for (st <- 2 until WalkLen) {
+      b ++= s""",
+        |cd$st AS MATERIALIZED (SELECT f.seed, f.walk, f.prev, f.node,
+        |         sym.z FROM w${st - 1} f JOIN sym ON sym.n = f.node),
+        |wt$st AS MATERIALIZED (SELECT c.*, CAST(CASE
+        |           WHEN c.z = c.prev THEN $N2vReturn
+        |           WHEN e.n IS NOT NULL THEN $N2vCommon
+        |           ELSE $N2vExplore END AS BIGINT) AS wt
+        |       FROM cd$st c LEFT JOIN sym e
+        |         ON e.n = c.z AND e.z = c.prev),
+        |cm$st AS MATERIALIZED (SELECT *,
+        |         CAST(sum(wt) OVER (PARTITION BY seed, walk
+        |           ORDER BY z) AS BIGINT) AS cum,
+        |         CAST(sum(wt) OVER (PARTITION BY seed, walk)
+        |           AS BIGINT) AS tot FROM wt$st),
+        |hx$st AS MATERIALIZED (SELECT *,
+        |         md5(concat(CAST(seed AS VARCHAR), '#',
+        |             CAST(walk AS VARCHAR), '#$st#',
+        |             CAST(node AS VARCHAR))) AS d FROM cm$st),
+        |w$st AS MATERIALIZED (SELECT seed, walk, node AS prev, z AS node
+        |       FROM hx$st
+        |       WHERE (($fold) % tot) >= cum - wt
+        |         AND (($fold) % tot) < cum)""".stripMargin
+    }
+    val uni = (0 until WalkLen).map(st =>
+      s"SELECT seed, walk, CAST($st AS BIGINT) AS step, node FROM w$st")
+      .mkString(" UNION ALL ")
+    b ++= s",\nwalks2 AS MATERIALIZED ($uni)"
+    b.toString
+  }
+
+  /** q432: NODE2VEC BIASED WALKS — the production walk generator
+    * (Grover & Leskovec 2016) next to q428's first-order DeepWalk: the
+    * transition distribution is SECOND-ORDER (depends on (prev, cur)),
+    * weighing return / triangle-closing / exploring moves differently,
+    * and the draw is derandomized the same way q428's is — a portable
+    * hash of the walk coordinate inverted through the exact integer
+    * cumulative-weight buckets, so both engines walk identically and
+    * the gate is node-by-node equality. Step 1 (no prev yet) is
+    * uniform, q428's rule verbatim. */
+  val q432Node2vecWalks: Q = Q(
+    "q432_node2vec_walks",
+    s"""WITH $duckNode2vec
+      |SELECT seed, walk, step, node FROM walks2
+      |ORDER BY seed, walk, step""".stripMargin) { (s, dir) =>
+    node2vecWalks(s, dir)
+      .select(col("seed"), col("walk"), col("step"), col("node"))
+      .orderBy(col("seed"), col("walk"), col("step"))
+  }
+
+  /** q433: PMI of the walk co-occurrence table — the actual training
+    * SIGNAL a skip-gram embedding factorizes (word2vec with negative
+    * sampling implicitly factorizes the PMI matrix shifted by ln k —
+    * Levy & Goldberg 2014), computed exactly: pmi = ln cnt + ln N −
+    * ln Σ_center − ln Σ_context with every ln argument integer-valued,
+    * carried in the repo's rounded-ln nano discipline (round to 9
+    * decimals, ×10⁹ through DECIMAL(28,9), BIGINT sums — no float
+    * division anywhere), k-bounded top-20 by (pmi DESC, center,
+    * context). The high-PMI pairs are the co-purchase affinities the
+    * embedding will place closest — surfacing them IS the
+    * interpretability read a curation pipeline runs before training.
+    *
+    * Scale shape: three pair/node-grain aggregates over the corpus
+    * table + one broadcast total; the leaderboard is
+    * TakeOrderedAndProject. */
+  val q433WalkPmi: Q = Q(
+    "q433_walk_pmi",
+    s"""WITH $duckWalks,
+      |pr AS (SELECT a.node AS center, b.node AS context
+      |       FROM walks a JOIN walks b
+      |         ON a.seed = b.seed AND a.walk = b.walk
+      |        AND b.step <> a.step AND abs(b.step - a.step) <= 2),
+      |cnt AS (SELECT center, context, CAST(count(*) AS BIGINT) AS cnt
+      |        FROM pr GROUP BY 1, 2),
+      |mc AS (SELECT center, CAST(sum(cnt) AS BIGINT) AS m FROM cnt
+      |       GROUP BY 1),
+      |mx AS (SELECT context, CAST(sum(cnt) AS BIGINT) AS m FROM cnt
+      |       GROUP BY 1),
+      |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM cnt),
+      |sc AS (SELECT c.center, c.context, c.cnt,
+      |              CAST(CAST(round(ln(c.cnt), 9) AS DECIMAL(28,9))
+      |                   * 1000000000 AS BIGINT)
+      |              + CAST(CAST(round(ln(nn.n), 9) AS DECIMAL(28,9))
+      |                     * 1000000000 AS BIGINT)
+      |              - CAST(CAST(round(ln(mc.m), 9) AS DECIMAL(28,9))
+      |                     * 1000000000 AS BIGINT)
+      |              - CAST(CAST(round(ln(mx.m), 9) AS DECIMAL(28,9))
+      |                     * 1000000000 AS BIGINT) AS pmi_nano
+      |       FROM cnt c
+      |       JOIN mc ON mc.center = c.center
+      |       JOIN mx ON mx.context = c.context
+      |       CROSS JOIN nn),
+      |r AS (SELECT sc.*, CAST(row_number() OVER (ORDER BY pmi_nano DESC,
+      |               center, context) AS BIGINT) AS pos FROM sc)
+      |SELECT pos, center, context, cnt, pmi_nano
+      |FROM r WHERE pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val cnt = skipGramPairs(s, dir).persist(MEMORY_AND_DISK) // 3 reads
+    val mc = cnt.groupBy(col("center")).agg(sum(col("cnt")).as("m_c"))
+    val mx = cnt.groupBy(col("context")).agg(sum(col("cnt")).as("m_x"))
+    val nn = cnt.agg(sum(col("cnt")).as("n"))
+    def lnNano(x: String) =
+      s"CAST(CAST(round(ln($x), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+    cnt.join(mc, Seq("center")).join(mx, Seq("context"))
+      .crossJoin(broadcast(nn))
+      .withColumn("pmi_nano", expr(
+        s"${lnNano("cnt")} + ${lnNano("n")} - ${lnNano("m_c")} - " +
+          s"${lnNano("m_x")}"))
+      .orderBy(col("pmi_nano").desc, col("center"), col("context"))
+      .limit(20)
+      .agg(collect_list(struct(col("pmi_nano").as("s"),
+        col("center").as("k1"), col("context").as("k2"),
+        col("cnt").as("c"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k1 < r.k1 THEN -1 WHEN l.k1 > r.k1 THEN 1
+          |       WHEN l.k2 < r.k2 THEN -1 WHEN l.k2 > r.k2 THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k1").as("center"), col("r.k2").as("context"),
+        col("r.c").as("cnt"), col("r.s").as("pmi_nano"))
+      .orderBy(col("pos"))
   }
 
   // -------------------------------------------------------------------
@@ -1296,5 +1553,6 @@ object Round15 {
   val all: Seq[Q] = Seq(q417CoreIncremental, q418AnnIvfLloyd,
     q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
     q423WeightedLpa, q425BloomRegisters, q426BloomMembership,
-    q428GraphWalks, q429SkipGrams, q430CdcChunks, q431WlpaIncremental)
+    q428GraphWalks, q429SkipGrams, q430CdcChunks, q431WlpaIncremental,
+    q432Node2vecWalks, q433WalkPmi)
 }

@@ -606,4 +606,96 @@ class Round15Spec extends SparkSpec {
     // kernel.
     assert(touched.count() === 6L)
   }
+
+  /** Independent node2vec walk generator: step 1 uniform (refWalks's
+    * rule), steps ≥ 2 biased by the integer (return, common, explore)
+    * weights via cumulative-sum inversion of the hashed draw. */
+  private def refNode2vec(edges: Seq[(Long, Long)])
+      : Seq[(Long, Long, Long, Long)] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    val eset = (edges ++ edges.map(e => (e._2, e._1))).toSet
+    def hash12(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString
+      hex.take(12).foldLeft(BigInt(0))((a, c) =>
+        a * 16 + "0123456789abcdef".indexOf(c)).mod(BigInt(4294967291L))
+        .toLong
+    }
+    val seeds = adj.toSeq.map { case (n, zs) => (n, zs.size) }
+      .sortBy { case (n, d) => (-d, n) }.take(Round15.WalkSeeds).map(_._1)
+    for {
+      seed <- seeds
+      t <- 0L until Round15.WalksPerSeed.toLong
+      (node, step) <- {
+        val first = adj(seed)(
+          (hash12(s"$seed#$t#1#$seed") % adj(seed).size).toInt)
+        Iterator.iterate((seed, first, 1L)) { case (prev, cur, st) =>
+          val zs = adj(cur)
+          val wts = zs.map(z =>
+            if (z == prev) Round15.N2vReturn
+            else if (eset((z, prev))) Round15.N2vCommon
+            else Round15.N2vExplore)
+          val r = hash12(s"$seed#$t#${st + 1}#$cur") % wts.sum
+          var cum = 0L; var pick = 0
+          var i = 0
+          while (i < zs.size) {
+            cum += wts(i); if (r < cum) { pick = i; i = zs.size }
+            else i += 1
+          }
+          (cur, zs(pick), st + 1)
+        }.take(Round15.WalkLen - 1).map(x => (x._2, x._3)).toSeq
+          .prepended((seed, 0L))
+      }
+    } yield (seed, t, step, node)
+  }
+
+  test("q432 node2vec walks equal an independent biased-walk reference, " +
+    "and the bias actually changes trajectories vs first-order q428") {
+    val dir = dirFor("n2v")
+    val edges = (1L to 17L).map(i => (i, i % 17 + 1, 2L)) ++
+      Seq((1L, 5L, 2L), (1L, 9L, 2L), (2L, 10L, 2L), (3L, 12L, 2L),
+        (5L, 14L, 2L), (7L, 15L, 2L), (2L, 13L, 3L), (4L, 11L, 2L))
+    lineitemFor(edges, dir)
+    val ref = refNode2vec(edges.map(e => (e._1, e._2)).distinct)
+    val got = Round15.q432Node2vecWalks.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(g => (g._1, g._2, g._3) -> g._4).toMap ===
+      ref.map(g => (g._1, g._2, g._3) -> g._4).toMap)
+    // The second-order bias must matter: at least one walk coordinate
+    // diverges from the first-order corpus (same hash device, so any
+    // difference is the weights).
+    val uni = Round15.q428GraphWalks.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet != uni.toSet,
+      "biased and uniform corpora must differ on this fixture")
+  }
+
+  test("q433 PMI equals an independent JVM computation over the " +
+    "reference walks (rounded-ln nano discipline)") {
+    val dir = dirFor("pmi")
+    val edges = (1L to 17L).map(i => (i, i % 17 + 1, 2L)) ++
+      Seq((1L, 5L, 2L), (2L, 13L, 3L), (4L, 11L, 2L))
+    lineitemFor(edges, dir)
+    val walks = refWalks(edges.map(e => (e._1, e._2)).distinct)
+    val pairs = walks.groupBy(w => (w._1, w._2)).values.flatMap { wk =>
+      for {
+        (sa, a) <- wk.map(w => w._3 -> w._4); (sb, b) <- wk.map(w => w._3 -> w._4)
+        if sa != sb && math.abs(sa - sb) <= 2
+      } yield (a, b)
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def lnN(x: Long): Long =
+      (BigDecimal(math.log(x.toDouble))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP) * 1000000000L).toLong
+    val n = pairs.values.sum
+    val mc = pairs.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val mx = pairs.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val refTop = pairs.toSeq.map { case ((c, x), cnt) =>
+      (c, x, cnt, lnN(cnt) + lnN(n) - lnN(mc(c)) - lnN(mx(x)))
+    }.sortBy { case (c, x, _, p) => (-p, c, x) }.take(20)
+    val got = Round15.q433WalkPmi.fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === refTop)
+  }
 }
