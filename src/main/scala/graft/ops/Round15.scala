@@ -1460,28 +1460,7 @@ object Round15 {
     * re-reads the doc row, not the explode. */
   val q430CdcChunks: Q = Q(
     "q430_cdc_chunks",
-    s"""WITH d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
-      |      WHERE text IS NOT NULL AND length(text) >= 1),
-      |pos AS MATERIALIZED (SELECT doc_id, text,
-      |        unnest(range(2, length(text) - 2)) AS i
-      |      FROM d0 WHERE length(text) >= 5),
-      |hx AS MATERIALIZED (SELECT doc_id, i,
-      |        md5(substr(text, CAST(i AS INTEGER), 4)) AS d FROM pos),
-      |bd AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS start
-      |      FROM hx
-      |      WHERE (4096 * ${bohv(1)} + 256 * ${bohv(2)}
-      |             + 16 * ${bohv(3)} + ${bohv(4)}) % 64 = 0),
-      |st AS MATERIALIZED (SELECT doc_id, CAST(1 AS BIGINT) AS start
-      |      FROM d0
-      |      UNION ALL SELECT doc_id, start FROM bd),
-      |ck AS MATERIALIZED (SELECT s.doc_id,
-      |        substr(d0.text, CAST(s.start AS INTEGER),
-      |          CAST(coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
-      |                 ORDER BY s.start),
-      |               length(d0.text) + 1) - s.start AS INTEGER)) AS chunk
-      |      FROM st s JOIN d0 ON d0.doc_id = s.doc_id),
-      |ch AS MATERIALIZED (SELECT doc_id, md5(chunk) AS h,
-      |        CAST(length(chunk) AS BIGINT) AS clen FROM ck),
+    s"""WITH $duckCdc,
       |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_chunks,
       |               CAST(count(DISTINCT h) AS BIGINT) AS distinct_chunks
       |        FROM ch),
@@ -1511,6 +1490,132 @@ object Round15 {
       .crossJoin(broadcast(tot))
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
   }
+
+  /** Shared oracle CTE chain d0 → ck → ch for the CDC family (q430's
+    * chunking verbatim, exposed for q434's pair epilogue and q435's
+    * maintained-store gate). */
+  private[graft] def duckCdc: String =
+    s"""d0 AS MATERIALIZED (SELECT doc_id, text FROM documents
+      |      WHERE text IS NOT NULL AND length(text) >= 1),
+      |pos AS MATERIALIZED (SELECT doc_id, text,
+      |        unnest(range(2, length(text) - 2)) AS i
+      |      FROM d0 WHERE length(text) >= 5),
+      |hx AS MATERIALIZED (SELECT doc_id, i,
+      |        md5(substr(text, CAST(i AS INTEGER), 4)) AS d FROM pos),
+      |bd AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS start
+      |      FROM hx
+      |      WHERE (4096 * ${bohv(1)} + 256 * ${bohv(2)}
+      |             + 16 * ${bohv(3)} + ${bohv(4)}) % 64 = 0),
+      |st AS MATERIALIZED (SELECT doc_id, CAST(1 AS BIGINT) AS start
+      |      FROM d0
+      |      UNION ALL SELECT doc_id, start FROM bd),
+      |ck AS MATERIALIZED (SELECT s.doc_id,
+      |        substr(d0.text, CAST(s.start AS INTEGER),
+      |          CAST(coalesce(lead(s.start) OVER (PARTITION BY s.doc_id
+      |                 ORDER BY s.start),
+      |               length(d0.text) + 1) - s.start AS INTEGER)) AS chunk
+      |      FROM st s JOIN d0 ON d0.doc_id = s.doc_id),
+      |ch AS MATERIALIZED (SELECT doc_id, md5(chunk) AS h,
+      |        CAST(length(chunk) AS BIGINT) AS clen FROM ck)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // q434 — near-duplicate candidates from shared CDC chunks
+  // -------------------------------------------------------------------
+
+  /** The maximum docs a chunk may be shared by and still act as a pair
+    * key: chunks in MORE docs are boilerplate (their pair fan-out is
+    * quadratic and their dedup signal near zero) — the frequent-shingle
+    * skip every shingling pipeline applies, here made an explicit
+    * loudly-documented cap so the chunk-grain self-join is bounded by
+    * C(16,2) = 120 pairs per chunk. */
+  private[graft] val CdcPairCap = 16L
+
+  /** q434: NEAR-DUP CANDIDATES from shared chunks — the CDC payoff
+    * query: two documents sharing eligible chunks (≥ 16 chars, in
+    * 2..CdcPairCap docs) are near-duplicate candidates even when no
+    * whole-document signature matches; containment_ppm = shared
+    * eligible chunks ×10⁶ // the smaller doc's eligible-chunk count —
+    * the asymmetric-containment read (a doc quoted inside a larger one
+    * scores high where Jaccard dilutes). Top-20 pairs by (shared DESC,
+    * doc_a, doc_b). This is the dedup grain between exact-hash (whole
+    * doc) and MinHash (shingle sketch): exact sub-document sharing.
+    *
+    * Scale shape: chunk-grain self-join bounded by the pair cap (≤ 120
+    * pairs per chunk), per-doc eligible-chunk counts map-side, the
+    * leaderboard k-bounded — no document-pair quadratics anywhere. */
+  val q434CdcNearDup: Q = Q(
+    "q434_cdc_near_dup",
+    s"""WITH $duckCdc,
+      |el AS MATERIALIZED (SELECT DISTINCT doc_id, h FROM ch
+      |      WHERE clen >= 16),
+      |cf AS MATERIALIZED (SELECT h, CAST(count(*) AS BIGINT) AS nd
+      |      FROM el GROUP BY 1),
+      |keyc AS MATERIALIZED (SELECT h FROM cf
+      |       WHERE nd >= 2 AND nd <= $CdcPairCap),
+      |dc AS MATERIALIZED (SELECT doc_id, CAST(count(*) AS BIGINT) AS nch
+      |      FROM el GROUP BY 1),
+      |pp AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |        CAST(count(*) AS BIGINT) AS shared
+      |      FROM el a JOIN keyc k ON k.h = a.h
+      |           JOIN el b ON b.h = a.h AND b.doc_id > a.doc_id
+      |      GROUP BY 1, 2),
+      |sc AS (SELECT pp.doc_a, pp.doc_b, pp.shared,
+      |              CAST(pp.shared * 1000000
+      |                // least(da.nch, db.nch) AS BIGINT) AS containment_ppm
+      |       FROM pp JOIN dc da ON da.doc_id = pp.doc_a
+      |               JOIN dc db ON db.doc_id = pp.doc_b),
+      |r AS (SELECT sc.*, CAST(row_number() OVER (ORDER BY shared DESC,
+      |               doc_a, doc_b) AS BIGINT) AS pos FROM sc)
+      |SELECT pos, doc_a, doc_b, shared, containment_ppm
+      |FROM r WHERE pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
+    val el = cdcChunks(Tables(s, dir, "documents"))
+      .filter(length(col("chunk")) >= 16)
+      .select(col("doc_id"), md5(col("chunk")).as("h"))
+      .distinct()
+      .persist(MEMORY_AND_DISK) // frequency cap, per-doc counts, pairs
+    val keyc = el.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2 && col("nd") <= CdcPairCap)
+      .select(col("h"))
+    val dc = el.groupBy(col("doc_id")).agg(count(lit(1)).as("nch"))
+    val pp = el.join(keyc, Seq("h"), "left_semi").as("a")
+      .join(el.join(keyc, Seq("h"), "left_semi").as("b"),
+        col("a.h") === col("b.h") && col("b.doc_id") > col("a.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pp.join(dc.select(col("doc_id").as("doc_a"), col("nch").as("na")),
+        Seq("doc_a"))
+      .join(dc.select(col("doc_id").as("doc_b"), col("nch").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment_ppm",
+        expr("CAST(shared * 1000000 div least(na, nb) AS BIGINT)"))
+      .orderBy(col("shared").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+      .agg(collect_list(struct(col("shared").as("s"), col("doc_a").as("k1"),
+        col("doc_b").as("k2"), col("containment_ppm").as("c"))).as("rows"))
+      .select(posexplode(expr(
+        """array_sort(rows, (l, r) ->
+          |  CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1
+          |       WHEN l.k1 < r.k1 THEN -1 WHEN l.k1 > r.k1 THEN 1
+          |       WHEN l.k2 < r.k2 THEN -1 WHEN l.k2 > r.k2 THEN 1
+          |       ELSE 0 END)""".stripMargin)).as(Seq("i", "r")))
+      .select((col("i") + 1).cast("long").as("pos"),
+        col("r.k1").as("doc_a"), col("r.k2").as("doc_b"),
+        col("r.s").as("shared"), col("r.c").as("containment_ppm"))
+      .orderBy(col("pos"))
+  }
+
+  /** Sparse per-chunk partial (h, n_docs, n_occ, clen) of one documents
+    * frame — the per-trigger state q435 folds by (sum, sum, max):
+    * batches partition docs disjointly, so doc counts ADD exactly like
+    * occurrence counts (a chunk's doc set never spans re-counted
+    * docs). */
+  private[graft] def cdcCounts(docs: DataFrame): DataFrame =
+    cdcChunks(docs)
+      .select(col("doc_id"), md5(col("chunk")).as("h"),
+        length(col("chunk")).cast("long").as("clen"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), max(col("clen")).as("clen"))
 
   // -------------------------------------------------------------------
   // q431 — component-grain incremental WEIGHTED LPA
@@ -1554,5 +1659,5 @@ object Round15 {
     q420BoruvkaMsf, q421MsfIncremental, q422DendrogramLevels,
     q423WeightedLpa, q425BloomRegisters, q426BloomMembership,
     q428GraphWalks, q429SkipGrams, q430CdcChunks, q431WlpaIncremental,
-    q432Node2vecWalks, q433WalkPmi)
+    q432Node2vecWalks, q433WalkPmi, q434CdcNearDup)
 }

@@ -2403,6 +2403,68 @@ object StreamGate {
         s.range(0).select(col("id").as("bit"))))
   }
 
+  /** q435: STREAMING CDC chunk-index maintenance — q430's chunk store
+    * maintained as an operational loop: documents arrive in three
+    * micro-batches (doc_id mod 3 — DISJOINT doc sets, which is what
+    * makes the per-chunk doc counts ADDITIVE: a chunk's contributing
+    * docs never span a re-counted boundary), each trigger chunks ITS
+    * docs ([[graft.ops.Round15.cdcCounts]] — chunking is perfectly
+    * doc-local, the one kernel in the incremental family needing no
+    * component analysis at all) and folds the sparse (h, n_docs,
+    * n_occ, clen) partials into the `gen=<id>` store by (sum, sum,
+    * max); replay-stable exactly like q402's CMS fold (a redelivered
+    * batch re-reads gen=<id−1> and overwrites its own generation). The
+    * final store answers q430's from-scratch oracle: top-10 shared
+    * chunks + corpus totals. */
+  val q435StreamCdcMaintain: Q = Q(
+    "q435_stream_cdc_maintain",
+    graft.ops.Round15.q430CdcChunks.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q435-")
+    val docs = Tables(s, dir, "documents")
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => docs.filter(col("doc_id") % 3 === r)))
+    val store = work.resolve("cdc").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(lit("").as("h"), col("id").as("n_docs"),
+              col("id").as("n_occ"), col("id").as("clen")))
+          graft.ops.Round15.cdcCounts(batch.toDF())
+            .unionByName(prev)
+            .groupBy(col("h")).agg(sum(col("n_docs")).as("n_docs"),
+              sum(col("n_occ")).as("n_occ"), max(col("clen")).as("clen"))
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val ch = latestGenBefore(s, store, Long.MaxValue).getOrElse(
+      s.range(0).select(lit("").as("h"), col("id").as("n_docs"),
+        col("id").as("n_occ"), col("id").as("clen")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tot = ch.agg(sum(col("n_occ")).as("total_chunks"),
+      count(lit(1)).as("distinct_chunks"))
+      .select(coalesce(col("total_chunks"), lit(0L)).as("total_chunks"),
+        col("distinct_chunks"))
+    ch.filter(col("clen") >= 16)
+      .select(col("h").as("chunk_md5"), col("n_docs"), col("n_occ"),
+        col("clen").as("chunk_len"))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
+      .limit(10)
+      .crossJoin(broadcast(tot))
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2456,5 +2518,5 @@ object StreamGate {
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
     q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain,
-    q427StreamBloomMaintain)
+    q427StreamBloomMaintain, q435StreamCdcMaintain)
 }

@@ -698,4 +698,54 @@ class Round15Spec extends SparkSpec {
       .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(got.toSeq === refTop)
   }
+
+  test("q434 near-dup pairs equal a JVM reference (self-synchronizing " +
+    "shared-block chunks), and over-shared boilerplate chunks are " +
+    "excluded as pair keys by the frequency cap") {
+    val dir = dirFor("cdcdup")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(7)
+    def randText(n: Int): String =
+      (1 to n).map(_ => "abcdefgh ijklmnop"(rnd.nextInt(17))).mkString
+    // Docs 1–2: a 300-char block shared at DIFFERENT offsets — CDC's
+    // self-synchronizing cuts align inside the block, so its interior
+    // chunks match even though the documents never align globally.
+    val block = randText(300)
+    val boiler = randText(200)
+    val docs = Seq(
+      (1L, randText(80) + block + randText(40)),
+      (2L, randText(150) + block + randText(25))) ++
+      // 18 docs sharing only a boilerplate block: above the cap (16),
+      // so it may not act as a pair key.
+      (3L to 20L).map(i => (i, randText(50) + boiler + randText(30))) ++
+      (21L to 25L).map(i => (i, randText(180)))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // JVM reference with the same eligibility rules.
+    val el = docs.flatMap { case (id, t) =>
+      refCdc(t).map(_._2).filter(_.length >= 16).map(c => (id, md5hex(c)))
+    }.distinct
+    val cf = el.groupBy(_._2).view.mapValues(_.size).toMap
+    val keyc = cf.filter { case (_, n) => n >= 2 && n <= 16 }.keySet
+    val dc = el.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val refPairs = el.filter(e => keyc(e._2)).groupBy(_._2).values
+      .flatMap { ds =>
+        val ids = ds.map(_._1).sorted
+        for (i <- ids.indices; j <- i + 1 until ids.size)
+          yield (ids(i), ids(j))
+      }.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((a, b), sh) =>
+        (a, b, sh, sh * 1000000L / math.min(dc(a), dc(b))) }
+      .sortBy { case (a, b, sh, _) => (-sh, a, b) }.take(20)
+    assert(refPairs.exists(p => p._1 == 1L && p._2 == 2L),
+      "fixture must make docs 1-2 a near-dup candidate pair")
+    assert(!refPairs.exists(p => p._1 >= 3L && p._1 <= 20L &&
+      p._2 >= 3L && p._2 <= 20L),
+      "boilerplate-only docs must produce no pair (cap excluded)")
+    val got = Round15.q434CdcNearDup.fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === refPairs)
+  }
 }
