@@ -16,7 +16,7 @@ object SparkEntry {
       ops.Snapshot.all ++ ops.Layout.all ++ ops.Fuzzy.all ++ ops.Graph.all ++
       ops.GitQueries.all ++ ops.Sources.all ++ ops.Metrics.all ++
       ops.Subword.all ++ ops.Learn.all ++ ops.Round12.all ++
-      ops.Round13.all ++ ops.Round14.all ++ ops.Round15.all ++
+      ops.Round13.all ++ ops.Round14.all ++ ops.Round15.all ++ ops.Round15b.all ++
       ext.Multimodal.all ++ streaming.StreamGate.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

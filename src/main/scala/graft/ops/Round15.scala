@@ -720,7 +720,7 @@ object Round15 {
   /** The weighted-LPA oracle CTE chain (lp → weighted e0 → adj → l0..l4)
     * shared by q423's community epilogue and q431's node-grain fold
     * gate. */
-  private def duckWlpa: String = {
+  private[ops] def duckWlpa: String = {
     val duckRounds = (1 to 4).map { i =>
       s"""c$i AS (SELECT a.n AS n, l${i - 1}.lbl AS lbl,
          |        CAST(sum(a.w) AS BIGINT) AS c
@@ -745,7 +745,7 @@ object Round15 {
 
   /** The weighted support-2 co-purchase edge build shared by
     * q420/q421/q422/q423/q431 (the oracle's e0 verbatim). */
-  private def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+  private[ops] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     lp.as("l1").join(lp.as("l2"),

@@ -1,0 +1,747 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+import graft.{Q, Tables}
+
+/** Round-15 batch 3: community STRUCTURE QUALITY over the graph-kernel
+  * tier's partitions (modularity q436, Louvain move-gains q437 — the
+  * "is this clustering any good, and where would one greedy sweep
+  * improve it" readout the LPA family never had), personalized PageRank
+  * (q438 — seed-conditioned relevance, the recommendation/similar-item
+  * complement to q403's global rank), the principal spectral direction
+  * of the embedding corpus (q439/q440 — Gram matrix + power iteration,
+  * the whitening/feature-extraction leg of the vector tier), and three
+  * training-data curation ops: character-entropy quality scoring
+  * (q441), sqrt-damped source mixing weights (q442), and GSP-style
+  * sequential pattern mining over event sessions (q443).
+  *
+  * All extensions beyond the reference's git-ETL surface (the reference
+  * has no graph/vector/curation tier at all — see SURVEY.md §2.9); the
+  * cross-engine determinism disciplines (integer/DECIMAL(38,0)
+  * cross-multiplication, rounded-ln nano units, round(x·1000)
+  * quantization, IntegralDivide truncation) are the ones COVERAGE.md
+  * §"Cross-engine determinism rules" establishes.
+  */
+object Round15b {
+
+  // -------------------------------------------------------------------
+  // q436 — modularity of the weighted-LPA partition
+  // -------------------------------------------------------------------
+
+  /** Shared oracle prelude: the weighted support-2 co-purchase graph +
+    * 4-round weighted LPA (Round15.duckWlpa: e0/adj/l0..l4), node
+    * strengths, community strengths, in-community weights, and the
+    * exact per-community modularity numerator
+    * qnum_c = 4W·in_c − d_c² (so Q·4W² = Σ_c qnum_c — every term an
+    * integer; HUGEINT on the DuckDB side, DECIMAL(38,0) on Spark's). */
+  private def duckModularity: String =
+    s"""${Round15.duckWlpa},
+      |str AS (SELECT n, CAST(sum(w) AS BIGINT) AS sw FROM adj GROUP BY 1),
+      |tw AS (SELECT CAST(sum(w) AS BIGINT) AS ww FROM e0),
+      |comm AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes
+      |         FROM l4 GROUP BY 1),
+      |winc AS (SELECT la.lbl AS lbl, CAST(sum(e0.w) AS BIGINT) AS in_w
+      |         FROM e0 JOIN l4 la ON la.n = e0.u
+      |                 JOIN l4 lb ON lb.n = e0.v
+      |         WHERE la.lbl = lb.lbl GROUP BY 1),
+      |dcs AS (SELECT l4.lbl, CAST(sum(str.sw) AS BIGINT) AS deg_w
+      |        FROM l4 JOIN str ON str.n = l4.n GROUP BY 1),
+      |pc AS (SELECT c.lbl, c.n_nodes, coalesce(wi.in_w, 0) AS in_w,
+      |              d.deg_w,
+      |              CAST(4 AS HUGEINT) * tw.ww * coalesce(wi.in_w, 0)
+      |                - CAST(d.deg_w AS HUGEINT) * d.deg_w AS qnum,
+      |              CAST(4 AS HUGEINT) * tw.ww * tw.ww AS qden
+      |       FROM comm c
+      |       JOIN dcs d ON d.lbl = c.lbl
+      |       LEFT JOIN winc wi ON wi.lbl = c.lbl, tw)""".stripMargin
+
+  /** q436: MODULARITY of the weighted-LPA partition — the clustering-
+    * quality readout every community kernel so far (q354/q412/q423/q431)
+    * produced labels WITHOUT: Q = Σ_c [in_c/W − (d_c/2W)²] over the
+    * weighted support-2 co-purchase graph under q423's 4-round weighted
+    * LPA labels. Exactness: Q·4W² = Σ_c (4W·in_c − d_c²) is pure
+    * integer arithmetic (DECIMAL(38,0) / HUGEINT), surfaced as ppm by
+    * IntegralDivide — truncation toward zero verified identical in both
+    * engines (q193's lesson), which matters here because a community's
+    * qnum CAN be negative (d_c² dominating means worse-than-random).
+    * Output: the whole-partition row (community = −1) + top-20
+    * communities by size with their per-community ppm contributions.
+    *
+    * Scale shape: one edge-grain join against the label table for in_c,
+    * one node-grain join for d_c, then everything is community-grain
+    * (≤ #labels rows). W is a scalar. No quadratics anywhere; the
+    * label join is the same shuffle the LPA rounds already pay. */
+  val q436Modularity: Q = Q(
+    "q436_modularity",
+    s"""WITH $duckModularity,
+      |tot AS (SELECT CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+      |               CAST(sum(in_w) AS BIGINT) AS in_w,
+      |               CAST(sum(deg_w) AS BIGINT) AS deg_w,
+      |               sum(qnum) AS qnumsum
+      |        FROM pc),
+      |u AS (SELECT CAST(-1 AS BIGINT) AS community, t.n_nodes, t.in_w,
+      |             t.deg_w,
+      |             CAST(t.qnumsum * 1000000
+      |               // (CAST(4 AS HUGEINT) * tw.ww * tw.ww) AS BIGINT)
+      |               AS q_ppm
+      |      FROM tot t, tw WHERE t.n_nodes IS NOT NULL
+      |      UNION ALL
+      |      SELECT CAST(lbl AS BIGINT), n_nodes, in_w, deg_w,
+      |             CAST(qnum * 1000000 // qden AS BIGINT)
+      |      FROM pc)
+      |SELECT community, n_nodes, in_w, deg_w, q_ppm FROM u
+      |ORDER BY CASE WHEN community = -1 THEN 0 ELSE 1 END,
+      |         n_nodes DESC, community
+      |LIMIT 21""".stripMargin) { (s, dir) =>
+    val e = Round15.weightedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val l = Round15.wlpa4(e).persist(MEMORY_AND_DISK)
+    val ww = e.agg(coalesce(sum(col("w")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    if (ww == 0L)
+      s.range(0).select(col("id").as("community"), col("id").as("n_nodes"),
+        col("id").as("in_w"), col("id").as("deg_w"), col("id").as("q_ppm"))
+    else {
+      val sym = e.unionAll(
+        e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val str = sym.groupBy(col("u")).agg(sum(col("w")).as("sw"))
+      val comm = l.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val winc = e.join(l.as("la"), col("u") === col("la.n"))
+        .join(l.as("lb"), col("v") === col("lb.n"))
+        .filter(col("la.lbl") === col("lb.lbl"))
+        .groupBy(col("la.lbl").as("lbl"))
+        .agg(sum(col("w")).as("in_w"))
+      val dcs = l.join(str, col("n") === col("u"))
+        .groupBy(col("lbl")).agg(sum(col("sw")).as("deg_w"))
+      val pc = comm.join(dcs, "lbl")
+        .join(winc.withColumnRenamed("in_w", "in_w0"), Seq("lbl"), "left")
+        .select(col("lbl"), col("n_nodes"),
+          coalesce(col("in_w0"), lit(0L)).as("in_w"), col("deg_w"))
+        .withColumn("qnum",
+          expr(s"CAST(4 AS DECIMAL(38,0)) * $ww * in_w" +
+            " - CAST(deg_w AS DECIMAL(38,0)) * deg_w"))
+        .persist(MEMORY_AND_DISK)
+      val qden = s"(CAST(4 AS DECIMAL(38,0)) * $ww * $ww)"
+      val tot = pc.agg(
+        sum(col("n_nodes")).cast("long").as("n_nodes"),
+        sum(col("in_w")).cast("long").as("in_w"),
+        sum(col("deg_w")).cast("long").as("deg_w"),
+        sum(col("qnum")).as("qnumsum"))
+        .filter(col("n_nodes").isNotNull)
+        .select(lit(-1L).as("community"), col("n_nodes"), col("in_w"),
+          col("deg_w"),
+          expr(s"CAST((qnumsum * 1000000) div $qden AS BIGINT)")
+            .as("q_ppm"))
+      val per = pc.select(col("lbl").cast("long").as("community"),
+        col("n_nodes").cast("long"), col("in_w").cast("long"),
+        col("deg_w").cast("long"),
+        expr(s"CAST((qnum * 1000000) div $qden AS BIGINT)").as("q_ppm"))
+      tot.unionAll(per)
+        .orderBy(expr("CASE WHEN community = -1 THEN 0 ELSE 1 END"),
+          col("n_nodes").desc, col("community"))
+        .limit(21)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q437 — greedy Louvain move gains (one phase-1 sweep readout)
+  // -------------------------------------------------------------------
+
+  /** q437: LOUVAIN MOVE GAINS — for every node, the best single-node
+    * community move and its exact modularity delta, i.e. one Louvain
+    * phase-1 sweep EVALUATED (not applied — applying is order-dependent;
+    * the evaluated gain surface is deterministic and is also exactly
+    * what a bulk-synchronous distributed Louvain computes per round).
+    * Moving i from a to b changes Q·4W² by
+    * ΔQ·4W² = 4W·(k_{i,b} − k_{i,a}) − 2·k_i·(d_b − d_a) − 2·k_i²
+    * (insert/remove strength bookkeeping; all integers). Candidates are
+    * i's NEIGHBORING communities only — the Louvain restriction that
+    * bounds work at edge grain. Argmax per node by (gain DESC, lbl),
+    * positive gains only, top-30 movers by (gain DESC, n).
+    *
+    * Scale shape: k_{i,c} is one edge-grain join (adjacency ⋈ labels)
+    * + one (i, c) groupBy — the same shuffle an LPA round pays; the
+    * argmax is a node-partitioned window; d_c/k_i are community-/node-
+    * grain broadcasts. No community-pair quadratics. */
+  val q437LouvainGain: Q = Q(
+    "q437_louvain_gain",
+    s"""WITH $duckModularity,
+      |kic AS (SELECT a.n AS i, l4.lbl AS c, CAST(sum(a.w) AS BIGINT) AS k
+      |        FROM adj a JOIN l4 ON l4.n = a.z GROUP BY 1, 2),
+      |cand AS (SELECT k.i, o.lbl AS from_lbl, k.c AS to_lbl,
+      |                coalesce(ko.k, 0) AS kia, k.k AS kib,
+      |                st.sw AS ki, da.deg_w AS dega, db.deg_w AS degb
+      |         FROM kic k
+      |         JOIN l4 o ON o.n = k.i
+      |         LEFT JOIN kic ko ON ko.i = k.i AND ko.c = o.lbl
+      |         JOIN str st ON st.n = k.i
+      |         JOIN dcs da ON da.lbl = o.lbl
+      |         JOIN dcs db ON db.lbl = k.c
+      |         WHERE k.c <> o.lbl),
+      |g AS (SELECT i, from_lbl, to_lbl,
+      |             CAST(4 AS HUGEINT) * tw.ww * (kib - kia)
+      |               - CAST(2 AS HUGEINT) * ki * (degb - dega)
+      |               - CAST(2 AS HUGEINT) * ki * ki AS gain
+      |      FROM cand, tw),
+      |best AS (SELECT i, from_lbl, to_lbl, CAST(gain AS BIGINT) AS gain
+      |         FROM g
+      |         QUALIFY row_number() OVER (PARTITION BY i
+      |                   ORDER BY gain DESC, to_lbl) = 1)
+      |SELECT CAST(row_number() OVER (ORDER BY gain DESC, i) AS BIGINT)
+      |         AS pos,
+      |       i AS n, from_lbl, to_lbl, gain
+      |FROM best WHERE gain > 0
+      |ORDER BY pos LIMIT 30""".stripMargin) { (s, dir) =>
+    val e = Round15.weightedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val l = Round15.wlpa4(e).persist(MEMORY_AND_DISK)
+    val ww = e.agg(coalesce(sum(col("w")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    if (ww == 0L)
+      s.range(0).select(col("id").as("pos"), col("id").as("n"),
+        col("id").as("from_lbl"), col("id").as("to_lbl"),
+        col("id").as("gain"))
+    else {
+      val sym = e.unionAll(
+        e.select(col("v").as("u"), col("u").as("v"), col("w")))
+      val str = sym.groupBy(col("u")).agg(sum(col("w")).as("sw"))
+      val dcs = l.join(str, col("n") === col("u"))
+        .groupBy(col("lbl")).agg(sum(col("sw")).as("deg_w"))
+        .persist(MEMORY_AND_DISK)
+      val kic = sym.select(col("u").as("i"), col("v").as("z"), col("w"))
+        .join(l.select(col("n"), col("lbl").as("c")), col("z") === col("n"))
+        .groupBy(col("i"), col("c")).agg(sum(col("w")).as("k"))
+        .persist(MEMORY_AND_DISK)
+      val cand = kic
+        .join(l.select(col("n"), col("lbl").as("from_lbl")),
+          col("i") === col("n"))
+        .filter(col("c") =!= col("from_lbl"))
+        .join(kic.select(col("i").as("i2"), col("c").as("c2"),
+          col("k").as("kia0")),
+          col("i2") === col("i") && col("c2") === col("from_lbl"), "left")
+        .join(str.select(col("u").as("su"), col("sw").as("ki")),
+          col("su") === col("i"))
+        .join(dcs.select(col("lbl").as("la"), col("deg_w").as("dega")),
+          col("la") === col("from_lbl"))
+        .join(dcs.select(col("lbl").as("lb"), col("deg_w").as("degb")),
+          col("lb") === col("c"))
+        .select(col("i"), col("from_lbl"), col("c").as("to_lbl"),
+          coalesce(col("kia0"), lit(0L)).as("kia"), col("k").as("kib"),
+          col("ki"), col("dega"), col("degb"))
+      val g = cand.withColumn("gain",
+        expr(s"CAST(4 AS DECIMAL(38,0)) * $ww * (kib - kia)" +
+          " - CAST(2 AS DECIMAL(38,0)) * ki * (degb - dega)" +
+          " - CAST(2 AS DECIMAL(38,0)) * ki * ki"))
+      val best = g.withColumn("rnk",
+          row_number().over(Window.partitionBy(col("i"))
+            .orderBy(col("gain").desc, col("to_lbl"))))
+        .filter(col("rnk") === 1 && col("gain") > 0)
+        .select(col("i").as("n"), col("from_lbl"), col("to_lbl"),
+          col("gain").cast("long").as("gain"))
+      // Top-30 movers: sort-limit first so the pos window runs on ≤ 30
+      // rows (the rankTopK economics, with the extra payload columns).
+      best.orderBy(col("gain").desc, col("n")).limit(30)
+        .withColumn("pos", row_number()
+          .over(Window.orderBy(col("gain").desc, col("n"))).cast("long"))
+        .select(col("pos"), col("n"), col("from_lbl"), col("to_lbl"),
+          col("gain"))
+        .orderBy(col("pos"))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q438 — personalized PageRank from a top-strength seed set
+  // -------------------------------------------------------------------
+
+  /** q438: PERSONALIZED PageRank — q403's weighted power iteration with
+    * the teleport vector concentrated on the 8 highest-strength nodes
+    * (ties by id) instead of uniform: the seed-conditioned relevance
+    * ranking behind "similar items" / "related to your catalog anchors"
+    * retrieval. Same integer nano-mass discipline (10¹² base split over
+    * the seeds, 15/85 jump/propagate in integer division, 3 rounds);
+    * the jump mass re-enters ONLY at seeds each round, expressed as a
+    * jump ∪ propagation union-then-sum so seeds with no in-mass still
+    * restart (a GROUP BY over propagated rows alone would drop them).
+    * is_seed rides the top-20 output.
+    *
+    * Scale shape: identical to q403 — per round one edge-grain shuffle
+    * bounded by |E|, rank state at node grain; the seed table is ≤ 8
+    * rows (broadcast). Top-20 via the sort-limit rankTopK device. */
+  val q438Ppr: Q = Q(
+    "q438_ppr",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |ew AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+      |              CAST(count(*) AS BIGINT) AS w
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |sym AS (SELECT u, v, w FROM ew UNION ALL SELECT v, u, w FROM ew),
+      |swt AS (SELECT u, CAST(sum(w) AS BIGINT) AS sw FROM sym GROUP BY 1),
+      |sd AS (SELECT u AS nd FROM swt
+      |       QUALIFY row_number() OVER (ORDER BY sw DESC, u) <= 8),
+      |ks AS (SELECT count(*) AS k FROM sd),
+      |r0 AS (SELECT nd, 1000000000000 // (SELECT k FROM ks) AS r FROM sd),
+      |r1 AS (SELECT nd, CAST(sum(r) AS BIGINT) AS r FROM (
+      |         SELECT nd, (15 * (1000000000000 // (SELECT k FROM ks)))
+      |                      // 100 AS r FROM sd
+      |         UNION ALL
+      |         SELECT sym.v, (85 * sum((r0.r * sym.w) // swt.sw)) // 100
+      |         FROM sym JOIN r0 ON r0.nd = sym.u
+      |                  JOIN swt ON swt.u = sym.u
+      |         GROUP BY 1) t GROUP BY 1),
+      |r2 AS (SELECT nd, CAST(sum(r) AS BIGINT) AS r FROM (
+      |         SELECT nd, (15 * (1000000000000 // (SELECT k FROM ks)))
+      |                      // 100 AS r FROM sd
+      |         UNION ALL
+      |         SELECT sym.v, (85 * sum((r1.r * sym.w) // swt.sw)) // 100
+      |         FROM sym JOIN r1 ON r1.nd = sym.u
+      |                  JOIN swt ON swt.u = sym.u
+      |         GROUP BY 1) t GROUP BY 1),
+      |r3 AS (SELECT nd, CAST(sum(r) AS BIGINT) AS r FROM (
+      |         SELECT nd, (15 * (1000000000000 // (SELECT k FROM ks)))
+      |                      // 100 AS r FROM sd
+      |         UNION ALL
+      |         SELECT sym.v, (85 * sum((r2.r * sym.w) // swt.sw)) // 100
+      |         FROM sym JOIN r2 ON r2.nd = sym.u
+      |                  JOIN swt ON swt.u = sym.u
+      |         GROUP BY 1) t GROUP BY 1),
+      |tk AS (SELECT CAST(row_number() OVER (ORDER BY r DESC, nd)
+      |                AS BIGINT) AS pos,
+      |              nd AS n, CAST(r AS BIGINT) AS r
+      |       FROM r3 QUALIFY pos <= 20)
+      |SELECT tk.pos, tk.n, tk.r,
+      |       CAST(CASE WHEN sd.nd IS NULL THEN 0 ELSE 1 END AS BIGINT)
+      |         AS is_seed
+      |FROM tk LEFT JOIN sd ON sd.nd = tk.n
+      |ORDER BY tk.pos""".stripMargin) { (s, dir) =>
+    val l = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val ew = l.as("l1").join(l.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    val sym = ew.unionAll(
+      ew.select(col("v").as("u"), col("u").as("v"), col("w")))
+    val swt = sym.groupBy(col("u")).agg(sum(col("w")).as("sw"))
+      .persist(MEMORY_AND_DISK)
+    val seeds = swt.orderBy(col("sw").desc, col("u")).limit(8)
+      .select(col("u").as("nd")).persist(MEMORY_AND_DISK)
+    val k = seeds.count()
+    if (k == 0L)
+      s.range(0).select(col("id").as("pos"), col("id").as("n"),
+        col("id").as("r"), col("id").as("is_seed"))
+    else {
+      val base = 1000000000000L / k
+      val jump = (15L * base) / 100L
+      val edges = sym.join(swt, "u").persist(MEMORY_AND_DISK)
+      var r = seeds.select(col("nd").as("n"), lit(base).as("r"))
+      for (_ <- 1 to 3) {
+        val prop = edges.join(r, col("n") === col("u"))
+          .groupBy(col("v"))
+          .agg(sum(expr("(r * w) div sw")).as("c"))
+          .select(col("v").as("n"), expr("(85 * c) div 100").as("r"))
+        val jmp = seeds.select(col("nd").as("n"), lit(jump).as("r"))
+        r = prop.unionAll(jmp).groupBy(col("n"))
+          .agg(sum(col("r")).cast("long").as("r"))
+      }
+      Graph.rankTopK(r, "r", "n", 20, "n", "r")
+        .join(seeds, col("n") === col("nd"), "left")
+        .select(col("pos"), col("n"), col("r"),
+          when(col("nd").isNull, 0L).otherwise(1L).as("is_seed"))
+        .orderBy(col("pos"))
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q439/q440 — principal spectral direction of the embedding corpus
+  // -------------------------------------------------------------------
+
+  /** Shared oracle chain: quantized element grain (round(x·1000), the
+    * q195/q217 device), the 64×64 integer Gram matrix, four power-
+    * iteration steps with max-|·| renormalization to a ±10⁶ scale
+    * (HUGEINT accumulation, integer division — every step exact), and
+    * one extra multiply for the Rayleigh quotient. */
+  private def duckPca: String =
+    """el AS (SELECT vec_id, t.i - 1 AS i,
+      |              CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000)
+      |                AS BIGINT) AS q
+      |       FROM embeddings, range(1, 65) t(i)),
+      |cm AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.q * b.q) AS BIGINT) AS c
+      |       FROM el a JOIN el b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+      |v0 AS (SELECT CAST(0 AS BIGINT) AS i, CAST(1000000 AS BIGINT) AS v),
+      |s1 AS (SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * v0.v) AS sv
+      |       FROM cm JOIN v0 ON v0.i = cm.j GROUP BY 1),
+      |v1 AS (SELECT i, CAST(sv * 1000000
+      |         // greatest((SELECT max(abs(sv)) FROM s1), 1) AS BIGINT)
+      |         AS v FROM s1),
+      |s2 AS (SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * v1.v) AS sv
+      |       FROM cm JOIN v1 ON v1.i = cm.j GROUP BY 1),
+      |v2 AS (SELECT i, CAST(sv * 1000000
+      |         // greatest((SELECT max(abs(sv)) FROM s2), 1) AS BIGINT)
+      |         AS v FROM s2),
+      |s3 AS (SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * v2.v) AS sv
+      |       FROM cm JOIN v2 ON v2.i = cm.j GROUP BY 1),
+      |v3 AS (SELECT i, CAST(sv * 1000000
+      |         // greatest((SELECT max(abs(sv)) FROM s3), 1) AS BIGINT)
+      |         AS v FROM s3),
+      |s4 AS (SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * v3.v) AS sv
+      |       FROM cm JOIN v3 ON v3.i = cm.j GROUP BY 1),
+      |v4 AS (SELECT i, CAST(sv * 1000000
+      |         // greatest((SELECT max(abs(sv)) FROM s4), 1) AS BIGINT)
+      |         AS v FROM s4)""".stripMargin
+
+  /** q439: PRINCIPAL DIRECTION of the embedding corpus — the top
+    * eigenvector of the (uncentered) integer Gram matrix Σ qqᵀ over
+    * round(x·1000)-quantized vectors, by four exact power-iteration
+    * steps: s = C·v in HUGEINT/DECIMAL(38,0), renormalized each step to
+    * max|v| = 10⁶ by IntegralDivide (both engines truncate toward zero).
+    * The dominant eigendirection is the whitening/compression axis —
+    * what a PCA-reduce stage would strip first — and the Rayleigh
+    * quotient vᵀCv div vᵀv rides along as the eigenvalue estimate.
+    * Deterministic: v₀ = e₀, every subsequent step pure integer algebra.
+    *
+    * Scale shape: the Gram build is the ONLY data-sized stage — one
+    * self-join at vector grain producing d² = 4096 partial-aggregated
+    * cells (map-side combine bounds the shuffle at 4096 rows per
+    * partition regardless of corpus size); the iteration runs on the
+    * 4096-row matrix and 64-row vectors. The classic "compute XᵀX
+    * distributed, eigensolve tiny" decomposition, with the eigensolve
+    * itself kept in-plan (and cross-engine exact) instead of on the
+    * driver. */
+  val q439PcaPower: Q = Q(
+    "q439_pca_power",
+    s"""WITH $duckPca,
+      |cv AS (SELECT cm.i, sum(CAST(cm.c AS HUGEINT) * v4.v) AS sv
+      |       FROM cm JOIN v4 ON v4.i = cm.j GROUP BY 1),
+      |rq AS (SELECT CAST(sum(CAST(v4.v AS HUGEINT) * cv.sv)
+      |         // greatest(sum(CAST(v4.v AS HUGEINT) * v4.v), 1)
+      |         AS BIGINT) AS lambda_est
+      |       FROM v4 JOIN cv ON cv.i = v4.i)
+      |SELECT v4.i, v4.v AS v_ppm, rq.lambda_est
+      |FROM v4, rq ORDER BY v4.i""".stripMargin) { (s, dir) =>
+    val (v4, cm) = pcaV4(s, dir)
+    val cv = cm.join(v4, col("j") === col("vi")).groupBy(col("i"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vv")).as("sv"))
+    val rq = v4.join(cv, col("vi") === col("i"))
+      .agg(sum(expr("CAST(vv AS DECIMAL(38,0)) * sv")).as("num"),
+        sum(expr("CAST(vv AS DECIMAL(38,0)) * vv")).as("den"))
+      .select(expr("CAST(num div greatest(den, CAST(1 AS DECIMAL(38,0)))" +
+        " AS BIGINT)").as("lambda_est"))
+    v4.crossJoin(rq)
+      .select(col("vi").as("i"), col("vv").as("v_ppm"), col("lambda_est"))
+      .orderBy(col("i"))
+  }
+
+  /** The Spark side of [[duckPca]]: returns (v4, cm) — the converged
+    * ±10⁶-scaled direction at (vi, vv) grain and the persisted Gram
+    * matrix at (i, j, c) grain. */
+  private def pcaV4(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val el = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+    val cm = el.as("a").join(el.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(col("a.q") * col("b.q")).as("c"))
+      .persist(MEMORY_AND_DISK)
+    var v = s.range(1).select(lit(0L).as("vi"), lit(1000000L).as("vv"))
+    for (_ <- 1 to 4) {
+      val sRaw = cm.join(v, col("j") === col("vi")).groupBy(col("i"))
+        .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vv")).as("sv"))
+      val m = sRaw.agg(greatest(max(abs(col("sv"))),
+        lit(1).cast("decimal(38,0)")).as("m"))
+      v = sRaw.crossJoin(m)
+        .select(col("i").as("vi"),
+          expr("CAST((sv * 1000000) div m AS BIGINT)").as("vv"))
+    }
+    (v, cm)
+  }
+
+  /** q440: PRINCIPAL-AXIS PROJECTION — every embedding scored along
+    * q439's converged direction (score = Σ qᵢ·vᵢ, exact BIGINT) and
+    * rolled up per label: the "does the dominant axis separate the
+    * classes" readout that decides whether PCA-reduction is safe or is
+    * about to delete the label signal. Mean by IntegralDivide; min/max
+    * surface the per-class spread.
+    *
+    * Scale shape: the projection is one broadcast-sized join (64 rows)
+    * against the element grain + a label-grain rollup — no new wide
+    * shuffle beyond q439's Gram build (shared and persisted). */
+  val q440PcaProject: Q = Q(
+    "q440_pca_project",
+    s"""WITH $duckPca,
+      |proj AS (SELECT el.vec_id, CAST(sum(el.q * v4.v) AS BIGINT) AS score
+      |         FROM el JOIN v4 ON v4.i = el.i GROUP BY 1)
+      |SELECT CAST(e.label AS BIGINT) AS label,
+      |       CAST(count(*) AS BIGINT) AS n_vecs,
+      |       CAST(sum(p.score) AS BIGINT) AS sum_score,
+      |       CAST(sum(p.score) // count(*) AS BIGINT) AS mean_score,
+      |       CAST(min(p.score) AS BIGINT) AS min_score,
+      |       CAST(max(p.score) AS BIGINT) AS max_score
+      |FROM proj p JOIN embeddings e ON e.vec_id = p.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val (v4, _) = pcaV4(s, dir)
+    val el = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+    el.join(v4, col("i") === col("vi"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("q") * col("vv")).as("score"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("score")).cast("long").as("sum_score"),
+        expr("CAST(sum(score) div count(*) AS BIGINT)").as("mean_score"),
+        min(col("score")).cast("long").as("min_score"),
+        max(col("score")).cast("long").as("max_score"))
+      .orderBy(col("label"))
+  }
+
+  // -------------------------------------------------------------------
+  // q441 — character-entropy quality scoring
+  // -------------------------------------------------------------------
+
+  private def lnNano(e: String): String =
+    s"CAST(CAST(round(ln($e), 9) AS DECIMAL(28,9)) * 1000000000 AS BIGINT)"
+
+  /** ln(8)/ln(32) in rounded-ln nano units — the low/high entropy band
+    * cuts, pinned as shared literals in BOTH engines (the q143 Benford
+    * discipline: never trust two libms to agree at the boundary). */
+  private val LowNano = 2079441542L
+  private val HighNano = 3465735903L
+
+  /** q441: CHARACTER-ENTROPY quality score — the classic cheap
+    * pretraining-corpus filter: H = ln n − (Σ_ch c·ln c)/n per document
+    * over raw character counts. Too-low entropy ⇒ repetitive/boilerplate
+    * (the "aaaa…"/template pathology), too-high ⇒ random-ish bytes
+    * (binary spill, encoding garbage); both get banded. Every ln
+    * argument is an INTEGER count, so the rounded-ln nano discipline
+    * (q406/q433) carries the whole formula: h_nano =
+    * lnNano(n) − (Σ c·lnNano(c)) div n, exact and engine-identical.
+    *
+    * Scale shape: the char grain is the only corpus-sized stage and it
+    * collapses map-side to (doc, char) — ≤ alphabet-size rows per doc —
+    * before any exchange; the per-doc rollup is a second map-side-
+    * combining agg on the same key prefix. No windows, no row-grain
+    * sorts; identical economics to the q430 CDC chunker's position
+    * explode. */
+  val q441CharEntropy: Q = Q(
+    "q441_char_entropy",
+    s"""WITH px AS (SELECT doc_id, text,
+      |                    unnest(range(1, length(text) + 1)) AS i
+      |             FROM documents),
+      |pos AS (SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+      |        FROM px),
+      |pc AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+      |       FROM pos GROUP BY 1, 2),
+      |ag AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+      |              CAST(count(*) AS BIGINT) AS n_distinct,
+      |              CAST(sum(c * ${lnNano("c")}) AS BIGINT) AS sn
+      |       FROM pc GROUP BY 1)
+      |SELECT doc_id, n AS n_chars, n_distinct,
+      |       CAST(${lnNano("n")} - sn // n AS BIGINT) AS h_nano,
+      |       CASE WHEN ${lnNano("n")} - sn // n < $LowNano THEN 'low'
+      |            WHEN ${lnNano("n")} - sn // n > $HighNano THEN 'high'
+      |            ELSE 'mid' END AS entropy_band
+      |FROM ag ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pos = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(expr("sequence(1L, CAST(length(text) AS BIGINT))"))
+          .as("i"), col("text"))
+      .select(col("doc_id"),
+        expr("substring(text, CAST(i AS INT), 1)").as("ch"))
+    val pc = pos.groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    pc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        count(lit(1)).as("n_distinct"),
+        sum(expr(s"c * ${lnNano("c")}")).cast("long").as("sn"))
+      .withColumn("h_nano",
+        (expr(lnNano("n")) - expr("sn div n")).cast("long"))
+      .select(col("doc_id"), col("n").as("n_chars"), col("n_distinct"),
+        col("h_nano"),
+        when(col("h_nano") < LowNano, "low")
+          .when(col("h_nano") > HighNano, "high")
+          .otherwise("mid").as("entropy_band"))
+      .orderBy(col("doc_id"))
+  }
+
+  // -------------------------------------------------------------------
+  // q442 — sqrt-damped source mixing weights
+  // -------------------------------------------------------------------
+
+  /** q442: SOURCE-MIXING weights — the pretraining data-mixing table:
+    * per (source, lang) stratum, sampling weight ∝ √n (temperature
+    * α = ½ damping, the standard fix for head-domain dominance), the
+    * resulting ppm share vs the raw-proportional share, the quota out
+    * of a 100k-document epoch, and the implied up/down-sampling ratio
+    * per stratum. floor(√n) is exact cross-engine: IEEE sqrt is
+    * correctly rounded in both engines and √(integer) can't sit within
+    * one ulp of a wrong integer boundary at BIGINT magnitudes.
+    *
+    * Scale shape: one map-side-combined count per stratum (≤ sources ×
+    * langs cells), then scalar arithmetic against the one-row total.
+    * This is the op whose OUTPUT drives q56/q186's samplers. */
+  val q442SourceMixing: Q = Q(
+    "q442_source_mixing",
+    """WITH s0 AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+      |            FROM documents GROUP BY 1, 2),
+      |w AS (SELECT source, lang, n_docs,
+      |             CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT)
+      |               AS wgt
+      |      FROM s0),
+      |t AS (SELECT CAST(sum(wgt) AS BIGINT) AS tw,
+      |             CAST(sum(n_docs) AS BIGINT) AS td FROM w)
+      |SELECT w.source, w.lang, w.n_docs, w.wgt,
+      |       CAST(w.n_docs * 1000000 // t.td AS BIGINT) AS raw_ppm,
+      |       CAST(w.wgt * 1000000 // t.tw AS BIGINT) AS share_ppm,
+      |       CAST(w.wgt * 100000 // t.tw AS BIGINT) AS epoch_quota,
+      |       CAST((w.wgt * 100000 // t.tw) * 1000000 // w.n_docs
+      |         AS BIGINT) AS upsample_ppm
+      |FROM w, t ORDER BY w.source, w.lang""".stripMargin) { (s, dir) =>
+    val w = Tables(s, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("wgt",
+        floor(sqrt(col("n_docs").cast("double"))).cast("long"))
+    val t = w.agg(sum(col("wgt")).cast("long").as("tw"),
+      sum(col("n_docs")).cast("long").as("td"))
+    w.crossJoin(t)
+      .select(col("source"), col("lang"), col("n_docs"), col("wgt"),
+        expr("CAST(n_docs * 1000000 div td AS BIGINT)").as("raw_ppm"),
+        expr("CAST(wgt * 1000000 div tw AS BIGINT)").as("share_ppm"),
+        expr("CAST(wgt * 100000 div tw AS BIGINT)").as("epoch_quota"),
+        expr("CAST((wgt * 100000 div tw) * 1000000 div n_docs AS BIGINT)")
+          .as("upsample_ppm"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  // -------------------------------------------------------------------
+  // q443 — GSP-style sequential pattern mining over event sessions
+  // -------------------------------------------------------------------
+
+  /** q443: SEQUENTIAL PATTERNS — support-counted "A before B (before C)"
+    * patterns over (user, day) sessions: the GSP/PrefixSpan family's
+    * first two levels, distinct from q155's ADJACENT-transition counts
+    * (here A and B may be separated arbitrarily) and q328's regex CEP
+    * (which matches one pattern; this MINES all frequent ones). A
+    * pattern occurs in a session iff the FIRST occurrences are ordered
+    * (strict <; simultaneous firsts don't count). Support ≥ 5% of
+    * sessions; 3-patterns are Apriori-pruned — both constituent
+    * 2-patterns must themselves be frequent — before counting. The
+    * len-2 rows carry the direction share supp(A→B)/(supp(A→B)+supp(B→A))
+    * in ppm — the "is this ordering real or symmetric noise" readout;
+    * len-3 rows carry the −1 sentinel.
+    *
+    * Scale shape: sessions reduce map-side to (session, type, first-ts)
+    * — ≤ |types| rows per session — so the self-joins are bounded by
+    * types²/types³ PER SESSION (≤ 25/60 here), linear in sessions
+    * overall, all on the (user, day) key one shuffle established.
+    * Support filters broadcast (≤ types² rows). */
+  val q443SeqPatterns: Q = Q(
+    "q443_seq_patterns",
+    """WITH se AS (SELECT user_id,
+      |                   CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |                   event_type, min(ts) AS ft
+      |            FROM events GROUP BY 1, 2, 3),
+      |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sess
+      |       FROM (SELECT DISTINCT user_id, day FROM se)),
+      |p2 AS (SELECT a.event_type AS e1, b.event_type AS e2,
+      |              CAST(count(*) AS BIGINT) AS supp
+      |       FROM se a JOIN se b ON b.user_id = a.user_id
+      |              AND b.day = a.day
+      |              AND b.event_type <> a.event_type AND a.ft < b.ft
+      |       GROUP BY 1, 2),
+      |f2 AS (SELECT p2.* FROM p2, ns WHERE p2.supp * 20 >= ns.n_sess),
+      |p3 AS (SELECT a.event_type AS e1, b.event_type AS e2,
+      |              c.event_type AS e3, CAST(count(*) AS BIGINT) AS supp
+      |       FROM se a
+      |       JOIN se b ON b.user_id = a.user_id AND b.day = a.day
+      |              AND b.event_type <> a.event_type AND a.ft < b.ft
+      |       JOIN se c ON c.user_id = a.user_id AND c.day = a.day
+      |              AND c.event_type <> a.event_type
+      |              AND c.event_type <> b.event_type AND b.ft < c.ft
+      |       WHERE a.event_type || '>' || b.event_type
+      |               IN (SELECT e1 || '>' || e2 FROM f2)
+      |         AND b.event_type || '>' || c.event_type
+      |               IN (SELECT e1 || '>' || e2 FROM f2)
+      |       GROUP BY 1, 2, 3),
+      |f3 AS (SELECT p3.* FROM p3, ns WHERE p3.supp * 20 >= ns.n_sess),
+      |o2 AS (SELECT f2.e1 || '>' || f2.e2 AS pattern,
+      |              CAST(2 AS BIGINT) AS plen, f2.supp,
+      |              CAST(f2.supp * 1000000
+      |                // (f2.supp + coalesce(r.supp, 0)) AS BIGINT)
+      |                AS dir_ppm
+      |       FROM f2 LEFT JOIN p2 r ON r.e1 = f2.e2 AND r.e2 = f2.e1),
+      |o3 AS (SELECT e1 || '>' || e2 || '>' || e3 AS pattern,
+      |              CAST(3 AS BIGINT) AS plen, supp,
+      |              CAST(-1 AS BIGINT) AS dir_ppm
+      |       FROM f3)
+      |SELECT * FROM (SELECT * FROM o2 UNION ALL SELECT * FROM o3)
+      |ORDER BY plen, supp DESC, pattern""".stripMargin) { (s, dir) =>
+    val se = Tables(s, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        col("event_type"), col("ts"))
+      .groupBy(col("user_id"), col("day"), col("event_type"))
+      .agg(min(col("ts")).as("ft"))
+      .persist(MEMORY_AND_DISK)
+    val nSess = se.select(col("user_id"), col("day")).distinct().count()
+    val p2 = se.as("a").join(se.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === col("a.day") &&
+          col("b.event_type") =!= col("a.event_type") &&
+          col("a.ft") < col("b.ft"))
+      .groupBy(col("a.event_type").as("e1"), col("b.event_type").as("e2"))
+      .agg(count(lit(1)).as("supp"))
+      .persist(MEMORY_AND_DISK)
+    val f2 = p2.filter(col("supp") * 20 >= nSess)
+    val p3 = se.as("a").join(se.as("b"),
+        col("b.user_id") === col("a.user_id") &&
+          col("b.day") === col("a.day") &&
+          col("b.event_type") =!= col("a.event_type") &&
+          col("a.ft") < col("b.ft"))
+      .join(se.as("c"),
+        col("c.user_id") === col("a.user_id") &&
+          col("c.day") === col("a.day") &&
+          col("c.event_type") =!= col("a.event_type") &&
+          col("c.event_type") =!= col("b.event_type") &&
+          col("b.ft") < col("c.ft"))
+      .join(f2.select(col("e1").as("fa1"), col("e2").as("fa2")),
+        col("a.event_type") === col("fa1") &&
+          col("b.event_type") === col("fa2"), "left_semi")
+      .join(f2.select(col("e1").as("fb1"), col("e2").as("fb2")),
+        col("b.event_type") === col("fb1") &&
+          col("c.event_type") === col("fb2"), "left_semi")
+      .groupBy(col("a.event_type").as("e1"), col("b.event_type").as("e2"),
+        col("c.event_type").as("e3"))
+      .agg(count(lit(1)).as("supp"))
+    val f3 = p3.filter(col("supp") * 20 >= nSess)
+    val o2 = f2.as("f")
+      .join(p2.select(col("e1").as("r1"), col("e2").as("r2"),
+        col("supp").as("rsupp")),
+        col("f.e1") === col("r2") && col("f.e2") === col("r1"), "left")
+      .select(concat(col("f.e1"), lit(">"), col("f.e2")).as("pattern"),
+        lit(2L).as("plen"), col("f.supp").as("supp"),
+        expr("CAST(supp * 1000000 div (supp + coalesce(rsupp, 0))" +
+          " AS BIGINT)").as("dir_ppm"))
+    val o3 = f3.select(
+      concat(col("e1"), lit(">"), col("e2"), lit(">"), col("e3"))
+        .as("pattern"),
+      lit(3L).as("plen"), col("supp"), lit(-1L).as("dir_ppm"))
+    o2.unionAll(o3).orderBy(col("plen"), col("supp").desc, col("pattern"))
+  }
+
+  val all: Seq[Q] = Seq(q436Modularity, q437LouvainGain, q438Ppr,
+    q439PcaPower, q440PcaProject, q441CharEntropy, q442SourceMixing,
+    q443SeqPatterns)
+}

@@ -1,0 +1,344 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-15 batch-3 kernels vs independent Scala references. The q436
+  * reference recomputes per-community modularity from scratch with
+  * BigInt arithmetic; the q437 reference validates the algebraic
+  * move-gain SHORTCUT by literally re-evaluating whole-partition
+  * modularity before/after each candidate move (the strongest possible
+  * check of the ΔQ bookkeeping); the q438 reference replays the integer
+  * mass iteration sequentially with the same truncation discipline.
+  */
+class Round15bSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val root = Paths.get("target", "tmp",
+    s"r15b-${java.util.UUID.randomUUID().toString.take(8)}").toAbsolutePath
+
+  private def dirFor(name: String): String = {
+    val d = root.resolve(name)
+    Files.createDirectories(d)
+    d.toString
+  }
+
+  /** Edge (u, v, w) → w orders each holding parts {u, v}: the support-2
+    * graph then contains exactly the w ≥ 2 edges with weight w. */
+  private def lineitemFor(edges: Seq[(Long, Long, Long)], dir: String): Unit = {
+    var nextOrder = 0L
+    edges.flatMap { case (u, v, w) =>
+      (1L to w).flatMap { _ =>
+        nextOrder += 1
+        Seq((nextOrder, u), (nextOrder, v))
+      }
+    }.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  /** Whole-partition modularity numerator Q·4W² plus the per-community
+    * decomposition, from scratch over (edges, labels). */
+  private def refModularity(edges: Seq[(Long, Long, Long)],
+      labels: Map[Long, Long])
+      : (BigInt, Map[Long, (Long, Long, Long, BigInt)]) = {
+    val ww = BigInt(edges.map(_._3).sum)
+    val strength = edges.flatMap { case (u, v, w) => Seq(u -> w, v -> w) }
+      .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    val byComm = labels.groupBy(_._2).map { case (c, m) =>
+      val nodes = m.keySet
+      val inW = edges.filter(e => nodes(e._1) && nodes(e._2)).map(_._3).sum
+      val degW = nodes.toSeq.map(strength.getOrElse(_, 0L)).sum
+      val qnum = 4 * ww * inW - BigInt(degW) * degW
+      c -> (nodes.size.toLong, inW, degW, qnum)
+    }
+    (byComm.values.map(_._4).sum, byComm)
+  }
+
+  test("q436 rows match a from-scratch BigInt modularity computation " +
+    "on a two-clique fixture") {
+    val dir = dirFor("modularity")
+    // Two K4 communities with heavy internal weight, one light bridge.
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (u, v) => (u, v, 3L) }
+    val k4b = Seq((11L, 12L), (11L, 13L), (11L, 14L), (12L, 13L),
+      (12L, 14L), (13L, 14L)).map { case (u, v) => (u, v, 3L) }
+    val edges = k4a ++ k4b ++ Seq((4L, 11L, 2L))
+    lineitemFor(edges, dir)
+    val labels = Round15.wlpa4(Round15.weightedEdges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (qnumTotal, byComm) = refModularity(edges, labels)
+    val ww = BigInt(edges.map(_._3).sum)
+    val qden = 4 * ww * ww
+    val got = Round15b.q436Modularity.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // Whole-partition row: Q·4W² / 4W² in ppm, truncated toward zero.
+    // in_w totals INTERNAL weight only — the bridge edge is nobody's.
+    assert(got(-1L) === ((labels.size.toLong, byComm.values.map(_._2).sum,
+      2 * edges.map(_._3).sum, (qnumTotal * 1000000 / qden).toLong)))
+    byComm.foreach { case (c, (n, inW, degW, qnum)) =>
+      assert(got(c) === ((n, inW, degW, (qnum * 1000000 / qden).toLong)),
+        s"community $c")
+    }
+    // The heavy-clique partition is genuinely good: Q > 0.3.
+    assert(got(-1L)._4 > 300000L)
+  }
+
+  test("q437 move gains equal literal before/after whole-partition " +
+    "modularity re-evaluation, and the planted misfit's move tops the list") {
+    val dir = dirFor("louvain")
+    // Heavy K4 {1..4} bridged via node 20 into light triangle
+    // {11,12,13}: label 1's sweep through the bridge strands node 11
+    // carrying label 1 while its triangle partners hold label 4 — a
+    // genuine LPA artifact (verified by simulating the vote dynamics)
+    // that modularity strictly wants undone. The gain surface must
+    // flag 11's repatriation AND the bridge node's own move.
+    val k4a = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).map { case (u, v) => (u, v, 3L) }
+    val triB = Seq((11L, 12L, 2L), (11L, 13L, 2L), (12L, 13L, 2L))
+    val edges = k4a ++ triB ++ Seq((4L, 20L, 4L), (20L, 11L, 2L),
+      (20L, 12L, 2L))
+    lineitemFor(edges, dir)
+    val labels = Round15.wlpa4(Round15.weightedEdges(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (qnum0, _) = refModularity(edges, labels)
+    // Brute force: every node × every neighboring community, gain by
+    // re-evaluating the whole partition after the move.
+    val neighComms = edges.flatMap { case (u, v, _) =>
+      Seq(u -> labels(v), v -> labels(u)) }.distinct
+    val brute = neighComms.filter { case (n, c) => labels(n) != c }
+      .map { case (n, c) =>
+        val (qnum1, _) = refModularity(edges, labels.updated(n, c))
+        (n, c, qnum1 - qnum0)
+      }
+    val bestByNode = brute.groupBy(_._1).map { case (n, xs) =>
+      n -> xs.minBy { case (_, c, g) => (-g, c) }
+    }
+    val expected = bestByNode.values.filter(_._3 > 0).toSeq
+      .sortBy { case (n, _, g) => (-g, n) }
+    val got = Round15b.q437LouvainGain.fn(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(3), BigInt(r.getLong(4))))
+    assert(got.toSeq === expected.map { case (n, c, g) => (n, c, g) })
+    assert(got.nonEmpty, "the planted misfit must yield a positive gain")
+  }
+
+  /** Sequential replay of q438's integer mass iteration (same Long
+    * truncation points: per-edge (r·w) div sw, then (85·Σ) div 100). */
+  private def refPpr(edges: Seq[(Long, Long, Long)])
+      : (Seq[(Long, Long, Long)], Set[Long]) = {
+    val sym = edges ++ edges.map { case (u, v, w) => (v, u, w) }
+    val sw = sym.groupBy(_._1).map { case (n, xs) => n -> xs.map(_._3).sum }
+    val seeds = sw.toSeq.sortBy { case (n, s) => (-s, n) }.take(8)
+      .map(_._1).toSet
+    val base = 1000000000000L / seeds.size
+    val jump = 15L * base / 100L
+    var r: Map[Long, Long] = seeds.map(_ -> base).toMap
+    for (_ <- 1 to 3) {
+      val prop = sym.flatMap { case (u, v, w) =>
+        r.get(u).map(ru => v -> (ru * w / sw(u)))
+      }.groupBy(_._1).map { case (v, xs) => v -> 85L * xs.map(_._2).sum / 100L }
+      r = (prop.toSeq ++ seeds.toSeq.map(_ -> jump))
+        .groupBy(_._1).map { case (n, xs) => n -> xs.map(_._2).sum }
+    }
+    val top = r.toSeq.sortBy { case (n, m) => (-m, n) }.take(20)
+      .zipWithIndex.map { case ((n, m), i) => (i + 1L, n, m) }
+    (top, seeds)
+  }
+
+  test("q438 equals a sequential integer-mass replay and concentrates " +
+    "rank on the seed neighborhood") {
+    val dir = dirFor("ppr")
+    // A heavy hub (spokes w=5 so the seed set is hub-only) + a chain
+    // hanging off spoke 9: mass reaches the chain only by propagation.
+    val hub = (2L to 9L).map(i => (1L, i, 5L))
+    val chain = Seq((30L, 31L, 2L), (31L, 32L, 2L), (32L, 33L, 2L),
+      (9L, 30L, 2L))
+    val edges = hub ++ chain
+    lineitemFor(edges, dir)
+    val (expTop, seeds) = refPpr(edges)
+    val got = Round15b.q438Ppr.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq === expTop)
+    got.foreach { case (_, n, _, isSeed) =>
+      assert(isSeed === (if (seeds(n)) 1L else 0L), s"node $n seed flag")
+    }
+    // Teleportation bites: the hub anchor (seed, and every spoke's
+    // propagation target) holds rank 1, and rank decays along the
+    // chain away from the seeds.
+    assert(got.head._2 === 1L)
+    val posOf = got.map(t => t._2 -> t._1).toMap
+    for (a <- posOf.get(30L); b <- posOf.get(33L)) assert(a < b)
+  }
+
+  /** BigInt replay of the q439 power iteration (same truncation points)
+    * over quantized vectors. */
+  private def refPca(vecs: Seq[(Long, Array[Float])])
+      : (Map[Long, Long], Long) = {
+    val q = vecs.map { case (_, a) =>
+      a.map(x => math.round(x.toDouble * 1000)) }
+    val d = q.head.length
+    val c = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      c(i)(j) = q.map(v => BigInt(v(i)) * v(j)).sum
+    var v = Array.tabulate(d)(i => BigInt(if (i == 0) 1000000 else 0))
+    for (_ <- 1 to 4) {
+      val s = Array.tabulate(d)(i =>
+        (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = s.map(_.abs).max.max(BigInt(1))
+      v = s.map(x => x * 1000000 / m)
+    }
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val num = (0 until d).map(i => v(i) * cv(i)).sum
+    val den = (0 until d).map(i => v(i) * v(i)).sum.max(BigInt(1))
+    ((0 until d).map(i => i.toLong -> v(i).toLong).toMap,
+      (num / den).toLong)
+  }
+
+  test("q439/q440 recover a planted dominant axis, match a BigInt " +
+    "replay, and the projection separates the sign-split labels") {
+    val dir = dirFor("pca")
+    // 40 64-dim vectors: ±0.9 along axis 7 (sign by parity → label),
+    // small deterministic off-axis noise. Dominant eigendirection ≈ e₇.
+    val vecs = (0L until 40L).map { id =>
+      val a = Array.tabulate(64)(i =>
+        (((id * 31 + i * 17) % 13).toFloat - 6f) / 100f)
+      a(7) = if (id % 2 == 0) 0.9f else -0.9f
+      (id, a)
+    }
+    vecs.map { case (id, a) => (id, a.toSeq, (id % 2).toInt) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (refV, refLam) = refPca(vecs)
+    val got = Round15b.q439PcaPower.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(t => t._1 -> t._2).toMap === refV)
+    got.foreach(t => assert(t._3 === refLam))
+    // The planted axis dominates: |v₇| = 10⁶ and no other dim comes close.
+    val byDim = got.map(t => t._1 -> math.abs(t._2)).toMap
+    assert(byDim(7L) === 1000000L)
+    byDim.filter(_._1 != 7L).values.foreach(m => assert(m < 500000L))
+    // Projection: the even/odd labels sit on opposite sides of 0.
+    val proj = Round15b.q440PcaProject.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(proj(0L)._1 === 20L)
+    assert(proj(1L)._1 === 20L)
+    assert(proj(0L)._2.sign === -proj(1L)._2.sign)
+    assert(proj(0L)._2 != 0L)
+  }
+
+  test("q441 entropy bands: constant text scores 0/low, 40 distinct " +
+    "chars score ln40/high, and h_nano tracks IEEE entropy to nano slack") {
+    val dir = dirFor("entropy")
+    val distinct40 =
+      "abcdefghijklmnopqrstuvwxyz0123456789+-*/"
+    val docs = Seq(
+      (1L, "aaaaaaaaaa", "en", "s1", 10L),
+      (2L, distinct40, "en", "s1", 40L),
+      (3L, "the quick brown fox jumps over the lazy dog", "en", "s2", 44L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Round15b.q441CharEntropy.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    docs.foreach { case (id, text, _, _, _) =>
+      val counts = text.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = text.length.toLong
+      val h = math.log(n.toDouble) -
+        counts.values.map(c => c * math.log(c.toDouble)).sum / n
+      val (gn, gd, gh, _) = got(id)
+      assert(gn === n); assert(gd === counts.size.toLong)
+      assert(math.abs(gh - math.round(h * 1e9)) <= 10L, s"doc $id")
+    }
+    assert(got(1L)._3 === 0L)
+    assert(got(1L)._4 === "low")
+    assert(got(2L)._4 === "high") // ln 40 > ln 32
+    assert(got(3L)._4 === "mid")
+  }
+
+  test("q442 mixing: sqrt damping up-weights tail strata exactly") {
+    val dir = dirFor("mixing")
+    val docs = (1L to 16L).map(i => (i, "x", "en", "s1")) ++
+      (17L to 20L).map(i => (i, "x", "en", "s2")) ++
+      Seq((21L, "x", "de", "s3"))
+    docs.map { case (id, t, l, src) => (id, t, l, src, 1L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Round15b.q442SourceMixing.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    // n: 16/4/1 → wgt 4/2/1, tw = 7, td = 21, epoch = 100000.
+    assert(got(("s1", "en"))._2 === 4L)
+    assert(got(("s2", "en"))._2 === 2L)
+    assert(got(("s3", "de"))._2 === 1L)
+    assert(got(("s1", "en"))._4 === 4000000L / 7)   // share_ppm
+    assert(got(("s3", "de"))._4 === 1000000L / 7)
+    assert(got(("s1", "en"))._3 === 16000000L / 21) // raw_ppm
+    // Damping: head stratum share < raw share, tail share > raw share.
+    assert(got(("s1", "en"))._4 < got(("s1", "en"))._3)
+    assert(got(("s3", "de"))._4 > got(("s3", "de"))._3)
+    // Quota and upsample: w·E // tw, then ×10⁶ // n.
+    val q1 = 4L * 100000L / 7L
+    assert(got(("s1", "en"))._5 === q1)
+    assert(got(("s1", "en"))._6 === q1 * 1000000L / 16L)
+    val q3 = 1L * 100000L / 7L
+    assert(got(("s3", "de"))._6 === q3 * 1000000L / 1L)
+  }
+
+  /** Brute-force sequential-pattern reference over (user, day) sessions
+    * (first-occurrence order, strict <, 5% support, Apriori 3-level). */
+  private def refSeqPatterns(evs: Seq[(Long, Long, String)])
+      : Seq[(String, Long, Long, Long)] = {
+    val sess = evs.groupBy { case (u, ns, _) =>
+      (u, ns / 1000000000L / 86400L) }
+    val firsts = sess.view.mapValues(_.groupBy(_._3).view
+      .mapValues(_.map(_._2).min).toMap).toMap
+    val nSess = sess.size.toLong
+    val types = evs.map(_._3).distinct
+    def supp2(a: String, b: String): Long = firsts.values.count(f =>
+      f.contains(a) && f.contains(b) && f(a) < f(b)).toLong
+    val p2 = (for (a <- types; b <- types if a != b) yield
+      (a, b, supp2(a, b))).filter(_._3 > 0)
+    val f2 = p2.filter(_._3 * 20 >= nSess)
+    val f2set = f2.map(t => (t._1, t._2)).toSet
+    val o2 = f2.map { case (a, b, s) =>
+      val rev = p2.find(t => t._1 == b && t._2 == a).map(_._3).getOrElse(0L)
+      (s"$a>$b", 2L, s, s * 1000000L / (s + rev))
+    }
+    val o3 = (for {
+      a <- types; b <- types; c <- types
+      if a != b && b != c && a != c
+      if f2set((a, b)) && f2set((b, c))
+    } yield {
+      val s = firsts.values.count(f => f.contains(a) && f.contains(b) &&
+        f.contains(c) && f(a) < f(b) && f(b) < f(c)).toLong
+      (s"$a>$b>$c", 3L, s, -1L)
+    }).filter(t => t._3 > 0 && t._3 * 20 >= nSess)
+    (o2 ++ o3).sortBy { case (p, l, s, _) => (l, -s, p) }
+  }
+
+  test("q443 equals a brute-force GSP reference on planted sessions") {
+    val dir = dirFor("seqpat")
+    def ns(min: Long): Long = min * 60L * 1000000000L
+    // 10 sessions click→view→purchase, one view→click, one click-only —
+    // direction share for click>view must be 10/(10+1).
+    val evs = (1L to 10L).flatMap { u =>
+      Seq((u, ns(u), "click"), (u, ns(u + 100), "view"),
+        (u, ns(u + 200), "purchase"))
+    } ++ Seq((11L, ns(5), "view"), (11L, ns(50), "click"),
+      (12L, ns(9), "click"))
+    evs.zipWithIndex.map { case ((u, t, ty), i) =>
+      (i.toLong, t, u, ty, 0.0, "{}") }
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val expected = refSeqPatterns(evs)
+    val got = Round15b.q443SeqPatterns.fn(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected)
+    val dirShare = got.find(_._1 == "click>view").get._4
+    assert(dirShare === 10000000L / 11L)
+  }
+}
