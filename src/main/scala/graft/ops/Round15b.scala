@@ -741,7 +741,261 @@ object Round15b {
     o2.unionAll(o3).orderBy(col("plen"), col("supp").desc, col("pattern"))
   }
 
+  // -------------------------------------------------------------------
+  // q445 — stationary behavior mix (Markov steady state)
+  // -------------------------------------------------------------------
+
+  /** q445: STATIONARY BEHAVIOR MIX — the steady-state event-type
+    * distribution implied by the session transition matrix, vs the mix
+    * actually observed: where user behavior is HEADED vs where it is.
+    * Transitions at (user, day)-session grain ordered by (ts,
+    * event_id); four unrolled power steps π' (b) = Σ_a π(a)·c_ab div
+    * rs_a on 10¹² integer mass (q403's truncation discipline — each
+    * per-edge term floors identically in both engines); both the
+    * observed and stationary shares renormalize at readout so
+    * truncation-lost mass can't skew the comparison.
+    *
+    * Scale shape: one (user, day) shuffle for the lag window, then
+    * everything is ≤ types² cells; the power steps run on the tiny
+    * matrix in-plan. The observed rollup is map-side combined. */
+  val q445StationaryMix: Q = Q(
+    "q445_stationary_mix",
+    """WITH ev AS (SELECT user_id,
+      |                  CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+      |                  event_type, ts, event_id FROM events),
+      |tr AS (SELECT event_type,
+      |              lag(event_type) OVER (PARTITION BY user_id, day
+      |                ORDER BY ts, event_id) AS prev
+      |       FROM ev),
+      |c AS (SELECT prev AS a, event_type AS b,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM tr WHERE prev IS NOT NULL GROUP BY 1, 2),
+      |rs AS (SELECT a, CAST(sum(c) AS BIGINT) AS rs FROM c GROUP BY 1),
+      |ty AS (SELECT DISTINCT event_type AS t FROM events),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ty),
+      |p0 AS (SELECT t, 1000000000000 // (SELECT n FROM nt) AS m FROM ty),
+      |p1 AS (SELECT c.b AS t, CAST(sum((p0.m * c.c) // rs.rs) AS BIGINT)
+      |         AS m
+      |       FROM c JOIN p0 ON p0.t = c.a JOIN rs ON rs.a = c.a
+      |       GROUP BY 1),
+      |p2 AS (SELECT c.b AS t, CAST(sum((p1.m * c.c) // rs.rs) AS BIGINT)
+      |         AS m
+      |       FROM c JOIN p1 ON p1.t = c.a JOIN rs ON rs.a = c.a
+      |       GROUP BY 1),
+      |p3 AS (SELECT c.b AS t, CAST(sum((p2.m * c.c) // rs.rs) AS BIGINT)
+      |         AS m
+      |       FROM c JOIN p2 ON p2.t = c.a JOIN rs ON rs.a = c.a
+      |       GROUP BY 1),
+      |p4 AS (SELECT c.b AS t, CAST(sum((p3.m * c.c) // rs.rs) AS BIGINT)
+      |         AS m
+      |       FROM c JOIN p3 ON p3.t = c.a JOIN rs ON rs.a = c.a
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(sum(m) AS BIGINT) AS tm FROM p4),
+      |obs AS (SELECT event_type AS t, CAST(count(*) AS BIGINT) AS n
+      |        FROM events GROUP BY 1),
+      |ot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM obs)
+      |SELECT obs.t AS event_type, obs.n AS n_events,
+      |       CAST(obs.n * 1000000 // ot.tn AS BIGINT) AS obs_ppm,
+      |       CAST(coalesce(p4.m, 0) * 1000000 // tot.tm AS BIGINT)
+      |         AS stat_ppm,
+      |       CAST(coalesce(p4.m, 0) * 1000000 // tot.tm
+      |            - obs.n * 1000000 // ot.tn AS BIGINT) AS delta_ppm
+      |FROM obs LEFT JOIN p4 ON p4.t = obs.t, tot, ot
+      |ORDER BY event_type""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        expr("unix_timestamp(ts) div 86400").as("day"),
+        col("ts"), col("event_id"))
+    val tr = ev.withColumn("prev", lag(col("event_type"), 1).over(
+      Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))))
+    val c = tr.filter(col("prev").isNotNull)
+      .groupBy(col("prev").as("a"), col("event_type").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persist(MEMORY_AND_DISK)
+    val rs = c.groupBy(col("a")).agg(sum(col("c")).as("rs"))
+    val edges = c.join(rs, "a").persist(MEMORY_AND_DISK)
+    val ty = Tables(s, dir, "events").select(col("event_type").as("t"))
+      .distinct().persist(MEMORY_AND_DISK)
+    val nt = ty.count()
+    val base = 1000000000000L / math.max(nt, 1L)
+    var p = ty.select(col("t"), lit(base).as("m"))
+    for (_ <- 1 to 4) {
+      p = edges.join(p, col("a") === col("t"))
+        .groupBy(col("b"))
+        .agg(sum(expr("(m * c) div rs")).as("m2"))
+        .select(col("b").as("t"), col("m2").cast("long").as("m"))
+    }
+    val tot = p.agg(sum(col("m")).cast("long").as("tm"))
+    val obs = Tables(s, dir, "events")
+      .groupBy(col("event_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val ot = obs.agg(sum(col("n")).cast("long").as("tn"))
+    obs.join(p.withColumnRenamed("t", "pt").withColumnRenamed("m", "pm"),
+        col("t") === col("pt"), "left")
+      .crossJoin(tot).crossJoin(ot)
+      .select(col("t").as("event_type"), col("n").as("n_events"),
+        expr("CAST(n * 1000000 div tn AS BIGINT)").as("obs_ppm"),
+        expr("CAST(coalesce(pm, 0) * 1000000 div tm AS BIGINT)")
+          .as("stat_ppm"),
+        expr("CAST(coalesce(pm, 0) * 1000000 div tm" +
+          " - n * 1000000 div tn AS BIGINT)").as("delta_ppm"))
+      .orderBy(col("event_type"))
+  }
+
+  // -------------------------------------------------------------------
+  // q446 — farthest-point coreset sampling over embeddings
+  // -------------------------------------------------------------------
+
+  /** q446: FARTHEST-POINT coreset — greedy k-center over the quantized
+    * embedding space: 8 seeds, each the point maximizing its distance
+    * to the already-selected set (ties to the smaller vec_id), with the
+    * selection-time distance² surfaced as the shrinking coverage-radius
+    * schedule. The standard diversity-sampling / coreset-seed primitive
+    * for curating representative evaluation sets and k-means++-style
+    * initialization — and, unlike hash samplers (q56/q186), it is
+    * GEOMETRY-aware. All distances are exact integer milli²-units
+    * (round(x·1000) quantization, q195's device), so every argmax is
+    * engine-identical.
+    *
+    * Scale shape: the classic FPS recurrence md_k = min(md_{k−1},
+    * d²(·, s_k)) — each of the 7 rounds is ONE pass over the corpus
+    * joined against the single new 64-row seed (broadcast), never
+    * against the whole selected set; the argmax is a TakeOrdered(1).
+    * O(k·N·d) total, the best known exact FPS economics. */
+  val q446CoresetFps: Q = Q(
+    "q446_coreset_fps", {
+      def dist(seedSel: String) =
+        s"""(SELECT el.vec_id,
+          |        CAST(sum((el.q - s.q) * (el.q - s.q)) AS BIGINT) AS d2
+          | FROM el JOIN el s ON s.i = el.i AND s.vec_id = $seedSel
+          | GROUP BY 1)""".stripMargin
+      val rounds = (2 to 8).map { k =>
+        s"""m$k AS (SELECT m${k - 1}.vec_id, least(m${k - 1}.d2, n.d2) AS d2
+          |       FROM m${k - 1} JOIN ${dist(s"(SELECT sid FROM s$k)")} n
+          |         ON n.vec_id = m${k - 1}.vec_id)""".stripMargin
+      }
+      val seeds = (2 to 8).map { k =>
+        s"""s$k AS (SELECT vec_id AS sid, d2 FROM m${k - 1}
+          |       ORDER BY d2 DESC, vec_id LIMIT 1)""".stripMargin
+      }
+      val steps = (2 to 8).flatMap(k =>
+        Seq(seeds(k - 2), rounds(k - 2))).dropRight(1).mkString(",\n")
+      s"""WITH el AS (SELECT vec_id, t.i - 1 AS i,
+        |              CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000)
+        |                AS BIGINT) AS q
+        |       FROM embeddings, range(1, 65) t(i)),
+        |s1 AS (SELECT min(vec_id) AS sid FROM embeddings),
+        |m1 AS (SELECT n.vec_id, n.d2
+        |       FROM ${dist("(SELECT sid FROM s1)")} n),
+        |$steps,
+        |u AS (SELECT CAST(1 AS BIGINT) AS pos, sid,
+        |             CAST(-1 AS BIGINT) AS radius2 FROM s1
+        |${(2 to 8).map(k =>
+            s"      UNION ALL SELECT $k, sid, d2 FROM s$k").mkString("\n")})
+        |SELECT u.pos, u.sid AS vec_id, CAST(e.label AS BIGINT) AS label,
+        |       u.radius2
+        |FROM u JOIN embeddings e ON e.vec_id = u.sid
+        |ORDER BY u.pos""".stripMargin
+    }) { (s, dir) =>
+    val emb = Tables(s, dir, "embeddings").persist(MEMORY_AND_DISK)
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+      .persist(MEMORY_AND_DISK)
+    def distTo(sid: Long): DataFrame =
+      el.join(el.filter(col("vec_id") === sid)
+          .select(col("i").as("si"), col("q").as("sq")),
+        col("i") === col("si"))
+        .groupBy(col("vec_id"))
+        .agg(sum((col("q") - col("sq")) * (col("q") - col("sq")))
+          .cast("long").as("d2"))
+    val s1 = emb.agg(min(col("vec_id"))).head.getLong(0)
+    val seeds = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (1L, s1, -1L))
+    var md = distTo(s1).localCheckpoint()
+    for (k <- 2 to 8) {
+      val top = md.orderBy(col("d2").desc, col("vec_id")).limit(1).head
+      seeds += ((k.toLong, top.getLong(0), top.getLong(1)))
+      if (k < 8)
+        md = md.join(distTo(top.getLong(0))
+            .select(col("vec_id").as("v2"), col("d2").as("nd2")),
+          col("vec_id") === col("v2"))
+          .select(col("vec_id"), least(col("d2"), col("nd2")).as("d2"))
+          .localCheckpoint()
+    }
+    import s.implicits._
+    seeds.toSeq.toDF("pos", "vec_id", "radius2")
+      .join(emb.select(col("vec_id").as("v3"),
+        col("label").cast("long").as("label")), col("vec_id") === col("v3"))
+      .select(col("pos"), col("vec_id"), col("label"), col("radius2"))
+      .orderBy(col("pos"))
+  }
+
+  // -------------------------------------------------------------------
+  // q447 — per-document n-gram novelty (intra-corpus duplication)
+  // -------------------------------------------------------------------
+
+  /** q447: DOC-GRAIN N-GRAM NOVELTY — for every document, the fraction
+    * of its distinct character 8-grams that appear in NO other document:
+    * the per-doc duplication score that decides "keep, or mostly
+    * boilerplate?" at the grain filters actually drop rows. Distinct
+    * from q253 (day-over-day vocabulary novelty, sketch-level) and the
+    * CDC family (chunk-grain sharing surface): this is the document-
+    * level verdict. dup_heavy flags docs with a minority of unique
+    * grams (novelty < ½, integer cross-multiplied).
+    *
+    * Scale shape: the position explode collapses IMMEDIATELY to
+    * distinct (doc, gram-hash) — the same economics as the CDC
+    * chunker; the gram-frequency table is one map-side-combined count
+    * and returns to doc grain via one hash join. No pairwise document
+    * comparisons anywhere. */
+  val q447NgramNovelty: Q = Q(
+    "q447_ngram_novelty",
+    """WITH dx AS (SELECT doc_id, text FROM documents
+      |            WHERE length(text) >= 8),
+      |px AS (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+      |       FROM dx),
+      |g AS (SELECT DISTINCT doc_id,
+      |             md5(substr(text, CAST(i AS INT), 8)) AS h
+      |      FROM px),
+      |dc AS (SELECT h, CAST(count(*) AS BIGINT) AS nd FROM g GROUP BY 1),
+      |pd AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |              CAST(count(*) FILTER (WHERE dc.nd >= 2) AS BIGINT)
+      |                AS n_shared
+      |       FROM g JOIN dc ON dc.h = g.h GROUP BY 1)
+      |SELECT doc_id, n_grams, n_shared,
+      |       CAST((n_grams - n_shared) * 1000000 // n_grams AS BIGINT)
+      |         AS novelty_ppm,
+      |       CASE WHEN (n_grams - n_shared) * 2 < n_grams
+      |            THEN 'dup_heavy' ELSE 'ok' END AS flag
+      |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val g = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"),
+        explode(expr("sequence(1L, CAST(length(text) - 7 AS BIGINT))"))
+          .as("i"), col("text"))
+      .select(col("doc_id"),
+        md5(expr("substring(text, CAST(i AS INT), 8)")).as("h"))
+      .distinct()
+      .persist(MEMORY_AND_DISK)
+    val dc = g.groupBy(col("h")).agg(count(lit(1)).as("nd"))
+    g.join(dc, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).cast("long")
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        expr("CAST((n_grams - n_shared) * 1000000 div n_grams AS BIGINT)")
+          .as("novelty_ppm"),
+        when((col("n_grams") - col("n_shared")) * 2 < col("n_grams"),
+          "dup_heavy").otherwise("ok").as("flag"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[Q] = Seq(q436Modularity, q437LouvainGain, q438Ppr,
     q439PcaPower, q440PcaProject, q441CharEntropy, q442SourceMixing,
-    q443SeqPatterns)
+    q443SeqPatterns, q445StationaryMix, q446CoresetFps, q447NgramNovelty)
 }

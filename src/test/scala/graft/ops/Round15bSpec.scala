@@ -341,4 +341,102 @@ class Round15bSpec extends SparkSpec {
     val dirShare = got.find(_._1 == "click>view").get._4
     assert(dirShare === 10000000L / 11L)
   }
+
+  test("q445 stationary mix: a symmetric 2-cycle converges to 50/50 " +
+    "even when the observed mix is skewed") {
+    val dir = dirFor("stationary")
+    def ns(min: Long): Long = min * 60L * 1000000000L
+    // One session alternating a b a b a: observed 3/2 but the chain
+    // a↔b is symmetric, so the stationary mix is exactly 50/50.
+    val evs = Seq("a", "b", "a", "b", "a").zipWithIndex.map {
+      case (t, i) => (i.toLong, ns(i.toLong), 1L, t, 0.0, "{}") }
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Round15b.q445StationaryMix.fn(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got("a")._1 === 3L)
+    assert(got("a")._2 === 600000L)
+    assert(got("a")._3 === 500000L)
+    assert(got("b")._3 === 500000L)
+    assert(got("a")._4 === -100000L)
+    assert(got("b")._4 === 100000L)
+  }
+
+  /** Long replay of q446's FPS recurrence over quantized vectors. */
+  private def refFps(vecs: Seq[(Long, Array[Float])])
+      : Seq[(Long, Long, Long)] = {
+    val q = vecs.map { case (id, a) =>
+      id -> a.map(x => math.round(x.toDouble * 1000)) }.toMap
+    def d2(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val s1 = vecs.map(_._1).min
+    var md = vecs.map { case (id, _) => id -> d2(id, s1) }.toMap
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (1L, s1, -1L))
+    for (k <- 2 to 8) {
+      val (sid, r) = md.toSeq.minBy { case (id, d) => (-d, id) }
+      out += ((k.toLong, sid, r))
+      md = md.map { case (id, d) => id -> math.min(d, d2(id, sid)) }
+    }
+    out.toSeq
+  }
+
+  test("q446 FPS selects the planted extremes in order and matches a " +
+    "sequential replay; the coverage radius never grows") {
+    val dir = dirFor("fps")
+    // 1-D geometry in dim 0: positions 0, 1, 2, …, 7, 1000, -1000, 500.
+    // Seed = min id (pos 0); then ±1000 must be picked before anything
+    // in the dense head.
+    val posn = Seq(0f, 0.001f, 0.002f, 0.003f, 0.004f, 0.005f, 0.006f,
+      0.007f, 1f, -1f, 0.5f)
+    val vecs = posn.zipWithIndex.map { case (p, i) =>
+      val a = Array.fill(64)(0f); a(0) = p; (i.toLong, a) }
+    vecs.map { case (id, a) => (id, a.toSeq, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val expected = refFps(vecs)
+    val got = Round15b.q446CoresetFps.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(got.toSeq === expected)
+    // The two ±1000-milli outliers are chosen first (ids 8 and 9).
+    assert(got.slice(1, 3).map(_._2).toSet === Set(8L, 9L))
+    // Coverage radius is nonincreasing from pos 2 on.
+    got.drop(1).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a >= b); case _ => }
+  }
+
+  test("q447 novelty: identical twins score 0/dup_heavy, a unique doc " +
+    "scores 10^6/ok, and a half-shared doc lands in between") {
+    val dir = dirFor("novelty")
+    val shared = "the shared boilerplate block of text here"
+    val uniq = "zqxwvutsrqponmlkjihgfedcba0987654321!@#$%"
+    val docs = Seq(
+      (1L, shared, "en", "s1"),
+      (2L, shared, "en", "s1"),
+      (3L, uniq, "en", "s2"),
+      (4L, shared + "|only doc four carries this private tail segment",
+        "en", "s2"))
+    docs.map { case (id, t, l, src) => (id, t, l, src, t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Independent reference: exact distinct-8-gram sharing.
+    val grams = docs.map { case (id, t, _, _) =>
+      id -> t.sliding(8).toSet }.toMap
+    val got = Round15b.q447NgramNovelty.fn(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    docs.foreach { case (id, _, _, _) =>
+      val mine = grams(id)
+      val shared = mine.count(g =>
+        grams.exists { case (o, gs) => o != id && gs(g) })
+      val (gn, gs, gp, _) = got(id)
+      assert(gn === mine.size.toLong, s"doc $id n_grams")
+      assert(gs === shared.toLong, s"doc $id n_shared")
+      assert(gp === (mine.size - shared).toLong * 1000000L / mine.size)
+    }
+    assert(got(1L)._3 === 0L && got(1L)._4 === "dup_heavy")
+    assert(got(3L)._3 === 1000000L && got(3L)._4 === "ok")
+    assert(got(4L)._3 > 0L && got(4L)._3 < 1000000L)
+  }
 }
