@@ -745,7 +745,7 @@ object Round15 {
 
   /** The weighted support-2 co-purchase edge build shared by
     * q420/q421/q422/q423/q431 (the oracle's e0 verbatim). */
-  private[ops] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
     val lp = Tables(s, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     lp.as("l1").join(lp.as("l2"),

@@ -121,30 +121,41 @@ object Round15b {
         .join(winc.withColumnRenamed("in_w", "in_w0"), Seq("lbl"), "left")
         .select(col("lbl"), col("n_nodes"),
           coalesce(col("in_w0"), lit(0L)).as("in_w"), col("deg_w"))
-        .withColumn("qnum",
-          expr(s"CAST(4 AS DECIMAL(38,0)) * $ww * in_w" +
-            " - CAST(deg_w AS DECIMAL(38,0)) * deg_w"))
-        .persist(MEMORY_AND_DISK)
-      val qden = s"(CAST(4 AS DECIMAL(38,0)) * $ww * $ww)"
-      val tot = pc.agg(
-        sum(col("n_nodes")).cast("long").as("n_nodes"),
-        sum(col("in_w")).cast("long").as("in_w"),
-        sum(col("deg_w")).cast("long").as("deg_w"),
-        sum(col("qnum")).as("qnumsum"))
-        .filter(col("n_nodes").isNotNull)
-        .select(lit(-1L).as("community"), col("n_nodes"), col("in_w"),
-          col("deg_w"),
-          expr(s"CAST((qnumsum * 1000000) div $qden AS BIGINT)")
-            .as("q_ppm"))
-      val per = pc.select(col("lbl").cast("long").as("community"),
-        col("n_nodes").cast("long"), col("in_w").cast("long"),
-        col("deg_w").cast("long"),
-        expr(s"CAST((qnum * 1000000) div $qden AS BIGINT)").as("q_ppm"))
-      tot.unionAll(per)
-        .orderBy(expr("CASE WHEN community = -1 THEN 0 ELSE 1 END"),
-          col("n_nodes").desc, col("community"))
-        .limit(21)
+      modularityRows(pc, ww)
     }
+  }
+
+  /** q436's epilogue over community stats (lbl, n_nodes, in_w, deg_w):
+    * the exact qnum = 4W·in_c − d_c² per community, the whole-partition
+    * row, ppm by IntegralDivide, the size ordering, top 21. Shared with
+    * the q444 streaming twin, whose folded store lands on exactly this
+    * grain. */
+  private[graft] def modularityRows(commStats: DataFrame, ww: Long)
+      : DataFrame = {
+    val pc = commStats
+      .withColumn("qnum",
+        expr(s"CAST(4 AS DECIMAL(38,0)) * $ww * in_w" +
+          " - CAST(deg_w AS DECIMAL(38,0)) * deg_w"))
+      .persist(MEMORY_AND_DISK)
+    val qden = s"(CAST(4 AS DECIMAL(38,0)) * $ww * $ww)"
+    val tot = pc.agg(
+      sum(col("n_nodes")).cast("long").as("n_nodes"),
+      sum(col("in_w")).cast("long").as("in_w"),
+      sum(col("deg_w")).cast("long").as("deg_w"),
+      sum(col("qnum")).as("qnumsum"))
+      .filter(col("n_nodes").isNotNull)
+      .select(lit(-1L).as("community"), col("n_nodes"), col("in_w"),
+        col("deg_w"),
+        expr(s"CAST((qnumsum * 1000000) div $qden AS BIGINT)")
+          .as("q_ppm"))
+    val per = pc.select(col("lbl").cast("long").as("community"),
+      col("n_nodes").cast("long"), col("in_w").cast("long"),
+      col("deg_w").cast("long"),
+      expr(s"CAST((qnum * 1000000) div $qden AS BIGINT)").as("q_ppm"))
+    tot.unionAll(per)
+      .orderBy(expr("CASE WHEN community = -1 THEN 0 ELSE 1 END"),
+        col("n_nodes").desc, col("community"))
+      .limit(21)
   }
 
   // -------------------------------------------------------------------

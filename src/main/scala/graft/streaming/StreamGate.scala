@@ -2465,6 +2465,97 @@ object StreamGate {
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("chunk_md5"))
   }
 
+  /** q444: STREAMING COMMUNITY-STATS maintenance — q436's modularity
+    * readout kept current as weighted edges arrive, under a PINNED
+    * partition (the full-graph weighted-LPA labels, computed once at
+    * setup — the production topology where a nightly job re-labels and
+    * the intraday stream only maintains the stats). The maintained
+    * state is per-community (in_w, deg_w): an edge (u, v, w) adds w to
+    * both endpoints' community strengths and, when the communities
+    * coincide, w to that community's internal weight — BOTH pure sums
+    * over edges, so disjoint micro-batches fold additively exactly like
+    * q402's CMS counters and q435's chunk stats (the additive-monoid
+    * twin class; replay-stable because a redelivered trigger re-reads
+    * gen=<id−1> and overwrites its own generation). Total weight W
+    * never needs its own register: Σ_c deg_w = 2W by construction. The
+    * read path reattaches the label table's node counts and runs
+    * [[graft.ops.Round15b.modularityRows]] — the gate is fold ≡ q436's
+    * from-scratch oracle.
+    *
+    * Scale shape: per trigger two label-table hash joins at batch-edge
+    * grain and one community-grain fold; the store never exceeds
+    * #communities rows. */
+  val q444StreamCommunityMaintain: Q = Q(
+    "q444_stream_community_maintain",
+    graft.ops.Round15b.q436Modularity.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q444-")
+    val e = graft.ops.Round15.weightedEdges(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labelsPath = work.resolve("labels").toString
+    graft.ops.Round15.wlpa4(e).write.mode("overwrite").parquet(labelsPath)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => e.filter((col("u") + col("v")) % 3 === r)))
+    val store = work.resolve("comm").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val lab = sb.read.parquet(labelsPath)
+          val b = batch.toDF()
+            .join(lab.select(col("n").as("un"), col("lbl").as("lu")),
+              col("u") === col("un"))
+            .join(lab.select(col("n").as("vn"), col("lbl").as("lv")),
+              col("v") === col("vn"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val degP = b.select(col("lu").as("lbl"), col("w"))
+            .unionAll(b.select(col("lv").as("lbl"), col("w")))
+            .groupBy(col("lbl"))
+            .agg(sum(col("w")).cast("long").as("deg_w"))
+            .select(col("lbl"), lit(0L).as("in_w"), col("deg_w"))
+          val inP = b.filter(col("lu") === col("lv"))
+            .groupBy(col("lu").as("lbl"))
+            .agg(sum(col("w")).cast("long").as("in_w"))
+            .select(col("lbl"), col("in_w"), lit(0L).as("deg_w"))
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("lbl"), col("id").as("in_w"),
+              col("id").as("deg_w")))
+          degP.unionByName(inP).unionByName(prev)
+            .groupBy(col("lbl"))
+            .agg(sum(col("in_w")).cast("long").as("in_w"),
+              sum(col("deg_w")).cast("long").as("deg_w"))
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val st = latestGenBefore(s, store, Long.MaxValue).getOrElse(
+      s.range(0).select(col("id").as("lbl"), col("id").as("in_w"),
+        col("id").as("deg_w")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val ww = st.agg(coalesce(sum(col("deg_w")), lit(0L)).cast("long"))
+      .head.getLong(0) / 2L
+    if (ww == 0L)
+      s.range(0).select(col("id").as("community"), col("id").as("n_nodes"),
+        col("id").as("in_w"), col("id").as("deg_w"), col("id").as("q_ppm"))
+    else {
+      val nn = s.read.parquet(labelsPath).groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"))
+      val comm = nn.join(st, Seq("lbl"), "left")
+        .select(col("lbl"), col("n_nodes"),
+          coalesce(col("in_w"), lit(0L)).as("in_w"),
+          coalesce(col("deg_w"), lit(0L)).as("deg_w"))
+      graft.ops.Round15b.modularityRows(comm, ww)
+    }
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2518,5 +2609,6 @@ object StreamGate {
     q257StreamSliding, q259StreamFullMaintenance, q279StreamForget,
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
     q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain,
-    q427StreamBloomMaintain, q435StreamCdcMaintain)
+    q427StreamBloomMaintain, q435StreamCdcMaintain,
+    q444StreamCommunityMaintain)
 }
