@@ -1006,7 +1006,368 @@ object Round15b {
       .orderBy(col("doc_id"))
   }
 
+  // -------------------------------------------------------------------
+  // q448/q449 — strongly connected components + condensation depth
+  //             over the DIRECTED purchase-sequence graph
+  // -------------------------------------------------------------------
+
+  /** The directed "bought u, then bought v in the NEXT order" graph:
+    * per customer, orders ranked by (date, key); every part of order i
+    * points at every part of order i+1; support = number of such
+    * consecutive-order hops, threshold ≥ 2. The first DIRECTED graph
+    * in the tier — co-purchase is symmetric by construction; purchase
+    * SEQUENCE is not, which is what makes SCC/condensation meaningful.
+    *
+    * Scale shape: one per-customer window (customer-grain shuffle),
+    * the consecutive-pair self-join on the same key, then the part-pair
+    * expansion bounded by (parts per order)² per hop with a map-side
+    * combined support count — the q155 Markov economics lifted from
+    * event types to the part catalog. */
+  private[graft] def seqEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))))
+    val cp = o.as("a").join(o.as("b"),
+        col("b.o_custkey") === col("a.o_custkey") &&
+          col("b.rk") === col("a.rk") + 1)
+      .select(col("a.o_orderkey").as("k1"), col("b.o_orderkey").as("k2"))
+    val lp = Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    cp.join(lp.as("p1"), col("p1.l_orderkey") === col("k1"))
+      .join(lp.as("p2"), col("p2.l_orderkey") === col("k2"))
+      .filter(col("p1.l_partkey") =!= col("p2.l_partkey"))
+      .groupBy(col("p1.l_partkey").as("u"), col("p2.l_partkey").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select(col("u"), col("v"))
+  }
+
+  /** Oracle rendering of [[seqEdges]] (e0) — shared by q448/q449.
+    * Every CTE MATERIALIZED: these sit inside WITH RECURSIVE chains,
+    * and an unmaterialized e0 gets re-inlined (orders window and all)
+    * on every recursive iteration — the q396/q428 oracle lesson. */
+  private val duckSeqEdges: String =
+    """o AS MATERIALIZED (SELECT o_custkey, o_orderkey,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey) AS rk
+      |      FROM orders),
+      |cp AS MATERIALIZED (SELECT a.o_orderkey AS k1, b.o_orderkey AS k2
+      |       FROM o a JOIN o b ON b.o_custkey = a.o_custkey
+      |        AND b.rk = a.rk + 1),
+      |lp AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey
+      |       FROM lineitem),
+      |e0 AS MATERIALIZED (SELECT p1.l_partkey AS u, p2.l_partkey AS v
+      |       FROM cp JOIN lp p1 ON p1.l_orderkey = cp.k1
+      |               JOIN lp p2 ON p2.l_orderkey = cp.k2
+      |       WHERE p1.l_partkey <> p2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2)""".stripMargin
+
+  /** Round cap for each min-label fixpoint inside [[sccLabels]] and the
+    * peel cap — generous hard STOPS for the convergence-checked loops
+    * (the loops exit early at the verified fixpoint; the caps only
+    * bound a pathological input). A cap hit raises, never truncates. */
+  private val SccMaxRounds = 40
+  private val SccMaxPeels = 12
+
+  /** TIERED SCC (the q383/resolveClusters tier discipline): below
+    * [[SccDriverMaxEdges]] the edge list collects once and an iterative
+    * Tarjan runs on the driver — no per-round jobs at all; above it,
+    * forward–backward min-label peeling runs distributed. Both tiers
+    * produce scc_id = the component's minimum node id, and
+    * `Round15bSpec` proves them equal on the same fixtures (the
+    * distributed tier forced via driverMaxEdges = 0). The sequence
+    * graph is ≤ 6k edges at every test SF, so the driver tier serves
+    * the bench; at 100 TB the distributed peeler takes over exactly as
+    * the CC closure does. */
+  private[graft] val SccDriverMaxEdges = 2000000L
+
+  private[graft] def sccLabels(s: SparkSession, edges0: DataFrame,
+      driverMaxEdges: Long = SccDriverMaxEdges): DataFrame = {
+    val eCached = edges0.select(col("u"), col("v"))
+      .persist(MEMORY_AND_DISK)
+    val nEdges = eCached.count()
+    if (nEdges <= driverMaxEdges) {
+      val el = eCached.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val labels = tarjanScc(el)
+      import s.implicits._
+      return broadcast(labels.toSeq.toDF("n", "scc_id"))
+    }
+    sccDistributed(s, eCached)
+  }
+
+  /** Iterative Tarjan (explicit stack — no recursion depth limits),
+    * labels canonicalized to the component minimum. */
+  private[graft] def tarjanScc(el: Array[(Long, Long)])
+      : Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    val nodes = scala.collection.mutable.LinkedHashSet.empty[Long]
+    el.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u,
+        scala.collection.mutable.ArrayBuffer.empty) += v
+      nodes += u; nodes += v
+    }
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val label = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    for (root <- nodes if !index.contains(root)) {
+      // Frame: (node, next-child offset).
+      val work = scala.collection.mutable.ArrayBuffer[(Long, Int)]((root, 0))
+      while (work.nonEmpty) {
+        val (v, ci) = work.last
+        if (ci == 0) {
+          index(v) = counter; low(v) = counter; counter += 1
+          stack += v; onStack += v
+        }
+        val kids = adj.getOrElse(v,
+          scala.collection.mutable.ArrayBuffer.empty)
+        if (ci < kids.length) {
+          work(work.length - 1) = (v, ci + 1)
+          val w = kids(ci)
+          if (!index.contains(w)) work += ((w, 0))
+          else if (onStack(w)) low(v) = math.min(low(v), index(w))
+        } else {
+          work.remove(work.length - 1)
+          if (work.nonEmpty) {
+            val (p, _) = work.last
+            low(p) = math.min(low(p), low(v))
+          }
+          if (low(v) == index(v)) {
+            val comp = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var w = -1L
+            while ({ w = stack.remove(stack.length - 1); onStack -= w
+                     comp += w; w != v }) ()
+            val m = comp.min
+            comp.foreach(label(_) = m)
+          }
+        }
+      }
+    }
+    label.toMap
+  }
+
+  /** Forward–backward peeling SCC (the distributed tier): per peel,
+    * F = min-id that reaches v and B = min-id that v reaches, each
+    * propagated to a VERIFIED fixpoint (the loop exits when a round
+    * changes nothing, so the result is the unique fixpoint — no
+    * round-parity contract with the oracle needed); F and B are
+    * constant on an SCC, and F(v) = B(v) extracts at least the
+    * component containing the remaining graph's minimum id (F = B =
+    * that minimum there), so the peel strictly shrinks. Extracted
+    * nodes leave; edges restrict to survivors.
+    *
+    * Scale shape: each round is one edge-grain shuffle + node-grain
+    * min — hash-min CC economics doubled for direction; peels bound
+    * re-scans by the number of "shells" (the loud caps would flag
+    * drift). localCheckpoint per round severs the iterative lineage
+    * (the q383 plan-growth lesson). */
+  private[graft] def sccDistributed(s: SparkSession, edges0: DataFrame)
+      : DataFrame = {
+    var edges = edges0.select(col("u"), col("v")).localCheckpoint()
+    var nodes = edges.select(col("u").as("n"))
+      .unionAll(edges.select(col("v").as("n"))).distinct()
+      .localCheckpoint()
+    var out: DataFrame =
+      s.range(0).select(col("id").as("n"), col("id").as("scc_id"))
+    var remaining = nodes.count()
+    var peel = 0
+    def minProp(ed: DataFrame): DataFrame = {
+      var lbl = nodes.select(col("n"), col("n").as("f")).localCheckpoint()
+      var changed = 1L
+      var r = 0
+      while (changed > 0) {
+        r += 1
+        require(r <= SccMaxRounds, s"SCC min-propagation exceeded " +
+          s"$SccMaxRounds rounds — graph shape drifted, re-measure")
+        val nxt = ed.join(lbl, col("u") === col("n"))
+          .groupBy(col("v")).agg(min(col("f")).as("inf"))
+          .join(lbl.select(col("n"), col("f").as("f0")),
+            col("v") === col("n"), "right")
+          .select(col("n"), least(coalesce(col("inf"), col("f0")),
+            col("f0")).as("f"))
+          .localCheckpoint()
+        changed = nxt.join(lbl.select(col("n").as("n0"), col("f").as("fp")),
+          col("n") === col("n0"))
+          .filter(col("f") =!= col("fp")).count()
+        lbl = nxt
+      }
+      lbl
+    }
+    while (remaining > 0) {
+      peel += 1
+      require(peel <= SccMaxPeels, s"SCC peeling exceeded $SccMaxPeels " +
+        "peels — graph shape drifted, re-measure")
+      val fwd = minProp(edges)
+      val bwd = minProp(edges.select(col("v").as("u"), col("u").as("v")))
+      val done = fwd.join(bwd.select(col("n").as("nb"), col("f").as("b")),
+          col("n") === col("nb"))
+        .filter(col("f") === col("b"))
+        .select(col("n"), col("f").as("scc_id"))
+        .localCheckpoint()
+      out = out.unionAll(done)
+      nodes = nodes.join(done.select(col("n").as("nd")),
+        col("n") === col("nd"), "left_anti").localCheckpoint()
+      edges = edges
+        .join(nodes.select(col("n").as("nu")), col("u") === col("nu"),
+          "left_semi")
+        .join(nodes.select(col("n").as("nv")), col("v") === col("nv"),
+          "left_semi")
+        .localCheckpoint()
+      remaining = nodes.count()
+    }
+    out
+  }
+
+  /** q448: STRONGLY CONNECTED COMPONENTS of the purchase-sequence
+    * graph — the directed complement of q383's undirected CC: a
+    * component is a set of parts that REPEATEDLY lead back to each
+    * other across consecutive orders (cyclic repurchase loops), while
+    * one-way funnel edges stay between components. Forward–backward
+    * min-label peeling ([[sccLabels]]); the oracle is definitional —
+    * the recursive transitive closure's mutual-reachability relation —
+    * so the gate proves the distributed peeling equals the textbook
+    * definition, not a replay of itself. scc_id = the component's
+    * minimum part id (q383's canonical-label convention). */
+  val q448Scc: Q = Q(
+    "q448_scc",
+    s"""WITH RECURSIVE $duckSeqEdges,
+      |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+      |reach AS (SELECT u, v FROM e0
+      |          UNION SELECT r.u, e.v FROM reach r JOIN e0 e
+      |                ON e.u = r.v),
+      |mutual AS (SELECT r1.u AS n, r1.v AS p
+      |           FROM reach r1 JOIN reach r2
+      |             ON r2.u = r1.v AND r2.v = r1.u)
+      |SELECT nodes.n, least(nodes.n, coalesce(min(m.p), nodes.n))
+      |         AS scc_id
+      |FROM nodes LEFT JOIN mutual m ON m.n = nodes.n
+      |GROUP BY nodes.n ORDER BY nodes.n""".stripMargin) { (s, dir) =>
+    sccLabels(s, seqEdges(s, dir))
+      .select(col("n"), col("scc_id")).orderBy(col("n"))
+  }
+
+  /** q449: CONDENSATION DEPTH — collapse q448's SCCs and layer the
+    * resulting DAG by longest path from a source: the "how deep does
+    * the repurchase funnel run" readout, and the scheduling order a
+    * staged materialization of the sequence graph would follow. Depth
+    * by iterated max-propagation to a verified fixpoint (terminates
+    * because the condensation is acyclic by construction — a cycle
+    * would mean two SCCs reach each other, contradiction). Output is
+    * the depth histogram: components and member parts per layer.
+    *
+    * Scale shape: condensation edges are one distinct projection of
+    * the edge list through the label table; the depth iteration runs
+    * at component grain (≤ #SCCs rows per round), cap = observed DAG
+    * depth with a loud raise. */
+  val q449CondensationDepth: Q = Q(
+    "q449_condensation_depth",
+    s"""WITH RECURSIVE $duckSeqEdges,
+      |nodes AS (SELECT u AS n FROM e0 UNION SELECT v FROM e0),
+      |reach AS (SELECT u, v FROM e0
+      |          UNION SELECT r.u, e.v FROM reach r JOIN e0 e
+      |                ON e.u = r.v),
+      |mutual AS (SELECT r1.u AS n, r1.v AS p
+      |           FROM reach r1 JOIN reach r2
+      |             ON r2.u = r1.v AND r2.v = r1.u),
+      |scc AS (SELECT nodes.n, least(nodes.n, coalesce(min(m.p), nodes.n))
+      |          AS c
+      |        FROM nodes LEFT JOIN mutual m ON m.n = nodes.n
+      |        GROUP BY nodes.n),
+      |comps AS (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes
+      |          FROM scc GROUP BY 1),
+      |ce AS (SELECT DISTINCT s1.c AS src, s2.c AS dst
+      |       FROM e0 JOIN scc s1 ON s1.n = e0.u
+      |               JOIN scc s2 ON s2.n = e0.v
+      |       WHERE s1.c <> s2.c),
+      |walk AS (SELECT c, 0 AS d FROM comps
+      |         UNION SELECT ce.dst, w.d + 1 FROM walk w JOIN ce
+      |               ON ce.src = w.c),
+      |dep AS (SELECT c, CAST(max(d) AS BIGINT) AS depth
+      |        FROM walk GROUP BY 1)
+      |SELECT dep.depth, CAST(count(*) AS BIGINT) AS n_components,
+      |       CAST(sum(comps.n_nodes) AS BIGINT) AS n_parts
+      |FROM dep JOIN comps ON comps.c = dep.c
+      |GROUP BY dep.depth ORDER BY dep.depth""".stripMargin) { (s, dir) =>
+    val e0 = seqEdges(s, dir).persist(MEMORY_AND_DISK)
+    val scc = sccLabels(s, e0).persist(MEMORY_AND_DISK)
+    val comps = scc.groupBy(col("scc_id").as("c"))
+      .agg(count(lit(1)).as("n_nodes")).persist(MEMORY_AND_DISK)
+    val ce = e0.join(scc.select(col("n").as("nu"), col("scc_id").as("src")),
+        col("u") === col("nu"))
+      .join(scc.select(col("n").as("nv"), col("scc_id").as("dst")),
+        col("v") === col("nv"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+      .persist(MEMORY_AND_DISK)
+    condensationDepth(s, comps.select(col("c")), ce)
+      .join(comps, "c")
+      .groupBy(col("d").as("depth"))
+      .agg(count(lit(1)).as("n_components"),
+        sum(col("n_nodes")).cast("long").as("n_parts"))
+      .orderBy(col("depth"))
+  }
+
+  /** Longest-path-from-a-source layering of a DAG, TIERED like
+    * [[sccLabels]]: below the edge boundary the (tiny) condensation
+    * collects and a driver topological DP labels it in one pass; above
+    * it, iterated max-propagation to a verified fixpoint with the loud
+    * round cap. Returns (c, d). */
+  private[graft] def condensationDepth(s: SparkSession, compsIn: DataFrame,
+      ceIn: DataFrame, driverMaxEdges: Long = SccDriverMaxEdges)
+      : DataFrame = {
+    val nCe = ceIn.count()
+    if (nCe <= driverMaxEdges) {
+      val cs = compsIn.collect().map(_.getLong(0))
+      val el = ceIn.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val preds = el.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+      val depth = scala.collection.mutable.Map.empty[Long, Long]
+      def dOf(c: Long): Long = depth.getOrElseUpdate(c, {
+        // Iterative post-order: DAG by construction, so this terminates.
+        val st = scala.collection.mutable.ArrayBuffer[Long](c)
+        while (st.nonEmpty) {
+          val x = st.last
+          val ps = preds.getOrElse(x, Array.empty[Long])
+          val missing = ps.filterNot(depth.contains)
+          if (missing.isEmpty) {
+            depth(x) = if (ps.isEmpty) 0L
+              else ps.map(depth(_)).max + 1L
+            st.remove(st.length - 1)
+          } else st ++= missing
+        }
+        depth(c)
+      })
+      import s.implicits._
+      return broadcast(cs.toSeq.map(c => (c, dOf(c))).toDF("c", "d"))
+    }
+    var dep = compsIn.select(col("c"), lit(0L).as("d")).localCheckpoint()
+    var changed = 1L
+    var r = 0
+    while (changed > 0) {
+      r += 1
+      require(r <= SccMaxRounds, s"condensation depth exceeded " +
+        s"$SccMaxRounds rounds — DAG depth drifted, re-measure")
+      val nxt = ceIn.join(dep, col("src") === col("c"))
+        .groupBy(col("dst")).agg(max(col("d") + 1).as("dn"))
+        .join(dep.select(col("c"), col("d").as("d0")),
+          col("dst") === col("c"), "right")
+        .select(col("c"), greatest(coalesce(col("dn"), col("d0")),
+          col("d0")).as("d"))
+        .localCheckpoint()
+      changed = nxt.join(dep.select(col("c").as("c0"), col("d").as("dp")),
+        col("c") === col("c0"))
+        .filter(col("d") =!= col("dp")).count()
+      dep = nxt
+    }
+    dep
+  }
+
   val all: Seq[Q] = Seq(q436Modularity, q437LouvainGain, q438Ppr,
     q439PcaPower, q440PcaProject, q441CharEntropy, q442SourceMixing,
-    q443SeqPatterns, q445StationaryMix, q446CoresetFps, q447NgramNovelty)
+    q443SeqPatterns, q445StationaryMix, q446CoresetFps, q447NgramNovelty,
+    q448Scc, q449CondensationDepth)
 }

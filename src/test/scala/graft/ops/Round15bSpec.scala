@@ -439,4 +439,95 @@ class Round15bSpec extends SparkSpec {
     assert(got(3L)._3 === 1000000L && got(3L)._4 === "ok")
     assert(got(4L)._3 > 0L && got(4L)._3 < 1000000L)
   }
+
+  /** Brute-force SCC by transitive closure (the oracle's definition,
+    * re-implemented in-heap): scc_id = min over mutual-reach set. */
+  private def refScc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val reach = scala.collection.mutable.Set.empty[(Long, Long)]
+    edges.foreach(reach += _)
+    var grew = true
+    while (grew) {
+      val add = for ((a, b) <- reach.toSeq; (c, d) <- reach.toSeq
+        if b == c && !reach((a, d))) yield (a, d)
+      grew = add.nonEmpty
+      add.foreach(reach += _)
+    }
+    nodes.map { n =>
+      val mutual = nodes.filter(m => reach((n, m)) && reach((m, n)))
+      n -> (mutual :+ n).min
+    }.toMap
+  }
+
+  test("q448 kernels: driver Tarjan == forced-distributed peeling == " +
+    "closure reference on a planted multi-SCC graph") {
+    // Two cycles bridged into a chain plus a tail: SCCs {1,2,3},
+    // {10,11}, {20}, {30}; condensation depth 0 → 1 → 2 → 3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 10L), (10L, 11L),
+      (11L, 10L), (11L, 20L), (20L, 30L))
+    val ref = refScc(edges)
+    assert(ref(1L) === 1L && ref(2L) === 1L && ref(3L) === 1L)
+    assert(ref(10L) === 10L && ref(11L) === 10L && ref(20L) === 20L)
+    val eDf = edges.toDF("u", "v")
+    val driver = Round15b.sccLabels(spark, eDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Round15b.sccLabels(spark, eDf, driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === ref)
+    assert(dist === ref)
+    // Depth tiers agree too (condensation of the planted graph).
+    val scc = driver
+    val ce = edges.map { case (u, v) => (scc(u), scc(v)) }
+      .filter(p => p._1 != p._2).distinct
+    val comps = scc.values.toSeq.distinct.map(Tuple1(_)).toDF("c")
+    val ceDf = ce.toDF("src", "dst")
+    val dDriver = Round15b.condensationDepth(spark, comps, ceDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dDist = Round15b.condensationDepth(spark, comps, ceDf,
+      driverMaxEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dDriver === Map(1L -> 0L, 10L -> 1L, 20L -> 2L, 30L -> 3L))
+    assert(dDist === dDriver)
+  }
+
+  /** Directed edge (u, v) × w → w customers, each with two one-part
+    * orders [u] then [v] (date ties broken by orderkey): seqEdges
+    * recovers exactly the w ≥ 2 edges. */
+  private def seqFixture(edges: Seq[(Long, Long, Long)], dir: String): Unit = {
+    var cust = 0L
+    var ord = 0L
+    val orders = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, java.sql.Date)]
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val d = java.sql.Date.valueOf("1995-06-01")
+    edges.foreach { case (u, v, w) =>
+      (1L to w).foreach { _ =>
+        cust += 1
+        ord += 1; orders += ((cust, ord, d)); items += ((ord, u))
+        ord += 1; orders += ((cust, ord, d)); items += ((ord, v))
+      }
+    }
+    orders.toSeq.toDF("o_custkey", "o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    items.toSeq.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+  }
+
+  test("q448/q449 registry queries recover planted cycles and layer the " +
+    "condensation through the order-sequence build") {
+    val dir = dirFor("scc")
+    // w=2 everywhere (support gate); one w=1 edge that must be dropped.
+    val edges = Seq((1L, 2L, 2L), (2L, 3L, 2L), (3L, 1L, 2L),
+      (3L, 10L, 2L), (10L, 11L, 2L), (11L, 10L, 2L), (11L, 20L, 2L),
+      (20L, 30L, 1L))
+    seqFixture(edges, dir)
+    val got = Round15b.q448Scc.fn(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = refScc(edges.filter(_._3 >= 2).map(e => (e._1, e._2)))
+    assert(got === ref)
+    assert(!got.contains(30L), "support-1 edge must not admit node 30")
+    val dep = Round15b.q449CondensationDepth.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Depth 0: {1,2,3}; depth 1: {10,11}; depth 2: {20}.
+    assert(dep.toSeq === Seq((0L, 1L, 3L), (1L, 1L, 2L), (2L, 1L, 1L)))
+  }
 }
