@@ -1366,8 +1366,288 @@ object Round15b {
     dep
   }
 
+  // -------------------------------------------------------------------
+  // q450 — graph motif census (wedges / triangles / squares / K4)
+  // -------------------------------------------------------------------
+
+  /** q450: MOTIF CENSUS — exact counts of the four smallest non-trivial
+    * motifs over the support-2 co-purchase graph: wedges (Σ C(d,2)),
+    * triangles (q106's (degree,id)-oriented wedge-close), 4-cycles
+    * (C4 = ½ Σ_{u<w} C(p2(u,w), 2) over length-2-path counts — each
+    * cycle counted once per diagonal pair), and 4-cliques (each K4
+    * holds exactly 4 triangles, so K4 = tri-extension incidences ÷ 4,
+    * incidences counted by joining the triangle LIST against the
+    * adjacency three times on a common fourth vertex). Motif ratios
+    * are the graph-topology fingerprint the single-number clustering
+    * coefficient (q106) compresses away.
+    *
+    * Scale shape: the oriented close bounds wedge enumeration by
+    * out-degree O(√E) (hub-safe, q106's device); p2 pairs are the same
+    * wedge volume grouped map-side; the K4 extension joins at triangle
+    * grain. Divisibility by 4 (and the half for C4) is require-checked
+    * — an indivisible census means the motif algebra broke. */
+  val q450MotifCensus: Q = Q(
+    "q450_motif_census",
+    """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |und AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |deg AS (SELECT u AS n, CAST(count(*) AS BIGINT) AS d
+      |        FROM und GROUP BY 1),
+      |ori AS (SELECT CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+      |                    THEN e0.u ELSE e0.v END AS a,
+      |               CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+      |                    THEN e0.v ELSE e0.u END AS b,
+      |               CASE WHEN (du.d, e0.u) < (dv.d, e0.v)
+      |                    THEN dv.d ELSE du.d END AS db
+      |        FROM e0 JOIN deg du ON du.n = e0.u
+      |                JOIN deg dv ON dv.n = e0.v),
+      |tril AS (SELECT w.a AS p, w.x AS q, w.y AS r FROM
+      |           (SELECT o1.a, o1.b AS x, o2.b AS y
+      |            FROM ori o1 JOIN ori o2 ON o2.a = o1.a
+      |             AND (o1.db, o1.b) < (o2.db, o2.b)) w
+      |         JOIN ori o ON o.a = w.x AND o.b = w.y),
+      |p2 AS (SELECT j1.v AS u, j2.v AS w2, CAST(count(*) AS BIGINT) AS c
+      |       FROM und j1 JOIN und j2
+      |         ON j2.u = j1.u AND j1.v < j2.v
+      |       GROUP BY 1, 2),
+      |k4i AS (SELECT count(*) AS inc FROM tril t
+      |        JOIN und n1 ON n1.u = t.p
+      |        JOIN und n2 ON n2.u = t.q AND n2.v = n1.v
+      |        JOIN und n3 ON n3.u = t.r AND n3.v = n1.v),
+      |agg AS (SELECT
+      |  (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges,
+      |  (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) FROM deg)
+      |    AS wedges,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM tril) AS triangles,
+      |  (SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) // 2
+      |     AS BIGINT) FROM p2) AS squares,
+      |  (SELECT CAST(inc // 4 AS BIGINT) FROM k4i) AS k4)
+      |SELECT motif, cnt FROM (
+      |  SELECT 'a_edges' AS motif, edges AS cnt FROM agg
+      |  UNION ALL SELECT 'b_wedges', wedges FROM agg
+      |  UNION ALL SELECT 'c_triangles', triangles FROM agg
+      |  UNION ALL SELECT 'd_squares', squares FROM agg
+      |  UNION ALL SELECT 'e_k4', k4 FROM agg)
+      |ORDER BY motif""".stripMargin) { (s, dir) =>
+    val e0 = Graph.supportedEdges(s, dir).persist(MEMORY_AND_DISK)
+    val und = e0.unionAll(
+      e0.select(col("v").as("u"), col("u").as("v")))
+      .persist(MEMORY_AND_DISK)
+    val deg = und.groupBy(col("u").as("n"))
+      .agg(count(lit(1)).as("d")).persist(MEMORY_AND_DISK)
+    val nEdges = e0.count()
+    val nWedges = deg.agg(coalesce(
+      sum(expr("(d * (d - 1)) div 2")), lit(0L)).cast("long"))
+      .head.getLong(0)
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val ori = e0.join(deg.select(col("n").as("nu"), col("d").as("du")),
+        col("u") === col("nu"))
+      .join(deg.select(col("n").as("nv"), col("d").as("dv")),
+        col("v") === col("nv"))
+      .select(when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b"),
+        when(fwd, col("dv")).otherwise(col("du")).as("db"))
+      .persist(MEMORY_AND_DISK)
+    val tril = ori.as("o1").join(ori.as("o2"),
+        col("o2.a") === col("o1.a") &&
+          (col("o1.db") < col("o2.db") ||
+            (col("o1.db") === col("o2.db") && col("o1.b") < col("o2.b"))))
+      .select(col("o1.a").as("p"), col("o1.b").as("q0"),
+        col("o2.b").as("r0"))
+      .join(ori.as("o3"), col("o3.a") === col("q0") &&
+        col("o3.b") === col("r0"), "left_semi")
+      .select(col("p"), col("q0").as("q"), col("r0").as("r"))
+      .persist(MEMORY_AND_DISK)
+    val nTri = tril.count()
+    val p2 = und.as("j1").join(und.as("j2"),
+        col("j2.u") === col("j1.u") && col("j1.v") < col("j2.v"))
+      .groupBy(col("j1.v").as("pu"), col("j2.v").as("pw"))
+      .agg(count(lit(1)).as("c"))
+    val sq2 = p2.agg(coalesce(sum(expr("(c * (c - 1)) div 2")), lit(0L))
+      .cast("long")).head.getLong(0)
+    require(sq2 % 2 == 0, "square census not divisible by 2 — broken")
+    val k4inc = tril
+      .join(und.select(col("u").as("e1u"), col("v").as("dd")),
+        col("e1u") === col("p"))
+      .join(und.select(col("u").as("e2u"), col("v").as("d2")),
+        col("e2u") === col("q") && col("d2") === col("dd"), "left_semi")
+      .join(und.select(col("u").as("e3u"), col("v").as("d3")),
+        col("e3u") === col("r") && col("d3") === col("dd"), "left_semi")
+      .count()
+    require(k4inc % 4 == 0, "K4 census not divisible by 4 — broken")
+    import s.implicits._
+    Seq(("a_edges", nEdges), ("b_wedges", nWedges),
+      ("c_triangles", nTri), ("d_squares", sq2 / 2),
+      ("e_k4", k4inc / 4))
+      .toDF("motif", "cnt").orderBy(col("motif"))
+  }
+
+  // -------------------------------------------------------------------
+  // q451 — Zipf rank-frequency fit
+  // -------------------------------------------------------------------
+
+  /** q451: ZIPF FIT — OLS slope of ln(freq) against ln(rank) over the
+    * top-500 corpus tokens: natural text sits near −1, and a corpus
+    * whose slope drifts (template spam flattens it, deduped boilerplate
+    * steepens it) fails the health check. q335's Heaps-law determinism
+    * device verbatim — per-point rounded products summed in exact
+    * DECIMAL(28,9), so both engines execute the identical IEEE division
+    * sequence for slope/intercept/R².
+    *
+    * Scale shape: the token count is one map-side-combined groupBy; the
+    * top-500 cut is a TakeOrdered; the rank window and the 5-term
+    * regression run on 500 rows. */
+  val q451ZipfFit: Q = {
+    val terms =
+      """CAST(count(*) AS BIGINT) AS n,
+        |CAST(sum(CAST(round(x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sx,
+        |CAST(sum(CAST(round(y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sy,
+        |CAST(sum(CAST(round(x * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxy,
+        |CAST(sum(CAST(round(x * x, 9) AS DECIMAL(28,9))) AS DOUBLE) AS sxx,
+        |CAST(sum(CAST(round(y * y, 9) AS DECIMAL(28,9))) AS DOUBLE) AS syy""".stripMargin
+    val out =
+      """n AS n_tokens,
+        |round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6)
+        |  AS ln_c,
+        |round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2""".stripMargin
+    Q(
+      "q451_zipf_fit",
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |           FROM documents WHERE text IS NOT NULL),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t
+        |      WHERE tok <> '' GROUP BY 1),
+        |tk AS (SELECT tok, c,
+        |              row_number() OVER (ORDER BY c DESC, tok) AS rk
+        |       FROM c QUALIFY rk <= 500),
+        |p AS (SELECT round(ln(CAST(rk AS DOUBLE)), 9) AS x,
+        |             round(ln(CAST(c AS DOUBLE)), 9) AS y
+        |      FROM tk),
+        |a AS (SELECT $terms FROM p)
+        |SELECT $out FROM a""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents").filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      val tk = c.orderBy(col("c").desc, col("tok")).limit(500)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("tok"))))
+      val p = tk.select(expr("round(ln(CAST(rk AS DOUBLE)), 9)").as("x"),
+        expr("round(ln(CAST(c AS DOUBLE)), 9)").as("y"))
+      val termCols = terms.split(",\n(?=\\S)").toIndexedSeq.map(e => expr(e))
+      val outCols = out.split(",\n(?=\\S)").toIndexedSeq
+      p.agg(termCols.head, termCols.tail: _*).selectExpr(outCols: _*)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q452 — co-purchase edge churn between date halves
+  // -------------------------------------------------------------------
+
+  /** q452: EDGE CHURN — the co-purchase graph diffed across the
+    * 1995-06-01 date split: edges persisting / vanished / emerged
+    * (support ≥ 2 within a half defines existence there), the top-10
+    * largest support swings, and the census totals riding every row.
+    * This is the graph-tier instance of the snapshot-diff discipline
+    * (q112/q118): which affinity signal is STABLE enough to index, and
+    * which is seasonal noise — built in ONE pair shuffle by counting
+    * both halves conditionally in the same groupBy rather than
+    * diffing two separately-built graphs.
+    *
+    * Scale shape: the (order, part, half) distinct collapses map-side;
+    * one pair self-join + one (u, v) groupBy carries both halves'
+    * support; census and top-10 are two tiny reads of the same cached
+    * frame. */
+  val q452EdgeChurn: Q = Q(
+    "q452_edge_churn",
+    """WITH lp AS (SELECT DISTINCT l.l_orderkey, l.l_partkey,
+      |              CASE WHEN o.o_orderdate < DATE '1995-06-01'
+      |                   THEN 0 ELSE 1 END AS half
+      |            FROM lineitem l JOIN orders o
+      |              ON o.o_orderkey = l.l_orderkey),
+      |pr AS (SELECT l1.l_partkey AS u, l2.l_partkey AS v,
+      |              CAST(sum(CASE WHEN l1.half = 0 THEN 1 ELSE 0 END)
+      |                AS BIGINT) AS we,
+      |              CAST(sum(CASE WHEN l1.half = 1 THEN 1 ELSE 0 END)
+      |                AS BIGINT) AS wl
+      |       FROM lp l1 JOIN lp l2
+      |         ON l1.l_orderkey = l2.l_orderkey
+      |        AND l1.half = l2.half
+      |        AND l1.l_partkey < l2.l_partkey
+      |       GROUP BY 1, 2),
+      |st AS (SELECT u, v, we, wl,
+      |              CASE WHEN we >= 2 AND wl >= 2 THEN 'persisting'
+      |                   WHEN we >= 2 THEN 'vanished'
+      |                   ELSE 'emerged' END AS status
+      |       FROM pr WHERE we >= 2 OR wl >= 2),
+      |cn AS (SELECT
+      |  CAST(sum(CASE WHEN status = 'persisting' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_persisting,
+      |  CAST(sum(CASE WHEN status = 'vanished' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_vanished,
+      |  CAST(sum(CASE WHEN status = 'emerged' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_emerged
+      |  FROM st),
+      |tp AS (SELECT u, v, we AS w_early, wl AS w_late, wl - we AS delta,
+      |              status,
+      |              row_number() OVER (ORDER BY abs(wl - we) DESC, u, v)
+      |                AS pos
+      |       FROM st QUALIFY pos <= 10)
+      |SELECT tp.pos, tp.u, tp.v, tp.w_early, tp.w_late, tp.delta,
+      |       tp.status, cn.n_persisting, cn.n_vanished, cn.n_emerged
+      |FROM tp, cn ORDER BY tp.pos""".stripMargin) { (s, dir) =>
+    val lp = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_partkey"),
+        when(col("o_orderdate") < lit(java.sql.Date.valueOf("1995-06-01")),
+          0).otherwise(1).as("half"))
+      .distinct()
+    val pr = lp.as("l1").join(lp.as("l2"),
+        col("l1.l_orderkey") === col("l2.l_orderkey") &&
+          col("l1.half") === col("l2.half") &&
+          col("l1.l_partkey") < col("l2.l_partkey"))
+      .groupBy(col("l1.l_partkey").as("u"), col("l2.l_partkey").as("v"))
+      .agg(sum(when(col("l1.half") === 0, 1L).otherwise(0L))
+        .cast("long").as("we"),
+        sum(when(col("l1.half") === 1, 1L).otherwise(0L))
+          .cast("long").as("wl"))
+    val st = pr.filter(col("we") >= 2 || col("wl") >= 2)
+      .withColumn("status",
+        when(col("we") >= 2 && col("wl") >= 2, "persisting")
+          .when(col("we") >= 2, "vanished")
+          .otherwise("emerged"))
+      .persist(MEMORY_AND_DISK)
+    val cn = st.agg(
+      sum(when(col("status") === "persisting", 1L).otherwise(0L))
+        .cast("long").as("n_persisting"),
+      sum(when(col("status") === "vanished", 1L).otherwise(0L))
+        .cast("long").as("n_vanished"),
+      sum(when(col("status") === "emerged", 1L).otherwise(0L))
+        .cast("long").as("n_emerged"))
+    st.select(col("u"), col("v"), col("we").as("w_early"),
+        col("wl").as("w_late"), (col("wl") - col("we")).as("delta"),
+        col("status"))
+      .orderBy(abs(col("delta")).desc, col("u"), col("v")).limit(10)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(abs(col("delta")).desc, col("u"), col("v")))
+        .cast("long"))
+      .crossJoin(broadcast(cn))
+      .select(col("pos"), col("u"), col("v"), col("w_early"),
+        col("w_late"), col("delta"), col("status"), col("n_persisting"),
+        col("n_vanished"), col("n_emerged"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[Q] = Seq(q436Modularity, q437LouvainGain, q438Ppr,
     q439PcaPower, q440PcaProject, q441CharEntropy, q442SourceMixing,
     q443SeqPatterns, q445StationaryMix, q446CoresetFps, q447NgramNovelty,
-    q448Scc, q449CondensationDepth)
+    q448Scc, q449CondensationDepth, q450MotifCensus, q451ZipfFit,
+    q452EdgeChurn)
 }

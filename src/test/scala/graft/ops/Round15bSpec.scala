@@ -530,4 +530,100 @@ class Round15bSpec extends SparkSpec {
     // Depth 0: {1,2,3}; depth 1: {10,11}; depth 2: {20}.
     assert(dep.toSeq === Seq((0L, 1L, 3L), (1L, 1L, 2L), (2L, 1L, 1L)))
   }
+
+  /** Brute-force motif census by subset enumeration. */
+  private def refMotifs(edges: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long) = {
+    val es = edges.map { case (u, v) => (math.min(u, v), math.max(u, v)) }
+      .toSet
+    val nodes = es.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    def adj(a: Long, b: Long) = es((math.min(a, b), math.max(a, b)))
+    val deg = nodes.map(n => n -> nodes.count(m => m != n && adj(n, m))).toMap
+    val wedges = deg.values.map(d => d.toLong * (d - 1) / 2).sum
+    val tris = nodes.combinations(3).count { case Seq(a, b, c) =>
+      adj(a, b) && adj(b, c) && adj(a, c) }
+    val quads = nodes.combinations(4).toSeq
+    val k4 = quads.count { case Seq(a, b, c, d) =>
+      adj(a, b) && adj(a, c) && adj(a, d) && adj(b, c) && adj(b, d) &&
+        adj(c, d) }
+    // 4-cycles: 3 pairings per vertex set, one cycle per pairing whose
+    // two "diagonal" pairs are the non-adjacent-in-cycle ones.
+    val c4 = quads.map { case Seq(a, b, c, d) =>
+      Seq((a, b, c, d), (a, c, b, d), (a, b, d, c)).count {
+        case (p, q, r, s) =>
+          // cycle p-q-r-s-p
+          adj(p, q) && adj(q, r) && adj(r, s) && adj(s, p)
+      }.toLong
+    }.sum
+    (es.size.toLong, wedges, tris.toLong, c4, k4.toLong)
+  }
+
+  test("q450 census equals subset enumeration on a K4-plus-square " +
+    "fixture") {
+    val dir = dirFor("motifs")
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L))
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val edges = (k4 ++ square ++ Seq((4L, 10L))).map(e => (e._1, e._2, 2L))
+    lineitemFor(edges, dir)
+    val (re, rw, rt, rs, rk) = refMotifs(edges.map(e => (e._1, e._2)))
+    assert((rt, rs, rk) === ((4L, 4L, 1L))) // K4: 4 tris + 3 C4s; +1 square
+    val got = Round15b.q450MotifCensus.fn(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got("a_edges") === re)
+    assert(got("b_wedges") === rw)
+    assert(got("c_triangles") === rt)
+    assert(got("d_squares") === rs)
+    assert(got("e_k4") === rk)
+  }
+
+  test("q451 a perfect 24/rank corpus fits slope -1 with r2 = 1") {
+    val dir = dirFor("zipf")
+    // Token counts 24/12/8/6 = 24/rank for ranks 1..4.
+    val text = (Seq.fill(24)("aa") ++ Seq.fill(12)("bb") ++
+      Seq.fill(8)("cc") ++ Seq.fill(6)("dd")).mkString(" ")
+    Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Round15b.q451ZipfFit.fn(spark, dir).collect().head
+    assert(r.getLong(0) === 4L)
+    assert(r.getDouble(1) === -1.0)     // slope
+    assert(r.getDouble(3) === 1.0)      // r2
+    assert(math.abs(r.getDouble(2) - math.log(24.0)) < 1e-5) // ln_c
+  }
+
+  test("q452 classifies planted persisting/vanished/emerged edges and " +
+    "ranks swings by magnitude") {
+    val dir = dirFor("churn")
+    // (edge, early support, late support)
+    val plan = Seq((1L, 2L, 3L, 3L), (3L, 4L, 2L, 0L), (5L, 6L, 0L, 2L),
+      (7L, 8L, 1L, 1L)) // below threshold both halves → absent
+    var ord = 0L
+    val early = java.sql.Date.valueOf("1994-01-01")
+    val late = java.sql.Date.valueOf("1996-01-01")
+    val orders = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, java.sql.Date)]
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    plan.foreach { case (u, v, we, wl) =>
+      (1L to we).foreach { _ =>
+        ord += 1; orders += ((ord, ord, early))
+        items += ((ord, u)); items += ((ord, v))
+      }
+      (1L to wl).foreach { _ =>
+        ord += 1; orders += ((ord, ord, late))
+        items += ((ord, u)); items += ((ord, v))
+      }
+    }
+    orders.toSeq.toDF("o_custkey", "o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    items.toSeq.toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val got = Round15b.q452EdgeChurn.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7),
+        r.getLong(8), r.getLong(9)))
+    assert(got.length === 3) // the 1-1 edge never qualifies
+    assert(got(0) === ((1L, 3L, 4L, 2L, 0L, -2L, "vanished", 1L, 1L, 1L)))
+    assert(got(1) === ((2L, 5L, 6L, 0L, 2L, 2L, "emerged", 1L, 1L, 1L)))
+    assert(got(2) === ((3L, 1L, 2L, 3L, 3L, 0L, "persisting", 1L, 1L, 1L)))
+  }
 }
