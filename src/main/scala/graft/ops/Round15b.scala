@@ -1645,9 +1645,96 @@ object Round15b {
       .orderBy(col("pos"))
   }
 
+  // -------------------------------------------------------------------
+  // q454 — embedding cohort drift (linear-kernel MMD, exact)
+  // -------------------------------------------------------------------
+
+  /** q454: EMBEDDING COHORT DRIFT — linear-kernel MMD² between the
+    * label < 5 and label ≥ 5 cohorts: ‖μ_a − μ_b‖² with every term
+    * exact by cross-multiplication — num_i = Sa_i·n_b − Sb_i·n_a over
+    * quantized milli sums, so the mean difference never materializes
+    * as a float. The embedding-space member of the drift family (PSI
+    * q98 on numeric features, KS q135 on CDFs, JSD q343 on
+    * vocabulary): did a new embedding batch / model version / cohort
+    * move the space, and along WHICH dimensions. Top-8 shifted dims
+    * (by num², ties to i) with signed per-dim shift; mmd2_micro2 rides
+    * every row (×10⁶ before the integer division so a small true
+    * drift survives the floor).
+    *
+    * Scale shape: one element-grain pass → (dim, cohort) partial sums
+    * (map-side combined, ≤ 128 cells); everything after is 64-row
+    * arithmetic. */
+  val q454EmbeddingDrift: Q = Q(
+    "q454_embedding_drift",
+    """WITH el AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+      |              t.i - 1 AS i,
+      |              CAST(round(CAST(embedding[t.i] AS DOUBLE) * 1000)
+      |                AS BIGINT) AS q
+      |       FROM embeddings, range(1, 65) t(i)),
+      |n AS (SELECT
+      |        CAST(count(DISTINCT CASE WHEN label < 5 THEN vec_id END)
+      |          AS BIGINT) AS na,
+      |        CAST(count(DISTINCT CASE WHEN label >= 5 THEN vec_id END)
+      |          AS BIGINT) AS nb
+      |      FROM el),
+      |sm AS (SELECT i,
+      |         CAST(sum(CASE WHEN label < 5 THEN q ELSE 0 END)
+      |           AS BIGINT) AS sa,
+      |         CAST(sum(CASE WHEN label >= 5 THEN q ELSE 0 END)
+      |           AS BIGINT) AS sb
+      |       FROM el GROUP BY 1),
+      |dm AS (SELECT i, CAST(sa AS HUGEINT) * nb - CAST(sb AS HUGEINT) * na
+      |         AS num, na, nb
+      |       FROM sm, n),
+      |mm AS (SELECT CAST(sum(num * num) * 1000000
+      |         // (CAST(max(na) AS HUGEINT) * max(na) * max(nb) * max(nb))
+      |         AS BIGINT) AS mmd2_micro2
+      |       FROM dm),
+      |tp AS (SELECT i, CAST(num * 1000
+      |         // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS shift_micro,
+      |              row_number() OVER (ORDER BY num * num DESC, i) AS pos
+      |       FROM dm QUALIFY pos <= 8)
+      |SELECT CAST(tp.pos AS BIGINT) AS pos, CAST(tp.i AS BIGINT) AS dim,
+      |       tp.shift_micro, mm.mmd2_micro2
+      |FROM tp, mm ORDER BY tp.pos""".stripMargin) { (s, dir) =>
+    val el = Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("label"), col("i").cast("long").as("i"),
+        round(col("x").cast("double") * 1000).cast("long").as("q"))
+      .persist(MEMORY_AND_DISK)
+    val n = el.agg(
+      countDistinct(when(col("label") < 5, col("vec_id"))).as("na"),
+      countDistinct(when(col("label") >= 5, col("vec_id"))).as("nb"))
+    val sm = el.groupBy(col("i"))
+      .agg(sum(when(col("label") < 5, col("q")).otherwise(0L))
+        .cast("long").as("sa"),
+        sum(when(col("label") >= 5, col("q")).otherwise(0L))
+          .cast("long").as("sb"))
+    val dm = sm.crossJoin(broadcast(n))
+      .withColumn("num",
+        expr("CAST(sa AS DECIMAL(38,0)) * nb - CAST(sb AS DECIMAL(38,0)) * na"))
+      .persist(MEMORY_AND_DISK)
+    val mm = dm.agg(
+      expr("CAST(sum(num * num) * 1000000 div " +
+        "(CAST(max(na) AS DECIMAL(38,0)) * max(na) * max(nb) * max(nb))" +
+        " AS BIGINT)").as("mmd2_micro2"))
+    dm.select(col("i"),
+        expr("CAST(num * 1000 div (CAST(na AS DECIMAL(38,0)) * nb)" +
+          " AS BIGINT)").as("shift_micro"),
+        expr("num * num").as("n2"))
+      .orderBy(col("n2").desc, col("i")).limit(8)
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("n2").desc, col("i"))).cast("long"))
+      .crossJoin(broadcast(mm))
+      .select(col("pos"), col("i").as("dim"), col("shift_micro"),
+        col("mmd2_micro2"))
+      .orderBy(col("pos"))
+  }
+
   val all: Seq[Q] = Seq(q436Modularity, q437LouvainGain, q438Ppr,
     q439PcaPower, q440PcaProject, q441CharEntropy, q442SourceMixing,
     q443SeqPatterns, q445StationaryMix, q446CoresetFps, q447NgramNovelty,
     q448Scc, q449CondensationDepth, q450MotifCensus, q451ZipfFit,
-    q452EdgeChurn)
+    q452EdgeChurn, q454EmbeddingDrift)
 }

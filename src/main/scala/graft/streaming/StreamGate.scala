@@ -2556,6 +2556,86 @@ object StreamGate {
     }
   }
 
+  /** q453: STREAMING purchase-sequence graph maintenance — q448's
+    * directed edge store built incrementally as customers' order
+    * histories arrive. Batches split by o_custkey mod 3: consecutive-
+    * order hops are CUSTOMER-LOCAL, so a customer-disjoint batch
+    * computes every one of its customers' hops completely and the
+    * per-edge hop counts fold additively (the q126 discipline — the
+    * maintainable state is the FULL pre-threshold counter table, never
+    * the thresholded graph: a support-1 edge may cross the gate when a
+    * later customer re-walks it, so thresholding lives at read time).
+    * Replay-stable by the generation-overwrite contract. The read path
+    * thresholds ≥ 2 and runs the TIERED SCC kernel — the gate is
+    * (incremental build + kernel at read) ≡ q448's definitional
+    * closure oracle.
+    *
+    * Scale shape: per trigger one customer-grain window + the part-
+    * pair expansion for THAT batch's customers only, one additive
+    * (u, v) fold; the heavy kernel runs once at read, not per trigger.
+    */
+  val q453StreamSeqGraphMaintain: Q = Q(
+    "q453_stream_seq_graph",
+    graft.ops.Round15b.q448Scc.oracle.get) { (s, dir) =>
+    val work = Files.createTempDirectory("graft-q453-")
+    val orders = Tables(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val lpPath = work.resolve("lp").toString
+    Tables(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .write.mode("overwrite").parquet(lpPath)
+    val in = stageOrderedBatches(work,
+      Seq(0, 1, 2).map(r => orders.filter(col("o_custkey") % 3 === r)))
+    val store = work.resolve("seq").toString
+    val ss = streamSession(s)
+    val query = ss.readStream.schema(orders.schema)
+      .option("maxFilesPerTrigger", "1").parquet(in.toString)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          val sb = batch.sparkSession
+          val lp = sb.read.parquet(lpPath)
+          val o = batch.toDF().withColumn("rk",
+            org.apache.spark.sql.functions.row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("o_custkey"))
+                .orderBy(col("o_orderdate"), col("o_orderkey"))))
+          val cp = o.as("a").join(o.as("b"),
+              col("b.o_custkey") === col("a.o_custkey") &&
+                col("b.rk") === col("a.rk") + 1)
+            .select(col("a.o_orderkey").as("k1"),
+              col("b.o_orderkey").as("k2"))
+          val part = cp
+            .join(lp.as("p1"), col("p1.l_orderkey") === col("k1"))
+            .join(lp.as("p2"), col("p2.l_orderkey") === col("k2"))
+            .filter(col("p1.l_partkey") =!= col("p2.l_partkey"))
+            .groupBy(col("p1.l_partkey").as("u"),
+              col("p2.l_partkey").as("v"))
+            .agg(count(lit(1)).as("w"))
+          val prev = latestGenBefore(sb, store, id).getOrElse(
+            sb.range(0).select(col("id").as("u"), col("id").as("v"),
+              col("id").as("w")))
+          part.unionByName(prev)
+            .groupBy(col("u"), col("v"))
+            .agg(sum(col("w")).cast("long").as("w"))
+            .write.mode("overwrite").parquet(s"$store/gen=$id")
+          ()
+      }
+      .option("checkpointLocation", work.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    graft.PlanProbe.recordStreaming(query)
+    dropStagedInput(work)
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
+    val folded = latestGenBefore(s, store, Long.MaxValue).getOrElse(
+      s.range(0).select(col("id").as("u"), col("id").as("v"),
+        col("id").as("w")))
+    graft.ops.Round15b.sccLabels(s,
+        folded.filter(col("w") >= 2).select(col("u"), col("v")))
+      .select(col("n"), col("scc_id")).orderBy(col("n"))
+  }
+
   /** q393: STREAMING weighted sampling — A-ES's defining property (the
     * global top-k is contained in the union of per-shard top-k's, because
     * priorities are per-item and rank-stable) exercised as an operational
@@ -2610,5 +2690,5 @@ object StreamGate {
     q296StreamIvmJoin, q301StreamLateDim, q384StreamCcIngest,
     q411StreamCore3Maintain, q419StreamLpaMaintain, q424StreamMsfMaintain,
     q427StreamBloomMaintain, q435StreamCdcMaintain,
-    q444StreamCommunityMaintain)
+    q444StreamCommunityMaintain, q453StreamSeqGraphMaintain)
 }

@@ -108,7 +108,11 @@ class PlanAuditSpec extends SparkSpec {
       "q345_split_gain",        // cum + argmax over the 32-bin feature histogram
       "q346_isotonic_calibration", // PAV minimax over the ≤32-bin histogram
       "q353_boost_round",       // round-2 cum + argmax over the same 32-bin histogram
-      "q359_gains_chart")       // cum over ≤125 score levels (cells carry member counts)
+      "q359_gains_chart",       // cum over ≤125 score levels (cells carry member counts)
+      "q437_louvain_gain",      // pos over the already-limited top-30 movers (q266's precedent)
+      "q451_zipf_fit",          // rank over the already-limited top-500 tokens
+      "q452_edge_churn",        // pos over the already-limited top-10 swings
+      "q454_embedding_drift")   // pos over the already-limited top-8 dims
     val unexpected = withGlobal.filterNot(audited)
     assert(unexpected.isEmpty,
       s"NEW unpartitioned windows (verify each is a bounded reduction, then admit): $unexpected\n" +

@@ -626,4 +626,33 @@ class Round15bSpec extends SparkSpec {
     assert(got(1) === ((2L, 5L, 6L, 0L, 2L, 2L, "emerged", 1L, 1L, 1L)))
     assert(got(2) === ((3L, 1L, 2L, 3L, 3L, 0L, "persisting", 1L, 1L, 1L)))
   }
+
+  test("q454 localizes a planted cohort shift to its dimension with " +
+    "the exact cross-multiplied magnitude") {
+    val dir = dirFor("drift")
+    // Cohort a (labels 0-4) shifted +0.5 in dim 3; the base depends on
+    // the DIMENSION only (identical across ids), so num_i = 0 for
+    // i ≠ 3 exactly — any leak means the cross-multiplication broke.
+    val vecs = (0L until 40L).map { id =>
+      val a = Array.tabulate(64)(i => (((i * 13) % 11).toFloat - 5f) / 50f)
+      val lbl = (id % 10).toInt
+      if (lbl < 5) a(3) = a(3) + 0.5f
+      (id, a.toSeq, lbl)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = Round15b.q454EmbeddingDrift.fn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head._2 === 3L)
+    // Exact magnitude: per-cohort sums of round(x·1000) over 20 vecs.
+    val qs = vecs.map { case (id, a, lbl) =>
+      (lbl, a.map(x => math.round(x.toDouble * 1000))) }
+    val sa = qs.filter(_._1 < 5).map(_._2(3)).sum
+    val sb = qs.filter(_._1 >= 5).map(_._2(3)).sum
+    val num = sa * 20L - sb * 20L
+    assert(got.head._3 === num * 1000L / (20L * 20L))
+    assert(got.head._4 > 0L, "planted shift must produce positive MMD")
+    // Dims beyond the planted one carry zero shift (base is shared).
+    got.drop(1).foreach(t => assert(t._3 === 0L, s"dim ${t._2}"))
+  }
 }
