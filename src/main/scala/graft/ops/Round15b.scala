@@ -453,21 +453,38 @@ object Round15b {
     * ±10⁶-scaled direction at (vi, vv) grain and the persisted Gram
     * matrix at (i, j, c) grain. */
   private def pcaV4(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val el = Tables(s, dir, "embeddings")
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-      .select(col("vec_id"), col("i").cast("long").as("i"),
-        round(col("x").cast("double") * 1000).cast("long").as("q"))
-    val cm = el.as("a").join(el.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
-      .agg(sum(col("a.q") * col("b.q")).as("c"))
+    // Gram build WITHOUT the element-grain self-join (optimization r15,
+    // guide §2.4): each vector emits its full 64×64 outer product in ONE
+    // narrow pass (nested transform + flatten + posexplode, i = p div 64,
+    // j = p % 64), so the only exchange is the 4096-key partial aggregate.
+    // The previous shape shuffled the exploded element table TWICE
+    // (2 × n_vecs × 64 rows) and sort-merge-joined it with itself to
+    // reach the same n_vecs × 4096 product rows. Values are identical:
+    // same per-element quantization, same long products, same sums.
+    val cm = Tables(s, dir, "embeddings")
+      .select(expr("transform(embedding, x -> " +
+        "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("qv"))
+      .select(posexplode(expr(
+        "flatten(transform(qv, x -> transform(qv, y -> x * y)))"))
+        .as(Seq("p", "xy")))
+      .groupBy(expr("CAST(p div 64 AS BIGINT)").as("i"),
+        expr("CAST(p % 64 AS BIGINT)").as("j"))
+      .agg(sum(col("xy")).as("c"))
       .persist(MEMORY_AND_DISK)
     var v = s.range(1).select(lit(0L).as("vi"), lit(1000000L).as("vv"))
     for (_ <- 1 to 4) {
+      // sRaw is consumed twice per step (the max-|sv| renormalizer and
+      // the divide) and v_k feeds v_{k+1}: left lazy, the duplicated
+      // subtrees double the plan per step (2⁴ blowup by v4 — measured
+      // 18.8 s cold / 10.4 s warm). A 64-row eager localCheckpoint per
+      // step pins the iterate and keeps every step's plan one join deep
+      // (the q383/q386 lineage discipline applied to the eigensolve).
       val sRaw = cm.join(v, col("j") === col("vi")).groupBy(col("i"))
         .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * vv")).as("sv"))
+        .localCheckpoint()
       val m = sRaw.agg(greatest(max(abs(col("sv"))),
         lit(1).cast("decimal(38,0)")).as("m"))
-      v = sRaw.crossJoin(m)
+      v = sRaw.crossJoin(broadcast(m))
         .select(col("i").as("vi"),
           expr("CAST((sv * 1000000) div m AS BIGINT)").as("vv"))
     }
