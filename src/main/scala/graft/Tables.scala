@@ -14,6 +14,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Read a table and round-robin repartition it to the session's default
+    * parallelism when the scan yields fewer input splits than that — the
+    * optimization-guide §2.5 unsplittable-input fix, applied ONLY at
+    * CPU-heavy per-row sites (per-position/shingle hashing, per-char and
+    * per-element explodes). The driver testdata ships each table as ONE
+    * parquet row group, so without this every pre-shuffle stage of such a
+    * query runs on one core regardless of `local[N]`. The condition is
+    * scale-adaptive, not local-tuned: at cluster scale a big table's scan
+    * already has ≥ cores splits, the branch is false, and NO extra
+    * exchange is added — while a genuinely tiny-but-explode-heavy input
+    * (the 100 TB analogue: one fused dimension file feeding a hash
+    * stage) still gets spread. Round-robin repartition is retry-safe
+    * (sortBeforeRepartition stays on) and costs one shuffle of the
+    * small input — microseconds next to the hashing it parallelizes. */
+  def sharded(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = apply(spark, sfDir, name)
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(all.contains(name), s"unknown table: $name")
     if (name == "events") {

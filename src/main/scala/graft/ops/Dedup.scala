@@ -58,7 +58,7 @@ object Dedup {
       .select(col("doc_id"), explode_outer(expr(sparkShingles)).as("sh"))
 
   private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame =
-    shingleRowsOf(Tables(s, dir, "documents"))
+    shingleRowsOf(Tables.sharded(s, dir, "documents"))
   private[ops] val duckShingleRows: String =
     s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
        |shl AS (SELECT doc_id, unnest($duckShingles) AS sh FROM w)""".stripMargin
@@ -222,7 +222,7 @@ object Dedup {
     * every dedup pipeline keeps between runs. */
   private[ops] def cappedBands(s: SparkSession, dir: String): DataFrame =
     dropHotBuckets(
-      bandsOf(Tables(s, dir, "documents")).persist(MEMORY_AND_DISK))
+      bandsOf(Tables.sharded(s, dir, "documents")).persist(MEMORY_AND_DISK))
 
   /** Production incremental-dedup entry point: candidate near-dup pairs
     * touching a day's NEW batch, given the STORED band index of the
@@ -556,7 +556,7 @@ object Dedup {
     val work = java.nio.file.Files.createTempDirectory("graft-q269-")
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val idx = work.resolve("bandidx").toString
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.sharded(s, dir, "documents")
     incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 0), 0L)
       .unpersist()
     incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 1), 1L)
@@ -879,7 +879,7 @@ object Dedup {
        |          UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
        |SELECT u AS doc_id, least(u, min(v)) AS cluster_id
        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.sharded(s, dir, "documents")
     val tmp = java.nio.file.Files.createTempDirectory("graft-q233-")
     val idx = tmp.resolve("idx") // must not pre-exist: day 1 has no archive
     val p1 = incrementalDayRun(s, idx.toString,
@@ -975,7 +975,7 @@ object Dedup {
     * recompute the token-hash array once per bit. Shared by q36 (string
     * fingerprint) and q65 (integer fingerprint). */
   private def simhashCounts(s: SparkSession, dir: String): DataFrame = {
-    val words = Tables(s, dir, "documents")
+    val words = Tables.sharded(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("h", md5(col("w")))
     val aggs = count(lit(1)).as("n") +: (1 to 32).map(i =>
@@ -1283,7 +1283,7 @@ object Dedup {
        |FROM pairs
        |WHERE doc_a % 2 = 1 OR doc_b % 2 = 1
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, dir) =>
-    val docs = Tables(s, dir, "documents")
+    val docs = Tables.sharded(s, dir, "documents")
     incrementalPairs(
       archiveBands = bandsOf(docs.filter(col("doc_id") % 2 === 0)),
       newDocs = docs.filter(col("doc_id") % 2 === 1))

@@ -1475,7 +1475,7 @@ object Round15 {
       |FROM t10, tot
       |ORDER BY n_docs DESC, n_occ DESC, chunk_md5""".stripMargin) {
     (s, dir) =>
-    val ch = cdcChunks(Tables(s, dir, "documents"))
+    val ch = cdcChunks(Tables.sharded(s, dir, "documents"))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
       .persist(MEMORY_AND_DISK) // totals + per-chunk aggregate
@@ -1568,7 +1568,7 @@ object Round15 {
       |               doc_a, doc_b) AS BIGINT) AS pos FROM sc)
       |SELECT pos, doc_a, doc_b, shared, containment_ppm
       |FROM r WHERE pos <= 20 ORDER BY pos""".stripMargin) { (s, dir) =>
-    val el = cdcChunks(Tables(s, dir, "documents"))
+    val el = cdcChunks(Tables.sharded(s, dir, "documents"))
       .filter(length(col("chunk")) >= 16)
       .select(col("doc_id"), md5(col("chunk")).as("h"))
       .distinct()

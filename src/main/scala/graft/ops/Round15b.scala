@@ -579,7 +579,7 @@ object Round15b {
       |            WHEN ${lnNano("n")} - sn // n > $HighNano THEN 'high'
       |            ELSE 'mid' END AS entropy_band
       |FROM ag ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pos = Tables(s, dir, "documents")
+    val pos = Tables.sharded(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 1)
       .select(col("doc_id"),
@@ -999,7 +999,7 @@ object Round15b {
       |       CASE WHEN (n_grams - n_shared) * 2 < n_grams
       |            THEN 'dup_heavy' ELSE 'ok' END AS flag
       |FROM pd ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val g = Tables(s, dir, "documents")
+    val g = Tables.sharded(s, dir, "documents")
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"),
