@@ -28,9 +28,16 @@ object Tables {
     * stage) still gets spread. Round-robin repartition is retry-safe
     * (sortBeforeRepartition stays on) and costs one shuffle of the
     * small input — microseconds next to the hashing it parallelizes. */
-  def sharded(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = apply(spark, sfDir, name)
-    val target = spark.sparkContext.defaultParallelism
+  def sharded(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    shard(apply(spark, sfDir, name))
+
+  /** The same unsplittable-input fix for an arbitrary frame — streaming
+    * micro-batches arrive as one small staged file (one scan partition),
+    * so a CPU-heavy per-row stage inside a foreachBatch body is
+    * single-threaded without it. No-op whenever the input already has
+    * ≥ default-parallelism partitions (any real cluster-scale scan). */
+  def shard(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 

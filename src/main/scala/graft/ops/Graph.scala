@@ -404,8 +404,16 @@ object Graph {
       // Uniform h⁰ = M // n_customers, a driver scalar (also materializes
       // the persisted edge list, as q109's count does).
       val h0 = M / e.select(col("c")).distinct().count()
-      def normalize(raw: org.apache.spark.sql.DataFrame, key: String,
+      def normalize(rawIn: org.apache.spark.sql.DataFrame, key: String,
           out: String): org.apache.spark.sql.DataFrame = {
+        // Each half-iteration's raw score frame is consumed TWICE (the L1
+        // total and the divide) and feeds the next half-iteration: left
+        // lazy, the chain doubles per step (2³ subtree copies by a²,
+        // only partly recovered by exchange reuse). The frame is
+        // node-table-bounded (parts/customers), so an eager
+        // localCheckpoint per half-step pins it — the q383/q386 lineage
+        // discipline (same fix as pcaV4).
+        val raw = rawIn.localCheckpoint()
         val tot = raw.agg(sum(col("s")).as("tot"))
         raw.crossJoin(broadcast(tot))
           .select(col(key),

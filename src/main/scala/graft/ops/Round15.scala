@@ -1610,7 +1610,7 @@ object Round15 {
     * occurrence counts (a chunk's doc set never spans re-counted
     * docs). */
   private[graft] def cdcCounts(docs: DataFrame): DataFrame =
-    cdcChunks(docs)
+    cdcChunks(graft.Tables.shard(docs))
       .select(col("doc_id"), md5(col("chunk")).as("h"),
         length(col("chunk")).cast("long").as("clen"))
       .groupBy(col("h"))
