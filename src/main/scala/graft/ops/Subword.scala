@@ -75,7 +75,10 @@ object Subword {
   /** Whitespace token stream (doc_id, w) — empties from consecutive
     * delimiters included, exactly as `string_split` yields them. */
   private def toks(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+    // Tables.sharded: the merge-vocab stage below explodes every char
+    // position of every token (~3x corpus chars) — single-threaded on a
+    // one-row-group scan without the unsplittable-input repartition.
+    Tables.sharded(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
 
   /** Per-document subword token counts (doc_id, stok). */
@@ -452,7 +455,7 @@ object Subword {
     }
     Q("q278_bpe_learn", oracle) { (s, dir) =>
       import s.implicits._
-      val words0 = Tables(s, dir, "documents")
+      val words0 = Tables.sharded(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
