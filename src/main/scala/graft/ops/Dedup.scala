@@ -291,6 +291,20 @@ object Dedup {
     * `batch=<batchId>` (foreachBatch is at-least-once): a replayed batch
     * overwrites its own subdir instead of appending a duplicate band
     * generation, which would inflate hot-bucket counts toward the cap. */
+  /** The append-only half of [[incrementalDayRun]]: publish the batch's
+    * bands under `batch=<id>` without materializing the day's pair
+    * table. For consumers that only need the STORE built (q269 builds a
+    * two-batch index purely to exercise deletion), the full day run
+    * eagerly localCheckpoints a pair table that is immediately
+    * discarded — two band self-joins of pure waste (optimization r15).
+    * Store state is byte-identical to what the full day run leaves. */
+  def appendDayBands(spark: SparkSession, indexDir: String,
+      newDocs: DataFrame, batchId: Long): Unit = {
+    val root = bandIndexRoot(spark, indexDir)
+    bandsOf(newDocs).write.mode("overwrite")
+      .parquet(s"$root/batch=$batchId")
+  }
+
   def incrementalDayRun(spark: SparkSession, indexDir: String,
       newDocs: DataFrame, batchId: Long): DataFrame = {
     val root = bandIndexRoot(spark, indexDir)
@@ -557,10 +571,10 @@ object Dedup {
     org.apache.commons.io.FileUtils.forceDeleteOnExit(work.toFile)
     val idx = work.resolve("bandidx").toString
     val docs = Tables.sharded(s, dir, "documents")
-    incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 0), 0L)
-      .unpersist()
-    incrementalDayRun(s, idx, docs.filter(col("doc_id") % 2 === 1), 1L)
-      .unpersist()
+    // Append-only store build: the full day run would eagerly checkpoint
+    // a pair table this gate never reads (see appendDayBands).
+    appendDayBands(s, idx, docs.filter(col("doc_id") % 2 === 0), 0L)
+    appendDayBands(s, idx, docs.filter(col("doc_id") % 2 === 1), 1L)
     val deleted = docs.filter(col("doc_id") % 37 === 0).select(col("doc_id"))
     forgetDocs(s, idx, deleted)
     // No trace of a forgotten id may remain in the live generation.
