@@ -952,7 +952,12 @@ object Dedup {
        |       max(CASE WHEN rk = 1 THEN doc_id END) AS keeper_doc,
        |       max(CASE WHEN rk = 1 THEN n_chars END) AS keeper_chars
        |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin) { (s, dir) =>
-    val labels = connectedComponents(lshCandidatePairs(s, dir))
+    // Tiered closure (the q179 discipline, as q233/q269 already do): LSH
+    // pair graphs are tiny after blocking, so the guarded selector runs
+    // the driver union-find below the 2M-edge boundary instead of paying
+    // 10-20 label-propagation rounds' fixed job overhead; labels are
+    // component-min either way (FuzzyGraphSpec asserts tier equality).
+    val labels = Fuzzy.resolveClusters(s, lshCandidatePairs(s, dir))
     labels
       .join(Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")), "doc_id")
       .groupBy(col("cluster_id"))

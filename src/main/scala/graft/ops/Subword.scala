@@ -231,7 +231,12 @@ object Subword {
        |       round(pow(p, 0.7) / z / p, 6) AS boost,
        |       round((tt / 2) * (pow(p, 0.7) / z) / tok, 6) AS epochs
        |FROM p, z ORDER BY lang""".stripMargin) { (s, dir) =>
-    val byLang = langMasses(s, dir)
+    // byLang feeds three sinks (total, the z-normalizer, the surface) —
+    // left lazy, each re-evaluates the whole docSubTokens pipeline
+    // (vocab explode + greedy-segmentation HOF). It is lang-grain
+    // (≤ #languages rows), so an eager localCheckpoint pins it — the
+    // same fix q258/q261 already carry via their persisted doc tables.
+    val byLang = langMasses(s, dir).localCheckpoint()
     val tot = byLang.agg(sum(col("tok")).cast("long").as("tt"))
     val withP = byLang.crossJoin(broadcast(tot))
       .withColumn("p", col("tok").cast("double") / col("tt"))
